@@ -1,0 +1,250 @@
+"""Lakehouse: point-in-time scan + time-travel SQL over azof-format tables.
+
+Reference: crates/azof/src/lakehouse.rs (scan) and
+crates/azof-datafusion/src/{context.rs,lib.rs} (SQL surface). The
+reference's scan is a single-threaded, row-at-a-time merge into one
+in-memory RecordBatch (lakehouse.rs:40-85) wrapped in a 1-partition
+DataFusion node (lib.rs:199-204). Here the same semantics are declared as
+DataFrame operations and Catalyst/Tungsten execute them distributed:
+
+1. version + snapshot resolution, temporal file pruning — driver-side
+   Python, O(metadata), no Spark jobs (like Delta log file skipping);
+2. ONE ``spark.read.parquet(*pruned_files)`` — vectorized reader,
+   parallel across files/row-groups, column pruning pushed down from the
+   projection, ``event_time <= t`` pushed to row-group stats;
+3. file precedence (crates/azof/src/metadata.rs:47-73 — child segments
+   shadow parents, newer deltas shadow older, deltas shadow base) is
+   attached as a ``_rank`` column mapped from ``input_file_name()``;
+4. latest-version-per-key dedup = ``groupBy(key).agg(max_by(values,
+   struct(-rank, event_time)))`` — a hash aggregate with map-side
+   partial combine, i.e. ONE shuffle of pre-combined partials. At 100 TB
+   this beats a window (``row_number() over (partition by key ...)``),
+   which must shuffle + sort every row. AQE handles skewed keys.
+
+Tie-break note: within one file at equal (key, event_time) the reference
+keeps the physically-first row (lakehouse.rs:54-79). All reference-shipped
+data and our writer enforce unique (key, event_time) per file
+(crates/azof-cli/src/test_bench.rs:71-80), so the case cannot arise for
+valid tables; we document the invariant instead of paying a per-file
+row-index column at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+from datetime import datetime
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bazof_spark.asof import AsOf, coerce_as_of
+from bazof_spark.errors import TableNotFoundError
+from bazof_spark.metadata import Snapshot
+from bazof_spark.projection import Projection, coerce_projection
+from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+from bazof_spark.sql import rewrite_and_extract_tables
+from bazof_spark.table import Table
+
+# Above this many pruned files, map file→rank via a broadcast join instead
+# of a literal CASE/map expression (keeps the plan small for huge tables).
+_RANK_MAP_LITERAL_MAX = 512
+
+
+def _normalize_file_uri(path: str) -> str:
+    """Normalize a path/URI the same way we normalize
+    ``input_file_name()`` output, so the two sides join."""
+    p = urllib.parse.unquote(path)
+    if "://" in p:
+        scheme, rest = p.split("://", 1)
+        return f"{scheme}://{rest.lstrip('/')}"
+    return os.path.abspath(p).lstrip("/")
+
+
+# strip scheme + collapse leading slashes: file:///a/b → a/b, s3a://b/k → s3a://b/k
+def _normalized_input_file() -> F.Column:
+    col = F.expr("input_file_name()")
+    col = F.url_decode(col)
+    scheme = F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "")
+    return F.when(scheme == "file", rest).when(scheme == "", rest).otherwise(
+        F.concat(scheme, F.lit("://"), rest)
+    )
+
+
+class Lakehouse:
+    """A root path containing table directories
+    (crates/azof/src/lakehouse.rs:19-27)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- metadata -----------------------------------------------------
+
+    def table(self, name: str) -> Table:
+        if "://" in self.root:
+            path = self.root.rstrip("/") + "/" + name
+        else:
+            path = os.path.join(self.root, name)
+        return Table(path=path, name=name)
+
+    def has_table(self, name: str) -> bool:
+        t = self.table(name)
+        try:
+            t.current_version()
+            return True
+        except TableNotFoundError:
+            return False
+
+    def list_tables(self) -> list[str]:
+        if "://" in self.root:
+            from pyarrow import fs as pafs
+
+            filesystem, rel = pafs.FileSystem.from_uri(self.root)
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(rel, allow_not_found=True)
+            )
+            names = [i.base_name for i in infos if i.type == pafs.FileType.Directory]
+        else:
+            names = [
+                d
+                for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))
+            ]
+        return sorted(n for n in names if self.has_table(n))
+
+    # -- scan (the core operator) ------------------------------------
+
+    def scan(
+        self,
+        table_name: str,
+        as_of: AsOf | datetime | str | None = None,
+        columns: Iterable[str] | Projection | None = None,
+    ) -> DataFrame:
+        """Point-in-time merge scan → lazy DataFrame
+        (reference: crates/azof/src/lakehouse.rs:29-86).
+
+        Output columns follow the reference's ordering rules: key,
+        event_time, then declared value columns, each only if projected
+        (crates/azof/src/schema.rs:148-171).
+        """
+        as_of = coerce_as_of(as_of)
+        projection = coerce_projection(columns)
+        table = self.table(table_name)
+        snapshot = table.get_current_snapshot()
+        return self.scan_snapshot(table, snapshot, as_of, projection)
+
+    def scan_snapshot(
+        self,
+        table: Table,
+        snapshot: Snapshot,
+        as_of: AsOf,
+        projection: Projection,
+    ) -> DataFrame:
+        ranked = snapshot.ranked_data_files(as_of)
+        out_cols = snapshot.schema.output_columns(projection)
+        struct_type = snapshot.schema.to_struct_type(projection)
+        if not ranked:
+            return self.spark.createDataFrame([], struct_type)
+
+        paths = [table.data_file_path(f) for f, _ in ranked]
+        # value columns we must read: projected ones (key/event_time are
+        # always read — the merge needs them, as in the reference's
+        # ProjectionMask, crates/azof/src/lakehouse.rs:98-109)
+        value_cols = [
+            c.name
+            for c in snapshot.schema.columns
+            if projection.contains(c.name)
+        ]
+        df = self.spark.read.parquet(*paths).select(
+            KEY_COL, EVENT_TIME_COL, *value_cols
+        )
+
+        if not as_of.is_current:
+            # row-group stats pruning applies; rows with event_time > t
+            # are invisible and do NOT shadow older versions
+            # (lakehouse.rs:62-67)
+            df = df.filter(F.col(EVENT_TIME_COL) <= F.lit(as_of.event_time_at))
+
+        df = self._dedup_latest_per_key(df, table, ranked, value_cols)
+        return df.select(*out_cols) if out_cols else df.select(KEY_COL).drop(KEY_COL)
+
+    def _dedup_latest_per_key(
+        self,
+        df: DataFrame,
+        table: Table,
+        ranked: list[tuple[str, int]],
+        value_cols: list[str],
+    ) -> DataFrame:
+        """First-eligible-occurrence-in-file-order semantics
+        (crates/azof/src/lakehouse.rs:40,54-79 + metadata.rs:47-73),
+        encoded as max_by over (−rank, event_time): min rank wins, then
+        max event_time — exactly 'latest version ≤ t, file precedence
+        beats timestamp'."""
+        df = self._with_rank(df, table, ranked)
+
+        payload = F.struct(
+            F.col(EVENT_TIME_COL).alias(EVENT_TIME_COL),
+            *[F.col(c).alias(c) for c in value_cols],
+        )
+        precedence = F.struct(
+            (-F.col("_rank")).alias("neg_rank"),
+            F.col(EVENT_TIME_COL).alias("ts"),
+        )
+        winner = df.groupBy(KEY_COL).agg(
+            F.max_by(payload, precedence).alias("_w")
+        )
+        return winner.select(KEY_COL, "_w.*")
+
+    def _with_rank(
+        self, df: DataFrame, table: Table, ranked: list[tuple[str, int]]
+    ) -> DataFrame:
+        if len(ranked) <= 1:
+            return df.withColumn("_rank", F.lit(0))
+        pairs = {
+            _normalize_file_uri(table.data_file_path(f)): r for f, r in ranked
+        }
+        if len(pairs) <= _RANK_MAP_LITERAL_MAX:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in pairs.items() for x in kv]
+            )
+            return df.withColumn("_rank", mapping[_normalized_input_file()])
+        # scale path (thousands of files): broadcast-join a tiny
+        # (file, rank) frame — stays JVM-side, no Python UDF
+        rank_df = F.broadcast(
+            self.spark.createDataFrame(list(pairs.items()), ["_file", "_rank"])
+        )
+        return df.withColumn("_file", _normalized_input_file()).join(
+            rank_df, on="_file", how="inner"
+        ).drop("_file")
+
+    # -- SQL ----------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Full SQL incl. time-travel syntax, the relational surface
+        provided by Spark SQL exactly as DataFusion provides it for the
+        reference (crates/azof-datafusion/src/context.rs:11-48).
+
+        Registration is idempotent per versioned name (context.rs:40-42):
+        ``name__<millis>`` temp views are (re)created from as-of scans;
+        bare names resolve to Current scans when they are azof tables
+        (names already registered in the Spark catalog — e.g. TPC-H temp
+        views — are left untouched).
+        """
+        rewritten, tables = rewrite_and_extract_tables(query)
+        for vt in tables:
+            if vt.versioned_name != vt.name:
+                # as-of view: contents are immutable for a given
+                # (table, timestamp) → safe to cache registration
+                if not self.spark.catalog.tableExists(vt.versioned_name):
+                    self.scan(vt.name, vt.as_of).createOrReplaceTempView(
+                        vt.versioned_name
+                    )
+            else:
+                if not self.spark.catalog.tableExists(vt.name) and self.has_table(
+                    vt.name
+                ):
+                    self.scan(vt.name).createOrReplaceTempView(vt.name)
+        return self.spark.sql(rewritten)

@@ -1,0 +1,180 @@
+"""Snapshot metadata + temporal file pruning.
+
+Reference: crates/azof/src/metadata.rs. A snapshot is a JSON document with
+a declared schema and a tree of *segments*; pruning walks the tree and
+emits the ordered file list for an ``AsOf``. The emission order IS the
+merge precedence (crates/azof/src/metadata.rs:47-73, asserted by
+metadata.rs:579-589):
+
+1. in-range child segments first, recursively, in document order;
+2. eligible delta files sorted by ``start`` DESC;
+3. the segment's own base file last (only if the segment is in range).
+
+First eligible occurrence of a key in this file order wins the as-of
+merge — so a LOWER index in the returned list means HIGHER precedence.
+Semantics preserved exactly:
+
+- segment in-range: ``start <= t <= end`` inclusive, or ``start <= t``
+  when open-ended; ``Current`` matches only open-ended segments
+  (metadata.rs:75-86);
+- delta eligibility ignores the delta's ``end``: ``delta.start <= t``
+  (metadata.rs:98-104);
+- top-level segments are all visited with no range check at the root
+  (metadata.rs:20-25) — the base-file in-range check happens per segment.
+
+This is all driver-side, metadata-time work (like Delta log file
+skipping): pure Python, no Spark involvement, so pruning cost is
+O(segments) regardless of data size.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from bazof_spark.asof import AsOf, Current, format_rfc3339_ms, parse_rfc3339
+from bazof_spark.errors import MetadataError
+from bazof_spark.schema import TableSchema
+
+
+@dataclass(frozen=True)
+class Delta:
+    """A parquet batch of upserts covering event-time ``[start, end]``
+    (crates/azof/src/metadata.rs:89-96)."""
+
+    file: str
+    start: datetime
+    end: datetime
+
+    def is_before(self, as_of: AsOf) -> bool:
+        """Eligibility (metadata.rs:98-104): Current ⇒ always; EventTime ⇒
+        ``start <= t`` (the delta's ``end`` is intentionally ignored)."""
+        if as_of.is_current:
+            return True
+        return self.start <= as_of.event_time_at
+
+    @staticmethod
+    def from_json(obj: dict) -> "Delta":
+        try:
+            return Delta(
+                file=obj["file"],
+                start=parse_rfc3339(obj["start"]),
+                end=parse_rfc3339(obj["end"]),
+            )
+        except (KeyError, ValueError) as exc:
+            raise MetadataError(f"bad delta {obj!r}: {exc}") from exc
+
+    def to_json(self) -> dict:
+        return {
+            "file": self.file,
+            "start": format_rfc3339_ms(self.start),
+            "end": format_rfc3339_ms(self.end),
+        }
+
+
+@dataclass(frozen=True)
+class Segment:
+    """A logical event-time-range partition
+    (crates/azof/src/metadata.rs:28-45)."""
+
+    id: str
+    start: datetime
+    end: datetime | None = None
+    file: str | None = None  # base file: full key state at `start`
+    segments: tuple["Segment", ...] = field(default_factory=tuple)
+    delta: tuple[Delta, ...] = field(default_factory=tuple)
+
+    def is_in_range(self, as_of: AsOf) -> bool:
+        """metadata.rs:75-86 — Current matches only open-ended segments;
+        EventTime uses inclusive bounds."""
+        if as_of.is_current:
+            return self.end is None
+        t = as_of.event_time_at
+        if self.end is not None:
+            return self.start <= t <= self.end
+        return self.start <= t
+
+    def get_data_files(self, as_of: AsOf) -> list[str]:
+        """metadata.rs:47-73 — children, then deltas (start DESC), then
+        own base file if in range."""
+        files: list[str] = []
+        for sub in self.segments:
+            if sub.is_in_range(as_of):
+                files.extend(sub.get_data_files(as_of))
+        eligible = [d for d in self.delta if d.is_before(as_of)]
+        eligible.sort(key=lambda d: d.start, reverse=True)
+        files.extend(d.file for d in eligible)
+        if self.is_in_range(as_of) and self.file is not None:
+            files.append(self.file)
+        return files
+
+    @staticmethod
+    def from_json(obj: dict) -> "Segment":
+        try:
+            return Segment(
+                id=str(obj["id"]),
+                start=parse_rfc3339(obj["start"]),
+                end=parse_rfc3339(obj["end"]) if obj.get("end") else None,
+                file=obj.get("file"),
+                segments=tuple(
+                    Segment.from_json(s) for s in obj.get("segments") or ()
+                ),
+                delta=tuple(Delta.from_json(d) for d in obj.get("delta") or ()),
+            )
+        except (KeyError, ValueError) as exc:
+            raise MetadataError(f"bad segment {obj!r}: {exc}") from exc
+
+    def to_json(self) -> dict:
+        out: dict = {"id": self.id, "start": format_rfc3339_ms(self.start)}
+        if self.end is not None:
+            out["end"] = format_rfc3339_ms(self.end)
+        if self.file is not None:
+            out["file"] = self.file
+        if self.segments:
+            out["segments"] = [s.to_json() for s in self.segments]
+        if self.delta:
+            out["delta"] = [d.to_json() for d in self.delta]
+        return out
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """A consistent view of a table: schema + segment tree
+    (crates/azof/src/metadata.rs:9-13)."""
+
+    segments: tuple[Segment, ...]
+    schema: TableSchema
+
+    @staticmethod
+    def deserialize(json_string: str) -> "Snapshot":
+        try:
+            obj = json.loads(json_string)
+        except json.JSONDecodeError as exc:
+            raise MetadataError(f"snapshot is not valid JSON: {exc}") from exc
+        return Snapshot(
+            segments=tuple(Segment.from_json(s) for s in obj.get("segments", [])),
+            schema=TableSchema.from_json(obj.get("schema", {})),
+        )
+
+    def serialize(self) -> str:
+        return json.dumps(
+            {
+                "schema": self.schema.to_json(),
+                "segments": [s.to_json() for s in self.segments],
+            },
+            indent=2,
+        )
+
+    def get_data_files(self, as_of: AsOf = Current) -> list[str]:
+        """Ordered file list; index in the list is the merge precedence
+        rank (lower = wins). metadata.rs:20-25: all top-level segments are
+        visited, no root-level range check."""
+        files: list[str] = []
+        for segment in self.segments:
+            files.extend(segment.get_data_files(as_of))
+        return files
+
+    def ranked_data_files(self, as_of: AsOf = Current) -> list[tuple[str, int]]:
+        """``[(file, rank)]`` with rank = position in precedence order."""
+        return [(f, i) for i, f in enumerate(self.get_data_files(as_of))]

@@ -1,0 +1,128 @@
+"""Table schema: JSON column declarations ↔ Spark ``StructType``.
+
+Reference: crates/azof/src/schema.rs. Four primitive value types plus two
+implicit system columns prepended to every table
+(``crates/azof/src/schema.rs:12-13,173-203``):
+
+    key: string NOT NULL, event_time: timestamp NOT NULL
+
+The reference materializes Arrow batches through typed builders
+(``schema.rs:35-171``); in Spark the scan stays a columnar DataFrame, so
+only the schema mapping survives here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql.types import (
+    BooleanType,
+    DataType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from bazof_spark.errors import MetadataError
+from bazof_spark.projection import Projection
+
+KEY_COL = "key"
+EVENT_TIME_COL = "event_time"
+SYSTEM_COLUMNS = (KEY_COL, EVENT_TIME_COL)
+
+
+class ColumnType(str, Enum):
+    """Azof value column types (crates/azof/src/schema.rs:15-21)."""
+
+    STRING = "String"
+    INT = "Int"
+    BOOLEAN = "Boolean"
+    DATETIME = "DateTime"
+
+    def to_spark(self) -> DataType:
+        # Mapping mirrors the reference's Arrow mapping
+        # (crates/azof/src/schema.rs:188-197): Utf8 / Int64 / Boolean /
+        # Timestamp(ms, UTC). Spark timestamps are µs-resolution,
+        # session-timezone UTC — a superset of ms.
+        return _SPARK_TYPES[self]
+
+
+_SPARK_TYPES: dict[ColumnType, DataType] = {
+    ColumnType.STRING: StringType(),
+    ColumnType.INT: LongType(),
+    ColumnType.BOOLEAN: BooleanType(),
+    ColumnType.DATETIME: TimestampType(),
+}
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    """One declared value column (crates/azof/src/schema.rs:23-28)."""
+
+    name: str
+    data_type: ColumnType
+    nullable: bool = False
+
+    @staticmethod
+    def from_json(obj: dict) -> "ColumnDef":
+        try:
+            return ColumnDef(
+                name=obj["name"],
+                data_type=ColumnType(obj["data_type"]),
+                nullable=bool(obj.get("nullable", False)),
+            )
+        except (KeyError, ValueError) as exc:
+            raise MetadataError(f"bad column definition {obj!r}: {exc}") from exc
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "data_type": self.data_type.value,
+            "nullable": self.nullable,
+        }
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    """Declared value columns; system columns are implicit."""
+
+    columns: tuple[ColumnDef, ...] = field(default_factory=tuple)
+
+    @staticmethod
+    def from_json(obj: dict) -> "TableSchema":
+        cols = obj.get("columns", [])
+        return TableSchema(tuple(ColumnDef.from_json(c) for c in cols))
+
+    def to_json(self) -> dict:
+        return {"columns": [c.to_json() for c in self.columns]}
+
+    def column_names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def output_columns(self, projection: Projection) -> list[str]:
+        """Projected output order: key, event_time, then value columns in
+        declared order, each included only if projected
+        (crates/azof/src/schema.rs:148-171,173-186)."""
+        out = [c for c in SYSTEM_COLUMNS if projection.contains(c)]
+        out.extend(c.name for c in self.columns if projection.contains(c.name))
+        return out
+
+    def to_struct_type(self, projection: Projection | None = None) -> StructType:
+        """Spark schema honoring the projection
+        (crates/azof/src/schema.rs:173-203)."""
+        projection = projection or Projection.all()
+        fields = []
+        for name in self.output_columns(projection):
+            if name == KEY_COL:
+                fields.append(StructField(KEY_COL, StringType(), False))
+            elif name == EVENT_TIME_COL:
+                fields.append(StructField(EVENT_TIME_COL, TimestampType(), False))
+            else:
+                col = next(c for c in self.columns if c.name == name)
+                fields.append(
+                    StructField(col.name, col.data_type.to_spark(), col.nullable)
+                )
+        return StructType(fields)

@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tests/bench run on ``local[N]``; the same settings are what we'd ship on
+a 1000-executor cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), UTC session timezone (the format's
+timestamps are UTC, SURVEY §7.4), Arrow-batched Python interop for the
+few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bazof-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("BAZOF_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

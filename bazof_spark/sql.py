@@ -1,0 +1,98 @@
+"""Time-travel SQL rewrite.
+
+Reference: crates/azof-datafusion/src/parse.rs:17-168. The reference walks
+the sqlparser AST with a ``VisitorMut``; Spark's parser exposes no such
+hook, so this is a text-level pre-pass with the same observable contract
+(parse.rs tests 176-284):
+
+- ``tbl FOR SYSTEM_TIME AS OF '<rfc3339>'``  → ``tbl__<epoch_millis>``
+- ``tbl AT('<rfc3339>')``                    → ``tbl__<epoch_millis>``
+- ``tbl AT(TIMESTAMP => '<rfc3339>')``       → ``tbl__<epoch_millis>``
+- invalid timestamp strings are errors;
+- a table factor with no version clause keeps its name (⇒ Current).
+
+e.g. ``financials AT('2019-01-17T00:00:00.000Z')`` →
+``financials__1547683200000`` (parse.rs:193-195). Two as-of instants of
+the same table get distinct rewritten names, so self-joins across time
+work exactly as in the reference (parse.rs:71-75).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from bazof_spark.asof import AsOf, Current, epoch_millis, parse_rfc3339
+from bazof_spark.errors import SqlRewriteError
+
+# identifier, optionally schema-qualified: name or name.name
+_IDENT = r"[A-Za-z_][A-Za-z0-9_$]*(?:\.[A-Za-z_][A-Za-z0-9_$]*)*"
+
+# tbl AT('ts') | tbl AT(TIMESTAMP => 'ts')
+_AT_RE = re.compile(
+    rf"(?P<name>{_IDENT})\s+AT\s*\(\s*(?:TIMESTAMP\s*=>\s*)?'(?P<ts>[^']*)'\s*\)",
+    re.IGNORECASE,
+)
+
+# tbl FOR SYSTEM_TIME AS OF 'ts'
+_SYSTEM_TIME_RE = re.compile(
+    rf"(?P<name>{_IDENT})\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'(?P<ts>[^']*)'",
+    re.IGNORECASE,
+)
+
+# bare table factor after FROM/JOIN (for Current registration)
+_TABLE_FACTOR_RE = re.compile(
+    rf"\b(?:FROM|JOIN)\s+(?P<name>{_IDENT})", re.IGNORECASE
+)
+
+_KEYWORDS = frozenset(
+    {"select", "lateral", "unnest", "values", "table", "generate_series"}
+)
+
+
+@dataclass(frozen=True)
+class VersionedTable:
+    """(original name, rewritten name, as-of) — parse.rs:11-15."""
+
+    name: str
+    versioned_name: str
+    as_of: AsOf
+
+
+def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
+    """Rewrite time-travel clauses; return (sql, versioned tables).
+
+    Tables referenced with no version clause are also returned (with
+    ``AsOf.Current`` and ``versioned_name == name``) so the caller can
+    register them, mirroring the reference registering every extracted
+    table factor (crates/azof-datafusion/src/context.rs:29-43).
+    """
+    tables: list[VersionedTable] = []
+    seen: set[str] = set()
+
+    def _sub(match: re.Match) -> str:
+        name = match.group("name")
+        ts_raw = match.group("ts")
+        try:
+            ts = parse_rfc3339(ts_raw)
+        except ValueError as exc:
+            raise SqlRewriteError(
+                f"invalid time-travel timestamp {ts_raw!r} for table {name!r}: {exc}"
+            ) from exc
+        versioned = f"{name}__{epoch_millis(ts)}"
+        if versioned not in seen:
+            seen.add(versioned)
+            tables.append(VersionedTable(name, versioned, AsOf.event_time(ts)))
+        return versioned
+
+    rewritten = _AT_RE.sub(_sub, sql)
+    rewritten = _SYSTEM_TIME_RE.sub(_sub, rewritten)
+
+    for match in _TABLE_FACTOR_RE.finditer(rewritten):
+        name = match.group("name")
+        if name.lower() in _KEYWORDS or name in seen:
+            continue
+        seen.add(name)
+        tables.append(VersionedTable(name, name, Current))
+
+    return rewritten, tables

@@ -1,0 +1,112 @@
+"""AsOf parsing/formatting + time-travel SQL rewrite tests
+(reference: crates/azof-datafusion/src/parse.rs:176-284)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from bazof_spark.asof import (
+    AsOf,
+    Current,
+    EventTime,
+    epoch_millis,
+    format_rfc3339_ms,
+    parse_rfc3339,
+)
+from bazof_spark.errors import SqlRewriteError
+from bazof_spark.sql import rewrite_and_extract_tables
+
+
+def test_parse_rfc3339():
+    dt = parse_rfc3339("2019-01-17T00:00:00.000Z")
+    assert dt == datetime(2019, 1, 17, tzinfo=timezone.utc)
+    assert epoch_millis(dt) == 1547683200000  # parse.rs:193-195
+    assert format_rfc3339_ms(dt) == "2019-01-17T00:00:00.000Z"
+    with pytest.raises(ValueError):
+        parse_rfc3339("not-a-timestamp")
+    with pytest.raises(ValueError):
+        parse_rfc3339("2019-01-17T00:00:00")  # no offset → not RFC3339
+
+
+def test_asof_constructors():
+    assert Current.is_current
+    t = EventTime("2024-06-01T00:00:00.000Z")
+    assert not t.is_current
+    assert t == AsOf.event_time(datetime(2024, 6, 1, tzinfo=timezone.utc))
+
+
+def test_rewrite_system_time():
+    """parse.rs:176-201 (inserts_version_into_table_ident)."""
+    sql = (
+        "SELECT key, revenue FROM tbl "
+        "FOR SYSTEM_TIME AS OF '2019-01-17T00:00:00.000Z' WHERE x = 1"
+    )
+    rewritten, tables = rewrite_and_extract_tables(sql)
+    assert "tbl__1547683200000" in rewritten
+    assert "SYSTEM_TIME" not in rewritten
+    vt = tables[0]
+    assert (vt.name, vt.versioned_name) == ("tbl", "tbl__1547683200000")
+    assert vt.as_of == EventTime("2019-01-17T00:00:00.000Z")
+
+
+def test_rewrite_at_function():
+    """parse.rs:203-228."""
+    rewritten, tables = rewrite_and_extract_tables(
+        "SELECT * FROM tbl AT('2019-01-17T00:00:00.000Z')"
+    )
+    assert rewritten == "SELECT * FROM tbl__1547683200000"
+    assert tables[0].versioned_name == "tbl__1547683200000"
+
+
+def test_rewrite_at_named_arg():
+    """parse.rs:230-255 (AT(TIMESTAMP => ...))."""
+    rewritten, tables = rewrite_and_extract_tables(
+        "SELECT * FROM tbl AT(TIMESTAMP => '2019-01-17T00:00:00.000Z')"
+    )
+    assert rewritten == "SELECT * FROM tbl__1547683200000"
+    assert tables[0].versioned_name == "tbl__1547683200000"
+
+
+def test_rewrite_invalid_timestamp_errors():
+    """parse.rs:257-284."""
+    with pytest.raises(SqlRewriteError):
+        rewrite_and_extract_tables("SELECT * FROM tbl AT('nonsense')")
+    with pytest.raises(SqlRewriteError):
+        rewrite_and_extract_tables(
+            "SELECT * FROM tbl FOR SYSTEM_TIME AS OF '2019-13-45T99:00:00.000Z'"
+        )
+
+
+def test_rewrite_no_version_clause_is_current():
+    """parse.rs:106-107 — bare table ⇒ Current."""
+    rewritten, tables = rewrite_and_extract_tables("SELECT * FROM tbl")
+    assert rewritten == "SELECT * FROM tbl"
+    assert tables[0].name == "tbl"
+    assert tables[0].as_of.is_current
+
+
+def test_rewrite_self_join_two_instants():
+    """Two as-of instants of one table → distinct versioned names
+    (parse.rs:71-75)."""
+    sql = (
+        "SELECT a.key FROM tbl AT('2019-01-17T00:00:00.000Z') a "
+        "JOIN tbl AT('2020-01-17T00:00:00.000Z') b ON a.key = b.key"
+    )
+    rewritten, tables = rewrite_and_extract_tables(sql)
+    names = [t.versioned_name for t in tables]
+    assert "tbl__1547683200000" in names
+    assert "tbl__1579219200000" in names
+    assert "tbl__1547683200000 a" in rewritten
+    assert "tbl__1579219200000 b" in rewritten
+
+
+def test_rewrite_preserves_alias_and_mixed_tables():
+    sql = (
+        "SELECT f.key AS symbol, n.n_name FROM financials "
+        "AT ('2019-01-17T00:00:00.000Z') f JOIN nation n ON f.key = n.n_name "
+        "ORDER BY f.revenue DESC LIMIT 5"
+    )
+    rewritten, tables = rewrite_and_extract_tables(sql)
+    assert "financials__1547683200000 f" in rewritten
+    by_name = {t.versioned_name: t for t in tables}
+    assert "nation" in by_name and by_name["nation"].as_of.is_current
