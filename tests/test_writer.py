@@ -1,0 +1,119 @@
+"""Writer tests: author an azof-format table with TableWriter, scan it
+back, and check the layout invariants + CSV gen path
+(reference gen tooling: crates/azof-cli/src/main.rs:61-99)."""
+
+from datetime import datetime, timezone
+
+import pyarrow.parquet as pq
+import pytest
+
+from bazof_spark.errors import BazofError
+from bazof_spark.lakehouse import Lakehouse
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+from bazof_spark.writer import TableWriter, csv_to_dataframe, dataframe_to_parquet_file
+
+
+def ts(y, m, d):
+    return datetime(y, m, d, tzinfo=timezone.utc)
+
+
+SCHEMA = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], SCHEMA.to_struct_type()
+    )
+
+
+def test_write_and_scan_round_trip(spark, tmp_path):
+    root = str(tmp_path)
+    w = TableWriter(spark, f"{root}/t", SCHEMA)
+    seg = w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=_df(spark, [("1", ts(2024, 1, 1), "abc"), ("2", ts(2024, 1, 1), "xyz")]),
+    )
+    seg.add_delta(
+        _df(
+            spark,
+            [
+                ("3", ts(2024, 3, 10), "www2"),
+                ("2", ts(2024, 2, 20), "xyz2"),
+                ("1", ts(2024, 2, 1), "abc2"),
+            ],
+        ),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 4, 1),
+    )
+    w.commit()
+
+    lh = Lakehouse(spark, root)
+    assert lh.list_tables() == ["t"]
+    got = sorted(tuple(r) for r in lh.scan("t").select("key", "value").collect())
+    assert got == [("1", "abc2"), ("2", "xyz2"), ("3", "www2")]
+    got = sorted(
+        tuple(r)
+        for r in lh.scan("t", as_of=ts(2024, 2, 17)).select("key", "value").collect()
+    )
+    assert got == [("1", "abc2"), ("2", "xyz")]
+
+
+def test_written_file_sorted_desc(spark, tmp_path):
+    """Physical layout invariant: event_time DESC within a file
+    (crates/azof-cli/src/test_bench.rs:103-121)."""
+    dest = str(tmp_path / "f.parquet")
+    df = _df(
+        spark,
+        [("1", ts(2024, 1, 1), "a"), ("2", ts(2024, 3, 1), "b"), ("3", ts(2024, 2, 1), "c")],
+    )
+    dataframe_to_parquet_file(df, dest)
+    t = pq.read_table(dest)
+    times = t.column("event_time").to_pylist()
+    assert times == sorted(times, reverse=True)
+    assert str(t.schema.field("event_time").type) == "timestamp[ms, tz=UTC]"
+
+
+def test_duplicate_key_event_time_rejected(spark, tmp_path):
+    w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
+    dup = _df(spark, [("1", ts(2024, 1, 1), "a"), ("1", ts(2024, 1, 1), "b")])
+    with pytest.raises(BazofError):
+        w.add_segment("10", ts(2024, 1, 1), base_df=dup)
+
+
+def test_csv_gen_path(spark, tmp_path):
+    """Headerless CSV → DataFrame → parquet, like `azof-cli gen`."""
+    csv = tmp_path / "delta.csv"
+    csv.write_text("3,2024-03-10,www2\n2,2024-02-20,xyz2\n1,2024-02-01,abc2\n")
+    df = csv_to_dataframe(spark, str(csv), SCHEMA)
+    rows = sorted(tuple(r) for r in df.select("key", "value").collect())
+    assert rows == [("1", "abc2"), ("2", "xyz2"), ("3", "www2")]
+    assert [f.name for f in df.schema.fields] == ["key", "event_time", "value"]
+
+
+def test_nested_segments_written_and_scanned(spark, tmp_path):
+    """Child segments shadow the parent (docs/architecture.md:84)."""
+    root = str(tmp_path)
+    w = TableWriter(spark, f"{root}/t", SCHEMA)
+    parent = w.add_segment(
+        "y2024",
+        ts(2024, 1, 1),
+        base_df=_df(spark, [("1", ts(2024, 1, 1), "parent")]),
+    )
+    parent.add_child(
+        "q3",
+        ts(2024, 7, 1),
+        base_df=_df(spark, [("1", ts(2024, 7, 1), "child")]),
+    )
+    # parent also has a delta NEWER than the child's base: file precedence
+    # must still let the child win (precedence beats timestamp)
+    parent.add_delta(
+        _df(spark, [("1", ts(2024, 8, 15), "parent-delta")]),
+        start=ts(2024, 8, 1),
+        end=ts(2024, 9, 1),
+    )
+    w.commit()
+
+    lh = Lakehouse(spark, root)
+    got = lh.scan("t").select("key", "value").collect()
+    assert [tuple(r) for r in got] == [("1", "child")]
