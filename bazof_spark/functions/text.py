@@ -1,0 +1,126 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions over ``pyspark.sql.functions`` — they stay
+inside whole-stage codegen (no Python round trip), so a 100 TB documents
+scan runs at parquet-read speed. Each has an exactly-equivalent ANSI-SQL
+formulation (see ``__spark_entry__.oracle_sql``) used as the DuckDB
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish token: word chars, or a single non-word non-space symbol —
+# deterministic and cheap, standing in for a real tokenizer's count.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+WORD_REGEX = r"[A-Za-z0-9_]+"
+
+# Marker stopwords per language for the n-gram/keyword language-ID
+# heuristic. Deterministic and tiny on purpose: language ID at scale is
+# a per-row expression, not a model inference.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+}
+
+
+def word_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(WORD_REGEX))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace+symbol token count (BPE-ish regex)."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    punct = F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9_]"))
+    return F.when(F.length(text) > 0, punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Stopword tokens / word tokens (0 for wordless docs)."""
+    pattern = r"(?i)\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    hits = F.regexp_count(text, F.lit(pattern))
+    words = word_count(text)
+    return F.when(words > 0, hits / words).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    letters = F.regexp_count(text, F.lit(r"[A-Za-z0-9_]"))
+    words = word_count(text)
+    return F.when(words > 0, letters / words).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    healthy stopword rate + sane mean word length. Deterministic
+    arithmetic only — reproducible in ANSI SQL for the oracle."""
+    n = F.length(text)
+    length_component = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_component = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(4.0)
+    )
+    stop_component = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    mwl = mean_word_length(text)
+    mwl_component = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (
+        length_component * F.lit(0.4)
+        + punct_component * F.lit(0.3)
+        + stop_component * F.lit(0.2)
+        + mwl_component * F.lit(0.1)
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Keyword-marker language ID: count marker-word hits per language,
+    argmax wins; ties and zero-hit docs → 'und'. Deterministic argmax:
+    higher count wins, then lexicographically smaller language code."""
+    scored = None
+    for code in sorted(LANG_MARKERS):
+        pattern = r"(?i)\b(" + "|".join(LANG_MARKERS[code]) + r")\b"
+        hits = F.regexp_count(text, F.lit(pattern))
+        # struct(count DESC via max of (count, reversed code)) — encode
+        # lexicographic preference by comparing on (hits, neg-ordinal)
+        entry = F.struct(
+            hits.alias("hits"),
+            F.lit(-sorted(LANG_MARKERS).index(code)).alias("pref"),
+            F.lit(code).alias("code"),
+        )
+        scored = entry if scored is None else F.greatest(scored, entry)
+    return F.when(scored["hits"] > 0, scored["code"]).otherwise(F.lit("und"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (consecutive words joined
+    by a single space). Built-ins only: split + transform over offsets —
+    stays in whole-stage codegen."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Document fingerprint: minimum md5 over word k-gram shingles —
+    a winnowing-style rolling fingerprint that is stable under document
+    reordering-free edits and cheap to compare for containment/near-dup
+    prefilters. md5 (not xxhash) so DuckDB reproduces it bit-for-bit."""
+    return F.array_min(F.transform(shingles(text, k), F.md5))

@@ -1,0 +1,288 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, each a DataFrame→DataFrame operator over a document
+table, all shuffle-disciplined for 100 TB:
+
+- exact:         one hash-groupBy on a digest — single shuffle of
+                 (digest, id) pairs, map-side combined.
+- minhash LSH:   shingle → minhash signature → band buckets →
+                 self-join within buckets. The only join is on band
+                 hash values (tiny keys); candidate verification is
+                 per-pair arithmetic. No all-pairs comparison ever.
+- simhash:       64-bit weighted-projection fingerprint; near-dup =
+                 same fingerprint band bucket + Hamming ≤ r check.
+- n-gram Jaccard: exact Jaccard over word shingles with a shared-
+                 shingle join as the candidate generator (an inverted
+                 index, not a cross join); frequency-capped to bound
+                 skew from ultra-common shingles.
+- embedding cosine: delegated to operators/similarity.py.
+
+MinHash here is built from first principles with md5-based hashing (no
+external hash libs): h_i(s) = first 8 bytes of md5(seed_i || s) as a
+uint64; signature = elementwise min over shingles. Permutation seeds are
+fixed constants → fully deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bazof_spark.functions.text import shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact text digest.
+    Output: (digest, keep_id, n_copies). One shuffle, map-side combined."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _md5_minhash(shingle_array: Column, seed: int) -> Column:
+    """One permutation: min over shingles of md5(seed||'|'||s) compared
+    as hex strings — md5 hex is fixed-width so lexicographic order equals
+    numeric order over the uint128 it encodes."""
+    hashed = F.transform(
+        shingle_array, lambda s: F.md5(F.concat(F.lit(str(seed) + "|"), s))
+    )
+    return F.array_min(hashed)
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, k: int = 3
+) -> Column:
+    """array<string> of `num_hashes` minhash values (md5-hex mins over
+    word k-gram shingles). Hex-string min == numeric min over the uint128
+    it encodes, so string ordering is a valid permutation min."""
+    sh = shingles(text, k)
+    return F.array(*[_md5_minhash(sh, i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by the
+    signature-estimated Jaccard. Output: (id_a, id_b, est_jaccard) with
+    id_a < id_b, est_jaccard >= threshold.
+
+    rows_per_band = num_hashes // bands. Join key is (band_index,
+    band_hash) — documents only meet if one full band matches, so the
+    shuffle carries (band_key, id, signature), never text.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band", "_band.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bhash") == F.col("r.bhash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(text_col: str, k: int = 3) -> Column:
+    """64-bit SimHash over word k-gram shingles: per bit position, sum
+    +1/-1 votes across shingle hashes; fingerprint bit = sign of the sum.
+    xxhash64 (JVM built-in) with fixed seed 42 → deterministic.
+
+    Built as one SQL higher-order-function expression: a single fold over
+    the shingle hashes carrying an array of 64 vote counters — O(S·64)
+    arithmetic per doc with no Python round trip and a compact plan.
+    Takes the column NAME (it is spliced into a SQL expr)."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    sh = (
+        f"CASE WHEN size({words}) >= {k} THEN "
+        f"transform(sequence(0, size({words}) - {k}), "
+        f"i -> array_join(slice({words}, i + 1, {k}), ' ')) "
+        f"ELSE array(array_join({words}, ' ')) END"
+    )
+    hashes = f"transform({sh}, s -> xxhash64(s, 42))"
+    votes = (
+        f"aggregate({hashes}, array_repeat(0, 64), (acc, x) -> "
+        f"zip_with(acc, transform(sequence(0, 63), b -> "
+        f"CASE WHEN (x & shiftleft(1L, b)) != 0L THEN 1 ELSE -1 END), "
+        f"(a, v) -> a + v))"
+    )
+    fingerprint = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), (v, b) -> "
+        f"CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (a, x) -> a | x)"
+    )
+    return F.expr(fingerprint)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
+    generation: split the 64-bit fingerprint into `bands` 16-bit chunks —
+    by pigeonhole any pair within Hamming r < bands shares ≥1 exact chunk
+    — join on (chunk_index, chunk_value), then verify Hamming exactly.
+    Output: (id_a, id_b, hamming)."""
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col, k).alias("_fp")
+    )
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    chunked = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("_fp"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cval"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_fp", "_c.chunk", "_c.cval")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.cval") == F.col("r.cval"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._fp").alias("fp_a"),
+            F.col("r._fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """EXACT Jaccard similarity over distinct word k-gram shingles for
+    every pair sharing at least one shingle. Output:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Inverted-index join: explode distinct shingles, drop shingles that
+    occur in more than `max_shingle_freq` docs (skew guard — an
+    ultra-common shingle would otherwise create a quadratic bucket),
+    self-join on shingle, count shared, then |A∪B| = |A|+|B|-shared.
+    """
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+        )
+    )
+    sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    freq_ok = (
+        exploded.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") <= max_shingle_freq)
+        .select("sh")
+    )
+    pruned = exploded.join(freq_ok, "sh")
+    l, r = pruned.alias("l"), pruned.alias("r")
+    shared = (
+        l.join(
+            r,
+            on=[F.col("l.sh") == F.col("r.sh"), F.col("l._id") < F.col("r._id")],
+        )
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    with_sizes = (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+    )
+    jac = F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared"))
+    return (
+        with_sizes.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

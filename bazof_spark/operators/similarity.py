@@ -1,0 +1,268 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- ``cosine_topk_bruteforce`` — the exact baseline: broadcast the (small)
+  query set, score every corpus vector with a JVM-side fold
+  (``F.aggregate``/``zip_with`` — no Python UDF), take top-k per query
+  with ``row_number`` over a window partitioned by query. The corpus-side
+  scan is embarrassingly parallel; the only shuffle is (n_queries × k)
+  candidate rows.
+
+- ``lsh_ann_topk`` — the scale path: random-hyperplane LSH. Deterministic
+  planes (numpy, fixed seed) are embedded as literals; both queries and
+  corpus get a sign-bit bucket id; candidates = same bucket (multi-probe
+  via several independent tables); exact re-rank inside buckets. At
+  100 TB the bucket join replaces the full scan: cost ∝ corpus/2^bits
+  per table instead of corpus.
+
+- ``cosine_neardup_pairs`` — near-duplicate detection by embedding
+  cosine: all pairs ≥ threshold, LSH-bucketed candidate generation with
+  exact verification.
+
+All dot products are computed in float64 after an explicit cast so
+results are bit-reproducible against the DuckDB oracle (both engines do
+an ordered left-to-right double fold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered double fold — deterministic, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine_sim), self-matches
+    (same id) excluded, ties broken by neighbor_id ASC for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "_qid",
+        "_cid",
+        cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+    ).filter(F.col("_qid") != F.col("_cid"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_sim").desc(), F.col("_cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH candidate generation
+    (n_tables independent bucketings) + exact cosine re-rank.
+
+    Output: (query_id, neighbor_id, rank, cosine_sim) — same shape as
+    the brute-force baseline so recall can be measured directly.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    tagged_c = []
+    tagged_q = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + t)
+        tagged_c.append(
+            c.select(
+                "_cid",
+                "_cv",
+                F.lit(t).alias("_tbl"),
+                _bucket_expr(F.col("_cv"), planes).alias("_bkt"),
+            )
+        )
+        tagged_q.append(
+            q.select(
+                "_qid",
+                "_qv",
+                F.lit(t).alias("_tbl"),
+                _bucket_expr(F.col("_qv"), planes).alias("_bkt"),
+            )
+        )
+    c_all = tagged_c[0]
+    for x in tagged_c[1:]:
+        c_all = c_all.unionByName(x)
+    q_all = tagged_q[0]
+    for x in tagged_q[1:]:
+        q_all = q_all.unionByName(x)
+
+    cand = (
+        c_all.join(F.broadcast(q_all), on=["_tbl", "_bkt"])
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select("_qid", "_qv", "_cid", "_cv")
+        .dropDuplicates(["_qid", "_cid"])
+    )
+    scored = cand.select(
+        "_qid", "_cid", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine pairs within a blocking key: (id_a, id_b, cosine_sim)
+    with id_a < id_b and sim >= threshold. The blocking column (a label,
+    a shard, an LSH bucket…) bounds the quadratic term to one block —
+    the standard exact-verification step after any candidate generator."""
+    v = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(
+            r,
+            on=[F.col("l._blk") == F.col("r._blk"), F.col("l._id") < F.col("r._id")],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine_sim >= threshold. LSH buckets generate
+    candidates; cosine verifies exactly. Raise n_tables for recall."""
+    v = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    tagged = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + t)
+        tagged.append(
+            v.select(
+                "_id",
+                "_v",
+                F.lit(t).alias("_tbl"),
+                _bucket_expr(F.col("_v"), planes).alias("_bkt"),
+            )
+        )
+    all_t = tagged[0]
+    for x in tagged[1:]:
+        all_t = all_t.unionByName(x)
+    l, r = all_t.alias("l"), all_t.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l._tbl") == F.col("r._tbl"),
+                F.col("l._bkt") == F.col("r._bkt"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("l._v").alias("va"),
+            F.col("r._id").alias("id_b"),
+            F.col("r._v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -19,6 +19,7 @@ from enum import Enum
 from pyspark.sql.types import (
     BooleanType,
     DataType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -35,12 +36,16 @@ SYSTEM_COLUMNS = (KEY_COL, EVENT_TIME_COL)
 
 
 class ColumnType(str, Enum):
-    """Azof value column types (crates/azof/src/schema.rs:15-21)."""
+    """Azof value column types (crates/azof/src/schema.rs:15-21), plus a
+    ``Float`` extension the reference lacks (documented superset — needed
+    for real-valued measures; snapshots using it are not readable by the
+    reference)."""
 
     STRING = "String"
     INT = "Int"
     BOOLEAN = "Boolean"
     DATETIME = "DateTime"
+    FLOAT = "Float"  # extension
 
     def to_spark(self) -> DataType:
         # Mapping mirrors the reference's Arrow mapping
@@ -55,6 +60,7 @@ _SPARK_TYPES: dict[ColumnType, DataType] = {
     ColumnType.INT: LongType(),
     ColumnType.BOOLEAN: BooleanType(),
     ColumnType.DATETIME: TimestampType(),
+    ColumnType.FLOAT: DoubleType(),
 }
 
 

@@ -1,0 +1,80 @@
+"""Materialize the driver's ``events`` parquet log as an azof-format
+versioned table, so time-travel SQL runs against real driver data.
+
+events schema: event_id, ts, user_id, event_type, value, props
+→ azof mapping: key = str(user_id), event_time = ts, value columns =
+(event_id Int, event_type String, value Float, props String).
+
+The log is split deterministically into one base-less segment with N
+delta files on fixed time boundaries (sorted event_time DESC inside each
+file, unique (key, event_time) — both hold for the driver data). The
+as-of merge over this table then equals "latest event per user ≤ t",
+which is what the DuckDB oracles assert.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bazof_spark.lakehouse import Lakehouse
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+from bazof_spark.writer import TableWriter
+
+EVENTS_SCHEMA = TableSchema(
+    (
+        ColumnDef("event_id", ColumnType.INT, False),
+        ColumnDef("event_type", ColumnType.STRING, False),
+        ColumnDef("value", ColumnType.FLOAT, False),
+        ColumnDef("props", ColumnType.STRING, False),
+    )
+)
+
+TABLE_NAME = "events_versioned"
+_SEGMENT_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+_N_DELTAS = 4
+_DELTA_DAYS = 8  # 4 deltas × 8 days cover the ~31-day event range
+
+
+def events_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """Idempotently build (once per sf_dir) and return a Lakehouse whose
+    ``events_versioned`` table materializes ``{sf_dir}/events.parquet``."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _build(spark, sf_dir, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
+def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
+    from bazof_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "props",
+    )
+    writer = TableWriter(spark, os.path.join(root, TABLE_NAME), EVENTS_SCHEMA)
+    seg = writer.add_segment("s1", _SEGMENT_START)
+    for i in range(_N_DELTAS):
+        lo = _SEGMENT_START + timedelta(days=_DELTA_DAYS * i)
+        hi = lo + timedelta(days=_DELTA_DAYS)
+        chunk = keyed.filter(
+            (F.col("event_time") >= F.lit(lo)) & (F.col("event_time") < F.lit(hi))
+        )
+        if chunk.limit(1).count() == 0:
+            continue
+        seg.add_delta(chunk, start=lo, end=hi, name=f"delta_{i}.parquet")
+    writer.commit()

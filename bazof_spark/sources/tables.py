@@ -1,0 +1,29 @@
+"""Loaders for the driver's parquet tables.
+
+``events.parquet`` carries parquet ``TIMESTAMP(NANOS)`` which Spark's
+vectorized reader refuses outright (PARQUET_TYPE_ILLEGAL). The portable
+path: read nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``,
+runtime-settable) and convert to Spark's native µs timestamps with
+``timestamp_micros(ns div 1000)`` — the same floor-truncation DuckDB
+applies casting TIMESTAMP_NS → TIMESTAMP, so oracles agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set(NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,766 @@
+"""The judge-facing workload: every operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a named query with a DuckDB oracle.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing). Float outputs either come from
+decimal-exact arithmetic cast to double (bit-reproducible across
+engines) or are rounded to 6 dp on BOTH sides.
+
+Oracle-less entries (oracle None) are genuinely engine-specific
+(xxhash64-based simhash, random-hyperplane ANN) and get the driver's
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bazof_spark.functions import text as T
+from bazof_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bazof_spark.operators.similarity import (
+    cosine_pairs_blocked,
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+from bazof_spark.sources.events import events_lakehouse
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+ASOF_TS = "2024-01-15T00:00:00.000Z"
+ASOF_TS_EARLY = "2024-01-10T00:00:00.000Z"
+ASOF_TS_LATE = "2024-01-25T00:00:00.000Z"
+
+
+def _t(name: str):
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bazof_spark.sources.tables import load_table
+
+        return load_table(spark, sf_dir, name)
+
+    return load
+
+
+def _dec(col: str, p: int = 18, s: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Core format operators (SURVEY §2.A): as-of scans + time-travel SQL over an
+# azof-format materialization of the events log.
+# ---------------------------------------------------------------------------
+
+
+def _events_oracle_cte(where: str = "TRUE") -> str:
+    """Latest event per user (≤ optional bound) — the SQL twin of the
+    as-of merge-dedup (crates/azof/src/lakehouse.rs:40-79)."""
+    return f"""
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS event_time_us,
+               event_id, event_type, value, props
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC
+            ) AS _rn
+            FROM events WHERE {where}
+        ) WHERE _rn = 1
+    """
+
+
+def _scan_events(spark, sf_dir, as_of=None, columns=None) -> DataFrame:
+    lh = events_lakehouse(spark, sf_dir)
+    return lh.scan("events_versioned", as_of=as_of, columns=columns)
+
+
+def asof_scan_current(spark, sf_dir):
+    """Op: as-of merge-dedup, Current (lakehouse.rs:29-86)."""
+    return _scan_events(spark, sf_dir).select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def asof_scan_event_time(spark, sf_dir):
+    """Op: as-of merge-dedup at an event-time instant."""
+    return _scan_events(spark, sf_dir, as_of=ASOF_TS).select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def asof_projection(spark, sf_dir):
+    """Op: projection pushdown through the scan (schema.rs:148-171
+    output ordering; Catalyst prunes the parquet read)."""
+    df = _scan_events(spark, sf_dir, as_of=ASOF_TS, columns=["key", "value"])
+    return df.select("key", "value")
+
+
+def time_travel_sql(spark, sf_dir):
+    """Op: SQL time-travel rewrite + full relational surface
+    (parse.rs:17-118 + DataFusion-equivalent Spark SQL)."""
+    lh = events_lakehouse(spark, sf_dir)
+    return lh.sql(
+        f"""
+        SELECT key, value, event_type
+          FROM events_versioned AT ('{ASOF_TS}')
+         WHERE event_type IN ('click', 'view')
+         ORDER BY value DESC, key
+         LIMIT 20
+        """
+    )
+
+
+def asof_self_join_sql(spark, sf_dir):
+    """Op: self-join of two as-of instants (distinct versioned views,
+    parse.rs:71-75)."""
+    lh = events_lakehouse(spark, sf_dir)
+    return lh.sql(
+        f"""
+        SELECT a.key,
+               a.value AS value_early,
+               b.value AS value_late
+          FROM events_versioned AT ('{ASOF_TS_EARLY}') a
+          JOIN events_versioned AT ('{ASOF_TS_LATE}') b ON a.key = b.key
+         WHERE b.value > a.value
+        """
+    )
+
+
+_ASOF_ORACLES = {
+    "asof_scan_current": _events_oracle_cte(),
+    "asof_scan_event_time": _events_oracle_cte(
+        f"ts <= TIMESTAMP '2024-01-15 00:00:00'"
+    ),
+    "asof_projection": f"""
+        SELECT key, value FROM ({_events_oracle_cte(
+            "ts <= TIMESTAMP '2024-01-15 00:00:00'")})
+    """,
+    "time_travel_sql": f"""
+        SELECT key, value, event_type
+        FROM ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-15 00:00:00'")})
+        WHERE event_type IN ('click', 'view')
+        ORDER BY value DESC, key LIMIT 20
+    """,
+    "asof_self_join_sql": f"""
+        WITH early AS ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-10 00:00:00'")}),
+             late  AS ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-25 00:00:00'")})
+        SELECT a.key, a.value AS value_early, b.value AS value_late
+          FROM early a JOIN late b ON a.key = b.key
+         WHERE b.value > a.value
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.B — provided by Spark SQL / DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan+filter+groupBy+multi-agg. Decimal-exact sums
+    cast to double for cross-engine bit-reproducibility."""
+    li = _t("lineitem")(spark, sf_dir)
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """Join 3 tables + agg + deterministic top-10."""
+    cust = _t("customer")(spark, sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t("orders")(spark, sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = _t("lineitem")(spark, sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """6-way join + agg, TPC-H Q5 shape (supplier/customer co-nation)."""
+    region = _t("region")(spark, sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = _t("nation")(spark, sf_dir)
+    cust = _t("customer")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t("lineitem")(spark, sf_dir)
+    supp = _t("supplier")(spark, sf_dir)
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def q6_revenue_change(spark, sf_dir):
+    """Filter + single aggregate (predicate pushdown showcase)."""
+    li = _t("lineitem")(spark, sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def filter_in_topk(spark, sf_dir):
+    """The reference's demo query shape: WHERE ... IN + ORDER BY DESC +
+    LIMIT (crates/azof-datafusion/examples/query_example.rs:21-28)."""
+    part = _t("part")(spark, sf_dir)
+    return (
+        part.filter(F.col("p_type").isin("SMALL", "ECONOMY"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(5)
+    )
+
+
+def window_customer_order_rank(spark, sf_dir):
+    """Window function: top-2 orders per customer by totalprice."""
+    orders = _t("orders")(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def set_ops_active_customers(spark, sf_dir):
+    """INTERSECT + EXCEPT over key sets."""
+    orders = _t("orders")(spark, sf_dir)
+    cust = _t("customer")(spark, sf_dir)
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    positive = cust.filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_orders.intersect(positive).subtract(big)
+
+
+def scalar_functions_showcase(spark, sf_dir):
+    """String/date/math scalar functions (DataFusion built-ins ↔ Spark
+    built-ins, SURVEY §2.B)."""
+    orders = _t("orders")(spark, sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        # decimal-exact: double*0.1 rounds differently across engines on
+        # half-cent boundaries; decimal HALF_UP agrees everywhere
+        F.round(_dec("o_totalprice") * F.lit(0.1).cast("decimal(2,1)"), 2)
+        .cast("double")
+        .alias("tithe"),
+        F.abs(F.col("o_custkey") - 100).alias("key_dist"),
+    )
+
+
+def agg_nation_customer_stats(spark, sf_dir):
+    """Broadcast dim join + multi-agg."""
+    cust = _t("customer")(spark, sf_dir)
+    nation = _t("nation")(spark, sf_dir)
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_acctbal"
+            ),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+def events_tumbling_window(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the batch twin of the
+    Structured Streaming path in bazof_spark/streaming)."""
+    ev = _t("events")(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_RELATIONAL_ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q6_revenue_change": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "filter_in_topk": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_type IN ('SMALL', 'ECONOMY')
+        ORDER BY p_retailprice DESC, p_partkey
+        LIMIT 5
+    """,
+    "window_customer_order_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 2
+    """,
+    "set_ops_active_customers": """
+        (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000)
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    "scalar_functions_showcase": """
+        SELECT o_orderkey,
+               upper(substring(o_orderpriority, 1, 3)) AS prio3,
+               length(o_orderstatus) AS status_len,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS tithe,
+               abs(o_custkey - 100) AS key_dist
+        FROM orders
+    """,
+    "agg_nation_customer_stats": """
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+               MIN(c_acctbal) AS min_acctbal,
+               MAX(c_acctbal) AS max_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "events_tumbling_window": """
+        SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (north star: dedup / similarity /
+# text analysis / multimodal over documents + embeddings)
+# ---------------------------------------------------------------------------
+
+# SQL fragments mirroring bazof_spark.functions.text exactly
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _shingles_sql(k: int) -> str:
+    return (
+        f"CASE WHEN len({_WORDS}) >= {k} THEN "
+        f"list_transform(range(1, len({_WORDS}) - {k} + 2), "
+        f"i -> array_to_string({_WORDS}[i:i+{k - 1}], ' ')) "
+        f"ELSE [array_to_string({_WORDS}, ' ')] END"
+    )
+
+
+def dedup_exact_q(spark, sf_dir):
+    return exact_dedup(_t("documents")(spark, sf_dir))
+
+
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t("documents")(spark, sf_dir), k=3, threshold=0.5
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+def dedup_minhash_lsh_q(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _t("documents")(spark, sf_dir),
+        num_hashes=32,
+        bands=8,
+        k=3,
+        threshold=0.5,
+    )
+
+
+def dedup_simhash_q(spark, sf_dir):
+    return simhash_pairs(_t("documents")(spark, sf_dir), max_hamming=3, k=3)
+
+
+def text_stats_q(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.word_count(t).alias("n_words"),
+        T.char_count(t).alias("n_chars_computed"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+def text_quality_q(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def text_language_id_q(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
+
+
+def doc_fingerprint_q(spark, sf_dir):
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text"), k=5).alias("fingerprint")
+    )
+
+
+def embedding_cosine_topk_q(spark, sf_dir):
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def embedding_neardup_q(spark, sf_dir):
+    emb = _t("embeddings")(spark, sf_dir)
+    return cosine_pairs_blocked(emb, "label", threshold=0.3).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def embedding_ann_lsh_q(spark, sf_dir):
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return lsh_ann_topk(emb, queries, k=5).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+    SELECT doc_id,
+           list_transform(range(0, 32), s ->
+               list_min(list_transform({_shingles_sql(3)},
+                        x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+    FROM documents
+"""
+
+_PIPELINE_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS id, s FROM (
+                SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents
+            )
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        freq_ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+        pr AS (SELECT sh.id, sh.s FROM sh JOIN freq_ok USING (s)),
+        shared AS (
+            SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS c
+            FROM pr l JOIN pr r ON l.s = r.s AND l.id < r.id
+            GROUP BY l.id, r.id
+        )
+        SELECT id_a, id_b,
+               round(c / (na.n + nb.n - c), 6) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.id = id_a
+        JOIN sizes nb ON nb.id = id_b
+        WHERE c / (na.n + nb.n - c) >= 0.5
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sig AS ({_MINHASH_SIG_SQL}),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bhash
+            FROM sig, range(0, 8) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l
+            JOIN bands r ON l.b = r.b AND l.bhash = r.bhash
+                        AND l.doc_id < r.doc_id
+        ),
+        est AS (
+            SELECT id_a, id_b,
+                   len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
+                       AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+    "text_stats": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+               length(text) AS n_chars_computed,
+               round(CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9_]')) / length(text)
+                     ELSE 0.0 END, 6) AS punct_ratio,
+               round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                     THEN len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that)\b'))
+                          / len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                     ELSE 0.0 END, 6) AS stopword_ratio
+        FROM documents
+    """,
+    "text_quality": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   length(text) AS n,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS words,
+                   len(regexp_extract_all(text, '[^\sA-Za-z0-9_]')) AS punct,
+                   len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that)\b')) AS stops,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS letters
+            FROM documents
+        )
+        SELECT doc_id,
+               round(
+                 least(n / 500.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4.0) * 0.3
+                 + least((CASE WHEN words > 0 THEN stops / words ELSE 0.0 END) * 5.0, 1.0) * 0.2
+                 + (CASE WHEN words > 0 AND letters / words >= 3.0
+                          AND letters / words <= 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.1
+               , 6) AS quality
+        FROM m
+    """,
+    "text_language_id": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that)\b')) AS c_en,
+                   len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|los|las|una)\b')) AS c_es,
+                   len(regexp_extract_all(text, '(?i)\b(le|la|les|des|une|est|dans|pour)\b')) AS c_fr,
+                   len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS c_de
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+                    WHEN c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                    WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+                    WHEN c_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM m
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               list_min(list_transform({_shingles_sql(5)}, s -> md5(s)))
+                   AS fingerprint
+        FROM documents
+    """,
+    "embedding_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ),
+        s AS (
+            SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+            FROM q, c WHERE qid != cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id,
+               CAST(rn AS INT) AS rank, round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= 5
+    """,
+    "embedding_neardup": """
+        SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS sim
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE sim >= 0.3
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    # core format operators
+    "asof_scan_current": asof_scan_current,
+    "asof_scan_event_time": asof_scan_event_time,
+    "asof_projection": asof_projection,
+    "time_travel_sql": time_travel_sql,
+    "asof_self_join_sql": asof_self_join_sql,
+    # relational surface
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_revenue_change": q6_revenue_change,
+    "filter_in_topk": filter_in_topk,
+    "window_customer_order_rank": window_customer_order_rank,
+    "set_ops_active_customers": set_ops_active_customers,
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "agg_nation_customer_stats": agg_nation_customer_stats,
+    "events_tumbling_window": events_tumbling_window,
+    # training-data pipeline
+    "dedup_exact": dedup_exact_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_simhash": dedup_simhash_q,
+    "text_stats": text_stats_q,
+    "text_quality": text_quality_q,
+    "text_language_id": text_language_id_q,
+    "doc_fingerprint": doc_fingerprint_q,
+    "embedding_cosine_topk": embedding_cosine_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+    "embedding_ann_lsh": embedding_ann_lsh_q,
+}
+
+ORACLES: dict[str, str] = {
+    **_ASOF_ORACLES,
+    **_RELATIONAL_ORACLES,
+    **_PIPELINE_ORACLES,
+    # dedup_simhash: xxhash64 not available in DuckDB → rows-only check
+    # embedding_ann_lsh: random-hyperplane buckets not SQL-portable → rows-only
+}

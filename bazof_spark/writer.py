@@ -52,17 +52,25 @@ def csv_to_dataframe(
     )
 
 
-def dataframe_to_parquet_file(df: DataFrame, dest_path: str) -> None:
+def dataframe_to_parquet_file(
+    df: DataFrame, dest_path: str, timestamp_unit: str = "us"
+) -> None:
     """Write ONE parquet file (not a Spark directory), sorted by
     ``event_time`` DESC — the layout invariant
     (crates/azof-cli/src/test_bench.rs:103-121). Gen tooling: batch-sized
-    data, driver-side Arrow write."""
+    data, driver-side Arrow write.
+
+    ``timestamp_unit``: the reference's Arrow schema is ms
+    (crates/azof/src/schema.rs:188-197); we default to µs — Spark's
+    native TimestampType resolution — so no precision is lost writing
+    Spark data. Pass "ms" for byte-level reference compatibility."""
     tbl = df.orderBy(F.col(EVENT_TIME_COL).desc()).toArrow()
-    # normalize timestamps to ms/UTC like the reference's Arrow schema
     fields = []
     for f in tbl.schema:
         if pa.types.is_timestamp(f.type):
-            fields.append(pa.field(f.name, pa.timestamp("ms", tz="UTC"), f.nullable))
+            fields.append(
+                pa.field(f.name, pa.timestamp(timestamp_unit, tz="UTC"), f.nullable)
+            )
         else:
             fields.append(f)
     tbl = tbl.cast(pa.schema(fields))

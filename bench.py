@@ -1,0 +1,63 @@
+"""Benchmark: run the workload's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE
+JSON line with per-query wall seconds.
+
+Each query is forced with the noop sink (full execution, no driver
+collect). First run of the as-of queries includes the one-time azof
+materialization of the events log; it is built before timing starts so
+measured numbers are steady-state scan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bazof_spark.session import get_spark  # noqa: E402
+from bazof_spark.sources.events import events_lakehouse  # noqa: E402
+from bazof_spark.workload import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Full workload, ordered cheap→expensive; every SURVEY §2 operator family
+# is represented.
+BENCH_QUERIES = list(QUERIES)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bazof-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm: JVM + one-time azof materialization of events (not a query cost)
+    events_lakehouse(spark, SF_DIR)
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

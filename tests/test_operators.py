@@ -1,0 +1,131 @@
+"""Unit tests for generic operators: as-of join, dedup internals,
+multimodal plumbing."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from bazof_spark.operators.asof import asof_join, latest_by_key
+from bazof_spark.operators.dedup import exact_dedup, simhash_pairs
+from bazof_spark.operators.multimodal import (
+    IMAGE_SCHEMA,
+    extract_image_features,
+    media_metadata_stats,
+    sample_video_frames,
+)
+
+
+def ts(d, h=0):
+    return datetime(2024, 1, d, h, tzinfo=timezone.utc)
+
+
+def test_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", ts(1), 1),
+            ("a", ts(3), 3),
+            ("a", ts(5), 5),
+            ("b", ts(2), 20),
+        ],
+        ["k", "t", "v"],
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in latest_by_key(df, "k", "t").collect()
+    }
+    assert got == {"a": 5, "b": 20}
+    got = {
+        r["k"]: r["v"]
+        for r in latest_by_key(df, "k", "t", as_of=ts(4)).collect()
+    }
+    assert got == {"a": 3, "b": 20}
+
+
+def test_latest_by_key_precedence(spark):
+    """File-precedence beats timestamp (metadata.rs:47-73 semantics)."""
+    df = spark.createDataFrame(
+        [("a", ts(1), 0, "child"), ("a", ts(9), 1, "parent")],
+        ["k", "t", "rank", "v"],
+    )
+    got = latest_by_key(df, "k", "t", precedence_col="rank").collect()
+    assert got[0]["v"] == "child"
+
+
+def test_asof_join(spark):
+    quotes = spark.createDataFrame(
+        [("A", ts(1), 100.0), ("A", ts(5), 105.0), ("B", ts(2), 50.0)],
+        ["sym", "qt", "price"],
+    )
+    trades = spark.createDataFrame(
+        [("A", ts(3), 10), ("A", ts(6), 20), ("B", ts(1), 5)],
+        ["sym", "tt", "qty"],
+    )
+    got = asof_join(trades, quotes, key="sym", probe_ts="tt", build_ts="qt")
+    rows = {(r["sym"], r["qty"]): r["price"] for r in got.collect()}
+    # trade A@3 sees quote @1; A@6 sees quote @5; B@1 has no quote yet
+    assert rows == {("A", 10): 100.0, ("A", 20): 105.0}
+    left = asof_join(
+        trades, quotes, key="sym", probe_ts="tt", build_ts="qt", how="left"
+    )
+    assert left.count() == 3
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        ("m1", b"\x01" * 600, {"format": "png", "width": 4, "height": 4, "n_channels": 3}),
+        ("m2", b"\x02" * 300, {"format": "jpg", "width": 2, "height": 2, "n_channels": 3}),
+        ("m3", None, {"format": "png", "width": 0, "height": 0, "n_channels": 0}),
+    ]
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    feats = extract_image_features(df).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id["m1"]["features"]) == 16
+    assert by_id["m1"]["n_bytes"] == 600
+    assert by_id["m3"]["features"] == [0.0] * 16
+    # deterministic: same bytes → same features
+    feats2 = extract_image_features(df).collect()
+    assert {r["media_id"]: r["features"] for r in feats2} == {
+        r["media_id"]: r["features"] for r in feats
+    }
+
+    frames = sample_video_frames(df, every_n=1).collect()
+    assert sum(1 for f in frames if f["media_id"] == "m1") == 2  # 600//256=2
+
+    stats = {r["format"]: r["n"] for r in media_metadata_stats(df).collect()}
+    assert stats == {"png": 2, "jpg": 1}
+
+
+def test_metadata_stats_prunes_binary_column(spark, tmp_path):
+    """Metadata-only queries must never read the binary blob: the parquet
+    ReadSchema excludes `content` (Catalyst column pruning)."""
+    df = spark.createDataFrame(
+        [("m1", b"x" * 1000, {"format": "png", "width": 1, "height": 1, "n_channels": 3})],
+        IMAGE_SCHEMA,
+    )
+    path = str(tmp_path / "media.parquet")
+    df.write.parquet(path)
+    stats = media_metadata_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "content" not in read_schema[0]

@@ -1,0 +1,74 @@
+"""Mimic the driver's correctness gate locally: run every queries()
+entry and its oracle_sql() twin at sf0.001, compare row count + sorted
+values. Catches cross-engine drift before the driver does.
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pd.to_datetime(pdf[c], utc=True).dt.tz_localize(None)
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        else:
+            try:
+                pdf[c] = pd.to_numeric(pdf[c])
+            except (ValueError, TypeError):
+                pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+ALL = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    got = q(spark, SF_DIR).toPandas()
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(got) >= 0  # rows-only check, like the driver
+        return
+    exp = ddb.sql(oracle).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: column names differ: {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    g, e = normalize(got), normalize(exp)
+    assert len(g) == len(e), f"{name}: row count {len(g)} != {len(e)}"
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["key", "value", "event_type"]

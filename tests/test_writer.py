@@ -71,7 +71,7 @@ def test_written_file_sorted_desc(spark, tmp_path):
     t = pq.read_table(dest)
     times = t.column("event_time").to_pylist()
     assert times == sorted(times, reverse=True)
-    assert str(t.schema.field("event_time").type) == "timestamp[ms, tz=UTC]"
+    assert str(t.schema.field("event_time").type) == "timestamp[us, tz=UTC]"
 
 
 def test_duplicate_key_event_time_rejected(spark, tmp_path):
