@@ -1,0 +1,81 @@
+"""CLI mirroring `azof-cli` (crates/azof-cli/src/main.rs:28-59):
+
+    python -m bazof_spark.cli scan --path P --table T [--as-of TS]
+    python -m bazof_spark.cli gen  --path P --table T --file F
+    python -m bazof_spark.cli sql  --path P --query "SELECT ..."
+
+`--as-of` accepts `YYYY-MM-DDTHH:mm:ss` (suffixed `.000Z` like the
+reference, main.rs:101-119) or full RFC3339. `gen` converts
+`{table}/{file}.csv` → `{table}/{file}.parquet` per the declared
+snapshot schema (main.rs:61-99). `sql` is ours (the reference keeps SQL
+in a separate crate's examples).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+
+def _parse_as_of(value: str | None):
+    if value is None:
+        return None
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", value):
+        value = value + ".000Z"  # reference's suffixing, main.rs:107
+    return value
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="bazof-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_scan = sub.add_parser("scan", help="point-in-time scan of a table")
+    p_scan.add_argument("--path", required=True, help="lakehouse root")
+    p_scan.add_argument("--table", required=True)
+    p_scan.add_argument("--as-of", dest="as_of", default=None)
+    p_scan.add_argument("--columns", default=None, help="comma-separated")
+    p_scan.add_argument("--limit", type=int, default=20)
+
+    p_gen = sub.add_parser("gen", help="csv → parquet per table schema")
+    p_gen.add_argument("--path", required=True)
+    p_gen.add_argument("--table", required=True)
+    p_gen.add_argument("--file", required=True, help="file stem (no extension)")
+
+    p_sql = sub.add_parser("sql", help="SQL incl. AT()/FOR SYSTEM_TIME AS OF")
+    p_sql.add_argument("--path", required=True)
+    p_sql.add_argument("--query", required=True)
+    p_sql.add_argument("--limit", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.session import get_spark
+
+    spark = get_spark(app_name="bazof-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    lh = Lakehouse(spark, args.path)
+
+    if args.cmd == "scan":
+        cols = args.columns.split(",") if args.columns else None
+        df = lh.scan(args.table, as_of=_parse_as_of(args.as_of), columns=cols)
+        df.show(args.limit, truncate=False)
+    elif args.cmd == "gen":
+        import os
+
+        from bazof_spark.writer import csv_to_dataframe, dataframe_to_parquet_file
+
+        table = lh.table(args.table)
+        schema = table.get_current_snapshot().schema
+        src = os.path.join(table.path, f"{args.file}.csv")
+        dest = os.path.join(table.path, f"{args.file}.parquet")
+        df = csv_to_dataframe(spark, src, schema)
+        dataframe_to_parquet_file(df, dest)
+        print(f"wrote {dest}")
+    elif args.cmd == "sql":
+        lh.sql(args.query).show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,10 +16,15 @@ DataFrame operations and Catalyst/Tungsten execute them distributed:
    shadow parents, newer deltas shadow older, deltas shadow base) is
    attached as a ``_rank`` column mapped from ``input_file_name()``;
 4. latest-version-per-key dedup = ``groupBy(key).agg(max_by(values,
-   struct(-rank, event_time)))`` — a hash aggregate with map-side
-   partial combine, i.e. ONE shuffle of pre-combined partials. At 100 TB
-   this beats a window (``row_number() over (partition by key ...)``),
-   which must shuffle + sort every row. AQE handles skewed keys.
+   struct(-rank, event_time)))`` — an aggregate with map-side partial
+   combine, i.e. ONE shuffle of pre-combined partials. At 100 TB this
+   beats a window (``row_number() over (partition by key ...)``), which
+   must shuffle + sort EVERY row: here only per-partition winners cross
+   the wire. (Engine note: struct-valued max_by buffers aren't
+   hash-aggregable, so Spark plans SortAggregate — a per-partition sort
+   on key before the partial agg; the shuffle-volume win stands, as
+   ``.explain`` shows partial_max_by before the single Exchange.)
+   AQE handles skewed keys.
 
 Tie-break note: within one file at equal (key, event_time) the reference
 keeps the physically-first row (lakehouse.rs:54-79). All reference-shipped

@@ -46,24 +46,33 @@ def exact_dedup(
     )
 
 
-def _md5_minhash(shingle_array: Column, seed: int) -> Column:
-    """One permutation: min over shingles of md5(seed||'|'||s) compared
-    as hex strings — md5 hex is fixed-width so lexicographic order equals
-    numeric order over the uint128 it encodes."""
-    hashed = F.transform(
-        shingle_array, lambda s: F.md5(F.concat(F.lit(str(seed) + "|"), s))
-    )
-    return F.array_min(hashed)
-
-
 def minhash_signature(
     text: Column, num_hashes: int = 32, k: int = 3
 ) -> Column:
-    """array<string> of `num_hashes` minhash values (md5-hex mins over
-    word k-gram shingles). Hex-string min == numeric min over the uint128
-    it encodes, so string ordering is a valid permutation min."""
+    """array<string> of `num_hashes` minhash values: per permutation i,
+    min over shingles of md5(i||'|'||shingle) — md5 hex is fixed-width so
+    lexicographic min == numeric min over the uint128 it encodes.
+
+    Built as ONE fold over the shingle array carrying all `num_hashes`
+    running minima. The naive form (`array(array_min(transform(sh,...))
+    × num_hashes)`) duplicates the shingle-construction subexpression
+    per hash — after Catalyst's projection collapse that's num_hashes ×
+    bands × join-sides copies, which blows up codegen (measured 160 s →
+    <5 s for 500 docs on this rewrite)."""
     sh = shingles(text, k)
-    return F.array(*[_md5_minhash(sh, i) for i in range(num_hashes)])
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit("f" * 32), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                seeds, lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+            ),
+            lambda a, h: F.least(a, h),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -111,6 +120,9 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select("_id", "_sig", "_band.band", "_band.bhash")
+    # both sides of the self-join read `banded`: persist so signatures
+    # are computed once (at scale: MEMORY_AND_DISK, sigs ≪ text size)
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -210,6 +222,7 @@ def simhash_pairs(
             )
         ).alias("_c"),
     ).select("_id", "_fp", "_c.chunk", "_c.cval")
+    chunked = chunked.persist()  # read by both sides of the self-join
     l, r = chunked.alias("l"), chunked.alias("r")
     cand = (
         l.join(
@@ -253,12 +266,10 @@ def ngram_jaccard_pairs(
     ultra-common shingle would otherwise create a quadratic bucket),
     self-join on shingle, count shared, then |A∪B| = |A|+|B|-shared.
     """
-    exploded = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
-        )
-    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    ).persist()  # feeds sizes, the frequency filter, and both join sides
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     freq_ok = (
         exploded.groupBy("sh")

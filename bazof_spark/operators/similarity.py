@@ -54,6 +54,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalize(vec: Column) -> Column:
+    """Unit-normalize once per vector — do this BEFORE any pairwise
+    stage: cosine then degrades to a single dot per pair (one 64-wide
+    fold instead of three), and the normalization cost is O(corpus)
+    instead of O(pairs). The inverse norm rides in via array_repeat so
+    it is evaluated once per ROW (an outer-reference inside a lambda
+    would be re-evaluated per element)."""
+    inv = F.lit(1.0) / norm(vec)
+    return F.zip_with(
+        vec, F.array_repeat(inv, F.size(vec)), lambda x, n: x * n
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,15 +81,17 @@ def cosine_topk_bruteforce(
     (same id) excluded, ties broken by neighbor_id ASC for determinism.
     """
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(query_id_col).alias("_qid"),
+        normalize(_as_double(F.col(vec_col))).alias("_qv"),
     )
     c = corpus.select(
-        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("_cid"),
+        normalize(_as_double(F.col(vec_col))).alias("_cv"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "_qid",
         "_cid",
-        cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        dot(F.col("_qv"), F.col("_cv")).alias("_sim"),
     ).filter(F.col("_qid") != F.col("_cid"))
     w = Window.partitionBy("_qid").orderBy(
         F.col("_sim").desc(), F.col("_cid").asc()
@@ -127,11 +142,17 @@ def lsh_ann_topk(
     the brute-force baseline so recall can be measured directly.
     """
     c = corpus.select(
-        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("_cid"),
+        normalize(_as_double(F.col(vec_col))).alias("_cv"),
     )
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(query_id_col).alias("_qid"),
+        normalize(_as_double(F.col(vec_col))).alias("_qv"),
     )
+    # each LSH table re-reads the normalized vectors: persist so the
+    # normalization (and upstream scan) runs once, not n_tables times
+    c = c.persist()
+    q = q.persist()
     tagged_c = []
     tagged_q = []
     for t in range(n_tables):
@@ -166,7 +187,7 @@ def lsh_ann_topk(
         .dropDuplicates(["_qid", "_cid"])
     )
     scored = cand.select(
-        "_qid", "_cid", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+        "_qid", "_cid", dot(F.col("_qv"), F.col("_cv")).alias("_sim")
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid").asc())
     return (
@@ -195,7 +216,7 @@ def cosine_pairs_blocked(
     v = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
-        _as_double(F.col(vec_col)).alias("_v"),
+        normalize(_as_double(F.col(vec_col))).alias("_v"),
     )
     l, r = v.alias("l"), v.alias("r")
     return (
@@ -206,7 +227,7 @@ def cosine_pairs_blocked(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
+            dot(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -226,7 +247,8 @@ def cosine_neardup_pairs(
     with id_a < id_b and cosine_sim >= threshold. LSH buckets generate
     candidates; cosine verifies exactly. Raise n_tables for recall."""
     v = df.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_id"),
+        normalize(_as_double(F.col(vec_col))).alias("_v"),
     )
     tagged = []
     for t in range(n_tables):
@@ -262,7 +284,7 @@ def cosine_neardup_pairs(
     )
     return (
         cand.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+            "id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

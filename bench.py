@@ -37,9 +37,14 @@ def main() -> None:
     events_lakehouse(spark, SF_DIR)
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        if warmup:
+            # steady-state measurement: first execution pays one-time
+            # whole-stage-codegen compilation (Janino), irrelevant at scale
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         start = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

@@ -257,7 +257,7 @@ def test_bad_metadata_raises():
         Snapshot.deserialize('{"schema": {"columns": []}, "segments": [{"id": "1"}]}')
     with pytest.raises(MetadataError):
         Snapshot.deserialize(
-            '{"schema": {"columns": [{"name": "v", "data_type": "Float"}]},'
+            '{"schema": {"columns": [{"name": "v", "data_type": "Decimal128"}]},'
             ' "segments": []}'
         )
 

@@ -1,0 +1,78 @@
+"""Similarity-search tests: exactness of the brute-force baseline,
+recall of the LSH ANN path against it, determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bazof_spark.operators.similarity import (
+    cosine_pairs_blocked,
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((40, DIM))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], i % 4))
+    # seeded near-duplicates: 40..43 are tiny perturbations of 0..3
+    for i in range(4):
+        nd = base[i] + rng.standard_normal(DIM) * 0.01
+        rows.append((40 + i, [float(x) for x in nd], i % 4))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_bruteforce_topk_matches_numpy(emb):
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist())
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    queries = emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    got = cosine_topk_bruteforce(emb, queries, k=3).collect()
+    for r in got:
+        qi, ni = r["query_id"], r["neighbor_id"]
+        assert sims[qi][ni] == pytest.approx(r["cosine_sim"], abs=1e-9)
+    # top-1 for query 0 must be its seeded near-duplicate (vec 40)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1[0] == 40 and top1[1] == 41 and top1[2] == 42
+
+
+def test_ann_recall_against_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = cosine_topk_bruteforce(emb, queries, k=3).collect()
+    ann = lsh_ann_topk(
+        emb, queries, k=3, dim=DIM, n_bits=4, n_tables=8
+    ).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    # the seeded near-dup (cos ≈ 0.9999) must never be missed
+    assert (0, 40) in ann_set
+
+
+def test_ann_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    a = sorted(map(tuple, lsh_ann_topk(emb, queries, k=3, dim=DIM).collect()))
+    b = sorted(map(tuple, lsh_ann_topk(emb, queries, k=3, dim=DIM).collect()))
+    assert a == b
+
+
+def test_blocked_pairs_find_neardups(emb):
+    pairs = cosine_pairs_blocked(emb, "label", threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 40), (1, 41), (2, 42), (3, 43)} <= got
+    for r in pairs:
+        assert r["cosine_sim"] >= 0.95
