@@ -28,6 +28,7 @@ an ordered left-to-right double fold).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -113,14 +114,34 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
-def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bucket + bit.cast("long")
-    return bucket
+def _bucket_udf(planes_all: np.ndarray):
+    """Arrow-batched sign-bit bucketing: vec -> array of n_tables bucket
+    ids (bit i of table t = (vec · plane_ti) >= 0), one numpy matmul per
+    batch.
+
+    Why a Pandas UDF and not JVM expressions: the sign bits are a dense
+    (batch × dim) @ (dim × n_tables·n_bits) product. Expressed as
+    ``aggregate``/``zip_with`` folds it is interpreted per element (HOF
+    lambdas don't enter whole-stage codegen) and the plane literals bloat
+    the plan (n_tables × n_bits × dim scalars, shipped to every task);
+    measured, plan construction alone cost seconds. One vectorized BLAS
+    matmul per Arrow batch is the 100-TB-honest design; the planes ride
+    in the task closure (a few KB). All tables are computed in one pass,
+    replacing an n_tables-way union of re-scans."""
+    n_tables, n_bits, dim = planes_all.shape
+    P = planes_all.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+        signs = (v @ P >= 0).reshape(len(vecs), n_tables, n_bits)
+        ids = (signs * weights).sum(axis=2)  # (batch, n_tables)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_ann_topk(
@@ -149,36 +170,17 @@ def lsh_ann_topk(
         F.col(query_id_col).alias("_qid"),
         normalize(_as_double(F.col(vec_col))).alias("_qv"),
     )
-    # each LSH table re-reads the normalized vectors: persist so the
-    # normalization (and upstream scan) runs once, not n_tables times
-    c = c.persist()
-    q = q.persist()
-    tagged_c = []
-    tagged_q = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed + t)
-        tagged_c.append(
-            c.select(
-                "_cid",
-                "_cv",
-                F.lit(t).alias("_tbl"),
-                _bucket_expr(F.col("_cv"), planes).alias("_bkt"),
-            )
-        )
-        tagged_q.append(
-            q.select(
-                "_qid",
-                "_qv",
-                F.lit(t).alias("_tbl"),
-                _bucket_expr(F.col("_qv"), planes).alias("_bkt"),
-            )
-        )
-    c_all = tagged_c[0]
-    for x in tagged_c[1:]:
-        c_all = c_all.unionByName(x)
-    q_all = tagged_q[0]
-    for x in tagged_q[1:]:
-        q_all = q_all.unionByName(x)
+    buckets = _bucket_udf(
+        np.stack([_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)])
+    )
+    # one scan computes every table's bucket id; posexplode replaces an
+    # n_tables-way union of re-reads
+    c_all = c.select(
+        "_cid", "_cv", F.posexplode(buckets("_cv")).alias("_tbl", "_bkt")
+    )
+    q_all = q.select(
+        "_qid", "_qv", F.posexplode(buckets("_qv")).alias("_tbl", "_bkt")
+    )
 
     cand = (
         c_all.join(F.broadcast(q_all), on=["_tbl", "_bkt"])
@@ -250,20 +252,12 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("_id"),
         normalize(_as_double(F.col(vec_col))).alias("_v"),
     )
-    tagged = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed + t)
-        tagged.append(
-            v.select(
-                "_id",
-                "_v",
-                F.lit(t).alias("_tbl"),
-                _bucket_expr(F.col("_v"), planes).alias("_bkt"),
-            )
-        )
-    all_t = tagged[0]
-    for x in tagged[1:]:
-        all_t = all_t.unionByName(x)
+    buckets = _bucket_udf(
+        np.stack([_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)])
+    )
+    all_t = v.select(
+        "_id", "_v", F.posexplode(buckets("_v")).alias("_tbl", "_bkt")
+    )
     l, r = all_t.alias("l"), all_t.alias("r")
     cand = (
         l.join(
