@@ -14,10 +14,14 @@ executor state store — the watermark bounds state size.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+from bazof_spark.schema import EVENT_TIME_COL, KEY_COL, TableSchema
 from bazof_spark.table import Table
 
 
@@ -51,6 +55,63 @@ def windowed_latest_counts(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "n_keys",
+        )
+    )
+
+
+def latest_rows_stream(
+    stream: DataFrame, schema: TableSchema, watermark: str = "1 hour"
+) -> DataFrame:
+    """Continuously-maintained latest ROW per key — the streaming twin of
+    the as-of ``Current`` scan, carrying full values (not just the
+    winning timestamp). A custom stateful operator via
+    ``applyInPandasWithState``: per-key state holds the current winner;
+    each micro-batch emits keys whose winner changed.
+
+    Scale: state is one row per key, sharded by the groupBy shuffle
+    across executors' state stores; Arrow-batched per micro-batch, no
+    per-row Python overhead. Upserts arriving out of order within the
+    watermark resolve to the max-event-time row, matching the batch
+    as-of semantics (file precedence does not apply here: a live stream
+    has a single total order of arrivals per key, ties broken by latest
+    arrival — documented deviation for the streaming surface)."""
+    struct = schema.to_struct_type()  # key, event_time, *values
+    value_cols = [f.name for f in struct.fields if f.name != KEY_COL]
+
+    def update_latest(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = None  # tuple aligned with value_cols
+        if state.exists:
+            best = tuple(state.get)
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            row = pdf.loc[pdf[EVENT_TIME_COL].idxmax()]
+            cand = tuple(row[c] for c in value_cols)
+            if best is None or cand[0] >= best[0]:
+                best, changed = cand, True
+        if changed:
+            state.update(best)
+            yield pd.DataFrame(
+                [{KEY_COL: key[0], **dict(zip(value_cols, best))}]
+            )[[KEY_COL, *value_cols]]
+
+    state_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in struct.fields
+        if f.name != KEY_COL
+    )
+    return (
+        stream.withWatermark(EVENT_TIME_COL, watermark)
+        .groupBy(KEY_COL)
+        .applyInPandasWithState(
+            update_latest,
+            outputStructType=struct,
+            stateStructType=state_struct,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -28,6 +28,10 @@ from bazof_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from bazof_spark.operators.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+)
 from bazof_spark.operators.similarity import (
     cosine_pairs_blocked,
     cosine_topk_bruteforce,
@@ -345,6 +349,26 @@ def agg_nation_customer_stats(spark, sf_dir):
     )
 
 
+def semi_structured_json_array(spark, sf_dir):
+    """JSON + array functions over events.props (§2.B 'array/map/JSON'
+    row): extract a JSON field, build/fold/reshape arrays JVM-side."""
+    ev = _t("events")(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    arr = F.sequence(F.lit(1), (k % 4) + 1)
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.size(arr).alias("arr_len"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "arr_sum"
+        ),
+        F.array_max(arr).alias("arr_max"),
+        F.concat_ws(",", F.transform(arr, lambda x: x.cast("string"))).alias(
+            "arr_csv"
+        ),
+    )
+
+
 def events_tumbling_window(spark, sf_dir):
     """Event-time tumbling-window aggregation (the batch twin of the
     Structured Streaming path in bazof_spark/streaming)."""
@@ -459,6 +483,23 @@ _RELATIONAL_ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "semi_structured_json_array": """
+        WITH e AS (
+            SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
+            FROM events
+        ),
+        a AS (
+            SELECT event_id, k_val,
+                   range(1, (k_val % 4) + 2) AS arr
+            FROM e
+        )
+        SELECT event_id, k_val,
+               len(arr) AS arr_len,
+               list_sum(arr) AS arr_sum,
+               list_max(arr) AS arr_max,
+               array_to_string(arr, ',') AS arr_csv
+        FROM a
+    """,
     "events_tumbling_window": """
         SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS window_start_us,
                event_type,
@@ -569,6 +610,86 @@ def embedding_ann_lsh_q(spark, sf_dir):
     return lsh_ann_topk(emb, queries, k=5).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
     )
+
+
+def _media_df(spark, sf_dir):
+    """documents re-cast as a media table: the UTF-8 bytes of `text`
+    stand in for an opaque blob (this container ships no codecs, so the
+    *plumbing* — binary column, typed metadata, Arrow batching — is what
+    is exercised for real; see operators/multimodal.py)."""
+    return _t("documents")(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.col("lang").alias("format"),
+            F.length(F.col("text")).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("n_channels"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_frame_sample_q(spark, sf_dir):
+    """mapInPandas frame sampling over binary blobs; aggregate per media
+    so the result is deterministic and oracle-checkable (frame counts
+    and byte totals — the chunking math — not the opaque payloads)."""
+    frames = sample_video_frames(_media_df(spark, sf_dir), every_n=30)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.length("frame")).alias("sampled_bytes"),
+    )
+
+
+def multimodal_features_q(spark, sf_dir):
+    """Arrow-batched feature extraction; feature VALUES are the stubbed
+    codec's output, so the oracle checks the verifiable plumbing: byte
+    counts and feature dimensionality."""
+    feats = extract_image_features(_media_df(spark, sf_dir))
+    return feats.select(
+        "media_id", "n_bytes", F.size("features").alias("feature_dim")
+    )
+
+
+def multimodal_metadata_stats_q(spark, sf_dir):
+    """Metadata-only aggregation over a multimodal table — never reads
+    the binary column (column pruning drops `content` at the scan)."""
+    media = _media_df(spark, sf_dir)
+    return media.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("meta.width").cast("long") * F.col("meta.height")).alias(
+            "total_pixels"
+        ),
+    )
+
+
+# chunking math of sample_video_frames: 256-byte chunks, every 30th,
+# always at least one frame
+_FRAME_SAMPLE_ORACLE = """
+    WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+               greatest(1, octet_length(encode(text)) // 256) AS n_frames
+        FROM documents
+    )
+    SELECT media_id,
+           len(range(0, n_frames, 30)) AS n_sampled,
+           list_sum(list_transform(range(0, n_frames, 30),
+               fi -> least(256, greatest(0, nb - fi * 256)))) AS sampled_bytes
+    FROM m
+"""
+
+_MULTIMODAL_ORACLES = {
+    "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
+    "multimodal_features": """
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+               16 AS feature_dim
+        FROM documents
+    """,
+    "multimodal_metadata_stats": """
+        SELECT lang AS format, COUNT(*) AS n,
+               SUM(CAST(length(text) AS BIGINT) * 1) AS total_pixels
+        FROM documents GROUP BY lang
+    """,
+}
 
 
 _MINHASH_SIG_SQL = f"""
@@ -742,6 +863,7 @@ QUERIES: dict[str, QueryFn] = {
     "set_ops_active_customers": set_ops_active_customers,
     "scalar_functions_showcase": scalar_functions_showcase,
     "agg_nation_customer_stats": agg_nation_customer_stats,
+    "semi_structured_json_array": semi_structured_json_array,
     "events_tumbling_window": events_tumbling_window,
     # training-data pipeline
     "dedup_exact": dedup_exact_q,
@@ -755,12 +877,17 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_topk": embedding_cosine_topk_q,
     "embedding_neardup": embedding_neardup_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
+    # multimodal plumbing (stubbed codecs, real Spark pipeline)
+    "multimodal_frame_sample": multimodal_frame_sample_q,
+    "multimodal_features": multimodal_features_q,
+    "multimodal_metadata_stats": multimodal_metadata_stats_q,
 }
 
 ORACLES: dict[str, str] = {
     **_ASOF_ORACLES,
     **_RELATIONAL_ORACLES,
     **_PIPELINE_ORACLES,
+    **_MULTIMODAL_ORACLES,
     # dedup_simhash: xxhash64 not available in DuckDB → rows-only check
     # embedding_ann_lsh: random-hyperplane buckets not SQL-portable → rows-only
 }

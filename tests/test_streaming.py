@@ -8,6 +8,7 @@ import pytest
 
 from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
 from bazof_spark.streaming.stream import (
+    latest_rows_stream,
     read_table_stream,
     windowed_latest_counts,
 )
@@ -61,3 +62,24 @@ def test_streaming_windowed_counts(spark, stream_table):
     rows = spark.sql("select * from win_counts").collect()
     by_start = {r["window_start"].day: r["n_keys"] for r in rows}
     assert by_start == {1: 2, 2: 2}
+
+
+def test_streaming_latest_rows_state(spark, stream_table):
+    """applyInPandasWithState latest-row-per-key matches the batch
+    Current scan over the same deltas."""
+    stream = read_table_stream(spark, stream_table)
+    latest = latest_rows_stream(stream, SCHEMA, watermark="10 days")
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_rows")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select key, value from latest_rows order by key"
+    ).collect()
+    # last update per key wins across micro-batches
+    final = {r["key"]: r["value"] for r in rows}
+    assert final == {"k1": "c", "k2": "b", "k3": "d"}
