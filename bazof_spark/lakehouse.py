@@ -78,6 +78,23 @@ def _normalized_input_file() -> F.Column:
     )
 
 
+def _uri_variants(path: str) -> set[str]:
+    """Every spelling ``input_file_name()`` might emit for this path, so
+    the per-row rank attachment is ONE map lookup on the raw value (the
+    decode+regex normalization stays only as a lazy fallback)."""
+    out = {path}
+    if "://" not in path:
+        ap = os.path.abspath(path)
+        out.update({ap, "file:" + ap, "file://" + ap})
+        try:
+            import pathlib
+
+            out.add(pathlib.Path(ap).as_uri())  # file:/// percent-encoded
+        except ValueError:  # pragma: no cover - non-absolute edge
+            pass
+    return out
+
+
 class Lakehouse:
     """A root path containing table directories
     (crates/azof/src/lakehouse.rs:19-27)."""
@@ -212,10 +229,28 @@ class Lakehouse:
             _normalize_file_uri(table.data_file_path(f)): r for f, r in ranked
         }
         if len(pairs) <= _RANK_MAP_LITERAL_MAX:
-            mapping = F.create_map(
+            # fast path: exact-URI map lookup on raw input_file_name();
+            # coalesce only evaluates the decode+regex normalization on a
+            # miss (an unanticipated URI spelling), so per-row cost is
+            # one hash probe, not three regexes
+            fast_pairs = {
+                v: r
+                for f, r in ranked
+                for v in _uri_variants(table.data_file_path(f))
+            }
+            fast_map = F.create_map(
+                *[F.lit(x) for kv in fast_pairs.items() for x in kv]
+            )
+            norm_map = F.create_map(
                 *[F.lit(x) for kv in pairs.items() for x in kv]
             )
-            return df.withColumn("_rank", mapping[_normalized_input_file()])
+            return df.withColumn(
+                "_rank",
+                F.coalesce(
+                    fast_map[F.expr("input_file_name()")],
+                    norm_map[_normalized_input_file()],
+                ),
+            )
         # scale path (thousands of files): broadcast-join a tiny
         # (file, rank) frame — stays JVM-side, no Python UDF
         rank_df = F.broadcast(
