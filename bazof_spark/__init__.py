@@ -21,6 +21,11 @@ A from-scratch re-expression of the capabilities of MaciekLesiczka/bazof
 from bazof_spark.asof import AsOf, Current, EventTime
 from bazof_spark.errors import BazofError
 from bazof_spark.lakehouse import Lakehouse
+from bazof_spark.maintenance import (
+    checkpoint_table,
+    validate_snapshot,
+    validate_table,
+)
 from bazof_spark.metadata import Delta, Segment, Snapshot
 from bazof_spark.projection import Projection
 from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
@@ -42,4 +47,7 @@ __all__ = [
     "Snapshot",
     "Table",
     "__version__",
+    "checkpoint_table",
+    "validate_snapshot",
+    "validate_table",
 ]

@@ -1,0 +1,297 @@
+"""Table maintenance: checkpoint compaction + metadata validation.
+
+Both are unchecked roadmap items in the reference (README.md:150-160 —
+"compaction", "metadata validation"); this module implements them
+Spark-first.
+
+Checkpoint compaction
+---------------------
+Read amplification grows with delta count: every scan unions all
+eligible files and the merge discards the shadowed rows. ``checkpoint``
+bounds it the way the reference's own ``financials`` layout does
+(year segments with base files, test-data/financials/s1.json): freeze
+the current tree at time T and open a new segment whose base file is
+the merged Current state.
+
+Preserving azof merge semantics exactly requires care on three counts
+(all consequences of crates/azof/src/metadata.rs:20-25,47-104):
+
+1. Concatenating base+delta files is NOT semantics-preserving:
+   cross-file precedence beats timestamps (a delta row shadows a
+   later-timestamped base row), and once rows share one file that
+   precedence is gone. So compaction must keep old files intact and
+   add a *merged* base, never merge files in place.
+2. Closed segments are not inert: a top-level segment's own DELTAS stay
+   eligible at every as-of (delta eligibility ignores the segment
+   range; Current ignores it entirely). Simply closing the open
+   segment would leave its deltas shadowing the new base forever. The
+   fix: previously-open segments are wrapped under a CLOSED parent —
+   child segments ARE range-checked recursively, so for ``t > T`` (and
+   Current) the wrapper prunes them wholesale. Previously-closed
+   top-level segments keep their historical delta-leak behavior by
+   staying exactly where they were.
+3. ``Current`` is not ``EventTime(∞)``: closed segments' bases are
+   invisible to Current. The checkpoint base is therefore computed with
+   **Current** pruning; given the no-future-rows precondition below,
+   ``EventTime(t > T)`` resolves to the same winners.
+
+Precondition (checked, one Spark job): no data row and no delta/segment
+start may lie beyond T — i.e. checkpoint "now", not in the past.
+Future-dated rows would otherwise be stranded inside the wrapper.
+
+Reads are then bit-identical at every as-of: ``t <= T`` resolves
+through the wrapped (unchanged) subtree, ``t > T`` and Current through
+the new base alone. Old snapshots remain readable (snapshots are
+immutable; ``version.txt`` is the only mutable pointer, flipped last —
+same publish protocol as the writer). The state computation is the
+distributed scan itself, so a checkpoint of a 100 TB table is one
+Spark job (scan → single shuffle merge → write), not a driver loop.
+
+Validation
+----------
+``validate_snapshot`` checks the structural invariants the pruning
+algorithm relies on; ``validate_table`` additionally checks data-file
+invariants (files exist; unique (key, event_time) within a file) with
+one Spark job per table, not per file.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from bazof_spark.asof import Current as CURRENT
+from bazof_spark.errors import BazofError
+from bazof_spark.metadata import Segment, Snapshot
+from bazof_spark.projection import Projection
+from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+from bazof_spark.table import VERSION_FILE, Table
+from bazof_spark.writer import dataframe_to_parquet_file
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint compaction
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_table(
+    lakehouse,
+    table_name: str,
+    at: datetime,
+    segment_id: str | None = None,
+) -> Snapshot:
+    """Compact ``table_name`` at time ``at`` (= T): wrap the
+    previously-open segments under a closed parent and open a new
+    segment whose base file is the merged Current state. Reads are
+    preserved bit-identically at every as-of (see module docstring).
+    Returns the committed snapshot. Local-FS tables only (the
+    reference's writer surface is local too)."""
+    if at.tzinfo is None:
+        at = at.replace(tzinfo=timezone.utc)
+    table = lakehouse.table(table_name)
+    if "://" in table.path:
+        raise BazofError("checkpoint_table supports local tables only")
+    version = table.current_version()
+    snapshot = table.get_current_snapshot()
+
+    _check_nothing_beyond(lakehouse, table, snapshot, at)
+
+    seg_id = segment_id or f"checkpoint_{int(at.timestamp() * 1000)}"
+    base_file = f"{seg_id}_base.parquet"
+
+    # distributed state computation: the Current scan itself (Current
+    # pruning, NOT EventTime(T) — closed bases are invisible to Current)
+    state = lakehouse.scan_snapshot(
+        table, snapshot, CURRENT, Projection.all()
+    )
+    dataframe_to_parquet_file(state, table.data_file_path(base_file))
+
+    was_open = [s for s in snapshot.segments if s.end is None]
+    kept_closed = tuple(s for s in snapshot.segments if s.end is not None)
+    segments = kept_closed
+    if was_open:
+        wrapper = Segment(
+            id=f"{seg_id}_archived",
+            start=min(s.start for s in was_open),
+            end=at,
+            segments=tuple(
+                Segment(
+                    id=s.id,
+                    start=s.start,
+                    end=at,
+                    file=s.file,
+                    segments=s.segments,
+                    delta=s.delta,
+                )
+                for s in was_open
+            ),
+        )
+        segments = segments + (wrapper,)
+    new_seg = Segment(id=seg_id, start=at, file=base_file)
+    new_snapshot = Snapshot(segments=segments + (new_seg,), schema=snapshot.schema)
+
+    next_version = str(int(version) + 1)
+    with open(
+        os.path.join(table.path, f"s{next_version}.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write(new_snapshot.serialize())
+    with open(
+        os.path.join(table.path, VERSION_FILE), "w", encoding="utf-8"
+    ) as f:
+        f.write(next_version)
+    return new_snapshot
+
+
+def _check_nothing_beyond(
+    lakehouse, table: Table, snapshot: Snapshot, at: datetime
+) -> None:
+    """Checkpoint precondition: no segment/delta starts and no data row
+    event_time beyond T (checkpoint 'now', not in the past)."""
+    for seg in _all_segments(snapshot):
+        if seg.start > at:
+            raise BazofError(
+                f"segment {seg.id} starts after checkpoint time {at}"
+            )
+        for d in seg.delta:
+            if d.start > at:
+                raise BazofError(
+                    f"delta {d.file} starts after checkpoint time {at}"
+                )
+    files = sorted(
+        {
+            f
+            for s in _all_segments(snapshot)
+            for f in ([s.file] if s.file else []) + [d.file for d in s.delta]
+        }
+    )
+    if files:
+        df = lakehouse.spark.read.parquet(
+            *[table.data_file_path(f) for f in files]
+        )
+        max_ts = df.agg(F.max(EVENT_TIME_COL)).first()[0]
+        if max_ts is not None:
+            if max_ts.tzinfo is None:
+                max_ts = max_ts.replace(tzinfo=timezone.utc)
+            if max_ts > at:
+                raise BazofError(
+                    f"data rows exist beyond checkpoint time {at} "
+                    f"(max event_time {max_ts}); checkpoint later"
+                )
+
+
+# ---------------------------------------------------------------------------
+# Validation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationReport:
+    errors: list[str] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+    def raise_if_invalid(self) -> None:
+        if self.errors:
+            raise BazofError(
+                "snapshot validation failed: " + "; ".join(self.errors)
+            )
+
+
+def _walk(seg: Segment, parent: Segment | None, report: ValidationReport) -> None:
+    if seg.end is not None and seg.end < seg.start:
+        report.errors.append(f"segment {seg.id}: end < start")
+    if parent is not None:
+        if seg.start < parent.start:
+            report.errors.append(
+                f"segment {seg.id}: starts before parent {parent.id}"
+            )
+        if parent.end is not None and (seg.end is None or seg.end > parent.end):
+            report.errors.append(
+                f"segment {seg.id}: extends past closed parent {parent.id}"
+            )
+    for d in seg.delta:
+        if d.end < d.start:
+            report.errors.append(f"segment {seg.id}: delta {d.file}: end < start")
+        if d.start < seg.start:
+            report.warnings.append(
+                f"segment {seg.id}: delta {d.file} starts before segment"
+            )
+    if seg.file is None and not seg.segments and not seg.delta:
+        report.warnings.append(f"segment {seg.id}: empty (no base/children/deltas)")
+    for child in seg.segments:
+        _walk(child, seg, report)
+
+
+def validate_snapshot(snapshot: Snapshot) -> ValidationReport:
+    """Structural invariants the pruning algorithm relies on. Errors are
+    violations that change/poison query results; warnings are suspicious
+    but legal shapes (the format itself allows them)."""
+    report = ValidationReport()
+    if not snapshot.schema.columns:
+        report.warnings.append("schema declares no value columns")
+    seen: set[str] = set()
+    open_ended = 0
+    for seg in snapshot.segments:
+        if seg.id in seen:
+            report.errors.append(f"duplicate segment id {seg.id}")
+        seen.add(seg.id)
+        if seg.end is None:
+            open_ended += 1
+        _walk(seg, None, report)
+    if open_ended > 1:
+        report.warnings.append(
+            f"{open_ended} open-ended top-level segments: Current reads "
+            "resolve key conflicts by document order"
+        )
+    return report
+
+
+def validate_table(lakehouse, table_name: str) -> ValidationReport:
+    """Snapshot structure + data-file invariants, checked with ONE Spark
+    job across all files (grouped by file via input_file_name), not a
+    job per file."""
+    table: Table = lakehouse.table(table_name)
+    snapshot = table.get_current_snapshot()
+    report = validate_snapshot(snapshot)
+
+    files = {f for f, _ in snapshot.ranked_data_files()} | {
+        f
+        for s in _all_segments(snapshot)
+        for f in ([s.file] if s.file else []) + [d.file for d in s.delta]
+    }
+    missing = [
+        f for f in sorted(files) if not os.path.exists(table.data_file_path(f))
+    ]
+    for f in missing:
+        report.errors.append(f"data file missing: {f}")
+    present = [table.data_file_path(f) for f in sorted(files) if f not in missing]
+    if present:
+        df = lakehouse.spark.read.parquet(*present)
+        dupes = (
+            df.select(
+                F.expr("input_file_name()").alias("_f"), KEY_COL, EVENT_TIME_COL
+            )
+            .groupBy("_f", KEY_COL, EVENT_TIME_COL)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dupes:
+            report.errors.append(
+                f"{dupes} duplicate (key, event_time) pairs within a data file"
+            )
+    return report
+
+
+def _all_segments(snapshot: Snapshot):
+    stack = list(snapshot.segments)
+    while stack:
+        s = stack.pop()
+        yield s
+        stack.extend(s.segments)

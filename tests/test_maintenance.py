@@ -1,0 +1,160 @@
+"""Checkpoint compaction + validation (reference roadmap items,
+README.md:150-160): post-checkpoint reads must be bit-identical for
+Current AND for historical as-of instants (which resolve through the
+now-closed segments)."""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from bazof_spark.errors import BazofError
+from bazof_spark.lakehouse import Lakehouse
+from bazof_spark.maintenance import (
+    checkpoint_table,
+    validate_snapshot,
+    validate_table,
+)
+from bazof_spark.metadata import Snapshot
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+from bazof_spark.writer import TableWriter
+
+
+def ts(d, h=0):
+    return datetime(2024, 1, d, h, tzinfo=timezone.utc)
+
+
+SCHEMA = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+
+
+def rows(spark, *data):
+    return spark.createDataFrame(list(data), SCHEMA.to_struct_type())
+
+
+@pytest.fixture()
+def lakehouse(spark, tmp_path):
+    w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
+    seg = w.add_segment(
+        "s1", ts(1), base_df=rows(spark, ("k1", ts(1), "a1"), ("k2", ts(1), "b1"))
+    )
+    seg.add_delta(
+        rows(spark, ("k1", ts(3), "a2"), ("k3", ts(4), "c1")),
+        start=ts(3),
+        end=ts(5),
+    )
+    seg.add_delta(
+        # late data: k2's update carries an OLD event_time; delta
+        # precedence makes it win over the base for t >= 6 only
+        rows(spark, ("k2", ts(2), "b2")),
+        start=ts(6),
+        end=ts(7),
+    )
+    w.commit()
+    return Lakehouse(spark, str(tmp_path))
+
+
+def snap(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_checkpoint_preserves_reads(spark, lakehouse):
+    before_current = snap(lakehouse.scan("t"))
+    before_t5 = snap(lakehouse.scan("t", as_of=ts(5)))
+    before_t2 = snap(lakehouse.scan("t", as_of=ts(2)))
+
+    checkpoint_table(lakehouse, "t", at=ts(10))
+
+    table = lakehouse.table("t")
+    assert table.current_version() == "2"
+    # exactly one file serves Current now
+    assert len(table.get_current_snapshot().get_data_files()) == 1
+
+    assert snap(lakehouse.scan("t")) == before_current
+    assert snap(lakehouse.scan("t", as_of=ts(5))) == before_t5
+    assert snap(lakehouse.scan("t", as_of=ts(2))) == before_t2
+    # post-checkpoint instants resolve via the new base
+    assert snap(lakehouse.scan("t", as_of=ts(11))) == before_current
+    # the old snapshot remains readable (immutable versions)
+    assert table.get_snapshot("1").get_data_files()
+
+
+def test_checkpoint_then_new_deltas(spark, lakehouse):
+    snapshot = checkpoint_table(lakehouse, "t", at=ts(10))
+    # append new upserts into the checkpoint segment via the writer API
+    w = TableWriter(lakehouse.spark, lakehouse.table("t").path, SCHEMA)
+    w._segments = [s.to_json() for s in snapshot.segments]
+    from bazof_spark.writer import SegmentBuilder
+
+    SegmentBuilder(w, w._segments[-1]).add_delta(
+        rows(spark, ("k1", ts(12), "a3")), start=ts(12), end=ts(13)
+    )
+    w.commit(version="3")
+
+    got = dict(
+        (r["key"], r["value"]) for r in lakehouse.scan("t").collect()
+    )
+    assert got == {"k1": "a3", "k2": "b2", "k3": "c1"}
+    # historical read through closed segments still intact
+    t2 = dict((r["key"], r["value"]) for r in lakehouse.scan("t", as_of=ts(2)).collect())
+    assert t2 == {"k1": "a1", "k2": "b1"}
+
+
+def test_validate_snapshot_structure():
+    good = Snapshot.deserialize(
+        '{"schema": {"columns": [{"name": "v", "data_type": "String"}]},'
+        ' "segments": [{"id": "s1", "start": "2024-01-01T00:00:00.000Z"}]}'
+    )
+    assert validate_snapshot(good).ok
+
+    bad = Snapshot.deserialize(
+        '{"schema": {"columns": [{"name": "v", "data_type": "String"}]},'
+        ' "segments": ['
+        '{"id": "s1", "start": "2024-02-01T00:00:00.000Z",'
+        ' "end": "2024-01-01T00:00:00.000Z"},'
+        '{"id": "s1", "start": "2024-01-01T00:00:00.000Z"}]}'
+    )
+    report = validate_snapshot(bad)
+    assert not report.ok
+    assert any("end < start" in e for e in report.errors)
+    assert any("duplicate segment id" in e for e in report.errors)
+    with pytest.raises(BazofError):
+        report.raise_if_invalid()
+
+
+def test_checkpoint_financials_reference_tree(spark, tmp_path):
+    """Checkpoint the reference's own 171-file nested financials tree
+    (copied): reads must be identical at historical instants, and
+    Current must collapse to one file."""
+    import shutil
+
+    shutil.copytree(
+        "/root/reference/test-data/financials", str(tmp_path / "financials")
+    )
+    lh = Lakehouse(spark, str(tmp_path))
+    instants = [
+        None,  # Current
+        datetime(2019, 1, 17, tzinfo=timezone.utc),
+        datetime(2009, 6, 30, tzinfo=timezone.utc),
+        datetime(2021, 3, 1, tzinfo=timezone.utc),
+    ]
+    before = [snap(lh.scan("financials", as_of=t)) for t in instants]
+    checkpoint_table(
+        lh, "financials", at=datetime(2022, 1, 1, tzinfo=timezone.utc)
+    )
+    table = lh.table("financials")
+    assert table.current_version() == "2"
+    assert len(table.get_current_snapshot().get_data_files()) == 1
+    after = [snap(lh.scan("financials", as_of=t)) for t in instants]
+    assert before == after
+
+
+def test_validate_table_files(spark, lakehouse):
+    assert validate_table(lakehouse, "t").ok
+    # remove a data file → error
+    table = lakehouse.table("t")
+    victim = table.data_file_path(
+        table.get_current_snapshot().get_data_files()[0]
+    )
+    os.remove(victim)
+    report = validate_table(lakehouse, "t")
+    assert any("missing" in e for e in report.errors)
