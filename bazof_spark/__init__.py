@@ -23,6 +23,7 @@ from bazof_spark.errors import BazofError
 from bazof_spark.lakehouse import Lakehouse
 from bazof_spark.maintenance import (
     checkpoint_table,
+    evolve_table_schema,
     validate_snapshot,
     validate_table,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "Table",
     "__version__",
     "checkpoint_table",
+    "evolve_table_schema",
     "validate_snapshot",
     "validate_table",
 ]

@@ -180,9 +180,12 @@ class Lakehouse:
             for c in snapshot.schema.columns
             if projection.contains(c.name)
         ]
-        df = self.spark.read.parquet(*paths).select(
-            KEY_COL, EVENT_TIME_COL, *value_cols
-        )
+        # explicit schema read: (a) skips schema inference/merging over
+        # the file listing, (b) null-fills columns added by schema
+        # evolution that predate a file (maintenance.evolve_table_schema)
+        df = self.spark.read.schema(
+            snapshot.schema.to_struct_type()
+        ).parquet(*paths).select(KEY_COL, EVENT_TIME_COL, *value_cols)
 
         if not as_of.is_current:
             # row-group stats pruning applies; rows with event_time > t

@@ -1,8 +1,9 @@
-"""Table maintenance: checkpoint compaction + metadata validation.
+"""Table maintenance: checkpoint compaction, schema evolution, metadata
+validation.
 
-Both are unchecked roadmap items in the reference (README.md:150-160 —
-"compaction", "metadata validation"); this module implements them
-Spark-first.
+All three are unchecked roadmap items in the reference
+(README.md:150-160 — "compaction", "schema evolution", "metadata
+validation"); this module implements them Spark-first.
 
 Checkpoint compaction
 ---------------------
@@ -67,7 +68,12 @@ from bazof_spark.asof import Current as CURRENT
 from bazof_spark.errors import BazofError
 from bazof_spark.metadata import Segment, Snapshot
 from bazof_spark.projection import Projection
-from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+from bazof_spark.schema import (
+    EVENT_TIME_COL,
+    KEY_COL,
+    ColumnDef,
+    TableSchema,
+)
 from bazof_spark.table import VERSION_FILE, Table
 from bazof_spark.writer import dataframe_to_parquet_file
 
@@ -180,6 +186,69 @@ def _check_nothing_beyond(
                     f"data rows exist beyond checkpoint time {at} "
                     f"(max event_time {max_ts}); checkpoint later"
                 )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution
+# ---------------------------------------------------------------------------
+
+
+def evolve_table_schema(
+    lakehouse,
+    table_name: str,
+    add: list[ColumnDef] | None = None,
+    drop: list[str] | None = None,
+) -> Snapshot:
+    """Schema evolution (reference roadmap, README.md:159): commit a new
+    snapshot with columns added and/or dropped; data files are untouched.
+
+    Metadata-only and O(1): the new snapshot reuses the existing segment
+    tree. Reads resolve per the snapshot's schema — files written before
+    an added column null-fill it (the scan reads with an explicit
+    StructType), files still carrying a dropped column simply don't have
+    it selected. Added columns must be nullable (existing rows have no
+    value for them). Renames/type-changes are not supported (same
+    stance as Delta Lake without column mapping).
+    """
+    add = add or []
+    drop = drop or []
+    table = lakehouse.table(table_name)
+    if "://" in table.path:
+        raise BazofError("evolve_table_schema supports local tables only")
+    version = table.current_version()
+    snapshot = table.get_current_snapshot()
+
+    existing = {c.name for c in snapshot.schema.columns}
+    for col in add:
+        if col.name in existing or col.name in (KEY_COL, EVENT_TIME_COL):
+            raise BazofError(f"column {col.name!r} already exists")
+        if not col.nullable:
+            raise BazofError(
+                f"added column {col.name!r} must be nullable "
+                "(existing rows have no value for it)"
+            )
+    for name in drop:
+        if name in (KEY_COL, EVENT_TIME_COL):
+            raise BazofError(f"cannot drop system column {name!r}")
+        if name not in existing:
+            raise BazofError(f"cannot drop unknown column {name!r}")
+
+    new_columns = tuple(
+        c for c in snapshot.schema.columns if c.name not in set(drop)
+    ) + tuple(add)
+    new_snapshot = Snapshot(
+        segments=snapshot.segments, schema=TableSchema(new_columns)
+    )
+    next_version = str(int(version) + 1)
+    with open(
+        os.path.join(table.path, f"s{next_version}.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write(new_snapshot.serialize())
+    with open(
+        os.path.join(table.path, VERSION_FILE), "w", encoding="utf-8"
+    ) as f:
+        f.write(next_version)
+    return new_snapshot
 
 
 # ---------------------------------------------------------------------------

@@ -270,6 +270,78 @@ def q6_revenue_change(spark, sf_dir):
     )
 
 
+def q4_semi_join_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: no l_commitdate in this dataset): orders
+    in a date range having at least one RETURNED lineitem — a LEFT SEMI
+    join (EXISTS), which shuffles only the join keys of the build side."""
+    orders = _t("orders")(spark, sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    returned = _t("lineitem")(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over an aggregated subquery, then join
+    back to orders+customer; deterministic top-20. The HAVING threshold
+    uses a decimal-exact sum so both engines select identical orders."""
+    li = _t("lineitem")(spark, sf_dir)
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(150).cast("decimal(18,2)"))
+    )
+    orders = _t("orders")(spark, sf_dir)
+    cust = _t("customer")(spark, sf_dir)
+    return (
+        big_orders.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q22_anti_join_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nationkey for the phone prefix):
+    above-average-balance customers with NO orders — scalar subquery
+    (broadcast single-row crossJoin, not a driver collect) + LEFT ANTI
+    join, grouped by nation. Threshold = decimal-exact sum cast to
+    double / count: bit-identical across engines."""
+    cust = _t("customer")(spark, sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "_avg"
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    orders = _t("orders")(spark, sf_dir)
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def filter_in_topk(spark, sf_dir):
     """The reference's demo query shape: WHERE ... IN + ORDER BY DESC +
     LIMIT (crates/azof-datafusion/examples/query_example.rs:21-28)."""
@@ -482,6 +554,50 @@ _RELATIONAL_ORACLES = {
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q4_semi_join_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q18_large_volume_customer": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(150 AS DECIMAL(18,2))
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice,
+               CAST(qty AS DOUBLE) AS total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 20
+    """,
+    "q22_anti_join_idle_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS a
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey
     """,
     "semi_structured_json_array": """
         WITH e AS (
@@ -858,6 +974,9 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_revenue_change": q6_revenue_change,
+    "q4_semi_join_priority": q4_semi_join_priority,
+    "q18_large_volume_customer": q18_large_volume_customer,
+    "q22_anti_join_idle_customers": q22_anti_join_idle_customers,
     "filter_in_topk": filter_in_topk,
     "window_customer_order_rank": window_customer_order_rank,
     "set_ops_active_customers": set_ops_active_customers,

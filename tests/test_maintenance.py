@@ -12,6 +12,7 @@ from bazof_spark.errors import BazofError
 from bazof_spark.lakehouse import Lakehouse
 from bazof_spark.maintenance import (
     checkpoint_table,
+    evolve_table_schema,
     validate_snapshot,
     validate_table,
 )
@@ -97,6 +98,57 @@ def test_checkpoint_then_new_deltas(spark, lakehouse):
     # historical read through closed segments still intact
     t2 = dict((r["key"], r["value"]) for r in lakehouse.scan("t", as_of=ts(2)).collect())
     assert t2 == {"k1": "a1", "k2": "b1"}
+
+
+def test_schema_evolution_add_and_drop(spark, lakehouse):
+    before = snap(lakehouse.scan("t"))
+
+    evolve_table_schema(
+        lakehouse, "t", add=[ColumnDef("score", ColumnType.INT, True)]
+    )
+    table = lakehouse.table("t")
+    assert table.current_version() == "2"
+
+    # old files null-fill the new column; existing values unchanged
+    evolved = lakehouse.scan("t")
+    assert evolved.columns == ["key", "event_time", "value", "score"]
+    got = {r["key"]: (r["value"], r["score"]) for r in evolved.collect()}
+    assert all(score is None for _, score in got.values())
+    assert {k: v for k, (v, _) in got.items()} == {
+        r[0]: r[2] for r in before
+    }
+
+    # a new delta carrying the evolved column round-trips values
+    # (appended to the existing open segment: azof precedence is
+    # document order, so a separate overlapping segment would be
+    # shadowed by s1 — new data belongs in the open segment)
+    evolved_schema = table.get_current_snapshot().schema
+    w = TableWriter(spark, table.path, evolved_schema)
+    w._segments = [s.to_json() for s in table.get_snapshot("1").segments]
+    from bazof_spark.writer import SegmentBuilder
+
+    SegmentBuilder(w, w._segments[0]).add_delta(
+        spark.createDataFrame(
+            [("k1", ts(9), "a9", 42)], evolved_schema.to_struct_type()
+        ),
+        start=ts(9),
+        end=ts(10),
+    )
+    w.commit(version="3")
+    got3 = {r["key"]: (r["value"], r["score"]) for r in lakehouse.scan("t").collect()}
+    assert got3["k1"] == ("a9", 42)
+    assert got3["k2"] == ("b2", None)
+
+    # drop it again: metadata-only, data files untouched
+    evolve_table_schema(lakehouse, "t", drop=["score"])
+    assert lakehouse.scan("t").columns == ["key", "event_time", "value"]
+
+    with pytest.raises(BazofError):
+        evolve_table_schema(
+            lakehouse, "t", add=[ColumnDef("x", ColumnType.INT, False)]
+        )
+    with pytest.raises(BazofError):
+        evolve_table_schema(lakehouse, "t", drop=["key"])
 
 
 def test_validate_snapshot_structure():
