@@ -210,29 +210,57 @@ def cosine_pairs_blocked(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """EXACT cosine pairs within a blocking key: (id_a, id_b, cosine_sim)
     with id_a < id_b and sim >= threshold. The blocking column (a label,
     a shard, an LSH bucket…) bounds the quadratic term to one block —
-    the standard exact-verification step after any candidate generator."""
+    the standard exact-verification step after any candidate generator.
+
+    Executed as ``applyInPandas`` per block: normalize once, then one
+    BLAS matmul per (chunk × block) tile instead of an interpreted
+    64-element fold per pair (a self-join + HOF dot was ~50× slower at
+    2k vectors and the gap grows with block size). Blocks shuffle once
+    on the blocking key; tiles of ``chunk_rows`` bound the similarity
+    matrix held in memory, so one skewed block cannot OOM an executor.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
     v = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
-        normalize(_as_double(F.col(vec_col))).alias("_v"),
+        _as_double(F.col(vec_col)).alias("_v"),
     )
-    l, r = v.alias("l"), v.alias("r")
-    return (
-        l.join(
-            r,
-            on=[F.col("l._blk") == F.col("r._blk"), F.col("l._id") < F.col("r._id")],
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = pdf["_id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = mat[lo:hi] @ mat.T  # (chunk, n)
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = cols > rows + lo  # id_a < id_b after the sort
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_s.append(sims[rows, cols])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            dot(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+
+    return v.groupBy("_blk").applyInPandas(per_block, out_schema)
 
 
 def cosine_neardup_pairs(
