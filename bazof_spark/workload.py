@@ -35,6 +35,7 @@ from bazof_spark.operators.multimodal import (
 from bazof_spark.operators.similarity import (
     cosine_pairs_blocked,
     cosine_topk_bruteforce,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from bazof_spark.sources.events import events_lakehouse
@@ -728,6 +729,16 @@ def embedding_ann_lsh_q(spark, sf_dir):
     )
 
 
+def embedding_ann_ivf_q(spark, sf_dir):
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=4).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
 def _media_df(spark, sf_dir):
     """documents re-cast as a media table: the UTF-8 bytes of `text`
     stand in for an opaque blob (this container ships no codecs, so the
@@ -996,6 +1007,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_topk": embedding_cosine_topk_q,
     "embedding_neardup": embedding_neardup_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
+    "embedding_ann_ivf": embedding_ann_ivf_q,
     # multimodal plumbing (stubbed codecs, real Spark pipeline)
     "multimodal_frame_sample": multimodal_frame_sample_q,
     "multimodal_features": multimodal_features_q,
@@ -1008,5 +1020,6 @@ ORACLES: dict[str, str] = {
     **_PIPELINE_ORACLES,
     **_MULTIMODAL_ORACLES,
     # dedup_simhash: xxhash64 not available in DuckDB → rows-only check
-    # embedding_ann_lsh: random-hyperplane buckets not SQL-portable → rows-only
+    # embedding_ann_lsh, embedding_ann_ivf: random-hyperplane / k-means
+    #   bucketing not SQL-portable → rows-only
 }

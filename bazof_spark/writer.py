@@ -112,6 +112,59 @@ class SegmentBuilder:
         deltas.append({"file": file_name, "start": _ts(start), "end": _ts(end)})
         return self
 
+    def add_delta_distributed(
+        self,
+        df: DataFrame,
+        start: datetime,
+        end: datetime,
+        num_files: int | None = None,
+        validate: bool = True,
+    ) -> "SegmentBuilder":
+        """Write ONE logical delta as MANY parquet files in a single
+        distributed Spark job — the 100-TB write path (the single-file
+        ``add_delta`` materializes through the driver).
+
+        Each output file becomes its own delta entry with the same
+        ``[start, end]`` range. Correctness: rows are repartitioned by
+        ``key``, so a key lives in exactly one file and the merge's
+        file-precedence order among the sibling entries (stable sort on
+        equal ``start``) can never arbitrate between two versions of the
+        same key. Files keep the event_time-DESC order invariant via
+        ``sortWithinPartitions``."""
+        if validate:
+            validate_data_file_invariants(df)
+        ordered = df.select(
+            KEY_COL, EVENT_TIME_COL, *self._writer.schema.column_names()
+        )
+        if num_files:
+            ordered = ordered.repartition(num_files, KEY_COL)
+        else:
+            ordered = ordered.repartition(KEY_COL)
+        ordered = ordered.sortWithinPartitions(F.col(EVENT_TIME_COL).desc())
+
+        deltas = self._node.setdefault("delta", [])
+        stem = f"{self._node['id']}_delta{len(deltas) + 1}"
+        out_dir = os.path.join(self._writer.path, f"_{stem}_job")
+        ordered.write.mode("overwrite").parquet(out_dir)
+        part_files = sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        for i, part in enumerate(part_files):
+            file_name = f"{stem}_p{i:05d}.parquet"
+            os.replace(
+                os.path.join(out_dir, part),
+                os.path.join(self._writer.path, file_name),
+            )
+            deltas.append(
+                {"file": file_name, "start": _ts(start), "end": _ts(end)}
+            )
+        import shutil
+
+        shutil.rmtree(out_dir)
+        return self
+
     def add_child(
         self,
         segment_id: str,

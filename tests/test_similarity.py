@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from bazof_spark.operators.similarity import (
     cosine_pairs_blocked,
     cosine_topk_bruteforce,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 
@@ -68,6 +69,45 @@ def test_ann_deterministic(emb):
     a = sorted(map(tuple, lsh_ann_topk(emb, queries, k=3, dim=DIM).collect()))
     b = sorted(map(tuple, lsh_ann_topk(emb, queries, k=3, dim=DIM).collect()))
     assert a == b
+
+
+def test_ivf_full_probe_is_exact(emb):
+    """Probing every inverted list must recover the brute-force result
+    exactly (IVF with n_probe == n_lists is exhaustive)."""
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_ann_topk(
+            emb, queries, k=3, n_lists=8, n_probe=8, sample_rows=44
+        ).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            emb, queries, k=3, n_lists=8, n_probe=3, sample_rows=44
+        ).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # the seeded near-dup lands in the same list as its original
+    assert (0, 40) in ivf
 
 
 def test_blocked_pairs_find_neardups(emb):

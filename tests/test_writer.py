@@ -117,3 +117,38 @@ def test_nested_segments_written_and_scanned(spark, tmp_path):
     lh = Lakehouse(spark, root)
     got = lh.scan("t").select("key", "value").collect()
     assert [tuple(r) for r in got] == [("1", "child")]
+
+
+def test_distributed_delta_write(spark, tmp_path):
+    """One logical delta written as many files in a single Spark job:
+    keys stay consistent (hash-partitioned by key) and precedence across
+    subsequent deltas still works."""
+    root = str(tmp_path)
+    w = TableWriter(spark, f"{root}/t", SCHEMA)
+    seg = w.add_segment("s1", ts(2024, 1, 1))
+    big = _df(
+        spark,
+        [(str(i), ts(2024, 1, 2), f"v{i}") for i in range(200)],
+    )
+    seg.add_delta_distributed(big, start=ts(2024, 1, 1), end=ts(2024, 2, 1), num_files=4)
+    # a later single-file delta updates one key
+    seg.add_delta(
+        _df(spark, [("7", ts(2024, 1, 20), "updated")]),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 3, 1),
+    )
+    snapshot = w.commit()
+
+    files = snapshot.get_data_files()
+    assert len(files) == 5  # 4 part files + 1 single-file delta
+    lh = Lakehouse(spark, root)
+    got = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    assert len(got) == 200
+    assert got["7"] == "updated"
+    assert got["13"] == "v13"
+    # as-of before the update sees the original
+    early = {
+        r["key"]: r["value"]
+        for r in lh.scan("t", as_of=ts(2024, 1, 15)).collect()
+    }
+    assert early["7"] == "v7"
