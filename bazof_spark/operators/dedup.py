@@ -265,10 +265,18 @@ def ngram_jaccard_pairs(
     occur in more than `max_shingle_freq` docs (skew guard — an
     ultra-common shingle would otherwise create a quadratic bucket),
     self-join on shingle, count shared, then |A∪B| = |A|+|B|-shared.
+
+    Shingle strings never reach the output, so the join/groupBy keys are
+    their xxhash64 (8-byte fixed keys instead of dozens-of-bytes strings
+    — materially less shuffle volume at corpus scale). A 64-bit
+    collision merging two distinct shingles within one pair's shingle
+    sets is the standard accepted risk (~n²/2⁶⁵ per doc pair).
     """
     exploded = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("_s"),
+    ).select(
+        "_id", F.xxhash64("_s").alias("sh")
     ).persist()  # feeds sizes, the frequency filter, and both join sides
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     freq_ok = (

@@ -18,6 +18,22 @@ from pyspark.sql import functions as F
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def rebalance_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small-file handling for MAP-ONLY pipelines: a single parquet file
+    with one row group reads as ONE partition, serializing the whole
+    pipeline onto one core when there is no shuffle downstream to fan it
+    out. One cheap shuffle buys n-way compute. Use it only where
+    per-row compute dominates and no shuffle follows — queries that
+    already join/aggregate repartition at their first exchange, and an
+    extra up-front shuffle measurably slows them. At real scale inputs
+    arrive as thousands of splits and this is a no-op; Catalyst still
+    pushes filters/pruning through the Repartition node."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":

@@ -39,6 +39,7 @@ from bazof_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from bazof_spark.sources.events import events_lakehouse
+from bazof_spark.sources.tables import rebalance_if_undersplit
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -652,7 +653,7 @@ def dedup_exact_q(spark, sf_dir):
 
 def dedup_ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _t("documents")(spark, sf_dir), k=3, threshold=0.5
+        _docs_par(spark, sf_dir), k=3, threshold=0.5
     ).withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -670,8 +671,16 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_t("documents")(spark, sf_dir), max_hamming=3, k=3)
 
 
+
+def _docs_par(spark, sf_dir):
+    """documents rebalanced to cluster parallelism — used ONLY by the
+    map-only text/multimodal pipelines, where a single-file scan would
+    otherwise serialize all per-row compute onto one core (see
+    sources.tables.rebalance_if_undersplit)."""
+    return rebalance_if_undersplit(spark, _t("documents")(spark, sf_dir))
+
 def text_stats_q(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -684,19 +693,19 @@ def text_stats_q(spark, sf_dir):
 
 
 def text_quality_q(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     return docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
     )
 
 
 def text_language_id_q(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     return docs.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
 
 
 def doc_fingerprint_q(spark, sf_dir):
-    docs = _t("documents")(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     return docs.select(
         "doc_id", T.fingerprint(F.col("text"), k=5).alias("fingerprint")
     )
@@ -744,7 +753,7 @@ def _media_df(spark, sf_dir):
     stand in for an opaque blob (this container ships no codecs, so the
     *plumbing* — binary column, typed metadata, Arrow batching — is what
     is exercised for real; see operators/multimodal.py)."""
-    return _t("documents")(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.struct(
