@@ -59,6 +59,22 @@ class VersionedTable:
     as_of: AsOf
 
 
+_STRING_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _string_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of single-quoted literals ('' escape honored), so the
+    rewrite never fires on pattern-shaped TEXT inside a string — the
+    reference is immune by construction (AST visitor); a text pre-pass
+    must check. (The version clause's own timestamp IS a string literal;
+    what must lie outside any string is the table-name position.)"""
+    return [m.span() for m in _STRING_LITERAL_RE.finditer(sql)]
+
+
+def _inside(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(lo < pos < hi for lo, hi in spans)
+
+
 def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
     """Rewrite time-travel clauses; return (sql, versioned tables).
 
@@ -70,7 +86,9 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
     tables: list[VersionedTable] = []
     seen: set[str] = set()
 
-    def _sub(match: re.Match) -> str:
+    def _sub(match: re.Match, spans) -> str:
+        if _inside(match.start("name"), spans):
+            return match.group(0)
         name = match.group("name")
         ts_raw = match.group("ts")
         try:
@@ -85,11 +103,16 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
             tables.append(VersionedTable(name, versioned, AsOf.event_time(ts)))
         return versioned
 
-    rewritten = _AT_RE.sub(_sub, sql)
-    rewritten = _SYSTEM_TIME_RE.sub(_sub, rewritten)
+    spans = _string_spans(sql)
+    rewritten = _AT_RE.sub(lambda m: _sub(m, spans), sql)
+    spans = _string_spans(rewritten)
+    rewritten = _SYSTEM_TIME_RE.sub(lambda m: _sub(m, spans), rewritten)
 
+    spans = _string_spans(rewritten)
     for match in _TABLE_FACTOR_RE.finditer(rewritten):
         name = match.group("name")
+        if _inside(match.start("name"), spans):
+            continue
         if name.lower() in _KEYWORDS or name in seen:
             continue
         seen.add(name)

@@ -110,3 +110,19 @@ def test_rewrite_preserves_alias_and_mixed_tables():
     assert "financials__1547683200000 f" in rewritten
     by_name = {t.versioned_name: t for t in tables}
     assert "nation" in by_name and by_name["nation"].as_of.is_current
+
+
+def test_rewrite_ignores_patterns_inside_string_literals():
+    """Pattern-shaped TEXT inside string literals must not be rewritten
+    (the reference is immune by construction — AST visitor)."""
+    sql = (
+        "SELECT * FROM events_versioned AT ('2024-01-15T00:00:00.000Z') "
+        "WHERE note = 'snapshot financials AT (''2019-01-17T00:00:00.000Z'')' "
+        "AND src != 'FROM phantom_table'"
+    )
+    rewritten, tables = rewrite_and_extract_tables(sql)
+    assert "events_versioned__1705276800000" in rewritten
+    # the literal is untouched and no phantom tables were extracted
+    assert "financials AT (''2019-01-17T00:00:00.000Z'')" in rewritten
+    names = {t.name for t in tables}
+    assert names == {"events_versioned"}
