@@ -272,6 +272,91 @@ def q6_revenue_change(spark, sf_dir):
     )
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (7-way join, adapted: no partsupp in this
+    dataset): ASIA-region suppliers' share of STEEL-part revenue per
+    order year. Catalyst broadcast-joins every dimension; lineitem is
+    the only large side."""
+    part = _t("part")(spark, sf_dir).filter(F.col("p_type").contains("STEEL"))
+    supplier = _t("supplier")(spark, sf_dir)
+    nation = _t("nation")(spark, sf_dir)
+    region = _t("region")(spark, sf_dir).filter(F.col("r_name") == "ASIA")
+    li = _t("lineitem")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir)
+    asia_nations = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            disc_price.alias("_vol"),
+            F.col("s_nationkey"),
+        )
+    )
+    tagged = joined.join(
+        F.broadcast(asia_nations),
+        joined.s_nationkey == F.col("n_nationkey"),
+        "left",
+    ).select(
+        "o_year",
+        "_vol",
+        F.when(F.col("n_nationkey").isNotNull(), F.col("_vol"))
+        .otherwise(F.lit(0).cast("decimal(22,4)"))
+        .alias("_asia_vol"),
+    )
+    return tagged.groupBy("o_year").agg(
+        (
+            F.sum("_asia_vol").cast("double")
+            / F.sum("_vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: CASE inside an aggregate; decimal-exact sums so
+    the final double division is bit-reproducible."""
+    li = _t("lineitem")(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = _t("part")(spark, sf_dir)
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        disc_price.alias("_rev"),
+        F.when(F.col("p_type").startswith("PROMO"), disc_price)
+        .otherwise(F.lit(0).cast("decimal(22,4)"))
+        .alias("_promo_rev"),
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum("_promo_rev").cast("double")
+            / F.sum("_rev").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def agg_rollup_lineitem(spark, sf_dir):
+    """ROLLUP / grouping-sets aggregation (subtotals + grand total in
+    one pass — Spark expands grouping sets map-side, still one shuffle)."""
+    li = _t("lineitem")(spark, sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q4_semi_join_priority(spark, sf_dir):
     """TPC-H Q4 shape (adapted: no l_commitdate in this dataset): orders
     in a date range having at least one RETURNED lineitem — a LEFT SEMI
@@ -556,6 +641,47 @@ _RELATIONAL_ORACLES = {
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q8_market_share": """
+        WITH asia AS (
+            SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        vol AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS v,
+                   s_nationkey
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type LIKE '%STEEL%'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN s_nationkey IN (SELECT n_nationkey FROM asia)
+                             THEN v ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                   / CAST(SUM(v) AS DOUBLE) AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+    "q14_promo_effect": """
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                   ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+    """,
+    "agg_rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q4_semi_join_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
@@ -994,6 +1120,9 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_revenue_change": q6_revenue_change,
+    "q8_market_share": q8_market_share,
+    "q14_promo_effect": q14_promo_effect,
+    "agg_rollup_lineitem": agg_rollup_lineitem,
     "q4_semi_join_priority": q4_semi_join_priority,
     "q18_large_volume_customer": q18_large_volume_customer,
     "q22_anti_join_idle_customers": q22_anti_join_idle_customers,
