@@ -150,6 +150,38 @@ def asof_self_join_sql(spark, sf_dir):
     )
 
 
+def asof_join_events(spark, sf_dir):
+    """Stream-style point-in-time join (operators/asof.py): for each
+    'click' event, the latest 'purchase' by the same user at or before
+    it. Oracle: DuckDB's native ASOF JOIN. Build side deduped to one row
+    per (user, ts) so ties are deterministic in both engines."""
+    from bazof_spark.operators.asof import asof_join
+
+    ev = _t("events")(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select("user_id", F.col("ts").alias("purchase_ts"), "purchase_value")
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", probe_ts="click_ts",
+        build_ts="purchase_ts", how="inner",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
     "asof_scan_event_time": _events_oracle_cte(
@@ -171,6 +203,25 @@ _ASOF_ORACLES = {
         SELECT a.key, a.value AS value_early, b.value AS value_late
           FROM early a JOIN late b ON a.key = b.key
          WHERE b.value > a.value
+    """,
+    "asof_join_events": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+                   MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        )
+        SELECT click_id, c.user_id,
+               epoch_us(click_ts) AS click_ts_us,
+               epoch_us(purchase_ts) AS purchase_ts_us,
+               purchase_value
+        FROM clicks c ASOF JOIN purchases p
+          ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts
     """,
 }
 
@@ -1115,6 +1166,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_projection": asof_projection,
     "time_travel_sql": time_travel_sql,
     "asof_self_join_sql": asof_self_join_sql,
+    "asof_join_events": asof_join_events,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
