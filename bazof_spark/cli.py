@@ -47,6 +47,17 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--query", required=True)
     p_sql.add_argument("--limit", type=int, default=20)
 
+    p_ck = sub.add_parser(
+        "checkpoint", help="compact: merged-state base + archived history"
+    )
+    p_ck.add_argument("--path", required=True)
+    p_ck.add_argument("--table", required=True)
+    p_ck.add_argument("--at", required=True, help="checkpoint time (RFC3339)")
+
+    p_val = sub.add_parser("validate", help="snapshot + data-file invariants")
+    p_val.add_argument("--path", required=True)
+    p_val.add_argument("--table", required=True)
+
     args = parser.parse_args(argv)
 
     from bazof_spark.lakehouse import Lakehouse
@@ -74,6 +85,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {dest}")
     elif args.cmd == "sql":
         lh.sql(args.query).show(args.limit, truncate=False)
+    elif args.cmd == "checkpoint":
+        from datetime import datetime
+
+        from bazof_spark.maintenance import checkpoint_table
+
+        at = datetime.fromisoformat(args.at.replace("Z", "+00:00"))
+        snapshot = checkpoint_table(lh, args.table, at=at)
+        print(
+            f"checkpointed {args.table} at {args.at}: "
+            f"version {lh.table(args.table).current_version()}, "
+            f"{len(snapshot.get_data_files())} file(s) serve Current"
+        )
+    elif args.cmd == "validate":
+        from bazof_spark.maintenance import validate_table
+
+        report = validate_table(lh, args.table)
+        for e in report.errors:
+            print(f"ERROR: {e}")
+        for w_ in report.warnings:
+            print(f"warning: {w_}")
+        print("OK" if report.ok else "INVALID")
+        return 0 if report.ok else 1
     return 0
 
 

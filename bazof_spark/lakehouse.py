@@ -27,11 +27,12 @@ DataFrame operations and Catalyst/Tungsten execute them distributed:
    AQE handles skewed keys.
 
 Tie-break note: within one file at equal (key, event_time) the reference
-keeps the physically-first row (lakehouse.rs:54-79). All reference-shipped
-data and our writer enforce unique (key, event_time) per file
-(crates/azof-cli/src/test_bench.rs:71-80), so the case cannot arise for
-valid tables; we document the invariant instead of paying a per-file
-row-index column at scale.
+keeps the physically-first row (lakehouse.rs:54-79). This is NOT a
+theoretical case — the reference's own financials data ships 5 duplicate
+(key, event_time) pairs with different values in year_2019_q2_delta — so
+the scan reads ``_metadata.row_index`` (per-file physical position,
+costless column from the reader) and breaks ties on it inside the same
+``max_by``, reproducing the reference bit-for-bit.
 """
 
 from __future__ import annotations
@@ -182,10 +183,19 @@ class Lakehouse:
         ]
         # explicit schema read: (a) skips schema inference/merging over
         # the file listing, (b) null-fills columns added by schema
-        # evolution that predate a file (maintenance.evolve_table_schema)
+        # evolution that predate a file (maintenance.evolve_table_schema).
+        # _metadata.row_index = physical position within the file — the
+        # reference's intra-file tie-break (first row wins among equal
+        # (key, event_time) in one file, lakehouse.rs:54-79; its own
+        # financials data contains such duplicates).
         df = self.spark.read.schema(
             snapshot.schema.to_struct_type()
-        ).parquet(*paths).select(KEY_COL, EVENT_TIME_COL, *value_cols)
+        ).parquet(*paths).select(
+            KEY_COL,
+            EVENT_TIME_COL,
+            *value_cols,
+            F.col("_metadata.row_index").alias("_row_idx"),
+        )
 
         if not as_of.is_current:
             # row-group stats pruning applies; rows with event_time > t
@@ -217,6 +227,7 @@ class Lakehouse:
         precedence = F.struct(
             (-F.col("_rank")).alias("neg_rank"),
             F.col(EVENT_TIME_COL).alias("ts"),
+            (-F.col("_row_idx")).alias("neg_row_idx"),
         )
         winner = df.groupBy(KEY_COL).agg(
             F.max_by(payload, precedence).alias("_w")

@@ -118,3 +118,25 @@ def test_scan_empty_for_early_as_of(lh):
     df = lh.scan("table0", as_of=ts(2023, 1, 1))
     assert df.count() == 0
     assert df.columns == ["key", "event_time", "value"]
+
+
+def test_intra_file_duplicate_tiebreak_matches_reference(spark):
+    """The reference's own year_2019_q2_delta ships 5 keys with TWO
+    different rows at the same event_time; the reference's merge keeps
+    the physically-first row (lakehouse.rs:54-79). Our _metadata.row_index
+    tie-break must reproduce those exact winners."""
+    lh = Lakehouse(spark, "/root/reference/test-data")
+    got = {
+        r["key"]: r["revenue"]
+        for r in lh.scan("financials", as_of="2019-06-15T00:00:00.000Z")
+        .filter("key in ('YUEIY','VIBVY','VLOWY','TNISY','GGDVY')")
+        .select("key", "revenue")
+        .collect()
+    }
+    assert got == {
+        "GGDVY": 915507667,
+        "TNISY": 1469666667,
+        "VIBVY": 25496045,
+        "VLOWY": 1224858757,
+        "YUEIY": 5070727000,
+    }
