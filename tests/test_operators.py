@@ -129,3 +129,28 @@ def test_metadata_stats_prunes_binary_column(spark, tmp_path):
     plan = stats._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "content" not in read_schema[0]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from bazof_spark.operators.skew import salted_group_count, salted_join
+    from pyspark.sql import functions as F
+
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B")], ["k", "tag"]
+    )
+    plain = big.join(small, "k").select("k", "v", "tag")
+    salted = salted_join(big, small, "k", n_salts=8).select("k", "v", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    counts = {
+        r["k"]: r["count"]
+        for r in salted_group_count(big, "k", n_salts=8).collect()
+    }
+    assert counts["hot"] == 900 and counts["k5"] == 1
