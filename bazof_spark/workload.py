@@ -325,10 +325,10 @@ def q6_revenue_change(spark, sf_dir):
 
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape (7-way join, adapted: no partsupp in this
-    dataset): ASIA-region suppliers' share of STEEL-part revenue per
+    dataset): ASIA-region suppliers' share of MEDIUM-part revenue per
     order year. Catalyst broadcast-joins every dimension; lineitem is
     the only large side."""
-    part = _t("part")(spark, sf_dir).filter(F.col("p_type").contains("STEEL"))
+    part = _t("part")(spark, sf_dir).filter(F.col("p_type").contains("MEDIUM"))
     supplier = _t("supplier")(spark, sf_dir)
     nation = _t("nation")(spark, sf_dir)
     region = _t("region")(spark, sf_dir).filter(F.col("r_name") == "ASIA")
@@ -708,7 +708,7 @@ _RELATIONAL_ORACLES = {
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN orders ON l_orderkey = o_orderkey
-            WHERE p_type LIKE '%STEEL%'
+            WHERE p_type LIKE '%MEDIUM%'
         )
         SELECT o_year,
                CAST(SUM(CASE WHEN s_nationkey IN (SELECT n_nationkey FROM asia)
@@ -1204,11 +1204,16 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_metadata_stats": multimodal_metadata_stats_q,
 }
 
+from bazof_spark.workload_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+
 ORACLES: dict[str, str] = {
     **_ASOF_ORACLES,
     **_RELATIONAL_ORACLES,
     **_PIPELINE_ORACLES,
     **_MULTIMODAL_ORACLES,
+    **ORACLES_EXT,
     # dedup_simhash: xxhash64 not available in DuckDB → rows-only check
     # embedding_ann_lsh, embedding_ann_ivf: random-hyperplane / k-means
     #   bucketing not SQL-portable → rows-only

@@ -1,0 +1,669 @@
+"""Extended relational workload: the remaining TPC-H query shapes
+(adapted to this dataset's reduced schema — no partsupp, no
+commit/receipt dates) plus window-frame, percentile and pivot
+aggregations. Same contract as bazof_spark.workload: every query has a
+DuckDB oracle with identically-aliased columns, and every float output
+is either decimal-exact-cast-to-double or rounded to 6 dp on BOTH
+sides.
+
+These exercise the parts of SURVEY §2.B's relational surface the first
+workload batch did not: correlated scalar subqueries (q2, q17), nation
+pair disjunctive join filters (q7), left-outer aggregation (q13),
+scalar-subquery HAVING (q11, q15), NOT IN subqueries (q16),
+multi-EXISTS (q21), disjunctive pushdown predicates (q19), nested
+semi-join chains (q20), window frames (moving average), exact
+percentiles, and pivot.
+
+Scale notes (100 TB thinking): every query keeps the fact table
+(lineitem / orders / events) as the streamed probe side; dimension and
+derived aggregates small enough to broadcast are broadcast explicitly;
+everything else is a plain shuffled hash/SMJ that AQE can re-plan.
+Correlated subqueries are expressed as aggregate-then-join (not
+per-row subquery execution), which is the scalable rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(name: str):
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bazof_spark.sources.tables import load_table
+
+        return load_table(spark, sf_dir, name)
+
+    return load
+
+
+def _dec(col: str, p: int = 18, s: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subqueries → aggregate-then-broadcast-join
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_part(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp): parts priced at the
+    minimum retail price of their type. The correlated MIN subquery is
+    rewritten as a tiny groupBy aggregate broadcast back onto part —
+    one scan + one broadcast join, no per-row subquery."""
+    part = _t("part")(spark, sf_dir)
+    mins = part.groupBy("p_type").agg(
+        F.min("p_retailprice").alias("_min_price")
+    )
+    return (
+        part.join(F.broadcast(mins), "p_type")
+        .filter(F.col("p_retailprice") == F.col("_min_price"))
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. Per-part thresholds are an aggregate joined back to
+    lineitem (shuffle on l_partkey both sides — co-partitioned join),
+    never a per-row correlated execution. Threshold arithmetic is
+    decimal-sum / count * 0.2 in double: bit-identical across engines."""
+    li = _t("lineitem")(spark, sf_dir)
+    part = _t("part")(spark, sf_dir).filter(F.col("p_brand") == "Brand#3")
+    thr = li.groupBy("l_partkey").agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(0.2)
+        ).alias("_thr")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins with disjunctive / pair filters
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue between a nation pair, both directions,
+    grouped by (supplier nation, customer nation, ship year). Nation and
+    supplier are broadcast; lineitem⋈orders is the only big shuffle."""
+    nation = _t("nation")(spark, sf_dir)
+    li = _t("lineitem")(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t("orders")(spark, sf_dir)
+    cust = _t("customer")(spark, sf_dir)
+    supp = _t("supplier")(spark, sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit = discounted revenue; no supplycost in
+    this schema): nation × order-year profit on 'widget' parts."""
+    part = _t("part")(spark, sf_dir).filter(F.col("p_name").contains("widget"))
+    li = _t("lineitem")(spark, sf_dir)
+    supp = _t("supplier")(spark, sf_dir)
+    nation = _t("nation")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir)
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("sum_profit"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    1997H1. Customer join is a plain shuffled join (customer is large
+    at scale); nation is broadcast."""
+    li = _t("lineitem")(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    orders = _t("orders")(spark, sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    cust = _t("customer")(spark, sf_dir)
+    nation = _t("nation")(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: three OR'd conjunct groups over part⋈lineitem.
+    Catalyst extracts the common l_partkey join key and pushes the
+    per-branch part filters below the join."""
+    li = _t("lineitem")(spark, sf_dir)
+    part = _t("part")(spark, sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join aggregation, HAVING with scalar subqueries, NOT IN
+# ---------------------------------------------------------------------------
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts via a
+    LEFT OUTER join (customers with zero orders included). Two
+    aggregations: the first shuffles on c_custkey, the second on the
+    (tiny-cardinality) count value."""
+    cust = _t("customer")(spark, sf_dir)
+    orders = _t("orders")(spark, sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q11_important_balances(spark, sf_dir):
+    """TPC-H Q11 shape (supplier balances for partsupp value): nations
+    holding more than 2% of global supplier balance. The global total is
+    a single-row aggregate broadcast into the HAVING predicate — no
+    driver-side collect."""
+    supp = _t("supplier")(spark, sf_dir)
+    total = supp.agg(F.sum(_dec("s_acctbal")).cast("double").alias("_tot"))
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.sum(_dec("s_acctbal")).alias("_val")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_val").cast("double") > F.col("_tot") * 0.02)
+        .select(
+            "s_nationkey", F.col("_val").cast("double").alias("value")
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. Revenue kept as exact decimal for the equality against the
+    broadcast single-row MAX (decimal equality is exact cross-engine;
+    doubles would be fragile)."""
+    li = _t("lineitem")(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("_rev"))
+    top = rev.agg(F.max("_rev").alias("_max"))
+    supp = _t("supplier")(spark, sf_dir)
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per part group,
+    excluding suppliers from a NOT IN subquery (negative balances).
+    The exclusion is a broadcast LEFT ANTI join; countDistinct expands
+    to a two-phase aggregate (partial distinct map-side)."""
+    li = _t("lineitem")(spark, sf_dir)
+    part = _t("part")(spark, sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = (
+        _t("supplier")(spark, sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join chains and multi-EXISTS
+# ---------------------------------------------------------------------------
+
+
+def q20_semi_join_chain(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped > 100 units of 'small'
+    parts in 1997 — an aggregate-qualified nested semi-join resolved as
+    aggregate → semi-join, never a per-supplier subquery."""
+    small_parts = (
+        _t("part")(spark, sf_dir)
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = _t("lineitem")(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    qualified = (
+        li.join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(100).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    supp = _t("supplier")(spark, sf_dir)
+    nation = _t("nation")(spark, sf_dir)
+    return (
+        supp.join(qualified, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+def q21_sole_fault_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: returnflag stands in for late
+    receipt): suppliers who were the ONLY supplier with returned items
+    on a multi-supplier finished order. The EXISTS / NOT EXISTS pair is
+    one order-level aggregate (distinct supplier counts) joined back —
+    two shuffles on l_orderkey total, instead of two correlated
+    subquery executions."""
+    orders_f = (
+        _t("orders")(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t("lineitem")(spark, sf_dir).join(
+        orders_f, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_nr"),
+    )
+    fault = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(stats, "l_orderkey")
+        .filter((F.col("_ns") > 1) & (F.col("_nr") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = _t("supplier")(spark, sf_dir)
+    return (
+        fault.join(F.broadcast(supp), fault.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape (linestatus stands in for shipmode): per
+    linestatus, how many 1997-shipped lineitems belong to high- vs
+    low-priority orders. CASE-in-aggregate over one shuffled join."""
+    li = _t("lineitem")(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t("orders")(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames, percentiles, pivot
+# ---------------------------------------------------------------------------
+
+
+def window_moving_avg(spark, sf_dir):
+    """Sliding window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    per-user 3-event moving average. One shuffle on user_id; the frame
+    is evaluated streamingly within each partition."""
+    ev = _t("events")(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (median & quartiles) of customer balance per
+    market segment — F.percentile is Spark's exact linear-interpolation
+    percentile, the twin of DuckDB's quantile_cont."""
+    cust = _t("customer")(spark, sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+def pivot_status_by_year(spark, sf_dir):
+    """Pivot: order counts per year × status. Explicit pivot value list
+    keeps it one pass (no extra distinct-values job); missing cells are
+    0, not null, to match the CASE-count oracle."""
+    orders = _t("orders")(spark, sf_dir)
+    p = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_year",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("O", "F", "P")],
+    )
+
+
+QUERIES_EXT = {
+    "q2_min_cost_part": q2_min_cost_part,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_balances": q11_important_balances,
+    "q12_priority_class": q12_priority_class,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
+    "q20_semi_join_chain": q20_semi_join_chain,
+    "q21_sole_fault_supplier": q21_sole_fault_supplier,
+    "window_moving_avg": window_moving_avg,
+    "agg_percentiles": agg_percentiles,
+    "pivot_status_by_year": pivot_status_by_year,
+}
+
+ORACLES_EXT = {
+    "q2_min_cost_part": """
+        SELECT p_partkey, p_name, p_type, p_retailprice
+        FROM part
+        WHERE p_retailprice = (
+            SELECT MIN(p2.p_retailprice) FROM part p2
+            WHERE p2.p_type = part.p_type
+        )
+    """,
+    "q7_volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1998-01-01'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate <  DATE '1997-07-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q11_important_balances": """
+        WITH tot AS (
+            SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS t
+            FROM supplier
+        )
+        SELECT s_nationkey,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+        FROM supplier, tot
+        GROUP BY s_nationkey, t
+        HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) > t * 0.02
+    """,
+    "q12_priority_class": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate <  DATE '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({_DISC_PRICE_SQL}) AS r
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate <  DATE '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+    "q16_supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q17_small_quantity_revenue": """
+        WITH thr AS (
+            SELECT l_partkey AS pk,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) * 0.2 AS t
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN thr  ON l_partkey = pk
+        WHERE p_brand = 'Brand#3' AND l_quantity < t
+    """,
+    "q19_disjunctive_filter": f"""
+        SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q20_semi_join_chain": """
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate <  DATE '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       > CAST(100 AS DECIMAL(18,2))
+        )
+    """,
+    "q21_sole_fault_supplier": """
+        WITH f AS (
+            SELECT l_orderkey, l_suppkey, l_returnflag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        st AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS ns,
+                   COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                       THEN l_suppkey END) AS nr
+            FROM f GROUP BY l_orderkey
+        ),
+        fault AS (
+            SELECT DISTINCT f.l_orderkey, f.l_suppkey
+            FROM f JOIN st USING (l_orderkey)
+            WHERE f.l_returnflag = 'R' AND ns > 1 AND nr = 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM fault JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "window_moving_avg": """
+        SELECT event_id, user_id,
+               round(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 6) AS moving_avg
+        FROM events
+    """,
+    "agg_percentiles": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+               round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+               round(quantile_cont(c_acctbal, 0.75), 6) AS p75
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "pivot_status_by_year": """
+        SELECT year(o_orderdate) AS o_year,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders GROUP BY 1
+    """,
+}
