@@ -1,0 +1,133 @@
+"""Plan-regression gates: pin the physical-plan properties that matter
+at 100 TB — filters pushed into the parquet scan, columns pruned,
+explicitly-broadcast dimensions actually broadcast, shuffle counts
+bounded. Results staying correct is not enough; these fail when a
+refactor silently degrades the plan.
+
+Bounds are chosen to hold under AQE and at any scale factor: exact
+column sets (scale-invariant), presence of pushed filters
+(scale-invariant), and shuffle UPPER bounds (AQE may remove, never
+add, exchanges vs the static plan).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark.plans import (  # noqa: E402
+    broadcast_join_count,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from bazof_spark.workload import QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def q(name, spark):
+    return QUERIES[name](spark, SF_DIR)
+
+
+def test_q6_scan_prunes_and_pushes(spark):
+    df = q("q6_revenue_change", spark)
+    cols = scan_columns(df)
+    assert cols == [
+        {"l_discount", "l_extendedprice", "l_quantity", "l_shipdate"}
+    ], "q6 must read exactly its 4 columns from parquet"
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert shuffle_count(df) <= 1  # single global aggregate
+
+
+def test_q1_scan_prunes_to_seven_columns(spark):
+    df = q("q1_pricing_summary", spark)
+    (cols,) = scan_columns(df)
+    assert cols == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+    assert shuffle_count(df) == 1  # one groupBy, partial agg map-side
+
+
+def test_asof_scan_pushes_event_time_filter(spark):
+    df = q("asof_projection", spark)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_time" in pushed, (
+        "the as-of bound must reach the parquet reader for row-group pruning"
+    )
+    for cols in scan_columns(df):
+        assert cols <= {"key", "event_time", "value", "_tmp_metadata_row_index"}, (
+            f"projection must prune value columns at the scan, got {cols}"
+        )
+
+
+def test_explicit_dimension_broadcasts_survive(spark):
+    # These queries broadcast dims explicitly with F.broadcast — a
+    # regression to a shuffled join would multiply network cost at scale.
+    for name, min_bcast in [
+        ("agg_nation_customer_stats", 1),
+        ("q2_min_cost_part", 1),
+        ("q10_returned_items", 1),
+        ("q16_supplier_variety", 2),
+    ]:
+        assert broadcast_join_count(q(name, spark)) >= min_bcast, name
+
+
+def test_single_shuffle_queries(spark):
+    # Window + top-k style queries must not introduce extra exchanges.
+    for name in [
+        "window_customer_order_rank",
+        "window_moving_avg",
+        "agg_nation_customer_stats",
+        "dedup_exact",
+    ]:
+        assert shuffle_count(q(name, spark)) <= 1, name
+
+
+def test_two_phase_aggregates_bounded(spark):
+    # aggregate→join-back rewrites: at most 2 shuffles + the agg ones.
+    for name, bound in [
+        ("q13_order_count_distribution", 2),
+        ("q17_small_quantity_revenue", 3),
+        # rev subplan evaluated twice (once under MAX) → 2 agg shuffles
+        # + one single-partition exchange for the scalar
+        ("q15_top_supplier", 3),
+        ("q11_important_balances", 2),
+        ("q21_sole_fault_supplier", 4),
+    ]:
+        assert shuffle_count(q(name, spark)) <= bound, name
+
+
+def test_fact_joins_prune_lineitem_scan(spark):
+    # q5/q7: lineitem (the 100-TB table) must never read more than the
+    # columns the query touches.
+    for name, allowed in [
+        (
+            "q5_local_supplier_volume",
+            {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"},
+        ),
+        (
+            "q7_volume_shipping",
+            {
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            },
+        ),
+    ]:
+        df = q(name, spark)
+        li_scans = [c for c in scan_columns(df) if any(x.startswith("l_") for x in c)]
+        assert li_scans, f"{name}: no lineitem scan found"
+        for cols in li_scans:
+            assert cols <= allowed, f"{name}: lineitem scan reads {cols - allowed} extra"
