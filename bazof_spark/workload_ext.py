@@ -440,6 +440,50 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+def events_session_window(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — the batch
+    twin of Structured Streaming's session_window. A new session starts
+    when the gap since the previous event is >= the gap duration
+    (Spark merges windows that strictly overlap). One shuffle on
+    user_id; sessionization is then a per-partition sorted merge."""
+    ev = _t("events")(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sliding_window(spark, sf_dir):
+    """Sliding (hopping) windows: 1-hour windows every 30 minutes, so
+    each event lands in exactly two windows. Spark expands the windows
+    map-side (explode) then aggregates — one shuffle, 2× the rows."""
+    ev = _t("events")(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def pivot_status_by_year(spark, sf_dir):
     """Pivot: order counts per year × status. Explicit pivot value list
     keeps it one pass (no extra distinct-values job); missing cells are
@@ -470,6 +514,8 @@ QUERIES_EXT = {
     "q19_disjunctive_filter": q19_disjunctive_filter,
     "q20_semi_join_chain": q20_semi_join_chain,
     "q21_sole_fault_supplier": q21_sole_fault_supplier,
+    "events_session_window": events_session_window,
+    "events_sliding_window": events_sliding_window,
     "window_moving_avg": window_moving_avg,
     "agg_percentiles": agg_percentiles,
     "pivot_status_by_year": pivot_status_by_year,
@@ -642,6 +688,52 @@ ORACLES_EXT = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "events_session_window": """
+        WITH o AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS prev_ts
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM o
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "events_sliding_window": """
+        WITH x AS (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL '30 minutes',
+                               CAST(ts AS TIMESTAMP)) AS b
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, value, b AS ws FROM x
+            UNION ALL
+            SELECT event_type, value, b - INTERVAL '30 minutes' FROM x
+        )
+        SELECT epoch_us(ws) AS window_start_us, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1, 2
     """,
     "window_moving_avg": """
         SELECT event_id, user_id,
