@@ -359,21 +359,29 @@ def q21_sole_fault_supplier(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    li = _t("lineitem")(spark, sf_dir).join(
-        orders_f, F.col("l_orderkey") == F.col("o_orderkey")
+    # One lineitem pass: collapse to (order, supplier, any-returned) first
+    # — the heavy table is scanned/joined once, and the order-level
+    # EXISTS/NOT-EXISTS stats aggregate the collapsed (much smaller)
+    # relation, co-partitioned on l_orderkey for the join back.
+    per_os = (
+        _t("lineitem")(spark, sf_dir)
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_returnflag") == "R").cast("int")
+            ).alias("_has_r")
+        )
     )
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_nr"),
+    stats = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum("_has_r").alias("_nr"),
     )
     fault = (
-        li.filter(F.col("l_returnflag") == "R")
+        per_os.filter(F.col("_has_r") == 1)
         .join(stats, "l_orderkey")
         .filter((F.col("_ns") > 1) & (F.col("_nr") == 1))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     supp = _t("supplier")(spark, sf_dir)
     return (
