@@ -448,6 +448,37 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+def range_join_clicks_after_purchase(spark, sf_dir):
+    """Binned range join (operators/range_join.py): for each purchase,
+    the number of clicks by the same user within the following hour.
+    The range predicate rides on a bin+user equi-join — shuffled hash
+    join, never a nested-loop cross product."""
+    from bazof_spark.operators.range_join import binned_range_join
+
+    ev = _t("events")(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = binned_range_join(
+        clicks,
+        purchases,
+        point_ts="c_ts",
+        interval_start="p_start",
+        interval_end="p_end",
+        keys=["user_id"],
+        bin_width_seconds=3600,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
 def events_session_window(spark, sf_dir):
     """Session windows (30-minute inactivity gap) per user — the batch
     twin of Structured Streaming's session_window. A new session starts
@@ -522,6 +553,7 @@ QUERIES_EXT = {
     "q19_disjunctive_filter": q19_disjunctive_filter,
     "q20_semi_join_chain": q20_semi_join_chain,
     "q21_sole_fault_supplier": q21_sole_fault_supplier,
+    "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
     "events_session_window": events_session_window,
     "events_sliding_window": events_sliding_window,
     "window_moving_avg": window_moving_avg,
@@ -696,6 +728,17 @@ ORACLES_EXT = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "range_join_clicks_after_purchase": """
+        SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+              FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+              FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.cts >= p.pts
+         AND c.cts < p.pts + INTERVAL '1 hour'
+        GROUP BY 1
     """,
     "events_session_window": """
         WITH o AS (

@@ -154,3 +154,52 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_group_count(big, "k", n_salts=8).collect()
     }
     assert counts["hot"] == 900 and counts["k5"] == 1
+
+
+def test_binned_range_join_edges(spark):
+    """End-exclusive / start-inclusive bounds and bin-boundary spans."""
+    from datetime import datetime
+
+    from bazof_spark.operators.range_join import binned_range_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0)),   # == start → included
+            (2, T(2024, 1, 1, 10, 59, 59)), # inside, crosses into next bin
+            (3, T(2024, 1, 1, 11, 0, 0)),   # == end → excluded
+            (4, T(2024, 1, 1, 9, 59, 59)),  # before start, same bin → excluded
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 11, 0, 0))],
+        "iid long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        r.pid
+        for r in binned_range_join(
+            points,
+            intervals,
+            point_ts="ts",
+            interval_start="start",
+            interval_end="end",
+            bin_width_seconds=1800,  # interval spans 2 bins
+        ).collect()
+    )
+    assert got == [1, 2]
+
+    # no duplicate matches when an interval covers many bins
+    wide = spark.createDataFrame(
+        [(200, T(2024, 1, 1, 0, 0, 0), T(2024, 1, 2, 0, 0, 0))],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = binned_range_join(
+        points,
+        wide,
+        point_ts="ts",
+        interval_start="start",
+        interval_end="end",
+        bin_width_seconds=600,
+    )
+    assert sorted(r.pid for r in out.collect()) == [1, 2, 3, 4]
