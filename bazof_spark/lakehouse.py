@@ -145,9 +145,15 @@ class Lakehouse:
         table_name: str,
         as_of: AsOf | datetime | str | None = None,
         columns: Iterable[str] | Projection | None = None,
+        version: str | int | None = None,
     ) -> DataFrame:
         """Point-in-time merge scan → lazy DataFrame
         (reference: crates/azof/src/lakehouse.rs:29-86).
+
+        ``version`` selects a specific snapshot (Delta-style system
+        version travel — our extension; the reference only resolves the
+        current pointer, crates/azof/src/table.rs:35-41). ``as_of``
+        still applies within that snapshot.
 
         Output columns follow the reference's ordering rules: key,
         event_time, then declared value columns, each only if projected
@@ -156,7 +162,10 @@ class Lakehouse:
         as_of = coerce_as_of(as_of)
         projection = coerce_projection(columns)
         table = self.table(table_name)
-        snapshot = table.get_current_snapshot()
+        if version is not None:
+            snapshot = table.get_snapshot(str(version))
+        else:
+            snapshot = table.get_current_snapshot()
         return self.scan_snapshot(table, snapshot, as_of, projection)
 
     def scan_snapshot(
@@ -290,12 +299,12 @@ class Lakehouse:
         rewritten, tables = rewrite_and_extract_tables(query)
         for vt in tables:
             if vt.versioned_name != vt.name:
-                # as-of view: contents are immutable for a given
-                # (table, timestamp) → safe to cache registration
+                # as-of / versioned view: contents are immutable for a
+                # given (table, timestamp|version) → safe to cache
                 if not self.spark.catalog.tableExists(vt.versioned_name):
-                    self.scan(vt.name, vt.as_of).createOrReplaceTempView(
-                        vt.versioned_name
-                    )
+                    self.scan(
+                        vt.name, vt.as_of, version=vt.version
+                    ).createOrReplaceTempView(vt.versioned_name)
             else:
                 if not self.spark.catalog.tableExists(vt.name) and self.has_table(
                     vt.name

@@ -40,6 +40,18 @@ _SYSTEM_TIME_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Snapshot-version travel (ours — Delta-style extension; the reference
+# only travels by event time):
+#   tbl FOR VERSION AS OF 2 | tbl AT(VERSION => 2) | quoted '2' accepted
+_FOR_VERSION_RE = re.compile(
+    rf"(?P<name>{_IDENT})\s+FOR\s+VERSION\s+AS\s+OF\s+'?(?P<ver>\w+)'?",
+    re.IGNORECASE,
+)
+_AT_VERSION_RE = re.compile(
+    rf"(?P<name>{_IDENT})\s+AT\s*\(\s*VERSION\s*=>\s*'?(?P<ver>\w+)'?\s*\)",
+    re.IGNORECASE,
+)
+
 # bare table factor after FROM/JOIN (for Current registration)
 _TABLE_FACTOR_RE = re.compile(
     rf"\b(?:FROM|JOIN)\s+(?P<name>{_IDENT})", re.IGNORECASE
@@ -52,11 +64,14 @@ _KEYWORDS = frozenset(
 
 @dataclass(frozen=True)
 class VersionedTable:
-    """(original name, rewritten name, as-of) — parse.rs:11-15."""
+    """(original name, rewritten name, as-of) — parse.rs:11-15.
+    ``version`` is set for snapshot-version travel (our Delta-style
+    extension) instead of an event-time as-of."""
 
     name: str
     versioned_name: str
     as_of: AsOf
+    version: str | None = None
 
 
 _STRING_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
@@ -103,8 +118,23 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
             tables.append(VersionedTable(name, versioned, AsOf.event_time(ts)))
         return versioned
 
+    def _sub_version(match: re.Match, spans) -> str:
+        if _inside(match.start("name"), spans):
+            return match.group(0)
+        name = match.group("name")
+        ver = match.group("ver")
+        versioned = f"{name}__v{ver}"
+        if versioned not in seen:
+            seen.add(versioned)
+            tables.append(VersionedTable(name, versioned, Current, version=ver))
+        return versioned
+
     spans = _string_spans(sql)
-    rewritten = _AT_RE.sub(lambda m: _sub(m, spans), sql)
+    rewritten = _AT_VERSION_RE.sub(lambda m: _sub_version(m, spans), sql)
+    spans = _string_spans(rewritten)
+    rewritten = _FOR_VERSION_RE.sub(lambda m: _sub_version(m, spans), rewritten)
+    spans = _string_spans(rewritten)
+    rewritten = _AT_RE.sub(lambda m: _sub(m, spans), rewritten)
     spans = _string_spans(rewritten)
     rewritten = _SYSTEM_TIME_RE.sub(lambda m: _sub(m, spans), rewritten)
 

@@ -126,3 +126,58 @@ def test_rewrite_ignores_patterns_inside_string_literals():
     assert "financials AT (''2019-01-17T00:00:00.000Z'')" in rewritten
     names = {t.name for t in tables}
     assert names == {"events_versioned"}
+
+
+def test_version_travel_scan_and_sql(spark, tmp_path):
+    """Snapshot-version travel (Delta-style extension): scan(version=)
+    plus FOR VERSION AS OF / AT(VERSION =>) SQL, coexisting with
+    event-time travel."""
+    from datetime import datetime, timezone
+
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    def ts(y, m, d):
+        return datetime(y, m, d, tzinfo=timezone.utc)
+
+    schema = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+    root = str(tmp_path)
+    w = TableWriter(spark, f"{root}/vt", schema)
+    seg = w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=spark.createDataFrame(
+            [("1", ts(2024, 1, 1), "a1"), ("2", ts(2024, 1, 1), "b1")],
+            schema.to_struct_type(),
+        ),
+    )
+    w.commit("1")
+    seg.add_delta(
+        spark.createDataFrame(
+            [("1", ts(2024, 2, 1), "a2")], schema.to_struct_type()
+        ),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 3, 1),
+    )
+    w.commit("2")
+
+    lh = Lakehouse(spark, root)
+    latest = dict(lh.scan("vt").select("key", "value").collect())
+    assert latest == {"1": "a2", "2": "b1"}
+    v1 = dict(lh.scan("vt", version=1).select("key", "value").collect())
+    assert v1 == {"1": "a1", "2": "b1"}
+
+    got = dict(
+        lh.sql("SELECT key, value FROM vt FOR VERSION AS OF 1").collect()
+    )
+    assert got == v1
+    got = dict(lh.sql("SELECT key, value FROM vt AT(VERSION => 2)").collect())
+    assert got == latest
+    # event-time travel within the current snapshot still works alongside
+    got = dict(
+        lh.sql(
+            "SELECT key, value FROM vt AT ('2024-01-15T00:00:00.000Z')"
+        ).collect()
+    )
+    assert got == {"1": "a1", "2": "b1"}
