@@ -523,6 +523,24 @@ def events_sliding_window(spark, sf_dir):
     )
 
 
+def set_ops_multiset(spark, sf_dir):
+    """Multiset set operations (UNION ALL / EXCEPT ALL) — duplicate
+    counts are part of the semantics, unlike the distinct variants in
+    set_ops_active_customers. EXCEPT ALL is a count-bag subtraction:
+    one aggregate per side on the hash key, no sort."""
+    orders = _t("orders")(spark, sf_dir)
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).exceptAll(c)
+
+
 def pivot_status_by_year(spark, sf_dir):
     """Pivot: order counts per year × status. Explicit pivot value list
     keeps it one pass (no extra distinct-values job); missing cells are
@@ -558,6 +576,7 @@ QUERIES_EXT = {
     "events_sliding_window": events_sliding_window,
     "window_moving_avg": window_moving_avg,
     "agg_percentiles": agg_percentiles,
+    "set_ops_multiset": set_ops_multiset,
     "pivot_status_by_year": pivot_status_by_year,
 }
 
@@ -801,6 +820,14 @@ ORACLES_EXT = {
                round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
                round(quantile_cont(c_acctbal, 0.75), 6) AS p75
         FROM customer GROUP BY c_mktsegment
+    """,
+    "set_ops_multiset": """
+        (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000)
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
     """,
     "pivot_status_by_year": """
         SELECT year(o_orderdate) AS o_year,

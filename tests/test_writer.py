@@ -152,3 +152,54 @@ def test_distributed_delta_write(spark, tmp_path):
         for r in lh.scan("t", as_of=ts(2024, 1, 15)).collect()
     }
     assert early["7"] == "v7"
+
+
+def test_nullable_values_round_trip(spark, tmp_path):
+    """Nulls in nullable value columns survive write → as-of scan →
+    projection. The reference DECLARES nullability but its scan never
+    handles nulls (append_value reads unconditionally,
+    crates/azof/src/schema.rs:54-77); we support them natively — a
+    documented superset (SURVEY §7.4)."""
+    schema = TableSchema(
+        (
+            ColumnDef("value", ColumnType.STRING, True),
+            ColumnDef("score", ColumnType.INT, True),
+        )
+    )
+    root = str(tmp_path)
+    w = TableWriter(spark, f"{root}/n", schema)
+    seg = w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=spark.createDataFrame(
+            [
+                ("1", ts(2024, 1, 1), "a", 5),
+                ("2", ts(2024, 1, 1), None, None),
+            ],
+            schema.to_struct_type(),
+        ),
+    )
+    seg.add_delta(
+        spark.createDataFrame(
+            [("1", ts(2024, 2, 1), None, 7)], schema.to_struct_type()
+        ),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 3, 1),
+    )
+    w.commit()
+
+    lh = Lakehouse(spark, root)
+    got = {
+        r["key"]: (r["value"], r["score"])
+        for r in lh.scan("n").select("key", "value", "score").collect()
+    }
+    assert got == {"1": (None, 7), "2": (None, None)}
+    # null value columns never affect the merge winner (key/event_time
+    # are the non-null system columns)
+    early = {
+        r["key"]: (r["value"], r["score"])
+        for r in lh.scan("n", as_of=ts(2024, 1, 15)).select(
+            "key", "value", "score"
+        ).collect()
+    }
+    assert early == {"1": ("a", 5), "2": (None, None)}
