@@ -523,6 +523,29 @@ def events_sliding_window(spark, sf_dir):
     )
 
 
+def top_terms_per_lang(spark, sf_dir):
+    """Lateral-view explode aggregation over documents: top-5 terms per
+    language by frequency. Explode happens map-side (codegen'd
+    Generate), the count is one shuffle on (lang, word), the top-k is a
+    window over the (tiny) per-language aggregate."""
+    docs = _t("documents")(spark, sf_dir)
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+        ).alias("word"),
+    )
+    counts = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "word", "n", "rank")
+    )
+
+
 def set_ops_multiset(spark, sf_dir):
     """Multiset set operations (UNION ALL / EXCEPT ALL) — duplicate
     counts are part of the semantics, unlike the distinct variants in
@@ -576,6 +599,7 @@ QUERIES_EXT = {
     "events_sliding_window": events_sliding_window,
     "window_moving_avg": window_moving_avg,
     "agg_percentiles": agg_percentiles,
+    "top_terms_per_lang": top_terms_per_lang,
     "set_ops_multiset": set_ops_multiset,
     "pivot_status_by_year": pivot_status_by_year,
 }
@@ -820,6 +844,23 @@ ORACLES_EXT = {
                round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
                round(quantile_cont(c_acctbal, 0.75), 6) AS p75
         FROM customer GROUP BY c_mktsegment
+    """,
+    "top_terms_per_lang": """
+        WITH words AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, word, COUNT(*) AS n FROM words GROUP BY 1, 2
+        )
+        SELECT lang, word, n, rank FROM (
+            SELECT lang, word, n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, word
+                   ) AS rank
+            FROM counts
+        ) WHERE rank <= 5
     """,
     "set_ops_multiset": """
         (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'

@@ -203,3 +203,25 @@ def test_binned_range_join_edges(spark):
         bin_width_seconds=600,
     )
     assert sorted(r.pid for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """HLL++ distinct counts and quantile sketches: the scale path for
+    distinct/percentile when exact is too expensive. Not oracle-gated
+    (sketches are engine-specific); bounded against exact instead."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+    exact_med = ev.select(
+        F.percentile(F.col("value"), F.lit(0.5))
+    ).first()[0]
+    approx_med = ev.select(
+        F.percentile_approx("value", 0.5, 10000)
+    ).first()[0]
+    assert abs(approx_med - exact_med) <= abs(exact_med) * 0.02 + 1e-9
