@@ -182,8 +182,56 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = iter(range(1_000_000))
+
+
+def streaming_latest_rows(spark, sf_dir):
+    """The custom stateful streaming operator
+    (streaming/stream.py:latest_rows_stream, applyInPandasWithState)
+    driven over the events_versioned delta files with
+    trigger(availableNow) into a memory sink — then reduced to the
+    final winner per key. Checked against the SAME DuckDB oracle as the
+    batch asof_scan_current: streaming and batch agree on latest-row-
+    per-key. (Update mode emits a winner per key per micro-batch that
+    changed it; the final state is the max-event_time emit.)"""
+    from bazof_spark.streaming.stream import (
+        latest_rows_stream,
+        read_table_stream,
+    )
+
+    lh = events_lakehouse(spark, sf_dir)
+    table = lh.table("events_versioned")
+    schema = table.get_current_snapshot().schema
+    stream = read_table_stream(spark, table)
+    out = latest_rows_stream(stream, schema, watermark="3650 days")
+    name = f"stream_latest_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    value_cols = [c.name for c in schema.columns]
+    payload = F.struct(
+        F.col("event_time").alias("event_time"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    final = emitted.groupBy("key").agg(
+        F.max_by(payload, F.col("event_time")).alias("_w")
+    )
+    return final.select(
+        "key",
+        F.unix_micros(F.col("_w.event_time")).alias("event_time_us"),
+        *[F.col(f"_w.{c}").alias(c) for c in value_cols],
+    )
+
+
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
+    "streaming_latest_rows": _events_oracle_cte(),
     "asof_scan_event_time": _events_oracle_cte(
         f"ts <= TIMESTAMP '2024-01-15 00:00:00'"
     ),
@@ -1167,6 +1215,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_travel_sql": time_travel_sql,
     "asof_self_join_sql": asof_self_join_sql,
     "asof_join_events": asof_join_events,
+    "streaming_latest_rows": streaming_latest_rows,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,

@@ -24,8 +24,11 @@ from bazof_spark.workload import QUERIES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Full workload, ordered cheap→expensive; every SURVEY §2 operator family
-# is represented.
-BENCH_QUERIES = list(QUERIES)
+# is represented. streaming_latest_rows is excluded: it spins up a
+# Structured Streaming availableNow pipeline whose per-micro-batch
+# startup dominates at local scale — it is a correctness surface
+# (oracle-matched vs the batch scan), not a throughput one.
+BENCH_QUERIES = [q for q in QUERIES if q != "streaming_latest_rows"]
 
 
 def main() -> None:
