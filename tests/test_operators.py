@@ -225,3 +225,49 @@ def test_approx_sketches_within_tolerance(spark):
         F.percentile_approx("value", 0.5, 10000)
     ).first()[0]
     assert abs(approx_med - exact_med) <= abs(exact_med) * 0.02 + 1e-9
+
+
+def test_grouping_sets_from_partials_match_builtin(spark):
+    """rollup_from_partials / cube_from_partials == built-in
+    rollup()/cube() row-for-row (decimal measures: exact re-agg)."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark.operators.agg import (
+        cube_from_partials,
+        rollup_from_partials,
+    )
+    from bazof_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    measures = {
+        "sum_qty": (F.sum(F.col("l_quantity").cast("decimal(18,2)")), "sum"),
+        "n_rows": (F.count(F.lit(1)), "sum"),
+        "max_price": (F.max("l_extendedprice"), "max"),
+    }
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def norm(df):
+        return sorted(
+            map(lambda r: tuple(str(x) for x in r), df.collect())
+        )
+
+    built_rollup = li.rollup(*keys).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_extendedprice").alias("max_price"),
+    ).select(*keys, "sum_qty", "n_rows", "max_price")
+    assert norm(rollup_from_partials(li, keys, measures)) == norm(built_rollup)
+
+    built_cube = li.cube(*keys).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_extendedprice").alias("max_price"),
+    ).select(*keys, "sum_qty", "n_rows", "max_price")
+    assert norm(cube_from_partials(li, keys, measures)) == norm(built_cube)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rollup_from_partials(
+            li, keys, {"bad": (F.avg("l_quantity"), "avg")}
+        )
