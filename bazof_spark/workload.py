@@ -150,6 +150,41 @@ def asof_self_join_sql(spark, sf_dir):
     )
 
 
+def time_travel_changes(spark, sf_dir):
+    """Change-data-feed between two as-of instants: every key whose
+    winning version differs between t1 and t2, classified as
+    insert (absent at t1) or update (newer winning event_time at t2).
+    The reference leaves a change/streaming read on its roadmap
+    (README.md:150-160); with the as-of scan this is just a left join
+    of two scans — deletes can't occur in an upsert-only log, so
+    late ⊇ early. Scale: both sides are the same pruned scan, joined
+    on the table key; AQE picks broadcast when one as-of slice is
+    small."""
+    early = _scan_events(spark, sf_dir, as_of=ASOF_TS_EARLY).select(
+        "key",
+        F.unix_micros("event_time").alias("ts_early_us"),
+        F.col("value").alias("value_early"),
+    )
+    late = _scan_events(spark, sf_dir, as_of=ASOF_TS_LATE).select(
+        "key",
+        F.unix_micros("event_time").alias("ts_late_us"),
+        F.col("value").alias("value_late"),
+    )
+    j = late.join(early, "key", "left")
+    return j.filter(
+        F.col("ts_early_us").isNull()
+        | (F.col("ts_late_us") != F.col("ts_early_us"))
+    ).select(
+        "key",
+        F.when(F.col("ts_early_us").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "value_early",
+        "value_late",
+        "ts_late_us",
+    )
+
+
 def asof_join_events(spark, sf_dir):
     """Stream-style point-in-time join (operators/asof.py): for each
     'click' event, the latest 'purchase' by the same user at or before
@@ -251,6 +286,18 @@ _ASOF_ORACLES = {
         SELECT a.key, a.value AS value_early, b.value AS value_late
           FROM early a JOIN late b ON a.key = b.key
          WHERE b.value > a.value
+    """,
+    "time_travel_changes": f"""
+        WITH early AS ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-10 00:00:00'")}),
+             late  AS ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-25 00:00:00'")})
+        SELECT l.key,
+               CASE WHEN e.key IS NULL THEN 'insert' ELSE 'update' END
+                   AS change_type,
+               e.value AS value_early,
+               l.value AS value_late,
+               l.event_time_us AS ts_late_us
+          FROM late l LEFT JOIN early e ON l.key = e.key
+         WHERE e.key IS NULL OR l.event_time_us <> e.event_time_us
     """,
     "asof_join_events": """
         WITH clicks AS (
@@ -1235,6 +1282,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_projection": asof_projection,
     "time_travel_sql": time_travel_sql,
     "asof_self_join_sql": asof_self_join_sql,
+    "time_travel_changes": time_travel_changes,
     "asof_join_events": asof_join_events,
     "streaming_latest_rows": streaming_latest_rows,
     # relational surface
