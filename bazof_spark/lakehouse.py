@@ -168,6 +168,76 @@ class Lakehouse:
             snapshot = table.get_current_snapshot()
         return self.scan_snapshot(table, snapshot, as_of, projection)
 
+    def scan_changes(
+        self,
+        table_name: str,
+        since: AsOf | datetime | str,
+        until: AsOf | datetime | str | None = None,
+        columns: Iterable[str] | Projection | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two as-of instants: every key whose
+        winning version differs between ``since`` and ``until``
+        (``None`` = Current). The reference leaves a change/streaming
+        read on its roadmap (README.md:150-160); over an upsert-only
+        log it is a left join of two as-of scans — keys can appear or
+        change, never disappear.
+
+        Output: ``key``, ``change_type`` (``insert`` | ``update``),
+        ``event_time_early``/``event_time_late`` and each projected
+        value column as ``<col>_early``/``<col>_late``. A key counts as
+        changed when its (event_time, values) tuple differs null-safely
+        — not event_time alone, since a segment becoming in-range can
+        change the winner by file precedence (§4.2) without a newer
+        timestamp.
+
+        Scale: both sides are independently pruned scans joined on the
+        table key; AQE broadcasts whichever as-of slice is small.
+        """
+        if columns is not None and not isinstance(columns, Projection):
+            # the diff always needs key + event_time, whatever the
+            # caller projects (like the reference's merge itself,
+            # crates/azof/src/lakehouse.rs:98-109)
+            cols = list(columns)
+            columns = list(
+                dict.fromkeys([KEY_COL, EVENT_TIME_COL, *cols])
+            )
+        early = self.scan(table_name, as_of=since, columns=columns)
+        late = self.scan(table_name, as_of=until, columns=columns)
+        value_cols = [
+            c for c in late.columns if c not in (KEY_COL, EVENT_TIME_COL)
+        ]
+
+        def _tagged(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(
+                KEY_COL,
+                F.col(EVENT_TIME_COL).alias(f"{EVENT_TIME_COL}_{tag}"),
+                *[F.col(c).alias(f"{c}_{tag}") for c in value_cols],
+            )
+
+        j = _tagged(late, "late").join(_tagged(early, "early"), KEY_COL, "left")
+        def _version_struct(tag: str) -> F.Column:
+            # identical inner field names so the struct types compare
+            return F.struct(
+                F.col(f"{EVENT_TIME_COL}_{tag}").alias(EVENT_TIME_COL),
+                *[F.col(f"{c}_{tag}").alias(c) for c in value_cols],
+            )
+
+        early_struct = _version_struct("early")
+        late_struct = _version_struct("late")
+        is_insert = F.col(f"{EVENT_TIME_COL}_early").isNull()
+        return j.filter(
+            is_insert | ~late_struct.eqNullSafe(early_struct)
+        ).select(
+            KEY_COL,
+            F.when(is_insert, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            f"{EVENT_TIME_COL}_early",
+            f"{EVENT_TIME_COL}_late",
+            *[f"{c}_early" for c in value_cols],
+            *[f"{c}_late" for c in value_cols],
+        )
+
     def scan_snapshot(
         self,
         table: Table,

@@ -160,28 +160,19 @@ def time_travel_changes(spark, sf_dir):
     late ⊇ early. Scale: both sides are the same pruned scan, joined
     on the table key; AQE picks broadcast when one as-of slice is
     small."""
-    early = _scan_events(spark, sf_dir, as_of=ASOF_TS_EARLY).select(
-        "key",
-        F.unix_micros("event_time").alias("ts_early_us"),
-        F.col("value").alias("value_early"),
+    lh = events_lakehouse(spark, sf_dir)
+    ch = lh.scan_changes(
+        "events_versioned",
+        since=ASOF_TS_EARLY,
+        until=ASOF_TS_LATE,
+        columns=["key", "value"],
     )
-    late = _scan_events(spark, sf_dir, as_of=ASOF_TS_LATE).select(
+    return ch.select(
         "key",
-        F.unix_micros("event_time").alias("ts_late_us"),
-        F.col("value").alias("value_late"),
-    )
-    j = late.join(early, "key", "left")
-    return j.filter(
-        F.col("ts_early_us").isNull()
-        | (F.col("ts_late_us") != F.col("ts_early_us"))
-    ).select(
-        "key",
-        F.when(F.col("ts_early_us").isNull(), F.lit("insert"))
-        .otherwise(F.lit("update"))
-        .alias("change_type"),
+        "change_type",
         "value_early",
         "value_late",
-        "ts_late_us",
+        F.unix_micros("event_time_late").alias("ts_late_us"),
     )
 
 

@@ -140,3 +140,51 @@ def test_intra_file_duplicate_tiebreak_matches_reference(spark):
         "VLOWY": 1224858757,
         "YUEIY": 5070727000,
     }
+
+
+def test_scan_changes_classifies_insert_update_unchanged(spark, tmp_path):
+    """scan_changes: key 1 updated, key 3 inserted, key 2 unchanged
+    (absent from output) between the two instants."""
+    from datetime import datetime, timezone
+
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+    from bazof_spark.lakehouse import Lakehouse
+
+    def ts(y, m, d):
+        return datetime(y, m, d, tzinfo=timezone.utc)
+
+    schema = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+    w = TableWriter(spark, str(tmp_path / "t"), schema)
+    seg = w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=spark.createDataFrame(
+            [("1", ts(2024, 1, 1), "a1"), ("2", ts(2024, 1, 1), "b1")],
+            schema.to_struct_type(),
+        ),
+    )
+    seg.add_delta(
+        spark.createDataFrame(
+            [("1", ts(2024, 2, 1), "a2"), ("3", ts(2024, 2, 5), "c1")],
+            schema.to_struct_type(),
+        ),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 2, 28),
+    )
+    w.commit()
+
+    lh = Lakehouse(spark, str(tmp_path))
+    changes = lh.scan_changes("t", since=ts(2024, 1, 15), until=ts(2024, 2, 15))
+    got = {
+        r["key"]: (r["change_type"], r["value_early"], r["value_late"])
+        for r in changes.collect()
+    }
+    assert got == {
+        "1": ("update", "a1", "a2"),
+        "3": ("insert", None, "c1"),
+    }
+
+    # until=None → Current; since at the very start sees the base only
+    cur = lh.scan_changes("t", since=ts(2024, 1, 1))
+    assert {r["key"] for r in cur.collect()} == {"1", "3"}
