@@ -133,3 +133,16 @@ def test_fact_joins_prune_lineitem_scan(spark):
         assert li_scans, f"{name}: no lineitem scan found"
         for cols in li_scans:
             assert cols <= allowed, f"{name}: lineitem scan reads {cols - allowed} extra"
+
+
+def test_change_feed_prunes_both_scans_and_bounds_shuffles(spark):
+    """scan_changes: each as-of side prunes to key/event_time/value
+    (+tie-break index), merges with one shuffle per side, and the join
+    adds no third full shuffle (broadcast here; SMJ reusing the per-key
+    exchanges at scale)."""
+    df = q("time_travel_changes", spark)
+    for cols in scan_columns(df):
+        assert cols <= {"key", "event_time", "value", "_tmp_metadata_row_index"}, (
+            f"change feed must prune unprojected value columns, got {cols}"
+        )
+    assert shuffle_count(df) <= 2, "one merge shuffle per as-of side"
