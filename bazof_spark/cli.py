@@ -3,6 +3,7 @@
     python -m bazof_spark.cli scan --path P --table T [--as-of TS]
     python -m bazof_spark.cli gen  --path P --table T --file F
     python -m bazof_spark.cli sql  --path P --query "SELECT ..."
+    python -m bazof_spark.cli changes --path P --table T --since TS [--until TS]
 
 `--as-of` accepts `YYYY-MM-DDTHH:mm:ss` (suffixed `.000Z` like the
 reference, main.rs:101-119) or full RFC3339. `gen` converts
@@ -58,6 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     p_val.add_argument("--path", required=True)
     p_val.add_argument("--table", required=True)
 
+    p_ch = sub.add_parser(
+        "changes", help="change feed between two as-of instants"
+    )
+    p_ch.add_argument("--path", required=True)
+    p_ch.add_argument("--table", required=True)
+    p_ch.add_argument("--since", required=True)
+    p_ch.add_argument("--until", default=None, help="default: Current")
+    p_ch.add_argument("--columns", default=None, help="comma-separated")
+    p_ch.add_argument("--limit", type=int, default=20)
+
     args = parser.parse_args(argv)
 
     from bazof_spark.lakehouse import Lakehouse
@@ -85,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {dest}")
     elif args.cmd == "sql":
         lh.sql(args.query).show(args.limit, truncate=False)
+    elif args.cmd == "changes":
+        cols = args.columns.split(",") if args.columns else None
+        df = lh.scan_changes(
+            args.table,
+            since=_parse_as_of(args.since),
+            until=_parse_as_of(args.until),
+            columns=cols,
+        )
+        df.show(args.limit, truncate=False)
     elif args.cmd == "checkpoint":
         from datetime import datetime
 
