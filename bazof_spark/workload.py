@@ -897,7 +897,7 @@ _RELATIONAL_ORACLES = {
         )
         SELECT event_id, k_val,
                len(arr) AS arr_len,
-               list_sum(arr) AS arr_sum,
+               CAST(list_sum(arr) AS BIGINT) AS arr_sum,
                list_max(arr) AS arr_max,
                array_to_string(arr, ',') AS arr_csv
         FROM a
@@ -1092,8 +1092,9 @@ _FRAME_SAMPLE_ORACLE = """
     )
     SELECT media_id,
            len(range(0, n_frames, 30)) AS n_sampled,
-           list_sum(list_transform(range(0, n_frames, 30),
-               fi -> least(256, greatest(0, nb - fi * 256)))) AS sampled_bytes
+           CAST(list_sum(list_transform(range(0, n_frames, 30),
+               fi -> least(256, greatest(0, nb - fi * 256)))) AS BIGINT)
+               AS sampled_bytes
     FROM m
 """
 
@@ -1106,7 +1107,8 @@ _MULTIMODAL_ORACLES = {
     """,
     "multimodal_metadata_stats": """
         SELECT lang AS format, COUNT(*) AS n,
-               SUM(CAST(length(text) AS BIGINT) * 1) AS total_pixels
+               CAST(SUM(CAST(length(text) AS BIGINT) * 1) AS BIGINT)
+               AS total_pixels
         FROM documents GROUP BY lang
     """,
 }

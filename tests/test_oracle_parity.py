@@ -64,6 +64,22 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     g, e = normalize(got), normalize(exp)
     assert len(g) == len(e), f"{name}: row count {len(g)} != {len(e)}"
+    # The driver hashes stringified values, where 1677 != 1677.0 — so an
+    # int column on one side and float on the other (e.g. DuckDB HUGEINT
+    # sums → float64 in pandas) is a real failure, not a tolerable dtype
+    # difference. Catch the int-vs-float split explicitly.
+    for c in g.columns:
+        gk, ek = g[c].dtype.kind, e[c].dtype.kind
+        int_float = {"i", "u", "f"}
+        if gk in int_float and ek in int_float and ("f" in (gk, ek)) != (
+            gk == ek == "f"
+        ):
+            raise AssertionError(
+                f"{name}: column {c} is {g[c].dtype} in Spark but "
+                f"{e[c].dtype} in the oracle — the driver's value hash "
+                "treats 1 and 1.0 as different; align the types "
+                "(CAST(... AS BIGINT/DOUBLE) on both sides)"
+            )
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
 
 
