@@ -193,10 +193,15 @@ class Lakehouse:
         Scale: both sides are independently pruned scans joined on the
         table key; AQE broadcasts whichever as-of slice is small.
         """
-        if columns is not None and not isinstance(columns, Projection):
-            # the diff always needs key + event_time, whatever the
-            # caller projects (like the reference's merge itself,
-            # crates/azof/src/lakehouse.rs:98-109)
+        # the diff always needs key + event_time, whatever the caller
+        # projects (like the reference's merge itself,
+        # crates/azof/src/lakehouse.rs:98-109)
+        if isinstance(columns, Projection):
+            if not columns.is_all:
+                columns = Projection.of(
+                    columns.columns | {KEY_COL, EVENT_TIME_COL}
+                )
+        elif columns is not None:
             cols = list(columns)
             columns = list(
                 dict.fromkeys([KEY_COL, EVENT_TIME_COL, *cols])
@@ -345,13 +350,30 @@ class Lakehouse:
                 ),
             )
         # scale path (thousands of files): broadcast-join a tiny
-        # (file, rank) frame — stays JVM-side, no Python UDF
+        # (file, rank) frame — stays JVM-side, no Python UDF. LEFT join +
+        # fail-fast on a missed lookup: an unanticipated URI spelling
+        # must surface as an error, not silently drop rows (the literal
+        # path has a coalesce fallback; this is its moral equivalent).
         rank_df = F.broadcast(
             self.spark.createDataFrame(list(pairs.items()), ["_file", "_rank"])
         )
-        return df.withColumn("_file", _normalized_input_file()).join(
-            rank_df, on="_file", how="inner"
-        ).drop("_file")
+        return (
+            df.withColumn("_file", _normalized_input_file())
+            .join(rank_df, on="_file", how="left")
+            .withColumn(
+                "_rank",
+                F.when(
+                    F.col("_rank").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("bazof: no precedence rank for file URI "),
+                            F.col("_file"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("_rank")),
+            )
+            .drop("_file")
+        )
 
     # -- SQL ----------------------------------------------------------
 

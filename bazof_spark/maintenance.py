@@ -155,7 +155,24 @@ def _check_nothing_beyond(
     lakehouse, table: Table, snapshot: Snapshot, at: datetime
 ) -> None:
     """Checkpoint precondition: no segment/delta starts and no data row
-    event_time beyond T (checkpoint 'now', not in the past)."""
+    event_time beyond T (checkpoint 'now', not in the past), and the
+    canonical top-level layout (all closed segments precede all open
+    ones — what the writer produces). checkpoint_table re-emits segments
+    as [kept closed..., wrapper(open...), new base]; merge precedence is
+    document order and a closed top-level segment's deltas stay eligible
+    at every as-of, so if an open segment originally preceded a closed
+    one, that reorder would hand the closed segment's deltas precedence
+    they never had — silently flipping winners. Refuse instead."""
+    seen_open = False
+    for seg in snapshot.segments:
+        if seg.end is None:
+            seen_open = True
+        elif seen_open:
+            raise BazofError(
+                f"closed top-level segment {seg.id} follows an open one; "
+                "checkpoint preserves document-order precedence only for "
+                "the canonical layout (closed segments first) — refusing"
+            )
     for seg in _all_segments(snapshot):
         if seg.start > at:
             raise BazofError(
@@ -354,6 +371,34 @@ def validate_table(lakehouse, table_name: str) -> ValidationReport:
         if dupes:
             report.errors.append(
                 f"{dupes} duplicate (key, event_time) pairs within a data file"
+            )
+        # Intra-file winner selection (lakehouse._dedup_latest_per_key)
+        # picks max event_time with _row_idx as tie-break; the reference
+        # keeps the first physically-eligible row per key regardless of
+        # timestamp (lakehouse.rs:54-79). The two agree only when every
+        # file is sorted event_time DESC — an invariant our writer
+        # enforces but foreign azof files need not satisfy. Detect the
+        # divergence instead of reading such files silently.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_f").orderBy("_ridx")
+        unsorted = (
+            df.select(
+                F.expr("input_file_name()").alias("_f"),
+                F.col("_metadata.row_index").alias("_ridx"),
+                F.col(EVENT_TIME_COL).alias("_ts"),
+            )
+            .withColumn("_prev", F.lag("_ts").over(w))
+            .filter(F.col("_prev").isNotNull() & (F.col("_ts") > F.col("_prev")))
+            .select("_f")
+            .distinct()
+            .count()
+        )
+        if unsorted:
+            report.errors.append(
+                f"{unsorted} data files are not sorted event_time DESC; "
+                "merge winner selection diverges from the reference's "
+                "first-row-wins on unsorted files"
             )
     return report
 

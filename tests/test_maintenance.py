@@ -210,3 +210,47 @@ def test_validate_table_files(spark, lakehouse):
     os.remove(victim)
     report = validate_table(lakehouse, "t")
     assert any("missing" in e for e in report.errors)
+
+
+def test_checkpoint_refuses_non_canonical_segment_order(spark, tmp_path):
+    """An open segment preceding a closed one is legal in the format but
+    checkpoint_table would reorder it (closed first), handing the closed
+    segment's always-eligible deltas precedence they never had — it must
+    refuse (ADVICE r1, maintenance.py)."""
+    w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
+    w.add_segment("open_first", ts(1), base_df=rows(spark, ("k1", ts(1), "open")))
+    closed = w.add_segment(
+        "closed_second",
+        ts(1),
+        end=ts(10),
+        base_df=rows(spark, ("k2", ts(1), "closed")),
+    )
+    closed.add_delta(rows(spark, ("k1", ts(2), "leak")), start=ts(2), end=ts(3))
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    with pytest.raises(BazofError, match="canonical"):
+        checkpoint_table(
+            lh, "t", at=datetime(2024, 6, 1, tzinfo=timezone.utc)
+        )
+
+
+def test_validate_table_flags_unsorted_file(spark, lakehouse):
+    """Files not sorted event_time DESC make our max-event-time winner
+    diverge from the reference's first-row-wins; validate_table must
+    report them (ADVICE r1, lakehouse.py winner selection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assert validate_table(lakehouse, "t").ok
+    table = lakehouse.table("t")
+    # rewrite every file ascending by event_time (writer emits DESC);
+    # at least one file has distinct timestamps, so order must flip
+    for f in table.get_current_snapshot().get_data_files():
+        victim = table.data_file_path(f)
+        old = pq.read_table(victim)
+        idx = pa.compute.sort_indices(
+            old, sort_keys=[("event_time", "ascending")]
+        )
+        pq.write_table(old.take(idx), victim)
+    report = validate_table(lakehouse, "t")
+    assert any("sorted event_time DESC" in e for e in report.errors)

@@ -188,3 +188,104 @@ def test_scan_changes_classifies_insert_update_unchanged(spark, tmp_path):
     # until=None → Current; since at the very start sees the base only
     cur = lh.scan_changes("t", since=ts(2024, 1, 1))
     assert {r["key"] for r in cur.collect()} == {"1", "3"}
+
+
+def test_scan_changes_accepts_projection_instance(spark, tmp_path):
+    """A Projection lacking key/event_time must be enriched exactly like
+    the plain-iterable branch (ADVICE r1, lakehouse.py scan_changes)."""
+    from datetime import datetime, timezone
+
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.projection import Projection
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    def ts(y, m, d):
+        return datetime(y, m, d, tzinfo=timezone.utc)
+
+    schema = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+    w = TableWriter(spark, str(tmp_path / "t"), schema)
+    seg = w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=spark.createDataFrame(
+            [("1", ts(2024, 1, 1), "a1")], schema.to_struct_type()
+        ),
+    )
+    seg.add_delta(
+        spark.createDataFrame(
+            [("1", ts(2024, 2, 1), "a2")], schema.to_struct_type()
+        ),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 2, 28),
+    )
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    changes = lh.scan_changes(
+        "t",
+        since=ts(2024, 1, 15),
+        until=ts(2024, 2, 15),
+        columns=Projection.of({"value"}),  # no key/event_time on purpose
+    )
+    got = {
+        r["key"]: (r["change_type"], r["value_early"], r["value_late"])
+        for r in changes.collect()
+    }
+    assert got == {"1": ("update", "a1", "a2")}
+
+
+def test_rank_broadcast_join_path_matches_literal_path(spark, tmp_path):
+    """Force the >threshold broadcast-join rank attachment and check it
+    produces the same merge result as the literal-map path; a file URI
+    missing from the rank map must raise, not silently drop rows
+    (ADVICE r1, lakehouse.py _with_rank scale path)."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    import bazof_spark.lakehouse as lh_mod
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    def ts(y, m, d):
+        return datetime(y, m, d, tzinfo=timezone.utc)
+
+    schema = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+    w = TableWriter(spark, str(tmp_path / "t"), schema)
+    seg = w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=spark.createDataFrame(
+            [("1", ts(2024, 1, 1), "a1"), ("2", ts(2024, 1, 2), "b1")],
+            schema.to_struct_type(),
+        ),
+    )
+    seg.add_delta(
+        spark.createDataFrame(
+            [("1", ts(2024, 2, 1), "a2")], schema.to_struct_type()
+        ),
+        start=ts(2024, 2, 1),
+        end=ts(2024, 2, 28),
+    )
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    literal = sorted(tuple(r) for r in lh.scan("t").collect())
+
+    orig = lh_mod._RANK_MAP_LITERAL_MAX
+    lh_mod._RANK_MAP_LITERAL_MAX = 0
+    try:
+        scale = sorted(tuple(r) for r in lh.scan("t").collect())
+        assert scale == literal
+
+        # fail-fast: rank map that misses the scanned files
+        table = lh.table("t")
+        snapshot = table.get_current_snapshot()
+        df = spark.read.schema(snapshot.schema.to_struct_type()).parquet(
+            *[table.data_file_path(f) for f in snapshot.get_data_files()]
+        )
+        bogus = [("not/a/real/file.parquet", 0), ("also/fake.parquet", 1)]
+        with _pytest.raises(Exception, match="no precedence rank"):
+            lh._with_rank(df, table, bogus).collect()
+    finally:
+        lh_mod._RANK_MAP_LITERAL_MAX = orig
