@@ -156,15 +156,25 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60
+
+
 def simhash64(text_col: str, k: int = 3) -> Column:
-    """64-bit SimHash over word k-gram shingles: per bit position, sum
-    +1/-1 votes across shingle hashes; fingerprint bit = sign of the sum.
-    xxhash64 (JVM built-in) with fixed seed 42 → deterministic.
+    """SimHash over word k-gram shingles: per bit position, sum +1/-1
+    votes across shingle hashes; fingerprint bit = sign of the sum.
+
+    The per-shingle hash is the first 60 bits of md5 (15 hex chars →
+    ``conv(..., 16, 10)``) — md5 is the one 64-bit-capable hash Spark and
+    DuckDB compute identically, which makes the whole operator
+    oracle-checkable cross-engine (DuckDB: ``CAST('0x' || substr(md5(s),
+    1, 15) AS BIGINT)``). 60 bits (not 64) so the value always fits a
+    signed BIGINT in both engines; Hamming semantics are unchanged.
 
     Built as one SQL higher-order-function expression: a single fold over
-    the shingle hashes carrying an array of 64 vote counters — O(S·64)
+    the shingle hashes carrying an array of vote counters — O(S·60)
     arithmetic per doc with no Python round trip and a compact plan.
     Takes the column NAME (it is spliced into a SQL expr)."""
+    b = SIMHASH_BITS
     words = f"split(trim({text_col}), '\\\\s+')"
     sh = (
         f"CASE WHEN size({words}) >= {k} THEN "
@@ -172,15 +182,18 @@ def simhash64(text_col: str, k: int = 3) -> Column:
         f"i -> array_join(slice({words}, i + 1, {k}), ' ')) "
         f"ELSE array(array_join({words}, ' ')) END"
     )
-    hashes = f"transform({sh}, s -> xxhash64(s, 42))"
+    hashes = (
+        f"transform({sh}, s -> "
+        f"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+    )
     votes = (
-        f"aggregate({hashes}, array_repeat(0, 64), (acc, x) -> "
-        f"zip_with(acc, transform(sequence(0, 63), b -> "
+        f"aggregate({hashes}, array_repeat(0, {b}), (acc, x) -> "
+        f"zip_with(acc, transform(sequence(0, {b - 1}), b -> "
         f"CASE WHEN (x & shiftleft(1L, b)) != 0L THEN 1 ELSE -1 END), "
         f"(a, v) -> a + v))"
     )
     fingerprint = (
-        f"aggregate(zip_with({votes}, sequence(0, 63), (v, b) -> "
+        f"aggregate(zip_with({votes}, sequence(0, {b - 1}), (v, b) -> "
         f"CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
         f"0L, (a, x) -> a | x)"
     )

@@ -258,18 +258,30 @@ def ivf_ann_topk(
     query_id_col: str = "query_id",
     seed: int = 13,
     sample_rows: int = 2048,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other standard ANN
-    scale path next to :func:`lsh_ann_topk`: a coarse k-means quantizer
+    scale path next to :func:`lsh_ann_topk`: a coarse quantizer
     partitions the corpus into ``n_lists`` inverted lists; each query
     probes its ``n_probe`` nearest lists and re-ranks exactly inside
     them. Cost ∝ corpus × n_probe / n_lists per query batch instead of
     the full corpus; with ``n_probe == n_lists`` recall is exactly 1.
 
+    ``centroids`` (n_lists × dim) overrides the default k-means
+    training — pass a deterministic set (e.g. a fixed slice of the
+    corpus, normalized) when the result must be reproducible across
+    engines; the inverted-list structure and probing are identical
+    either way.
+
     Output matches the brute-force baseline: (query_id, neighbor_id,
     rank, cosine_sim).
     """
-    cent = _train_centroids(corpus, vec_col, n_lists, seed, sample_rows)
+    if centroids is not None:
+        cent = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    else:
+        cent = _train_centroids(corpus, vec_col, n_lists, seed, sample_rows)
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         normalize(_as_double(F.col(vec_col))).alias("_cv"),

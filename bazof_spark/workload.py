@@ -7,9 +7,10 @@ columns by name before hashing). Float outputs either come from
 decimal-exact arithmetic cast to double (bit-reproducible across
 engines) or are rounded to 6 dp on BOTH sides.
 
-Oracle-less entries (oracle None) are genuinely engine-specific
-(xxhash64-based simhash, random-hyperplane ANN) and get the driver's
-rows-only check.
+Every entry has an oracle. The three trickiest (simhash, LSH-ANN,
+IVF-ANN) are made cross-engine-checkable by construction: md5-derived
+hash bits, seeded hyperplanes embedded as SQL literals, and a
+deterministic corpus-slice quantizer respectively.
 """
 
 from __future__ import annotations
@@ -1023,13 +1024,30 @@ def embedding_ann_lsh_q(spark, sf_dir):
 
 
 def embedding_ann_ivf_q(spark, sf_dir):
+    """IVF ANN with a deterministic quantizer: centroids are the (unit-
+    normalized) embeddings of vec_id 0..15 — a fixed corpus slice instead
+    of k-means — so the inverted lists, probes, and therefore the exact
+    output are reproducible in the DuckDB oracle. The IVF machinery
+    (assignment UDF, list join, re-rank) is identical to the trained
+    path; quantizer quality is what k-means would improve."""
+    import numpy as np
+
     emb = _t("embeddings")(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
         "vec_id", "query_id"
     )
-    return ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=4).withColumn(
-        "cosine_sim", F.round("cosine_sim", 6)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
+    cent = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]
+    )
+    return ivf_ann_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, centroids=cent
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
 def _media_df(spark, sf_dir):
@@ -1261,7 +1279,125 @@ _PIPELINE_ORACLES = {
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE sim >= 0.3
     """,
+    # simhash: md5-60-bit shingle hashes (operators/dedup.simhash64) are
+    # computable bit-identically here; banding with 4 bands is recall-
+    # complete at hamming <= 3 (pigeonhole), so Spark == brute force.
+    "dedup_simhash": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform({_shingles_sql(3)},
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
+                       AS hs
+            FROM documents
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 60), b ->
+                       CASE WHEN 2 * len(list_filter(hs,
+                                h -> (h >> b) & 1 = 1)) > len(hs)
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS f
+            FROM h
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+    # IVF with the deterministic quantizer of embedding_ann_ivf_q:
+    # centroid list l = embedding vec_id=l (l < 16); corpus vec → its
+    # nearest list (cosine, ties → lower list id, matching numpy's
+    # stable argsort); query probes its 4 nearest lists.
+    "embedding_ann_ivf": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS lid, v AS cvv FROM e WHERE vec_id < 16),
+        ca AS (
+            SELECT vec_id AS cid, v AS cv, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent
+        ),
+        assign AS (SELECT cid, cv, lid FROM ca WHERE rn = 1),
+        qp AS (
+            SELECT vec_id AS qid, v AS qv, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent WHERE vec_id < 10
+        ),
+        probe AS (SELECT qid, qv, lid FROM qp WHERE rn <= 4),
+        s AS (
+            SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+            FROM probe JOIN assign USING (lid)
+            WHERE qid != cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= 5
+    """,
 }
+
+
+def _lsh_oracle_sql(
+    dim: int = 64, n_bits: int = 8, n_tables: int = 4, seed: int = 7, k: int = 5
+) -> str:
+    """Build the DuckDB twin of operators/similarity.lsh_ann_topk: the
+    SAME seeded hyperplanes (sign bits are scale-invariant, so bucketing
+    the raw embeddings here equals bucketing the normalized ones there)
+    embedded as float64 literals, then bucket-join + exact re-rank."""
+    import numpy as np  # noqa: F401  (env-guaranteed)
+
+    from bazof_spark.operators.similarity import _hyperplanes
+
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + t)
+        terms = []
+        for b in range(n_bits):
+            lits = ", ".join(repr(float(x)) for x in planes[b])
+            terms.append(
+                f"CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {1 << b} ELSE 0 END"
+            )
+        bucket = " + ".join(terms)
+        selects.append(f"SELECT vec_id, v, {t} AS tbl, ({bucket}) AS bkt FROM e")
+    bk = " UNION ALL ".join(selects)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bk AS ({bk}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+            FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+            WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+        ),
+        s AS (
+            SELECT qid, cid, list_cosine_similarity(eq.v, ec.v) AS sim
+            FROM cand
+            JOIN e eq ON eq.vec_id = cand.qid
+            JOIN e ec ON ec.vec_id = cand.cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= {k}
+    """
+
+
+_PIPELINE_ORACLES["embedding_ann_lsh"] = _lsh_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1325,7 +1461,4 @@ ORACLES: dict[str, str] = {
     **_PIPELINE_ORACLES,
     **_MULTIMODAL_ORACLES,
     **ORACLES_EXT,
-    # dedup_simhash: xxhash64 not available in DuckDB → rows-only check
-    # embedding_ann_lsh, embedding_ann_ivf: random-hyperplane / k-means
-    #   bucketing not SQL-portable → rows-only
 }
