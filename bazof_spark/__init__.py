@@ -31,6 +31,7 @@ from bazof_spark.metadata import Delta, Segment, Snapshot
 from bazof_spark.projection import Projection
 from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
 from bazof_spark.table import Table
+from bazof_spark.writer import TableWriter, append_delta
 
 __version__ = "0.1.0"
 
@@ -47,7 +48,9 @@ __all__ = [
     "Segment",
     "Snapshot",
     "Table",
+    "TableWriter",
     "__version__",
+    "append_delta",
     "checkpoint_table",
     "evolve_table_schema",
     "validate_snapshot",

@@ -375,6 +375,18 @@ class Lakehouse:
             .drop("_file")
         )
 
+    # -- write --------------------------------------------------------
+
+    def upsert(self, table_name: str, df: DataFrame, **kwargs):
+        """Append one batch of upserts to ``table_name`` as a new delta
+        + snapshot version (writer the reference roadmaps at
+        README.md:152). See :func:`bazof_spark.writer.append_delta` for
+        semantics (late data, precedence, distributed multi-file mode).
+        """
+        from bazof_spark.writer import append_delta
+
+        return append_delta(self.spark, self.table(table_name).path, df, **kwargs)
+
     # -- SQL ----------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

@@ -22,6 +22,7 @@ written from one batch.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from datetime import datetime
@@ -33,9 +34,9 @@ from pyspark.sql import functions as F
 
 from bazof_spark.asof import format_rfc3339_ms
 from bazof_spark.errors import BazofError
-from bazof_spark.metadata import Snapshot
+from bazof_spark.metadata import Delta, Segment, Snapshot
 from bazof_spark.schema import EVENT_TIME_COL, KEY_COL, TableSchema
-from bazof_spark.table import VERSION_FILE
+from bazof_spark.table import VERSION_FILE, Table
 
 
 def csv_to_dataframe(
@@ -231,3 +232,154 @@ class TableWriter:
         with open(os.path.join(self.path, VERSION_FILE), "w") as f:
             f.write(version)
         return snapshot
+
+
+# ---------------------------------------------------------------------------
+# Incremental upsert into an EXISTING table (new snapshot version per batch)
+# ---------------------------------------------------------------------------
+
+
+def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
+    """First non-colliding ``{seg}_delta{N}.parquet`` name — snapshots
+    may reference fewer files than the directory holds (e.g. after a
+    checkpoint kept originals on disk), so probe for existence."""
+    n = n_existing + 1
+    while True:
+        name = f"{segment_id}_delta{n}.parquet"
+        if not os.path.exists(os.path.join(table_path, name)):
+            return name
+        n += 1
+
+
+def append_delta(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    start: datetime | None = None,
+    end: datetime | None = None,
+    segment_id: str | None = None,
+    create_segment: bool = False,
+    distributed: bool = False,
+    num_files: int | None = None,
+    validate: bool = True,
+) -> Snapshot:
+    """Upsert one batch into an existing azof table: write a delta file
+    (or, ``distributed=True``, one Spark write job producing many files),
+    append it to an open top-level segment, publish ``s{v+1}.json`` and
+    flip ``version.txt``. Readers resolve the pointer first, so the flip
+    is the atomic commit — in-flight scans keep reading ``s{v}.json``
+    (snapshot isolation, same discipline as :meth:`TableWriter.commit`).
+
+    The reference roadmaps exactly this writer (README.md:152) and its
+    late-data story (README.md:36): a batch whose event times lie in the
+    past simply becomes a delta with an older ``start``. Precedence
+    follows the format's pruning order (crates/azof/src/metadata.rs:47-73
+    — deltas sort by ``start`` DESC): an upsert with *newer* event times
+    shadows older deltas; a late batch slots beneath any delta whose
+    ``start`` is newer, which is the format's defined semantics (file
+    precedence beats timestamp, SURVEY §4.2).
+
+    ``start``/``end`` default to the batch's min/max ``event_time`` (one
+    cheap aggregate over the batch). Target segment: ``segment_id`` if
+    given, else the LAST open top-level segment; ``create_segment=True``
+    opens a fresh one when none exists.
+
+    Concurrency: like the reference, the format has no commit log or
+    lock — concurrent writers race on ``version.txt`` (last flip wins).
+    Single-writer-per-table is the assumed discipline.
+    """
+    table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
+    version = table.current_version()
+    snapshot = table.get_snapshot(version)
+    try:
+        next_version = str(int(version) + 1)
+    except ValueError as exc:  # non-numeric pointer: don't guess
+        raise BazofError(
+            f"cannot bump non-numeric snapshot version {version!r}"
+        ) from exc
+
+    schema = snapshot.schema
+    ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())
+    if validate:
+        validate_data_file_invariants(ordered)
+    if start is None or end is None:
+        lo, hi = ordered.select(
+            F.min(EVENT_TIME_COL), F.max(EVENT_TIME_COL)
+        ).first()
+        if lo is None:
+            raise BazofError("cannot upsert an empty batch")
+        start = start or lo
+        end = end or hi
+
+    # -- pick the target top-level segment --------------------------------
+    segs = list(snapshot.segments)
+    idx: int | None = None
+    if segment_id is not None:
+        for i, s in enumerate(segs):
+            if s.id == segment_id:
+                idx = i
+                break
+        if idx is None:
+            raise BazofError(f"no top-level segment with id {segment_id!r}")
+    else:
+        for i in range(len(segs) - 1, -1, -1):
+            if segs[i].end is None:
+                idx = i
+                break
+    if idx is None:
+        if not create_segment:
+            raise BazofError(
+                "no open top-level segment to upsert into "
+                "(pass create_segment=True to open one)"
+            )
+        segs.append(Segment(id=f"u{next_version}", start=start))
+        idx = len(segs) - 1
+    target = segs[idx]
+
+    # -- write the delta file(s) ------------------------------------------
+    new_deltas: list[Delta] = []
+    if distributed:
+        # the 100-TB path: repartition by key (a key lives in exactly one
+        # file, so stable precedence among equal-start siblings can never
+        # arbitrate between two versions of one key), event_time-DESC
+        # within each file
+        part = (
+            ordered.repartition(num_files, KEY_COL)
+            if num_files
+            else ordered.repartition(KEY_COL)
+        )
+        part = part.sortWithinPartitions(F.col(EVENT_TIME_COL).desc())
+        stem = _fresh_delta_name(table_path, target.id, len(target.delta))[
+            : -len(".parquet")
+        ]
+        out_dir = os.path.join(table_path, f"_{stem}_job")
+        part.write.mode("overwrite").parquet(out_dir)
+        part_files = sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        for i, pf in enumerate(part_files):
+            name = f"{stem}_p{i:05d}.parquet"
+            os.replace(
+                os.path.join(out_dir, pf), os.path.join(table_path, name)
+            )
+            new_deltas.append(Delta(file=name, start=start, end=end))
+        import shutil
+
+        shutil.rmtree(out_dir)
+    else:
+        name = _fresh_delta_name(table_path, target.id, len(target.delta))
+        dataframe_to_parquet_file(ordered, os.path.join(table_path, name))
+        new_deltas.append(Delta(file=name, start=start, end=end))
+
+    # -- publish the new snapshot -----------------------------------------
+    segs[idx] = dataclasses.replace(
+        target, delta=tuple(target.delta) + tuple(new_deltas)
+    )
+    new_snapshot = Snapshot(segments=tuple(segs), schema=schema)
+    with open(os.path.join(table_path, f"s{next_version}.json"), "w") as f:
+        f.write(new_snapshot.serialize())
+    with open(os.path.join(table_path, VERSION_FILE), "w") as f:
+        f.write(next_version)
+    return new_snapshot

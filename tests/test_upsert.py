@@ -1,0 +1,156 @@
+"""Incremental upsert (append_delta) + streaming upsert sink tests.
+
+The write path the reference roadmaps (README.md:152 writers,
+README.md:158 streaming scan): each batch/micro-batch becomes one delta
+file + one snapshot version, and every historical version stays
+queryable via as-of / snapshot-version travel.
+"""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from bazof_spark.errors import BazofError
+from bazof_spark.lakehouse import Lakehouse
+from bazof_spark.maintenance import validate_table
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+from bazof_spark.streaming.sink import upsert_sink
+from bazof_spark.writer import TableWriter, append_delta
+
+
+def ts(y, m, d, h=0):
+    return datetime(y, m, d, h, tzinfo=timezone.utc)
+
+
+SCHEMA = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], SCHEMA.to_struct_type()
+    )
+
+
+def _seed_table(spark, root):
+    w = TableWriter(spark, f"{root}/t", SCHEMA)
+    w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=_df(
+            spark,
+            [("1", ts(2024, 1, 1), "a1"), ("2", ts(2024, 1, 1), "b1")],
+        ),
+    )
+    w.commit()
+    return Lakehouse(spark, root)
+
+
+def _current(lh, **kw):
+    return sorted(
+        tuple(r) for r in lh.scan("t", **kw).select("key", "value").collect()
+    )
+
+
+def test_upsert_bumps_version_and_wins_current(spark, tmp_path):
+    lh = _seed_table(spark, str(tmp_path))
+    lh.upsert("t", _df(spark, [("1", ts(2024, 2, 1), "a2"), ("3", ts(2024, 2, 2), "c1")]))
+
+    assert lh.table("t").current_version() == "2"
+    assert _current(lh) == [("1", "a2"), ("2", "b1"), ("3", "c1")]
+    # snapshot-version travel still sees the pre-upsert state
+    assert _current(lh, version=1) == [("1", "a1"), ("2", "b1")]
+    # as-of before the upsert's event times also does
+    assert _current(lh, as_of=ts(2024, 1, 15)) == [("1", "a1"), ("2", "b1")]
+    validate_table(lh, "t").raise_if_invalid()
+
+
+def test_upsert_chain_and_late_data(spark, tmp_path):
+    lh = _seed_table(spark, str(tmp_path))
+    lh.upsert("t", _df(spark, [("1", ts(2024, 3, 1), "a3")]))
+    # late batch: event times BEFORE the previous delta's — its delta
+    # sorts beneath (start DESC), so the newer version still wins Current
+    lh.upsert("t", _df(spark, [("1", ts(2024, 2, 1), "a2-late")]))
+
+    assert lh.table("t").current_version() == "3"
+    assert _current(lh) == [("1", "a3"), ("2", "b1")]
+    # …but as-of between the two instants surfaces the late row
+    assert _current(lh, as_of=ts(2024, 2, 15)) == [("1", "a2-late"), ("2", "b1")]
+    validate_table(lh, "t").raise_if_invalid()
+
+
+def test_upsert_distributed_multifile(spark, tmp_path):
+    lh = _seed_table(spark, str(tmp_path))
+    rows = [(str(k), ts(2024, 4, 1 + k % 20), f"v{k}") for k in range(200)]
+    lh.upsert("t", _df(spark, rows), distributed=True, num_files=4)
+
+    snap = lh.table("t").get_current_snapshot()
+    files = [d.file for d in snap.segments[-1].delta]
+    assert len(files) == 4
+    got = dict(_current(lh))
+    assert got["7"] == "v7" and got["199"] == "v199" and len(got) == 200
+    validate_table(lh, "t").raise_if_invalid()
+
+
+def test_upsert_no_open_segment(spark, tmp_path):
+    root = str(tmp_path)
+    w = TableWriter(spark, f"{root}/t", SCHEMA)
+    w.add_segment(  # CLOSED segment only
+        "10",
+        ts(2024, 1, 1),
+        end=ts(2024, 6, 1),
+        base_df=_df(spark, [("1", ts(2024, 1, 1), "a1")]),
+    )
+    w.commit()
+    lh = Lakehouse(spark, root)
+    with pytest.raises(BazofError, match="no open top-level segment"):
+        lh.upsert("t", _df(spark, [("1", ts(2024, 7, 1), "a2")]))
+    lh.upsert(
+        "t", _df(spark, [("1", ts(2024, 7, 1), "a2")]), create_segment=True
+    )
+    assert _current(lh) == [("1", "a2")]
+    # the closed segment is invisible to Current (metadata.rs:75-86) but
+    # as-of inside its range still reads it
+    assert _current(lh, as_of=ts(2024, 2, 1)) == [("1", "a1")]
+
+
+def test_upsert_rejects_duplicate_pairs_and_empty(spark, tmp_path):
+    lh = _seed_table(spark, str(tmp_path))
+    dup = _df(
+        spark,
+        [("1", ts(2024, 5, 1), "x"), ("1", ts(2024, 5, 1), "y")],
+    )
+    with pytest.raises(BazofError, match="duplicate"):
+        lh.upsert("t", dup)
+    with pytest.raises(BazofError, match="empty batch"):
+        lh.upsert("t", _df(spark, []))
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    root = str(tmp_path)
+    lh = _seed_table(spark, root)
+
+    # stage a file-source stream with two event batches
+    src = os.path.join(root, "incoming")
+    _df(spark, [("1", ts(2024, 2, 1), "a2"), ("4", ts(2024, 2, 2), "d1")]).write.mode(
+        "append"
+    ).parquet(src)
+    _df(spark, [("2", ts(2024, 3, 1), "b2")]).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA.to_struct_type())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        upsert_sink(stream, f"{root}/t", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert _current(lh) == [("1", "a2"), ("2", "b2"), ("4", "d1")]
+    assert int(lh.table("t").current_version()) >= 2
+    validate_table(lh, "t").raise_if_invalid()
+    # history preserved: before the stream's event times
+    assert _current(lh, as_of=ts(2024, 1, 15)) == [("1", "a1"), ("2", "b1")]
