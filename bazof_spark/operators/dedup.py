@@ -17,10 +17,12 @@ table, all shuffle-disciplined for 100 TB:
                  skew from ultra-common shingles.
 - embedding cosine: delegated to operators/similarity.py.
 
-MinHash here is built from first principles with md5-based hashing (no
-external hash libs): h_i(s) = first 8 bytes of md5(seed_i || s) as a
-uint64; signature = elementwise min over shingles. Permutation seeds are
-fixed constants → fully deterministic across runs and engines.
+MinHash here is built from first principles with md5-based double
+hashing (no external hash libs): one md5 per shingle provides two
+independent 60/56-bit halves (h1, h2); permutation i's hash is
+h1 + i*h2 (Kirsch–Mitzenmacher); signature = elementwise min over
+shingles. Fully deterministic across runs and engines — the DuckDB
+oracle recomputes the identical integers.
 """
 
 from __future__ import annotations
@@ -46,12 +48,22 @@ def exact_dedup(
     )
 
 
+# sentinel above any reachable hash value (h1 + i*h2 < 2^60 + 31*2^56 < 2^62)
+_MINHASH_SENTINEL = 1 << 62
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 32, k: int = 3
 ) -> Column:
-    """array<string> of `num_hashes` minhash values: per permutation i,
-    min over shingles of md5(i||'|'||shingle) — md5 hex is fixed-width so
-    lexicographic min == numeric min over the uint128 it encodes.
+    """array<long> of `num_hashes` minhash values via double hashing
+    (the Kirsch–Mitzenmacher construction): per shingle ONE md5 yields
+    h1 = first 60 bits (15 hex chars) and h2 = next 56 bits (14 hex
+    chars); permutation i's hash is ``h1 + i*h2`` and the signature is
+    the elementwise min over shingles. One md5 per shingle instead of
+    `num_hashes` — the hash dominates signature cost, so this is ~32×
+    less digest work per document — while staying bit-reproducible in
+    any engine with md5 + 64-bit integers (the DuckDB oracle recomputes
+    it exactly; no overflow: h1 + 31*h2 < 2^62 fits a signed BIGINT).
 
     Built as ONE fold over the shingle array carrying all `num_hashes`
     running minima. The naive form (`array(array_min(transform(sh,...))
@@ -60,16 +72,23 @@ def minhash_signature(
     bands × join-sides copies, which blows up codegen (measured 160 s →
     <5 s for 500 docs on this rewrite)."""
     sh = shingles(text, k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    init = F.array_repeat(F.lit("f" * 32), num_hashes)
+    # nested transform so md5 runs once per shingle (HOF lambdas don't
+    # get codegen subexpression elimination)
+    hash_pairs = F.transform(
+        F.transform(sh, lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 16, 14), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    seeds = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    init = F.array_repeat(F.lit(_MINHASH_SENTINEL), num_hashes)
     return F.aggregate(
-        sh,
+        hash_pairs,
         init,
-        lambda acc, s: F.zip_with(
+        lambda acc, p: F.zip_with(
             acc,
-            F.transform(
-                seeds, lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
-            ),
+            F.transform(seeds, lambda i: p["h1"] + i * p["h2"]),
             lambda a, h: F.least(a, h),
         ),
     )
@@ -109,7 +128,9 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                                    F.element_at(
+                                        F.col("_sig"), b * rows_per_band + r + 1
+                                    ).cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )

@@ -943,8 +943,10 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
 
 
 def dedup_minhash_lsh_q(spark, sf_dir):
+    # signature computation is the CPU-heavy map stage BEFORE the first
+    # exchange — rebalance so it doesn't serialize on a single input split
     return minhash_lsh_pairs(
-        _t("documents")(spark, sf_dir),
+        _docs_par(spark, sf_dir),
         num_hashes=32,
         bands=8,
         k=3,
@@ -953,7 +955,8 @@ def dedup_minhash_lsh_q(spark, sf_dir):
 
 
 def dedup_simhash_q(spark, sf_dir):
-    return simhash_pairs(_t("documents")(spark, sf_dir), max_hamming=3, k=3)
+    # fingerprint fold is the heavy pre-exchange map stage (see above)
+    return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
 
 
 
@@ -1136,7 +1139,9 @@ _MINHASH_SIG_SQL = f"""
     SELECT doc_id,
            list_transform(range(0, 32), s ->
                list_min(list_transform({_shingles_sql(3)},
-                        x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+                        x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             + s * CAST('0x' || substr(md5(x), 16, 14) AS BIGINT)
+               ))) AS sig
     FROM documents
 """
 
@@ -1171,7 +1176,8 @@ _PIPELINE_ORACLES = {
         WITH sig AS ({_MINHASH_SIG_SQL}),
         bands AS (
             SELECT doc_id, b,
-                   md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bhash
+                   md5(array_to_string(list_transform(
+                       sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
             FROM sig, range(0, 8) t(b)
         ),
         cand AS (

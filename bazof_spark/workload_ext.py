@@ -528,7 +528,11 @@ def top_terms_per_lang(spark, sf_dir):
     language by frequency. Explode happens map-side (codegen'd
     Generate), the count is one shuffle on (lang, word), the top-k is a
     window over the (tiny) per-language aggregate."""
-    docs = _t("documents")(spark, sf_dir)
+    from bazof_spark.sources.tables import rebalance_if_undersplit
+
+    # the regexp tokenize + explode is the heavy map stage and runs
+    # before the first exchange — don't serialize it on one input split
+    docs = rebalance_if_undersplit(spark, _t("documents")(spark, sf_dir))
     words = docs.select(
         "lang",
         F.explode(
