@@ -24,6 +24,8 @@ from bazof_spark.lakehouse import Lakehouse
 from bazof_spark.maintenance import (
     checkpoint_table,
     evolve_table_schema,
+    restore_table,
+    vacuum_table,
     validate_snapshot,
     validate_table,
 )
@@ -53,6 +55,8 @@ __all__ = [
     "append_delta",
     "checkpoint_table",
     "evolve_table_schema",
+    "restore_table",
+    "vacuum_table",
     "validate_snapshot",
     "validate_table",
 ]

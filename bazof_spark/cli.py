@@ -4,6 +4,9 @@
     python -m bazof_spark.cli gen  --path P --table T --file F
     python -m bazof_spark.cli sql  --path P --query "SELECT ..."
     python -m bazof_spark.cli changes --path P --table T --since TS [--until TS]
+    python -m bazof_spark.cli upsert --path P --table T --file batch.csv
+    python -m bazof_spark.cli restore --path P --table T --version N
+    python -m bazof_spark.cli vacuum --path P --table T [--keep-versions K]
 
 `--as-of` accepts `YYYY-MM-DDTHH:mm:ss` (suffixed `.000Z` like the
 reference, main.rs:101-119) or full RFC3339. `gen` converts
@@ -69,6 +72,25 @@ def main(argv: list[str] | None = None) -> int:
     p_ch.add_argument("--columns", default=None, help="comma-separated")
     p_ch.add_argument("--limit", type=int, default=20)
 
+    p_up = sub.add_parser(
+        "upsert", help="append a CSV batch as a new delta + snapshot version"
+    )
+    p_up.add_argument("--path", required=True)
+    p_up.add_argument("--table", required=True)
+    p_up.add_argument("--file", required=True, help="CSV file path")
+    p_up.add_argument("--create-segment", action="store_true")
+
+    p_rs = sub.add_parser("restore", help="roll back to a previous snapshot")
+    p_rs.add_argument("--path", required=True)
+    p_rs.add_argument("--table", required=True)
+    p_rs.add_argument("--version", required=True)
+
+    p_vac = sub.add_parser("vacuum", help="GC unreferenced files/snapshots")
+    p_vac.add_argument("--path", required=True)
+    p_vac.add_argument("--table", required=True)
+    p_vac.add_argument("--keep-versions", type=int, default=1)
+    p_vac.add_argument("--dry-run", action="store_true")
+
     args = parser.parse_args(argv)
 
     from bazof_spark.lakehouse import Lakehouse
@@ -127,6 +149,42 @@ def main(argv: list[str] | None = None) -> int:
             print(f"warning: {w_}")
         print("OK" if report.ok else "INVALID")
         return 0 if report.ok else 1
+    elif args.cmd == "upsert":
+        from bazof_spark.writer import csv_to_dataframe
+
+        table = lh.table(args.table)
+        schema = table.get_current_snapshot().schema
+        df = csv_to_dataframe(spark, args.file, schema)
+        lh.upsert(args.table, df, create_segment=args.create_segment)
+        print(
+            f"upserted {args.file} into {args.table}: "
+            f"version {table.current_version()}"
+        )
+    elif args.cmd == "restore":
+        from bazof_spark.maintenance import restore_table
+
+        restore_table(lh, args.table, args.version)
+        print(
+            f"restored {args.table} to snapshot {args.version} "
+            f"(republished as version "
+            f"{lh.table(args.table).current_version()})"
+        )
+    elif args.cmd == "vacuum":
+        from bazof_spark.maintenance import vacuum_table
+
+        result = vacuum_table(
+            lh,
+            args.table,
+            keep_versions=args.keep_versions,
+            dry_run=args.dry_run,
+        )
+        verb = "would remove" if args.dry_run else "removed"
+        print(
+            f"{verb} {len(result['removed_files'])} data file(s), "
+            f"{len(result['removed_snapshots'])} snapshot(s), "
+            f"{len(result['removed_dirs'])} temp dir(s); "
+            f"kept versions {', '.join(result['kept_versions'])}"
+        )
     return 0
 
 

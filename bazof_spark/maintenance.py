@@ -59,6 +59,7 @@ one Spark job per table, not per file.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -409,3 +410,139 @@ def _all_segments(snapshot: Snapshot):
         s = stack.pop()
         yield s
         stack.extend(s.segments)
+
+
+# ---------------------------------------------------------------------------
+# Restore (version rollback) + vacuum (unreferenced-file GC)
+# ---------------------------------------------------------------------------
+
+
+def _referenced_files(snapshot: Snapshot) -> set[str]:
+    files: set[str] = set()
+    for seg in _all_segments(snapshot):
+        if seg.file:
+            files.add(seg.file)
+        for d in seg.delta:
+            files.add(d.file)
+    return files
+
+
+_SNAPSHOT_RE = re.compile(r"^s(\d+)\.json$")
+
+
+def _numeric_versions(table_path: str) -> list[int]:
+    out = []
+    for f in os.listdir(table_path):
+        m = _SNAPSHOT_RE.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def restore_table(lakehouse, table_name: str, version: str | int) -> Snapshot:
+    """Roll the table back to a previous snapshot — the Delta-style
+    RESTORE the reference's single mutable ``version.txt`` pointer makes
+    trivial (crates/azof/src/table.rs:35-41).
+
+    History stays linear: the restored state is **re-published as a new
+    snapshot version** (content of ``s{version}.json`` copied to
+    ``s{max+1}.json``, pointer flipped there), so a later upsert can
+    never overwrite an existing snapshot file of the abandoned branch.
+    Time/as-of travel within the restored snapshot is unaffected.
+    """
+    table = lakehouse.table(table_name)
+    if "://" in table.path:
+        raise BazofError("restore_table supports local tables only")
+    snapshot = table.get_snapshot(str(version))  # must exist + deserialize
+    missing = [
+        f
+        for f in _referenced_files(snapshot)
+        if not os.path.exists(os.path.join(table.path, f))
+    ]
+    if missing:
+        raise BazofError(
+            f"cannot restore to version {version}: {len(missing)} referenced "
+            f"data file(s) no longer exist (vacuumed?): {missing[:3]}"
+        )
+    next_version = str(max(_numeric_versions(table.path)) + 1)
+    with open(
+        os.path.join(table.path, f"s{next_version}.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write(snapshot.serialize())
+    with open(
+        os.path.join(table.path, VERSION_FILE), "w", encoding="utf-8"
+    ) as f:
+        f.write(next_version)
+    return snapshot
+
+
+def vacuum_table(
+    lakehouse,
+    table_name: str,
+    keep_versions: int = 1,
+    dry_run: bool = False,
+) -> dict:
+    """Garbage-collect a table directory (Delta-style VACUUM): delete
+    snapshot JSONs older than the ``keep_versions`` most recent ones,
+    parquet data files referenced by NO retained snapshot, and leftover
+    ``_*_job`` temp dirs from crashed distributed writes.
+
+    The format is append-mostly, so data files usually stay referenced
+    forever; vacuum matters after operations that drop references
+    (abandoned restore branches, schema/segment rewrites) and for
+    write-job debris. Driver-side metadata work + file deletes — no
+    Spark jobs. Readers pinned to a vacuumed old snapshot will fail,
+    the standard retention trade-off; ``keep_versions`` is the window.
+
+    Returns ``{"removed_files": [...], "removed_snapshots": [...],
+    "removed_dirs": [...], "kept_versions": [...]}``; with
+    ``dry_run=True`` nothing is deleted.
+    """
+    if keep_versions < 1:
+        raise BazofError("keep_versions must be >= 1")
+    table = lakehouse.table(table_name)
+    if "://" in table.path:
+        raise BazofError("vacuum_table supports local tables only")
+    current = int(table.current_version())
+    versions = _numeric_versions(table.path)
+    if current not in versions:
+        raise BazofError(
+            f"version pointer {current} has no s{current}.json"
+        )
+    # retain the keep_versions most recent, always including current
+    retained = sorted(set(v for v in versions if v <= current))[-keep_versions:]
+    retained = sorted(set(retained) | {current})
+    referenced: set[str] = set()
+    for v in retained:
+        referenced |= _referenced_files(table.get_snapshot(str(v)))
+
+    removed_files: list[str] = []
+    removed_snapshots: list[str] = []
+    removed_dirs: list[str] = []
+    for f in sorted(os.listdir(table.path)):
+        full = os.path.join(table.path, f)
+        if os.path.isdir(full):
+            if f.startswith("_") and f.endswith("_job"):
+                removed_dirs.append(f)
+                if not dry_run:
+                    import shutil
+
+                    shutil.rmtree(full)
+            continue
+        m = _SNAPSHOT_RE.match(f)
+        if m:
+            if int(m.group(1)) not in retained:
+                removed_snapshots.append(f)
+                if not dry_run:
+                    os.remove(full)
+            continue
+        if f.endswith(".parquet") and f not in referenced:
+            removed_files.append(f)
+            if not dry_run:
+                os.remove(full)
+    return {
+        "removed_files": removed_files,
+        "removed_snapshots": removed_snapshots,
+        "removed_dirs": removed_dirs,
+        "kept_versions": [str(v) for v in retained],
+    }

@@ -292,11 +292,16 @@ def append_delta(
     version = table.current_version()
     snapshot = table.get_snapshot(version)
     try:
-        next_version = str(int(version) + 1)
+        current = int(version)
     except ValueError as exc:  # non-numeric pointer: don't guess
         raise BazofError(
             f"cannot bump non-numeric snapshot version {version!r}"
         ) from exc
+    # never overwrite an existing snapshot (e.g. one abandoned by a
+    # pointer rollback): publish above every numbered snapshot on disk
+    from bazof_spark.maintenance import _numeric_versions
+
+    next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
 
     schema = snapshot.schema
     ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())

@@ -1,0 +1,102 @@
+"""restore_table (version rollback) + vacuum_table (unreferenced-file
+GC) — maintenance surfaces over the format's single mutable pointer
+(crates/azof/src/table.rs:35-41)."""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from bazof_spark.errors import BazofError
+from bazof_spark.lakehouse import Lakehouse
+from bazof_spark.maintenance import restore_table, vacuum_table, validate_table
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+from bazof_spark.writer import TableWriter
+
+
+def ts(y, m, d):
+    return datetime(y, m, d, tzinfo=timezone.utc)
+
+
+SCHEMA = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], SCHEMA.to_struct_type()
+    )
+
+
+def _seed(spark, root):
+    w = TableWriter(spark, f"{root}/t", SCHEMA)
+    w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=_df(spark, [("1", ts(2024, 1, 1), "a1")]),
+    )
+    w.commit()
+    lh = Lakehouse(spark, root)
+    lh.upsert("t", _df(spark, [("1", ts(2024, 2, 1), "a2")]))  # v2
+    lh.upsert("t", _df(spark, [("1", ts(2024, 3, 1), "a3")]))  # v3
+    return lh
+
+
+def _val(lh, **kw):
+    [r] = lh.scan("t", **kw).select("value").collect()
+    return r[0]
+
+
+def test_restore_republishes_as_new_version(spark, tmp_path):
+    lh = _seed(spark, str(tmp_path))
+    assert _val(lh) == "a3"
+
+    restore_table(lh, "t", 2)
+    # pointer moved FORWARD to a copy of v2 — s3.json is not overwritten
+    assert lh.table("t").current_version() == "4"
+    assert _val(lh) == "a2"
+    assert _val(lh, version=3) == "a3"  # abandoned branch still readable
+
+    # an upsert after restore continues the linear history
+    lh.upsert("t", _df(spark, [("1", ts(2024, 4, 1), "a4")]))
+    assert lh.table("t").current_version() == "5"
+    assert _val(lh) == "a4"
+    validate_table(lh, "t").raise_if_invalid()
+
+
+def test_vacuum_gc_and_retention(spark, tmp_path):
+    root = str(tmp_path)
+    lh = _seed(spark, root)  # v1..v3
+    tdir = f"{root}/t"
+    # crashed-write debris
+    os.makedirs(os.path.join(tdir, "_x_job"))
+    # a data file no snapshot references
+    with open(os.path.join(tdir, "orphan.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    dry = vacuum_table(lh, "t", keep_versions=1, dry_run=True)
+    assert "orphan.parquet" in dry["removed_files"]
+    assert os.path.exists(os.path.join(tdir, "orphan.parquet"))  # dry!
+
+    result = vacuum_table(lh, "t", keep_versions=1)
+    assert result["removed_snapshots"] == ["s1.json", "s2.json"]
+    assert "orphan.parquet" in result["removed_files"]
+    assert result["removed_dirs"] == ["_x_job"]
+    assert not os.path.exists(os.path.join(tdir, "_x_job"))
+    # deltas of v3 are all still referenced → still on disk; scan works
+    assert _val(lh) == "a3"
+    validate_table(lh, "t").raise_if_invalid()
+
+
+def test_restore_to_vacuumed_version_fails_cleanly(spark, tmp_path):
+    lh = _seed(spark, str(tmp_path))
+    vacuum_table(lh, "t", keep_versions=1)
+    from bazof_spark.errors import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        restore_table(lh, "t", 1)  # s1.json was GC'd
+
+
+def test_vacuum_keep_versions_guard(spark, tmp_path):
+    lh = _seed(spark, str(tmp_path))
+    with pytest.raises(BazofError, match="keep_versions"):
+        vacuum_table(lh, "t", keep_versions=0)
