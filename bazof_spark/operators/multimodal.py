@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -144,6 +145,82 @@ def sample_video_frames(
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
 
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Nearest-neighbor resize over binary media columns — the resize
+    kernel itself is REAL (numpy index-gather over the byte grid); only
+    the decode step is the stub (bytes are taken as the already-decoded
+    pixel buffer). Output: (media_id, resized binary, out_w, out_h,
+    n_bytes, checksum) where checksum = sum of resized byte values —
+    recomputable from first principles by the DuckDB oracle.
+
+    Grid semantics: if ``len(content) == width*height*n_channels`` from
+    the metadata struct, the blob is an H×W×C array; otherwise it falls
+    back to a 1×len×1 row (the stub-decode case). Source pixel for out
+    (i, j) is ``(i*H // out_h, j*W // out_w)`` — pure integer math, so
+    any engine reproduces it exactly.
+
+    Scale shape: one ``mapInPandas`` pass, Arrow-batched; no shuffle.
+    Metadata rides along via a single struct column read.
+    """
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type, False),
+            StructField("resized", BinaryType(), True),
+            StructField("out_w", IntegerType(), False),
+            StructField("out_h", IntegerType(), False),
+            StructField("n_bytes", IntegerType(), False),
+            StructField("checksum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs, sums = [], [], []
+            for mid, content, meta in zip(
+                pdf[id_col], pdf[content_col], pdf[meta_col]
+            ):
+                blob = bytes(content or b"")
+                w = (meta or {}).get("width") or 0
+                h = (meta or {}).get("height") or 0
+                c = (meta or {}).get("n_channels") or 1
+                if not blob:
+                    ids.append(mid)
+                    blobs.append(b"")
+                    sums.append(0)
+                    continue
+                if w * h * c != len(blob):  # stub-decode fallback: 1×len×1
+                    w, h, c = len(blob), 1, 1
+                arr = np.frombuffer(blob, dtype=np.uint8).reshape(h, w, c)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = arr[rows][:, cols]  # (out_h, out_w, c) gather
+                ids.append(mid)
+                blobs.append(resized.tobytes())
+                sums.append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": blobs,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes": [len(b) for b in blobs],
+                    "checksum": sums,
+                }
+            )
+
+    return df.select(id_col, content_col, meta_col).mapInPandas(
+        batches, out_schema
+    )
 
 
 def media_metadata_stats(df: DataFrame) -> DataFrame:

@@ -31,6 +31,7 @@ from bazof_spark.operators.dedup import (
 )
 from bazof_spark.operators.multimodal import (
     extract_image_features,
+    resize_images,
     sample_video_frames,
 )
 from bazof_spark.operators.similarity import (
@@ -1091,6 +1092,26 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+def multimodal_resize_q(spark, sf_dir):
+    """Nearest-neighbor resize over binary blobs (real numpy gather
+    kernel; stub decode). Metadata here declares the true byte grid
+    (1×len×1) so the grid path runs; the checksum is recomputed from
+    first principles by the oracle (integer source-index math +
+    byte-value sum — text is ASCII so byte == codepoint)."""
+    media = _docs_par(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            F.length(F.col("text")).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_channels"),
+        ).alias("meta"),
+    )
+    out = resize_images(media, out_w=64, out_h=1)
+    return out.select("media_id", "out_w", "out_h", "n_bytes", "checksum")
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -1131,6 +1152,19 @@ _MULTIMODAL_ORACLES = {
                CAST(SUM(CAST(length(text) AS BIGINT) * 1) AS BIGINT)
                AS total_pixels
         FROM documents GROUP BY lang
+    """,
+    # nearest-neighbor resize of the 1×len×1 byte grid to 1×64×1:
+    # out byte j = blob[j*len // 64]; ASCII text ⇒ byte == codepoint
+    "multimodal_resize": """
+        SELECT doc_id AS media_id,
+               CAST(64 AS INT) AS out_w,
+               CAST(1 AS INT) AS out_h,
+               CAST(64 AS INT) AS n_bytes,
+               CAST(list_sum(list_transform(range(0, 64), j ->
+                   ascii(substring(text,
+                       CAST(j * length(text) // 64 AS INT) + 1, 1))
+               )) AS BIGINT) AS checksum
+        FROM documents
     """,
 }
 
@@ -1455,6 +1489,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample": multimodal_frame_sample_q,
     "multimodal_features": multimodal_features_q,
     "multimodal_metadata_stats": multimodal_metadata_stats_q,
+    "multimodal_resize": multimodal_resize_q,
 }
 
 from bazof_spark.workload_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402

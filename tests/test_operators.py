@@ -116,6 +116,36 @@ def test_multimodal_feature_extraction(spark):
     assert stats == {"png": 2, "jpg": 1}
 
 
+def test_resize_images_nn_kernel(spark):
+    from bazof_spark.operators.multimodal import resize_images
+
+    # true 2×4×1 grid halved to 1×2: source pixel (i*2//1=0? no —
+    # rows = (arange(1)*2)//1 = [0]; cols = (arange(2)*4)//2 = [0, 2]
+    img = bytes([10, 20, 30, 40, 50, 60, 70, 80])  # rows: [10..40],[50..80]
+    rows = [
+        ("g", img, {"format": "raw", "width": 4, "height": 2, "n_channels": 1}),
+        # meta mismatching byte count → 1×len×1 fallback
+        ("f", bytes([1, 2, 3, 4]), {"format": "raw", "width": 9, "height": 9, "n_channels": 9}),
+        ("e", None, {"format": "raw", "width": 0, "height": 0, "n_channels": 0}),
+    ]
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, out_w=2, out_h=1).collect()}
+    assert bytes(out["g"]["resized"]) == bytes([10, 30])
+    assert out["g"]["checksum"] == 40 and out["g"]["n_bytes"] == 2
+    # fallback grid: cols = (arange(2)*4)//2 = [0, 2] → bytes 1, 3
+    assert bytes(out["f"]["resized"]) == bytes([1, 3])
+    assert out["e"]["n_bytes"] == 0 and out["e"]["checksum"] == 0
+
+    # multi-channel: 1×2×2 → 1×1 keeps both channels of pixel 0
+    img2 = bytes([9, 8, 7, 6])
+    df2 = spark.createDataFrame(
+        [("c", img2, {"format": "raw", "width": 2, "height": 1, "n_channels": 2})],
+        IMAGE_SCHEMA,
+    )
+    [r] = resize_images(df2, out_w=1, out_h=1).collect()
+    assert bytes(r["resized"]) == bytes([9, 8]) and r["checksum"] == 17
+
+
 def test_metadata_stats_prunes_binary_column(spark, tmp_path):
     """Metadata-only queries must never read the binary blob: the parquet
     ReadSchema excludes `content` (Catalyst column pruning)."""
