@@ -68,6 +68,28 @@ def normalize(vec: Column) -> Column:
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization of an embedding — the standard
+    4×-compression step before shipping vectors into an ANN index at
+    corpus scale (memory/shuffle volume drops with byte width; recall
+    loss is the known trade-off).
+
+    ``q_i = floor(v_i * 127/max|v| + 0.5)`` — floor(x+0.5) instead of
+    round() because IEEE-754 double multiply + floor is reproducible
+    across engines while half-even vs half-away rounding is not.
+    Returns a struct (scale double, q array<int>); all-zero vectors get
+    scale 0 and all-zero codes. JVM-side fold, no UDF."""
+    a = _as_double(vec)
+    mx = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q = F.zip_with(
+        a,
+        F.array_repeat(scale, F.size(a)),  # scale evaluated once per row
+        lambda x, s: F.floor(x * s + F.lit(0.5)).cast("int"),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

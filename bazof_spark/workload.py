@@ -39,6 +39,7 @@ from bazof_spark.operators.similarity import (
     cosine_topk_bruteforce,
     ivf_ann_topk,
     lsh_ann_topk,
+    quantize_int8,
 )
 from bazof_spark.sources.events import events_lakehouse
 from bazof_spark.sources.tables import rebalance_if_undersplit
@@ -1010,6 +1011,27 @@ def embedding_cosine_topk_q(spark, sf_dir):
     )
 
 
+def embedding_quantize_q(spark, sf_dir):
+    """Symmetric int8 vector quantization (operators/similarity.
+    quantize_int8): per-vector scale + codes, summarized as exact
+    integers so the DuckDB oracle reproduces every value bit-for-bit
+    (floor-based rounding + integer floor of scale×1e6)."""
+    emb = _t("embeddings")(spark, sf_dir)
+    qz = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("_qz"))
+    q = F.col("_qz.q")
+    return qz.select(
+        "vec_id",
+        F.floor(F.col("_qz.scale") * 1e6).cast("long").alias("scale_micro"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max(q).cast("int").alias("q_max"),
+    )
+
+
 def embedding_neardup_q(spark, sf_dir):
     emb = _t("embeddings")(spark, sf_dir)
     return cosine_pairs_blocked(emb, "label", threshold=0.3).withColumn(
@@ -1319,6 +1341,32 @@ _PIPELINE_ORACLES = {
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE sim >= 0.3
     """,
+    # int8 quantization: q_i = floor(v_i * 127/max|v| + 0.5) — IEEE
+    # double multiply + floor, bit-identical across engines
+    "embedding_quantize": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                        THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                        ELSE 0.0 END AS scale
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT))
+                       AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_max(qv) AS INT) AS q_max
+        FROM q
+    """,
     # simhash: md5-60-bit shingle hashes (operators/dedup.simhash64) are
     # computable bit-identically here; banding with 4 bands is recall-
     # complete at hamming <= 3 (pigeonhole), so Spark == brute force.
@@ -1483,6 +1531,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": doc_fingerprint_q,
     "embedding_cosine_topk": embedding_cosine_topk_q,
     "embedding_neardup": embedding_neardup_q,
+    "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
     # multimodal plumbing (stubbed codecs, real Spark pipeline)
