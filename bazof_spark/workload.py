@@ -671,8 +671,10 @@ def agg_nation_customer_stats(spark, sf_dir):
 
 def semi_structured_json_array(spark, sf_dir):
     """JSON + array functions over events.props (§2.B 'array/map/JSON'
-    row): extract a JSON field, build/fold/reshape arrays JVM-side."""
-    ev = _t("events")(spark, sf_dir)
+    row): extract a JSON field, build/fold/reshape arrays JVM-side.
+    Map-only over a single input split → rebalance so the JSON parse +
+    array folds don't serialize on one core."""
+    ev = rebalance_if_undersplit(spark, _t("events")(spark, sf_dir))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     arr = F.sequence(F.lit(1), (k % 4) + 1)
     return ev.select(
