@@ -135,6 +135,13 @@ def test_fact_joins_prune_lineitem_scan(spark):
             assert cols <= allowed, f"{name}: lineitem scan reads {cols - allowed} extra"
 
 
+def test_map_only_pipelines_have_no_extra_exchanges(spark):
+    """quantize is pure map (0 shuffles); resize allows exactly the one
+    rebalance repartition (its compute stage must not add exchanges)."""
+    assert shuffle_count(q("embedding_quantize", spark)) == 0
+    assert shuffle_count(q("multimodal_resize", spark)) <= 1
+
+
 def test_change_feed_prunes_both_scans_and_bounds_shuffles(spark):
     """scan_changes: each as-of side prunes to key/event_time/value
     (+tie-break index), merges with one shuffle per side, and the join
