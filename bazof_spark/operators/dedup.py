@@ -283,6 +283,84 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS — the step a training
+    pipeline runs after any pair generator here (minhash/simhash/
+    jaccard/embedding): connected components, one representative (the
+    minimum id) per component. Output: (doc_id, cluster_rep,
+    cluster_size) for every document that appears in at least one pair;
+    keep `doc_id == cluster_rep` (plus all unpaired documents) to dedup
+    a corpus.
+
+    Algorithm: Pregel-style iterative min-label propagation — each
+    round every node takes the min label among itself and its
+    neighbors; fixpoint = components. Rounds needed = graph diameter
+    (near-dup clusters are small and dense, so a handful); each round
+    is one join + one aggregate on the EDGE list, i.e. O(E) shuffle per
+    round, never materializing anything quadratic. The driver-side loop
+    with a convergence count is the standard Spark shape for iterative
+    graph algorithms (GraphX/Pregel does the same under the hood);
+    ``localCheckpoint`` truncates lineage so plans stay O(1) per round.
+
+    Deterministic fixpoint → exactly reproducible by the DuckDB
+    oracle's recursive-CTE transitive closure.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["lbl"], F.coalesce(F.col("nlbl"), labels["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

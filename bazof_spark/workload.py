@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from bazof_spark.functions import text as T
 from bazof_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -963,6 +964,15 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
 
 
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup pairs → connected components (one representative per
+    cluster): operators/dedup.dedup_clusters over the simhash edges."""
+    pairs = simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
+    return dedup_clusters(pairs).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+
+
 
 def _docs_par(spark, sf_dir):
     """documents rebalanced to cluster parallelism — used ONLY by the
@@ -1203,6 +1213,32 @@ _MINHASH_SIG_SQL = f"""
     FROM documents
 """
 
+# shared CTE chain producing simhash near-dup pairs (used by the
+# dedup_simhash oracle and as the edge set of dedup_clusters)
+_SIMHASH_PAIRS_CTES = f"""h AS (
+            SELECT doc_id,
+                   list_transform({_shingles_sql(3)},
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
+                       AS hs
+            FROM documents
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 60), b ->
+                       CASE WHEN 2 * len(list_filter(hs,
+                                h -> (h >> b) & 1 = 1)) > len(hs)
+                            THEN (CAST(1 AS BIGINT) << b)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS f
+            FROM h
+        ),
+        sim_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
+        )"""
+
+
 _PIPELINE_ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
@@ -1373,26 +1409,34 @@ _PIPELINE_ORACLES = {
     # computable bit-identically here; banding with 4 bands is recall-
     # complete at hamming <= 3 (pigeonhole), so Spark == brute force.
     "dedup_simhash": f"""
-        WITH h AS (
-            SELECT doc_id,
-                   list_transform({_shingles_sql(3)},
-                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
-                       AS hs
-            FROM documents
+        WITH {_SIMHASH_PAIRS_CTES}
+        SELECT id_a, id_b, hamming FROM sim_pairs
+    """,
+    # connected components over the simhash pairs: recursive transitive
+    # closure; min reachable id == Spark's min-label-propagation fixpoint
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sim_pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM sim_pairs
         ),
-        fp AS (
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(range(0, 60), b ->
-                       CASE WHEN 2 * len(list_filter(hs,
-                                h -> (h >> b) & 1 = 1)) > len(hs)
-                            THEN (CAST(1 AS BIGINT) << b)
-                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS f
-            FROM h
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, lbl) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (
+            SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_rep
+            FROM reach GROUP BY id
+        ),
+        sz AS (
+            SELECT cluster_rep, COUNT(*) AS cluster_size
+            FROM comp GROUP BY cluster_rep
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.f, b.f)) <= 3
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster_rep, cluster_size
+        FROM comp JOIN sz USING (cluster_rep)
     """,
     # IVF with the deterministic quantizer of embedding_ann_ivf_q:
     # centroid list l = embedding vec_id=l (l < 16); corpus vec → its
@@ -1527,6 +1571,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
+    "dedup_clusters": dedup_clusters_q,
     "text_stats": text_stats_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,
