@@ -87,6 +87,64 @@ def _python_merge(ranked_rows, t):
     return {k: v for k, (off, v) in winners.items()}
 
 
+upsert_history = st.fixed_dictionaries(
+    {
+        "base": _delta,
+        "batches": st.lists(_delta, min_size=1, max_size=3),
+        "asof_offsets": st.lists(
+            st.integers(min_value=0, max_value=260), min_size=1, max_size=2
+        ),
+    }
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(h=upsert_history)
+def test_sequential_upserts_match_spec(spark, tmp_path_factory, h):
+    """Random sequences of append_delta batches produce reads that match
+    the reference merge spec (same python model as the writer test):
+    the upsert path must compose with pruning precedence — newer-start
+    deltas shadow older, equal starts resolve by append order."""
+    tmp = tmp_path_factory.mktemp("prop_up")
+    w = TableWriter(spark, str(tmp / "t"), SCHEMA)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(k, _ts(off), v) for k, off, v in rows], SCHEMA.to_struct_type()
+        )
+
+    w.add_segment("s1", _ts(0), base_df=df(h["base"]))
+    w.commit()
+    lh = Lakehouse(spark, str(tmp))
+    for rows in h["batches"]:
+        lh.upsert("t", df(rows))
+
+    snapshot = lh.table("t").get_current_snapshot()
+    seg = snapshot.segments[-1]
+    file_rows = {"s1_base.parquet": h["base"]}
+    for i, d in enumerate(seg.delta):  # appended in batch order
+        file_rows[d.file] = h["batches"][i]
+
+    for t_off in [None, *h["asof_offsets"]]:
+        as_of = None if t_off is None else _ts(t_off)
+        ranked = snapshot.ranked_data_files(
+            Current if as_of is None else EventTime(as_of)
+        )
+        expected = _python_merge(
+            [(r, file_rows[f]) for f, r in ranked], t_off
+        )
+        got = {
+            r["key"]: r["value"]
+            for r in lh.scan("t", as_of=as_of).collect()
+        }
+        assert got == expected, f"as_of offset {t_off}"
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
