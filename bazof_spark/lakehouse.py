@@ -402,7 +402,13 @@ class Lakehouse:
         """
         rewritten, tables = rewrite_and_extract_tables(query)
         for vt in tables:
-            if vt.versioned_name != vt.name:
+            if vt.changes is not None:
+                if not self.spark.catalog.tableExists(vt.versioned_name):
+                    since, until = vt.changes
+                    self.scan_changes(
+                        vt.name, since=since, until=until
+                    ).createOrReplaceTempView(vt.versioned_name)
+            elif vt.versioned_name != vt.name:
                 # as-of / versioned view: contents are immutable for a
                 # given (table, timestamp|version) → safe to cache
                 if not self.spark.catalog.tableExists(vt.versioned_name):

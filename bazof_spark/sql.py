@@ -15,6 +15,11 @@ e.g. ``financials AT('2019-01-17T00:00:00.000Z')`` →
 ``financials__1547683200000`` (parse.rs:193-195). Two as-of instants of
 the same table get distinct rewritten names, so self-joins across time
 work exactly as in the reference (parse.rs:71-75).
+
+Extensions beyond the reference's syntax (both documented as ours):
+``FOR VERSION AS OF`` / ``AT(VERSION =>)`` snapshot travel, and the
+``CHANGES('tbl', '<since>'[, '<until>'])`` table function exposing
+``Lakehouse.scan_changes`` (Delta-CDF-style) in SQL.
 """
 
 from __future__ import annotations
@@ -52,6 +57,15 @@ _AT_VERSION_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Change-feed table function (ours — Delta-CDF-style surface over
+# Lakehouse.scan_changes):
+#   CHANGES('tbl', '<since>')  |  CHANGES('tbl', '<since>', '<until>')
+_CHANGES_RE = re.compile(
+    rf"\bCHANGES\s*\(\s*'(?P<name>{_IDENT})'\s*,\s*'(?P<since>[^']*)'"
+    r"(?:\s*,\s*'(?P<until>[^']*)')?\s*\)",
+    re.IGNORECASE,
+)
+
 # bare table factor after FROM/JOIN (for Current registration)
 _TABLE_FACTOR_RE = re.compile(
     rf"\b(?:FROM|JOIN)\s+(?P<name>{_IDENT})", re.IGNORECASE
@@ -66,12 +80,14 @@ _KEYWORDS = frozenset(
 class VersionedTable:
     """(original name, rewritten name, as-of) — parse.rs:11-15.
     ``version`` is set for snapshot-version travel (our Delta-style
-    extension) instead of an event-time as-of."""
+    extension) instead of an event-time as-of; ``changes`` holds the
+    (since, until) instants of a CHANGES(...) table function."""
 
     name: str
     versioned_name: str
     as_of: AsOf
     version: str | None = None
+    changes: tuple[str, str | None] | None = None
 
 
 _STRING_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
@@ -129,8 +145,39 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
             tables.append(VersionedTable(name, versioned, Current, version=ver))
         return versioned
 
+    def _sub_changes(match: re.Match, spans) -> str:
+        # the table name sits INSIDE quotes by design; guard on the
+        # CHANGES keyword itself being outside any other string literal
+        if _inside(match.start(), spans):
+            return match.group(0)
+        name = match.group("name")
+        since_raw = match.group("since")
+        until_raw = match.group("until")
+        try:
+            m1 = epoch_millis(parse_rfc3339(since_raw))
+            m2 = (
+                "current"
+                if until_raw is None
+                else str(epoch_millis(parse_rfc3339(until_raw)))
+            )
+        except ValueError as exc:
+            raise SqlRewriteError(
+                f"invalid CHANGES timestamp for table {name!r}: {exc}"
+            ) from exc
+        versioned = f"{name}__changes_{m1}_{m2}"
+        if versioned not in seen:
+            seen.add(versioned)
+            tables.append(
+                VersionedTable(
+                    name, versioned, Current, changes=(since_raw, until_raw)
+                )
+            )
+        return versioned
+
     spans = _string_spans(sql)
-    rewritten = _AT_VERSION_RE.sub(lambda m: _sub_version(m, spans), sql)
+    rewritten = _CHANGES_RE.sub(lambda m: _sub_changes(m, spans), sql)
+    spans = _string_spans(rewritten)
+    rewritten = _AT_VERSION_RE.sub(lambda m: _sub_version(m, spans), rewritten)
     spans = _string_spans(rewritten)
     rewritten = _FOR_VERSION_RE.sub(lambda m: _sub_version(m, spans), rewritten)
     spans = _string_spans(rewritten)

@@ -288,6 +288,11 @@ def append_delta(
     lock — concurrent writers race on ``version.txt`` (last flip wins).
     Single-writer-per-table is the assumed discipline.
     """
+    if "://" in table_path and not table_path.startswith("file://"):
+        raise BazofError(
+            "append_delta writes through the local filesystem; object-store "
+            "tables need the snapshot/pointer writes ported to pyarrow.fs"
+        )
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
     version = table.current_version()
     snapshot = table.get_snapshot(version)

@@ -181,3 +181,73 @@ def test_version_travel_scan_and_sql(spark, tmp_path):
         ).collect()
     )
     assert got == {"1": "a1", "2": "b1"}
+
+
+def test_rewrite_changes_table_function():
+    rewritten, tables = rewrite_and_extract_tables(
+        "SELECT * FROM CHANGES('tbl', '2019-01-17T00:00:00.000Z')"
+    )
+    assert "CHANGES" not in rewritten
+    assert "tbl__changes_1547683200000_current" in rewritten
+    [vt] = tables
+    assert vt.name == "tbl" and vt.changes == (
+        "2019-01-17T00:00:00.000Z",
+        None,
+    )
+
+    rewritten, tables = rewrite_and_extract_tables(
+        "SELECT * FROM CHANGES('tbl', '2019-01-17T00:00:00.000Z', "
+        "'2020-01-17T00:00:00.000Z') WHERE change_type = 'update'"
+    )
+    [vt] = tables  # WHERE literal must not register ghost tables
+    assert vt.changes == (
+        "2019-01-17T00:00:00.000Z",
+        "2020-01-17T00:00:00.000Z",
+    )
+    with pytest.raises(SqlRewriteError):
+        rewrite_and_extract_tables("SELECT * FROM CHANGES('tbl', 'garbage')")
+
+
+def test_changes_sql_end_to_end(spark, tmp_path):
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    def ts(y, m, d):
+        return datetime(y, m, d, tzinfo=timezone.utc)
+
+    root = str(tmp_path)
+    schema = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+    w = TableWriter(spark, f"{root}/ct", schema)
+    w.add_segment(
+        "10",
+        ts(2024, 1, 1),
+        base_df=spark.createDataFrame(
+            [("1", ts(2024, 1, 1), "a1"), ("2", ts(2024, 1, 1), "b1")],
+            schema.to_struct_type(),
+        ),
+    )
+    w.commit()
+    lh = Lakehouse(spark, root)
+    lh.upsert(
+        "ct",
+        spark.createDataFrame(
+            [("1", ts(2024, 2, 1), "a2"), ("3", ts(2024, 2, 2), "c1")],
+            schema.to_struct_type(),
+        ),
+    )
+
+    got = {
+        r["key"]: (r["change_type"], r["value_late"])
+        for r in lh.sql(
+            "SELECT key, change_type, value_late "
+            "FROM CHANGES('ct', '2024-01-15T00:00:00.000Z')"
+        ).collect()
+    }
+    assert got == {"1": ("update", "a2"), "3": ("insert", "c1")}
+    # equivalent to the library call
+    lib = {
+        r["key"]: (r["change_type"], r["value_late"])
+        for r in lh.scan_changes("ct", since="2024-01-15T00:00:00.000Z").collect()
+    }
+    assert got == lib
