@@ -288,6 +288,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into CLUSTERS — the step a training
     pipeline runs after any pair generator here (minhash/simhash/
@@ -309,11 +310,47 @@ def dedup_clusters(
 
     Deterministic fixpoint → exactly reproducible by the DuckDB
     oracle's recursive-CTE transitive closure.
+
+    Hybrid execution (same results either way): when the pair list is
+    below ``driver_threshold`` edges, components are solved with one
+    driver-side union-find over the collected pairs — near-dup edge
+    sets are usually a sliver of the corpus, and one collect beats
+    paying several join rounds of job latency. Above the threshold the
+    distributed propagation loop runs; nothing quadratic ever
+    materializes in either path. (Same size-dependent discipline as
+    broadcast-vs-shuffle join selection.)
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
     )
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        spark = pairs.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by MIN id so rep == component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comp = [(x, find(x)) for x in parent]
+        sizes: dict[int, int] = {}
+        for _, rep in comp:
+            sizes[rep] = sizes.get(rep, 0) + 1
+        return spark.createDataFrame(
+            [(x, rep, sizes[rep]) for x, rep in comp],
+            "doc_id long, cluster_rep long, cluster_size long",
+        )
+
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -123,15 +123,18 @@ def test_dedup_clusters_transitive_chain(spark):
     # separate pair 10-11, and a long path 20..24 (diameter > 1 round)
     pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
-        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
-        for r in dedup_clusters(df).collect()
-    }
-    assert got == {
+    expected = {
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         10: (10, 2), 11: (10, 2),
         20: (20, 5), 21: (20, 5), 22: (20, 5), 23: (20, 5), 24: (20, 5),
     }
+    # driver union-find path AND distributed propagation path must agree
+    for threshold in (100_000, 0):
+        got = {
+            r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+            for r in dedup_clusters(df, driver_threshold=threshold).collect()
+        }
+        assert got == expected, f"driver_threshold={threshold}"
 
 
 def test_resize_images_nn_kernel(spark):
