@@ -126,6 +126,31 @@ def test_upsert_rejects_duplicate_pairs_and_empty(spark, tmp_path):
         lh.upsert("t", _df(spark, []))
 
 
+def test_upsert_composes_with_checkpoint(spark, tmp_path):
+    """upsert → checkpoint → upsert: the post-checkpoint delta lands in
+    the checkpoint's new open segment, Current reflects everything, and
+    pre-checkpoint as-of reads stay bit-identical (the maintenance
+    module's guarantee must survive subsequent writes)."""
+    from bazof_spark.maintenance import checkpoint_table
+
+    lh = _seed_table(spark, str(tmp_path))
+    lh.upsert("t", _df(spark, [("1", ts(2024, 2, 1), "a2")]))
+    before = _current(lh, as_of=ts(2024, 1, 15))
+
+    checkpoint_table(lh, "t", at=ts(2024, 6, 1))
+    n_files_current = len(
+        lh.table("t").get_current_snapshot().get_data_files()
+    )
+    assert n_files_current == 1  # Current collapsed to the merged base
+
+    lh.upsert("t", _df(spark, [("2", ts(2024, 7, 1), "b2"), ("9", ts(2024, 7, 2), "z1")]))
+    assert _current(lh) == [("1", "a2"), ("2", "b2"), ("9", "z1")]
+    # pre-checkpoint history unchanged after the write
+    assert _current(lh, as_of=ts(2024, 1, 15)) == before
+    assert _current(lh, as_of=ts(2024, 2, 15)) == [("1", "a2"), ("2", "b1")]
+    validate_table(lh, "t").raise_if_invalid()
+
+
 def test_streaming_upsert_sink(spark, tmp_path):
     root = str(tmp_path)
     lh = _seed_table(spark, root)
