@@ -147,7 +147,17 @@ def minhash_lsh_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    # estimate + threshold BEFORE the dedup shuffle: a pair matching in
+    # k bands would otherwise cross the wire k times carrying both
+    # signatures (~0.5 KB/row); this way only qualifying (id_a, id_b,
+    # est) triples ever shuffle
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("l._sig"), F.col("r._sig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
         left.join(
             right,
             on=[
@@ -159,21 +169,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("sig_a"),
-            F.col("r._sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-            lambda x: x,
-        )
-    ) / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -258,7 +257,10 @@ def simhash_pairs(
     ).select("_id", "_fp", "_c.chunk", "_c.cval")
     chunked = chunked.persist()  # read by both sides of the self-join
     l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (
+    # verify Hamming BEFORE the dedup shuffle (see minhash_lsh_pairs):
+    # only qualifying triples cross the wire
+    hamming = F.bit_count(F.col("l._fp").bitwiseXOR(F.col("r._fp")))
+    return (
         l.join(
             r,
             on=[
@@ -270,16 +272,10 @@ def simhash_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l._fp").alias("fp_a"),
-            F.col("r._fp").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
