@@ -375,6 +375,19 @@ class Lakehouse:
             .drop("_file")
         )
 
+    # -- streaming ----------------------------------------------------
+
+    def scan_stream(self, table_name: str, max_files_per_trigger: int = 10):
+        """Streaming read of the table's data files (new delta files —
+        e.g. from :meth:`upsert` or the streaming sink — are picked up
+        as they land). See ``streaming/stream.py``; the reference
+        roadmaps this at README.md:158."""
+        from bazof_spark.streaming.stream import read_table_stream
+
+        return read_table_stream(
+            self.spark, self.table(table_name), max_files_per_trigger
+        )
+
     # -- write --------------------------------------------------------
 
     def upsert(self, table_name: str, df: DataFrame, **kwargs):
