@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     p_scan.add_argument("--path", required=True, help="lakehouse root")
     p_scan.add_argument("--table", required=True)
     p_scan.add_argument("--as-of", dest="as_of", default=None)
+    p_scan.add_argument(
+        "--version", default=None, help="snapshot version (system travel)"
+    )
     p_scan.add_argument("--columns", default=None, help="comma-separated")
     p_scan.add_argument("--limit", type=int, default=20)
 
@@ -102,7 +105,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "scan":
         cols = args.columns.split(",") if args.columns else None
-        df = lh.scan(args.table, as_of=_parse_as_of(args.as_of), columns=cols)
+        df = lh.scan(
+            args.table,
+            as_of=_parse_as_of(args.as_of),
+            columns=cols,
+            version=args.version,
+        )
         df.show(args.limit, truncate=False)
     elif args.cmd == "gen":
         import os

@@ -309,6 +309,16 @@ def append_delta(
     next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
 
     schema = snapshot.schema
+    # null-fill nullable columns the batch doesn't carry (e.g. added by
+    # evolve_table_schema after the producer was written)
+    have = set(df.columns)
+    fills = [
+        F.lit(None).cast(c.data_type.to_spark()).alias(c.name)
+        for c in schema.columns
+        if c.name not in have and c.nullable
+    ]
+    if fills:
+        df = df.select("*", *fills)
     ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())
     if validate:
         validate_data_file_invariants(ordered)

@@ -151,6 +151,35 @@ def test_upsert_composes_with_checkpoint(spark, tmp_path):
     validate_table(lh, "t").raise_if_invalid()
 
 
+def test_upsert_after_schema_evolution_nullfills(spark, tmp_path):
+    """A producer written before evolve_table_schema keeps working: the
+    batch lacking the added nullable column is null-filled; a batch
+    carrying it writes real values."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark.maintenance import evolve_table_schema
+    from bazof_spark.schema import ColumnDef, ColumnType
+
+    lh = _seed_table(spark, str(tmp_path))
+    evolve_table_schema(
+        lh, "t", add=[ColumnDef("score", ColumnType.INT, nullable=True)]
+    )
+    # old-producer batch: no `score` column
+    lh.upsert("t", _df(spark, [("1", ts(2024, 2, 1), "a2")]))
+    # new-producer batch: carries score
+    new = _df(spark, [("3", ts(2024, 2, 2), "c1")]).withColumn(
+        "score", F.lit(7).cast("long")
+    )
+    lh.upsert("t", new)
+
+    got = {
+        r["key"]: (r["value"], r["score"])
+        for r in lh.scan("t").select("key", "value", "score").collect()
+    }
+    assert got == {"1": ("a2", None), "2": ("b1", None), "3": ("c1", 7)}
+    validate_table(lh, "t").raise_if_invalid()
+
+
 def test_streaming_upsert_sink(spark, tmp_path):
     root = str(tmp_path)
     lh = _seed_table(spark, root)
