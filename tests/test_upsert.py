@@ -151,6 +151,21 @@ def test_upsert_composes_with_checkpoint(spark, tmp_path):
     validate_table(lh, "t").raise_if_invalid()
 
 
+def test_scan_is_snapshot_isolated_from_later_upserts(spark, tmp_path):
+    """A DataFrame built before an upsert keeps reading its snapshot's
+    file list after the commit — the atomic version.txt flip publishes
+    for NEW scans only (the reference's read protocol: resolve pointer
+    first, crates/azof/src/table.rs:16-41)."""
+    lh = _seed_table(spark, str(tmp_path))
+    pinned = lh.scan("t")
+    lh.upsert("t", _df(spark, [("1", ts(2024, 2, 1), "a2")]))
+    got = sorted(
+        tuple(r) for r in pinned.select("key", "value").collect()
+    )
+    assert got == [("1", "a1"), ("2", "b1")]  # pre-upsert state
+    assert _current(lh) == [("1", "a2"), ("2", "b1")]  # fresh scan sees it
+
+
 def test_upsert_after_schema_evolution_nullfills(spark, tmp_path):
     """A producer written before evolve_table_schema keeps working: the
     batch lacking the added nullable column is null-filled; a batch
