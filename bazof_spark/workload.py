@@ -964,6 +964,29 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
 
 
+def dataset_split_q(spark, sf_dir):
+    """Deterministic train/val/test assignment by identity hash
+    (functions/sampling.py) + per-split corpus stats; the sample column
+    proves the independent (salted) bucketing. Map-only except the
+    final 3-row aggregate."""
+    from bazof_spark.functions.sampling import assign_split, hash_bucket
+
+    docs = _t("documents")(spark, sf_dir)
+    tagged = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        assign_split(F.col("doc_id"), train=0.8, val=0.1).alias("split"),
+        (hash_bucket(F.col("doc_id"), 1_000_000, salt="sample") < 250_000)
+        .cast("int")
+        .alias("in_sample"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("in_sample").alias("n_sampled"),
+    )
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Near-dup pairs → connected components (one representative per
     cluster): operators/dedup.dedup_clusters over the simhash edges."""
@@ -1412,6 +1435,26 @@ _PIPELINE_ORACLES = {
         WITH {_SIMHASH_PAIRS_CTES}
         SELECT id_a, id_b, hamming FROM sim_pairs
     """,
+    # identity-hash split/sample buckets recomputed from first
+    # principles (same md5-60-bit idiom as simhash/minhash)
+    "dataset_split": """
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000000 AS b,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sample'),
+                        1, 15) AS BIGINT) % 1000000 AS bs
+            FROM documents
+        )
+        SELECT CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN bs < 250000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled
+        FROM t GROUP BY 1
+    """,
     # connected components over the simhash pairs: recursive transitive
     # closure; min reachable id == Spark's min-label-propagation fixpoint
     "dedup_clusters": f"""
@@ -1572,6 +1615,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_clusters": dedup_clusters_q,
+    "dataset_split": dataset_split_q,
     "text_stats": text_stats_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,

@@ -3,6 +3,7 @@ multimodal plumbing."""
 
 from datetime import datetime, timezone
 
+import pytest
 from pyspark.sql import functions as F
 
 from bazof_spark.operators.asof import asof_join, latest_by_key
@@ -322,3 +323,34 @@ def test_grouping_sets_from_partials_match_builtin(spark):
         rollup_from_partials(
             li, keys, {"bad": (F.avg("l_quantity"), "avg")}
         )
+
+
+def test_deterministic_split_and_sample(spark):
+    from bazof_spark.functions.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    tagged = df.select("doc_id", assign_split(F.col("doc_id")).alias("s"))
+    counts = {r["s"]: r["n"] for r in tagged.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03  # hash-uniformity
+    # identical across invocations
+    again = {r["s"]: r["n"] for r in df.select(assign_split(F.col("doc_id")).alias("s")).groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+    s10 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    assert s10 <= s20  # nested: a kept row stays kept as rate grows
+    assert abs(len(s10) / 5000 - 0.1) < 0.02
+    # growth-stability: appending rows never changes earlier assignments
+    bigger = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s10b = {r["doc_id"] for r in deterministic_sample(bigger, "doc_id", 0.1).collect()}
+    assert s10 == {x for x in s10b if x < 5000}
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        assign_split(F.col("doc_id"), train=0.9, val=0.2)
