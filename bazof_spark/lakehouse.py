@@ -375,6 +375,30 @@ class Lakehouse:
             .drop("_file")
         )
 
+    def history(self, table_name: str) -> list[dict]:
+        """Snapshot lineage (Delta DESCRIBE HISTORY analog): one entry
+        per numbered snapshot on disk, oldest first — version, whether
+        it is current, segment/delta/file counts. Driver-side metadata
+        only; no Spark jobs."""
+        from bazof_spark.maintenance import _numeric_versions
+
+        table = self.table(table_name)
+        current = table.current_version()
+        out = []
+        for v in _numeric_versions(table.path):
+            snap = table.get_snapshot(str(v))
+            files = snap.get_data_files()
+            out.append(
+                {
+                    "version": str(v),
+                    "is_current": str(v) == current,
+                    "n_top_segments": len(snap.segments),
+                    "n_files_current": len(files),
+                    "n_columns": len(snap.schema.columns),
+                }
+            )
+        return out
+
     # -- streaming ----------------------------------------------------
 
     def scan_stream(self, table_name: str, max_files_per_trigger: int = 10):

@@ -100,3 +100,17 @@ def test_vacuum_keep_versions_guard(spark, tmp_path):
     lh = _seed(spark, str(tmp_path))
     with pytest.raises(BazofError, match="keep_versions"):
         vacuum_table(lh, "t", keep_versions=0)
+
+
+def test_history_lineage(spark, tmp_path):
+    lh = _seed(spark, str(tmp_path))  # v1 + two upserts
+    hist = lh.history("t")
+    assert [h["version"] for h in hist] == ["1", "2", "3"]
+    assert [h["is_current"] for h in hist] == [False, False, True]
+    assert hist[0]["n_files_current"] == 1  # base only
+    assert hist[2]["n_files_current"] == 3  # base + 2 deltas
+
+    restore_table(lh, "t", 2)
+    hist = lh.history("t")
+    assert hist[-1]["version"] == "4" and hist[-1]["is_current"]
+    assert hist[-1]["n_files_current"] == hist[1]["n_files_current"]
