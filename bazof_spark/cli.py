@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     p_vac.add_argument("--keep-versions", type=int, default=1)
     p_vac.add_argument("--dry-run", action="store_true")
 
+    p_hist = sub.add_parser("history", help="snapshot lineage")
+    p_hist.add_argument("--path", required=True)
+    p_hist.add_argument("--table", required=True)
+
     args = parser.parse_args(argv)
 
     from bazof_spark.lakehouse import Lakehouse
@@ -193,6 +197,14 @@ def main(argv: list[str] | None = None) -> int:
             f"{len(result['removed_dirs'])} temp dir(s); "
             f"kept versions {', '.join(result['kept_versions'])}"
         )
+    elif args.cmd == "history":
+        for h in lh.history(args.table):
+            mark = "*" if h["is_current"] else " "
+            print(
+                f"{mark} v{h['version']}: {h['n_top_segments']} segment(s), "
+                f"{h['n_files_current']} file(s) serve Current, "
+                f"{h['n_columns']} column(s)"
+            )
     return 0
 
 
