@@ -964,6 +964,21 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
 
 
+def sequence_packing_q(spark, sf_dir):
+    """Concat-and-chunk packing offsets (operators/packing.py):
+    shard-local window cumsum assigns every document its token offset
+    and sequence span — the pretraining-prep layout step. Token count
+    here = word count (whitespace tokenizer), seq_len 512, 8 shards."""
+    from bazof_spark.operators.packing import pack_offsets
+
+    docs = _t("documents")(spark, sf_dir).select(
+        "doc_id", T.word_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_offsets(
+        docs, "n_tokens", seq_len=512, n_shards=8
+    ).select("doc_id", "shard", "n_tokens", "tok_offset", "start_seq", "end_seq")
+
+
 def dataset_split_q(spark, sf_dir):
     """Deterministic train/val/test assignment by identity hash
     (functions/sampling.py) + per-split corpus stats; the sample column
@@ -1435,6 +1450,30 @@ _PIPELINE_ORACLES = {
         WITH {_SIMHASH_PAIRS_CTES}
         SELECT id_a, id_b, hamming FROM sim_pairs
     """,
+    # shard-local concat-and-chunk packing: identical hash-shard +
+    # window cumsum + integer division, recomputed exactly
+    "sequence_packing": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || 'pack'), 1, 15) AS BIGINT) % 8 AS INT) AS shard
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset
+            FROM d
+        )
+        SELECT doc_id, shard, n_tokens, tok_offset,
+               CAST(tok_offset // 512 AS BIGINT) AS start_seq,
+               CAST((tok_offset + greatest(n_tokens, 1) - 1) // 512
+                    AS BIGINT) AS end_seq
+        FROM o
+    """,
     # identity-hash split/sample buckets recomputed from first
     # principles (same md5-60-bit idiom as simhash/minhash)
     "dataset_split": """
@@ -1616,6 +1655,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_clusters": dedup_clusters_q,
     "dataset_split": dataset_split_q,
+    "sequence_packing": sequence_packing_q,
     "text_stats": text_stats_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,

@@ -354,3 +354,27 @@ def test_deterministic_split_and_sample(spark):
         deterministic_sample(df, "doc_id", 1.5)
     with pytest.raises(ValueError):
         assign_split(F.col("doc_id"), train=0.9, val=0.2)
+
+
+def test_pack_offsets_concat_and_chunk(spark):
+    from bazof_spark.operators.packing import pack_offsets
+
+    # single shard so in-shard order is just doc_id
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 600)], ["doc_id", "n_tokens"]
+    )
+    got = {
+        r["doc_id"]: (r["tok_offset"], r["start_seq"], r["end_seq"])
+        for r in pack_offsets(df, "n_tokens", seq_len=512, n_shards=1).collect()
+    }
+    # stream: doc1 [0,300) seq0; doc2 [300,600) spans seq0→1; doc3 empty
+    # at 600 → seq1; doc4 [600,1200) spans seq1→2
+    assert got == {
+        1: (0, 0, 0),
+        2: (300, 0, 1),
+        3: (600, 1, 1),
+        4: (600, 1, 2),
+    }
+
+    with pytest.raises(ValueError):
+        pack_offsets(df, "n_tokens", seq_len=0)
