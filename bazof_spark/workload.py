@@ -964,6 +964,30 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
 
 
+def corpus_clean_q(spark, sf_dir):
+    """The composed cleaning pipeline a training-data run actually
+    executes: exact-dedup to one representative per digest + language
+    filter + length filter, in one plan. Everything stays JVM-side;
+    the only shuffle is the per-digest window."""
+    from pyspark.sql.window import Window
+
+    docs = _docs_par(spark, sf_dir)
+    tagged = docs.select(
+        "doc_id",
+        T.language_id(F.col("text")).alias("lang_pred"),
+        T.word_count(F.col("text")).cast("long").alias("n_words"),
+        F.md5("text").alias("digest"),
+    )
+    rep = tagged.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    return rep.filter(
+        (F.col("doc_id") == F.col("keep_id"))
+        & (F.col("lang_pred") == "en")
+        & F.col("n_words").between(20, 1000)
+    ).select("doc_id", "lang_pred", "n_words")
+
+
 def sequence_packing_q(spark, sf_dir):
     """Concat-and-chunk packing offsets (operators/packing.py):
     shard-local window cumsum assigns every document its token offset
@@ -1251,6 +1275,27 @@ _MINHASH_SIG_SQL = f"""
     FROM documents
 """
 
+# shared CTE chain computing the n-gram-heuristic language id (used by
+# the text_language_id oracle and the corpus_clean composite)
+_LANGID_CTES = r"""m AS (
+            SELECT doc_id, text,
+                   len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that)\b')) AS c_en,
+                   len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|los|las|una)\b')) AS c_es,
+                   len(regexp_extract_all(text, '(?i)\b(le|la|les|des|une|est|dans|pour)\b')) AS c_fr,
+                   len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS c_de
+            FROM documents
+        ),
+        langid AS (
+            SELECT doc_id, text,
+                   CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                        WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+                        WHEN c_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM m
+        )"""
+
+
 # shared CTE chain producing simhash near-dup pairs (used by the
 # dedup_simhash oracle and as the edge set of dedup_clusters)
 _SIMHASH_PAIRS_CTES = f"""h AS (
@@ -1363,22 +1408,9 @@ _PIPELINE_ORACLES = {
                , 6) AS quality
         FROM m
     """,
-    "text_language_id": r"""
-        WITH m AS (
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that)\b')) AS c_en,
-                   len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|los|las|una)\b')) AS c_es,
-                   len(regexp_extract_all(text, '(?i)\b(le|la|les|des|une|est|dans|pour)\b')) AS c_fr,
-                   len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS c_de
-            FROM documents
-        )
-        SELECT doc_id,
-               CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
-                    WHEN c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
-                    WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
-                    WHEN c_fr > 0 THEN 'fr'
-                    ELSE 'und' END AS lang_pred
-        FROM m
+    "text_language_id": f"""
+        WITH {_LANGID_CTES}
+        SELECT doc_id, lang_pred FROM langid
     """,
     "doc_fingerprint": f"""
         SELECT doc_id,
@@ -1449,6 +1481,25 @@ _PIPELINE_ORACLES = {
     "dedup_simhash": f"""
         WITH {_SIMHASH_PAIRS_CTES}
         SELECT id_a, id_b, hamming FROM sim_pairs
+    """,
+    # composed cleaning pipeline: same langid CTEs + digest window
+    "corpus_clean": f"""
+        WITH {_LANGID_CTES},
+        t AS (
+            SELECT doc_id, lang_pred,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        AS BIGINT) AS n_words,
+                   md5(text) AS digest
+            FROM langid
+        ),
+        r AS (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS keep_id
+            FROM t
+        )
+        SELECT doc_id, lang_pred, n_words
+        FROM r
+        WHERE doc_id = keep_id AND lang_pred = 'en'
+          AND n_words BETWEEN 20 AND 1000
     """,
     # shard-local concat-and-chunk packing: identical hash-shard +
     # window cumsum + integer division, recomputed exactly
@@ -1656,6 +1707,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": dedup_clusters_q,
     "dataset_split": dataset_split_q,
     "sequence_packing": sequence_packing_q,
+    "corpus_clean": corpus_clean_q,
     "text_stats": text_stats_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,
