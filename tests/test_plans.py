@@ -142,6 +142,20 @@ def test_map_only_pipelines_have_no_extra_exchanges(spark):
     assert shuffle_count(q("multimodal_resize", spark)) <= 1
 
 
+def test_training_pipeline_queries_bounded(spark):
+    # scans must prune to (doc_id, text); shuffle budget: rebalance/agg
+    # + at most one window exchange
+    for name, bound in [
+        ("dataset_split", 1),
+        ("sequence_packing", 1),
+        ("corpus_clean", 2),
+    ]:
+        df = q(name, spark)
+        assert shuffle_count(df) <= bound, name
+        for cols in scan_columns(df):
+            assert cols <= {"doc_id", "text"}, (name, cols)
+
+
 def test_change_feed_prunes_both_scans_and_bounds_shuffles(spark):
     """scan_changes: each as-of side prunes to key/event_time/value
     (+tie-break index), merges with one shuffle per side, and the join
