@@ -964,6 +964,18 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
 
 
+_BM25_TERMS = ["merge", "scan", "hash"]
+
+
+def bm25_search_q(spark, sf_dir):
+    """Lexical ranked retrieval (operators/retrieval.bm25_rank): Okapi
+    BM25 top-10 for a fixed bag-of-words query, k1=1.2 b=0.75."""
+    from bazof_spark.operators.retrieval import bm25_rank
+
+    docs = _docs_par(spark, sf_dir)
+    return bm25_rank(docs, _BM25_TERMS, top_k=10)
+
+
 def corpus_clean_q(spark, sf_dir):
     """The composed cleaning pipeline a training-data run actually
     executes: exact-dedup to one representative per digest + language
@@ -1482,6 +1494,33 @@ _PIPELINE_ORACLES = {
         WITH {_SIMHASH_PAIRS_CTES}
         SELECT id_a, id_b, hamming FROM sim_pairs
     """,
+    # Okapi BM25 with the same constants; ln/arithmetic in IEEE double
+    "bm25_search": r"""
+        WITH w AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+            FROM documents
+        ),
+        dl AS (SELECT id, COUNT(*) AS dln FROM w GROUP BY id),
+        st AS (SELECT COUNT(*) AS n, AVG(dln) AS avgdl FROM dl),
+        tf AS (
+            SELECT id, t, COUNT(*) AS tfreq FROM w
+            WHERE t IN ('merge', 'scan', 'hash') GROUP BY id, t
+        ),
+        dfq AS (SELECT t, COUNT(*) AS dfreq FROM tf GROUP BY t),
+        s AS (
+            SELECT tf.id,
+                   ln((st.n - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0)
+                   * (tf.tfreq * 2.2)
+                   / (tf.tfreq + 1.2 * (0.25 + 0.75 * dl.dln / st.avgdl))
+                       AS sc
+            FROM tf JOIN dfq USING (t) JOIN dl USING (id) CROSS JOIN st
+        )
+        SELECT id AS doc_id, round(SUM(sc), 6) AS score,
+               COUNT(*) AS n_matched
+        FROM s GROUP BY id
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
     # composed cleaning pipeline: same langid CTEs + digest window
     "corpus_clean": f"""
         WITH {_LANGID_CTES},
@@ -1708,6 +1747,7 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_split": dataset_split_q,
     "sequence_packing": sequence_packing_q,
     "corpus_clean": corpus_clean_q,
+    "bm25_search": bm25_search_q,
     "text_stats": text_stats_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,

@@ -378,3 +378,32 @@ def test_pack_offsets_concat_and_chunk(spark):
 
     with pytest.raises(ValueError):
         pack_offsets(df, "n_tokens", seq_len=0)
+
+
+def test_bm25_rank_ordering(spark):
+    from bazof_spark.operators.retrieval import bm25_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "merge merge merge scan"),      # heavy on rare-ish terms
+            (2, "merge scan hash hash hash"),   # all three terms
+            (3, "apple banana cherry"),         # no match
+            (4, "scan " + "filler " * 50),      # long doc → length penalty
+        ],
+        ["doc_id", "text"],
+    )
+    got = bm25_rank(df, ["merge", "scan", "hash"], top_k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids  # unmatched docs never appear
+    assert set(ids) == {1, 2, 4}
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[2]["n_matched"] == 3 and by_id[1]["n_matched"] == 2
+    # length normalization: doc4's lone 'scan' in 51 words scores below
+    # doc1's dense match
+    assert by_id[4]["score"] < by_id[1]["score"]
+    # scores sorted desc in output
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    with pytest.raises(ValueError):
+        bm25_rank(df, [])
