@@ -94,29 +94,23 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def _banded_signatures(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    k: int = 3,
-    threshold: float = 0.5,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, verified by the
-    signature-estimated Jaccard. Output: (id_a, id_b, est_jaccard) with
-    id_a < id_b, est_jaccard >= threshold.
-
-    rows_per_band = num_hashes // bands. Join key is (band_index,
-    band_hash) — documents only meet if one full band matches, so the
-    shuffle carries (band_key, id, signature), never text.
-    """
+    """(_id, _sig, band, bhash) — one row per (doc, band). Join key is
+    (band, bhash): documents only meet if one full band matches, so
+    downstream shuffles carry band keys + signatures, never text."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         "_sig",
         F.explode(
@@ -141,25 +135,42 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select("_id", "_sig", "_band.band", "_band.bhash")
-    # both sides of the self-join read `banded`: persist so signatures
-    # are computed once (at scale: MEMORY_AND_DISK, sigs ≪ text size)
-    banded = banded.persist()
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    # estimate + threshold BEFORE the dedup shuffle: a pair matching in
-    # k bands would otherwise cross the wire k times carrying both
-    # signatures (~0.5 KB/row); this way only qualifying (id_a, id_b,
-    # est) triples ever shuffle
-    est = F.size(
+
+def _estimated_jaccard(num_hashes: int) -> Column:
+    return F.size(
         F.filter(
             F.zip_with(F.col("l._sig"), F.col("r._sig"), lambda a, b: a == b),
             lambda x: x,
         )
     ) / F.lit(float(num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by the
+    signature-estimated Jaccard. Output: (id_a, id_b, est_jaccard) with
+    id_a < id_b, est_jaccard >= threshold.
+    """
+    banded = _banded_signatures(
+        df, text_col, id_col, num_hashes, bands, k
+    ).persist()  # both sides of the self-join read it: sigs computed once
+
+    # estimate + threshold BEFORE the dedup shuffle: a pair matching in
+    # k bands would otherwise cross the wire k times carrying both
+    # signatures (~0.5 KB/row); this way only qualifying (id_a, id_b,
+    # est) triples ever shuffle
     return (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bhash") == F.col("r.bhash"),
@@ -169,10 +180,51 @@ def minhash_lsh_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            est.alias("est_jaccard"),
+            _estimated_jaccard(num_hashes).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_pairs_between(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-TABLE near-match detection — the decontamination primitive:
+    find corpus documents near-duplicating any probe (eval-set) document.
+    Output: (probe_id, corpus_id, est_jaccard), est >= threshold.
+
+    Scale shape: the probe side is usually tiny (an eval set), so its
+    banded signatures broadcast and the corpus never shuffles — the scan
+    + signature fold is the whole corpus-side cost. Identical signature/
+    banding math to :func:`minhash_lsh_pairs`, so thresholds calibrate
+    once and transfer.
+    """
+    pb = _banded_signatures(probe, text_col, id_col, num_hashes, bands, k)
+    cb = _banded_signatures(corpus, text_col, id_col, num_hashes, bands, k)
+    return (
+        cb.alias("l")
+        .join(
+            F.broadcast(pb.alias("r")),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bhash") == F.col("r.bhash"),
+            ],
+        )
+        .select(
+            F.col("r._id").alias("probe_id"),
+            F.col("l._id").alias("corpus_id"),
+            _estimated_jaccard(num_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["probe_id", "corpus_id"])
     )
 
 

@@ -27,6 +27,7 @@ from bazof_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_between,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -1038,6 +1039,18 @@ def dataset_split_q(spark, sf_dir):
     )
 
 
+def decontamination_q(spark, sf_dir):
+    """Cross-table near-match detection (operators/dedup.
+    minhash_lsh_pairs_between): docs with id < 25 stand in for an eval
+    set probed against the rest of the corpus — the decontamination
+    step of a training-data pipeline. Probe signatures broadcast; the
+    corpus side never shuffles."""
+    docs = _docs_par(spark, sf_dir)
+    probe = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return minhash_lsh_pairs_between(probe, corpus, threshold=0.5)
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Near-dup pairs → connected components (one representative per
     cluster): operators/dedup.dedup_clusters over the simhash edges."""
@@ -1494,6 +1507,33 @@ _PIPELINE_ORACLES = {
         WITH {_SIMHASH_PAIRS_CTES}
         SELECT id_a, id_b, hamming FROM sim_pairs
     """,
+    # cross-table LSH: same signatures/banding as dedup_minhash_lsh,
+    # probe (id < 25) joined against corpus (id >= 25)
+    "decontamination": f"""
+        WITH sig AS ({_MINHASH_SIG_SQL}),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(list_transform(
+                       sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
+            FROM sig, range(0, 8) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+            FROM bands p
+            JOIN bands c ON p.b = c.b AND p.bhash = c.bhash
+            WHERE p.doc_id < 25 AND c.doc_id >= 25
+        ),
+        est AS (
+            SELECT probe_id, corpus_id,
+                   len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+                       / 32.0 AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = probe_id
+            JOIN sig sb ON sb.doc_id = corpus_id
+        )
+        SELECT probe_id, corpus_id, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """,
     # Okapi BM25 with the same constants; ln/arithmetic in IEEE double
     "bm25_search": r"""
         WITH w AS (
@@ -1748,6 +1788,7 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_packing": sequence_packing_q,
     "corpus_clean": corpus_clean_q,
     "bm25_search": bm25_search_q,
+    "decontamination": decontamination_q,
     "text_stats": text_stats_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,
