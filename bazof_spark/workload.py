@@ -1805,9 +1805,11 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": multimodal_resize_q,
 }
 
+from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402
 from bazof_spark.workload_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
+QUERIES.update(QUERIES_CLEAN)
 
 ORACLES: dict[str, str] = {
     **_ASOF_ORACLES,
@@ -1815,4 +1817,5 @@ ORACLES: dict[str, str] = {
     **_PIPELINE_ORACLES,
     **_MULTIMODAL_ORACLES,
     **ORACLES_EXT,
+    **ORACLES_CLEAN,
 }

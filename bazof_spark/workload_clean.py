@@ -1,0 +1,135 @@
+"""Corpus-quality workload extensions: repetition/boilerplate signals
+and PII redaction. Same contract as workload.py — each query has a
+DuckDB oracle with identical column aliases; floats rounded to 6 dp on
+both sides.
+
+The PII query synthesizes deterministic PII (email/phone/IPv4/SSN built
+from doc_id) onto every document so the detection/redaction regexes are
+actually exercised end-to-end, not vacuously matched on zero
+occurrences. Patterns are RE2-compatible, so Spark (Java regex) and
+DuckDB (RE2) evaluate the very same strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bazof_spark.functions.redaction import (
+    PII_PATTERNS,
+    PII_TOKENS,
+    pii_count,
+    redact_pii,
+)
+from bazof_spark.functions.repetition import repetition_stats
+
+
+def _docs(spark, sf_dir):
+    from bazof_spark.sources.tables import load_table, rebalance_if_undersplit
+
+    return rebalance_if_undersplit(spark, load_table(spark, sf_dir, "documents"))
+
+
+def text_repetition_q(spark, sf_dir):
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+def _pii_text_col():
+    d = F.col("doc_id")
+    s = d.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s, F.lit("@example.org or +1 555-"),
+        (d % 900 + 100).cast("string"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit(" ssn 987-65-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+def pii_redaction_q(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("_pii_text", _pii_text_col())
+    t = F.col("_pii_text")
+    return docs.select(
+        "doc_id",
+        *[
+            pii_count(t, kind).alias(f"n_{kind}")
+            for kind in PII_PATTERNS
+        ],
+        F.md5(redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+_GRAMS2 = (
+    f"CASE WHEN len({_WORDS}) >= 2 THEN "
+    f"list_transform(range(1, len({_WORDS})), "
+    f"i -> array_to_string({_WORDS}[i:i+1], ' ')) "
+    f"ELSE [array_to_string({_WORDS}, ' ')] END"
+)
+
+_TEXT_REPETITION_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS chars,
+               round(CASE WHEN len({_WORDS}) > 0
+                     THEN 1.0 - len(list_distinct({_WORDS})) / len({_WORDS})
+                     ELSE 0.0 END, 6) AS word_rep_ratio,
+               unnest({_GRAMS2}) AS gram
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, chars, word_rep_ratio, gram, COUNT(*) AS c
+        FROM base GROUP BY ALL
+    ),
+    top AS (
+        SELECT doc_id, chars, word_rep_ratio,
+               max(struct_pack(c := c, gram := gram)) AS t
+        FROM cnt GROUP BY doc_id, chars, word_rep_ratio
+    )
+    SELECT doc_id, word_rep_ratio, t.gram AS top_gram,
+           round(CASE WHEN chars > 0
+                 THEN t.c * length(t.gram) / chars
+                 ELSE 0.0 END, 6) AS top_gram_frac
+    FROM top
+"""
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.org or +1 555-'"
+    " || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    redacted = "t"
+    for kind, pat in PII_PATTERNS.items():
+        redacted = (
+            f"regexp_replace({redacted}, '{pat}', '{PII_TOKENS[kind]}', 'g')"
+        )
+    return f"""
+        WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+        SELECT doc_id,
+               {counts},
+               md5({redacted}) AS redacted_md5
+        FROM p
+    """
+
+
+QUERIES_CLEAN = {
+    "text_repetition": text_repetition_q,
+    "pii_redaction": pii_redaction_q,
+}
+
+ORACLES_CLEAN = {
+    "text_repetition": _TEXT_REPETITION_ORACLE,
+    "pii_redaction": _pii_oracle(),
+}

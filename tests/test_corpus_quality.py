@@ -1,0 +1,73 @@
+"""Unit tests for the corpus-quality signals: repetition stats and PII
+redaction, on crafted rows where the expected values are hand-computable
+(the oracle-parity test covers the documents-table scale path).
+"""
+
+from pyspark.sql import functions as F
+
+from bazof_spark.functions.redaction import pii_count, redact_pii
+from bazof_spark.functions.repetition import (
+    repetition_stats,
+    word_repetition_ratio,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_repetition_ratio(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),          # all distinct -> 0
+            (2, "a a a a"),          # 1 distinct of 4 -> 0.75
+            (3, "x y x y"),          # 2 of 4 -> 0.5
+        ],
+    ).select("doc_id", F.round(word_repetition_ratio(F.col("text")), 6).alias("r"))
+    got = {r["doc_id"]: r["r"] for r in df.collect()}
+    assert got == {1: 0.0, 2: 0.75, 3: 0.5}
+
+
+def test_repetition_stats_top_bigram(spark):
+    # "to be to be or" -> bigrams: "to be" x2, "be to", "be or" x1 each
+    df = repetition_stats(_docs(spark, [(7, "to be to be or")]), n=2)
+    row = df.collect()[0]
+    assert row["top_gram"] == "to be"
+    # 2 occurrences * 5 chars / 14 chars total
+    assert abs(row["top_gram_frac"] - round(2 * 5 / 14, 6)) < 1e-9
+    assert abs(row["word_rep_ratio"] - round(1 - 3 / 5, 6)) < 1e-9
+
+
+def test_repetition_stats_tie_breaks_to_greatest_gram(spark):
+    # "b b a a": bigrams "b b", "b a", "a a" all x1 -> max struct picks
+    # the lexicographically greatest gram at the tied count.
+    df = repetition_stats(_docs(spark, [(1, "b b a a")]), n=2)
+    assert df.collect()[0]["top_gram"] == "b b"
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "write bob.smith+x@corp.example.com or call +1 555-867-5309, "
+        "server 192.168.0.1, ssn 123-45-6789 end"
+    )
+    df = _docs(spark, [(1, text)]).select(
+        pii_count(F.col("text"), "email").alias("e"),
+        pii_count(F.col("text"), "phone").alias("p"),
+        pii_count(F.col("text"), "ipv4").alias("i"),
+        pii_count(F.col("text"), "ssn").alias("s"),
+        redact_pii(F.col("text")).alias("red"),
+    )
+    row = df.collect()[0]
+    assert (row["e"], row["p"], row["i"], row["s"]) == (1, 1, 1, 1)
+    assert row["red"] == (
+        "write <EMAIL> or call <PHONE>, server <IP>, ssn <SSN> end"
+    )
+
+
+def test_redaction_is_idempotent_and_clean_text_untouched(spark):
+    clean = "no personal data here just words"
+    df = _docs(spark, [(1, clean)]).select(
+        redact_pii(redact_pii(F.col("text"))).alias("red")
+    )
+    assert df.collect()[0]["red"] == clean
