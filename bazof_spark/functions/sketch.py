@@ -1,0 +1,117 @@
+"""Deterministic distinct-count sketching (k-minimum-values family).
+
+Spark's built-in ``approx_count_distinct`` is HyperLogLog++ — fine at
+scale but not reproducible across engines, so it can't be
+oracle-checked. This module implements the k-independent-minima
+estimator (the stochastic-averaging member of the KMV/bottom-k family,
+Bar-Yossef et al. 2002; Lumbroso 2010): hash every value with k
+pairwise-independent hash functions, keep the per-group minimum of
+each, and estimate
+
+    distinct ≈ k / Σ_i (min_i / H)  -  1
+
+since each normalized minimum is ~ Beta(1, D) with mean 1/(D+1).
+Relative error ~ 1/√k.
+
+The k hash functions come from ONE md5 per value via double hashing
+(Kirsch–Mitzenmacher, same construction as the minhash signatures in
+operators/dedup.py): h_i = (h1 + i·h2) mod 2^60, with h1/h2 the first
+60/56 bits of the digest. Everything is integer mins + a fixed-order
+IEEE-double fold, so the DuckDB oracle recomputes the estimate
+bit-for-bit.
+
+Scale shape — the whole point of a sketch aggregate: the partial
+aggregate is k ``min`` columns, map-side combined, so the exchange
+carries exactly k longs per group per partition regardless of row
+count or distinct count. (Exact ``countDistinct`` shuffles every
+distinct value; HLL shuffles a fixed register block — this matches the
+HLL profile while staying deterministic.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash space: 15 hex chars of md5, always fits a signed BIGINT
+# in both Spark and DuckDB.
+KMV_HASH_SPACE = 1 << 60
+
+
+def _hash_pair(value: Column) -> tuple[Column, Column]:
+    m = F.md5(value)
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 14), 16, 10).cast("long")
+    return h1, h2
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group deterministic distinct-count estimate of ``value_col``.
+
+    Output: group_cols + (n_rows, kmv_k, distinct_est). One shuffle;
+    the partial carries k longs + a count per group per partition.
+    """
+    h1, h2 = _hash_pair(F.col(value_col))
+    hashed = df.select(
+        *group_cols,
+        *[
+            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(f"_h{i}")
+            for i in range(k)
+        ],
+    )
+    per_group = hashed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)],
+    )
+    # fixed-order left-to-right double fold so the oracle's explicit
+    # (m0/H + m1/H + ...) sum reproduces the same IEEE result
+    total = F.lit(0.0)
+    for i in range(k):
+        total = total + F.col(f"_m{i}") / F.lit(float(KMV_HASH_SPACE))
+    est = F.lit(float(k)) / total - F.lit(1.0)
+    return per_group.select(
+        *group_cols,
+        "n_rows",
+        F.lit(k).alias("kmv_k"),
+        F.round(est, 6).alias("distinct_est"),
+    )
+
+
+def kmv_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> str:
+    """DuckDB SQL recomputing :func:`kmv_distinct_estimate` exactly."""
+    h1 = f"CAST('0x' || substr(md5({value_col}), 1, 15) AS BIGINT)"
+    h2 = f"CAST('0x' || substr(md5({value_col}), 16, 14) AS BIGINT)"
+    hspace = KMV_HASH_SPACE
+    hash_cols = ",\n               ".join(
+        f"({h1} + {i} * {h2}) % {hspace} AS _h{i}" for i in range(k)
+    )
+    mins = ", ".join(f"MIN(_h{i}) AS _m{i}" for i in range(k))
+    # parenthesized left-to-right to mirror the Spark fold order
+    total = "0.0"
+    for i in range(k):
+        total = f"({total} + _m{i} / {float(hspace)})"
+    gcols = ", ".join(group_cols)
+    return f"""
+        WITH hashed AS (
+            SELECT {gcols},
+               {hash_cols}
+            FROM {table}
+        ),
+        g AS (
+            SELECT {gcols}, COUNT(*) AS n_rows, {mins}
+            FROM hashed GROUP BY {gcols}
+        )
+        SELECT {gcols}, n_rows, {k} AS kmv_k,
+               round({float(k)} / {total} - 1.0, 6) AS distinct_est
+        FROM g
+    """

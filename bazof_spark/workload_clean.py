@@ -21,6 +21,7 @@ from bazof_spark.functions.redaction import (
     redact_pii,
 )
 from bazof_spark.functions.repetition import repetition_stats
+from bazof_spark.functions.sketch import kmv_distinct_estimate, kmv_oracle_sql
 
 
 def _docs(spark, sf_dir):
@@ -124,12 +125,37 @@ def _pii_oracle() -> str:
     """
 
 
+def sketch_distinct_kmv_q(spark, sf_dir):
+    """Deterministic distinct-count sketch: estimate distinct customers
+    per order priority from orders — one bounded-partial shuffle, the
+    sketch profile an HLL rollup would have at 100 TB but
+    oracle-checkable bit-for-bit."""
+    from bazof_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cust", F.col("o_custkey").cast("string")
+    )
+    return kmv_distinct_estimate(
+        orders, ["o_orderpriority"], "cust", k=32
+    )
+
+
+_SKETCH_ORACLE = kmv_oracle_sql(
+    "(SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS cust FROM orders)",
+    ["o_orderpriority"],
+    "cust",
+    k=32,
+)
+
+
 QUERIES_CLEAN = {
     "text_repetition": text_repetition_q,
     "pii_redaction": pii_redaction_q,
+    "sketch_distinct_kmv": sketch_distinct_kmv_q,
 }
 
 ORACLES_CLEAN = {
     "text_repetition": _TEXT_REPETITION_ORACLE,
     "pii_redaction": _pii_oracle(),
+    "sketch_distinct_kmv": _SKETCH_ORACLE,
 }

@@ -71,3 +71,17 @@ def test_redaction_is_idempotent_and_clean_text_untouched(spark):
         redact_pii(redact_pii(F.col("text"))).alias("red")
     )
     assert df.collect()[0]["red"] == clean
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from bazof_spark.functions.sketch import kmv_distinct_estimate
+
+    # 2000 distinct values repeated 3x: estimate within ~3/sqrt(k)=53%
+    # of truth (k=32); deterministic, so this is a fixed number, not a
+    # flaky statistical bound.
+    df = spark.range(6000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 2000).cast("string").alias("v")
+    )
+    row = kmv_distinct_estimate(df, ["grp"], "v", k=32).collect()[0]
+    assert row["n_rows"] == 6000
+    assert 1000 < row["distinct_est"] < 4000
