@@ -371,7 +371,9 @@ def dedup_clusters(
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
-    )
+    ).persist()  # the size probe and the solve both read the edge list;
+    # without this the upstream pair GENERATOR (an LSH join pipeline)
+    # would execute twice
     n_edges = edges.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         spark = pairs.sparkSession

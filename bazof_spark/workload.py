@@ -260,9 +260,69 @@ def streaming_latest_rows(spark, sf_dir):
     )
 
 
+def streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a STREAM (SURVEY
+    §2.B's streaming row): 6-hour event-time windows over the
+    events_versioned delta files, per-(window, key) counts in update
+    mode via availableNow, then the final state reduced batch-side to
+    per-window distinct keys + event counts. Exact (no approx sketch),
+    so the DuckDB oracle recomputes it from the same raw rows — proving
+    the streaming pipeline converges to the batch answer."""
+    from bazof_spark.streaming.stream import read_table_stream
+
+    lh = events_lakehouse(spark, sf_dir)
+    table = lh.table("events_versioned")
+    stream = read_table_stream(spark, table)
+    win = (
+        stream.withWatermark("event_time", "3650 days")
+        .groupBy(
+            F.window(F.col("event_time"), "6 hours").alias("_w"),
+            F.col("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.col("_w.start").alias("window_start"), "key", "_n")
+    )
+    name = f"stream_win_{next(_STREAM_SEQ)}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    # update mode re-emits a (window, key) row whenever its count grows;
+    # the final state is the max emit per (window, key)
+    final = emitted.groupBy("window_start", "key").agg(
+        F.max("_n").alias("_n")
+    )
+    return (
+        final.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.sum("_n").alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("window_start")).alias("window_start_us"),
+            "distinct_keys",
+            "n_events",
+        )
+    )
+
+
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
     "streaming_latest_rows": _events_oracle_cte(),
+    # 6h tumbling windows, epoch-aligned exactly like Spark's window():
+    # floor(epoch_us / 6h) * 6h
+    "streaming_window_counts": """
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000)
+                   * 21600000000 AS window_start_us,
+               COUNT(DISTINCT user_id) AS distinct_keys,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
     "asof_scan_event_time": _events_oracle_cte(
         f"ts <= TIMESTAMP '2024-01-15 00:00:00'"
     ),
@@ -1760,6 +1820,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_travel_changes": time_travel_changes,
     "asof_join_events": asof_join_events,
     "streaming_latest_rows": streaming_latest_rows,
+    "streaming_window_counts": streaming_window_counts,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,

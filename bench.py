@@ -24,11 +24,11 @@ from bazof_spark.workload import QUERIES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Full workload, ordered cheap→expensive; every SURVEY §2 operator family
-# is represented. streaming_latest_rows is excluded: it spins up a
-# Structured Streaming availableNow pipeline whose per-micro-batch
-# startup dominates at local scale — it is a correctness surface
-# (oracle-matched vs the batch scan), not a throughput one.
-BENCH_QUERIES = [q for q in QUERIES if q != "streaming_latest_rows"]
+# is represented. The streaming_* queries are excluded: they spin up
+# Structured Streaming availableNow pipelines whose per-micro-batch
+# startup dominates at local scale — they are correctness surfaces
+# (oracle-matched vs batch), not throughput ones.
+BENCH_QUERIES = [q for q in QUERIES if not q.startswith("streaming_")]
 
 
 def main() -> None:
@@ -52,6 +52,10 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        # operators persist() intermediates for the duration of their
+        # query; drop them so cached blocks don't accumulate across the
+        # 70-query session and tax later queries with GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -167,3 +167,23 @@ def test_change_feed_prunes_both_scans_and_bounds_shuffles(spark):
             f"change feed must prune unprojected value columns, got {cols}"
         )
     assert shuffle_count(df) <= 2, "one merge shuffle per as-of side"
+
+
+def test_corpus_quality_queries_bounded(spark):
+    """New corpus-quality surface: pii_redaction is map-only after the
+    rebalance; text_repetition pays the rebalance + two partial
+    aggregates; the KMV sketch is one bounded-partial exchange and must
+    prune the orders scan to its two columns."""
+    df = q("pii_redaction", spark)
+    assert shuffle_count(df) <= 1
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+    df = q("text_repetition", spark)
+    assert shuffle_count(df) <= 3
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+    df = q("sketch_distinct_kmv", spark)
+    assert shuffle_count(df) <= 1
+    assert scan_columns(df) == [{"o_orderpriority", "o_custkey"}]
