@@ -82,6 +82,101 @@ def kmv_distinct_estimate(
     )
 
 
+def histogram_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a fixed-bin histogram — the
+    bounded-memory answer to ``F.percentile`` (exact, but buffers every
+    value in the aggregate at 100 TB). The partial aggregate is at most
+    ``bins`` counts per group per partition; the estimate is the upper
+    edge of the bin where the cumulative count crosses ceil(q·n) —
+    deterministic, so the DuckDB oracle recomputes it exactly.
+
+    Output: group_cols + (n_rows, q<q>_est ...). Values outside
+    [lo, hi) clamp into the edge bins (the fixed domain is declared, as
+    with any histogram sketch).
+    """
+    width = (hi - lo) / bins
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast(
+        "long"
+    )
+    bin_col = F.least(
+        F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1)
+    ).alias("_bin")
+    per_bin = (
+        df.select(*group_cols, bin_col)
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = per_bin.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(wtot)
+    )
+    aggs = [F.max("_n").alias("n_rows")]
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("_n"))
+        qbin = F.min(F.when(F.col("_cum") >= target, F.col("_bin")))
+        est = F.lit(lo) + (qbin + 1) * F.lit(width)
+        aggs.append(
+            F.round(est, 6).alias(f"q{int(q * 100)}_est")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantile_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> str:
+    """DuckDB SQL recomputing :func:`histogram_quantile` exactly."""
+    width = (hi - lo) / bins
+    gcols = ", ".join(group_cols)
+    qexprs = ",\n               ".join(
+        f"round({lo} + (MIN(CASE WHEN _cum >= ceil({q} * _n) THEN _bin END)"
+        f" + 1) * {width}, 6) AS q{int(q * 100)}_est"
+        for q in quantiles
+    )
+    return f"""
+        WITH binned AS (
+            SELECT {gcols},
+                   LEAST(GREATEST(CAST(floor(({value_col} - {lo}) / {width})
+                       AS BIGINT), 0), {bins - 1}) AS _bin
+            FROM {table}
+        ),
+        per_bin AS (
+            SELECT {gcols}, _bin, COUNT(*) AS _cnt
+            FROM binned GROUP BY ALL
+        ),
+        cum AS (
+            SELECT {gcols}, _bin, _cnt,
+                   SUM(_cnt) OVER (PARTITION BY {gcols} ORDER BY _bin
+                       ROWS UNBOUNDED PRECEDING) AS _cum,
+                   SUM(_cnt) OVER (PARTITION BY {gcols}) AS _n
+            FROM per_bin
+        )
+        SELECT {gcols}, CAST(MAX(_n) AS BIGINT) AS n_rows,
+               {qexprs}
+        FROM cum GROUP BY {gcols}
+    """
+
+
 def kmv_oracle_sql(
     table: str,
     group_cols: list[str],

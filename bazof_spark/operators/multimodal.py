@@ -231,3 +231,70 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("meta.width") * F.col("meta.height")).alias("avg_pixels"),
     )
+
+
+def decode_audio(content: bytes, codec: str | None):  # pragma: no cover - stub
+    """STUB: real systems decode via ffmpeg/torchaudio here; this
+    container ships no audio codecs (see decode_image)."""
+    raise NotImplementedError(
+        "audio decode requires a codec library not present in this "
+        "environment; audio_waveform_stats treats the blob as raw "
+        "unsigned 8-bit PCM for pipeline testing"
+    )
+
+
+def audio_waveform_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Waveform statistics over binary audio columns: the blob is read
+    as raw unsigned 8-bit PCM mono (the decode-to-PCM step is the
+    :func:`decode_audio` stub; the PCM math is real). Output per blob:
+    (media_id, n_samples, peak, amp_sum, amp_milli_mean) — all integer
+    arithmetic, so the DuckDB oracle reproduces it exactly.
+
+    Same Arrow-batched ``mapInPandas`` shape as feature extraction: one
+    numpy pass per batch, no per-row Python, partition-parallel."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("peak", IntegerType(), False),
+            StructField("amp_sum", LongType(), False),
+            StructField("amp_milli_mean", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                pcm = (
+                    np.frombuffer(blob, dtype=np.uint8)
+                    if blob is not None
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                n = int(pcm.size)
+                s = int(pcm.sum(dtype=np.int64))
+                out.append(
+                    (
+                        str(mid),
+                        n,
+                        int(pcm.max()) if n else 0,
+                        s,
+                        (s * 1000) // n if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "peak",
+                    "amp_sum",
+                    "amp_milli_mean",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

@@ -71,6 +71,13 @@ _TABLE_FACTOR_RE = re.compile(
     rf"\b(?:FROM|JOIN)\s+(?P<name>{_IDENT})", re.IGNORECASE
 )
 
+# comma-separated continuation of a FROM list (`FROM a, b, c` — the
+# reference registers every table factor, so must we); an optional
+# bare/AS alias may sit between the previous factor and the comma
+_COMMA_FACTOR_RE = re.compile(
+    rf"\s*(?:(?:AS\s+)?{_IDENT})?\s*,\s*(?P<name>{_IDENT})", re.IGNORECASE
+)
+
 _KEYWORDS = frozenset(
     {"select", "lateral", "unnest", "values", "table", "generate_series"}
 )
@@ -186,13 +193,24 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
     rewritten = _SYSTEM_TIME_RE.sub(lambda m: _sub(m, spans), rewritten)
 
     spans = _string_spans(rewritten)
-    for match in _TABLE_FACTOR_RE.finditer(rewritten):
-        name = match.group("name")
-        if _inside(match.start("name"), spans):
-            continue
+
+    def _register_bare(name: str, pos: int) -> None:
+        if _inside(pos, spans):
+            return
         if name.lower() in _KEYWORDS or name in seen:
-            continue
+            return
         seen.add(name)
         tables.append(VersionedTable(name, name, Current))
+
+    for match in _TABLE_FACTOR_RE.finditer(rewritten):
+        _register_bare(match.group("name"), match.start("name"))
+        # walk `, next_factor` continuations of the same FROM list
+        pos = match.end()
+        while True:
+            cont = _COMMA_FACTOR_RE.match(rewritten, pos)
+            if cont is None:
+                break
+            _register_bare(cont.group("name"), cont.start("name"))
+            pos = cont.end()
 
     return rewritten, tables

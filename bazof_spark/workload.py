@@ -1293,6 +1293,15 @@ def multimodal_resize_q(spark, sf_dir):
     return out.select("media_id", "out_w", "out_h", "n_bytes", "checksum")
 
 
+def multimodal_audio_stats_q(spark, sf_dir):
+    """Waveform stats over the blob as raw u8 PCM (operators/multimodal.
+    audio_waveform_stats): integer-exact, Arrow-batched, one numpy pass
+    per batch."""
+    from bazof_spark.operators.multimodal import audio_waveform_stats
+
+    return audio_waveform_stats(_media_df(spark, sf_dir))
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -1323,6 +1332,23 @@ _FRAME_SAMPLE_ORACLE = """
 
 _MULTIMODAL_ORACLES = {
     "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
+    # u8-PCM read of the ASCII blob: byte == codepoint
+    "multimodal_audio_stats": """
+        WITH b AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   list_transform(range(1, length(text) + 1),
+                       i -> ascii(substring(text, i, 1))) AS bytes
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(len(bytes) AS BIGINT) AS n_samples,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS peak,
+               CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS amp_sum,
+               CAST(CASE WHEN len(bytes) > 0
+                    THEN (list_sum(bytes) * 1000) // len(bytes)
+                    ELSE 0 END AS BIGINT) AS amp_milli_mean
+        FROM b
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
                16 AS feature_dim
@@ -1863,6 +1889,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample": multimodal_frame_sample_q,
     "multimodal_features": multimodal_features_q,
     "multimodal_metadata_stats": multimodal_metadata_stats_q,
+    "multimodal_audio_stats": multimodal_audio_stats_q,
     "multimodal_resize": multimodal_resize_q,
 }
 

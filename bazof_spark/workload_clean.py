@@ -21,7 +21,12 @@ from bazof_spark.functions.redaction import (
     redact_pii,
 )
 from bazof_spark.functions.repetition import repetition_stats
-from bazof_spark.functions.sketch import kmv_distinct_estimate, kmv_oracle_sql
+from bazof_spark.functions.sketch import (
+    histogram_quantile,
+    histogram_quantile_oracle_sql,
+    kmv_distinct_estimate,
+    kmv_oracle_sql,
+)
 
 
 def _docs(spark, sf_dir):
@@ -148,14 +153,40 @@ _SKETCH_ORACLE = kmv_oracle_sql(
 )
 
 
+_HIST_ARGS = dict(
+    group_cols=["l_returnflag"],
+    value_col="l_extendedprice",
+    lo=900.0,
+    hi=105000.0,
+    bins=128,
+    quantiles=(0.5, 0.95),
+)
+
+
+def sketch_histogram_quantile_q(spark, sf_dir):
+    """Fixed-bin histogram quantile estimates per return flag — the
+    bounded-partial twin of agg_percentiles' exact (value-buffering)
+    percentiles: the exchange carries at most 128 counts per group per
+    partition at any scale."""
+    from bazof_spark.sources.tables import load_table
+
+    return histogram_quantile(
+        load_table(spark, sf_dir, "lineitem"), **_HIST_ARGS
+    )
+
+
 QUERIES_CLEAN = {
     "text_repetition": text_repetition_q,
     "pii_redaction": pii_redaction_q,
     "sketch_distinct_kmv": sketch_distinct_kmv_q,
+    "sketch_histogram_quantile": sketch_histogram_quantile_q,
 }
 
 ORACLES_CLEAN = {
     "text_repetition": _TEXT_REPETITION_ORACLE,
     "pii_redaction": _pii_oracle(),
     "sketch_distinct_kmv": _SKETCH_ORACLE,
+    "sketch_histogram_quantile": histogram_quantile_oracle_sql(
+        "lineitem", **_HIST_ARGS
+    ),
 }

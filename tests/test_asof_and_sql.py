@@ -251,3 +251,36 @@ def test_changes_sql_end_to_end(spark, tmp_path):
         for r in lh.scan_changes("ct", since="2024-01-15T00:00:00.000Z").collect()
     }
     assert got == lib
+
+
+def test_rewrite_registers_comma_separated_from_list():
+    """`FROM a, b` is two table factors — the reference registers every
+    factor (context.rs:29-43), so the bare-name scan must walk comma
+    continuations, with or without aliases."""
+    _, tables = rewrite_and_extract_tables(
+        "SELECT * FROM t1, t2, t3 WHERE t1.key = t2.key AND t2.key = t3.key"
+    )
+    assert {t.name for t in tables} == {"t1", "t2", "t3"}
+
+    _, tables = rewrite_and_extract_tables(
+        "SELECT * FROM t1 AS a, t2 b, t3 WHERE a.key = b.key"
+    )
+    names = {t.name for t in tables}
+    assert {"t1", "t2", "t3"} <= names
+
+    # ORDER BY / GROUP BY commas must not be mistaken for factors
+    _, tables = rewrite_and_extract_tables(
+        "SELECT x, y FROM t1 GROUP BY x, y ORDER BY x, y"
+    )
+    assert {t.name for t in tables} == {"t1"}
+
+
+def test_rewrite_comma_list_with_time_travel():
+    rewritten, tables = rewrite_and_extract_tables(
+        "SELECT * FROM fin AT ('2019-01-17T00:00:00.000Z'), dims"
+    )
+    assert "fin__1547683200000" in rewritten
+    assert {t.versioned_name for t in tables} == {
+        "fin__1547683200000",
+        "dims",
+    }

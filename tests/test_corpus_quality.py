@@ -85,3 +85,19 @@ def test_kmv_distinct_estimate_accuracy(spark):
     row = kmv_distinct_estimate(df, ["grp"], "v", k=32).collect()[0]
     assert row["n_rows"] == 6000
     assert 1000 < row["distinct_est"] < 4000
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    from bazof_spark.functions.sketch import histogram_quantile
+
+    df = spark.range(10000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    row = histogram_quantile(
+        df, ["grp"], "v", lo=0.0, hi=1000.0, bins=100, quantiles=(0.5, 0.95)
+    ).collect()[0]
+    assert row["n_rows"] == 10000
+    # true p50=499.5, p95=949.5 (uniform 0..999); bin width 10 -> the
+    # upper-edge estimate is within one bin of the exact value
+    assert abs(row["q50_est"] - 500.0) <= 10.0
+    assert abs(row["q95_est"] - 950.0) <= 10.0
