@@ -100,7 +100,8 @@ def histogram_quantile(
 
     Output: group_cols + (n_rows, q<q>_est ...). Values outside
     [lo, hi) clamp into the edge bins (the fixed domain is declared, as
-    with any histogram sketch).
+    with any histogram sketch); NULL values are excluded and n_rows is
+    the non-null count.
     """
     width = (hi - lo) / bins
     raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast(
@@ -110,7 +111,11 @@ def histogram_quantile(
         F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1)
     ).alias("_bin")
     per_bin = (
-        df.select(*group_cols, bin_col)
+        # NULL values are excluded explicitly: a NULL bin would sort
+        # nulls-first in Spark's window but nulls-last in DuckDB's,
+        # silently shifting the cumulative counts between engines.
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_col)
         .groupBy(*group_cols, "_bin")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
@@ -159,6 +164,7 @@ def histogram_quantile_oracle_sql(
                    LEAST(GREATEST(CAST(floor(({value_col} - {lo}) / {width})
                        AS BIGINT), 0), {bins - 1}) AS _bin
             FROM {table}
+            WHERE {value_col} IS NOT NULL
         ),
         per_bin AS (
             SELECT {gcols}, _bin, COUNT(*) AS _cnt

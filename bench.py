@@ -64,6 +64,7 @@ def main() -> None:
                 "metric": "workload_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
