@@ -184,6 +184,28 @@ def _check_nothing_beyond(
                 raise BazofError(
                     f"delta {d.file} starts after checkpoint time {at}"
                 )
+    # Wrapping demotes an open TOP-LEVEL segment to a range-checked
+    # child: at root level its deltas were always eligible (no range
+    # check at the root, metadata.rs:20-25), as a child they are only
+    # reachable when t >= segment.start. A delta or descendant segment
+    # starting BEFORE its open top-level segment's start would thus be
+    # eligible at t in [start_of_that_item, segment.start) before the
+    # checkpoint but unreachable after — refuse rather than diverge.
+    # (The writer never produces this layout; foreign metadata might.)
+    def _subtree_min_start(seg: Segment) -> datetime:
+        starts = [seg.start]
+        starts += [d.start for d in seg.delta]
+        starts += [_subtree_min_start(c) for c in seg.segments]
+        return min(starts)
+
+    for seg in snapshot.segments:
+        if seg.end is None and _subtree_min_start(seg) < seg.start:
+            raise BazofError(
+                f"open segment {seg.id} contains a delta/child starting "
+                "before the segment itself; wrapping it would strand "
+                "those rows for as-of times before the segment start — "
+                "refusing to checkpoint"
+            )
     files = sorted(
         {
             f
@@ -370,8 +392,16 @@ def validate_table(lakehouse, table_name: str) -> ValidationReport:
             .count()
         )
         if dupes:
-            report.errors.append(
-                f"{dupes} duplicate (key, event_time) pairs within a data file"
+            # warning, not error: at equal timestamps the scan's
+            # _row_idx tie-break keeps the first physical row — exactly
+            # the reference's first-row-wins — so reads stay well-defined
+            # and reference-identical. (The reference's own shipped
+            # financials table contains 5 such pairs.) Our writer still
+            # refuses to produce them (validate_data_file_invariants).
+            report.warnings.append(
+                f"{dupes} duplicate (key, event_time) pairs within a data "
+                "file; ties resolve to the first physical row (reference "
+                "semantics)"
             )
         # Intra-file winner selection (lakehouse._dedup_latest_per_key)
         # picks max event_time with _row_idx as tie-break; the reference

@@ -254,3 +254,24 @@ def test_validate_table_flags_unsorted_file(spark, lakehouse):
         pq.write_table(old.take(idx), victim)
     report = validate_table(lakehouse, "t")
     assert any("sorted event_time DESC" in e for e in report.errors)
+
+
+def test_checkpoint_refuses_delta_before_open_segment_start(spark, tmp_path):
+    """A delta starting BEFORE its open top-level segment's start is
+    always eligible at the root (no range check there) but becomes
+    unreachable for t < segment.start once the checkpoint wraps the
+    segment under a range-checked parent — checkpoint must refuse.
+    (The writer never emits this; foreign metadata can.)"""
+    w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
+    seg = w.add_segment(
+        "s1", ts(5), base_df=rows(spark, ("k1", ts(5), "base"))
+    )
+    seg.add_delta(
+        rows(spark, ("k2", ts(2), "early")), start=ts(2), end=ts(3)
+    )
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    with pytest.raises(BazofError, match="before the segment"):
+        checkpoint_table(
+            lh, "t", at=datetime(2024, 6, 1, tzinfo=timezone.utc)
+        )
