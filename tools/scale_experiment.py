@@ -1,0 +1,180 @@
+"""Scaling experiment: replicate the sf0.1 fact tables 10x (ids
+shifted so keys stay unique and join/group cardinalities scale
+realistically) and measure selected operators at 1x vs 10x. A
+shuffle-disciplined operator should scale ~linearly in rows on fixed
+cores; superlinear growth exposes a join/agg whose intermediate blows
+up. Results are recorded in SCALING.md.
+
+Usage: python tools/scale_experiment.py [--rebuild]
+Writes derived data under /tmp/bazof_scale/x10 (never touches
+/root/testdata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bazof_spark.session import get_spark  # noqa: E402
+from bazof_spark.workload import QUERIES  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/bazof_scale/x10"
+COPIES = 10
+
+# fact tables scale; dimensions stay 1x (the realistic shape: at 100 TB
+# the dims still broadcast)
+DIMS = ["customer", "supplier", "part", "nation", "region", "events"]
+
+MEASURED = [
+    "q1_pricing_summary",
+    "q18_large_volume_customer",
+    "q6_revenue_change",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_ann_lsh",
+    "sketch_distinct_kmv",
+    "sketch_histogram_quantile",
+]
+
+
+def _write(df, dst: str) -> None:
+    df.repartition(32).write.mode("overwrite").parquet(dst)
+
+
+def build(spark) -> None:
+    """10x the fact tables. Content is DECORRELATED across copies —
+    naive duplication would hand every near-dup/ANN operator 10-element
+    cliques of identical items, a quadratic pair blowup that real 10x
+    corpora don't have (and which would measure the data, not the
+    operator):
+
+    - documents: every word gets a per-copy suffix, so cross-copy
+      shingle overlap is zero while per-doc length/stats are preserved;
+    - embeddings: coordinates rotate per copy, decorrelating vectors
+      while keeping their norm distribution;
+    - orders+lineitem share one orderkey shift so joins stay consistent.
+    """
+    os.makedirs(DST, exist_ok=True)
+    for t in DIMS:
+        src = os.path.join(SRC, f"{t}.parquet")
+        dst = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    okey_width = (
+        max(
+            orders.agg(F.max("o_orderkey")).first()[0],
+            lineitem.agg(F.max("l_orderkey")).first()[0],
+        )
+        + 1
+    )
+    if not os.path.exists(os.path.join(DST, "orders.parquet")):
+        _write(
+            _union(
+                [
+                    orders.withColumn(
+                        "o_orderkey", F.col("o_orderkey") + i * okey_width
+                    )
+                    for i in range(COPIES)
+                ]
+            ),
+            os.path.join(DST, "orders.parquet"),
+        )
+    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        _write(
+            _union(
+                [
+                    lineitem.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + i * okey_width
+                    )
+                    for i in range(COPIES)
+                ]
+            ),
+            os.path.join(DST, "lineitem.parquet"),
+        )
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    dkey = docs.agg(F.max("doc_id")).first()[0] + 1
+    if not os.path.exists(os.path.join(DST, "documents.parquet")):
+        copies = []
+        for i in range(COPIES):
+            c = docs.withColumn("doc_id", F.col("doc_id") + i * dkey)
+            if i:
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
+                )
+            copies.append(c)
+        _write(_union(copies), os.path.join(DST, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    vkey = emb.agg(F.max("vec_id")).first()[0] + 1
+    if not os.path.exists(os.path.join(DST, "embeddings.parquet")):
+        copies = []
+        for i in range(COPIES):
+            c = emb.withColumn("vec_id", F.col("vec_id") + i * vkey)
+            if i:
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {i + 1}, "
+                        f"size(embedding) - {i}), slice(embedding, 1, {i}))"
+                    ),
+                )
+            copies.append(c)
+        _write(_union(copies), os.path.join(DST, "embeddings.parquet"))
+
+
+def _union(copies):
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in MEASURED:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return times
+
+
+def main() -> None:
+    spark = get_spark(app_name="bazof-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv and os.path.exists(DST):
+        shutil.rmtree(DST)
+    build(spark)
+    base = run(spark, SRC)
+    scaled = run(spark, DST)
+    report = {
+        name: {
+            "t_1x_sec": base[name],
+            "t_10x_sec": scaled[name],
+            "ratio": round(scaled[name] / base[name], 2)
+            if base[name] > 0
+            else None,
+        }
+        for name in MEASURED
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
