@@ -34,12 +34,24 @@ def rebalance_if_undersplit(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Parquet naive timestamps (isAdjustedToUTC=false) read as
+    TIMESTAMP_NTZ under Spark 4's default inference; the oracles (and the
+    rest of this codebase) treat them as instants in the UTC session.
+    Cast NTZ → TIMESTAMP so both sides agree regardless of which parquet
+    flavor the driver generated."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ntz(df)
