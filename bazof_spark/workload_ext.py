@@ -584,6 +584,41 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def rollup_events_hourly(spark, sf_dir):
+    """Incremental continuous aggregate (operators/rollup.Rollup):
+    hourly (bucket, event_type) partials materialized once up to a
+    fixed watermark (2024-01-22), then queries answer from
+    materialized ∪ aggregated-tail — history is never re-scanned.
+    Result provably equals the full GROUP BY (the DuckDB oracle IS the
+    full recompute). Measures merge losslessly: count→sum, decimal
+    sum→sum, max→max."""
+    import hashlib
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    from bazof_spark.operators.rollup import Rollup
+
+    ev = _t("events")(spark, sf_dir)
+    measures = {
+        "n_events": (F.count(F.lit(1)), "sum"),
+        "sum_value": (F.sum(F.col("value").cast("decimal(18,6)")), "sum"),
+        "max_value": (F.max("value"), "max"),
+    }
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bazof_rollup_{tag}")
+    r = Rollup(spark, path, "ts", ["event_type"], measures, 3600)
+    if r.watermark() is None:
+        r.build(ev, datetime(2024, 1, 22, tzinfo=timezone.utc))
+    return r.read(ev).select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
 QUERIES_EXT = {
     "q2_min_cost_part": q2_min_cost_part,
     "q7_volume_shipping": q7_volume_shipping,
@@ -606,9 +641,19 @@ QUERIES_EXT = {
     "top_terms_per_lang": top_terms_per_lang,
     "set_ops_multiset": set_ops_multiset,
     "pivot_status_by_year": pivot_status_by_year,
+    "rollup_events_hourly": rollup_events_hourly,
 }
 
 ORACLES_EXT = {
+    "rollup_events_hourly": """
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                   * 3600000000 AS bucket_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
     "q2_min_cost_part": """
         SELECT p_partkey, p_name, p_type, p_retailprice
         FROM part
