@@ -23,6 +23,7 @@ from bazof_spark.errors import BazofError
 from bazof_spark.lakehouse import Lakehouse
 from bazof_spark.maintenance import (
     checkpoint_table,
+    optimize_table,
     evolve_table_schema,
     restore_table,
     vacuum_table,
@@ -54,6 +55,7 @@ __all__ = [
     "__version__",
     "append_delta",
     "checkpoint_table",
+    "optimize_table",
     "evolve_table_schema",
     "restore_table",
     "vacuum_table",

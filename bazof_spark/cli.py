@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     p_ck.add_argument("--path", required=True)
     p_ck.add_argument("--table", required=True)
     p_ck.add_argument("--at", required=True, help="checkpoint time (RFC3339)")
+    p_ck.add_argument(
+        "--cluster-by",
+        help="comma-separated columns: write the base Z-ordered over "
+        "them (OPTIMIZE ZORDER analog) for multi-column row-group "
+        "skipping",
+    )
 
     p_val = sub.add_parser("validate", help="snapshot + data-file invariants")
     p_val.add_argument("--path", required=True)
@@ -145,7 +151,14 @@ def main(argv: list[str] | None = None) -> int:
         from bazof_spark.maintenance import checkpoint_table
 
         at = datetime.fromisoformat(args.at.replace("Z", "+00:00"))
-        snapshot = checkpoint_table(lh, args.table, at=at)
+        if args.cluster_by:
+            from bazof_spark.maintenance import optimize_table
+
+            snapshot = optimize_table(
+                lh, args.table, at=at, cluster_by=args.cluster_by.split(",")
+            )
+        else:
+            snapshot = checkpoint_table(lh, args.table, at=at)
         print(
             f"checkpointed {args.table} at {args.at}: "
             f"version {lh.table(args.table).current_version()}, "

@@ -89,6 +89,9 @@ def checkpoint_table(
     table_name: str,
     at: datetime,
     segment_id: str | None = None,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 12,
+    row_group_rows: int | None = None,
 ) -> Snapshot:
     """Compact ``table_name`` at time ``at`` (= T): wrap the
     previously-open segments under a closed parent and open a new
@@ -114,7 +117,22 @@ def checkpoint_table(
     state = lakehouse.scan_snapshot(
         table, snapshot, CURRENT, Projection.all()
     )
-    dataframe_to_parquet_file(state, table.data_file_path(base_file))
+    order_by = None
+    if cluster_by:
+        # Z-order clustered base: multi-column data skipping (see
+        # operators/zorder.py). Sound because a checkpoint base has one
+        # row per key, so merge winner selection is order-independent;
+        # validate_table treats unique-key unsorted files as a layout
+        # warning, not an error.
+        from bazof_spark.operators.zorder import zorder_code
+
+        order_by = [zorder_code(state, cluster_by, zorder_bits)]
+    dataframe_to_parquet_file(
+        state,
+        table.data_file_path(base_file),
+        order_by=order_by,
+        row_group_rows=row_group_rows,
+    )
 
     was_open = [s for s in snapshot.segments if s.end is None]
     kept_closed = tuple(s for s in snapshot.segments if s.end is not None)
@@ -150,6 +168,32 @@ def checkpoint_table(
     ) as f:
         f.write(next_version)
     return new_snapshot
+
+
+def optimize_table(
+    lakehouse,
+    table_name: str,
+    at: datetime,
+    cluster_by: list[str],
+    zorder_bits: int = 12,
+    row_group_rows: int = 8192,
+) -> Snapshot:
+    """Layout optimization (Delta ``OPTIMIZE ... ZORDER BY`` analog):
+    a checkpoint whose merged base is written in Z-order over
+    ``cluster_by`` with bounded row groups, so selective predicates on
+    ANY clustered column prune most row groups via parquet min/max
+    stats. Reads stay bit-identical at every as-of (it IS a
+    checkpoint); the base's one-row-per-key property keeps merge
+    winner selection order-independent."""
+    return checkpoint_table(
+        lakehouse,
+        table_name,
+        at,
+        segment_id=f"optimize_{int(at.timestamp() * 1000)}",
+        cluster_by=cluster_by,
+        zorder_bits=zorder_bits,
+        row_group_rows=row_group_rows,
+    )
 
 
 def _check_nothing_beyond(
@@ -410,26 +454,50 @@ def validate_table(lakehouse, table_name: str) -> ValidationReport:
         # file is sorted event_time DESC — an invariant our writer
         # enforces but foreign azof files need not satisfy. Detect the
         # divergence instead of reading such files silently.
+        # Exception: a file where every key occurs ONCE (e.g. a
+        # Z-order-clustered checkpoint base) is order-independent —
+        # first-row-wins == only-row-wins — so unsortedness there is a
+        # layout deviation (warning), not a semantic divergence (error).
         from pyspark.sql import Window
 
         w = Window.partitionBy("_f").orderBy("_ridx")
-        unsorted = (
+        per_file = (
             df.select(
                 F.expr("input_file_name()").alias("_f"),
                 F.col("_metadata.row_index").alias("_ridx"),
                 F.col(EVENT_TIME_COL).alias("_ts"),
+                F.col(KEY_COL).alias("_k"),
             )
             .withColumn("_prev", F.lag("_ts").over(w))
-            .filter(F.col("_prev").isNotNull() & (F.col("_ts") > F.col("_prev")))
-            .select("_f")
-            .distinct()
-            .count()
+            .groupBy("_f")
+            .agg(
+                F.max(
+                    (
+                        F.col("_prev").isNotNull()
+                        & (F.col("_ts") > F.col("_prev"))
+                    ).cast("int")
+                ).alias("_unsorted"),
+                (F.count(F.lit(1)) > F.count_distinct(F.col("_k"))).alias(
+                    "_dup_keys"
+                ),
+            )
+            .filter(F.col("_unsorted") == 1)
+            .select("_dup_keys")
+            .collect()
         )
-        if unsorted:
+        diverging = sum(1 for r in per_file if r["_dup_keys"])
+        clustered = len(per_file) - diverging
+        if diverging:
             report.errors.append(
-                f"{unsorted} data files are not sorted event_time DESC; "
-                "merge winner selection diverges from the reference's "
-                "first-row-wins on unsorted files"
+                f"{diverging} data files are not sorted event_time DESC "
+                "and repeat keys; merge winner selection diverges from "
+                "the reference's first-row-wins on unsorted files"
+            )
+        if clustered:
+            report.warnings.append(
+                f"{clustered} data files are not sorted event_time DESC "
+                "but hold one row per key (clustered base layout); merge "
+                "is order-independent there"
             )
     return report
 

@@ -54,7 +54,11 @@ def csv_to_dataframe(
 
 
 def dataframe_to_parquet_file(
-    df: DataFrame, dest_path: str, timestamp_unit: str = "us"
+    df: DataFrame,
+    dest_path: str,
+    timestamp_unit: str = "us",
+    order_by: list | None = None,
+    row_group_rows: int | None = None,
 ) -> None:
     """Write ONE parquet file (not a Spark directory), sorted by
     ``event_time`` DESC — the layout invariant
@@ -64,8 +68,14 @@ def dataframe_to_parquet_file(
     ``timestamp_unit``: the reference's Arrow schema is ms
     (crates/azof/src/schema.rs:188-197); we default to µs — Spark's
     native TimestampType resolution — so no precision is lost writing
-    Spark data. Pass "ms" for byte-level reference compatibility."""
-    tbl = df.orderBy(F.col(EVENT_TIME_COL).desc()).toArrow()
+    Spark data. Pass "ms" for byte-level reference compatibility.
+
+    ``order_by`` overrides the sort (Z-order clustering writes bases
+    sorted by Morton code instead — sound for unique-key bases, where
+    merge winner selection is order-independent); ``row_group_rows``
+    bounds row-group size so min/max skipping has granularity."""
+    order = order_by if order_by is not None else [F.col(EVENT_TIME_COL).desc()]
+    tbl = df.orderBy(*order).toArrow()
     fields = []
     for f in tbl.schema:
         if pa.types.is_timestamp(f.type):
@@ -75,7 +85,10 @@ def dataframe_to_parquet_file(
         else:
             fields.append(f)
     tbl = tbl.cast(pa.schema(fields))
-    pq.write_table(tbl, dest_path)
+    if row_group_rows:
+        pq.write_table(tbl, dest_path, row_group_size=row_group_rows)
+    else:
+        pq.write_table(tbl, dest_path)
 
 
 def validate_data_file_invariants(df: DataFrame) -> None:

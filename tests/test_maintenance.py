@@ -236,8 +236,10 @@ def test_checkpoint_refuses_non_canonical_segment_order(spark, tmp_path):
 
 def test_validate_table_flags_unsorted_file(spark, lakehouse):
     """Files not sorted event_time DESC make our max-event-time winner
-    diverge from the reference's first-row-wins; validate_table must
-    report them (ADVICE r1, lakehouse.py winner selection)."""
+    diverge from the reference's first-row-wins — but ONLY where a key
+    repeats within the file. Unique-key unsorted files (Z-order
+    clustered bases) are order-independent: warning, not error
+    (ADVICE r1, lakehouse.py winner selection)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -252,8 +254,24 @@ def test_validate_table_flags_unsorted_file(spark, lakehouse):
             old, sort_keys=[("event_time", "ascending")]
         )
         pq.write_table(old.take(idx), victim)
+    # every fixture file holds each key once → order-independent merge
     report = validate_table(lakehouse, "t")
-    assert any("sorted event_time DESC" in e for e in report.errors)
+    assert not any("sorted event_time DESC" in e for e in report.errors)
+    assert any("order-independent" in w for w in report.warnings)
+
+    # now make the unsorted files repeat a key: genuine divergence
+    # (at least one file has ≥2 distinct timestamps, so it stays
+    # unsorted after the ascending rewrite)
+    for f in table.get_current_snapshot().get_data_files():
+        victim = table.data_file_path(f)
+        old = pq.read_table(victim)
+        dup = pa.concat_tables([old, old.slice(0, 1)])
+        idx = pa.compute.sort_indices(
+            dup, sort_keys=[("event_time", "ascending")]
+        )
+        pq.write_table(dup.take(idx), victim)
+    report = validate_table(lakehouse, "t")
+    assert any("repeat keys" in e for e in report.errors)
 
 
 def test_checkpoint_refuses_delta_before_open_segment_start(spark, tmp_path):
