@@ -584,6 +584,54 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def jsonl_roundtrip(spark, sf_dir):
+    """Second source format end-to-end (sources/jsonl.py): documents
+    materialized as gzip JSONL shards once, read back with explicit
+    schema + corrupt-record quarantine. md5(text) proves the corpus
+    text survives JSON encode/decode byte-identically; the oracle reads
+    the original parquet."""
+    from bazof_spark.sources.jsonl import (
+        documents_as_jsonl,
+        read_jsonl_corpus,
+    )
+
+    path = documents_as_jsonl(spark, sf_dir)
+    docs = read_jsonl_corpus(spark, path)
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_digest"),
+    )
+
+
+def skew_salted_join(spark, sf_dir):
+    """Skew-mitigation surface (operators/skew.salted_join): orders
+    joined to a 5-row priority dimension — the canonical worst case
+    (5 distinct keys → at most 5 shuffle partitions do work without
+    salting). The salted plan spreads each hot key over 16 salts;
+    result provably equals the plain join (the oracle IS the plain
+    join). Weighted sum uses decimal so both engines agree bit-for-bit."""
+    from bazof_spark.operators.skew import salted_join
+
+    orders = _t("orders")(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", 5),
+            ("2-HIGH", 4),
+            ("3-MEDIUM", 3),
+            ("4-NOT SPECIFIED", 2),
+            ("5-LOW", 1),
+        ],
+        "o_orderpriority string, weight long",
+    )
+    j = salted_join(orders, dim, on="o_orderpriority", n_salts=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (_dec("o_totalprice") * F.col("weight")).cast("decimal(28,2)")
+        ).cast("double").alias("weighted_price"),
+    )
+
+
 def rollup_events_hourly(spark, sf_dir):
     """Incremental continuous aggregate (operators/rollup.Rollup):
     hourly (bucket, event_type) partials materialized once up to a
@@ -642,9 +690,29 @@ QUERIES_EXT = {
     "set_ops_multiset": set_ops_multiset,
     "pivot_status_by_year": pivot_status_by_year,
     "rollup_events_hourly": rollup_events_hourly,
+    "skew_salted_join": skew_salted_join,
+    "jsonl_roundtrip": jsonl_roundtrip,
 }
 
 ORACLES_EXT = {
+    "jsonl_roundtrip": """
+        SELECT doc_id, lang, source, n_chars, md5(text) AS text_digest
+        FROM documents
+    """,
+    "skew_salted_join": """
+        WITH dim AS (
+            SELECT * FROM (VALUES
+                ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
+            ) AS t(o_orderpriority, weight)
+        )
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * weight
+                    AS DECIMAL(28,2))) AS DOUBLE) AS weighted_price
+        FROM orders o JOIN dim USING (o_orderpriority)
+        GROUP BY 1
+    """,
     "rollup_events_hourly": """
         SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
                    * 3600000000 AS bucket_start_us,
