@@ -195,6 +195,40 @@ class Rollup:
         ).withColumn("bucket_date", F.to_date(BUCKET_COL))
         agg.write.mode("append").partitionBy("bucket_date").parquet(self.path)
 
+    # -- streaming continuous-aggregate mode: the rollup IS the store
+    # (no raw log to serve a tail). foreachBatch appends each
+    # micro-batch's partials; reads merge partials per bucket. The
+    # foreachBatch at-least-once replay contract makes duplicate
+    # partials possible after crash-recovery; pass the micro-batch
+    # through dropDuplicates on a row id before folding when exact
+    # counts must survive replays.
+    def append_partials(self, batch: DataFrame) -> None:
+        """Fold one micro-batch (any event times — late rows included)
+        into the materialized partials. One aggregation pass over the
+        batch; history never re-read."""
+        agg = aggregate_bucketed(
+            batch, self.ts_col, self.keys, self.measures, self.bucket_seconds
+        ).withColumn("bucket_date", F.to_date(BUCKET_COL))
+        agg.write.mode("append").partitionBy("bucket_date").parquet(self.path)
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` — a Structured
+        Streaming continuous aggregate in one line:
+        ``stream.writeStream.foreachBatch(rollup.foreach_batch())``."""
+
+        def _fold(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                self.append_partials(batch_df)
+
+        return _fold
+
+    def read_materialized(self) -> DataFrame:
+        """Merged view of the partials alone (streaming mode — no tail
+        side). Equals the full GROUP BY over every batch ever folded."""
+        cols = [BUCKET_COL, *self.keys, *self.measures.keys()]
+        mat = self.spark.read.parquet(self.path).select(*cols)
+        return merge_partials(mat, self.keys, self.measures).select(*cols)
+
     def read(self, events: DataFrame) -> DataFrame:
         """Exact finest-level rollup over the WHOLE log: materialized
         partials (re-merged per bucket) ∪ aggregated tail

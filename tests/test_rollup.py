@@ -88,6 +88,48 @@ def test_reconcile_folds_late_rows_into_history(spark, tmp_path_rollup):
     assert _sorted_rows(r.read(ev_all)) == _sorted_rows(_full(ev_all))
 
 
+def test_streaming_foreach_batch_continuous_aggregate(
+    spark, tmp_path_rollup
+):
+    """Structured Streaming → rollup: foreachBatch folds each
+    micro-batch's partials; the materialized view equals the full
+    GROUP BY over everything streamed (late rows included)."""
+    import json
+    import os
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="bazof_rollup_stream_")
+    rows = ROWS_EARLY + ROWS_MID + ROWS_TAIL
+    # two source files → availableNow processes them as micro-batches
+    for i, chunk in enumerate((rows[:3], rows[3:])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for ts_, k, v in chunk:
+                f.write(
+                    json.dumps(
+                        {"ts": ts_.strftime("%Y-%m-%d %H:%M:%S"), "k": k, "v": v}
+                    )
+                    + "\n"
+                )
+    r = _mk(spark, tmp_path_rollup)
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(r.foreach_batch())
+        .option(
+            "checkpointLocation",
+            os.path.join(src, "_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ev = _events(spark, rows)
+    assert _sorted_rows(r.read_materialized()) == _sorted_rows(_full(ev))
+
+
 def test_read_requires_build(spark, tmp_path_rollup):
     r = _mk(spark, tmp_path_rollup)
     with pytest.raises(ValueError):
