@@ -49,34 +49,49 @@ def repetition_stats(
     - ``top_gram_frac``: characters covered by that n-gram's
       occurrences / total characters.
 
-    Shuffle profile: explode is map-side; groupBy(id, gram) and
-    groupBy(id) both partial-aggregate, so exchanges carry counts, not
-    text. Grams reuse `shingles` semantics (single-word docs yield the
-    whole text as their one "gram").
+    Shuffle profile: NONE. A per-document mode needs no exchange — the
+    gram array is sorted per row and folded once (longest run of the
+    sorted array = most frequent gram; scanning ascending makes the
+    ``>=`` update reproduce the (count, gram) struct-max tie-break
+    exactly). The whole operator is a map over documents, the shape
+    that scales to any corpus size: the earlier explode + double
+    groupBy version shuffled every (doc, gram) pair twice. Grams reuse
+    `shingles` semantics (single-word docs yield the whole text as
+    their one "gram", so every document emits a row).
     """
     t = F.col(text_col)
-    base = docs.select(
+    sorted_grams = F.array_sort(shingles(t, n))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bestgram"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = (run > acc["best"]) | (
+            (run == acc["best"]) & (x >= acc["bestgram"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestgram"]).alias("bestgram"),
+        )
+
+    top = F.aggregate(sorted_grams, init, _step)
+    chars = F.length(t)
+    return docs.select(
         id_col,
-        F.length(t).alias("_chars"),
         F.round(word_repetition_ratio(t), 6).alias("word_rep_ratio"),
-        F.explode(shingles(t, n)).alias("gram"),
-    )
-    counts = base.groupBy(id_col, "_chars", "word_rep_ratio", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    top = counts.groupBy(id_col, "_chars", "word_rep_ratio").agg(
-        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top")
-    )
-    return top.select(
-        id_col,
-        "word_rep_ratio",
-        F.col("_top.gram").alias("top_gram"),
+        top["bestgram"].alias("top_gram"),
         F.round(
             F.when(
-                F.col("_chars") > 0,
-                F.col("_top.cnt")
-                * F.length(F.col("_top.gram"))
-                / F.col("_chars"),
+                chars > 0,
+                top["best"] * F.length(top["bestgram"]) / chars,
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_gram_frac"),

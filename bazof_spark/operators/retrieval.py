@@ -41,57 +41,67 @@ def bm25_rank(
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
 
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
-        ).alias("_t"),
+    # Array-native: the query's term set is tiny, so per-doc term
+    # frequencies are |terms| array-filter passes over the token array —
+    # no token explode, no (doc, token) shuffle at all. The only
+    # aggregates are ONE single-row stats agg (N, avgdl, per-term df —
+    # broadcast back) and the final top-k. Wide shuffles: zero.
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+
+    def _tf_expr(term: str) -> F.Column:
+        # factory, not a default-arg lambda: a 2-param lambda would be
+        # treated by the HOF as (element, index)
+        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+
+    base = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select(
+            "_id",
+            F.size("_toks").alias("_dl"),
+            *[_tf_expr(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+        )
+        # docs with zero tokens contribute to neither N nor avgdl
+        .filter(F.col("_dl") > 0)
     )
-    doclen = words.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
     )
 
-    matched = words.filter(F.col("_t").isin(terms))  # prune at the explode
-    tf = matched.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    def _term_score(i: int) -> F.Column:
+        tf_i = F.col(f"_tf_{i}")
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        return F.when(
+            tf_i > 0,
+            idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm),
+        ).otherwise(F.lit(0.0))
 
-    # dfreq (≤ |query| rows) and stats (1 row) broadcast; the tf⋈doclen
-    # join is left to Catalyst/AQE — tf is usually the small side but a
-    # stop-word query can match most of the corpus, so no forced hint
-    scored = (
-        tf.join(F.broadcast(dfreq), "_t")
-        .join(doclen, "_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_idf",
-            F.log(
-                (F.col("_n") - F.col("_df") + F.lit(0.5))
-                / (F.col("_df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-        )
-        .withColumn(
-            "_s",
-            F.col("_idf")
-            * (F.col("_tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("_tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-                )
-            ),
-        )
+    score = _term_score(0)
+    for i in range(1, len(terms)):
+        score = score + _term_score(i)
+    n_matched = sum(
+        (F.col(f"_tf_{i}") > 0).cast("long") for i in range(len(terms))
     )
     return (
-        scored.groupBy("_id")
-        .agg(
-            F.round(F.sum("_s"), 6).alias("score"),
-            F.count(F.lit(1)).alias("n_matched"),
+        scored.withColumn("_nm", n_matched)
+        .filter(F.col("_nm") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(score, 6).alias("score"),
+            F.col("_nm").alias("n_matched"),
         )
-        .orderBy(F.col("score").desc(), F.col("_id").asc())
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
-        .select(F.col("_id").alias(id_col), "score", "n_matched")
     )
