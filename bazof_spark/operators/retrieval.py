@@ -62,6 +62,10 @@ def bm25_rank(
         )
         # docs with zero tokens contribute to neither N nor avgdl
         .filter(F.col("_dl") > 0)
+        # base is ~|terms|+2 numerics per doc and feeds BOTH the stats
+        # agg and the scoring pass; persisting it stops Spark from
+        # tokenizing the corpus twice (the regexp dominates the cost)
+        .persist()
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"),

@@ -612,7 +612,11 @@ def skew_salted_join(spark, sf_dir):
     join). Weighted sum uses decimal so both engines agree bit-for-bit."""
     from bazof_spark.operators.skew import salted_join
 
-    orders = _t("orders")(spark, sf_dir)
+    # project the fact side FIRST: the salt hashes the row, so an
+    # unprojected frame would drag every column through the plan
+    orders = _t("orders")(spark, sf_dir).select(
+        "o_orderpriority", "o_totalprice"
+    )
     dim = spark.createDataFrame(
         [
             ("1-URGENT", 5),

@@ -180,10 +180,35 @@ def test_corpus_quality_queries_bounded(spark):
         assert cols <= {"doc_id", "text"}
 
     df = q("text_repetition", spark)
-    assert shuffle_count(df) <= 3
+    assert shuffle_count(df) <= 1  # map-only after the rebalance
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}
 
     df = q("sketch_distinct_kmv", spark)
     assert shuffle_count(df) <= 1
     assert scan_columns(df) == [{"o_orderpriority", "o_custkey"}]
+
+
+def test_round2_queries_bounded(spark):
+    """BM25 is array-native: rebalance + one single-row stats exchange
+    + final top-k, never a (doc, token) shuffle; repetition is map-only
+    after the rebalance; the rollup pays one tail aggregate + one merge
+    aggregate; the salted join broadcasts the dim (its only exchange is
+    the final group-by) and prunes orders to its two columns."""
+    df = q("bm25_search", spark)
+    assert shuffle_count(df) <= 3
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+    assert shuffle_count(q("text_repetition", spark)) <= 1
+
+    assert shuffle_count(q("rollup_events_hourly", spark)) <= 2
+
+    df = q("skew_salted_join", spark)
+    assert shuffle_count(df) <= 1
+    assert broadcast_join_count(df) >= 1
+    for cols in scan_columns(df):
+        if any(c.startswith("o_") for c in cols):
+            assert cols <= {"o_orderpriority", "o_totalprice"}, cols
+
+    assert shuffle_count(q("jsonl_roundtrip", spark)) == 0
