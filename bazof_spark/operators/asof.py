@@ -61,9 +61,17 @@ def asof_join(
     probe_ts: str,
     build_ts: str,
     how: str = "inner",
+    tolerance=None,
 ) -> DataFrame:
     """Point-in-time join: for each probe row, attach the latest build
     row with ``build_ts <= probe_ts`` for the same key.
+
+    ``tolerance`` (a ``datetime.timedelta``, or seconds as int/float —
+    pandas ``merge_asof(tolerance=...)`` semantics): a carried match
+    older than ``probe_ts - tolerance`` is voided (nulled for left
+    joins, dropped for inner) — stale versions don't leak forward
+    across quiet periods. The plan is unchanged: the bound is a scalar
+    post-filter on the carried struct, not a range join.
 
     Spark has no native as-of join for batch; the standard shuffle-free
     -ish encoding is union + last-observation-carried-forward via a
@@ -102,6 +110,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_b", F.last("_bpayload", ignorenulls=True).over(w))
+    if tolerance is not None:
+        from datetime import timedelta
+
+        if isinstance(tolerance, timedelta):
+            tol_us = int(tolerance.total_seconds() * 1_000_000)
+        else:
+            tol_us = int(float(tolerance) * 1_000_000)
+        fresh = F.unix_micros(F.col("_b")[build_ts].cast("timestamp")) >= (
+            F.unix_micros(F.col("_ts").cast("timestamp")) - F.lit(tol_us)
+        )
+        carried = carried.withColumn(
+            "_b", F.when(fresh, F.col("_b"))  # stale carry → null
+        )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in probe.columns],
         *[F.col("_b")[c].alias(c) for c in [build_ts, *build_payload]],

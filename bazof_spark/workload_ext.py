@@ -584,6 +584,47 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a freshness bound (operators/asof.asof_join
+    tolerance= — pandas merge_asof semantics): each click matched to
+    the latest same-user purchase at most 48h older; staler carries are
+    dropped. Left join so unmatched clicks surface with nulls; the
+    oracle is the windowed-max formulation (DuckDB's ASOF JOIN has no
+    tolerance clause)."""
+    from datetime import timedelta
+
+    from bazof_spark.operators.asof import asof_join
+
+    ev = _t("events")(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select("user_id", F.col("ts").alias("purchase_ts"), "purchase_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        probe_ts="click_ts",
+        build_ts="purchase_ts",
+        how="left",
+        tolerance=timedelta(hours=48),
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
 def jsonl_roundtrip(spark, sf_dir):
     """Second source format end-to-end (sources/jsonl.py): documents
     materialized as gzip JSONL shards once, read back with explicit
@@ -696,9 +737,42 @@ QUERIES_EXT = {
     "rollup_events_hourly": rollup_events_hourly,
     "skew_salted_join": skew_salted_join,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "asof_join_tolerance": asof_join_tolerance,
 }
 
 ORACLES_EXT = {
+    "asof_join_tolerance": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+                   MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        ),
+        cand AS (
+            SELECT c.click_id, c.user_id, c.click_ts,
+                   p.purchase_ts, p.purchase_value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.click_id
+                       ORDER BY p.purchase_ts DESC
+                   ) AS rn
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.user_id
+             AND p.purchase_ts <= c.click_ts
+             AND p.purchase_ts >= c.click_ts - INTERVAL 48 HOUR
+        )
+        SELECT click_id, user_id, epoch_us(click_ts) AS click_ts_us,
+               epoch_us(purchase_ts) AS purchase_ts_us, purchase_value
+        FROM cand WHERE rn = 1
+        UNION ALL
+        SELECT click_id, user_id, epoch_us(click_ts), NULL, NULL
+        FROM clicks
+        WHERE click_id NOT IN (SELECT click_id FROM cand)
+    """,
     "jsonl_roundtrip": """
         SELECT doc_id, lang, source, n_chars, md5(text) AS text_digest
         FROM documents
