@@ -39,14 +39,19 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist df as a bucketed managed parquet table. Sorting within
-    buckets makes the downstream join a zero-sort merge as well."""
+    """Persist df as a bucketed parquet table (external at ``path`` if
+    given — keeps data out of the session warehouse dir). Sorting
+    within buckets makes the downstream join a zero-sort merge as
+    well."""
     writer = df.write.format("parquet").mode("overwrite").bucketBy(
         num_buckets, bucket_col
     )
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

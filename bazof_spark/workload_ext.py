@@ -24,6 +24,8 @@ per-row subquery execution), which is the scalable rewrite.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -584,6 +586,52 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def bucketed_colocated_join(spark, sf_dir):
+    """Fact⋈fact join over the bucketed layout (sources/bucketed.py):
+    lineitem and orders written once as 16-bucket tables hash-
+    partitioned on the orderkey, so the join runs with NO exchange on
+    either side — the write paid the shuffle once. The only exchange
+    left is the final group-by. Oracle: the plain join."""
+    import hashlib
+
+    from bazof_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"bazof_bucketed_{tag}")
+    lt, ot = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    # external tables under /tmp; rebuilt once per session (the catalog
+    # is in-memory, so tableExists is per-session)
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            _t("lineitem")(spark, sf_dir).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            "l_orderkey",
+            16,
+            path=os.path.join(root, lt),
+        )
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            _t("orders")(spark, sf_dir).select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            ot,
+            "o_orderkey",
+            16,
+            path=os.path.join(root, ot),
+        )
+    j = bucketed_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_disc_price().cast("decimal(28,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def asof_join_tolerance(spark, sf_dir):
     """As-of join with a freshness bound (operators/asof.asof_join
     tolerance= — pandas merge_asof semantics): each click matched to
@@ -738,9 +786,18 @@ QUERIES_EXT = {
     "skew_salted_join": skew_salted_join,
     "jsonl_roundtrip": jsonl_roundtrip,
     "asof_join_tolerance": asof_join_tolerance,
+    "bucketed_colocated_join": bucketed_colocated_join,
 }
 
 ORACLES_EXT = {
+    "bucketed_colocated_join": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST({_DISC_PRICE_SQL} AS DECIMAL(28,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
     "asof_join_tolerance": """
         WITH clicks AS (
             SELECT event_id AS click_id, user_id,

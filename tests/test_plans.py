@@ -212,3 +212,7 @@ def test_round2_queries_bounded(spark):
             assert cols <= {"o_orderpriority", "o_totalprice"}, cols
 
     assert shuffle_count(q("jsonl_roundtrip", spark)) == 0
+
+    # the bucketed layout paid the join shuffle at write time: only the
+    # final group-by may exchange
+    assert shuffle_count(q("bucketed_colocated_join", spark)) <= 1

@@ -31,7 +31,7 @@ COPIES = 10
 
 # fact tables scale; dimensions stay 1x (the realistic shape: at 100 TB
 # the dims still broadcast)
-DIMS = ["customer", "supplier", "part", "nation", "region", "events"]
+DIMS = ["customer", "supplier", "part", "nation", "region"]
 
 MEASURED = [
     "q1_pricing_summary",
@@ -44,6 +44,11 @@ MEASURED = [
     "embedding_ann_lsh",
     "sketch_distinct_kmv",
     "sketch_histogram_quantile",
+    "bm25_search",
+    "text_repetition",
+    "rollup_events_hourly",
+    "skew_salted_join",
+    "asof_join_tolerance",
 ]
 
 
@@ -117,6 +122,24 @@ def build(spark) -> None:
                 )
             copies.append(c)
         _write(_union(copies), os.path.join(DST, "documents.parquet"))
+
+    # events: shift event_id AND user_id per copy — per-user event
+    # density stays constant (10× users, not 10× events per user), the
+    # realistic growth mode for the as-of/rollup/session operators
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    ekey = ev.agg(F.max("event_id")).first()[0] + 1
+    ukey = ev.agg(F.max("user_id")).first()[0] + 1
+    if not os.path.exists(os.path.join(DST, "events.parquet")):
+        _write(
+            _union(
+                [
+                    ev.withColumn("event_id", F.col("event_id") + i * ekey)
+                    .withColumn("user_id", F.col("user_id") + i * ukey)
+                    for i in range(COPIES)
+                ]
+            ),
+            os.path.join(DST, "events.parquet"),
+        )
 
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     vkey = emb.agg(F.max("vec_id")).first()[0] + 1
