@@ -15,3 +15,10 @@ class TableNotFoundError(BazofError):
 
 class SqlRewriteError(BazofError):
     """Time-travel SQL clause is malformed (e.g. invalid timestamp)."""
+
+
+class CommitConflictError(BazofError):
+    """Another writer published a snapshot while this commit ran
+    (optimistic concurrency check at publish time). Re-read the table
+    and retry; any already-written delta files are unreferenced and
+    will be collected by vacuum_table."""

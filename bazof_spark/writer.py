@@ -411,8 +411,58 @@ def append_delta(
         target, delta=tuple(target.delta) + tuple(new_deltas)
     )
     new_snapshot = Snapshot(segments=tuple(segs), schema=schema)
+    _publish_snapshot(table_path, version, next_version, new_snapshot)
+    return new_snapshot
+
+
+def upsert_with_retry(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    retries: int = 3,
+    **kwargs,
+):
+    """append_delta with optimistic-concurrency retries: on
+    CommitConflictError the table is re-read (fresh version, fresh
+    snapshot) and the upsert re-derived — the standard commit loop
+    every optimistic lakehouse writer runs."""
+    from bazof_spark.errors import CommitConflictError
+
+    for attempt in range(retries + 1):
+        try:
+            return append_delta(spark, table_path, df, **kwargs)
+        except CommitConflictError:
+            if attempt == retries:
+                raise
+
+
+def _publish_snapshot(
+    table_path: str,
+    expected_version: str,
+    next_version: str,
+    snapshot: Snapshot,
+) -> None:
+    """Optimistic-concurrency publish: re-check the version pointer
+    still reads ``expected_version`` (the snapshot this commit was
+    derived from) immediately before writing; a moved pointer means a
+    concurrent writer won — raise CommitConflictError so the caller
+    re-reads and retries instead of silently dropping the other
+    commit's deltas from its snapshot copy. The residual window between
+    check and flip needs a real CAS (a locking service / conditional
+    put on object stores — the same gap Delta closes with a LogStore);
+    on a local FS this check catches every non-simultaneous race, and
+    abandoned delta files stay unreferenced until vacuum_table."""
+    from bazof_spark.errors import CommitConflictError
+
+    latest = Table(
+        path=table_path, name=os.path.basename(table_path.rstrip("/"))
+    ).current_version()
+    if latest != expected_version:
+        raise CommitConflictError(
+            f"version pointer moved {expected_version!r} → {latest!r} "
+            "while this commit ran; re-read the table and retry"
+        )
     with open(os.path.join(table_path, f"s{next_version}.json"), "w") as f:
-        f.write(new_snapshot.serialize())
+        f.write(snapshot.serialize())
     with open(os.path.join(table_path, VERSION_FILE), "w") as f:
         f.write(next_version)
-    return new_snapshot

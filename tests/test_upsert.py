@@ -223,3 +223,49 @@ def test_streaming_upsert_sink(spark, tmp_path):
     validate_table(lh, "t").raise_if_invalid()
     # history preserved: before the stream's event times
     assert _current(lh, as_of=ts(2024, 1, 15)) == [("1", "a1"), ("2", "b1")]
+
+
+def test_commit_conflict_detected_and_retry_succeeds(spark, tmp_path):
+    """Optimistic concurrency: a version pointer moved by a concurrent
+    writer between snapshot read and publish must raise
+    CommitConflictError (not silently drop the other commit), and
+    upsert_with_retry must succeed by re-deriving from the new
+    snapshot."""
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.metadata import Snapshot
+    from bazof_spark.writer import _publish_snapshot, upsert_with_retry
+
+    lh = _seed_table(spark, str(tmp_path))
+    table = lh.table("t")
+    stale_version = table.current_version()
+    stale_snapshot = table.get_current_snapshot()
+
+    # concurrent writer lands a commit (pointer moves 1 → 2)
+    append_delta(
+        spark, table.path, _df(spark, [("3", ts(2024, 1, 2), "c1")])
+    )
+    assert table.current_version() != stale_version
+
+    # publishing a snapshot derived from the stale version must refuse
+    with pytest.raises(CommitConflictError):
+        _publish_snapshot(
+            table.path,
+            stale_version,
+            "9",
+            Snapshot(
+                segments=stale_snapshot.segments,
+                schema=stale_snapshot.schema,
+            ),
+        )
+    # the refused publish left no partial state behind
+    assert not os.path.exists(os.path.join(table.path, "s9.json"))
+    assert table.current_version() == "2"
+
+    # retry loop: plain sequential use never false-positives, and the
+    # result includes every committed row
+    upsert_with_retry(
+        spark, table.path, _df(spark, [("4", ts(2024, 1, 3), "d1")])
+    )
+    assert _current(lh) == [
+        ("1", "a1"), ("2", "b1"), ("3", "c1"), ("4", "d1"),
+    ]
