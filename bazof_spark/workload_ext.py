@@ -586,6 +586,16 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def doc_chunking(spark, sf_dir):
+    """RAG-style chunking (operators/chunking.chunk_documents): 64-token
+    windows, 16-token overlap, map-only. The oracle recomputes every
+    window boundary with the same integer arithmetic."""
+    from bazof_spark.operators.chunking import chunk_documents
+
+    docs = _t("documents")(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def bucketed_colocated_join(spark, sf_dir):
     """Fact⋈fact join over the bucketed layout (sources/bucketed.py):
     lineitem and orders written once as 16-bucket tables hash-
@@ -787,9 +797,25 @@ QUERIES_EXT = {
     "jsonl_roundtrip": jsonl_roundtrip,
     "asof_join_tolerance": asof_join_tolerance,
     "bucketed_colocated_join": bucketed_colocated_join,
+    "doc_chunking": doc_chunking,
 }
 
 ORACLES_EXT = {
+    "doc_chunking": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS w,
+                   greatest(1, (len(string_split_regex(trim(text), '\s+'))
+                                - 16 + 47) // 48) AS nc
+            FROM documents
+        )
+        SELECT doc_id,
+               t.ci AS chunk_id,
+               len(w[t.ci*48+1 : t.ci*48+64]) AS n_chunk_tokens,
+               array_to_string(w[t.ci*48+1 : t.ci*48+64], ' ')
+                   AS chunk_text
+        FROM d, UNNEST(range(d.nc)) AS t(ci)
+    """,
     "bucketed_colocated_join": f"""
         SELECT o_orderpriority,
                COUNT(*) AS n_lines,

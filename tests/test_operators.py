@@ -407,3 +407,30 @@ def test_bm25_rank_ordering(spark):
 
     with pytest.raises(ValueError):
         bm25_rank(df, [])
+
+
+def test_chunk_documents_boundaries(spark):
+    from bazof_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens, 2 chunks
+            (2, "solo"),                                 # < 1 window
+            (3, " ".join(f"x{i}" for i in range(8))),   # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    }
+    # doc 1: ceil((10-2)/6)=2 chunks; starts 0 and 6; second is short
+    assert out[(1, 0)][0] == 8
+    assert out[(1, 0)][1].startswith("w0 ") and out[(1, 0)][1].endswith(" w7")
+    assert out[(1, 1)] == (4, "w6 w7 w8 w9")  # overlap of 2 tokens
+    assert out[(2, 0)] == (1, "solo")
+    assert out[(3, 0)][0] == 8 and (3, 1) not in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
