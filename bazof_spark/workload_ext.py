@@ -586,6 +586,33 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def agg_cube_orders(spark, sf_dir):
+    """CUBE over (o_orderstatus, o_orderpriority) computed from the
+    finest-level partials (operators/agg.cube_from_partials): the fact
+    table is scanned and shuffled ONCE; the other 3 grouping sets
+    re-aggregate a ≤15-row relation — vs built-in cube()'s 4× Expand of
+    every input row before the partial aggregate."""
+    from bazof_spark.operators.agg import cube_from_partials
+
+    orders = _t("orders")(spark, sf_dir)
+    cube = cube_from_partials(
+        orders,
+        keys=["o_orderstatus", "o_orderpriority"],
+        measures={
+            "n_orders": (F.count(F.lit(1)), "sum"),
+            "sum_price": (F.sum(_dec("o_totalprice")), "sum"),
+            "max_price": (F.max(_dec("o_totalprice")), "max"),
+        },
+    )
+    return cube.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
 def doc_chunking(spark, sf_dir):
     """RAG-style chunking (operators/chunking.chunk_documents): 64-token
     windows, 16-token overlap, map-only. The oracle recomputes every
@@ -798,9 +825,20 @@ QUERIES_EXT = {
     "asof_join_tolerance": asof_join_tolerance,
     "bucketed_colocated_join": bucketed_colocated_join,
     "doc_chunking": doc_chunking,
+    "agg_cube_orders": agg_cube_orders,
 }
 
 ORACLES_EXT = {
+    "agg_cube_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
     "doc_chunking": r"""
         WITH d AS (
             SELECT doc_id,
