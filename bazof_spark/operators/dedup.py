@@ -471,13 +471,22 @@ def ngram_jaccard_pairs(
     collision merging two distinct shingles within one pair's shingle
     sets is the standard accepted risk (~n²/2⁶⁵ per doc pair).
     """
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("_s"),
-    ).select(
-        "_id", F.xxhash64("_s").alias("sh")
-    ).persist()  # feeds sizes, the frequency filter, and both join sides
-    sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    # distinct-shingle set size is computed BEFORE the explode and
+    # carried through it (8 bytes/row) — no separate sizes aggregate,
+    # no join-back, and it enables the size bound below
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("_arr"),
+        )
+        .select(
+            "_id",
+            F.size("_arr").alias("_n"),
+            F.explode("_arr").alias("_s"),
+        )
+        .select("_id", "_n", F.xxhash64("_s").alias("sh"))
+        .persist()  # feeds the frequency filter and both join sides
+    )
     freq_ok = (
         exploded.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_f"))
@@ -486,21 +495,32 @@ def ngram_jaccard_pairs(
     )
     pruned = exploded.join(freq_ok, "sh")
     l, r = pruned.alias("l"), pruned.alias("r")
+    # size bound (set-similarity join positional/length filter):
+    # jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose set
+    # sizes differ by more than the threshold ratio are pruned AT the
+    # join — they never reach the per-pair aggregate
+    size_ok = F.least(F.col("l._n"), F.col("r._n")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("l._n"), F.col("r._n"))
     shared = (
         l.join(
             r,
-            on=[F.col("l.sh") == F.col("r.sh"), F.col("l._id") < F.col("r._id")],
+            on=[
+                F.col("l.sh") == F.col("r.sh"),
+                F.col("l._id") < F.col("r._id"),
+                size_ok,
+            ],
         )
         .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_shared"))
-    )
-    with_sizes = (
-        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            F.first(F.col("l._n")).alias("_na"),
+            F.first(F.col("r._n")).alias("_nb"),
+        )
     )
     jac = F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared"))
     return (
-        with_sizes.withColumn("jaccard", jac)
+        shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
