@@ -68,7 +68,10 @@ def rollup_from_partials(
     from the finest aggregate. Same rows as ``df.rollup(*keys).agg``
     with null-filled coarse levels."""
     _check(measures)
-    base = _base(df, keys, measures)
+    # persist the finest level: every coarser level re-aggregates it,
+    # and without the cache each union branch would re-run the fact
+    # scan + aggregate (n+1 scans instead of 1)
+    base = _base(df, keys, measures).persist()
     out = base.select(*keys, *measures.keys())
     for i in range(len(keys) - 1, -1, -1):
         out = out.union(_level(base, keys, keys[:i], measures))
@@ -82,7 +85,7 @@ def cube_from_partials(
     aggregate (the base is small, so 2^n tiny aggregates beat a 2^n×
     Expand of the fact table)."""
     _check(measures)
-    base = _base(df, keys, measures)
+    base = _base(df, keys, measures).persist()  # see rollup_from_partials
     out = base.select(*keys, *measures.keys())
     n = len(keys)
     for mask in range(2**n - 2, -1, -1):

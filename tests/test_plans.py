@@ -216,3 +216,15 @@ def test_round2_queries_bounded(spark):
     # the bucketed layout paid the join shuffle at write time: only the
     # final group-by may exchange
     assert shuffle_count(q("bucketed_colocated_join", spark)) <= 1
+
+    # chunking is a pure map over documents
+    df = q("doc_chunking", spark)
+    assert shuffle_count(df) == 0
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+    # cube-from-partials: ONE fact shuffle + tiny re-aggregates (the
+    # union of 4 grouping sets may add per-level exchanges of ≤15 rows)
+    df = q("agg_cube_orders", spark)
+    assert scan_columns(df) == [{"o_orderstatus", "o_orderpriority", "o_totalprice"}]
+    assert shuffle_count(df) <= 4
