@@ -118,6 +118,39 @@ class Rollup:
 
         return os.path.join(self.path, "_WATERMARK")
 
+    @property
+    def _schema_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_SCHEMA")
+
+    def _write_partials(self, agg: DataFrame, mode: str) -> None:
+        """Write partial rows + persist their schema, so an
+        empty-but-valid rollup (no bucket closed yet, or an all-late
+        refresh) stays readable: Spark can't infer a schema from a
+        data-file-less parquet directory."""
+        import json
+        import os
+
+        agg.write.mode(mode).partitionBy("bucket_date").parquet(self.path)
+        if not os.path.exists(self._schema_path):
+            with open(self._schema_path, "w", encoding="utf-8") as f:
+                f.write(json.dumps(agg.schema.jsonValue()))
+
+    def _read_partials(self) -> DataFrame:
+        import json
+        import os
+
+        from pyspark.sql.types import StructType
+
+        reader = self.spark.read
+        if os.path.exists(self._schema_path):
+            with open(self._schema_path, encoding="utf-8") as f:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(f.read()))
+                )
+        return reader.parquet(self.path)
+
     def watermark(self) -> datetime | None:
         import os
 
@@ -143,11 +176,7 @@ class Rollup:
         agg = aggregate_bucketed(
             closed, self.ts_col, self.keys, self.measures, self.bucket_seconds
         ).withColumn("bucket_date", F.to_date(BUCKET_COL))
-        (
-            agg.write.mode("overwrite")
-            .partitionBy("bucket_date")
-            .parquet(self.path)
-        )
+        self._write_partials(agg, "overwrite")
         self._set_watermark(wm)
         return wm
 
@@ -174,7 +203,7 @@ class Rollup:
             self.measures,
             self.bucket_seconds,
         ).withColumn("bucket_date", F.to_date(BUCKET_COL))
-        agg.write.mode("append").partitionBy("bucket_date").parquet(self.path)
+        self._write_partials(agg, "append")
         self._set_watermark(new)
         return new
 
@@ -193,7 +222,7 @@ class Rollup:
         agg = aggregate_bucketed(
             late, self.ts_col, self.keys, self.measures, self.bucket_seconds
         ).withColumn("bucket_date", F.to_date(BUCKET_COL))
-        agg.write.mode("append").partitionBy("bucket_date").parquet(self.path)
+        self._write_partials(agg, "append")
 
     # -- streaming continuous-aggregate mode: the rollup IS the store
     # (no raw log to serve a tail). foreachBatch appends each
@@ -209,7 +238,7 @@ class Rollup:
         agg = aggregate_bucketed(
             batch, self.ts_col, self.keys, self.measures, self.bucket_seconds
         ).withColumn("bucket_date", F.to_date(BUCKET_COL))
-        agg.write.mode("append").partitionBy("bucket_date").parquet(self.path)
+        self._write_partials(agg, "append")
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` — a Structured
@@ -226,7 +255,7 @@ class Rollup:
         """Merged view of the partials alone (streaming mode — no tail
         side). Equals the full GROUP BY over every batch ever folded."""
         cols = [BUCKET_COL, *self.keys, *self.measures.keys()]
-        mat = self.spark.read.parquet(self.path).select(*cols)
+        mat = self._read_partials().select(*cols)
         return merge_partials(mat, self.keys, self.measures).select(*cols)
 
     def read(self, events: DataFrame) -> DataFrame:
@@ -238,7 +267,7 @@ class Rollup:
         if wm is None:
             raise ValueError("rollup not built; call build() first")
         cols = [BUCKET_COL, *self.keys, *self.measures.keys()]
-        mat = self.spark.read.parquet(self.path).select(*cols)
+        mat = self._read_partials().select(*cols)
         tail = aggregate_bucketed(
             events.filter(F.col(self.ts_col) >= F.lit(wm)),
             self.ts_col,
