@@ -37,6 +37,27 @@ def hash_bucket(id_col: Column, n_buckets: int, salt: str = "") -> Column:
     return h % n_buckets
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (language rebalancing, domain
+    mixing): keep a row iff its identity bucket over 1e6 falls below
+    its stratum's rate — a map-only projection, stable under appends
+    and engine-portable like the rest of this module. Strata absent
+    from ``fractions`` keep ``default`` (0 = drop)."""
+    bucket = hash_bucket(F.col(id_col), _MOD_FINE, salt)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default)))
+    return df.filter(bucket < (rate * _MOD_FINE).cast("long"))
+
+
 def assign_split(
     id_col: Column,
     train: float = 0.8,

@@ -586,6 +586,20 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+_STRATA_RATES = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.4}
+
+
+def stratified_sample_by_lang(spark, sf_dir):
+    """Language rebalancing (functions/sampling.stratified_sample):
+    downsample the dominant language, keep the rare ones — per-stratum
+    deterministic md5-bucket sampling, map-only, stable under appends.
+    The oracle recomputes the identical bucket arithmetic."""
+    from bazof_spark.functions.sampling import stratified_sample
+
+    docs = _t("documents")(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(docs, "lang", _STRATA_RATES)
+
+
 def agg_cube_orders(spark, sf_dir):
     """CUBE over (o_orderstatus, o_orderpriority) computed from the
     finest-level partials (operators/agg.cube_from_partials): the fact
@@ -826,9 +840,19 @@ QUERIES_EXT = {
     "bucketed_colocated_join": bucketed_colocated_join,
     "doc_chunking": doc_chunking,
     "agg_cube_orders": agg_cube_orders,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
 }
 
 ORACLES_EXT = {
+    "stratified_sample_by_lang": """
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000)
+              < CAST(1000000 * CASE lang
+                    WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+                    WHEN 'fr' THEN 1.0  WHEN 'es' THEN 0.5
+                    WHEN 'zh' THEN 0.4  ELSE 0.0 END AS BIGINT)
+    """,
     "agg_cube_orders": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
