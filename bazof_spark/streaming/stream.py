@@ -116,6 +116,79 @@ def latest_rows_stream(
     )
 
 
+def session_stream(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``:
+    per-key state holds the OPEN session (start/end/count); each
+    micro-batch folds its events in event-time order, emits every
+    session it closed plus the updated open session. Downstream, the
+    final state of a session id (key, start) is its max-end/max-count
+    emission — the same update-mode reduction as latest_rows_stream.
+
+    Equals batch sessionization (lag/gap cumulative-sum) when each
+    key's events arrive across micro-batches in event-time order — true
+    for the azof delta layout, whose files split on disjoint time
+    ranges. Output: key, session_start_us, session_end_us, n_events.
+
+    Scale: state is ONE open session per key (three longs), sharded by
+    the groupBy shuffle; emissions are Arrow-batched; the watermark
+    bounds how long an idle key's state lingers."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update_sessions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        open_s = tuple(state.get) if state.exists else None  # (start,end,n)
+        out: list[tuple] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.extend(
+                    int(t.value // 1_000) for t in pdf[EVENT_TIME_COL]
+                )
+        for t in sorted(ts_all):
+            if open_s is None:
+                open_s = (t, t, 1)
+            elif t - open_s[1] >= gap_us:
+                out.append(open_s)  # closed by the gap
+                open_s = (t, t, 1)
+            else:
+                open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
+        if open_s is not None and ts_all:
+            state.update(open_s)
+            out.append(open_s)  # update-mode emission of the open session
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        KEY_COL: key[0],
+                        "session_start_us": s,
+                        "session_end_us": e,
+                        "n_events": n,
+                    }
+                    for s, e, n in out
+                ]
+            )
+
+    return (
+        stream.withWatermark(EVENT_TIME_COL, watermark)
+        .groupBy(KEY_COL)
+        .applyInPandasWithState(
+            update_sessions,
+            outputStructType=(
+                f"{KEY_COL} string, session_start_us long, "
+                "session_end_us long, n_events long"
+            ),
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def latest_state_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Continuously-maintained latest-version-per-key (the streaming
     as-of Current scan): dedup by (key) keeping max event_time via

@@ -260,6 +260,39 @@ def streaming_latest_rows(spark, sf_dir):
     )
 
 
+def streaming_sessions(spark, sf_dir):
+    """Custom stateful streaming sessionization
+    (streaming/stream.py:session_stream, applyInPandasWithState with
+    one open session per key as state) over the events_versioned delta
+    files — checked against the batch lag/gap-cumsum sessionization
+    oracle: streaming and batch agree on every (user, session) tuple.
+    Update-mode emissions reduce to max-end/max-count per session id."""
+    from bazof_spark.streaming.stream import read_table_stream, session_stream
+
+    lh = events_lakehouse(spark, sf_dir)
+    table = lh.table("events_versioned")
+    stream = read_table_stream(spark, table, max_files_per_trigger=1)
+    out = session_stream(stream, gap_seconds=1800, watermark="3650 days")
+    name = f"stream_sessions_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    return (
+        emitted.groupBy("key", "session_start_us")
+        .agg(
+            F.max("session_end_us").alias("session_end_us"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select("key", "session_start_us", "session_end_us", "n_events")
+    )
+
+
 def streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window aggregation as a STREAM (SURVEY
     §2.B's streaming row): 6-hour event-time windows over the
@@ -322,6 +355,36 @@ _ASOF_ORACLES = {
                COUNT(DISTINCT user_id) AS distinct_keys,
                COUNT(*) AS n_events
         FROM events GROUP BY 1
+    """,
+    "streaming_sessions": """
+        WITH o AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS prev_ts
+            FROM events
+        ),
+        g AS (
+            SELECT key, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM o
+        ),
+        s AS (
+            SELECT key, ts,
+                   SUM(brk) OVER (
+                       PARTITION BY key ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM g
+        )
+        SELECT key,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts)) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY key, sid
     """,
     "asof_scan_event_time": _events_oracle_cte(
         f"ts <= TIMESTAMP '2024-01-15 00:00:00'"
@@ -1847,6 +1910,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join_events": asof_join_events,
     "streaming_latest_rows": streaming_latest_rows,
     "streaming_window_counts": streaming_window_counts,
+    "streaming_sessions": streaming_sessions,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
