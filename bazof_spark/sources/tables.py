@@ -41,6 +41,11 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     Cast NTZ → TIMESTAMP so both sides agree regardless of which parquet
     flavor the driver generated."""
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        # the cast interprets naive values in the SESSION timezone; pin
+        # it to UTC so epochs agree with the oracle even when the
+        # driver's session was built without our session.py defaults
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
