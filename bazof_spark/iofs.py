@@ -1,0 +1,71 @@
+"""Filesystem abstraction for metadata/file IO: local paths or ANY
+pyarrow.fs URI (file://, s3://, gs://, abfs://) through one code path —
+the Spark-side analog of the reference's ``object_store`` genericity
+(crates/azof/src/lakehouse.rs:19-27, README.md:47).
+
+Data files go through Spark/pyarrow parquet writers which accept the
+same URIs; these helpers cover the small metadata files (version
+pointer, snapshot JSON) and existence probes.
+
+Object-store semantics note: publishing a snapshot ends with a PUT of
+``version.txt``; on S3-class stores a PUT is atomic but offers no
+compare-and-swap, so the optimistic-concurrency check in
+``writer._publish_snapshot`` keeps its (documented) residual race —
+the same gap Delta closes with an external LogStore.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _split(path: str):
+    """(filesystem, fs-relative-path) for a local path or URI."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def read_text(path: str) -> str:
+    filesystem, rel = _split(path)
+    with filesystem.open_input_stream(rel) as f:
+        return f.read().decode("utf-8")
+
+
+def write_text(path: str, content: str) -> None:
+    filesystem, rel = _split(path)
+    with filesystem.open_output_stream(rel) as f:
+        f.write(content.encode("utf-8"))
+
+
+def exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    filesystem, rel = _split(path)
+    return filesystem.get_file_info(rel).type != pafs.FileType.NotFound
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of the entries directly under ``path``."""
+    from pyarrow import fs as pafs
+
+    filesystem, rel = _split(path)
+    sel = pafs.FileSelector(rel, recursive=False)
+    return [info.base_name for info in filesystem.get_file_info(sel)]
+
+
+def makedirs(path: str) -> None:
+    filesystem, rel = _split(path)
+    filesystem.create_dir(rel, recursive=True)
+
+
+def join(base: str, *parts: str) -> str:
+    if is_uri(base):
+        return "/".join([base.rstrip("/"), *parts])
+    return os.path.join(base, *parts)

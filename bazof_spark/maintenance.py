@@ -529,8 +529,10 @@ _SNAPSHOT_RE = re.compile(r"^s(\d+)\.json$")
 
 
 def _numeric_versions(table_path: str) -> list[int]:
+    from bazof_spark import iofs
+
     out = []
-    for f in os.listdir(table_path):
+    for f in iofs.listdir(table_path):
         m = _SNAPSHOT_RE.match(f)
         if m:
             out.append(int(m.group(1)))

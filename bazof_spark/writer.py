@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bazof_spark.asof import format_rfc3339_ms
+from bazof_spark import iofs
 from bazof_spark.errors import BazofError
 from bazof_spark.metadata import Delta, Segment, Snapshot
 from bazof_spark.schema import EVENT_TIME_COL, KEY_COL, TableSchema
@@ -207,13 +208,13 @@ class TableWriter:
         self.path = table_path
         self.schema = schema
         self._segments: list[dict] = []
-        os.makedirs(table_path, exist_ok=True)
+        iofs.makedirs(table_path)
 
     def _write_file(self, df: DataFrame, file_name: str, validate: bool) -> None:
         ordered = df.select(KEY_COL, EVENT_TIME_COL, *self.schema.column_names())
         if validate:
             validate_data_file_invariants(ordered)
-        dataframe_to_parquet_file(ordered, os.path.join(self.path, file_name))
+        dataframe_to_parquet_file(ordered, iofs.join(self.path, file_name))
 
     def add_segment(
         self,
@@ -240,10 +241,8 @@ class TableWriter:
         doc = {"schema": self.schema.to_json(), "segments": self._segments}
         raw = json.dumps(doc, indent=2)
         snapshot = Snapshot.deserialize(raw)  # validates what we wrote
-        with open(os.path.join(self.path, f"s{version}.json"), "w") as f:
-            f.write(raw)
-        with open(os.path.join(self.path, VERSION_FILE), "w") as f:
-            f.write(version)
+        iofs.write_text(iofs.join(self.path, f"s{version}.json"), raw)
+        iofs.write_text(iofs.join(self.path, VERSION_FILE), version)
         return snapshot
 
 
@@ -259,7 +258,7 @@ def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
     n = n_existing + 1
     while True:
         name = f"{segment_id}_delta{n}.parquet"
-        if not os.path.exists(os.path.join(table_path, name)):
+        if not iofs.exists(iofs.join(table_path, name)):
             return name
         n += 1
 
@@ -301,10 +300,13 @@ def append_delta(
     lock — concurrent writers race on ``version.txt`` (last flip wins).
     Single-writer-per-table is the assumed discipline.
     """
-    if "://" in table_path and not table_path.startswith("file://"):
+    if distributed and "://" in table_path and not table_path.startswith("file://"):
+        # the distributed path lists + renames Spark part files, which
+        # needs local rename semantics; single-file mode writes through
+        # pyarrow.fs and works on any object store
         raise BazofError(
-            "append_delta writes through the local filesystem; object-store "
-            "tables need the snapshot/pointer writes ported to pyarrow.fs"
+            "append_delta(distributed=True) requires a local table path; "
+            "use single-file mode for object-store tables"
         )
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
     version = table.current_version()
@@ -403,7 +405,7 @@ def append_delta(
         shutil.rmtree(out_dir)
     else:
         name = _fresh_delta_name(table_path, target.id, len(target.delta))
-        dataframe_to_parquet_file(ordered, os.path.join(table_path, name))
+        dataframe_to_parquet_file(ordered, iofs.join(table_path, name))
         new_deltas.append(Delta(file=name, start=start, end=end))
 
     # -- publish the new snapshot -----------------------------------------
@@ -462,7 +464,5 @@ def _publish_snapshot(
             f"version pointer moved {expected_version!r} → {latest!r} "
             "while this commit ran; re-read the table and retry"
         )
-    with open(os.path.join(table_path, f"s{next_version}.json"), "w") as f:
-        f.write(snapshot.serialize())
-    with open(os.path.join(table_path, VERSION_FILE), "w") as f:
-        f.write(next_version)
+    iofs.write_text(iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize())
+    iofs.write_text(iofs.join(table_path, VERSION_FILE), next_version)
