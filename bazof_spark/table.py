@@ -21,16 +21,11 @@ VERSION_FILE = "version.txt"
 
 
 def _read_text(path: str) -> str:
-    """Read a small metadata file from local FS or an object-store URI."""
-    if "://" in path and not path.startswith("file://"):
-        from pyarrow import fs as pafs
+    """Read a small metadata file from local FS or an object-store URI
+    (one pyarrow.fs code path for both — see iofs.py)."""
+    from bazof_spark import iofs
 
-        filesystem, rel = pafs.FileSystem.from_uri(path)
-        with filesystem.open_input_stream(rel) as f:
-            return f.read().decode("utf-8")
-    local = path[len("file://") :] if path.startswith("file://") else path
-    with open(local, "r", encoding="utf-8") as f:
-        return f.read()
+    return iofs.read_text(path)
 
 
 def _join(base: str, *parts: str) -> str:

@@ -92,6 +92,29 @@ def test_optimize_preserves_reads_and_narrows_rowgroup_stats(lakehouse):
     assert avg["y"] < 32, avg
 
 
+def test_optimize_then_upsert_then_time_travel(lakehouse, spark):
+    """Lifecycle: a clustered checkpoint must stay a normal table —
+    subsequent upserts land on top, Current reflects them, and as-of
+    instants before the optimize still resolve through the archived
+    segments bit-identically."""
+    from bazof_spark.writer import append_delta
+
+    pre = snap(lakehouse.scan("grid", as_of=ts(1, 1)))
+    optimize_table(lakehouse, "grid", ts(2), cluster_by=["x", "y"])
+    append_delta(
+        lakehouse.spark,
+        lakehouse.table("grid").path,
+        spark.createDataFrame(
+            [("k0", ts(3), 999, 999)], "key string, event_time timestamp, x long, y long"
+        ),
+        create_segment=True,
+    )
+    cur = {r["key"]: (r["x"], r["y"]) for r in lakehouse.scan("grid").collect()}
+    assert cur["k0"] == (999, 999)
+    assert cur["k7"] == (0, 7)
+    assert snap(lakehouse.scan("grid", as_of=ts(1, 1))) == pre
+
+
 def test_zorder_rejects_strings_and_overflow(spark):
     df = spark.createDataFrame([("a", 1)], "s string, v long")
     with pytest.raises(BazofError):
