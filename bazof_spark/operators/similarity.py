@@ -90,6 +90,74 @@ def quantize_int8(vec: Column) -> Column:
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    candidates: int = 25,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage search over matryoshka-style embeddings (prefixes of
+    the vector are themselves usable embeddings): a COARSE pass ranks
+    by cosine over the first ``prefix_dims`` dims (prefix_dims/dim of
+    the arithmetic and, at scale, of the bytes read when prefixes are
+    stored as their own column), keeps ``candidates`` per query, then
+    an EXACT pass re-ranks only those on the full vector. Determinism:
+    both cutoffs order by (sim DESC, id ASC).
+
+    Scale: stage 1 is the only corpus-wide pass; stage 2 touches
+    |queries|·candidates rows. The candidate join is on the corpus id —
+    broadcast (candidate set is tiny) so the corpus full-vector side
+    never shuffles."""
+    trunc = lambda c: F.slice(c, 1, prefix_dims)  # noqa: E731
+    coarse = cosine_topk_bruteforce(
+        corpus.select(id_col, trunc(F.col(vec_col)).alias(vec_col)),
+        queries.select(
+            query_id_col, trunc(F.col(vec_col)).alias(vec_col)
+        ),
+        k=candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id")
+    cand = coarse.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            normalize(_as_double(F.col(vec_col))).alias("_cv"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                query_id_col,
+                normalize(_as_double(F.col(vec_col))).alias("_qv"),
+            )
+        ),
+        query_id_col,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            query_id_col,
+            "neighbor_id",
+            dot(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "rank",
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

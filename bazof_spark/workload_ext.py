@@ -586,6 +586,22 @@ def pivot_status_by_year(spark, sf_dir):
     )
 
 
+def embedding_matryoshka_topk(spark, sf_dir):
+    """Two-stage matryoshka search (operators/similarity.matryoshka_topk):
+    coarse cosine over the first 16 dims keeps 25 candidates per query;
+    exact full-vector re-rank returns top-5. The oracle runs the same
+    two cutoffs in SQL."""
+    from bazof_spark.operators.similarity import matryoshka_topk
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return matryoshka_topk(
+        emb, queries, prefix_dims=16, candidates=25, k=5
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
 _STRATA_RATES = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.4}
 
 
@@ -841,9 +857,47 @@ QUERIES_EXT = {
     "doc_chunking": doc_chunking,
     "agg_cube_orders": agg_cube_orders,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "embedding_matryoshka_topk": embedding_matryoshka_topk,
 }
 
 ORACLES_EXT = {
+    "embedding_matryoshka_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ),
+        coarse AS (
+            SELECT query_id, cid,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv[1:16], cv[1:16])
+                                DESC, cid
+                   ) AS rn
+            FROM q, c WHERE query_id != cid
+        ),
+        cand AS (
+            SELECT query_id, cid FROM coarse WHERE rn <= 25
+        ),
+        exact AS (
+            SELECT cand.query_id, cand.cid,
+                   list_cosine_similarity(q.qv, c.cv) AS sim
+            FROM cand
+            JOIN q USING (query_id)
+            JOIN c USING (cid)
+        ),
+        r AS (
+            SELECT query_id, cid, sim, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cid
+            ) AS rn FROM exact
+        )
+        SELECT query_id, cid AS neighbor_id,
+               CAST(rn AS INT) AS rank, round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= 5
+    """,
     "stratified_sample_by_lang": """
         SELECT doc_id, lang FROM documents
         WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
