@@ -44,7 +44,8 @@ _DELTA_DAYS = 8  # 4 deltas × 8 days cover the ~31-day event range
 def events_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
     """Idempotently build (once per sf_dir) and return a Lakehouse whose
     ``events_versioned`` table materializes ``{sf_dir}/events.parquet``."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from bazof_spark.sources.tables import source_tag
+    tag = source_tag(sf_dir, "events")
     root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
     marker = os.path.join(root, TABLE_NAME, "_BUILT")
     if not os.path.exists(marker):

@@ -37,7 +37,8 @@ DOCUMENTS_JSONL_SCHEMA = T.StructType(
 def documents_as_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently materialize ``{sf_dir}/documents.parquet`` as gzip
     JSONL shards (once per sf_dir) and return the shard directory."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from bazof_spark.sources.tables import source_tag
+    tag = source_tag(sf_dir, "documents")
     path = os.path.join(tempfile.gettempdir(), f"bazof_jsonl_{tag}")
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):

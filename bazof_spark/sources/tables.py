@@ -60,3 +60,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return _normalize_ntz(df)
+
+
+def source_tag(sf_dir: str, *tables: str) -> str:
+    """Cache tag for materializations derived from driver parquet:
+    hashes the source files' (path, size, mtime) so a regenerated
+    testdata directory (same path, new contents) invalidates the
+    cache instead of serving stale data."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{int(st.st_mtime)}".encode())
+        except OSError:
+            h.update(f"{t}:missing".encode())
+    return h.hexdigest()[:12]

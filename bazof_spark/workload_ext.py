@@ -665,7 +665,8 @@ def bucketed_colocated_join(spark, sf_dir):
 
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from bazof_spark.sources.tables import source_tag
+    tag = source_tag(sf_dir, "lineitem", "orders")[:10]
     root = os.path.join(tempfile.gettempdir(), f"bazof_bucketed_{tag}")
     lt, ot = f"lineitem_b_{tag}", f"orders_b_{tag}"
     # external tables under /tmp; rebuilt once per session (the catalog
@@ -813,7 +814,8 @@ def rollup_events_hourly(spark, sf_dir):
         "sum_value": (F.sum(F.col("value").cast("decimal(18,6)")), "sum"),
         "max_value": (F.max("value"), "max"),
     }
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from bazof_spark.sources.tables import source_tag
+    tag = source_tag(sf_dir, "events")
     path = os.path.join(tempfile.gettempdir(), f"bazof_rollup_{tag}")
     r = Rollup(spark, path, "ts", ["event_type"], measures, 3600)
     if r.watermark() is None:
