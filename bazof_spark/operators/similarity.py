@@ -123,12 +123,11 @@ def matryoshka_topk(
         vec_col=vec_col,
         query_id_col=query_id_col,
     ).select(query_id_col, "neighbor_id")
-    cand = coarse.join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            normalize(_as_double(F.col(vec_col))).alias("_cv"),
-        ),
-        "neighbor_id",
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        normalize(_as_double(F.col(vec_col))).alias("_cv"),
+    ).join(
+        F.broadcast(coarse), "neighbor_id"  # tiny candidate set, map-side
     ).join(
         F.broadcast(
             queries.select(
