@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bazof_spark.functions.text import shingles
 
@@ -45,6 +46,66 @@ def exact_dedup(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+def exact_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate group membership: (doc_id, rep_id) where rep_id
+    is the minimum id sharing this row's text digest. Re-attach near-dup
+    cluster labels computed on representatives to every copy with one
+    broadcast/shuffle join on rep_id. Shuffle carries (digest, id) pairs
+    only — never text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("_digest"), F.col(id_col))
+        .withColumn("rep_id", F.min(id_col).over(Window.partitionBy("_digest")))
+        .select(F.col(id_col).alias("doc_id"), "rep_id")
+    )
+
+
+def _collapse_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative row (minimum id) per distinct text.
+
+    This is the guard that makes LSH banding safe on real web corpora:
+    1M byte-identical copies of one boilerplate page would land in the
+    same (band, bhash) bucket and the self-join would emit ~n²/2 pairs
+    BEFORE any similarity filter could run. Collapsing first makes exact
+    copies cost one aggregate row; near-dup detection then runs over
+    distinct texts only, and `exact_groups` re-expands cluster labels to
+    the copies afterwards (linear, never pairwise).
+
+    Shuffle shape: groupBy(digest) with first(text) is map-side
+    combined, so at most one text per digest crosses the wire per input
+    partition — on a heavily duplicated corpus this shuffles far LESS
+    than the raw data."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first(text_col).alias(text_col),
+        )
+        .drop("_digest")
+    )
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop candidate buckets larger than `max_bucket_size` rows — the
+    same skew guard as `max_shingle_freq` in :func:`ngram_jaccard_pairs`:
+    a bucket of b rows feeds ~b²/2 pairs into the self-join, so one
+    degenerate bucket (near-identical boilerplate that survives the
+    exact-dup collapse) can dominate the whole job. Dropping it trades
+    bounded recall loss for a hard quadratic ceiling.
+
+    Implemented as a count window over the bucket keys: the window's
+    exchange partitions by exactly the downstream join key, so the
+    self-join reuses the partitioning instead of adding a shuffle."""
+    return (
+        df.withColumn(
+            "_bc", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
+        .filter(F.col("_bc") <= max_bucket_size)
+        .drop("_bc")
     )
 
 
@@ -154,14 +215,31 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by the
     signature-estimated Jaccard. Output: (id_a, id_b, est_jaccard) with
     id_a < id_b, est_jaccard >= threshold.
+
+    Scale guards (both default-on):
+    - `collapse_exact`: byte-identical copies collapse to one
+      representative (minimum id) BEFORE banding, so a corpus with 1M
+      copies of one page costs one aggregate row instead of ~n²/2
+      self-join pairs. Exact-duplicate pairs therefore do NOT appear in
+      the output — they are `exact_dedup`'s job (linear); use
+      :func:`exact_groups` to re-attach copies to their
+      representative's near-dup cluster.
+    - `max_bucket_size`: (band, bhash) buckets larger than this are
+      dropped (see :func:`_cap_buckets`) — distinct-but-near-identical
+      boilerplate can still pile into one bucket after the collapse.
     """
-    banded = _banded_signatures(
-        df, text_col, id_col, num_hashes, bands, k
-    ).persist()  # both sides of the self-join read it: sigs computed once
+    if collapse_exact:
+        df = _collapse_exact(df, text_col, id_col)
+    banded = _banded_signatures(df, text_col, id_col, num_hashes, bands, k)
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size)
+    banded = banded.persist()  # both sides of the self-join read it: sigs computed once
 
     # estimate + threshold BEFORE the dedup shuffle: a pair matching in
     # k bands would otherwise cross the wire k times carrying both
@@ -196,6 +274,8 @@ def minhash_lsh_pairs_between(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Cross-TABLE near-match detection — the decontamination primitive:
     find corpus documents near-duplicating any probe (eval-set) document.
@@ -206,10 +286,26 @@ def minhash_lsh_pairs_between(
     + signature fold is the whole corpus-side cost. Identical signature/
     banding math to :func:`minhash_lsh_pairs`, so thresholds calibrate
     once and transfer.
+
+    Scale guards: with `collapse_exact`, byte-identical corpus copies
+    band ONCE via their representative, then every copy of a matched
+    representative is re-expanded into the output through an
+    :func:`exact_groups` join (linear in true matches — matches, being
+    eval-set-sized, broadcast). Unlike the self-join case this keeps
+    the output contract exact: all contaminated copies are reported.
+    `max_bucket_size` caps corpus-side (band, bhash) buckets.
     """
+    if collapse_exact:
+        corpus_banded_src = _collapse_exact(corpus, text_col, id_col)
+    else:
+        corpus_banded_src = corpus
     pb = _banded_signatures(probe, text_col, id_col, num_hashes, bands, k)
-    cb = _banded_signatures(corpus, text_col, id_col, num_hashes, bands, k)
-    return (
+    cb = _banded_signatures(
+        corpus_banded_src, text_col, id_col, num_hashes, bands, k
+    )
+    if max_bucket_size is not None:
+        cb = _cap_buckets(cb, ["band", "bhash"], max_bucket_size)
+    matches = (
         cb.alias("l")
         .join(
             F.broadcast(pb.alias("r")),
@@ -226,6 +322,16 @@ def minhash_lsh_pairs_between(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["probe_id", "corpus_id"])
     )
+    if not collapse_exact:
+        return matches
+    # re-expand representative matches to every exact copy: identical
+    # text ⇒ identical signature ⇒ identical est_jaccard, so the copy
+    # inherits its representative's score. Broadcast the (small) match
+    # set; the groups side is one (digest, id) shuffle, never text.
+    groups = exact_groups(corpus, text_col, id_col)
+    return groups.join(
+        F.broadcast(matches), groups["rep_id"] == matches["corpus_id"]
+    ).select("probe_id", groups["doc_id"].alias("corpus_id"), "est_jaccard")
 
 
 SIMHASH_BITS = 60
@@ -279,12 +385,24 @@ def simhash_pairs(
     max_hamming: int = 3,
     k: int = 3,
     bands: int = 4,
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation: split the 64-bit fingerprint into `bands` 16-bit chunks —
     by pigeonhole any pair within Hamming r < bands shares ≥1 exact chunk
     — join on (chunk_index, chunk_value), then verify Hamming exactly.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    Scale guards mirror :func:`minhash_lsh_pairs`: `collapse_exact`
+    folds byte-identical copies to one representative before chunking
+    (exact pairs are `exact_dedup`'s job; re-attach via
+    :func:`exact_groups`), and `max_bucket_size` drops (chunk, cval)
+    buckets that would feed a quadratic self-join. With buckets dropped
+    the pigeonhole recall guarantee holds for all surviving buckets.
+    """
+    if collapse_exact:
+        df = _collapse_exact(df, text_col, id_col)
     fp = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col, k).alias("_fp")
     )
@@ -307,6 +425,8 @@ def simhash_pairs(
             )
         ).alias("_c"),
     ).select("_id", "_fp", "_c.chunk", "_c.cval")
+    if max_bucket_size is not None:
+        chunked = _cap_buckets(chunked, ["chunk", "cval"], max_bucket_size)
     chunked = chunked.persist()  # read by both sides of the self-join
     l, r = chunked.alias("l"), chunked.alias("r")
     # verify Hamming BEFORE the dedup shuffle (see minhash_lsh_pairs):

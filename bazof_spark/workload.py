@@ -1439,15 +1439,27 @@ _MULTIMODAL_ORACLES = {
 }
 
 
-_MINHASH_SIG_SQL = f"""
+def _minhash_sig_sql(src: str) -> str:
+    return f"""
     SELECT doc_id,
            list_transform(range(0, 32), s ->
                list_min(list_transform({_shingles_sql(3)},
                         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
                              + s * CAST('0x' || substr(md5(x), 16, 14) AS BIGINT)
                ))) AS sig
-    FROM documents
+    FROM {src}
 """
+
+
+# exact-duplicate pre-collapse mirrored from operators/dedup._collapse_exact:
+# one representative (minimum id) per distinct text. All texts in a digest
+# group are identical, so MIN(text) == the representative's text.
+_REP_DOCS = (
+    "(SELECT MIN(doc_id) AS doc_id, MIN(text) AS text "
+    "FROM documents GROUP BY md5(text))"
+)
+# bucket-size cap mirrored from operators/dedup._cap_buckets (default 10000)
+_LSH_BUCKET_CAP = 10_000
 
 # shared CTE chain computing the n-gram-heuristic language id (used by
 # the text_language_id oracle and the corpus_clean composite)
@@ -1471,13 +1483,16 @@ _LANGID_CTES = r"""m AS (
 
 
 # shared CTE chain producing simhash near-dup pairs (used by the
-# dedup_simhash oracle and as the edge set of dedup_clusters)
+# dedup_simhash oracle and as the edge set of dedup_clusters). Mirrors
+# operators/dedup.simhash_pairs structurally: exact-dup pre-collapse,
+# 16-bit chunk candidate buckets with the bucket-size cap, then exact
+# Hamming verification (pigeonhole-complete for all surviving buckets).
 _SIMHASH_PAIRS_CTES = f"""h AS (
             SELECT doc_id,
                    list_transform({_shingles_sql(3)},
                        s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
                        AS hs
-            FROM documents
+            FROM {_REP_DOCS} rep
         ),
         fp AS (
             SELECT doc_id,
@@ -1488,11 +1503,23 @@ _SIMHASH_PAIRS_CTES = f"""h AS (
                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS f
             FROM h
         ),
+        chunks AS (
+            SELECT doc_id, f, c, (f >> (c * 16)) & 65535 AS cval
+            FROM fp, range(0, 4) t(c)
+            QUALIFY COUNT(*) OVER (PARTITION BY c, cval) <= {_LSH_BUCKET_CAP}
+        ),
+        sim_cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, a.f AS fa,
+                            b.doc_id AS id_b, b.f AS fb
+            FROM chunks a
+            JOIN chunks b ON a.c = b.c AND a.cval = b.cval
+                         AND a.doc_id < b.doc_id
+        ),
         sim_pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.f, b.f)) <= 3
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+            FROM sim_cand
+            WHERE bit_count(xor(fa, fb)) <= 3
         )"""
 
 
@@ -1524,12 +1551,13 @@ _PIPELINE_ORACLES = {
         WHERE c / (na.n + nb.n - c) >= 0.5
     """,
     "dedup_minhash_lsh": f"""
-        WITH sig AS ({_MINHASH_SIG_SQL}),
+        WITH sig AS ({_minhash_sig_sql(_REP_DOCS + " rep")}),
         bands AS (
             SELECT doc_id, b,
                    md5(array_to_string(list_transform(
                        sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
             FROM sig, range(0, 8) t(b)
+            QUALIFY COUNT(*) OVER (PARTITION BY b, bhash) <= {_LSH_BUCKET_CAP}
         ),
         cand AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1657,31 +1685,55 @@ _PIPELINE_ORACLES = {
         SELECT id_a, id_b, hamming FROM sim_pairs
     """,
     # cross-table LSH: same signatures/banding as dedup_minhash_lsh,
-    # probe (id < 25) joined against corpus (id >= 25)
+    # probe (id < 25) joined against corpus (id >= 25). Mirrors the
+    # Spark operator's guards: the corpus side collapses exact copies
+    # to a representative before banding, corpus band buckets are
+    # capped, and matched representatives re-expand to every copy.
     "decontamination": f"""
-        WITH sig AS ({_MINHASH_SIG_SQL}),
-        bands AS (
+        WITH crep AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+            FROM documents WHERE doc_id >= 25 GROUP BY md5(text)
+        ),
+        probe AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+        psig AS ({_minhash_sig_sql("probe")}),
+        csig AS ({_minhash_sig_sql("crep")}),
+        pbands AS (
             SELECT doc_id, b,
                    md5(array_to_string(list_transform(
                        sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
-            FROM sig, range(0, 8) t(b)
+            FROM psig, range(0, 8) t(b)
+        ),
+        cbands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(list_transform(
+                       sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
+            FROM csig, range(0, 8) t(b)
+            QUALIFY COUNT(*) OVER (PARTITION BY b, bhash) <= {_LSH_BUCKET_CAP}
         ),
         cand AS (
-            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
-            FROM bands p
-            JOIN bands c ON p.b = c.b AND p.bhash = c.bhash
-            WHERE p.doc_id < 25 AND c.doc_id >= 25
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS rep_id
+            FROM pbands p
+            JOIN cbands c ON p.b = c.b AND p.bhash = c.bhash
         ),
         est AS (
-            SELECT probe_id, corpus_id,
+            SELECT probe_id, rep_id,
                    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
                        / 32.0 AS est_jaccard
             FROM cand
-            JOIN sig sa ON sa.doc_id = probe_id
-            JOIN sig sb ON sb.doc_id = corpus_id
+            JOIN psig sa ON sa.doc_id = probe_id
+            JOIN csig sb ON sb.doc_id = rep_id
+        ),
+        hits AS (
+            SELECT probe_id, rep_id, est_jaccard
+            FROM est WHERE est_jaccard >= 0.5
+        ),
+        groups AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+            FROM documents WHERE doc_id >= 25
         )
-        SELECT probe_id, corpus_id, est_jaccard
-        FROM est WHERE est_jaccard >= 0.5
+        SELECT probe_id, g.doc_id AS corpus_id, est_jaccard
+        FROM hits JOIN groups g USING (rep_id)
     """,
     # Okapi BM25 with the same constants; ln/arithmetic in IEEE double
     "bm25_search": r"""

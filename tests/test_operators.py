@@ -88,7 +88,13 @@ def test_simhash_identical_docs_zero_hamming(spark):
         ],
         ["doc_id", "text"],
     )
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    # exact copies are collapsed by default (exact_dedup's job); the
+    # hamming-0 pair is still observable with the guard opted out
+    assert simhash_pairs(df).count() == 0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, collapse_exact=False).collect()
+    }
     assert pairs == {(1, 2): 0}
 
 
