@@ -2015,6 +2015,53 @@ from bazof_spark.workload_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 QUERIES.update(QUERIES_EXT)
 QUERIES.update(QUERIES_CLEAN)
 
+# ---------------------------------------------------------------------------
+# Driver-rotation ordering. The driver's correctness harness checks at most
+# 50 queries()-entries per round, in dict order. Rounds 1-2 checked the 50
+# below, leaving everything else (all of workload_ext + late additions)
+# with only the local parity gate. Order the registry so (a) the
+# never-driver-checked queries come first, (b) queries whose operators
+# changed recently are re-checked next, (c) the long-stable remainder
+# fills the tail.
+_DRIVER_CHECKED_R2 = {
+    "asof_scan_current", "asof_scan_event_time", "asof_projection",
+    "time_travel_sql", "asof_self_join_sql", "time_travel_changes",
+    "asof_join_events", "streaming_latest_rows", "streaming_window_counts",
+    "streaming_sessions", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_change", "q8_market_share",
+    "q14_promo_effect", "agg_rollup_lineitem", "q4_semi_join_priority",
+    "q18_large_volume_customer", "q22_anti_join_idle_customers",
+    "filter_in_topk", "window_customer_order_rank",
+    "set_ops_active_customers", "scalar_functions_showcase",
+    "agg_nation_customer_stats", "semi_structured_json_array",
+    "events_tumbling_window", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dataset_split", "sequence_packing", "corpus_clean", "bm25_search",
+    "decontamination", "text_stats", "text_quality", "text_language_id",
+    "doc_fingerprint", "embedding_cosine_topk", "embedding_neardup",
+    "embedding_quantize", "embedding_ann_lsh", "embedding_ann_ivf",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_metadata_stats", "multimodal_audio_stats",
+}
+# operators changed in round 3 → re-check even though already green in r2
+_RECHECK_PRIORITY = [
+    "dedup_minhash_lsh", "dedup_simhash", "decontamination",
+    "dedup_clusters", "dedup_exact",
+]
+
+
+def _rotation_order(names: list[str]) -> list[str]:
+    unchecked = [n for n in names if n not in _DRIVER_CHECKED_R2]
+    recheck = [n for n in _RECHECK_PRIORITY if n in names]
+    rest = [
+        n for n in names
+        if n in _DRIVER_CHECKED_R2 and n not in _RECHECK_PRIORITY
+    ]
+    return unchecked + recheck + rest
+
+
+QUERIES = {k: QUERIES[k] for k in _rotation_order(list(QUERIES))}
+
 ORACLES: dict[str, str] = {
     **_ASOF_ORACLES,
     **_RELATIONAL_ORACLES,
