@@ -1072,10 +1072,11 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
 
 
 def dedup_minhash_lsh_q(spark, sf_dir):
-    # signature computation is the CPU-heavy map stage BEFORE the first
-    # exchange — rebalance so it doesn't serialize on a single input split
+    # no up-front rebalance: the exact-dup collapse's groupBy(digest)
+    # shuffle redistributes rows before the CPU-heavy signature fold,
+    # so the fold parallelizes across shuffle partitions for free
     return minhash_lsh_pairs(
-        _docs_par(spark, sf_dir),
+        _t("documents")(spark, sf_dir),
         num_hashes=32,
         bands=8,
         k=3,
@@ -1084,8 +1085,8 @@ def dedup_minhash_lsh_q(spark, sf_dir):
 
 
 def dedup_simhash_q(spark, sf_dir):
-    # fingerprint fold is the heavy pre-exchange map stage (see above)
-    return simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
+    # collapse shuffle fans out the fingerprint fold (see above)
+    return simhash_pairs(_t("documents")(spark, sf_dir), max_hamming=3, k=3)
 
 
 _BM25_TERMS = ["merge", "scan", "hash"]
@@ -1177,7 +1178,7 @@ def decontamination_q(spark, sf_dir):
 def dedup_clusters_q(spark, sf_dir):
     """Near-dup pairs → connected components (one representative per
     cluster): operators/dedup.dedup_clusters over the simhash edges."""
-    pairs = simhash_pairs(_docs_par(spark, sf_dir), max_hamming=3, k=3)
+    pairs = simhash_pairs(_t("documents")(spark, sf_dir), max_hamming=3, k=3)
     return dedup_clusters(pairs).withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
@@ -1685,55 +1686,33 @@ _PIPELINE_ORACLES = {
         SELECT id_a, id_b, hamming FROM sim_pairs
     """,
     # cross-table LSH: same signatures/banding as dedup_minhash_lsh,
-    # probe (id < 25) joined against corpus (id >= 25). Mirrors the
-    # Spark operator's guards: the corpus side collapses exact copies
-    # to a representative before banding, corpus band buckets are
-    # capped, and matched representatives re-expand to every copy.
+    # probe (id < 25) joined against corpus (id >= 25). No collapse/cap
+    # CTEs here: the Spark operator's guards default OFF for the
+    # cross-table case (probe-broadcast join — no quadratic path).
     "decontamination": f"""
-        WITH crep AS (
-            SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
-            FROM documents WHERE doc_id >= 25 GROUP BY md5(text)
-        ),
-        probe AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
-        psig AS ({_minhash_sig_sql("probe")}),
-        csig AS ({_minhash_sig_sql("crep")}),
-        pbands AS (
+        WITH sig AS ({_minhash_sig_sql("documents")}),
+        bands AS (
             SELECT doc_id, b,
                    md5(array_to_string(list_transform(
                        sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
-            FROM psig, range(0, 8) t(b)
-        ),
-        cbands AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(list_transform(
-                       sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), '|')) AS bhash
-            FROM csig, range(0, 8) t(b)
-            QUALIFY COUNT(*) OVER (PARTITION BY b, bhash) <= {_LSH_BUCKET_CAP}
+            FROM sig, range(0, 8) t(b)
         ),
         cand AS (
-            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS rep_id
-            FROM pbands p
-            JOIN cbands c ON p.b = c.b AND p.bhash = c.bhash
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+            FROM bands p
+            JOIN bands c ON p.b = c.b AND p.bhash = c.bhash
+            WHERE p.doc_id < 25 AND c.doc_id >= 25
         ),
         est AS (
-            SELECT probe_id, rep_id,
+            SELECT probe_id, corpus_id,
                    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
                        / 32.0 AS est_jaccard
             FROM cand
-            JOIN psig sa ON sa.doc_id = probe_id
-            JOIN csig sb ON sb.doc_id = rep_id
-        ),
-        hits AS (
-            SELECT probe_id, rep_id, est_jaccard
-            FROM est WHERE est_jaccard >= 0.5
-        ),
-        groups AS (
-            SELECT doc_id,
-                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
-            FROM documents WHERE doc_id >= 25
+            JOIN sig sa ON sa.doc_id = probe_id
+            JOIN sig sb ON sb.doc_id = corpus_id
         )
-        SELECT probe_id, g.doc_id AS corpus_id, est_jaccard
-        FROM hits JOIN groups g USING (rep_id)
+        SELECT probe_id, corpus_id, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
     """,
     # Okapi BM25 with the same constants; ln/arithmetic in IEEE double
     "bm25_search": r"""

@@ -529,12 +529,13 @@ def top_terms_per_lang(spark, sf_dir):
     """Lateral-view explode aggregation over documents: top-5 terms per
     language by frequency. Explode happens map-side (codegen'd
     Generate), the count is one shuffle on (lang, word), the top-k is a
-    window over the (tiny) per-language aggregate."""
-    from bazof_spark.sources.tables import rebalance_if_undersplit
+    window over the (tiny) per-language aggregate.
 
-    # the regexp tokenize + explode is the heavy map stage and runs
-    # before the first exchange — don't serialize it on one input split
-    docs = rebalance_if_undersplit(spark, _t("documents")(spark, sf_dir))
+    No up-front repartition: the groupBy's exchange fans the reduce side
+    out regardless, the map side is a cheap tokenize whose partial
+    aggregation combines map-side, and an extra full-text shuffle
+    measurably dominates the query (2.9× at sf0.1 — BENCH_r02 vs r01)."""
+    docs = _t("documents")(spark, sf_dir)
     words = docs.select(
         "lang",
         F.explode(

@@ -103,9 +103,10 @@ def test_bucket_cap_drops_oversized_buckets(spark):
 
 
 def test_decontamination_reexpands_exact_copies(spark):
-    """Cross-table matching keeps its exact output contract: every
-    byte-identical corpus copy of a matched text is reported, even
-    though only the representative went through banding."""
+    """Cross-table matching with collapse_exact opted in keeps its exact
+    output contract: every byte-identical corpus copy of a matched text
+    is reported, even though only the representative went through
+    banding — and the default (guards off, zero corpus shuffle) agrees."""
     probe = spark.createDataFrame(
         [(1, "one two three four five six seven eight nine ten")],
         "doc_id long, text string",
@@ -119,10 +120,16 @@ def test_decontamination_reexpands_exact_copies(spark):
         ],
         "doc_id long, text string",
     )
-    rows = minhash_lsh_pairs_between(probe, corpus, threshold=0.5).collect()
+    rows = minhash_lsh_pairs_between(
+        probe, corpus, threshold=0.5, collapse_exact=True, max_bucket_size=10_000
+    ).collect()
     assert {r["corpus_id"] for r in rows} == {100, 101, 102}
     assert all(r["probe_id"] == 1 for r in rows)
     assert all(r["est_jaccard"] == 1.0 for r in rows)
+    default_rows = minhash_lsh_pairs_between(probe, corpus, threshold=0.5).collect()
+    assert {(r["probe_id"], r["corpus_id"], r["est_jaccard"]) for r in default_rows} == {
+        (r["probe_id"], r["corpus_id"], r["est_jaccard"]) for r in rows
+    }
 
 
 def test_exact_groups_mapping(spark):
