@@ -21,6 +21,9 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -60,12 +63,106 @@ IMAGE_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
-def decode_image(content: bytes, fmt: str | None):  # pragma: no cover - stub
-    """STUB: real systems decode via Pillow/libvips here. This container
-    ships no codec libraries, so decoding real bytes is not implemented."""
+def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
+    """Decode an image blob to an H×W×C uint8 RGB array.
+
+    REAL for uncompressed formats decodable with the stdlib: ``bmp``
+    (24-bit, :func:`decode_bmp`) and ``ppm`` (binary P6,
+    :func:`decode_ppm`). Formats needing external codec libraries
+    (png/jpeg/webp — not present in this container) remain a declared
+    stub boundary: swap in Pillow/libvips there in production."""
+    f = (fmt or "").lower()
+    if f == "bmp":
+        return decode_bmp(content)
+    if f in ("ppm", "p6"):
+        return decode_ppm(content)
     raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "environment; use fake_decode_features for pipeline testing"
+        f"image decode for {fmt!r} requires a codec library not present "
+        "in this environment (bmp/ppm decode IS implemented; use those "
+        "or fake_decode_features for pipeline testing)"
+    )
+
+
+# --- real stdlib codecs: BMP (24-bit) and PPM (P6) ------------------------
+#
+# These make the codec slot of the multimodal pipeline REAL without any
+# external library: encoders write the actual on-disk formats
+# (readable by any image viewer), decoders hand-parse the headers with
+# struct/numpy — deliberately NOT the inverse code path of the encoder,
+# so a round-trip genuinely validates the byte layout (padding,
+# bottom-up row order, BGR channel order).
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as a standard 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to
+    4 bytes)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_bmp expects H×W×3 RGB")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(pixels[y, :, ::-1].tobytes() + pad)  # RGB → BGR
+    return header + b"".join(rows)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Hand-parse a 24-bit uncompressed BMP into H×W×3 uint8 RGB."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (data_offset,) = struct.unpack_from("<I", content, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode H×W×3 uint8 RGB as binary PPM (P6, maxval 255)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Hand-parse binary PPM (P6), including comment lines."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval-255 PPM")
+    return (
+        np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
     )
 
 
@@ -233,14 +330,174 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_audio(content: bytes, codec: str | None):  # pragma: no cover - stub
-    """STUB: real systems decode via ffmpeg/torchaudio here; this
-    container ships no audio codecs (see decode_image)."""
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Encode int16 PCM samples as a standard RIFF/WAVE file via the
+    stdlib ``wave`` module. `samples` is 1-D (interleaved if
+    n_channels > 1)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-parse a RIFF/WAVE blob → (sample_rate, n_channels, samples).
+
+    Deliberately NOT the ``wave`` module (that's the encoder), so an
+    encode→decode round-trip validates the actual byte format: RIFF
+    container walk, fmt chunk layout, PCM-16/PCM-8 payloads. Returns
+    int16 samples (8-bit WAV's unsigned bytes are recentered to signed,
+    matching every real decoder's convention)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM WAV")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        )
+    else:
+        raise NotImplementedError(f"unsupported PCM width {bits}")
+    return sample_rate, n_channels, samples
+
+
+def decode_audio(content: bytes, codec: str | None):
+    """Decode an audio blob to (sample_rate, n_channels, int16 samples).
+
+    REAL for ``wav`` (stdlib RIFF parse, :func:`decode_wav`). Compressed
+    codecs (mp3/flac/ogg — need external libraries this container
+    doesn't ship) remain a declared stub boundary: swap in
+    ffmpeg/torchaudio there in production."""
+    if (codec or "").lower() in ("wav", "wave"):
+        return decode_wav(content)
     raise NotImplementedError(
-        "audio decode requires a codec library not present in this "
-        "environment; audio_waveform_stats treats the blob as raw "
-        "unsigned 8-bit PCM for pipeline testing"
+        f"audio decode for {codec!r} requires a codec library not "
+        "present in this environment (wav decode IS implemented)"
     )
+
+
+def wav_waveform_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Waveform statistics from GENUINELY DECODED WAV blobs: each binary
+    value is a complete RIFF/WAVE file; :func:`decode_wav` parses the
+    container and the stats are integer-exact over the recovered int16
+    PCM, so a cross-engine oracle that knows the synthesis formula
+    verifies the whole encode→decode round trip bit-for-bit.
+
+    Output: (media_id, sample_rate, n_frames, peak = max|s|,
+    amp_sum = Σ|s|, checksum = Σs). Arrow-batched ``mapInPandas``,
+    map-only, no shuffle."""
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("sample_rate", IntegerType(), False),
+            StructField("n_frames", LongType(), False),
+            StructField("peak", IntegerType(), False),
+            StructField("amp_sum", LongType(), False),
+            StructField("checksum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                rate, ch, s = decode_wav(bytes(blob))
+                a = np.abs(s.astype(np.int64))
+                out.append(
+                    (
+                        mid,
+                        rate,
+                        s.size // ch,
+                        int(a.max()) if s.size else 0,
+                        int(a.sum()),
+                        int(s.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col,
+                    "sample_rate",
+                    "n_frames",
+                    "peak",
+                    "amp_sum",
+                    "checksum",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def bmp_pixel_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Pixel statistics from GENUINELY DECODED BMP blobs: each binary
+    value is a complete 24-bit BMP file; :func:`decode_bmp` hand-parses
+    headers, bottom-up rows, BGR order and padding. `pos_checksum`
+    weights every byte by its (row, col, channel) position, so any
+    layout mistake (flipped rows, swapped channels, padding leak)
+    changes the answer. Output: (media_id, width, height, checksum,
+    pos_checksum). Map-only Arrow-batched pass."""
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("checksum", LongType(), False),
+            StructField("pos_checksum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_bmp(bytes(blob)).astype(np.int64)
+                h, w, _ = px.shape
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                weights = y * 1_000_000 + x * 1_000 + c + 1
+                out.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        int(px.sum()),
+                        int((px * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "checksum", "pos_checksum"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
 
 
 def audio_waveform_stats(

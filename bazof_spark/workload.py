@@ -1366,6 +1366,68 @@ def multimodal_audio_stats_q(spark, sf_dir):
     return audio_waveform_stats(_media_df(spark, sf_dir))
 
 
+def multimodal_wav_decode_q(spark, sf_dir):
+    """REAL audio decode end-to-end: synthesize deterministic int16 PCM
+    per doc, encode it as an actual RIFF/WAVE file (stdlib `wave`),
+    then recover the waveform by hand-parsing the container
+    (operators/multimodal.decode_wav) and reduce to integer-exact
+    stats. The DuckDB oracle recomputes the stats straight from the
+    synthesis formula, so a mismatch anywhere in the encode→decode
+    round trip (header layout, chunk walk, sample width, endianness)
+    fails the hash. Two map-only Arrow-batched stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import encode_wav, wav_waveform_stats
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 160 + mid % 41
+                i = np.arange(n, dtype=np.int64)
+                samples = ((mid * 7919 + i * 131) % 4001) - 2000
+                blobs.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return wav_waveform_stats(media)
+
+
+def multimodal_bmp_decode_q(spark, sf_dir):
+    """REAL image decode end-to-end: deterministic RGB pixel grids per
+    doc, encoded as actual 24-bit BMP files (bottom-up rows, BGR order,
+    4-byte row padding), hand-parsed back
+    (operators/multimodal.decode_bmp) and reduced to position-weighted
+    checksums — flipped rows, swapped channels or padding leaks all
+    change the answer. Oracle recomputes from the pixel formula."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import bmp_pixel_stats, encode_bmp
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((mid + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(media)
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -1396,6 +1458,54 @@ _FRAME_SAMPLE_ORACLE = """
 
 _MULTIMODAL_ORACLES = {
     "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
+    # recomputes multimodal_wav_decode's PCM synthesis formula directly;
+    # Spark's answer came through a real WAV encode→decode round trip
+    "multimodal_wav_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id, 160 + doc_id % 41 AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, n,
+                   list_transform(range(0, n),
+                       i -> ((media_id * 7919 + i * 131) % 4001) - 2000)
+                       AS smp
+            FROM m
+        )
+        SELECT media_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(list_max(list_transform(smp, x -> abs(x))) AS INT)
+                   AS peak,
+               CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+                   AS amp_sum,
+               CAST(list_sum(smp) AS BIGINT) AS checksum
+        FROM s
+    """,
+    # recomputes multimodal_bmp_decode's pixel formula directly;
+    # Spark's answer came through a real BMP encode→decode round trip
+    "multimodal_bmp_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (media_id + 7*y + 3*x + c) % 256))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           ((media_id + 7*y + 3*x + c) % 256)
+                           * (y*1000000 + x*1000 + c + 1)))))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
     # u8-PCM read of the ASCII blob: byte == codepoint
     "multimodal_audio_stats": """
         WITH b AS (
@@ -1980,12 +2090,14 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
-    # multimodal plumbing (stubbed codecs, real Spark pipeline)
+    # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
     "multimodal_frame_sample": multimodal_frame_sample_q,
     "multimodal_features": multimodal_features_q,
     "multimodal_metadata_stats": multimodal_metadata_stats_q,
     "multimodal_audio_stats": multimodal_audio_stats_q,
     "multimodal_resize": multimodal_resize_q,
+    "multimodal_wav_decode": multimodal_wav_decode_q,
+    "multimodal_bmp_decode": multimodal_bmp_decode_q,
 }
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402
