@@ -293,18 +293,11 @@ def lsh_ann_topk(
     )
 
 
-def _train_centroids(
-    corpus: DataFrame, vec_col: str, n_lists: int, seed: int, sample_rows: int
-) -> np.ndarray:
-    """Coarse quantizer: Lloyd k-means on a BOUNDED sample (driver-side
-    numpy, like Spark ML's init step). The sample size is fixed and
-    independent of corpus size, so this is O(1) w.r.t. the 100 TB scan;
-    assignment of the full corpus stays distributed."""
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in corpus.select(vec_col).limit(sample_rows).collect()
-    ]
-    x = np.stack(sample)
+def _lloyd_kmeans(x: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
+    """Seeded spherical Lloyd k-means over a sample matrix (rows =
+    vectors). Pure numpy and fully deterministic for a given (sample,
+    n_lists, seed) — the DuckDB-oracle path recomputes THIS function on
+    the same sample to embed identical centroid literals in SQL."""
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
@@ -316,6 +309,33 @@ def _train_centroids(
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
     return cent
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    sample_rows: int,
+    id_col: str | None = None,
+) -> np.ndarray:
+    """Coarse quantizer: Lloyd k-means on a BOUNDED sample (driver-side
+    numpy, like Spark ML's init step). The sample size is fixed and
+    independent of corpus size, so this is O(1) w.r.t. the 100 TB scan;
+    assignment of the full corpus stays distributed.
+
+    With `id_col` the sample is the `sample_rows` lowest-id vectors
+    (a distributed top-k, same cost class as limit) — fully
+    deterministic across runs and cluster layouts, unlike a bare
+    ``limit`` whose row choice depends on partition scheduling."""
+    base = corpus.select(vec_col) if id_col is None else (
+        corpus.select(id_col, vec_col).orderBy(id_col).select(vec_col)
+    )
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in base.limit(sample_rows).collect()
+    ]
+    return _lloyd_kmeans(np.stack(sample), n_lists, seed)
 
 
 def _list_assign_udf(centroids: np.ndarray, n_probe: int):
@@ -370,7 +390,9 @@ def ivf_ann_topk(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
     else:
-        cent = _train_centroids(corpus, vec_col, n_lists, seed, sample_rows)
+        cent = _train_centroids(
+            corpus, vec_col, n_lists, seed, sample_rows, id_col=id_col
+        )
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         normalize(_as_double(F.col(vec_col))).alias("_cv"),

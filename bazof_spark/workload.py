@@ -1299,6 +1299,26 @@ def embedding_ann_ivf_q(spark, sf_dir):
     ).withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
+def embedding_ann_ivf_trained_q(spark, sf_dir):
+    """IVF ANN through the REAL trained quantizer path
+    (operators/similarity._train_centroids → _lloyd_kmeans): a bounded
+    deterministic sample (the 256 lowest vec_ids, a distributed top-k)
+    is k-means-clustered driver-side with a fixed seed, then corpus
+    assignment, probing and re-rank run fully distributed. The oracle
+    recomputes the identical k-means in numpy on the identical sample
+    (read via DuckDB) and embeds the resulting centroids as float64
+    literals, so the whole train→assign→probe→re-rank chain is
+    cross-engine verified — unlike embedding_ann_ivf, whose quantizer
+    is a fixed corpus slice."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivf_ann_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, seed=13, sample_rows=256
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
 def _media_df(spark, sf_dir):
     """documents re-cast as a media table: the UTF-8 bytes of `text`
     stand in for an opaque blob (this container ships no codecs, so the
@@ -2036,6 +2056,88 @@ def _lsh_oracle_sql(
 _PIPELINE_ORACLES["embedding_ann_lsh"] = _lsh_oracle_sql()
 
 
+def _ivf_trained_oracle_sql(
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    sample_rows: int = 256,
+    k: int = 5,
+) -> str | None:
+    """DuckDB twin of embedding_ann_ivf_trained_q: re-derive the SAME
+    centroids the Spark query trains — identical sample (the
+    `sample_rows` lowest vec_ids, read here via DuckDB instead of a
+    Spark top-k) through the identical `_lloyd_kmeans` numpy code —
+    and embed them as float64 literals (repr() round-trips doubles
+    exactly). The comparison therefore verifies the trained path
+    end-to-end. The sample is read from the sf dir the parity harness
+    targets ($BAZOF_PARITY_SF; default sf0.01 = the driver's
+    correctness scale). Returns None (→ rows-only check) if the
+    parquet is unavailable at oracle-build time."""
+    import duckdb
+    import numpy as np
+
+    from bazof_spark.operators.similarity import _lloyd_kmeans
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"ORDER BY vec_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    cent = _lloyd_kmeans(
+        np.array([r[0] for r in rows], dtype=np.float64), n_lists, seed
+    )
+    vals = ", ".join(
+        f"({lid}, [{', '.join(repr(float(x)) for x in vec)}]::DOUBLE[])"
+        for lid, vec in enumerate(cent)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (SELECT * FROM (VALUES {vals}) t(lid, cvv)),
+        ca AS (
+            SELECT vec_id AS cid, v AS cv, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent
+        ),
+        assign AS (SELECT cid, cv, lid FROM ca WHERE rn = 1),
+        qp AS (
+            SELECT vec_id AS qid, v AS qv, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent WHERE vec_id < 10
+        ),
+        probe AS (SELECT qid, qv, lid FROM qp WHERE rn <= {n_probe}),
+        s AS (
+            SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+            FROM probe JOIN assign USING (lid)
+            WHERE qid != cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= {k}
+    """
+
+
+_ivf_trained_sql = _ivf_trained_oracle_sql()
+if _ivf_trained_sql is not None:
+    _PIPELINE_ORACLES["embedding_ann_ivf_trained"] = _ivf_trained_sql
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2090,6 +2192,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
+    "embedding_ann_ivf_trained": embedding_ann_ivf_trained_q,
     # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
     "multimodal_frame_sample": multimodal_frame_sample_q,
     "multimodal_features": multimodal_features_q,

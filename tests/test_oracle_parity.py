@@ -12,9 +12,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as entrymod  # noqa: E402
-
 SF_DIR = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.001")
+# data-derived oracles (embedding_ann_ivf_trained) read this env var at
+# workload import to build literals from the SAME sf the queries run at
+os.environ["BAZOF_PARITY_SF"] = SF_DIR
+
+import __spark_entry__ as entrymod  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
