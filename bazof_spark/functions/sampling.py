@@ -49,13 +49,27 @@ def stratified_sample(
     mixing): keep a row iff its identity bucket over 1e6 falls below
     its stratum's rate — a map-only projection, stable under appends
     and engine-portable like the rest of this module. Strata absent
-    from ``fractions`` keep ``default`` (0 = drop)."""
+    from ``fractions`` keep ``default`` (0 = drop).
+
+    Cutoffs are integerized DRIVER-side (round(rate*1e6)): an in-plan
+    `rate * 1e6` cast differs between engines for rates whose product
+    lands just below an integer in float64 (Spark's cast truncates,
+    DuckDB's rounds — e.g. 0.35 → 349999.99999999994), so the integer
+    grid is fixed once here and both engines compare against the same
+    literals."""
     bucket = hash_bucket(F.col(id_col), _MOD_FINE, salt)
     mapping = F.create_map(
-        *[F.lit(x) for kv in fractions.items() for x in kv]
+        *[
+            lit
+            for s, rate in fractions.items()
+            for lit in (F.lit(s), F.lit(int(round(rate * _MOD_FINE))))
+        ]
     )
-    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default)))
-    return df.filter(bucket < (rate * _MOD_FINE).cast("long"))
+    cutoff = F.coalesce(
+        mapping[F.col(strata_col)],
+        F.lit(int(round(float(default) * _MOD_FINE))),
+    )
+    return df.filter(bucket < cutoff)
 
 
 def assign_split(

@@ -44,6 +44,38 @@ def write_text(path: str, content: str) -> None:
         f.write(content.encode("utf-8"))
 
 
+def replace_text(path: str, content: str) -> None:
+    """Atomically replace ``path``'s content — readers never observe an
+    empty/partial file (``write_text`` is truncate-then-write, so a
+    concurrent reader CAN see a torn state mid-flip).
+
+    Local filesystems: write a sibling temp file + ``os.replace``
+    (POSIX-atomic rename). Object stores via pyarrow.fs: a single PUT
+    is already all-or-nothing on S3/GCS/ABFS, so plain write_text IS
+    the atomic path there; what object stores cannot give you without
+    a conditional-put/locking service is compare-and-swap across
+    concurrent WRITERS — see writer._publish_snapshot's conflict
+    check."""
+    if is_uri(path) and not path.startswith("file://"):
+        write_text(path, content)
+        return
+    local = path[len("file://"):] if path.startswith("file://") else path
+    import tempfile
+
+    d = os.path.dirname(local) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-", suffix=".txt")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.replace(tmp, local)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def exists(path: str) -> bool:
     from pyarrow import fs as pafs
 

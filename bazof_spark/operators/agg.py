@@ -70,7 +70,9 @@ def rollup_from_partials(
     _check(measures)
     # persist the finest level: every coarser level re-aggregates it,
     # and without the cache each union branch would re-run the fact
-    # scan + aggregate (n+1 scans instead of 1)
+    # scan + aggregate (n+1 scans instead of 1). Cached blocks live
+    # until clearCache()/unpersist or LRU eviction — repeated calls in
+    # a long-lived session should clear between calls.
     base = _base(df, keys, measures).persist()
     out = base.select(*keys, *measures.keys())
     for i in range(len(keys) - 1, -1, -1):

@@ -79,6 +79,20 @@ def asof_join(
     """
     from pyspark.sql.window import Window
 
+    if tolerance is not None:
+        # the tolerance bound casts both ts columns to TIMESTAMP; a
+        # numeric epoch column would be read as SECONDS by that cast,
+        # silently mis-scaling the bound (epoch-µs by 1e6) — refuse
+        # instead. The untoleranced join stays open to any orderable ts.
+        for side, df_, col in (("probe", probe, probe_ts), ("build", build, build_ts)):
+            t = df_.schema[col].dataType.typeName()
+            if t not in ("timestamp", "timestamp_ntz", "date"):
+                raise TypeError(
+                    f"asof_join(tolerance=...) requires timestamp/date "
+                    f"ts columns; {side}.{col} is {t}. Convert numeric "
+                    f"epochs explicitly (e.g. timestamp_micros) first."
+                )
+
     p = probe.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(probe_ts))
     build_payload = [c for c in build.columns if c not in (key, build_ts)]
     b = (

@@ -19,6 +19,7 @@ fixed fold order, reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,8 +65,13 @@ def bm25_rank(
         .filter(F.col("_dl") > 0)
         # base is ~|terms|+2 numerics per doc and feeds BOTH the stats
         # agg and the scoring pass; persisting it stops Spark from
-        # tokenizing the corpus twice (the regexp dominates the cost)
-        .persist()
+        # tokenizing the corpus twice (the regexp dominates the cost).
+        # MEMORY_AND_DISK: at corpus scale the per-doc rows can exceed
+        # executor memory and should spill, not recompute. The cache
+        # lives until spark.catalog.clearCache()/unpersist or LRU
+        # eviction — long-lived sessions issuing many bm25 calls should
+        # clear between calls (the bench harness does).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"),

@@ -111,18 +111,21 @@ class Rollup:
         self.measures = measures
         self.bucket_seconds = bucket_seconds
 
-    # -- watermark bookkeeping (driver-side metadata, like version.txt)
+    # -- watermark bookkeeping (driver-side metadata, like version.txt;
+    # all IO through iofs so URI paths — s3://, file:// — behave the
+    # same as local ones instead of os.path.exists silently answering
+    # False and forcing a rebuild every refresh)
     @property
     def _wm_path(self) -> str:
-        import os
+        from bazof_spark import iofs
 
-        return os.path.join(self.path, "_WATERMARK")
+        return iofs.join(self.path, "_WATERMARK")
 
     @property
     def _schema_path(self) -> str:
-        import os
+        from bazof_spark import iofs
 
-        return os.path.join(self.path, "_SCHEMA")
+        return iofs.join(self.path, "_SCHEMA")
 
     def _write_partials(self, agg: DataFrame, mode: str) -> None:
         """Write partial rows + persist their schema, so an
@@ -130,38 +133,42 @@ class Rollup:
         refresh) stays readable: Spark can't infer a schema from a
         data-file-less parquet directory."""
         import json
-        import os
+
+        from bazof_spark import iofs
 
         agg.write.mode(mode).partitionBy("bucket_date").parquet(self.path)
-        if not os.path.exists(self._schema_path):
-            with open(self._schema_path, "w", encoding="utf-8") as f:
-                f.write(json.dumps(agg.schema.jsonValue()))
+        if not iofs.exists(self._schema_path):
+            iofs.write_text(
+                self._schema_path, json.dumps(agg.schema.jsonValue())
+            )
 
     def _read_partials(self) -> DataFrame:
         import json
-        import os
 
         from pyspark.sql.types import StructType
 
+        from bazof_spark import iofs
+
         reader = self.spark.read
-        if os.path.exists(self._schema_path):
-            with open(self._schema_path, encoding="utf-8") as f:
-                reader = reader.schema(
-                    StructType.fromJson(json.loads(f.read()))
-                )
+        if iofs.exists(self._schema_path):
+            reader = reader.schema(
+                StructType.fromJson(json.loads(iofs.read_text(self._schema_path)))
+            )
         return reader.parquet(self.path)
 
     def watermark(self) -> datetime | None:
-        import os
+        from bazof_spark import iofs
 
-        if not os.path.exists(self._wm_path):
+        if not iofs.exists(self._wm_path):
             return None
-        with open(self._wm_path, encoding="utf-8") as f:
-            return datetime.fromtimestamp(int(f.read()), tz=timezone.utc)
+        return datetime.fromtimestamp(
+            int(iofs.read_text(self._wm_path)), tz=timezone.utc
+        )
 
     def _set_watermark(self, t: datetime) -> None:
-        with open(self._wm_path, "w", encoding="utf-8") as f:
-            f.write(str(int(t.timestamp())))
+        from bazof_spark import iofs
+
+        iofs.write_text(self._wm_path, str(int(t.timestamp())))
 
     def floor_bucket(self, t: datetime) -> datetime:
         s = int(t.timestamp()) // self.bucket_seconds * self.bucket_seconds

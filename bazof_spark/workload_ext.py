@@ -905,10 +905,11 @@ ORACLES_EXT = {
         SELECT doc_id, lang FROM documents
         WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                     AS BIGINT) % 1000000)
-              < CAST(1000000 * CASE lang
-                    WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
-                    WHEN 'fr' THEN 1.0  WHEN 'es' THEN 0.5
-                    WHEN 'zh' THEN 0.4  ELSE 0.0 END AS BIGINT)
+              < CASE lang  -- integer cutoffs = round(rate*1e6), fixed
+                    -- driver-side in functions/sampling.stratified_sample
+                    WHEN 'en' THEN 250000  WHEN 'de' THEN 1000000
+                    WHEN 'fr' THEN 1000000 WHEN 'es' THEN 500000
+                    WHEN 'zh' THEN 400000  ELSE 0 END
     """,
     "agg_cube_orders": """
         SELECT o_orderstatus, o_orderpriority,

@@ -242,7 +242,7 @@ class TableWriter:
         raw = json.dumps(doc, indent=2)
         snapshot = Snapshot.deserialize(raw)  # validates what we wrote
         iofs.write_text(iofs.join(self.path, f"s{version}.json"), raw)
-        iofs.write_text(iofs.join(self.path, VERSION_FILE), version)
+        iofs.replace_text(iofs.join(self.path, VERSION_FILE), version)
         return snapshot
 
 
@@ -465,4 +465,7 @@ def _publish_snapshot(
             "while this commit ran; re-read the table and retry"
         )
     iofs.write_text(iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize())
-    iofs.write_text(iofs.join(table_path, VERSION_FILE), next_version)
+    # atomic flip: concurrent readers must never observe a torn/empty
+    # version pointer (replace_text = temp+rename locally, single PUT
+    # on object stores)
+    iofs.replace_text(iofs.join(table_path, VERSION_FILE), next_version)

@@ -1,6 +1,7 @@
 """Unit tests for generic operators: as-of join, dedup internals,
 multimodal plumbing."""
 
+import os
 from datetime import datetime, timezone
 
 import pytest
@@ -69,6 +70,34 @@ def test_asof_join(spark):
         trades, quotes, key="sym", probe_ts="tt", build_ts="qt", how="left"
     )
     assert left.count() == 3
+
+
+def test_asof_join_tolerance_rejects_numeric_ts(spark):
+    """A numeric epoch ts would be silently mis-scaled by the tolerance
+    bound's timestamp cast (seconds vs micros) — must refuse."""
+    import pytest
+
+    probe = spark.createDataFrame([(1, 100)], "k long, pts long")
+    build = spark.createDataFrame([(1, 90, "v")], "k long, bts long, val string")
+    with pytest.raises(TypeError, match="timestamp/date"):
+        asof_join(probe, build, "k", "pts", "bts", tolerance=5)
+    # without tolerance any orderable ts type remains fine
+    assert asof_join(probe, build, "k", "pts", "bts").count() == 1
+
+
+def test_iofs_replace_text_atomic_flip(tmp_path):
+    from bazof_spark import iofs
+
+    p = str(tmp_path / "version.txt")
+    iofs.replace_text(p, "1")
+    assert iofs.read_text(p) == "1"
+    iofs.replace_text(p, "2")
+    assert iofs.read_text(p) == "2"
+    # file:// URI route hits the same rename path
+    iofs.replace_text("file://" + p, "3")
+    assert iofs.read_text(p) == "3"
+    # no temp litter left behind
+    assert [f for f in os.listdir(tmp_path) if f.startswith(".tmp-")] == []
 
 
 def test_exact_dedup_counts(spark):
