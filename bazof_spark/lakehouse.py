@@ -59,23 +59,44 @@ _RANK_MAP_LITERAL_MAX = 512
 
 
 def _normalize_file_uri(path: str) -> str:
-    """Normalize a path/URI the same way we normalize
-    ``input_file_name()`` output, so the two sides join."""
+    """Normalize a path/URI into the SAME canonical form
+    :func:`_normalized_input_file` computes in SQL, so the two sides
+    join. Canonical form: local/file → scheme-less path without leading
+    slashes (``file:///a/b``, ``file:/a/b``, ``/a/b`` → ``a/b``);
+    remote → ``scheme://rest`` with leading slashes collapsed and
+    percent-encoding decoded (``s3a://b//k%20x`` → ``s3a://b/k x``).
+    Kept line-for-line congruent with the SQL twin — change both
+    together (tests/test_uri_rank.py pins the congruence)."""
+    import re
+
     p = urllib.parse.unquote(path)
-    if "://" in p:
-        scheme, rest = p.split("://", 1)
-        return f"{scheme}://{rest.lstrip('/')}"
-    return os.path.abspath(p).lstrip("/")
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", p)
+    if m is None:  # plain local path (input_file_name never emits these)
+        return os.path.abspath(p).lstrip("/")
+    scheme_m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", p)
+    scheme = scheme_m.group(1) if scheme_m else ""
+    rest = p[m.end():]
+    if scheme in ("file", ""):
+        return rest
+    return f"{scheme}://{rest}"
 
 
 # strip scheme + collapse leading slashes: file:///a/b → a/b, s3a://b/k → s3a://b/k
-def _normalized_input_file() -> F.Column:
-    col = F.expr("input_file_name()")
-    col = F.url_decode(col)
+def _normalized_input_file(col: F.Column | None = None) -> F.Column:
+    if col is None:
+        col = F.expr("input_file_name()")
+    # url_decode treats '+' as an encoded space (form semantics); URIs
+    # percent-encode spaces as %20 and leave literal '+' alone, so
+    # protect '+' first — a '+'-named file must not decode to ' '
+    col = F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
     scheme = F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "")
-    return F.when(scheme == "file", rest).when(scheme == "", rest).otherwise(
-        F.concat(scheme, F.lit("://"), rest)
+    return (
+        F.when(scheme == "file", rest)
+        # scheme-less: strip leading slashes like the driver-side
+        # abspath().lstrip("/") does, keeping both sides congruent
+        .when(scheme == "", F.regexp_replace(rest, r"^/+", ""))
+        .otherwise(F.concat(scheme, F.lit("://"), rest))
     )
 
 
