@@ -97,16 +97,45 @@ class VersionedTable:
     changes: tuple[str, str | None] | None = None
 
 
-_STRING_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
-
-
 def _string_spans(sql: str) -> list[tuple[int, int]]:
-    """Spans of single-quoted literals ('' escape honored), so the
-    rewrite never fires on pattern-shaped TEXT inside a string — the
-    reference is immune by construction (AST visitor); a text pre-pass
-    must check. (The version clause's own timestamp IS a string literal;
-    what must lie outside any string is the table-name position.)"""
-    return [m.span() for m in _STRING_LITERAL_RE.finditer(sql)]
+    """Spans of single-quoted literals ('' escape honored), `--` line
+    comments and `/* */` block comments, so the rewrite never fires on
+    pattern-shaped TEXT inside any of them — the reference is immune by
+    construction (AST visitor); a text pre-pass must check. (The
+    version clause's own timestamp IS a string literal; what must lie
+    outside any protected span is the table-name position.) One linear
+    scan, because strings and comments nest inside each other ('--'
+    inside a string is not a comment; a quote inside a comment opens no
+    string — two independent regex passes would mis-nest exactly those."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            spans.append((i, end))
+            i = end
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            end = n if j == -1 else j
+            spans.append((i, end))
+            i = end
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            end = n if j == -1 else j + 2
+            spans.append((i, end))
+            i = end
+        else:
+            i += 1
+    return spans
 
 
 def _inside(pos: int, spans: list[tuple[int, int]]) -> bool:

@@ -1,0 +1,141 @@
+"""Negative-space tests for the time-travel SQL rewrite (sql.py).
+
+The reference rewrites via sqlparser AST visitation
+(crates/azof-datafusion/src/parse.rs:17-118) and is immune to
+pattern-shaped text in strings/comments by construction; our text-level
+pre-pass must prove the same immunity explicitly. These tests pin that
+non-time-travel text is untouched and malformed timestamps still error
+(parse.rs:257-284 behavior), across string literals, '' escapes, line
+and block comments, columns named `at`, CTE/subquery nesting, and
+mixed-case keywords.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark.errors import SqlRewriteError  # noqa: E402
+from bazof_spark.sql import rewrite_and_extract_tables  # noqa: E402
+
+TS = "2019-01-17T00:00:00.000Z"
+MS = 1547683200000
+
+
+def names(tables):
+    return {t.versioned_name for t in tables}
+
+
+def test_at_inside_string_literal_untouched():
+    sql = f"SELECT 'tbl AT(''{TS}'')' AS doc FROM t"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert out == sql
+    assert names(tables) == {"t"}
+
+
+def test_system_time_inside_string_untouched():
+    sql = f"SELECT * FROM t WHERE note = 'x FOR SYSTEM_TIME AS OF ''{TS}'''"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert out == sql
+    assert names(tables) == {"t"}
+
+
+def test_at_inside_line_comment_untouched():
+    sql = f"SELECT * FROM t -- uses financials AT('{TS}')\nWHERE x = 1"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert out == sql
+    assert names(tables) == {"t"}
+
+
+def test_at_inside_block_comment_untouched():
+    sql = f"SELECT * /* financials AT('{TS}') \n CHANGES('t','{TS}') */ FROM t"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert out == sql
+    assert names(tables) == {"t"}
+
+
+def test_quote_inside_comment_does_not_open_string():
+    # the apostrophe in the comment must not shift string spans and
+    # shield the real clause from rewriting
+    sql = f"SELECT * -- don't\nFROM financials AT('{TS}')"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert f"financials__{MS}" in out
+    assert names(tables) == {f"financials__{MS}"}
+
+
+def test_comment_marker_inside_string_is_not_a_comment():
+    # '--' inside a string must not comment out the rest of the line
+    sql = f"SELECT '--' AS dash FROM financials AT('{TS}')"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert f"financials__{MS}" in out
+
+
+def test_column_named_at_untouched():
+    sql = "SELECT at, t.at FROM t WHERE at > 5"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert out == sql
+    assert names(tables) == {"t"}
+
+
+def test_mixed_case_and_spacing_variants_rewrite():
+    for clause in (
+        f"aT('{TS}')",
+        f"At  (  '{TS}'  )",
+        f"AT(TIMESTAMP=>'{TS}')",
+        f"at ( timestamp => '{TS}' )",
+        f"FOR system_time AS of '{TS}'",
+    ):
+        out, tables = rewrite_and_extract_tables(f"SELECT * FROM tbl {clause}")
+        assert f"tbl__{MS}" in out, clause
+        assert names(tables) == {f"tbl__{MS}"}, clause
+
+
+def test_cte_and_subquery_nesting():
+    sql = (
+        f"WITH base AS (SELECT * FROM financials AT('{TS}')) "
+        f"SELECT * FROM base b JOIN (SELECT * FROM t2 FOR SYSTEM_TIME AS OF "
+        f"'{TS}') s ON b.k = s.k"
+    )
+    out, tables = rewrite_and_extract_tables(sql)
+    assert f"financials__{MS}" in out and f"t2__{MS}" in out
+    assert {f"financials__{MS}", f"t2__{MS}", "base"} <= names(tables)
+
+
+def test_self_join_two_instants_distinct_names():
+    sql = (
+        f"SELECT * FROM f AT('{TS}') a "
+        f"JOIN f AT('2020-01-01T00:00:00.000Z') b ON a.k = b.k"
+    )
+    out, tables = rewrite_and_extract_tables(sql)
+    assert f"f__{MS}" in out and "f__1577836800000" in out
+    assert len(names(tables)) == 2
+
+
+def test_malformed_timestamp_errors():
+    for bad in ("not-a-ts", "2019-13-45T99:00:00Z", ""):
+        with pytest.raises(SqlRewriteError):
+            rewrite_and_extract_tables(f"SELECT * FROM t AT('{bad}')")
+
+
+def test_malformed_timestamp_errors_inside_cte():
+    with pytest.raises(SqlRewriteError):
+        rewrite_and_extract_tables(
+            "WITH x AS (SELECT * FROM t AT('nope')) SELECT * FROM x"
+        )
+
+
+def test_changes_inside_comment_untouched():
+    sql = f"SELECT * FROM t /* CHANGES('t', '{TS}') */"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert out == sql
+    assert names(tables) == {"t"}
+
+
+def test_unterminated_string_protects_rest_of_text():
+    sql = f"SELECT 'oops FROM f AT('{TS}')"
+    out, _ = rewrite_and_extract_tables(sql)
+    # the opening quote swallows to the next quote; the tail after it is
+    # NOT a valid clause match ('{TS}' is not an identifier position)
+    assert "f__" not in out
