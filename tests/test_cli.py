@@ -1,0 +1,127 @@
+"""Smoke tests for every CLI subcommand (cli.py mirrors azof-cli,
+crates/azof-cli/src/main.rs:28-59). The CLI is a thin argparse layer
+over the library, so one in-process invocation per subcommand (reusing
+the session fixture — get_spark() is getOrCreate) pins the argument
+wiring; one real subprocess run pins the `python -m bazof_spark.cli`
+entry point itself."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark.cli import main  # noqa: E402
+
+REF = "/root/reference/test-data"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    """Writable lakehouse: the reference's table0 (has CSVs for gen/
+    upsert) + financials (multi-file history)."""
+    for t in ("table0", "financials"):
+        shutil.copytree(os.path.join(REF, t), str(tmp_path / t))
+    return str(tmp_path)
+
+
+def run(capsys, *argv) -> str:
+    assert main(list(argv)) == 0
+    return capsys.readouterr().out
+
+
+def test_scan_current_and_as_of(spark, lake, capsys):
+    out = run(capsys, "scan", "--path", lake, "--table", "table0")
+    assert "abc2" in out and "xyz" in out
+    out = run(
+        capsys,
+        "scan", "--path", lake, "--table", "table0",
+        "--as-of", "2024-01-15T00:00:00", "--columns", "key,value",
+    )
+    assert "abc" in out and "abc2" not in out
+
+
+def test_sql_time_travel(spark, lake, capsys):
+    out = run(
+        capsys,
+        "sql", "--path", lake,
+        "--query",
+        "SELECT key, value FROM table0 AT ('2024-02-17T00:00:00.000Z') "
+        "ORDER BY key",
+    )
+    assert "abc2" in out
+
+
+def test_changes(spark, lake, capsys):
+    out = run(
+        capsys,
+        "changes", "--path", lake, "--table", "table0",
+        "--since", "2024-01-15T00:00:00",
+    )
+    assert "abc2" in out  # the delta row appears in the feed
+
+
+def test_gen_csv_to_parquet(spark, lake, capsys):
+    parquet = os.path.join(lake, "table0", "delta1.parquet")
+    os.unlink(parquet)  # regenerate it from its CSV
+    out = run(capsys, "gen", "--path", lake, "--table", "table0", "--file", "delta1")
+    assert "wrote" in out and os.path.exists(parquet)
+    out = run(capsys, "scan", "--path", lake, "--table", "table0")
+    assert "abc2" in out
+
+
+def test_upsert_restore_vacuum_history_validate(spark, lake, capsys):
+    batch = os.path.join(lake, "batch.csv")
+    with open(batch, "w", encoding="utf-8") as f:
+        f.write("9,2024-05-01T00:00:00.000Z,new-row\n")
+    out = run(capsys, "upsert", "--path", lake, "--table", "table0", "--file", batch)
+    assert "version 2" in out
+    out = run(capsys, "scan", "--path", lake, "--table", "table0")
+    assert "new-row" in out
+
+    out = run(capsys, "history", "--path", lake, "--table", "table0")
+    assert "v1" in out and "v2" in out and "*" in out
+
+    out = run(capsys, "validate", "--path", lake, "--table", "table0")
+    assert out.strip().endswith("OK")
+
+    out = run(capsys, "restore", "--path", lake, "--table", "table0", "--version", "1")
+    assert "restored" in out
+    out = run(capsys, "scan", "--path", lake, "--table", "table0")
+    assert "new-row" not in out
+
+    out = run(capsys, "vacuum", "--path", lake, "--table", "table0", "--dry-run")
+    assert "would remove" in out
+
+
+def test_checkpoint_and_zorder(spark, lake, capsys):
+    out = run(
+        capsys,
+        "checkpoint", "--path", lake, "--table", "financials",
+        "--at", "2022-01-01T00:00:00Z",
+    )
+    assert "checkpointed financials" in out and "1 file(s) serve Current" in out
+    out = run(capsys, "validate", "--path", lake, "--table", "financials")
+    assert out.strip().endswith("OK")
+
+
+def test_subprocess_entry_point(lake):
+    """The real `python -m bazof_spark.cli` process (own JVM)."""
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "bazof_spark.cli",
+            "scan", "--path", lake, "--table", "table0", "--as-of",
+            "2024-02-17T00:00:00",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=180,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "abc2" in proc.stdout
