@@ -1184,6 +1184,34 @@ def dedup_clusters_q(spark, sf_dir):
     )
 
 
+def dedup_end_to_end_q(spark, sf_dir):
+    """The COMPLETE dedup pipeline a training run executes, composed
+    from the guarded primitives: exact-collapse (exact_groups) →
+    near-dup pairs among representatives (simhash, collapse-by-default)
+    → connected components → re-expand cluster labels to every exact
+    copy with one join on rep_id. Output: every document with its final
+    representative and whether it survives dedup (doc == final rep).
+    Every stage is linear — exact copies never enter the pair join and
+    re-attachment is a join on the (small) clustered-rep set."""
+    from bazof_spark.operators.dedup import exact_groups
+
+    docs = _t("documents")(spark, sf_dir)
+    groups = exact_groups(docs)  # (doc_id, rep_id) incl. singletons
+    pairs = simhash_pairs(docs, max_hamming=3, k=3)
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("_rep"), F.col("cluster_rep")
+    )
+    return groups.join(
+        clusters, groups["rep_id"] == clusters["_rep"], "left"
+    ).select(
+        groups["doc_id"],
+        F.coalesce("cluster_rep", "rep_id").alias("final_rep"),
+        (groups["doc_id"] == F.coalesce("cluster_rep", "rep_id"))
+        .cast("int")
+        .alias("is_kept"),
+    )
+
+
 
 def _docs_par(spark, sf_dir):
     """documents rebalanced to cluster parallelism — used ONLY by the
@@ -1960,6 +1988,36 @@ _PIPELINE_ORACLES = {
         SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster_rep, cluster_size
         FROM comp JOIN sz USING (cluster_rep)
     """,
+    # full dedup pipeline: exact groups + simhash components over the
+    # reps + re-expansion; the recursive closure mirrors dedup_clusters
+    "dedup_end_to_end": f"""
+        WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sim_pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM sim_pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, lbl) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (
+            SELECT id AS rep, CAST(MIN(lbl) AS BIGINT) AS cluster_rep
+            FROM reach GROUP BY id
+        ),
+        groups AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+            FROM documents
+        )
+        SELECT g.doc_id,
+               COALESCE(c.cluster_rep, g.rep_id) AS final_rep,
+               CAST(g.doc_id = COALESCE(c.cluster_rep, g.rep_id) AS INT)
+                   AS is_kept
+        FROM groups g LEFT JOIN comp c ON c.rep = g.rep_id
+    """,
     # IVF with the deterministic quantizer of embedding_ann_ivf_q:
     # centroid list l = embedding vec_id=l (l < 16); corpus vec → its
     # nearest list (cosine, ties → lower list id, matching numpy's
@@ -2178,6 +2236,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_clusters": dedup_clusters_q,
+    "dedup_end_to_end": dedup_end_to_end_q,
     "dataset_split": dataset_split_q,
     "sequence_packing": sequence_packing_q,
     "corpus_clean": corpus_clean_q,

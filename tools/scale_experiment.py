@@ -8,6 +8,13 @@ up. Results are recorded in SCALING.md.
 Usage: python tools/scale_experiment.py [--rebuild]
 Writes derived data under /tmp/bazof_scale/x10 (never touches
 /root/testdata).
+
+`--x100` runs the 100x stretch instead: documents-only (the three
+highest-ratio operators — text_quality, text_repetition,
+dedup_ngram_jaccard — read nothing else), same decorrelation scheme,
+under /tmp/bazof_scale/x100. Confirms the linear-in-bytes reading
+holds for two more decades and that no intermediate state grows
+superlinearly.
 """
 
 from __future__ import annotations
@@ -166,6 +173,32 @@ def _union(copies):
     return out
 
 
+X100_DST = "/tmp/bazof_scale/x100"
+X100_MEASURED = ["text_quality", "text_repetition", "dedup_ngram_jaccard"]
+
+
+def build_docs_x(spark, copies: int, dst: str) -> None:
+    """Documents-only scale-up with the same decorrelation scheme as
+    build(): per-copy word suffixes keep cross-copy shingle overlap at
+    zero while preserving per-doc length/stats. Built in one job from
+    a `copies`-way union of suffixed branches."""
+    os.makedirs(dst, exist_ok=True)
+    out = os.path.join(dst, "documents.parquet")
+    if os.path.exists(out):
+        return
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    dkey = docs.agg(F.max("doc_id")).first()[0] + 1
+    branches = []
+    for i in range(copies):
+        c = docs.withColumn("doc_id", F.col("doc_id") + i * dkey)
+        if i:
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1x{i}")
+            )
+        branches.append(c)
+    _write(_union(branches), out)
+
+
 def run(spark, sf_dir: str) -> dict[str, float]:
     times = {}
     for name in MEASURED:
@@ -181,6 +214,26 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     spark = get_spark(app_name="bazof-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--x100" in sys.argv:
+        if "--rebuild" in sys.argv and os.path.exists(X100_DST):
+            shutil.rmtree(X100_DST)
+        build_docs_x(spark, 100, X100_DST)
+        global MEASURED
+        MEASURED = X100_MEASURED
+        base = run(spark, SRC)
+        scaled = run(spark, X100_DST)
+        report = {
+            name: {
+                "t_1x_sec": base[name],
+                "t_100x_sec": scaled[name],
+                "ratio": round(scaled[name] / base[name], 2)
+                if base[name] > 0
+                else None,
+            }
+            for name in MEASURED
+        }
+        print(json.dumps(report, indent=2))
+        return
     if "--rebuild" in sys.argv and os.path.exists(DST):
         shutil.rmtree(DST)
     build(spark)
