@@ -169,6 +169,41 @@ def test_change_feed_prunes_both_scans_and_bounds_shuffles(spark):
     assert shuffle_count(df) <= 2, "one merge shuffle per as-of side"
 
 
+def test_guarded_minhash_plan_bounded(spark):
+    """The degenerate-corpus-guarded minhash pipeline (round 3): scans
+    prune to (doc_id, text); shuffle budget = collapse groupBy + the
+    bucket-cap/self-join window exchange + the pair-dedup exchange, and
+    the cap's count window must NOT add an exchange beyond the join's
+    own partitioning (it shares (band, bhash))."""
+    df = q("dedup_minhash_lsh", spark)
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+    assert shuffle_count(df) <= 4, "collapse + band window/join + dedup"
+
+    df = q("dedup_simhash", spark)
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+    assert shuffle_count(df) <= 4
+
+
+def test_decontamination_corpus_never_key_shuffles(spark):
+    """Corpus-shuffle contract: the probe side broadcasts and no KEY
+    exchange touches the corpus — allowed exchanges are the two
+    small-file rebalance repartitions (scale no-ops) and the final
+    pair-dedup aggregate. A collapse/cap regression would add two more
+    (measured 1.2s → 7s at sf0.1)."""
+    df = q("decontamination", spark)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3, "corpus-side key shuffle crept in"
+
+
+def test_real_codec_queries_are_map_only(spark):
+    """WAV/BMP encode→decode round trips are two chained mapInPandas
+    stages: zero exchanges, scans pruned to doc_id (+rebalance)."""
+    for name in ("multimodal_wav_decode", "multimodal_bmp_decode"):
+        assert shuffle_count(q(name, spark)) <= 1, name  # rebalance only
+
+
 def test_corpus_quality_queries_bounded(spark):
     """New corpus-quality surface: pii_redaction is map-only after the
     rebalance; text_repetition pays the rebalance + two partial
