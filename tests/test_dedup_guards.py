@@ -132,6 +132,45 @@ def test_decontamination_reexpands_exact_copies(spark):
     }
 
 
+def _random_corpus(spark, seed: int, n_docs: int = 60):
+    """Distinct-text corpus with planted near-dups (shared prefixes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(n_docs):
+        base = list(rng.choice(vocab, size=12))
+        rows.append((d, " ".join(base) + f" uniq{d}"))
+        if d % 7 == 0:  # planted near-dup of this doc
+            rows.append((1000 + d, " ".join(base) + f" uniq{d}b"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [3, 17, 42])
+def test_guards_are_pure_scale_protections_minhash(spark, seed):
+    """On a benign corpus (no exact dups, no oversized buckets) the
+    guards must not change the answer: collapse+cap on == both off."""
+    df = _random_corpus(spark, seed)
+    on = minhash_lsh_pairs(df, threshold=0.4).collect()
+    off = minhash_lsh_pairs(
+        df, threshold=0.4, collapse_exact=False, max_bucket_size=None
+    ).collect()
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+    assert len(on) > 0  # planted near-dups were actually found
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_guards_are_pure_scale_protections_simhash(spark, seed):
+    df = _random_corpus(spark, seed)
+    on = simhash_pairs(df, max_hamming=12).collect()
+    off = simhash_pairs(
+        df, max_hamming=12, collapse_exact=False, max_bucket_size=None
+    ).collect()
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+    assert len(on) > 0
+
+
 def test_exact_groups_mapping(spark):
     df = spark.createDataFrame(
         [(3, "aaa"), (7, "aaa"), (5, "bbb")], "doc_id long, text string"
