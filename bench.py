@@ -51,13 +51,15 @@ def main() -> None:
         start = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        timings[name] = round(time.perf_counter() - start, 3)
         # operators persist() intermediates for the duration of their
         # query; drop them so cached blocks don't accumulate across the
         # 70-query session and tax later queries with GC pressure
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
+    # compact separators: the driver records a bounded tail of stdout,
+    # and an 86-query dict with default spacing overflowed it in r2
     print(
         json.dumps(
             {
@@ -67,7 +69,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -175,6 +175,10 @@ def test_guarded_minhash_plan_bounded(spark):
     bucket-cap/self-join window exchange + the pair-dedup exchange, and
     the cap's count window must NOT add an exchange beyond the join's
     own partitioning (it shares (band, bhash))."""
+    # pin the COLD plan: a prior test's executed persist() leaves an
+    # InMemoryRelation that fresh logically-equal plans read through
+    # extra exchanges
+    spark.catalog.clearCache()
     df = q("dedup_minhash_lsh", spark)
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}, cols
