@@ -617,6 +617,40 @@ def stratified_sample_by_lang(spark, sf_dir):
     return stratified_sample(docs, "lang", _STRATA_RATES)
 
 
+def quality_select_per_lang(spark, sf_dir):
+    """Quality-quantile selection — the FILTERING step that completes
+    the quality-scoring story: keep the top half of documents per
+    language by quality score (rank-based, not threshold-based, so the
+    kept fraction is exact regardless of score distribution — the
+    standard way training pipelines enforce per-language quality
+    budgets). Deterministic across engines: ranking orders by the
+    ROUNDED score (both engines agree on it bit-for-bit — see
+    text_quality) with doc_id tie-break. One window exchange on lang;
+    scoring is pure Column regex arithmetic, whole-stage codegen."""
+    from bazof_spark.functions.text import quality_score
+
+    docs = _t("documents")(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .filter(F.col("rn") <= F.ceil(F.col("_n") * F.lit(0.5)))
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.col("rn").cast("long").alias("lang_rank"),
+        )
+    )
+
+
 def agg_cube_orders(spark, sf_dir):
     """CUBE over (o_orderstatus, o_orderpriority) computed from the
     finest-level partials (operators/agg.cube_from_partials): the fact
@@ -860,6 +894,7 @@ QUERIES_EXT = {
     "doc_chunking": doc_chunking,
     "agg_cube_orders": agg_cube_orders,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "quality_select_per_lang": quality_select_per_lang,
     "embedding_matryoshka_topk": embedding_matryoshka_topk,
 }
 
@@ -900,6 +935,41 @@ ORACLES_EXT = {
         SELECT query_id, cid AS neighbor_id,
                CAST(rn AS INT) AS rank, round(sim, 6) AS cosine_sim
         FROM r WHERE rn <= 5
+    """,
+    # same quality formula as workload.text_quality's oracle, then a
+    # per-lang rank window keeping the exact top half
+    "quality_select_per_lang": r"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   length(text) AS n,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS words,
+                   len(regexp_extract_all(text, '[^\sA-Za-z0-9_]')) AS punct,
+                   len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|that)\b')) AS stops,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS letters
+            FROM documents
+        ),
+        sc AS (
+            SELECT doc_id, lang,
+                   round(
+                     least(n / 500.0, 1.0) * 0.4
+                     + greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4.0) * 0.3
+                     + least((CASE WHEN words > 0 THEN stops / words ELSE 0.0 END) * 5.0, 1.0) * 0.2
+                     + (CASE WHEN words > 0 AND letters / words >= 3.0
+                             AND letters / words <= 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.1
+                   , 6) AS quality
+            FROM m
+        ),
+        r AS (
+            SELECT doc_id, lang, quality,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY quality DESC, doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS nl
+            FROM sc
+        )
+        SELECT doc_id, lang, quality, CAST(rn AS BIGINT) AS lang_rank
+        FROM r WHERE rn <= CAST(ceil(nl * 0.5) AS BIGINT)
     """,
     "stratified_sample_by_lang": """
         SELECT doc_id, lang FROM documents
