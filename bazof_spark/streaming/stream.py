@@ -189,6 +189,22 @@ def session_stream(
     )
 
 
+def distinct_stream(
+    stream: DataFrame,
+    cols: list[str],
+    watermark_col: str = EVENT_TIME_COL,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup with engine-managed state: emit each
+    distinct `cols` tuple once. ``dropDuplicatesWithinWatermark`` (not
+    plain ``dropDuplicates``) so the seen-keys state EXPIRES as the
+    watermark advances — unbounded-state dedup does not survive an
+    unbounded stream. Callers should project away non-key columns after
+    this (which physical first-occurrence row carried the tuple is
+    scheduling-dependent; the tuple itself is not)."""
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(cols)
+
+
 def latest_state_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Continuously-maintained latest-version-per-key (the streaming
     as-of Current scan): dedup by (key) keeping max event_time via

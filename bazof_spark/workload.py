@@ -344,9 +344,45 @@ def streaming_window_counts(spark, sf_dir):
     )
 
 
+def streaming_dedup(spark, sf_dir):
+    """Streaming stateful exact-dedup (streaming/stream.distinct_stream,
+    dropDuplicatesWithinWatermark — engine-managed seen-keys state that
+    EXPIRES with the watermark): each distinct (key, event_type) pair is
+    emitted once across all micro-batches of the events_versioned delta
+    stream. Projected to the key tuple (which physical first-occurrence
+    row carried it is scheduling-dependent; the set is not), so the
+    DuckDB oracle is a plain SELECT DISTINCT — streaming state
+    management must converge to batch set semantics exactly."""
+    from bazof_spark.streaming.stream import distinct_stream, read_table_stream
+
+    lh = events_lakehouse(spark, sf_dir)
+    table = lh.table("events_versioned")
+    stream = read_table_stream(spark, table)
+    out = distinct_stream(
+        stream.select("key", "event_type", "event_time"),
+        ["key", "event_type"],
+        watermark="3650 days",
+    ).select("key", "event_type")
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
     "streaming_latest_rows": _events_oracle_cte(),
+    # set semantics: stateful streaming dedup must equal batch DISTINCT
+    "streaming_dedup": """
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, event_type
+        FROM events
+    """,
     # 6h tumbling windows, epoch-aligned exactly like Spark's window():
     # floor(epoch_us / 6h) * 6h
     "streaming_window_counts": """
@@ -2212,6 +2248,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_latest_rows": streaming_latest_rows,
     "streaming_window_counts": streaming_window_counts,
     "streaming_sessions": streaming_sessions,
+    "streaming_dedup": streaming_dedup,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
