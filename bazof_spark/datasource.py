@@ -37,7 +37,17 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 from bazof_spark.asof import AsOf, Current, parse_rfc3339
@@ -93,6 +103,48 @@ class BazofReader(DataSourceReader):
             [f.with_nullable(True) for f in to_arrow_schema(schema)]
         )
         self._as_of_dt = as_of.event_time_at
+        self._pushed: list[tuple[str, str, object]] = []
+
+    _COMPARATORS = {
+        EqualTo: "equal",
+        GreaterThan: "greater",
+        GreaterThanOrEqual: "greater_equal",
+        LessThan: "less",
+        LessThanOrEqual: "less_equal",
+    }
+
+    def pushFilters(self, filters: list[Filter]):
+        """Catalyst offers its pushable predicates; accept simple
+        comparisons on top-level data columns and evaluate them inside
+        the Arrow reader (so filtered rows, like as-of-pruned ones,
+        never cross into the JVM). Everything else is handed back for
+        Spark to evaluate — correctness never depends on the pushdown
+        (Spark re-checks accepted filters only if we mis-declare, so
+        only comparisons with exact arrow-comparable semantics are
+        accepted: no strings-vs-numeric coercions, no nested paths)."""
+        import pyarrow as pa
+
+        def _acceptable(col: str | None, value) -> bool:
+            if col not in self._columns:
+                return False
+            ftype = self._arrow_schema.field(col).type
+            if isinstance(value, bool):
+                return pa.types.is_boolean(ftype)
+            if isinstance(value, int):
+                return pa.types.is_integer(ftype)
+            if isinstance(value, float):
+                return pa.types.is_floating(ftype)
+            if isinstance(value, str):
+                return pa.types.is_string(ftype) or pa.types.is_large_string(ftype)
+            return False
+
+        for f in filters:
+            op = self._COMPARATORS.get(type(f))
+            col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
+            if op is not None and _acceptable(col, getattr(f, "value", None)):
+                self._pushed.append((op, col, f.value))
+            else:
+                yield f  # unsupported → Spark evaluates it
 
     def partitions(self):  # one task per ranked data file
         return [_FilePartition(p, r) for p, r in self._files]
@@ -130,6 +182,11 @@ class BazofReader(DataSourceReader):
                         self._as_of_dt.replace(tzinfo=None), type=target
                     )
                 t = t.filter(pc.less_equal(pc.cast(col, target), bound))
+            for op, name, value in self._pushed:
+                col = t.column(name)
+                t = t.filter(
+                    getattr(pc, op)(col, pa.scalar(value, type=col.type))
+                )
             yield from t.to_batches()
 
 
@@ -171,6 +228,10 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
     from pyspark.sql import functions as F
 
     spark.dataSource.register(BazofDataSource)
+    # pushFilters() requires this capability flag (off by default in
+    # Spark 4.1; pre-set in session.get_spark, repeated here for
+    # sessions built elsewhere — runtime-settable)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     reader = (
         spark.read.format("bazof").option("path", root).option("table", name)
     )

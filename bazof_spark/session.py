@@ -28,6 +28,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the bazof Python Data Source implements pushFilters(); the
+        # capability is gated off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus)),

@@ -17,7 +17,7 @@ REF = "/root/reference/test-data"
 
 
 def rows(df, cols=("key",)):
-    return sorted(map(tuple, df.collect()))
+    return sorted(map(tuple, df.collect()), key=repr)
 
 
 @pytest.mark.parametrize(
@@ -49,6 +49,51 @@ def test_raw_load_carries_rank_and_rowidx(spark):
     assert {"_rank", "_row_idx"} <= set(df.columns)
     # base + delta files present with distinct ranks
     assert df.select("_rank").distinct().count() == 2
+
+
+def test_filter_pushdown_matches_postfilter(spark):
+    """Filters Catalyst pushes into the source (evaluated in the Arrow
+    reader) must give exactly the rows a JVM-side post-filter gives,
+    across comparison ops and types — including ones the reader
+    declines (handed back to Spark)."""
+    native = Lakehouse(spark, REF).scan("financials", as_of="2020-06-01T00:00:00.000Z")
+    for cond in [
+        "key = 'MSFT'",
+        "revenue > 1000000000",
+        "revenue <= 500000000",
+        "industry = 'Software'",
+        "key = 'MSFT' AND revenue > 0",
+        "key LIKE 'M%'",  # not pushable → Spark evaluates
+    ]:
+        via = read_table(
+            spark, REF, "financials", as_of="2020-06-01T00:00:00.000Z"
+        ).filter(cond)
+        want = rows(native.filter(cond).select(*sorted(native.columns)))
+        got = rows(via.select(*sorted(native.columns)))
+        assert got == want, cond
+
+
+def test_pushfilters_accepts_and_declines_correctly(spark):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from bazof_spark.datasource import BazofReader, BazofDataSource
+
+    src = BazofDataSource(
+        options={"path": REF, "table": "financials"}
+    )
+    reader = src.reader(src.schema())
+    remaining = list(
+        reader.pushFilters(
+            [
+                EqualTo(("key",), "MSFT"),           # accepted
+                GreaterThan(("revenue",), 10),       # accepted
+                EqualTo(("revenue",), "oops"),       # type mismatch → declined
+                EqualTo(("nope",), 1),               # unknown col → declined
+            ]
+        )
+    )
+    assert len(reader._pushed) == 2
+    assert len(remaining) == 2
 
 
 def test_as_of_prunes_rows_in_reader(spark):
