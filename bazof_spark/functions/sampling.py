@@ -93,6 +93,81 @@ def assign_split(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    pct: dict[str, int],
+    budget_num: int = 2,
+    budget_den: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic dataset-mixture resampling: draw a corpus-wide
+    budget of ``floor(N * budget_num / budget_den)`` rows whose stratum
+    proportions match ``pct`` (integer percentages, e.g. ``{"en": 30,
+    "de": 20, ...}``) — the data-mixing step that turns a crawl's
+    natural language/source skew into a training mixture. Output: the
+    selected rows as (id, stratum, mix_rank) with ``mix_rank`` the
+    1-based selection rank within the stratum.
+
+    Every quantity is integer arithmetic on exact counts (no float
+    rates), so Spark and the DuckDB oracle agree bit-for-bit:
+    ``target_s = (N * budget_num // budget_den) * pct[s] // 100``.
+
+    Scale shape — oversample-then-trim, so no window ever sees a whole
+    stratum: (1) one map-side-combined count per stratum (tiny result,
+    collected); (2) a map-only hash prefilter keeps rows whose identity
+    bucket falls below ``target_s/count_s`` with a 2× + 5% margin —
+    expected survivors are O(target), not O(corpus); (3) an exact
+    (hash, id) rank inside the survivors picks the first ``target_s``.
+    The margin makes a short stratum (fewer than ``target_s``
+    survivors) a < e^-target/4 probability event — and even then the
+    output is deterministic, merely short. A stratum absent from
+    ``pct`` is dropped.
+    """
+    if sum(pct.values()) > 100:
+        raise ValueError("pct must sum to <= 100")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    total = sum(counts.values())
+    budget = total * budget_num // budget_den
+    targets = {
+        s: min(budget * p // 100, counts.get(s, 0)) for s, p in pct.items()
+    }
+    cutoffs = {
+        s: min(_MOD_FINE, (t * 2 * _MOD_FINE) // counts[s] + 50_000)
+        for s, t in targets.items()
+        if counts.get(s)
+    }
+    if not cutoffs:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {stratum_col} string, mix_rank long"
+        )
+    bucket = hash_bucket(F.col(id_col), _MOD_FINE, salt)
+    cutoff_map = F.create_map(
+        *[lit for s, c in cutoffs.items() for lit in (F.lit(s), F.lit(c))]
+    )
+    target_map = F.create_map(
+        *[lit for s, t in targets.items() for lit in (F.lit(s), F.lit(t))]
+    )
+    from pyspark.sql.window import Window
+
+    pre = (
+        df.select(F.col(id_col), F.col(stratum_col), bucket.alias("_h"))
+        .filter(F.col("_h") < F.coalesce(cutoff_map[F.col(stratum_col)], F.lit(0)))
+    )
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        pre.withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("mix_rank") <= target_map[F.col(stratum_col)])
+        .select(id_col, stratum_col, "mix_rank")
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, rate: float, salt: str = ""
 ) -> DataFrame:

@@ -487,6 +487,75 @@ def cosine_pairs_blocked(
     return v.groupBy("_blk").applyInPandas(per_block, out_schema)
 
 
+def semdedup_prune(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    inside each cluster prune every vector that is a cosine
+    near-duplicate of a LOWER-id vector in the same cluster. Output one
+    row per corpus vector: (vec_id, list_id, is_kept).
+
+    The prune rule is id-anchored (prune v iff ∃ u in v's cluster with
+    id(u) < id(v) and cos(u, v) >= threshold) rather than the paper's
+    keep-farthest-from-centroid: min-id representatives are the
+    convention every dedup operator in this repo uses
+    (operators/dedup.py), and an id predicate is engine-portable — the
+    DuckDB oracle reproduces it exactly, which "farthest, ties broken by
+    clustering randomness" is not.
+
+    Scale shape: assignment is one Arrow-batched matmul per batch
+    (map-only); the quadratic term is confined to one cluster and
+    further tiled by ``chunk_rows`` (see :func:`cosine_pairs_blocked`),
+    so executor memory is bounded regardless of cluster size. At 100 TB
+    pick ``n_lists ≈ corpus_rows / target_cluster_size`` so clusters
+    stay ~10⁴-10⁵ rows — the paper's regime — and train centroids with
+    :func:`_train_centroids` (bounded sample, O(1) in corpus size).
+    Pass a fixed corpus slice as ``centroids`` when the result must be
+    bit-reproducible across engines (same convention as
+    ``embedding_ann_ivf``).
+    """
+    cent = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        normalize(_as_double(F.col(vec_col))).alias("_v"),
+    )
+    assigned = v.withColumn("_list", _list_assign_udf(cent, 1)("_v")[0])
+    assigned = assigned.persist()  # read by the pair generator AND the
+    # final projection; without this the assignment UDF runs twice
+    pairs = cosine_pairs_blocked(
+        assigned,
+        "_list",
+        threshold=threshold,
+        id_col="_id",
+        vec_col="_v",
+        chunk_rows=chunk_rows,
+    )
+    # a vector is pruned iff it appears as the HIGHER id of any
+    # qualifying pair; the pruned set is tiny relative to the corpus,
+    # so broadcast it into a map-side left anti-style join
+    pruned = pairs.select(F.col("id_b").alias("_pruned")).distinct()
+    return (
+        assigned.join(
+            F.broadcast(pruned),
+            assigned["_id"] == F.col("_pruned"),
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_list").cast("int").alias("list_id"),
+            F.col("_pruned").isNull().alias("is_kept"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

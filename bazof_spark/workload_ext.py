@@ -864,7 +864,47 @@ def rollup_events_hourly(spark, sf_dir):
     )
 
 
+def semdedup_prune_q(spark, sf_dir):
+    """SemDeDup semantic pruning (operators/similarity.semdedup_prune)
+    with the deterministic corpus-slice quantizer convention of
+    embedding_ann_ivf (centroids = unit-normalized embeddings of vec_id
+    0..15) so cluster assignment — and therefore the pruned set — is
+    reproducible in the DuckDB oracle."""
+    import numpy as np
+
+    from bazof_spark.operators.similarity import semdedup_prune
+
+    emb = _t("embeddings")(spark, sf_dir)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]
+    )
+    return semdedup_prune(emb, cent, threshold=0.35)
+
+
+_MIX_PCT = {"en": 30, "de": 20, "fr": 20, "es": 15, "zh": 15}
+
+
+def mixture_by_lang(spark, sf_dir):
+    """Dataset-mixture resampling (functions/sampling.mixture_sample):
+    resample the corpus to a 40% budget with fixed language proportions
+    — integer-only target/cutoff arithmetic, oversample-then-trim so
+    the rank window sees O(target) rows per stratum, never the whole
+    corpus. The oracle recomputes the identical integer pipeline."""
+    from bazof_spark.functions.sampling import mixture_sample
+
+    docs = _t("documents")(spark, sf_dir).select("doc_id", "lang")
+    return mixture_sample(docs, "lang", _MIX_PCT, budget_num=2, budget_den=5)
+
+
 QUERIES_EXT = {
+    "semdedup_prune": semdedup_prune_q,
+    "mixture_by_lang": mixture_by_lang,
     "q2_min_cost_part": q2_min_cost_part,
     "q7_volume_shipping": q7_volume_shipping,
     "q9_product_profit": q9_product_profit,
@@ -899,6 +939,68 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # SemDeDup: corpus-slice centroids (vec_id < 16), nearest-centroid
+    # assignment with numpy's stable tie-break (lower list id), then
+    # prune any vector with a lower-id same-cluster neighbor at
+    # cosine >= 0.35 — the exact rule of similarity.semdedup_prune
+    "semdedup_prune": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS lid, v AS cvv FROM e WHERE vec_id < 16),
+        ca AS (
+            SELECT vec_id AS cid, v AS cv, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent
+        ),
+        assign AS (SELECT cid, cv, lid FROM ca WHERE rn = 1),
+        pruned AS (
+            SELECT DISTINCT b.cid FROM assign a
+            JOIN assign b ON a.lid = b.lid AND a.cid < b.cid
+            WHERE list_cosine_similarity(a.cv, b.cv) >= 0.35
+        )
+        SELECT a.cid AS vec_id, CAST(a.lid AS INT) AS list_id,
+               (p.cid IS NULL) AS is_kept
+        FROM assign a LEFT JOIN pruned p ON a.cid = p.cid
+    """,
+    # mixture_sample's integer pipeline verbatim: budget = N*2//5,
+    # target = budget*pct//100 (capped by the stratum count), prefilter
+    # cutoff = target*2e6//count + 50000, rank survivors by (hash, id)
+    "mixture_by_lang": """
+        WITH cnt AS (
+            SELECT lang, count(*) AS c FROM documents GROUP BY lang
+        ),
+        t AS (
+            SELECT lang, c,
+                   least(((SELECT CAST(sum(c) AS BIGINT) FROM cnt) * 2 // 5)
+                         * pct // 100, c) AS tgt
+            FROM cnt JOIN (VALUES ('en', 30), ('de', 20), ('fr', 20),
+                                  ('es', 15), ('zh', 15)) p(lang, pct)
+                 USING (lang)
+        ),
+        cut AS (
+            SELECT lang, tgt,
+                   least(1000000, (tgt * 2 * 1000000) // c + 50000) AS cutoff
+            FROM t
+        ),
+        pre AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'),
+                                       1, 15) AS BIGINT) % 1000000 AS h
+            FROM documents
+        ),
+        r AS (
+            SELECT pre.doc_id, pre.lang, tgt,
+                   row_number() OVER (
+                       PARTITION BY pre.lang ORDER BY h, pre.doc_id
+                   ) AS rn
+            FROM pre JOIN cut USING (lang) WHERE h < cutoff
+        )
+        SELECT doc_id, lang, CAST(rn AS BIGINT) AS mix_rank
+        FROM r WHERE rn <= tgt
+    """,
     "embedding_matryoshka_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

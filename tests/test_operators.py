@@ -469,3 +469,53 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_mixture_sample_exact_targets(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bazof_spark.functions.sampling import mixture_sample
+
+    # skewed strata: en dominates, zh is scarce
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") < 3000, "en")
+            .when(F.col("doc_id") < 3600, "de")
+            .when(F.col("doc_id") < 3950, "fr")
+            .otherwise("zh"),
+        )
+    )
+    pct = {"en": 40, "de": 30, "fr": 20, "zh": 10}
+    out = mixture_sample(df, "lang", pct, budget_num=1, budget_den=4)
+    rows = out.collect()
+    budget = 4000 * 1 // 4
+    targets = {
+        "en": min(budget * 40 // 100, 3000),
+        "de": min(budget * 30 // 100, 600),
+        "fr": min(budget * 20 // 100, 350),
+        "zh": min(budget * 10 // 100, 50),  # capped by the 50-row stratum
+    }
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == targets
+    # ranks are contiguous 1..target per stratum
+    for lang, t in targets.items():
+        ranks = sorted(r["mix_rank"] for r in rows if r["lang"] == lang)
+        assert ranks == list(range(1, t + 1))
+    # deterministic across invocations
+    again = {
+        (r["doc_id"], r["mix_rank"])
+        for r in mixture_sample(df, "lang", pct, budget_num=1, budget_den=4).collect()
+    }
+    assert again == {(r["doc_id"], r["mix_rank"]) for r in rows}
+    # a stratum absent from pct is dropped entirely
+    no_zh = mixture_sample(df, "lang", {"en": 50}, budget_num=1, budget_den=4)
+    assert no_zh.filter(F.col("lang") != "en").count() == 0
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "lang", {"en": 60, "de": 60})

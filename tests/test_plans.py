@@ -269,3 +269,21 @@ def test_round2_queries_bounded(spark):
     df = q("agg_cube_orders", spark)
     assert scan_columns(df) == [{"o_orderstatus", "o_orderpriority", "o_totalprice"}]
     assert shuffle_count(df) <= 5
+
+
+def test_round3_semdedup_and_mixture_bounded(spark):
+    """semdedup: assignment is computed once (persisted) and the final
+    prune join broadcasts the pruned-id set — bounded exchanges, scan
+    reads only (vec_id, embedding). mixture: the hash prefilter is a
+    map-only scan predicate and the ONLY exchange is the rank window on
+    the (already budget-sized) survivor set."""
+    df = q("semdedup_prune", spark)
+    assert shuffle_count(df) <= 3
+    assert broadcast_join_count(df) >= 1
+    for cols in scan_columns(df):
+        assert cols <= {"vec_id", "embedding"}
+
+    df = q("mixture_by_lang", spark)
+    assert shuffle_count(df) <= 1
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "lang"}

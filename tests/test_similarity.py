@@ -116,3 +116,33 @@ def test_blocked_pairs_find_neardups(emb):
     assert {(0, 40), (1, 41), (2, 42), (3, 43)} <= got
     for r in pairs:
         assert r["cosine_sim"] >= 0.95
+
+def test_semdedup_prune_matches_bruteforce(emb):
+    from bazof_spark.operators.similarity import semdedup_prune
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.array(pdf["embedding"].tolist())
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = normed[:6]  # corpus-slice quantizer, vec_id 0..5
+    ids = pdf["vec_id"].to_numpy()
+    assign = np.argmax(normed @ cent.T, axis=1)
+    sims = normed @ normed.T
+    thr = 0.9
+    expect = {}
+    for i, vid in enumerate(ids):
+        lower = [
+            j
+            for j in range(len(ids))
+            if ids[j] < vid and assign[j] == assign[i] and sims[j, i] >= thr
+        ]
+        expect[int(vid)] = (int(assign[i]), not lower)
+
+    got = semdedup_prune(emb, mat[:6], threshold=thr).collect()
+    assert len(got) == len(ids)  # one row per corpus vector
+    for r in got:
+        exp_list, exp_kept = expect[r["vec_id"]]
+        assert r["list_id"] == exp_list, r
+        assert r["is_kept"] == exp_kept, r
+    # the seeded near-duplicates (40..43 of 0..3) must be pruned
+    pruned = {r["vec_id"] for r in got if not r["is_kept"]}
+    assert {40, 41, 42, 43} <= pruned
