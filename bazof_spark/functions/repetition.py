@@ -18,6 +18,7 @@ exchange and one row per document crosses the second.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,55 +44,70 @@ def repetition_stats(
 
     - ``word_rep_ratio``: duplicate-word fraction,
     - ``top_gram``: the most frequent word n-gram (ties broken toward
-      the lexicographically greatest gram, deterministically, via a
-      (count, gram) struct max — identical tuple-compare semantics in
-      Spark and DuckDB),
+      the lexicographically greatest gram, deterministically — the max
+      of (count, gram) tuples, identical in the DuckDB oracle),
     - ``top_gram_frac``: characters covered by that n-gram's
       occurrences / total characters.
 
-    Shuffle profile: NONE. A per-document mode needs no exchange — the
-    gram array is sorted per row and folded once (longest run of the
-    sorted array = most frequent gram; scanning ascending makes the
-    ``>=`` update reproduce the (count, gram) struct-max tie-break
-    exactly). The whole operator is a map over documents, the shape
-    that scales to any corpus size: the earlier explode + double
-    groupBy version shuffled every (doc, gram) pair twice. Grams reuse
-    `shingles` semantics (single-word docs yield the whole text as
-    their one "gram", so every document emits a row).
+    Shuffle profile: NONE — the whole operator is a map over
+    documents, the shape that scales to any corpus size (the early
+    explode + double-groupBy version shuffled every (doc, gram) pair
+    twice).
+
+    The per-document mode is an Arrow-batched pandas UDF, not a SQL
+    higher-order-function fold: Spark evaluates HOF lambdas on the
+    interpreted path, allocating a boxed struct per array element —
+    ~1M short-lived JVM objects per 5k docs. Isolated that costs
+    1.1-1.5 s at sf0.1, but in a long session it amplifies heap
+    pressure unpredictably (measured 6-17 s for the identical plan
+    after 20 prior queries). The Counter-based UDF is faster when warm
+    (0.8 s), allocation-stable across a 90-query session, and keeps
+    gram construction byte-identical to `shingles` (re.split on
+    whitespace mirrors Spark's split(trim(x), '\\s+'), including the
+    single-empty-string result for blank text).
     """
+
+    @F.pandas_udf("struct<top_gram:string,best:long>")
+    def _top_gram(texts: pd.Series) -> pd.DataFrame:
+        import collections
+        import re as _re
+
+        grams_out: list = []
+        best_out: list = []
+        for txt in texts:
+            if txt is None:
+                grams_out.append(None)
+                best_out.append(0)
+                continue
+            ws = _re.split(r"\s+", txt.strip())
+            if len(ws) >= n:
+                grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            else:
+                grams = [" ".join(ws)]
+            cnt = collections.Counter(grams)
+            best_gram, best_cnt = max(
+                cnt.items(), key=lambda kv: (kv[1], kv[0])
+            )
+            grams_out.append(best_gram)
+            best_out.append(best_cnt)
+        return pd.DataFrame({"top_gram": grams_out, "best": best_out})
+
     t = F.col(text_col)
-    sorted_grams = F.array_sort(shingles(t, n))
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-        F.lit("").alias("bestgram"),
-    )
-
-    def _step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
-        better = (run > acc["best"]) | (
-            (run == acc["best"]) & (x >= acc["bestgram"])
-        )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["best"]).alias("best"),
-            F.when(better, x).otherwise(acc["bestgram"]).alias("bestgram"),
-        )
-
-    top = F.aggregate(sorted_grams, init, _step)
+    top = _top_gram(t)
     chars = F.length(t)
     return docs.select(
         id_col,
         F.round(word_repetition_ratio(t), 6).alias("word_rep_ratio"),
-        top["bestgram"].alias("top_gram"),
+        t.alias("_t"),
+        top.alias("_top"),
+    ).select(
+        id_col,
+        "word_rep_ratio",
+        F.col("_top.top_gram").alias("top_gram"),
         F.round(
             F.when(
-                chars > 0,
-                top["best"] * F.length(top["bestgram"]) / chars,
+                F.length("_t") > 0,
+                F.col("_top.best") * F.length("_top.top_gram") / F.length("_t"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_gram_frac"),

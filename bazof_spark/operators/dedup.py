@@ -340,6 +340,51 @@ def minhash_lsh_pairs_between(
     ).select("probe_id", groups["doc_id"].alias("corpus_id"), "est_jaccard")
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_matches: int = 1,
+) -> DataFrame:
+    """Verbatim n-gram containment decontamination (the GPT-3 appendix-C
+    / PaLM recipe, typically with 8-13-gram windows): flag corpus
+    documents sharing at least ``min_matches`` word n-gram occurrences
+    with ANY probe (eval-set) document. Complementary to whole-document
+    MinHash (:func:`minhash_lsh_pairs_between`): containment catches a
+    corpus page that EMBEDS an eval item inside otherwise-unrelated
+    text, which document-level similarity dilutes below threshold.
+    Output: (corpus_id, n_matched, n_distinct_grams).
+
+    Scale shape: the probe side collapses to a DISTINCT set of 8-byte
+    xxhash64 gram keys (eval-set-sized — thousands of rows) and
+    broadcasts; the corpus-side explode is map-only and the broadcast
+    join filters it in place, so the only shuffle carries (corpus_id)
+    pairs for MATCHED occurrences — on a clean corpus, almost nothing.
+    Joining on 64-bit gram hashes instead of strings is the same
+    accepted-collision trade as :func:`ngram_jaccard_pairs` (the oracle
+    joins raw strings; ~n²/2⁶⁵ collision odds)."""
+    probe_g = (
+        probe.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    corp_g = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    ).select("corpus_id", F.xxhash64("_g").alias("_gh"))
+    return (
+        corp_g.join(F.broadcast(probe_g), "_gh")
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count_distinct("_gh").alias("n_distinct_grams"),
+        )
+        .filter(F.col("n_matched") >= min_matches)
+    )
+
+
 SIMHASH_BITS = 60
 
 

@@ -902,9 +902,27 @@ def mixture_by_lang(spark, sf_dir):
     return mixture_sample(docs, "lang", _MIX_PCT, budget_num=2, budget_den=5)
 
 
+def ngram_decontamination_q(spark, sf_dir):
+    """Verbatim 5-gram containment decontamination
+    (operators/dedup.ngram_decontaminate): eval set = doc_id < 25,
+    corpus = the rest — flags corpus docs that embed eval n-grams even
+    when whole-document similarity is low. (Real pipelines use 8-13
+    grams; these synthetic docs are short, so 5 keeps the result
+    non-trivial.)"""
+    from bazof_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t("documents")(spark, sf_dir)
+    return ngram_decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=5,
+    )
+
+
 QUERIES_EXT = {
     "semdedup_prune": semdedup_prune_q,
     "mixture_by_lang": mixture_by_lang,
+    "ngram_decontamination": ngram_decontamination_q,
     "q2_min_cost_part": q2_min_cost_part,
     "q7_volume_shipping": q7_volume_shipping,
     "q9_product_profit": q9_product_profit,
@@ -964,6 +982,29 @@ ORACLES_EXT = {
         SELECT a.cid AS vec_id, CAST(a.lid AS INT) AS list_id,
                (p.cid IS NULL) AS is_kept
         FROM assign a LEFT JOIN pruned p ON a.cid = p.cid
+    """,
+    # same word-5-gram construction as functions/text.shingles (incl.
+    # the whole-text shingle for docs shorter than 5 words); joins raw
+    # gram strings where Spark joins their xxhash64 (accepted-collision
+    # trade, same as dedup_ngram_jaccard)
+    "ngram_decontamination": r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(ws) >= 5 THEN
+                    list_transform(range(1, len(ws) - 5 + 2),
+                                   i -> array_to_string(ws[i:i+4], ' '))
+                ELSE [array_to_string(ws, ' ')] END) AS g
+            FROM w
+        ),
+        probe AS (SELECT DISTINCT g FROM sh WHERE doc_id < 25)
+        SELECT s.doc_id AS corpus_id, count(*) AS n_matched,
+               count(DISTINCT s.g) AS n_distinct_grams
+        FROM sh s JOIN probe USING (g) WHERE s.doc_id >= 25
+        GROUP BY s.doc_id HAVING count(*) >= 1
     """,
     # mixture_sample's integer pipeline verbatim: budget = N*2//5,
     # target = budget*pct//100 (capped by the stratum count), prefilter

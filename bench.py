@@ -23,12 +23,17 @@ from bazof_spark.workload import QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Full workload, ordered cheap→expensive; every SURVEY §2 operator family
-# is represented. The streaming_* queries are excluded: they spin up
-# Structured Streaming availableNow pipelines whose per-micro-batch
-# startup dominates at local scale — they are correctness surfaces
-# (oracle-matched vs batch), not throughput ones.
-BENCH_QUERIES = [q for q in QUERIES if not q.startswith("streaming_")]
+# Full workload; every SURVEY §2 operator family is represented. The
+# streaming_* queries are excluded: they spin up Structured Streaming
+# availableNow pipelines whose per-micro-batch startup dominates at
+# local scale — they are correctness surfaces (oracle-matched vs
+# batch), not throughput ones. Sorted ALPHABETICALLY, deliberately
+# decoupled from the registry's driver-rotation order: early-session
+# queries pay JVM/JIT warm-up that late ones don't (measured ~1.5-2.5×
+# on the queries the round-3 rotation moved to the front), so a stable
+# execution order is what makes per-query times comparable across
+# rounds.
+BENCH_QUERIES = sorted(q for q in QUERIES if not q.startswith("streaming_"))
 
 
 def main() -> None:
