@@ -35,10 +35,12 @@ What the source can and cannot do, honestly:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -47,6 +49,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -190,6 +193,184 @@ class BazofReader(DataSourceReader):
             yield from t.to_batches()
 
 
+@dataclass
+class _DeltaFileMessage(WriterCommitMessage):
+    """Per-task commit record: where the staged parquet landed and the
+    event-time range it covers (None file ⇒ empty partition)."""
+
+    file_path: str | None
+    start_us: int | None  # min(event_time), epoch µs UTC
+    end_us: int | None
+    num_rows: int = 0
+
+
+class BazofBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("bazof")`` — a distributed two-phase-commit
+    author for azof tables, the cluster-shaped version of the writer the
+    reference roadmaps (README.md:152).
+
+    Phase 1 (executors): each task sorts its Arrow batches event_time
+    DESC (the format's file invariant,
+    crates/azof-cli/src/test_bench.rs:103-121), casts to the table's
+    declared types, and writes ONE staged parquet under
+    ``{table}/_ds_stage_{token}/`` via pyarrow.fs (object-store
+    generic). Failed/speculative task attempts leave only orphaned
+    staged files — never visible data.
+
+    Phase 2 (driver ``commit``): exactly the files named in the commit
+    messages are moved to final delta names and published as ONE new
+    snapshot version; the ``version.txt`` flip is the atomic commit
+    point, so readers see all files or none (snapshot isolation, same
+    discipline as ``writer.append_delta``). ``abort`` removes the
+    staging directory.
+
+    Key-placement discipline is the caller's (same contract as
+    ``add_delta_distributed``): repartition by ``key`` before writing so
+    a key lives in exactly one sibling file — :func:`write_table` does
+    this for you. All sibling deltas share one ``[start, end]`` range
+    because they are one logical batch.
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid
+
+        from bazof_spark import iofs
+        from bazof_spark.schema import (
+            EVENT_TIME_COL,
+            KEY_COL,
+            TableSchema,
+        )
+
+        root = options.get("path")
+        name = options.get("table")
+        if not root or not name:
+            raise ValueError(
+                "bazof sink needs .option('path', …) and .option('table', …)"
+            )
+        self._table_path = iofs.join(root, name)
+        self._overwrite = overwrite
+        self._segment_id = options.get("segment") or None
+        if overwrite:
+            # declared schema derives from the incoming frame
+            self._table_schema = TableSchema.from_struct_type(schema)
+        else:
+            # append into an existing table: its declared schema wins;
+            # missing nullable columns are null-filled, extras rejected
+            table = Table(path=self._table_path, name=name)
+            self._table_schema = table.get_current_snapshot().schema
+            declared = {KEY_COL, EVENT_TIME_COL} | set(
+                self._table_schema.column_names()
+            )
+            extra = [f.name for f in schema.fields if f.name not in declared]
+            if extra:
+                raise ValueError(
+                    f"columns {extra} not in table schema "
+                    f"{sorted(declared)}; evolve the table first"
+                )
+        self._stage_dir = iofs.join(
+            self._table_path, f"_ds_stage_{uuid.uuid4().hex[:12]}"
+        )
+        iofs.makedirs(self._stage_dir)
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> _DeltaFileMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from bazof_spark import iofs
+        from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _DeltaFileMessage(file_path=None, start_us=None, end_us=None)
+        t = pa.Table.from_batches(batches)
+        if t.column(KEY_COL).null_count or t.column(EVENT_TIME_COL).null_count:
+            raise ValueError("key and event_time must not be null")
+        # column order + declared arrow types (timestamps µs UTC, ints
+        # widened to int64, floats to float64 — the read schema's types)
+        fields = [
+            pa.field(KEY_COL, pa.string()),
+            pa.field(EVENT_TIME_COL, pa.timestamp("us", "UTC")),
+        ]
+        arrays = [t.column(KEY_COL), t.column(EVENT_TIME_COL)]
+        for col in self._table_schema.columns:
+            target = to_arrow_type(col.data_type.to_spark())
+            if pa.types.is_timestamp(target):
+                target = pa.timestamp("us", "UTC")
+            fields.append(pa.field(col.name, target))
+            if col.name in t.column_names:
+                arrays.append(t.column(col.name))
+            elif col.nullable:
+                arrays.append(pa.nulls(t.num_rows, type=target))
+            else:
+                raise ValueError(
+                    f"non-nullable column {col.name!r} missing from write"
+                )
+        t = pa.Table.from_arrays(
+            [a.cast(f.type) for a, f in zip(arrays, fields)],
+            schema=pa.schema(fields),
+        )
+        t = t.sort_by([(EVENT_TIME_COL, "descending")])
+        mm = pc.min_max(pc.cast(t.column(EVENT_TIME_COL), pa.int64())).as_py()
+        dest = iofs.join(self._stage_dir, f"part-{uuid.uuid4().hex}.parquet")
+        filesystem, rel = iofs._split(dest)
+        pq.write_table(t, rel, filesystem=filesystem)
+        return _DeltaFileMessage(
+            file_path=dest,
+            start_us=mm["min"],
+            end_us=mm["max"],
+            num_rows=t.num_rows,
+        )
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages):
+        from datetime import datetime, timezone
+
+        from bazof_spark import iofs
+        from bazof_spark.errors import BazofError
+        from bazof_spark.writer import (
+            commit_delta_files,
+            create_table_version_from_files,
+        )
+
+        real = [m for m in messages if m is not None and m.file_path]
+        try:
+            if not real:
+                raise BazofError("cannot commit an empty write")
+            files = [m.file_path for m in real]
+            start = datetime.fromtimestamp(
+                min(m.start_us for m in real) / 1e6, tz=timezone.utc
+            )
+            end = datetime.fromtimestamp(
+                max(m.end_us for m in real) / 1e6, tz=timezone.utc
+            )
+            if self._overwrite:
+                create_table_version_from_files(
+                    self._table_path, self._table_schema, files, start, end
+                )
+            else:
+                commit_delta_files(
+                    self._table_path,
+                    files,
+                    start,
+                    end,
+                    segment_id=self._segment_id,
+                    create_segment=True,
+                )
+        finally:
+            iofs.delete_dir(self._stage_dir)
+
+    def abort(self, messages):
+        from bazof_spark import iofs
+
+        iofs.delete_dir(self._stage_dir)
+
+
 class BazofDataSource(DataSource):
     """Register once per session: ``spark.dataSource.register(BazofDataSource)``."""
 
@@ -217,6 +398,48 @@ class BazofDataSource(DataSource):
 
     def reader(self, schema: StructType) -> BazofReader:
         return BazofReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> BazofBatchWriter:
+        return BazofBatchWriter(self.options, schema, overwrite)
+
+
+def write_table(
+    df,
+    root: str,
+    name: str,
+    mode: str = "append",
+    num_files: int | None = None,
+    validate: bool = True,
+):
+    """Write a DataFrame as one azof commit through the registered sink,
+    applying the key-placement discipline the format's merge requires:
+    repartition by ``key`` (a key lives in exactly one sibling file, so
+    stable precedence among equal-start siblings never arbitrates
+    between two versions of one key) and sort event_time DESC within
+    each file. ``mode="append"`` upserts a delta batch into an existing
+    table; ``mode="overwrite"`` creates/replaces the table at a new
+    snapshot version (prior versions stay pinnable)."""
+    from bazof_spark.schema import KEY_COL
+    from bazof_spark.writer import validate_data_file_invariants
+
+    spark = df.sparkSession
+    spark.dataSource.register(BazofDataSource)
+    if validate:
+        validate_data_file_invariants(df)
+    # no sortWithinPartitions here: the sink itself sorts each task's
+    # rows event_time-DESC (the file invariant) in one Arrow sort
+    part = (
+        df.repartition(num_files, KEY_COL)
+        if num_files
+        else df.repartition(KEY_COL)
+    )
+    (
+        part.write.format("bazof")
+        .option("path", root)
+        .option("table", name)
+        .mode(mode)
+        .save()
+    )
 
 
 def read_table(spark, root: str, name: str, as_of: str | None = None,

@@ -97,6 +97,31 @@ def makedirs(path: str) -> None:
     filesystem.create_dir(rel, recursive=True)
 
 
+def move(src: str, dst: str) -> None:
+    """Rename/move one file. Local FS: atomic rename. Object stores:
+    pyarrow.fs implements move as copy+delete where the store lacks a
+    native rename — callers must not rely on atomicity for data files
+    (the snapshot publish, not the file move, is the commit point)."""
+    filesystem, rel = _split(src)
+    _, dst_rel = _split(dst)
+    filesystem.move(rel, dst_rel)
+
+
+def delete(path: str) -> None:
+    filesystem, rel = _split(path)
+    filesystem.delete_file(rel)
+
+
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory tree; no-op when absent."""
+    from pyarrow import fs as pafs
+
+    filesystem, rel = _split(path)
+    if filesystem.get_file_info(rel).type == pafs.FileType.NotFound:
+        return
+    filesystem.delete_dir(rel)
+
+
 def join(base: str, *parts: str) -> str:
     if is_uri(base):
         return "/".join([base.rstrip("/"), *parts])

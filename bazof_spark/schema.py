@@ -64,6 +64,29 @@ _SPARK_TYPES: dict[ColumnType, DataType] = {
 }
 
 
+def column_type_from_spark(dt: DataType) -> ColumnType:
+    """Inverse of :meth:`ColumnType.to_spark`, with lossless widenings
+    (int8/16/32 → Int, float32 → Float) so any Spark frame whose columns
+    fit the format's five value types can author a table."""
+    from pyspark.sql.types import ByteType, FloatType, IntegerType, ShortType
+
+    name = type(dt).__name__
+    if isinstance(dt, StringType):
+        return ColumnType.STRING
+    if isinstance(dt, (LongType, IntegerType, ShortType, ByteType)):
+        return ColumnType.INT
+    if isinstance(dt, BooleanType):
+        return ColumnType.BOOLEAN
+    if isinstance(dt, TimestampType):
+        return ColumnType.DATETIME
+    if isinstance(dt, (DoubleType, FloatType)):
+        return ColumnType.FLOAT
+    raise MetadataError(
+        f"Spark type {name} has no azof column type (supported: "
+        "string, integral, boolean, timestamp, floating)"
+    )
+
+
 @dataclass(frozen=True)
 class ColumnDef:
     """One declared value column (crates/azof/src/schema.rs:23-28)."""
@@ -101,6 +124,40 @@ class TableSchema:
     def from_json(obj: dict) -> "TableSchema":
         cols = obj.get("columns", [])
         return TableSchema(tuple(ColumnDef.from_json(c) for c in cols))
+
+    @staticmethod
+    def from_struct_type(struct: StructType) -> "TableSchema":
+        """Declared value columns for a Spark write schema: ``key`` and
+        ``event_time`` are the implicit system columns (required,
+        validated), every other field maps through
+        :func:`column_type_from_spark` keeping its nullability."""
+        names = [f.name for f in struct.fields]
+        missing = [c for c in SYSTEM_COLUMNS if c not in names]
+        if missing:
+            raise MetadataError(
+                f"write schema must carry system columns {missing} "
+                f"(got {names})"
+            )
+        if not isinstance(struct[KEY_COL].dataType, StringType):
+            raise MetadataError(
+                f"key column must be string, got {struct[KEY_COL].dataType}"
+            )
+        if not isinstance(struct[EVENT_TIME_COL].dataType, TimestampType):
+            raise MetadataError(
+                "event_time column must be timestamp, got "
+                f"{struct[EVENT_TIME_COL].dataType}"
+            )
+        return TableSchema(
+            tuple(
+                ColumnDef(
+                    name=f.name,
+                    data_type=column_type_from_spark(f.dataType),
+                    nullable=f.nullable,
+                )
+                for f in struct.fields
+                if f.name not in SYSTEM_COLUMNS
+            )
+        )
 
     def to_json(self) -> dict:
         return {"columns": [c.to_json() for c in self.columns]}

@@ -28,6 +28,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # naive parquet timestamps → session-tz TIMESTAMP at the scan:
+        # keeps date filters pushed into the parquet reader, where the
+        # default NTZ inference + post-read cast would block pushdown
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # the bazof Python Data Source implements pushFilters(); the
         # capability is gated off by default in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")

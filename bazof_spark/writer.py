@@ -348,27 +348,7 @@ def append_delta(
 
     # -- pick the target top-level segment --------------------------------
     segs = list(snapshot.segments)
-    idx: int | None = None
-    if segment_id is not None:
-        for i, s in enumerate(segs):
-            if s.id == segment_id:
-                idx = i
-                break
-        if idx is None:
-            raise BazofError(f"no top-level segment with id {segment_id!r}")
-    else:
-        for i in range(len(segs) - 1, -1, -1):
-            if segs[i].end is None:
-                idx = i
-                break
-    if idx is None:
-        if not create_segment:
-            raise BazofError(
-                "no open top-level segment to upsert into "
-                "(pass create_segment=True to open one)"
-            )
-        segs.append(Segment(id=f"u{next_version}", start=start))
-        idx = len(segs) - 1
+    idx = _pick_target_segment(segs, segment_id, create_segment, start, next_version)
     target = segs[idx]
 
     # -- write the delta file(s) ------------------------------------------
@@ -415,6 +395,145 @@ def append_delta(
     new_snapshot = Snapshot(segments=tuple(segs), schema=schema)
     _publish_snapshot(table_path, version, next_version, new_snapshot)
     return new_snapshot
+
+
+def _pick_target_segment(
+    segs: list[Segment],
+    segment_id: str | None,
+    create_segment: bool,
+    start: datetime,
+    next_version: str,
+) -> int:
+    """Index of the top-level segment an upsert lands in: ``segment_id``
+    if given, else the last OPEN segment; with ``create_segment`` a new
+    open segment ``u{next_version}`` is appended when none qualifies.
+    Mutates ``segs`` only in that create case."""
+    idx: int | None = None
+    if segment_id is not None:
+        for i, s in enumerate(segs):
+            if s.id == segment_id:
+                idx = i
+                break
+        if idx is None:
+            raise BazofError(f"no top-level segment with id {segment_id!r}")
+    else:
+        for i in range(len(segs) - 1, -1, -1):
+            if segs[i].end is None:
+                idx = i
+                break
+    if idx is None:
+        if not create_segment:
+            raise BazofError(
+                "no open top-level segment to upsert into "
+                "(pass create_segment=True to open one)"
+            )
+        segs.append(Segment(id=f"u{next_version}", start=start))
+        idx = len(segs) - 1
+    return idx
+
+
+def commit_delta_files(
+    table_path: str,
+    staged_paths: list[str],
+    start: datetime,
+    end: datetime,
+    segment_id: str | None = None,
+    create_segment: bool = True,
+) -> Snapshot:
+    """Commit ALREADY-WRITTEN parquet files (staged by a distributed
+    write, e.g. the bazof Data Source writer) into an existing table as
+    ONE logical upsert: each staged file is moved to its final
+    ``{seg}_delta{N}_p{i}.parquet`` name and appended as a Delta entry,
+    then the new snapshot is published optimistically (same
+    check-then-flip as :func:`append_delta`).
+
+    All sibling files carry the SAME ``[start, end]`` range — they are
+    one batch, so none may shadow another; the caller guarantees a key
+    lives in at most one staged file (repartition-by-key discipline,
+    same as ``add_delta_distributed``)."""
+    if not staged_paths:
+        raise BazofError("cannot commit an empty file set")
+    table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
+    version = table.current_version()
+    snapshot = table.get_snapshot(version)
+    try:
+        current = int(version)
+    except ValueError as exc:
+        raise BazofError(
+            f"cannot bump non-numeric snapshot version {version!r}"
+        ) from exc
+    from bazof_spark.maintenance import _numeric_versions
+
+    next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
+    segs = list(snapshot.segments)
+    idx = _pick_target_segment(segs, segment_id, create_segment, start, next_version)
+    target = segs[idx]
+
+    stem = _fresh_delta_name(table_path, target.id, len(target.delta))[
+        : -len(".parquet")
+    ]
+    new_deltas: list[Delta] = []
+    for i, staged in enumerate(sorted(staged_paths)):
+        name = f"{stem}_p{i:05d}.parquet"
+        iofs.move(staged, iofs.join(table_path, name))
+        new_deltas.append(Delta(file=name, start=start, end=end))
+    segs[idx] = dataclasses.replace(
+        target, delta=tuple(target.delta) + tuple(new_deltas)
+    )
+    new_snapshot = Snapshot(segments=tuple(segs), schema=snapshot.schema)
+    _publish_snapshot(table_path, version, next_version, new_snapshot)
+    return new_snapshot
+
+
+def create_table_version_from_files(
+    table_path: str,
+    schema: TableSchema,
+    staged_paths: list[str],
+    start: datetime,
+    end: datetime,
+) -> Snapshot:
+    """Publish a snapshot whose content is EXACTLY the staged files —
+    the ``mode("overwrite")`` path of the bazof Data Source writer.
+    Creates the table (version ``1``) when absent; on an existing table
+    publishes above every numbered snapshot, so prior versions remain
+    pinnable via ``.option("version", …)`` time travel while the
+    pointer now resolves to the replacement state."""
+    if not staged_paths:
+        raise BazofError("cannot publish an empty file set")
+    iofs.makedirs(table_path)
+    version_path = iofs.join(table_path, VERSION_FILE)
+    fresh = not iofs.exists(version_path)
+    from bazof_spark.maintenance import _numeric_versions
+
+    if fresh:
+        next_version = "1"
+    else:
+        table = Table(
+            path=table_path, name=os.path.basename(table_path.rstrip("/"))
+        )
+        current = table.current_version()
+        try:
+            base = int(current)
+        except ValueError as exc:
+            raise BazofError(
+                f"cannot bump non-numeric snapshot version {current!r}"
+            ) from exc
+        next_version = str(max([base, *_numeric_versions(table_path)]) + 1)
+    seg_id = f"w{next_version}"
+    deltas = []
+    for i, staged in enumerate(sorted(staged_paths)):
+        name = f"{seg_id}_delta1_p{i:05d}.parquet"
+        iofs.move(staged, iofs.join(table_path, name))
+        deltas.append(Delta(file=name, start=start, end=end))
+    snapshot = Snapshot(
+        segments=(Segment(id=seg_id, start=start, delta=tuple(deltas)),),
+        schema=schema,
+    )
+    iofs.write_text(
+        iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize()
+    )
+    iofs.replace_text(version_path, next_version)
+    return snapshot
 
 
 def upsert_with_retry(

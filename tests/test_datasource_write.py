@@ -1,0 +1,199 @@
+"""df.write.format("bazof") — the distributed two-phase-commit sink.
+
+Round-trip contract: what write_table commits must read back, through
+BOTH surfaces (native Lakehouse.scan and the bazof source), with the
+format's semantics intact: as-of time travel over appended deltas,
+version pinning across overwrites, sibling files carrying one range,
+and the event_time-DESC file invariant inside every data file.
+"""
+
+import os
+import sys
+from datetime import datetime, timezone
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark import Lakehouse  # noqa: E402
+from bazof_spark.datasource import read_table, write_table  # noqa: E402
+from bazof_spark.errors import BazofError  # noqa: E402
+from bazof_spark.table import Table  # noqa: E402
+
+
+def ts(s):
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def mkdf(spark, rows):
+    df = spark.createDataFrame(
+        rows, "key string, event_time timestamp, value double"
+    )
+    import pyspark.sql.functions as F
+
+    return df.withColumn(
+        "event_time", F.to_utc_timestamp("event_time", "UTC")
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path)
+
+
+def test_overwrite_creates_table_and_scan_merges(spark, root):
+    df = mkdf(
+        spark,
+        [
+            ("a", ts("2024-01-01T00:00:00"), 1.0),
+            ("a", ts("2024-01-05T00:00:00"), 2.0),
+            ("b", ts("2024-01-02T00:00:00"), 10.0),
+        ],
+    )
+    write_table(df, root, "t", mode="overwrite", num_files=4)
+    got = {
+        r["key"]: r["value"]
+        for r in Lakehouse(spark, root).scan("t").collect()
+    }
+    assert got == {"a": 2.0, "b": 10.0}
+    # as-of before a's second version sees the first
+    early = {
+        r["key"]: r["value"]
+        for r in Lakehouse(spark, root)
+        .scan("t", as_of="2024-01-02T00:00:00.000Z")
+        .collect()
+    }
+    assert early == {"a": 1.0, "b": 10.0}
+
+
+def test_append_is_new_version_and_time_travelable(spark, root):
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root,
+        "t",
+        mode="overwrite",
+    )
+    write_table(
+        mkdf(
+            spark,
+            [
+                ("a", ts("2024-02-01T00:00:00"), 5.0),
+                ("c", ts("2024-02-02T00:00:00"), 7.0),
+            ],
+        ),
+        root,
+        "t",
+        mode="append",
+        num_files=3,
+    )
+    table = Table(path=os.path.join(root, "t"), name="t")
+    assert table.current_version() == "2"
+    now = {
+        r["key"]: r["value"] for r in read_table(spark, root, "t").collect()
+    }
+    assert now == {"a": 5.0, "c": 7.0}
+    # pin the pre-append version through the source
+    v1 = {
+        r["key"]: r["value"]
+        for r in read_table(spark, root, "t", version="1").collect()
+    }
+    assert v1 == {"a": 1.0}
+
+
+def test_overwrite_existing_bumps_version_keeps_old_pinnable(spark, root):
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root,
+        "t",
+        mode="overwrite",
+    )
+    write_table(
+        mkdf(spark, [("z", ts("2024-03-01T00:00:00"), 9.0)]),
+        root,
+        "t",
+        mode="overwrite",
+    )
+    table = Table(path=os.path.join(root, "t"), name="t")
+    assert table.current_version() == "2"
+    assert {r["key"] for r in Lakehouse(spark, root).scan("t").collect()} == {"z"}
+    old = read_table(spark, root, "t", version="1")
+    assert {r["key"] for r in old.collect()} == {"a"}
+
+
+def test_files_keep_desc_invariant_and_key_placement(spark, root):
+    rows = [
+        (f"k{i % 7}", ts(f"2024-01-{(i % 27) + 1:02d}T00:00:00"), float(i))
+        for i in range(200)
+    ]
+    # unique (key, event_time): dedupe collisions
+    seen, uniq = set(), []
+    for k, t, v in rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq.append((k, t, v))
+    write_table(mkdf(spark, uniq), root, "t", mode="overwrite", num_files=5)
+    tdir = os.path.join(root, "t")
+    data_files = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert len(data_files) >= 2  # genuinely distributed output
+    key_homes = {}
+    for f in data_files:
+        t = pq.read_table(os.path.join(tdir, f))
+        ets = t.column("event_time").to_pylist()
+        assert ets == sorted(ets, reverse=True), f"{f} not event_time DESC"
+        for k in set(t.column("key").to_pylist()):
+            assert key_homes.setdefault(k, f) == f, "key split across files"
+    # staging dir cleaned up
+    assert not [d for d in os.listdir(tdir) if d.startswith("_ds_stage_")]
+
+
+def test_append_nullfills_missing_nullable_and_rejects_unknown(spark, root):
+    import pyspark.sql.functions as F
+
+    base = mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)])
+    write_table(base, root, "t", mode="overwrite")
+    # missing nullable value column → null-filled
+    slim = base.select("key", "event_time").withColumn(
+        "event_time", F.expr("event_time + interval 1 day")
+    )
+    write_table(slim, root, "t", mode="append")
+    cur = Lakehouse(spark, root).scan("t").collect()
+    assert cur[0]["value"] is None
+    # unknown column → refused before any file lands
+    bad = base.withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="extra"):
+        write_table(bad, root, "t", mode="append")
+
+
+def test_empty_write_refused(spark, root):
+    df = mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]).filter("1=0")
+    with pytest.raises(Exception, match="empty"):
+        write_table(df, root, "t", mode="overwrite")
+    assert not os.path.exists(os.path.join(root, "t", "version.txt"))
+
+
+def test_append_to_missing_table_fails_fast(spark, root):
+    df = mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)])
+    with pytest.raises(Exception):
+        write_table(df, root, "nope", mode="append")
+
+
+def test_sql_over_written_table(spark, root):
+    """End-to-end: author via the sink, query via time-travel SQL."""
+    write_table(
+        mkdf(
+            spark,
+            [
+                ("a", ts("2024-01-01T00:00:00"), 1.0),
+                ("b", ts("2024-01-03T00:00:00"), 3.0),
+            ],
+        ),
+        root,
+        "t",
+        mode="overwrite",
+    )
+    lh = Lakehouse(spark, root)
+    out = lh.sql(
+        "SELECT key, value FROM t AT ('2024-01-02T00:00:00.000Z') ORDER BY key"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in out] == [("a", 1.0)]
