@@ -1,0 +1,120 @@
+"""Unigram language-model quality scoring — the CCNet-style signal
+large-scale training-data pipelines use to rank web documents by
+fluency (score against an LM trained on a trusted corpus, keep the
+best-scoring fraction).
+
+Beyond-reference operator (SURVEY §2 has no analog; the reference is a
+table format + SQL engine). Spark-first design:
+
+- **Training** is one explode + one map-side-combined ``groupBy(token)``
+  over the trusted corpus, then a top-V cut. The sort for the cut runs
+  over *distinct tokens* (bounded by vocabulary, not corpus bytes), so
+  training cost is a single aggregation pass however large the corpus.
+- **The model is data, not driver state**: a (token, cnt) DataFrame of
+  at most ``vocab_size`` rows — small enough to ``broadcast()`` to every
+  executor, like any dimension table. No .collect(), no Python dict.
+- **Scoring** explodes the target corpus once, broadcast-joins the
+  model (map-side, no shuffle of the exploded tokens), and partially
+  aggregates per document — tokens of a document never leave their
+  partition, so the one shuffle carries ~one row per document, not one
+  per token. Everything is Column expressions inside whole-stage
+  codegen; no Python hot path.
+
+At 100 TB: scoring is scan-bound (explode + broadcast probe are
+map-side); the only shuffle is the per-document reduce. A bigram/KenLM
+upgrade slots in the same shape: the model stays a broadcastable
+relation keyed by (prev, tok).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lowercase word tokens; mirrors functions.text.WORD_REGEX after lower()
+_TOKEN_EXPR = r"regexp_extract_all(lower({col}), '[a-z0-9_]+', 0)"
+
+
+def _tokens(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    return df.select(
+        *keep,
+        F.explode(F.expr(_TOKEN_EXPR.format(col=text_col))).alias("token"),
+    )
+
+
+def train_unigram_lm(
+    corpus: DataFrame, text_col: str = "text", vocab_size: int = 10_000
+) -> DataFrame:
+    """(token, cnt) for the ``vocab_size`` most frequent tokens of the
+    trusted corpus. Deterministic top-V tie-break: count DESC, token ASC
+    — identical in any engine, so the model itself is reproducible."""
+    counts = _tokens(corpus, text_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean token log-probability under the add-``alpha``
+    smoothed unigram ``model``: p(t) = (cnt_t + α) / (N + α·(V+1)),
+    out-of-vocabulary tokens taking the cnt=0 slot. Higher (less
+    negative) ⇒ more like the trusted corpus. Output:
+    (id, n_tokens, avg_logprob); documents with zero word tokens are
+    absent (they have no distribution to score — filter them upstream
+    with text_stats if they must be kept).
+
+    ``model`` must be bounded (train_unigram_lm's top-V guarantee): it
+    is broadcast, and its normalization constants come from a 1-row
+    aggregate cross-joined in — the plan stays one scan + one reduce."""
+    stats = model.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    toks = _tokens(docs, text_col, id_col)
+    scored = (
+        toks.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.col("_total") + F.lit(alpha) * (F.col("_v") + 1))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lp").alias("avg_logprob"),
+    )
+
+
+def lm_quality_select(
+    docs: DataFrame,
+    model: DataFrame,
+    keep_fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Keep the best-scoring ``keep_fraction`` of documents by mean
+    log-probability — the CCNet head/middle/tail cut collapsed to one
+    threshold. The cutoff is an exact global rank over the *scores*
+    relation (one row per document, already reduced), not over corpus
+    bytes; at extreme scale swap percent_rank for approxQuantile on the
+    score column to avoid the single global sort."""
+    from pyspark.sql.window import Window
+
+    scores = unigram_logprob(docs, model, id_col, text_col, alpha)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
+    return (
+        scores.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_fraction)
+        .drop("_pr")
+    )

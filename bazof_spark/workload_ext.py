@@ -919,7 +919,31 @@ def ngram_decontamination_q(spark, sf_dir):
     )
 
 
+def lm_unigram_score(spark, sf_dir):
+    """CCNet-style LM quality signal: train an add-1-smoothed unigram
+    model on the trusted slice (lang='en'), score EVERY document by mean
+    token log-probability. vocab_size=16 < the corpus' 31 distinct
+    tokens, so the top-V cut (with count ties broken by token) and the
+    OOV smoothing path are both genuinely exercised.
+
+    Plan: training is one map-side-combined groupBy over the en slice +
+    a 16-row TakeOrdered; scoring is explode → broadcast-join the 16-row
+    model → per-doc partial agg (~one shuffled row per document). See
+    operators/lm.py for the 100 TB rationale."""
+    from bazof_spark.operators.lm import train_unigram_lm, unigram_logprob
+
+    docs = _t("documents")(spark, sf_dir)
+    model = train_unigram_lm(docs.filter(F.col("lang") == "en"), vocab_size=16)
+    out = unigram_logprob(docs, model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 QUERIES_EXT = {
+    "lm_unigram_score": lm_unigram_score,
     "semdedup_prune": semdedup_prune_q,
     "mixture_by_lang": mixture_by_lang,
     "ngram_decontamination": ngram_decontamination_q,
@@ -957,6 +981,34 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # add-1-smoothed unigram LM: vocab = top-16 en tokens (count DESC,
+    # token ASC tie-break), p(t) = (cnt+1)/(N + 1*(V+1)), OOV ⇒ cnt=0
+    "lm_unigram_score": """
+        WITH train_toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+              FROM documents WHERE lang = 'en'
+        ),
+        vocab AS (
+            SELECT token, count(*) AS cnt FROM train_toks
+             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 16
+        ),
+        stats AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+              FROM documents
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   ln((coalesce(vc.cnt, 0) + 1.0)
+                      / (s.total + 1.0 * (s.v + 1))) AS lp
+              FROM toks t LEFT JOIN vocab vc USING (token) CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(lp), 6) AS avg_logprob
+          FROM scored GROUP BY doc_id
+    """,
     # SemDeDup: corpus-slice centroids (vec_id < 16), nearest-centroid
     # assignment with numpy's stable tie-break (lower list id), then
     # prune any vector with a lower-id same-cluster neighbor at

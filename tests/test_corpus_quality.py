@@ -101,3 +101,42 @@ def test_histogram_quantile_within_one_bin_of_exact(spark):
     # upper-edge estimate is within one bin of the exact value
     assert abs(row["q50_est"] - 500.0) <= 10.0
     assert abs(row["q95_est"] - 950.0) <= 10.0
+
+
+def test_unigram_lm_scores_exact_math(spark):
+    """Hand-computed add-1 unigram log-probs: vocab from a 2-doc trusted
+    corpus, OOV scored through the cnt=0 slot, fluent text ranked above
+    gibberish."""
+    import math
+
+    from bazof_spark.operators.lm import (
+        lm_quality_select,
+        train_unigram_lm,
+        unigram_logprob,
+    )
+
+    trusted = spark.createDataFrame(
+        [("t1", "the cat sat"), ("t2", "the cat ran")], "id string, text string"
+    )
+    model = train_unigram_lm(trusted, vocab_size=3)
+    got = {r["token"]: r["cnt"] for r in model.collect()}
+    # counts: the=2 cat=2 sat=1 ran=1; top-3 tie-break by token ASC
+    assert got == {"the": 2, "cat": 2, "ran": 1}
+
+    docs = spark.createDataFrame(
+        [("d1", "the cat"), ("d2", "zz qq")], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(docs, model).collect()
+    }
+    total, v = 5, 3  # sum(cnt), |vocab|
+    denom = total + 1.0 * (v + 1)
+    lp = lambda c: math.log((c + 1.0) / denom)
+    assert out["d1"][0] == 2
+    assert abs(out["d1"][1] - (lp(2) + lp(2)) / 2) < 1e-12
+    assert abs(out["d2"][1] - lp(0)) < 1e-12  # both tokens OOV
+    assert out["d1"][1] > out["d2"][1]
+
+    kept = lm_quality_select(docs, model, keep_fraction=0.0)
+    assert [r["doc_id"] for r in kept.collect()] == ["d1"]
