@@ -1,0 +1,84 @@
+"""Iterative graph algorithms, Spark-first.
+
+Beyond-reference operators (the reference is a table format + SQL
+engine with no iterative surface). PageRank here is the canonical
+"iterative algorithm on a relational engine" shape that also powers
+web-corpus curation (rank-weighted sampling of crawl graphs, harmonic
+centrality filters à la Common Crawl):
+
+- The graph is two DataFrames ((src, dst) edges, derived degrees) — no
+  driver-side adjacency, no RDD API.
+- One iteration = join ranks⋈edges on ``src`` (co-partitioned after the
+  first shuffle), then ``groupBy(dst).sum`` — a single map-side-combined
+  shuffle per iteration, the textbook Pregel superstep expressed
+  relationally so Catalyst/AQE plan it (skew-join splitting applies to
+  hub nodes for free).
+- A fixed iteration count keeps lineage bounded; for long runs callers
+  should ``localCheckpoint`` the rank relation every few supersteps
+  (same discipline as operators/dedup's label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank over a directed edge list, ``iterations`` synchronous
+    supersteps from a uniform start. Output: (node, pr).
+
+    Node set = every distinct endpoint. Dangling nodes (no out-edges)
+    keep their teleport share but their rank mass is not redistributed —
+    callers wanting the stochastic-matrix behavior should symmetrize the
+    edge list (add reverse edges) or append sink self-loops first; the
+    driver query does the former, which also guarantees every node
+    receives contributions each step.
+
+    All constants (N, per-node out-degree) are relations, not collected
+    scalars: N is a 1-row aggregate cross-joined in (broadcast), degrees
+    join co-partitioned with the contribution shuffle.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outd"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("_outd")).alias("_c"))
+        )
+        inbound = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("_c").alias("_in")
+        )
+        # left join keeps sources-only/dangling nodes at pure teleport
+        ranks = (
+            nodes.join(inbound, "node", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # truncate lineage so plan size stays O(1) per superstep
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

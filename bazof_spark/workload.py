@@ -2339,15 +2339,30 @@ _RECHECK_PRIORITY = [
     "dedup_clusters", "dedup_exact",
 ]
 
+# queries added AFTER the round-3 rotation was frozen: they queue BEHIND
+# the 50 that have waited two rounds for a driver check (adding them at
+# the front would displace a long-unchecked query from the 50-slot
+# window), and enter the rotation next round
+_ADDED_AFTER_ROTATION = {
+    "lm_unigram_score",
+    "events_funnel",
+    "events_retention_cohorts",
+    "graph_pagerank_supply",
+}
+
 
 def _rotation_order(names: list[str]) -> list[str]:
-    unchecked = [n for n in names if n not in _DRIVER_CHECKED_R2]
+    unchecked = [
+        n for n in names
+        if n not in _DRIVER_CHECKED_R2 and n not in _ADDED_AFTER_ROTATION
+    ]
+    fresh = [n for n in names if n in _ADDED_AFTER_ROTATION]
     recheck = [n for n in _RECHECK_PRIORITY if n in names]
     rest = [
         n for n in names
         if n in _DRIVER_CHECKED_R2 and n not in _RECHECK_PRIORITY
     ]
-    return unchecked + recheck + rest
+    return unchecked + fresh + recheck + rest
 
 
 QUERIES = {k: QUERIES[k] for k in _rotation_order(list(QUERIES))}

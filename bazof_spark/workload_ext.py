@@ -942,8 +942,97 @@ def lm_unigram_score(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: users with a
+    view, then a click strictly after their FIRST view, then a purchase
+    strictly after that first qualifying click. Each stage is one
+    min-aggregate on user_id plus a co-partitioned join — three shuffles
+    on the same key, no fact-table self-join blowup (the per-user
+    firsts, not the raw events, flow between stages)."""
+    ev = _t("events")(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    )
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: cohort = week of a user's first signup,
+    cell = distinct cohort users active (any event) in each later week.
+    Week offsets are exact integer arithmetic on week-truncated epochs,
+    so both engines bucket identically. Shuffle shape: two user_id
+    aggregations + one co-partitioned join; the output matrix
+    (weeks × offsets) is tiny however large the event log."""
+    ev = _t("events")(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    j = s.join(a, "user_id").filter(F.col("aw") >= F.col("cw"))
+    return (
+        j.groupBy(
+            F.col("cw").alias("cohort_week"),
+            (
+                (
+                    F.unix_timestamp("aw") - F.unix_timestamp("cw")
+                )
+                / F.lit(604800)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def graph_pagerank_supply(spark, sf_dir):
+    """PageRank over the symmetrized supplier–part co-occurrence graph
+    (edges from distinct lineitem pairs, both directions so the chain is
+    ergodic and no rank mass dangles), 3 synchronous supersteps at
+    d=0.85. One co-partitioned join + one map-side-combined shuffle per
+    superstep — see operators/graph.py."""
+    from bazof_spark.operators.graph import pagerank
+
+    li = _t("lineitem")(spark, sf_dir)
+    base = li.select("l_suppkey", "l_partkey").distinct()
+    fwd = base.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
 QUERIES_EXT = {
     "lm_unigram_score": lm_unigram_score,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
+    "graph_pagerank_supply": graph_pagerank_supply,
     "semdedup_prune": semdedup_prune_q,
     "mixture_by_lang": mixture_by_lang,
     "ngram_decontamination": ngram_decontamination_q,
@@ -981,6 +1070,87 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # funnel: first view → first later click → first later purchase
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+             WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view_users,
+               (SELECT count(*) FROM c) AS n_click_users,
+               (SELECT count(*) FROM p) AS n_purchase_users
+    """,
+    # cohort week = week of first signup; activity = any event week
+    "events_retention_cohorts": """
+        WITH s AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cw
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+        )
+        SELECT s.cw AS cohort_week,
+               CAST((epoch(a.aw) - epoch(s.cw)) / 604800 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT s.user_id) AS n_users
+          FROM s JOIN a ON a.user_id = s.user_id AND a.aw >= s.cw
+         GROUP BY 1, 2
+    """,
+    # 3-superstep PageRank, d=0.85, over the symmetrized supplier-part
+    # graph; uniform start 1/N. Symmetric edges => every node appears as
+    # a dst each step, matching the operator's left-join semantics.
+    "graph_pagerank_supply": """
+        WITH base AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p' || CAST(l_partkey AS VARCHAR) AS dst FROM base
+            UNION ALL
+            SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                   's' || CAST(l_suppkey AS VARCHAR) FROM base
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+        p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        p1 AS (
+            SELECT e.dst AS node,
+                   0.15 / any_value(nn.n) + 0.85 * sum(p.pr / d.outd) AS pr
+              FROM edges e
+              JOIN p0 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+              CROSS JOIN nn
+             GROUP BY e.dst
+        ),
+        p2 AS (
+            SELECT e.dst AS node,
+                   0.15 / any_value(nn.n) + 0.85 * sum(p.pr / d.outd) AS pr
+              FROM edges e
+              JOIN p1 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+              CROSS JOIN nn
+             GROUP BY e.dst
+        ),
+        p3 AS (
+            SELECT e.dst AS node,
+                   0.15 / any_value(nn.n) + 0.85 * sum(p.pr / d.outd) AS pr
+              FROM edges e
+              JOIN p2 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+              CROSS JOIN nn
+             GROUP BY e.dst
+        )
+        SELECT node, round(pr, 9) AS pr FROM p3
+    """,
     # add-1-smoothed unigram LM: vocab = top-16 en tokens (count DESC,
     # token ASC tie-break), p(t) = (cnt+1)/(N + 1*(V+1)), OOV ⇒ cnt=0
     "lm_unigram_score": """

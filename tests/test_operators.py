@@ -519,3 +519,27 @@ def test_mixture_sample_exact_targets(spark):
 
     with pytest.raises(ValueError):
         mixture_sample(df, "lang", {"en": 60, "de": 60})
+
+
+def test_pagerank_two_node_cycle_exact(spark):
+    """On the 2-cycle a<->b PageRank is uniform (0.5, 0.5) at every
+    iteration — exact, no tolerance. A 3-node chain with reverse edges
+    must rank the middle node highest."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(cyc, iterations=4).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+
+    chain = spark.createDataFrame(
+        [("a", "m"), ("m", "a"), ("m", "z"), ("z", "m")],
+        "src string, dst string",
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(chain, iterations=10).collect()}
+    assert pr["m"] > pr["a"] and pr["m"] > pr["z"]
+    assert abs(pr["a"] - pr["z"]) < 1e-12  # symmetric ends
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # no dangling leak here
