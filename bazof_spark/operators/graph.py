@@ -46,23 +46,42 @@ def pagerank(
     scalars: N is a 1-row aggregate cross-joined in (broadcast), degrees
     join co-partitioned with the contribution shuffle.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from pyspark import StorageLevel
+
+    # Iteration-invariant relations are built ONCE, persisted, and
+    # shaped so each superstep moves as little data as possible:
+    # - `w` folds the out-degree into a per-edge weight (1/outd) and is
+    #   hash-partitioned by src BEFORE persisting — the per-superstep
+    #   join reuses that partitioning, so only the small one-row-per-node
+    #   rank relation shuffles to meet it (AQE turns it into a broadcast
+    #   when it fits).
+    # - the contribution reduce is a map-side-combined groupBy(dst):
+    #   what crosses the wire is bounded by distinct dst per partition,
+    #   not by edge count.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outd"))
+    w = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_outd")).alias("_w"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("pr")
     )
     for i in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select("dst", (F.col("pr") / F.col("_outd")).alias("_c"))
-        )
+        contrib = w.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", (F.col("pr") * F.col("_w")).alias("_c"))
         inbound = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("_c").alias("_in")
         )

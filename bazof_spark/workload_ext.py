@@ -1018,12 +1018,21 @@ def graph_pagerank_supply(spark, sf_dir):
     from bazof_spark.operators.graph import pagerank
 
     li = _t("lineitem")(spark, sf_dir)
-    base = li.select("l_suppkey", "l_partkey").distinct()
-    fwd = base.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # numeric node ids (supplier → 2k, part → 2k+1): BIGINT keys shuffle
+    # and join far cheaper than concat'd strings; symmetrization is one
+    # explode over the distinct pairs, not a union that re-runs the
+    # distinct's shuffle twice
+    s = (F.col("l_suppkey") * 2).alias("s")
+    p = (F.col("l_partkey") * 2 + 1).alias("p")
+    base = li.select(s, p).distinct()
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("node", F.round("pr", 9).alias("pr"))
 
@@ -1109,14 +1118,13 @@ ORACLES_EXT = {
     # 3-superstep PageRank, d=0.85, over the symmetrized supplier-part
     # graph; uniform start 1/N. Symmetric edges => every node appears as
     # a dst each step, matching the operator's left-join semantics.
+    # Node ids: supplier -> 2k (even), part -> 2k+1 (odd).
     "graph_pagerank_supply": """
         WITH base AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
         edges AS (
-            SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-                   'p' || CAST(l_partkey AS VARCHAR) AS dst FROM base
+            SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM base
             UNION ALL
-            SELECT 'p' || CAST(l_partkey AS VARCHAR),
-                   's' || CAST(l_suppkey AS VARCHAR) FROM base
+            SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM base
         ),
         nodes AS (SELECT DISTINCT src AS node FROM edges),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

@@ -56,6 +56,10 @@ MEASURED = [
     "rollup_events_hourly",
     "skew_salted_join",
     "asof_join_tolerance",
+    "lm_unigram_score",
+    "graph_pagerank_supply",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 
@@ -212,13 +216,13 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    global MEASURED
     spark = get_spark(app_name="bazof-scale")
     spark.sparkContext.setLogLevel("ERROR")
     if "--x100" in sys.argv:
         if "--rebuild" in sys.argv and os.path.exists(X100_DST):
             shutil.rmtree(X100_DST)
         build_docs_x(spark, 100, X100_DST)
-        global MEASURED
         MEASURED = X100_MEASURED
         base = run(spark, SRC)
         scaled = run(spark, X100_DST)
@@ -236,6 +240,9 @@ def main() -> None:
         return
     if "--rebuild" in sys.argv and os.path.exists(DST):
         shutil.rmtree(DST)
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):
+            MEASURED = [n for n in arg[len("--only="):].split(",") if n]
     build(spark)
     base = run(spark, SRC)
     scaled = run(spark, DST)
