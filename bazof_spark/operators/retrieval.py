@@ -115,3 +115,52 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, "DataFrame"],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_k: int | None = None,
+) -> "DataFrame":
+    """Reciprocal-rank fusion of named rankings (Cormack et al.):
+    ``rrf(d) = Σ_lists 1/(k + rank_list(d))``, lists where ``d`` is
+    absent contributing 0 — the standard way to combine lexical (BM25)
+    and dense (embedding) retrieval without score calibration.
+
+    Each input DataFrame carries (``id_col``, ``rank``) with rank
+    starting at 1. Output: (id_col, rrf_score, rank_<name>… — null where
+    the list missed the id), optionally cut to ``top_k`` with a
+    deterministic (score DESC, id ASC) tie-break.
+
+    Scale shape: candidate lists are top-k CUTS (thousands of rows at
+    most), so the full-outer joins are between bounded relations — the
+    expensive work happened upstream in each retriever. Fusing full
+    corpus-sized rankings would shuffle on id; the math is identical.
+    """
+    from functools import reduce
+
+    named = list(rankings.items())
+    if not named:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    sides = [
+        df.select(
+            F.col(id_col), F.col("rank").alias(f"rank_{name}")
+        )
+        for name, df in named
+    ]
+    fused = reduce(lambda a, b: a.join(b, id_col, "full_outer"), sides)
+    score = reduce(
+        lambda acc, name: acc
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{name}")), F.lit(0.0)
+        ),
+        [name for name, _ in named],
+        F.lit(0.0),
+    )
+    out = fused.withColumn("rrf_score", score)
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc()
+        ).limit(top_k)
+    return out

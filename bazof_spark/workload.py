@@ -2348,6 +2348,8 @@ _ADDED_AFTER_ROTATION = {
     "events_funnel",
     "events_retention_cohorts",
     "graph_pagerank_supply",
+    "events_gapfill_hourly",
+    "hybrid_rrf_search",
 }
 
 

@@ -1037,8 +1037,78 @@ def graph_pagerank_supply(spark, sf_dir):
     return pr.select("node", F.round("pr", 9).alias("pr"))
 
 
+def events_gapfill_hourly(spark, sf_dir):
+    """Hypertable-style time_bucket_gapfill (operators/gapfill): hourly
+    per-event-type sums densified to EVERY hour between the series
+    bounds — counts zero-filled, the value LOCF-carried (null before a
+    type's first observation). The spine is types × sequence() from a
+    broadcast 1-row bounds aggregate; the fact table is touched exactly
+    once, by the bucket aggregation."""
+    from bazof_spark.operators.gapfill import gapfill
+
+    ev = _t("events")(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("_v"),
+    )
+    dense = gapfill(
+        hourly,
+        keys=["event_type"],
+        ts_col="hour",
+        step="1 hour",
+        locf_cols=("_v",),
+        zero_cols=("n_events",),
+    )
+    return dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("_v", 6).alias("filled_value"),
+    )
+
+
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.rrf_fuse): BM25 top-20 for
+    a bag-of-words query fused with dense cosine top-20 for a query
+    embedding (vec_id 0) by reciprocal-rank fusion, k=60 — documents
+    and embeddings are aligned corpora (doc_id ≡ vec_id). The fusion
+    joins two ≤20-row lists; all heavy work happens inside the two
+    retrievers."""
+    from pyspark.sql.window import Window
+
+    from bazof_spark.operators.retrieval import bm25_rank, rrf_fuse
+    from bazof_spark.operators.similarity import cosine_topk_bruteforce
+
+    docs = _t("documents")(spark, sf_dir)
+    emb = _t("embeddings")(spark, sf_dir)
+    bm = bm25_rank(docs, ["merge", "scan", "hash"], top_k=20)
+    bm = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    dn = cosine_topk_bruteforce(emb, q0, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank")
+    )
+    fused = rrf_fuse({"bm25": bm, "dense": dn}, id_col="doc_id", top_k=10)
+    return fused.select(
+        "doc_id",
+        F.round("rrf_score", 9).alias("rrf_score"),
+        F.col("rank_bm25").alias("bm25_rank"),
+        F.col("rank_dense").alias("dense_rank"),
+    )
+
+
 QUERIES_EXT = {
     "lm_unigram_score": lm_unigram_score,
+    "events_gapfill_hourly": events_gapfill_hourly,
+    "hybrid_rrf_search": hybrid_rrf_search,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "graph_pagerank_supply": graph_pagerank_supply,
@@ -1079,6 +1149,99 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # time_bucket_gapfill: spine = types × every hour between global
+    # bounds; n_events zero-filled, value LOCF (null before first obs)
+    "events_gapfill_hourly": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, sum(value) AS v
+              FROM events GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+              FROM events
+        ),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(b.lo, b.hi,
+                                          INTERVAL 1 HOUR)) AS hour
+              FROM (SELECT DISTINCT event_type FROM events) t
+              CROSS JOIN b
+        ),
+        j AS (
+            SELECT s.event_type, s.hour, h.n_events, h.v
+              FROM spine s LEFT JOIN hourly h
+                ON h.event_type = s.event_type AND h.hour = s.hour
+        )
+        SELECT event_type, hour,
+               coalesce(n_events, 0) AS n_events,
+               round(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING), 6) AS filled_value
+          FROM j
+    """,
+    # RRF hybrid: bm25 top-20 (same scoring CTEs as bm25_search) fused
+    # with dense cosine top-20 for query vec 0; rrf = sum 1/(60+rank)
+    "hybrid_rrf_search": """
+        WITH w AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+            FROM documents
+        ),
+        dl AS (SELECT id, COUNT(*) AS dln FROM w GROUP BY id),
+        st AS (SELECT COUNT(*) AS n, AVG(dln) AS avgdl FROM dl),
+        tf AS (
+            SELECT id, t, COUNT(*) AS tfreq FROM w
+            WHERE t IN ('merge', 'scan', 'hash') GROUP BY id, t
+        ),
+        dfq AS (SELECT t, COUNT(*) AS dfreq FROM tf GROUP BY t),
+        s AS (
+            SELECT tf.id,
+                   ln((st.n - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0)
+                   * (tf.tfreq * 2.2)
+                   / (tf.tfreq + 1.2 * (0.25 + 0.75 * dl.dln / st.avgdl))
+                       AS sc
+            FROM tf JOIN dfq USING (t) JOIN dl USING (id) CROSS JOIN st
+        ),
+        bmscore AS (SELECT id, SUM(sc) AS score FROM s GROUP BY id),
+        bmr AS (
+            SELECT id, brank FROM (
+                SELECT id, CAST(row_number() OVER (
+                    ORDER BY score DESC, id ASC) AS INT) AS brank
+                FROM bmscore
+            ) WHERE brank <= 20
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+        ),
+        c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+        ),
+        ds AS (
+            SELECT cid, list_cosine_similarity(qv, cv) AS sim
+              FROM c, q WHERE cid != 0
+        ),
+        dsr AS (
+            SELECT cid AS id, drank FROM (
+                SELECT cid, CAST(row_number() OVER (
+                    ORDER BY sim DESC, cid ASC) AS INT) AS drank
+                FROM ds
+            ) WHERE drank <= 20
+        ),
+        f AS (
+            SELECT coalesce(bmr.id, dsr.id) AS doc_id,
+                   coalesce(1.0 / (60 + brank), 0)
+                 + coalesce(1.0 / (60 + drank), 0) AS rrf,
+                   brank, drank
+              FROM bmr FULL OUTER JOIN dsr ON bmr.id = dsr.id
+        )
+        SELECT doc_id, round(rrf, 9) AS rrf_score,
+               brank AS bm25_rank, drank AS dense_rank
+          FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
     # funnel: first view → first later click → first later purchase
     "events_funnel": """
         WITH v AS (

@@ -543,3 +543,59 @@ def test_pagerank_two_node_cycle_exact(spark):
     assert pr["m"] > pr["a"] and pr["m"] > pr["z"]
     assert abs(pr["a"] - pr["z"]) < 1e-12  # symmetric ends
     assert abs(sum(pr.values()) - 1.0) < 1e-9  # no dangling leak here
+
+
+def test_gapfill_locf_and_zero_fill(spark):
+    """Dense hourly grid from a sparse series: zero-filled counts, LOCF
+    values, null before a key's first observation."""
+    from datetime import datetime
+
+    from bazof_spark.operators.gapfill import gapfill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0), 1, 10.0),
+        ("a", datetime(2024, 1, 1, 3), 2, 30.0),
+        ("b", datetime(2024, 1, 1, 2), 5, 50.0),
+    ]
+    series = spark.createDataFrame(
+        rows, "k string, h timestamp, n long, v double"
+    )
+    out = gapfill(
+        series, keys=["k"], ts_col="h", step="1 hour",
+        locf_cols=("v",), zero_cols=("n",),
+    )
+    got = {
+        (r["k"], r["h"].hour): (r["n"], r["v"]) for r in out.collect()
+    }
+    # spine spans global bounds 00:00..03:00 for BOTH keys
+    assert len(got) == 8
+    assert got[("a", 0)] == (1, 10.0)
+    assert got[("a", 1)] == (0, 10.0)  # gap: zero count, LOCF value
+    assert got[("a", 2)] == (0, 10.0)
+    assert got[("a", 3)] == (2, 30.0)
+    assert got[("b", 0)] == (0, None)  # before b's first observation
+    assert got[("b", 1)] == (0, None)
+    assert got[("b", 2)] == (5, 50.0)
+    assert got[("b", 3)] == (0, 50.0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from bazof_spark.operators.retrieval import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    dn = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["rank_bm25"], r["rank_dense"])
+        for r in rrf_fuse({"bm25": bm, "dense": dn}, k=60).collect()
+    }
+    assert abs(out[3][0] - (1 / 63 + 1 / 61)) < 1e-12  # in both lists
+    assert out[3][1] == 3 and out[3][2] == 1
+    assert abs(out[1][0] - 1 / 61) < 1e-12 and out[1][2] is None
+    assert abs(out[4][0] - 1 / 62) < 1e-12 and out[4][1] is None
+    # top_k cut is deterministic: 3 (highest) first
+    top = rrf_fuse({"bm25": bm, "dense": dn}, top_k=1).collect()
+    assert [r["doc_id"] for r in top] == [3]
