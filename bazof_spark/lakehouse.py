@@ -457,7 +457,19 @@ class Lakehouse:
         bare names resolve to Current scans when they are azof tables
         (names already registered in the Spark catalog — e.g. TPC-H temp
         views — are left untouched).
+
+        DML (ours — the reference's SQL is read-only): a statement-
+        leading ``CREATE [OR REPLACE] TABLE t AS <query>`` or
+        ``INSERT INTO t <query>`` runs the inner query through this
+        same method (so its sources may time-travel) and commits the
+        result through the distributed Data Source writer; the returned
+        DataFrame is a 1-row (table, version, operation) status.
         """
+        from bazof_spark.sql import parse_dml
+
+        dml = parse_dml(query)
+        if dml is not None:
+            return self._execute_dml(dml)
         rewritten, tables = rewrite_and_extract_tables(query)
         for vt in tables:
             if vt.changes is not None:
@@ -479,3 +491,47 @@ class Lakehouse:
                 ):
                     self.scan(vt.name).createOrReplaceTempView(vt.name)
         return self.spark.sql(rewritten)
+
+    def _execute_dml(self, dml) -> DataFrame:
+        """CTAS / INSERT INTO execution: inner query through ``sql``
+        (time travel works in the source), result through the Data
+        Source writer's two-phase commit (``datasource.write_table`` —
+        repartition-by-key placement, event_time-DESC files, atomic
+        version flip). Any Current temp view of the table is refreshed
+        so subsequent SQL sees the new version."""
+        from bazof_spark.datasource import write_table
+        from bazof_spark.errors import BazofError
+        from bazof_spark.sql import DmlStatement  # noqa: F401 (typing)
+
+        df = self.sql(dml.select.rstrip().rstrip(";"))
+        if dml.kind == "ctas":
+            if self.has_table(dml.table) and not dml.replace:
+                raise BazofError(
+                    f"table {dml.table!r} already exists "
+                    "(use CREATE OR REPLACE TABLE)"
+                )
+            write_table(df, self.root, dml.table, mode="overwrite")
+            op = "create"
+        else:
+            if not self.has_table(dml.table):
+                raise BazofError(
+                    f"cannot INSERT INTO missing table {dml.table!r}"
+                )
+            # SQL INSERT is positional: when the select's column names
+            # are not the table's (e.g. bare literals), align by
+            # position against (key, event_time, value columns…); a
+            # name-matching set is left alone (writer binds by name)
+            schema = self.table(dml.table).get_current_snapshot().schema
+            expected = ["key", "event_time", *schema.column_names()]
+            if set(df.columns) != set(expected) and len(df.columns) == len(
+                expected
+            ):
+                df = df.toDF(*expected)
+            write_table(df, self.root, dml.table, mode="append")
+            op = "insert"
+        if self.spark.catalog.tableExists(dml.table):
+            self.scan(dml.table).createOrReplaceTempView(dml.table)
+        version = self.table(dml.table).current_version()
+        return self.spark.createDataFrame(
+            [(dml.table, version, op)], "table string, version string, operation string"
+        )

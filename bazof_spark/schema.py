@@ -68,7 +68,13 @@ def column_type_from_spark(dt: DataType) -> ColumnType:
     """Inverse of :meth:`ColumnType.to_spark`, with lossless widenings
     (int8/16/32 → Int, float32 → Float) so any Spark frame whose columns
     fit the format's five value types can author a table."""
-    from pyspark.sql.types import ByteType, FloatType, IntegerType, ShortType
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
 
     name = type(dt).__name__
     if isinstance(dt, StringType):
@@ -79,11 +85,14 @@ def column_type_from_spark(dt: DataType) -> ColumnType:
         return ColumnType.BOOLEAN
     if isinstance(dt, TimestampType):
         return ColumnType.DATETIME
-    if isinstance(dt, (DoubleType, FloatType)):
+    if isinstance(dt, (DoubleType, FloatType, DecimalType)):
+        # decimal → double is a documented narrowing (SQL literals like
+        # `1.0` arrive as DECIMAL; the format has no decimal type) —
+        # exact for ≤15 significant digits
         return ColumnType.FLOAT
     raise MetadataError(
         f"Spark type {name} has no azof column type (supported: "
-        "string, integral, boolean, timestamp, floating)"
+        "string, integral, boolean, timestamp, floating, decimal)"
     )
 
 

@@ -243,3 +243,73 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
             pos = cont.end()
 
     return rewritten, tables
+
+
+# ---------------------------------------------------------------------------
+# DML pre-pass (ours — the reference's SQL surface is read-only; its
+# writer is roadmap, README.md:152). CREATE TABLE ... AS SELECT and
+# INSERT INTO ... SELECT route the inner query through the normal
+# time-travel rewrite and the result through the distributed writer.
+# ---------------------------------------------------------------------------
+
+_CTAS_RE = re.compile(
+    rf"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>{_IDENT})"
+    rf"\s+AS\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    rf"^INSERT\s+INTO\s+(?P<name>{_IDENT})\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass(frozen=True)
+class DmlStatement:
+    kind: str  # "ctas" | "insert"
+    table: str
+    replace: bool
+    select: str
+
+
+def _lstrip_trivia(sql: str) -> str:
+    """Drop leading whitespace and comments so DML detection sees the
+    first real token (a leading `-- comment` must not hide an INSERT,
+    and comment TEXT mentioning 'create table' must not fake one)."""
+    spans = _string_spans(sql)
+    i, n = 0, len(sql)
+    moved = True
+    while moved and i < n:
+        moved = False
+        while i < n and sql[i].isspace():
+            i += 1
+            moved = True
+        for lo, hi in spans:
+            if lo == i:
+                i = hi
+                moved = True
+                break
+    return sql[i:]
+
+
+def parse_dml(sql: str) -> DmlStatement | None:
+    """The DML statement at the head of ``sql``, or None for plain
+    queries. Only statement-leading DML counts: the keywords inside a
+    string/comment or mid-query never match."""
+    head = _lstrip_trivia(sql)
+    m = _CTAS_RE.match(head)
+    if m:
+        return DmlStatement(
+            kind="ctas",
+            table=m.group("name"),
+            replace=bool(m.group("replace")),
+            select=m.group("select"),
+        )
+    m = _INSERT_RE.match(head)
+    if m:
+        return DmlStatement(
+            kind="insert",
+            table=m.group("name"),
+            replace=False,
+            select=m.group("select"),
+        )
+    return None

@@ -1,0 +1,128 @@
+"""SQL DML on the Lakehouse surface: CREATE TABLE AS SELECT and
+INSERT INTO ... SELECT, committing through the Data Source writer with
+full time-travel semantics on both the source and the result."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark import Lakehouse  # noqa: E402
+from bazof_spark.errors import BazofError  # noqa: E402
+from bazof_spark.sql import parse_dml  # noqa: E402
+
+REF = "/root/reference/test-data"
+
+
+def test_parse_dml_detection():
+    d = parse_dml("CREATE TABLE t AS SELECT 1")
+    assert d.kind == "ctas" and d.table == "t" and not d.replace
+    d = parse_dml("  -- note\n create or replace table x.y AS SELECT 2;")
+    assert d.kind == "ctas" and d.table == "x.y" and d.replace
+    d = parse_dml("INSERT INTO t SELECT * FROM s")
+    assert d.kind == "insert" and d.table == "t"
+    # plain queries, and DML-shaped text inside strings/comments, don't match
+    assert parse_dml("SELECT 'CREATE TABLE t AS SELECT 1'") is None
+    assert parse_dml("/* INSERT INTO t */ SELECT 1") is None
+    assert parse_dml("SELECT * FROM create_table_log") is None
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path))
+
+
+def test_ctas_insert_roundtrip_with_time_travel(spark, lh):
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id * 10 AS DOUBLE) AS value
+          FROM range(5)
+        """
+    )
+    assert {r["key"] for r in lh.sql("SELECT key FROM t").collect()} == {
+        "0", "1", "2", "3", "4"
+    }
+    # INSERT upserts a newer version of key 0 and a new key
+    lh.sql(
+        """
+        INSERT INTO t
+        SELECT '0' AS key, timestamp'2024-02-01 00:00:00' AS event_time,
+               99.0 AS value
+        UNION ALL
+        SELECT '9', timestamp'2024-02-01 00:00:00', 90.0
+        """
+    )
+    cur = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    assert cur["0"] == 99.0 and cur["9"] == 90.0 and cur["1"] == 10.0
+    # event-time travel to before the insert sees the original value
+    old = {
+        r["key"]: r["value"]
+        for r in lh.sql(
+            "SELECT key, value FROM t AT ('2024-01-15T00:00:00.000Z')"
+        ).collect()
+    }
+    assert old["0"] == 0.0 and "9" not in old
+
+
+def test_ctas_from_time_travel_source(spark, lh, tmp_path):
+    """The CTAS source query may itself time-travel an azof table."""
+    ref = Lakehouse(spark, REF)
+    # materialize the reference table into this lakehouse as-of a date
+    df = ref.scan("table0", as_of="2024-01-15T00:00:00.000Z")
+    df.createOrReplaceTempView("t0_src")
+    lh.sql("CREATE TABLE snap AS SELECT * FROM t0_src")
+    got = {r["key"]: r["value"] for r in lh.sql("SELECT * FROM snap").collect()}
+    exp = {r["key"]: r["value"] for r in df.collect()}
+    assert got == exp
+
+
+def test_ctas_refuses_existing_without_replace(spark, lh):
+    lh.sql(
+        "CREATE TABLE t AS SELECT '1' AS key, "
+        "timestamp'2024-01-01' AS event_time, 1.0 AS value"
+    )
+    with pytest.raises(BazofError, match="already exists"):
+        lh.sql(
+            "CREATE TABLE t AS SELECT '2' AS key, "
+            "timestamp'2024-01-01' AS event_time, 2.0 AS value"
+        )
+    lh.sql(
+        "CREATE OR REPLACE TABLE t AS SELECT '2' AS key, "
+        "timestamp'2024-01-01' AS event_time, 2.0 AS value"
+    )
+    assert {r["key"] for r in lh.sql("SELECT key FROM t").collect()} == {"2"}
+    # prior version remains pinnable
+    assert {
+        r["key"]
+        for r in lh.sql("SELECT key FROM t FOR VERSION AS OF 1").collect()
+    } == {"1"}
+
+
+def test_insert_into_missing_table_fails(spark, lh):
+    with pytest.raises(BazofError, match="missing table"):
+        lh.sql(
+            "INSERT INTO nope SELECT '1' AS key, "
+            "timestamp'2024-01-01' AS event_time, 1.0 AS value"
+        )
+
+
+def test_insert_positional_literals(spark, lh):
+    lh.sql(
+        "CREATE TABLE kv AS SELECT CAST(id AS STRING) key, "
+        "timestamp'2024-01-01' event_time, id * 2 value FROM range(4)"
+    )
+    # bare literals: aligned by position like standard SQL INSERT
+    lh.sql("INSERT INTO kv SELECT '0', timestamp'2024-06-01', 100")
+    cur = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM kv").collect()
+    }
+    assert cur["0"] == 100 and cur["1"] == 2
