@@ -2350,6 +2350,7 @@ _ADDED_AFTER_ROTATION = {
     "graph_pagerank_supply",
     "events_gapfill_hourly",
     "hybrid_rrf_search",
+    "gopher_quality_filter",
 }
 
 

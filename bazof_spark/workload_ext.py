@@ -1105,8 +1105,47 @@ def hybrid_rrf_search(spark, sf_dir):
     )
 
 
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher-rule composite document filter (Rae et al. 2021 §A1.1,
+    thresholds adapted to this corpus' short synthetic docs): word-count
+    band, mean-word-length band, symbol ratio, stopword evidence, and
+    duplicate-word repetition, each surfaced as its own flag plus the
+    conjunction. All pure Column expressions — map-only, whole-stage
+    codegen, zero shuffle; at 100 TB this runs at parquet-scan speed
+    like text_quality (SCALING.md)."""
+    from bazof_spark.functions.repetition import word_repetition_ratio
+    from bazof_spark.functions.text import LANG_MARKERS
+
+    docs = _t("documents")(spark, sf_dir)
+    t = F.col("text")
+    words = F.regexp_count(t, F.lit(r"[A-Za-z0-9_]+"))
+    letters = F.regexp_count(t, F.lit(r"[A-Za-z0-9_]"))
+    punct = F.regexp_count(t, F.lit(r"[^\sA-Za-z0-9_]"))
+    stops = F.regexp_count(
+        t, F.lit(r"(?i)\b(" + "|".join(LANG_MARKERS["en"]) + r")\b")
+    )
+    n = F.length(t)
+    mwl = letters / words
+    ok_words = (words >= 20) & (words <= 1000)
+    ok_mwl = (words > 0) & (mwl >= 3.0) & (mwl <= 10.0)
+    ok_sym = (n > 0) & (punct / n <= 0.2)
+    ok_stop = stops >= 2
+    ok_rep = word_repetition_ratio(t) <= 0.4
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_words & ok_mwl & ok_sym & ok_stop & ok_rep).alias("keep"),
+    )
+
+
 QUERIES_EXT = {
     "lm_unigram_score": lm_unigram_score,
+    "gopher_quality_filter": gopher_quality_filter,
     "events_gapfill_hourly": events_gapfill_hourly,
     "hybrid_rrf_search": hybrid_rrf_search,
     "events_funnel": events_funnel,
@@ -1149,6 +1188,41 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # Gopher composite: same regex counters as the text_stats/quality
+    # oracles; repetition = 1 - distinct/total whitespace words
+    "gopher_quality_filter": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   length(text) AS n,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS words,
+                   len(regexp_extract_all(text, '[^\sA-Za-z0-9_]')) AS punct,
+                   len(regexp_extract_all(text,
+                       '(?i)\b(the|and|of|to|a|in|is|that)\b')) AS stops,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS letters,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+                        THEN 1.0
+                             - len(list_distinct(regexp_split_to_array(
+                                   trim(text), '\s+'))) * 1.0
+                               / len(regexp_split_to_array(trim(text), '\s+'))
+                        ELSE 0.0 END AS rep
+              FROM documents
+        )
+        SELECT doc_id,
+               CAST(words AS BIGINT) AS n_words,
+               (words >= 20 AND words <= 1000) AS ok_words,
+               (words > 0 AND letters * 1.0 / words >= 3.0
+                          AND letters * 1.0 / words <= 10.0)
+                   AS ok_mean_word_len,
+               (n > 0 AND punct * 1.0 / n <= 0.2) AS ok_symbol_ratio,
+               (stops >= 2) AS ok_stopwords,
+               (rep <= 0.4) AS ok_repetition,
+               (words >= 20 AND words <= 1000
+                AND words > 0 AND letters * 1.0 / words >= 3.0
+                           AND letters * 1.0 / words <= 10.0
+                AND n > 0 AND punct * 1.0 / n <= 0.2
+                AND stops >= 2 AND rep <= 0.4) AS keep
+          FROM m
+    """,
     # time_bucket_gapfill: spine = types × every hour between global
     # bounds; n_events zero-filled, value LOCF (null before first obs)
     "events_gapfill_hourly": """

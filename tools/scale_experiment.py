@@ -178,7 +178,13 @@ def _union(copies):
 
 
 X100_DST = "/tmp/bazof_scale/x100"
-X100_MEASURED = ["text_quality", "text_repetition", "dedup_ngram_jaccard"]
+X100_MEASURED = [
+    "text_quality",
+    "text_repetition",
+    "dedup_ngram_jaccard",
+    # documents-only like the rest: trains + scores on the 100× corpus
+    "lm_unigram_score",
+]
 
 
 def build_docs_x(spark, copies: int, dst: str) -> None:
