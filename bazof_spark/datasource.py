@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -371,6 +372,142 @@ class BazofBatchWriter(DataSourceArrowWriter):
         iofs.delete_dir(self._stage_dir)
 
 
+class BazofStreamWriter(BazofBatchWriter, DataSourceStreamArrowWriter):
+    """``stream.writeStream.format("bazof")`` — native Structured
+    Streaming sink: each micro-batch commits as ONE new snapshot
+    version through the same staged-files → atomic-pointer-flip path as
+    the batch writer (the foreachBatch sink in streaming/sink.py is the
+    hand-rolled equivalent; this is the source-API shape).
+
+    Semantics:
+    - append output mode only (the table IS an upsert log — complete/
+      update modes would overwrite history and are refused);
+    - the table is auto-created from the stream's schema on the first
+      non-empty batch if absent;
+    - **key placement is the stream's responsibility**: a sink cannot
+      shuffle, so all of one key's rows within a micro-batch must
+      arrive in ONE task — true for key-partitioned sources (Kafka
+      keyed topics), otherwise add ``.repartition("key")`` before
+      ``writeStream``. A key split across sibling files of one batch
+      is arbitrated by stable file order (the format's equal-start
+      precedence), not by event time;
+    - **idempotent replay**: the last committed batchId is recorded in
+      ``_STREAM_BATCH`` AFTER the snapshot publish; a replayed batch
+      (failure between publish and checkpoint commit) with
+      ``batchId <= recorded`` is skipped. A crash between publish and
+      the marker write degrades to the documented foreachBatch
+      contract: the replayed rows land in a duplicate delta whose
+      identical (key, event_time) content the merge resolves to the
+      same winners — exactly-once at the query-result level. The
+      marker is per-table: one writing stream per table, like every
+      single-writer azof path;
+    - empty micro-batches are no-ops (no version churn).
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import hashlib
+        import uuid
+
+        from bazof_spark.errors import TableNotFoundError
+        from bazof_spark.schema import TableSchema  # noqa: F401
+
+        if overwrite:
+            raise ValueError(
+                "bazof streaming sink supports append output mode only"
+            )
+        try:
+            super().__init__(options, schema, overwrite=False)
+            self._create_pending = False
+        except TableNotFoundError:
+            # first batch will create the table from the stream schema
+            super().__init__(options, schema, overwrite=True)
+            self._overwrite = False
+            self._create_pending = True
+        # batchIds are scoped to a CHECKPOINT (a fresh checkpoint
+        # restarts at 0), so the replay marker must be too: same
+        # checkpoint after a crash-restart → replay detected; a new
+        # checkpoint → new marker, its batches commit normally. Without
+        # a checkpointLocation there is no durable batch scope — fall
+        # back to a per-run key, degrading to merge-level idempotence.
+        cp = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        scope = (
+            hashlib.md5(cp.encode()).hexdigest()[:12]
+            if cp
+            else uuid.uuid4().hex[:12]
+        )
+        self._marker_name = f"_STREAM_BATCH_{scope}"
+        # checkpoint-scoped staging: writer instances are recreated
+        # across restarts — a deterministic dir stops empty-dir
+        # accumulation, and commit wipes it after moving each batch
+        from bazof_spark import iofs
+
+        per_instance = self._stage_dir
+        self._stage_dir = iofs.join(self._table_path, f"_ds_stage_{scope}")
+        if per_instance != self._stage_dir:
+            iofs.delete_dir(per_instance)
+        iofs.makedirs(self._stage_dir)
+
+    def _marker_path(self) -> str:
+        from bazof_spark import iofs
+
+        return iofs.join(self._table_path, self._marker_name)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        from datetime import datetime, timezone
+
+        from bazof_spark import iofs
+        from bazof_spark.writer import (
+            commit_delta_files,
+            create_table_version_from_files,
+        )
+
+        real = [m for m in messages if m is not None and m.file_path]
+        try:
+            marker = self._marker_path()
+            if iofs.exists(marker):
+                last = int(iofs.read_text(marker).strip() or "-1")
+                if batchId <= last:
+                    return  # replayed batch already durable
+            if not real:
+                return  # empty micro-batch: no version churn
+            files = [m.file_path for m in real]
+            start = datetime.fromtimestamp(
+                min(m.start_us for m in real) / 1e6, tz=timezone.utc
+            )
+            end = datetime.fromtimestamp(
+                max(m.end_us for m in real) / 1e6, tz=timezone.utc
+            )
+            if self._create_pending:
+                create_table_version_from_files(
+                    self._table_path, self._table_schema, files, start, end
+                )
+                self._create_pending = False
+            else:
+                commit_delta_files(
+                    self._table_path,
+                    files,
+                    start,
+                    end,
+                    segment_id=self._segment_id,
+                    create_segment=True,
+                )
+            iofs.replace_text(marker, str(batchId))
+        finally:
+            # committed files were MOVED out; what remains is orphans
+            # from failed/replayed attempts — wipe and re-arm for the
+            # next micro-batch
+            iofs.delete_dir(self._stage_dir)
+            iofs.makedirs(self._stage_dir)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        from bazof_spark import iofs
+
+        iofs.delete_dir(self._stage_dir)
+        iofs.makedirs(self._stage_dir)
+
+
 class BazofDataSource(DataSource):
     """Register once per session: ``spark.dataSource.register(BazofDataSource)``."""
 
@@ -401,6 +538,11 @@ class BazofDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> BazofBatchWriter:
         return BazofBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(  # noqa: N802 (Spark API name)
+        self, schema: StructType, overwrite: bool
+    ) -> BazofStreamWriter:
+        return BazofStreamWriter(self.options, schema, overwrite)
 
 
 def write_table(

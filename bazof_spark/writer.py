@@ -390,11 +390,38 @@ def append_delta(
 
     # -- publish the new snapshot -----------------------------------------
     segs[idx] = dataclasses.replace(
-        target, delta=tuple(target.delta) + tuple(new_deltas)
+        target, delta=_insert_deltas(tuple(target.delta), new_deltas, start)
     )
     new_snapshot = Snapshot(segments=tuple(segs), schema=schema)
     _publish_snapshot(table_path, version, next_version, new_snapshot)
     return new_snapshot
+
+
+def _insert_deltas(
+    existing: tuple[Delta, ...], new: list[Delta], start: datetime
+) -> tuple[Delta, ...]:
+    """Place a commit's delta entries so the reader's stable
+    sort-by-start-DESC gives them precedence over every delta whose
+    start is ≤ theirs — i.e. A LATER UPSERT SHADOWS EARLIER DATA even
+    when the batches share a start (a replayed or re-read batch has
+    exactly the old batch's start). Appending instead would let the
+    OLD delta win such ties (stable sort keeps array order), silently
+    dropping the upsert. Pure writer-side placement: reader semantics
+    (metadata.rs:47-73 port) are untouched, and entries within one
+    commit keep their file order."""
+    from datetime import timezone
+
+    def _utc(dt: datetime) -> datetime:
+        # snapshot timestamps parse tz-aware; batch aggregates may be
+        # naive (session-UTC Spark values) — compare as UTC instants
+        return dt if dt.tzinfo is not None else dt.replace(tzinfo=timezone.utc)
+
+    idx = len(existing)
+    for i, d in enumerate(existing):
+        if _utc(d.start) <= _utc(start):
+            idx = i
+            break
+    return existing[:idx] + tuple(new) + existing[idx:]
 
 
 def _pick_target_segment(
@@ -478,7 +505,7 @@ def commit_delta_files(
         iofs.move(staged, iofs.join(table_path, name))
         new_deltas.append(Delta(file=name, start=start, end=end))
     segs[idx] = dataclasses.replace(
-        target, delta=tuple(target.delta) + tuple(new_deltas)
+        target, delta=_insert_deltas(tuple(target.delta), new_deltas, start)
     )
     new_snapshot = Snapshot(segments=tuple(segs), schema=snapshot.schema)
     _publish_snapshot(table_path, version, next_version, new_snapshot)

@@ -197,3 +197,66 @@ def test_sql_over_written_table(spark, root):
         "SELECT key, value FROM t AT ('2024-01-02T00:00:00.000Z') ORDER BY key"
     ).collect()
     assert [(r["key"], r["value"]) for r in out] == [("a", 1.0)]
+
+
+def test_stream_writer_creates_and_appends(spark, root, tmp_path):
+    """writeStream.format('bazof'): micro-batches become snapshot
+    versions; the table auto-creates on the first batch; a second query
+    run (new batch ids under a new checkpoint) upserts."""
+    import json
+
+    from bazof_spark.datasource import BazofDataSource
+
+    spark.dataSource.register(BazofDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "a", "event_time": "2024-01-01T00:00:00Z", "value": 1.0},
+                {"key": "b", "event_time": "2024-01-02T00:00:00Z", "value": 2.0},
+            ]
+        )
+    )
+    schema = "key string, event_time timestamp, value double"
+
+    def run_stream(checkpoint):
+        # key placement is the stream's job (see BazofStreamWriter):
+        # repartition so one key's rows land in one task per batch
+        stream = (
+            spark.readStream.schema(schema).json(str(src)).repartition("key")
+        )
+        q = (
+            stream.writeStream.format("bazof")
+            .option("path", root)
+            .option("table", "st")
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream("cp1")
+    lh = Lakehouse(spark, root)
+    got = {r["key"]: r["value"] for r in lh.scan("st").collect()}
+    assert got == {"a": 1.0, "b": 2.0}
+    v1 = Table(path=os.path.join(root, "st"), name="st").current_version()
+
+    # new data + fresh checkpoint → second commit upserts a newer version
+    (src / "b.json").write_text(
+        json.dumps(
+            {"key": "a", "event_time": "2024-03-01T00:00:00Z", "value": 9.0}
+        )
+    )
+    run_stream("cp2")
+    got2 = {r["key"]: r["value"] for r in lh.scan("st").collect()}
+    assert got2 == {"a": 9.0, "b": 2.0}
+    v2 = Table(path=os.path.join(root, "st"), name="st").current_version()
+    assert int(v2) > int(v1)
+    # time travel still sees the first state
+    old = {
+        r["key"]: r["value"]
+        for r in lh.scan("st", as_of="2024-02-01T00:00:00.000Z").collect()
+    }
+    assert old == {"a": 1.0, "b": 2.0}

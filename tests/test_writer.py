@@ -234,3 +234,29 @@ def test_generic_fs_uri_author_upsert_scan(spark, tmp_path):
         tuple(r) for r in lh.scan("t").select("key", "value").collect()
     )
     assert got == [("k1", "a2"), ("k2", "b1")]
+
+
+def test_insert_deltas_tie_gives_new_commit_precedence():
+    """A later commit sharing a start with an existing delta must sort
+    BEFORE it (stable start-DESC reader sort → later upsert shadows);
+    strictly newer/older starts keep plain ordering; intra-commit file
+    order is preserved."""
+    from datetime import datetime, timezone
+
+    from bazof_spark.metadata import Delta
+    from bazof_spark.writer import _insert_deltas
+
+    def d(name, iso):
+        t = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return Delta(file=name, start=t, end=t)
+
+    existing = (d("old_hi", "2024-03-01"), d("old_eq", "2024-01-01"))
+    new = [d("new_p0", "2024-01-01"), d("new_p1", "2024-01-01")]
+    out = _insert_deltas(
+        existing, new,
+        datetime.fromisoformat("2024-01-01").replace(tzinfo=timezone.utc),
+    )
+    assert [x.file for x in out] == ["old_hi", "new_p0", "new_p1", "old_eq"]
+    # naive start (Spark session-UTC aggregate) compares as UTC instant
+    out2 = _insert_deltas(existing, new, datetime.fromisoformat("2024-01-01"))
+    assert [x.file for x in out2] == ["old_hi", "new_p0", "new_p1", "old_eq"]
