@@ -264,10 +264,44 @@ class BazofBatchWriter(DataSourceArrowWriter):
             )
             extra = [f.name for f in schema.fields if f.name not in declared]
             if extra:
-                raise ValueError(
-                    f"columns {extra} not in table schema "
-                    f"{sorted(declared)}; evolve the table first"
+                merge = (
+                    options.get("mergeschema")
+                    or options.get("mergeSchema")
+                    or ""
+                ).lower() == "true"
+                if not merge:
+                    raise ValueError(
+                        f"columns {extra} not in table schema "
+                        f"{sorted(declared)}; evolve the table first or "
+                        "set .option('mergeSchema', 'true')"
+                    )
+                # auto-evolve: commit a metadata-only snapshot adding
+                # the new columns as nullable (existing files null-fill
+                # them on read), then append against the evolved schema
+                from types import SimpleNamespace
+
+                from bazof_spark.maintenance import evolve_table_schema
+                from bazof_spark.schema import (
+                    ColumnDef,
+                    column_type_from_spark,
                 )
+
+                add = [
+                    ColumnDef(
+                        name=f.name,
+                        data_type=column_type_from_spark(f.dataType),
+                        nullable=True,
+                    )
+                    for f in schema.fields
+                    if f.name not in declared
+                ]
+                lh = SimpleNamespace(
+                    table=lambda n: Table(path=self._table_path, name=n)
+                )
+                evolve_table_schema(lh, name, add=add)
+                self._table_schema = Table(
+                    path=self._table_path, name=name
+                ).get_current_snapshot().schema
         self._stage_dir = iofs.join(
             self._table_path, f"_ds_stage_{uuid.uuid4().hex[:12]}"
         )
@@ -552,6 +586,7 @@ def write_table(
     mode: str = "append",
     num_files: int | None = None,
     validate: bool = True,
+    merge_schema: bool = False,
 ):
     """Write a DataFrame as one azof commit through the registered sink,
     applying the key-placement discipline the format's merge requires:
@@ -575,13 +610,15 @@ def write_table(
         if num_files
         else df.repartition(KEY_COL)
     )
-    (
+    writer = (
         part.write.format("bazof")
         .option("path", root)
         .option("table", name)
         .mode(mode)
-        .save()
     )
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    writer.save()
 
 
 def read_table(spark, root: str, name: str, as_of: str | None = None,

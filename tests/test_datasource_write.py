@@ -260,3 +260,23 @@ def test_stream_writer_creates_and_appends(spark, root, tmp_path):
         for r in lh.scan("st", as_of="2024-02-01T00:00:00.000Z").collect()
     }
     assert old == {"a": 1.0, "b": 2.0}
+
+
+def test_append_merge_schema_evolves(spark, root):
+    import pyspark.sql.functions as F
+
+    base = mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)])
+    write_table(base, root, "t", mode="overwrite")
+    widened = mkdf(spark, [("b", ts("2024-02-01T00:00:00"), 2.0)]).withColumn(
+        "note", F.lit("new")
+    )
+    # without mergeSchema: refused
+    with pytest.raises(Exception, match="mergeSchema"):
+        write_table(widened, root, "t", mode="append")
+    write_table(widened, root, "t", mode="append", merge_schema=True)
+    rows = {
+        r["key"]: (r["value"], r["note"])
+        for r in Lakehouse(spark, root).scan("t").collect()
+    }
+    # old rows null-fill the evolved column; new rows carry it
+    assert rows == {"a": (1.0, None), "b": (2.0, "new")}
