@@ -287,3 +287,38 @@ def test_round3_semdedup_and_mixture_bounded(spark):
     assert shuffle_count(df) <= 1
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "lang"}
+
+
+def test_lm_unigram_score_broadcasts_model(spark):
+    """The vocab model and its 1-row stats must broadcast — a shuffled
+    join here would shuffle every exploded token at scale."""
+    df = q("lm_unigram_score", spark)
+    assert broadcast_join_count(df) >= 2  # model probe + stats cross join
+    assert shuffle_count(df) <= 3  # vocab count, top-V, per-doc reduce
+
+
+def test_gapfill_bounds_broadcast_and_single_fact_scan(spark):
+    df = q("events_gapfill_hourly", spark)
+    # bounds row + spine cross join broadcast; fact aggregated once
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 4
+
+
+def test_rrf_joins_stay_bounded(spark):
+    df = q("hybrid_rrf_search", spark)
+    # candidate lists are top-k cuts; no full-corpus shuffle join beyond
+    # the retrievers' own aggregations
+    assert shuffle_count(df) <= 8
+
+
+def test_gopher_filter_is_map_only(spark):
+    df = q("gopher_quality_filter", spark)
+    assert shuffle_count(df) == 0, "pure Column filter must not shuffle"
+    (cols,) = scan_columns(df)
+    assert cols == {"doc_id", "text"}
+
+
+def test_funnel_and_retention_shuffle_on_user_only(spark):
+    for name, bound in [("events_funnel", 8), ("events_retention_cohorts", 5)]:
+        df = q(name, spark)
+        assert shuffle_count(df) <= bound, name
