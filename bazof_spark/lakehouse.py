@@ -465,8 +465,11 @@ class Lakehouse:
         result through the distributed Data Source writer; the returned
         DataFrame is a 1-row (table, version, operation) status.
         """
-        from bazof_spark.sql import parse_dml
+        from bazof_spark.sql import parse_dml, parse_show
 
+        show = parse_show(query)
+        if show is not None:
+            return self._execute_show(show)
         dml = parse_dml(query)
         if dml is not None:
             return self._execute_dml(dml)
@@ -491,6 +494,43 @@ class Lakehouse:
                 ):
                     self.scan(vt.name).createOrReplaceTempView(vt.name)
         return self.spark.sql(rewritten)
+
+    def _execute_show(self, show) -> DataFrame:
+        """Catalog statements over the lakehouse root: ``SHOW TABLES``
+        lists azof table directories; ``DESCRIBE [TABLE] t`` returns the
+        declared schema (system columns included) plus the current
+        version; ``SHOW VERSIONS [OF|FOR] t`` lists every numbered
+        snapshot on disk with its segment/delta counts."""
+        from bazof_spark.maintenance import _numeric_versions
+
+        if show.kind == "tables":
+            return self.spark.createDataFrame(
+                [(n,) for n in self.list_tables()] or [], "table string"
+            )
+        table = self.table(show.table)
+        if show.kind == "describe":
+            snapshot = table.get_current_snapshot()
+            rows = [
+                ("key", "string", False, "system"),
+                ("event_time", "timestamp", False, "system"),
+            ] + [
+                (c.name, c.data_type.to_spark().simpleString(), c.nullable, "value")
+                for c in snapshot.schema.columns
+            ]
+            return self.spark.createDataFrame(
+                rows, "column string, type string, nullable boolean, kind string"
+            )
+        versions = sorted(_numeric_versions(table.path))
+        current = table.current_version()
+        rows = []
+        for v in versions:
+            snap = table.get_snapshot(str(v))
+            n_files = len(snap.ranked_data_files())
+            rows.append((str(v), str(v) == current, len(snap.segments), n_files))
+        return self.spark.createDataFrame(
+            rows,
+            "version string, is_current boolean, n_segments long, n_files long",
+        )
 
     def _execute_dml(self, dml) -> DataFrame:
         """CTAS / INSERT INTO execution: inner query through ``sql``

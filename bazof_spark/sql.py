@@ -313,3 +313,35 @@ def parse_dml(sql: str) -> DmlStatement | None:
             select=m.group("select"),
         )
     return None
+
+
+_SHOW_TABLES_RE = re.compile(r"^SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    rf"^DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_VERSIONS_RE = re.compile(
+    rf"^SHOW\s+VERSIONS\s+(?:OF|FOR)\s+(?P<name>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass(frozen=True)
+class ShowStatement:
+    kind: str  # "tables" | "describe" | "versions"
+    table: str | None = None
+
+
+def parse_show(sql: str) -> ShowStatement | None:
+    """Catalog statements (ours — Delta/Iceberg-style conveniences):
+    SHOW TABLES, DESCRIBE [TABLE] t, SHOW VERSIONS OF t."""
+    head = _lstrip_trivia(sql)
+    if _SHOW_TABLES_RE.match(head):
+        return ShowStatement(kind="tables")
+    m = _SHOW_VERSIONS_RE.match(head)
+    if m:
+        return ShowStatement(kind="versions", table=m.group("name"))
+    m = _DESCRIBE_RE.match(head)
+    if m:
+        return ShowStatement(kind="describe", table=m.group("name"))
+    return None

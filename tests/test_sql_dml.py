@@ -126,3 +126,21 @@ def test_insert_positional_literals(spark, lh):
         for r in lh.sql("SELECT key, value FROM kv").collect()
     }
     assert cur["0"] == 100 and cur["1"] == 2
+
+
+def test_show_and_describe_statements(spark, lh):
+    lh.sql(
+        "CREATE TABLE t1 AS SELECT '1' AS key, "
+        "timestamp'2024-01-01' AS event_time, 1.0 AS value"
+    )
+    lh.sql("INSERT INTO t1 SELECT '2', timestamp'2024-02-01', 2.0")
+    assert [r["table"] for r in lh.sql("SHOW TABLES").collect()] == ["t1"]
+    desc = {r["column"]: r["kind"] for r in lh.sql("DESCRIBE t1").collect()}
+    assert desc == {"key": "system", "event_time": "system", "value": "value"}
+    vers = {
+        r["version"]: r["is_current"]
+        for r in lh.sql("SHOW VERSIONS OF t1").collect()
+    }
+    assert vers == {"1": False, "2": True}
+    # SHOW/DESCRIBE text inside a string is a plain query, not a statement
+    assert lh.sql("SELECT 'SHOW TABLES' AS s").collect()[0]["s"] == "SHOW TABLES"
