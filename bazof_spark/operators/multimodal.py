@@ -66,20 +66,24 @@ FEATURE_DIM = 16
 def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     """Decode an image blob to an H×W×C uint8 RGB array.
 
-    REAL for uncompressed formats decodable with the stdlib: ``bmp``
-    (24-bit, :func:`decode_bmp`) and ``ppm`` (binary P6,
-    :func:`decode_ppm`). Formats needing external codec libraries
-    (png/jpeg/webp — not present in this container) remain a declared
-    stub boundary: swap in Pillow/libvips there in production."""
+    REAL for formats decodable with the stdlib: ``bmp`` (24-bit,
+    :func:`decode_bmp`), ``ppm`` (binary P6, :func:`decode_ppm`) and
+    ``png`` (8-bit gray/RGB/RGBA via zlib inflate + full scanline
+    unfiltering, :func:`decode_png`). Formats needing external codec
+    libraries (jpeg/webp — not present in this container) remain a
+    declared stub boundary: swap in Pillow/libvips there in
+    production."""
     f = (fmt or "").lower()
     if f == "bmp":
         return decode_bmp(content)
     if f in ("ppm", "p6"):
         return decode_ppm(content)
+    if f == "png":
+        return decode_png(content)
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
-        "in this environment (bmp/ppm decode IS implemented; use those "
-        "or fake_decode_features for pipeline testing)"
+        "in this environment (bmp/ppm/png decode IS implemented; use "
+        "those or fake_decode_features for pipeline testing)"
     )
 
 
@@ -164,6 +168,169 @@ def decode_ppm(content: bytes) -> np.ndarray:
         .reshape(h, w, 3)
         .copy()
     )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as a standard PNG (8-bit
+    truecolor, filter 0 scanlines, one zlib IDAT) — stdlib only
+    (struct + zlib), readable by any image viewer."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_png expects H×W×3 RGB")
+    h, w, _ = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].tobytes() for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_filtered(pixels: np.ndarray, row_filters) -> bytes:
+    """Encode H×W×3 RGB as PNG applying a CHOSEN filter type per row
+    (0-4) — the adversarial fixture generator: the plain encoder only
+    emits filter 0, so this is how round-trip tests force the decoder
+    through Sub/Up/Average/Paeth scanline reconstruction."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ch = 3
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(np.int64)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        f = int(row_filters[y % len(row_filters)])
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Hand-decode a PNG (stdlib zlib inflate + full scanline
+    unfiltering — all five filter types: None/Sub/Up/Average/Paeth) to
+    H×W×3 uint8 RGB. Supports 8-bit grayscale/truecolor/truecolor+alpha,
+    non-interlaced (alpha dropped, gray replicated). Deliberately NOT
+    the encoder's inverse code path: the encoder always emits filter 0,
+    the decoder handles every filter, so round-trips validate layout
+    and adversarial fixtures validate the unfilter math. Per-pixel
+    Python in the Sub/Average/Paeth branches — fixture-sized images;
+    swap in Pillow for production rasters."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, b""
+    w = h = ct = None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, bd, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bd != 8 or ct not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB/RGBA non-interlaced PNG"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        p += 1
+        cur = np.frombuffer(raw, np.uint8, stride, p).copy()
+        p += stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            cur += prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    arr = out.reshape(h, w, ch)
+    if ct == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ct == 6:
+        return arr[:, :, :3].copy()
+    return arr
 
 
 def _fake_features(content: bytes | None, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -455,6 +622,7 @@ def bmp_pixel_stats(
     df: DataFrame,
     id_col: str = "media_id",
     content_col: str = "content",
+    decoder=None,
 ) -> DataFrame:
     """Pixel statistics from GENUINELY DECODED BMP blobs: each binary
     value is a complete 24-bit BMP file; :func:`decode_bmp` hand-parses
@@ -477,7 +645,7 @@ def bmp_pixel_stats(
         for pdf in it:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
-                px = decode_bmp(bytes(blob)).astype(np.int64)
+                px = (decoder or decode_bmp)(bytes(blob)).astype(np.int64)
                 h, w, _ = px.shape
                 y = np.arange(h).reshape(h, 1, 1)
                 x = np.arange(w).reshape(1, w, 1)

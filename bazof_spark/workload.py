@@ -1481,6 +1481,44 @@ def multimodal_wav_decode_q(spark, sf_dir):
     return wav_waveform_stats(media)
 
 
+def multimodal_png_decode_q(spark, sf_dir):
+    """REAL PNG decode end-to-end: the same deterministic pixel grids
+    as multimodal_bmp_decode, but encoded as standard PNGs whose rows
+    cycle through ALL FIVE scanline filters ((media_id + y) % 5 —
+    operators/multimodal.encode_png_filtered), then zlib-inflated and
+    unfiltered by decode_png. A mistake in any of Sub/Up/Average/Paeth
+    reconstruction, the zlib framing, or chunk walking changes the
+    position-weighted checksum. Oracle recomputes from the pixel
+    formula — identical to the BMP oracle because the pixels are."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import (
+        bmp_pixel_stats,
+        decode_png,
+        encode_png_filtered,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((mid + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+                filters = [(mid + yy) % 5 for yy in range(h)]
+                blobs.append(encode_png_filtered(px, filters))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(media, decoder=decode_png)
+
+
 def multimodal_bmp_decode_q(spark, sf_dir):
     """REAL image decode end-to-end: deterministic RGB pixel grids per
     doc, encoded as actual 24-bit BMP files (bottom-up rows, BGR order,
@@ -1568,6 +1606,28 @@ _MULTIMODAL_ORACLES = {
     """,
     # recomputes multimodal_bmp_decode's pixel formula directly;
     # Spark's answer came through a real BMP encode→decode round trip
+    "multimodal_png_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (media_id + 7*y + 3*x + c) % 256))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           ((media_id + 7*y + 3*x + c) % 256)
+                           * (y*1000000 + x*1000 + c + 1)))))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
     "multimodal_bmp_decode": """
         WITH m AS (
             SELECT doc_id AS media_id,
@@ -2297,6 +2357,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": multimodal_resize_q,
     "multimodal_wav_decode": multimodal_wav_decode_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
+    "multimodal_png_decode": multimodal_png_decode_q,
 }
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402
@@ -2351,6 +2412,7 @@ _ADDED_AFTER_ROTATION = {
     "events_gapfill_hourly",
     "hybrid_rrf_search",
     "gopher_quality_filter",
+    "multimodal_png_decode",
 }
 
 
