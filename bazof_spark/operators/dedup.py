@@ -695,3 +695,69 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 16,
+    prefix_len: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Bounded edit-distance near-duplicate pairs — the fuzzy-match
+    complement to the token-set families (MinHash/Jaccard measure
+    shared vocabulary; Levenshtein catches character-level edits like
+    OCR noise and template fills that keep length but shift tokens).
+
+    Scale shape:
+    - candidates come from an equi-join on the first ``prefix_len``
+      characters — standard blocking; docs edited in the head are
+      missed by one pass (run a second pass keyed on a suffix or
+      sorted-neighborhood window to close it);
+    - the length-difference bound sits INSIDE the join condition
+      (``|len(a)-len(b)| > d ⇒ dist > d``), pruning before any
+      distance work;
+    - verification is Spark's thresholded Levenshtein kernel
+      (JVM-side, O(d·min(n,m)) banded, returns -1 over budget) — never
+      the full O(n·m) matrix;
+    - ``max_bucket_size`` drops degenerate blocking buckets, the same
+      guard as the LSH families.
+
+    Output: (id_a, id_b, edit_dist) with id_a < id_b, dist ≤ max_dist.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+        F.length(F.col(text_col)).alias("_ln"),
+    )
+    if max_bucket_size is not None:
+        base = _cap_buckets(base, ["_p"], max_bucket_size)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.col("_p"),
+        F.col("_ln").alias("_la"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.col("_p"),
+        F.col("_ln").alias("_lb"),
+    )
+    pairs = a.join(
+        b,
+        on=[
+            a["_p"] == b["_p"],
+            F.col("id_a") < F.col("id_b"),
+            F.abs(F.col("_la") - F.col("_lb")) <= max_dist,
+        ],
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -2413,6 +2413,7 @@ _ADDED_AFTER_ROTATION = {
     "hybrid_rrf_search",
     "gopher_quality_filter",
     "multimodal_png_decode",
+    "dedup_edit_distance",
 }
 
 

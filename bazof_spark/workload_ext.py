@@ -1143,8 +1143,19 @@ def gopher_quality_filter(spark, sf_dir):
     )
 
 
+def dedup_edit_distance(spark, sf_dir):
+    """Character-level near-dup pairs (operators/dedup.
+    edit_distance_pairs): 12-char prefix blocking, length-diff pruning
+    in the join, thresholded JVM Levenshtein verify (d=16)."""
+    from bazof_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t("documents")(spark, sf_dir)
+    return edit_distance_pairs(docs, max_dist=16, prefix_len=12)
+
+
 QUERIES_EXT = {
     "lm_unigram_score": lm_unigram_score,
+    "dedup_edit_distance": dedup_edit_distance,
     "gopher_quality_filter": gopher_quality_filter,
     "events_gapfill_hourly": events_gapfill_hourly,
     "hybrid_rrf_search": hybrid_rrf_search,
@@ -1188,6 +1199,23 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # prefix-blocked bounded Levenshtein pairs; identical blocking,
+    # length-diff bound and threshold on both engines
+    "dedup_edit_distance": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   substr(text, 1, 12) AS p,
+                   length(text) AS ln
+              FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+          FROM d a JOIN d b
+            ON a.p = b.p
+           AND a.doc_id < b.doc_id
+           AND abs(a.ln - b.ln) <= 16
+         WHERE levenshtein(a.text, b.text) <= 16
+    """,
     # Gopher composite: same regex counters as the text_stats/quality
     # oracles; repetition = 1 - distinct/total whitespace words
     "gopher_quality_filter": r"""

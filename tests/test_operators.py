@@ -599,3 +599,30 @@ def test_rrf_fuse_hand_computed(spark):
     # top_k cut is deterministic: 3 (highest) first
     top = rrf_fuse({"bm25": bm, "dense": dn}, top_k=1).collect()
     assert [r["doc_id"] for r in top] == [3]
+
+
+def test_edit_distance_pairs_blocking_and_threshold(spark):
+    from bazof_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # dist 3
+            (3, "the quick brown fox leaps over a sleepy dog"),  # small dist
+            (4, "completely different text with nothing shared"),
+            (5, "xxe quick brown fox jumps over the lazy dog"),  # head edit
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(
+            docs, max_dist=10, prefix_len=8
+        ).collect()
+    }
+    assert out[(1, 2)] == 3
+    assert (1, 3) in out and out[(1, 3)] <= 10
+    assert all(4 not in p for p in out)
+    # doc 5 differs in the BLOCKING PREFIX: missed by design (one-pass
+    # prefix blocking), despite edit distance 2
+    assert all(5 not in p for p in out)
