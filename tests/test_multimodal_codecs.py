@@ -101,8 +101,11 @@ def test_decode_dispatchers():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_bmp(px), "bmp"), px)
     assert np.array_equal(decode_image(encode_ppm(px), "ppm"), px)
+    from bazof_spark.operators.multimodal import encode_png
+
+    assert np.array_equal(decode_image(encode_png(px), "png"), px)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", "png")
+        decode_image(b"\xff\xd8\xff", "jpeg")
     s = np.array([1, -2, 3], dtype=np.int16)
     rate, ch, got = decode_audio(encode_wav(s), "wav")
     assert np.array_equal(got, s)

@@ -126,9 +126,14 @@ def test_sequential_upserts_match_spec(spark, tmp_path_factory, h):
 
     snapshot = lh.table("t").get_current_snapshot()
     seg = snapshot.segments[-1]
+    # file NAMES are sequential per batch (s1_delta{i+1}); the ARRAY
+    # order is precedence order (a later equal-or-newer-start commit is
+    # placed ahead so it shadows — writer._insert_deltas), so map rows
+    # by name, not position
     file_rows = {"s1_base.parquet": h["base"]}
-    for i, d in enumerate(seg.delta):  # appended in batch order
-        file_rows[d.file] = h["batches"][i]
+    for i, rows in enumerate(h["batches"]):
+        file_rows[f"s1_delta{i + 1}.parquet"] = rows
+    assert {d.file for d in seg.delta} == set(file_rows) - {"s1_base.parquet"}
 
     for t_off in [None, *h["asof_offsets"]]:
         as_of = None if t_off is None else _ts(t_off)
