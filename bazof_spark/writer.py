@@ -466,50 +466,72 @@ def commit_delta_files(
     end: datetime,
     segment_id: str | None = None,
     create_segment: bool = True,
+    retries: int = 3,
 ) -> Snapshot:
     """Commit ALREADY-WRITTEN parquet files (staged by a distributed
     write, e.g. the bazof Data Source writer) into an existing table as
-    ONE logical upsert: each staged file is moved to its final
-    ``{seg}_delta{N}_p{i}.parquet`` name and appended as a Delta entry,
-    then the new snapshot is published optimistically (same
-    check-then-flip as :func:`append_delta`).
+    ONE logical upsert: each staged file is moved to its final name and
+    appended as a Delta entry, then the new snapshot is published
+    optimistically (same check-then-flip as :func:`append_delta`).
+
+    Multi-writer safety: final names carry a per-commit random token
+    (``{seg}_delta{N}_{token}_p{i}.parquet``), so two concurrent
+    commits that derived the same sequence number can never clobber
+    each other's data files — they only race on the version pointer.
+    The loser of that race re-reads the table and re-publishes
+    REFERENCING THE SAME already-moved files (the move happens exactly
+    once; only the metadata derivation retries, up to ``retries``
+    times). On final failure the moved files are left unreferenced —
+    ``vacuum_table`` debris, never visible data.
 
     All sibling files carry the SAME ``[start, end]`` range — they are
     one batch, so none may shadow another; the caller guarantees a key
     lives in at most one staged file (repartition-by-key discipline,
     same as ``add_delta_distributed``)."""
+    import uuid
+
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.maintenance import _numeric_versions
+
     if not staged_paths:
         raise BazofError("cannot commit an empty file set")
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
-    version = table.current_version()
-    snapshot = table.get_snapshot(version)
-    try:
-        current = int(version)
-    except ValueError as exc:
-        raise BazofError(
-            f"cannot bump non-numeric snapshot version {version!r}"
-        ) from exc
-    from bazof_spark.maintenance import _numeric_versions
-
-    next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
-    segs = list(snapshot.segments)
-    idx = _pick_target_segment(segs, segment_id, create_segment, start, next_version)
-    target = segs[idx]
-
-    stem = _fresh_delta_name(table_path, target.id, len(target.delta))[
-        : -len(".parquet")
-    ]
-    new_deltas: list[Delta] = []
-    for i, staged in enumerate(sorted(staged_paths)):
-        name = f"{stem}_p{i:05d}.parquet"
-        iofs.move(staged, iofs.join(table_path, name))
-        new_deltas.append(Delta(file=name, start=start, end=end))
-    segs[idx] = dataclasses.replace(
-        target, delta=_insert_deltas(tuple(target.delta), new_deltas, start)
-    )
-    new_snapshot = Snapshot(segments=tuple(segs), schema=snapshot.schema)
-    _publish_snapshot(table_path, version, next_version, new_snapshot)
-    return new_snapshot
+    token = uuid.uuid4().hex[:8]
+    moved: list[str] | None = None
+    for attempt in range(retries + 1):
+        version = table.current_version()
+        snapshot = table.get_snapshot(version)
+        try:
+            current = int(version)
+        except ValueError as exc:
+            raise BazofError(
+                f"cannot bump non-numeric snapshot version {version!r}"
+            ) from exc
+        next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
+        segs = list(snapshot.segments)
+        idx = _pick_target_segment(
+            segs, segment_id, create_segment, start, next_version
+        )
+        target = segs[idx]
+        if moved is None:  # move exactly once, under collision-free names
+            stem = f"{target.id}_delta{len(target.delta) + 1}_{token}"
+            moved = []
+            for i, staged in enumerate(sorted(staged_paths)):
+                name = f"{stem}_p{i:05d}.parquet"
+                iofs.move(staged, iofs.join(table_path, name))
+                moved.append(name)
+        new_deltas = [Delta(file=n, start=start, end=end) for n in moved]
+        segs[idx] = dataclasses.replace(
+            target, delta=_insert_deltas(tuple(target.delta), new_deltas, start)
+        )
+        new_snapshot = Snapshot(segments=tuple(segs), schema=snapshot.schema)
+        try:
+            _publish_snapshot(table_path, version, next_version, new_snapshot)
+            return new_snapshot
+        except CommitConflictError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def create_table_version_from_files(

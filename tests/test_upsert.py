@@ -269,3 +269,65 @@ def test_commit_conflict_detected_and_retry_succeeds(spark, tmp_path):
     assert _current(lh) == [
         ("1", "a1"), ("2", "b1"), ("3", "c1"), ("4", "d1"),
     ]
+
+
+def test_commit_delta_files_retries_on_conflict(spark, tmp_path):
+    """A concurrent commit that moves the version pointer between this
+    commit's read and publish must trigger a re-derive + re-publish of
+    the SAME moved files — both commits' rows survive."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bazof_spark import Lakehouse, writer as W
+    from bazof_spark.datasource import write_table
+
+    root = str(tmp_path)
+
+    def mk(keys, iso, value):
+        t = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return spark.createDataFrame(
+            [(k, t, float(value)) for k in keys],
+            "key string, event_time timestamp, value double",
+        )
+
+    write_table(mk(["a"], "2024-01-01", 1), root, "t", mode="overwrite")
+    tdir = tmp_path / "t"
+
+    # stage one parquet by hand (what a DS write task produces)
+    staged = tdir / "_stage_x" / "p.parquet"
+    staged.parent.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "key": ["b"],
+                "event_time": pa.array(
+                    [datetime(2024, 2, 1)], pa.timestamp("us", "UTC")
+                ),
+                "value": [2.0],
+            }
+        ),
+        str(staged),
+    )
+
+    real_publish = W._publish_snapshot
+    fired = {"n": 0}
+
+    def racing_publish(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # competing writer wins the pointer first
+            write_table(mk(["c"], "2024-03-01", 3), root, "t", mode="append")
+        return real_publish(*args, **kwargs)
+
+    start = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    with mock.patch.object(W, "_publish_snapshot", side_effect=racing_publish):
+        W.commit_delta_files(str(tdir), [str(staged)], start, start)
+
+    got = {
+        r["key"]: r["value"] for r in Lakehouse(spark, root).scan("t").collect()
+    }
+    assert got == {"a": 1.0, "b": 2.0, "c": 3.0}
+    assert fired["n"] == 1  # conflict happened exactly once
