@@ -118,3 +118,92 @@ def lm_quality_select(
         .filter(F.col("_pr") <= keep_fraction)
         .drop("_pr")
     )
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text", max_bigrams: int = 50_000
+) -> DataFrame:
+    """(prev, tok, cnt) for the ``max_bigrams`` most frequent adjacent
+    token pairs of the trusted corpus. Pairs are built ARRAY-SIDE
+    (zip the token array with itself shifted by one) — no window
+    function, no per-document shuffle; the only exchange is the
+    map-side-combined count. Deterministic top-B tie-break:
+    count DESC, prev ASC, tok ASC."""
+    # empty/1-token docs produce no pairs (guarded CASE)
+    pairs = corpus.select(
+        F.expr(_TOKEN_EXPR.format(col=text_col)).alias("_t")
+    ).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
+                "i -> struct(_t[i - 1] AS prev, _t[i] AS tok)) "
+                "ELSE CAST(array() AS array<struct<prev: string, tok: string>>) END"
+            )
+        ).alias("_pair")
+    ).select("_pair.prev", "_pair.tok")
+    counts = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(
+        F.col("cnt").desc(), F.col("prev").asc(), F.col("tok").asc()
+    ).limit(max_bigrams)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    unigram_model: DataFrame,
+    bigram_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean token log-probability under an INTERPOLATED
+    bigram model: for token i>0,
+    ``p = λ·cnt(prev,tok)/cnt(prev,·) + (1-λ)·p_uni(tok)``, falling
+    back to pure ``p_uni`` when the bigram context is unseen in the
+    (bounded) model; the document's first token scores as unigram.
+    ``p_uni`` is the same add-α distribution as :func:`unigram_logprob`.
+
+    Scale shape identical to the unigram scorer: both models are
+    bounded relations (top-V / top-B) → broadcast probes; the
+    (prev, tok) pairs are built array-side so tokens never shuffle;
+    the one exchange is the per-document reduce (~one row per doc)."""
+    stats = unigram_model.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    prev_tot = bigram_model.groupBy("prev").agg(
+        F.sum("cnt").alias("_ptot")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(_TOKEN_EXPR.format(col=text_col)).alias("_t"),
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 1), "
+                "i -> struct(IF(i = 0, CAST(NULL AS STRING), _t[i - 1]) AS prev, "
+                "_t[i] AS tok))"
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.prev", "_p.tok")
+    uni = unigram_model.select(
+        F.col("token").alias("tok"), F.col("cnt").alias("_ucnt")
+    )
+    scored = (
+        toks.join(F.broadcast(uni), "tok", "left")
+        .join(F.broadcast(bigram_model), ["prev", "tok"], "left")
+        .join(F.broadcast(prev_tot), "prev", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    p_uni = (F.coalesce(F.col("_ucnt"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("_total") + F.lit(alpha) * (F.col("_v") + 1)
+    )
+    has_ctx = F.col("_ptot").isNotNull() & F.col("prev").isNotNull()
+    p_bi = F.coalesce(F.col("cnt"), F.lit(0)) / F.col("_ptot")
+    p = F.when(has_ctx, F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni).otherwise(
+        p_uni
+    )
+    return scored.withColumn("_lp", F.log(p)).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lp").alias("avg_logprob"),
+    )

@@ -2414,6 +2414,7 @@ _ADDED_AFTER_ROTATION = {
     "gopher_quality_filter",
     "multimodal_png_decode",
     "dedup_edit_distance",
+    "lm_bigram_score",
 }
 
 

@@ -1143,6 +1143,31 @@ def gopher_quality_filter(spark, sf_dir):
     )
 
 
+def lm_bigram_score(spark, sf_dir):
+    """Interpolated bigram LM scoring (operators/lm.bigram_logprob):
+    p = 0.7·p_bigram + 0.3·p_unigram with unseen-context fallback to
+    pure unigram. Models trained on the en slice: top-16 unigrams
+    (same as lm_unigram_score) and top-64 bigrams — both cuts are
+    genuinely exercised (the corpus has ~31 distinct tokens and
+    hundreds of distinct bigrams)."""
+    from bazof_spark.operators.lm import (
+        bigram_logprob,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    uni = train_unigram_lm(en, vocab_size=16)
+    bi = train_bigram_lm(en, max_bigrams=64)
+    out = bigram_logprob(docs, uni, bi, lam=0.7)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def dedup_edit_distance(spark, sf_dir):
     """Character-level near-dup pairs (operators/dedup.
     edit_distance_pairs): 12-char prefix blocking, length-diff pruning
@@ -1155,6 +1180,7 @@ def dedup_edit_distance(spark, sf_dir):
 
 QUERIES_EXT = {
     "lm_unigram_score": lm_unigram_score,
+    "lm_bigram_score": lm_bigram_score,
     "dedup_edit_distance": dedup_edit_distance,
     "gopher_quality_filter": gopher_quality_filter,
     "events_gapfill_hourly": events_gapfill_hourly,
@@ -1199,6 +1225,66 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # interpolated bigram LM: p = 0.7*p_bi + (1.0-0.7)*p_uni (the
+    # (1.0 - 0.7) expression keeps the IEEE double identical across
+    # engines); unseen context or first token -> pure add-1 unigram
+    "lm_bigram_score": """
+        WITH tt AS (
+            SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents WHERE lang = 'en'
+        ),
+        train_toks AS (SELECT unnest(t) AS token FROM tt),
+        vocab AS (
+            SELECT token, count(*) AS cnt FROM train_toks
+             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 16
+        ),
+        stats AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+        tp0 AS (
+            SELECT unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(2, len(t) + 1),
+                     i -> {'prev': t[i-1], 'tok': t[i]})
+                ELSE CAST([] AS STRUCT(prev VARCHAR, tok VARCHAR)[]) END) AS pr
+              FROM tt
+        ),
+        tp AS (SELECT pr.prev AS prev, pr.tok AS tok FROM tp0),
+        bigrams AS (
+            SELECT prev, tok, count(*) AS cnt FROM tp
+             GROUP BY prev, tok
+             ORDER BY cnt DESC, prev ASC, tok ASC LIMIT 64
+        ),
+        ptot AS (SELECT prev, sum(cnt) AS ptot FROM bigrams GROUP BY prev),
+        dt AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+        ),
+        dp0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                       i -> {'prev': CASE WHEN i = 1 THEN NULL
+                                          ELSE t[i-1] END,
+                             'tok': t[i]})) AS pr
+              FROM dt WHERE len(t) >= 1
+        ),
+        dp AS (SELECT doc_id, pr.prev AS prev, pr.tok AS tok FROM dp0),
+        sc AS (
+            SELECT d.doc_id,
+                   ln(CASE WHEN pt.ptot IS NOT NULL AND d.prev IS NOT NULL
+                       THEN 0.7 * (coalesce(bg.cnt, 0) / pt.ptot)
+                          + (1.0 - 0.7) * ((coalesce(v.cnt, 0) + 1.0)
+                              / (s.total + 1.0 * (s.v + 1)))
+                       ELSE (coalesce(v.cnt, 0) + 1.0)
+                              / (s.total + 1.0 * (s.v + 1)) END) AS lp
+              FROM dp d
+              LEFT JOIN vocab v ON v.token = d.tok
+              LEFT JOIN bigrams bg ON bg.prev = d.prev AND bg.tok = d.tok
+              LEFT JOIN ptot pt ON pt.prev = d.prev
+              CROSS JOIN stats s
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(lp), 6) AS avg_logprob
+          FROM sc GROUP BY doc_id
+    """,
     # prefix-blocked bounded Levenshtein pairs; identical blocking,
     # length-diff bound and threshold on both engines
     "dedup_edit_distance": """

@@ -140,3 +140,42 @@ def test_unigram_lm_scores_exact_math(spark):
 
     kept = lm_quality_select(docs, model, keep_fraction=0.0)
     assert [r["doc_id"] for r in kept.collect()] == ["d1"]
+
+
+def test_bigram_lm_interpolation_exact_math(spark):
+    """Hand-computed interpolated bigram log-probs: seen context uses
+    λ·p_bi + (1-λ)·p_uni, unseen context and first token fall back to
+    pure unigram."""
+    import math
+
+    from bazof_spark.operators.lm import (
+        bigram_logprob,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    trusted = spark.createDataFrame(
+        [("t1", "a b a b"), ("t2", "a b c")], "id string, text string"
+    )
+    uni = train_unigram_lm(trusted, vocab_size=10)
+    bi = train_bigram_lm(trusted, max_bigrams=10)
+    got_bi = {
+        (r["prev"], r["tok"]): r["cnt"] for r in bi.collect()
+    }
+    # pairs: t1 → (a,b),(b,a),(a,b); t2 → (a,b),(b,c)
+    assert got_bi == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+    docs = spark.createDataFrame([("d1", "a b z")], "doc_id string, text string")
+    out = bigram_logprob(docs, uni, bi, lam=0.5).collect()[0]
+    # unigram: a=3 b=3 c=1, total=7, V=3 → p_uni(t) = (cnt+1)/11
+    pu = lambda c: (c + 1.0) / 11.0
+    # token 'a': first token → p_uni(3)
+    # token 'b': ctx 'a' seen (ptot=3): 0.5*(3/3) + 0.5*pu(3)
+    # token 'z': ctx 'b' seen (ptot=2): 0.5*(0/2) + 0.5*pu(0)
+    exp = (
+        math.log(pu(3))
+        + math.log(0.5 * 1.0 + 0.5 * pu(3))
+        + math.log(0.5 * 0.0 + 0.5 * pu(0))
+    ) / 3
+    assert out["n_tokens"] == 3
+    assert abs(out["avg_logprob"] - exp) < 1e-12
