@@ -1336,6 +1336,48 @@ def embedding_ann_lsh_q(spark, sf_dir):
     )
 
 
+def ann_recall_lsh_q(spark, sf_dir):
+    """ANN evaluation: recall@5 of the hyperplane-LSH index against the
+    exact brute-force top-5, per query — the measurement that decides
+    whether an ANN index is usable (the sweep the judge of any index
+    runs before trusting it). One plan computes both rankings and joins
+    them; the oracle composes the two existing oracle texts as CTEs, so
+    the recall numbers are cross-engine-verified end-to-end.
+
+    The measured recall on THIS corpus is low (0-0.2): the synthetic
+    embeddings are near-isotropic random vectors, the hardest case for
+    hyperplane LSH (no cluster structure, tiny cosine gaps between
+    true and false neighbors). That is the honest reading an eval
+    harness exists to surface — real text embeddings cluster, and
+    recall there is tuned by adding hash tables/raising k before the
+    re-rank."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = lsh_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        per_q.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def embedding_ann_ivf_q(spark, sf_dir):
     """IVF ANN with a deterministic quantizer: centroids are the (unit-
     normalized) embeddings of vec_id 0..15 — a fixed corpus slice instead
@@ -2208,6 +2250,25 @@ def _lsh_oracle_sql(
 
 
 _PIPELINE_ORACLES["embedding_ann_lsh"] = _lsh_oracle_sql()
+# recall@5 of the LSH index vs the exact top-5: both rankings are the
+# EXISTING oracle texts, composed as CTE subqueries — one source of
+# truth per ranking
+_PIPELINE_ORACLES["ann_recall_lsh"] = f"""
+    WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
+    ann_r AS ({_PIPELINE_ORACLES["embedding_ann_lsh"]}),
+    m AS (
+        SELECT e.query_id, count(*) AS n_matched
+          FROM exact_r e JOIN ann_r a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id
+    ),
+    ex AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY query_id)
+    SELECT ex.query_id,
+           ex.n_exact,
+           coalesce(m.n_matched, 0) AS n_matched,
+           round(coalesce(m.n_matched, 0) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN m USING (query_id)
+"""
 
 
 def _ivf_trained_oracle_sql(
@@ -2347,6 +2408,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": embedding_neardup_q,
     "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
+    "ann_recall_lsh": ann_recall_lsh_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
     "embedding_ann_ivf_trained": embedding_ann_ivf_trained_q,
     # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
@@ -2415,6 +2477,7 @@ _ADDED_AFTER_ROTATION = {
     "multimodal_png_decode",
     "dedup_edit_distance",
     "lm_bigram_score",
+    "ann_recall_lsh",
 }
 
 
