@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -406,6 +407,119 @@ class BazofBatchWriter(DataSourceArrowWriter):
         iofs.delete_dir(self._stage_dir)
 
 
+class _VersionFilePartition(InputPartition):
+    def __init__(self, path: str, version: int):
+        self.path = path
+        self.version = version
+
+
+class BazofStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("bazof")`` — snapshot-aware change
+    stream: offsets are SNAPSHOT VERSIONS, each micro-batch is exactly
+    the data files a committed version range added (the CDC append
+    feed; the format is upsert-only, so every added row is an
+    insert/update event). This replaces glob-based file tailing with
+    the commit log itself: staged files, orphans from failed commits,
+    and checkpoint rewrites are never read, because only
+    snapshot-referenced files count.
+
+    - ``startingVersion`` option: first batch replays from this
+      version's file set (``"0"`` ⇒ the whole table history;
+      ``"latest"`` — the default — ⇒ only commits after the query
+      starts).
+    - rows carry ``_rank`` = the snapshot version that added the file
+      and ``_row_idx`` = row position (provenance; downstream
+      latest-per-key state is the job of the streaming operators).
+    - replay window: offsets reference ``s{N}.json`` snapshots; a
+      vacuum that drops files still referenced by an un-checkpointed
+      offset range breaks replay, exactly Delta's retention contract.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        from bazof_spark import iofs
+
+        root = options.get("path")
+        name = options.get("table")
+        if not root or not name:
+            raise ValueError(
+                "bazof stream source needs .option('path', …) and "
+                ".option('table', …)"
+            )
+        self._table = Table(path=iofs.join(root, name), name=name)
+        self._schema = schema
+        start = (
+            options.get("startingversion")
+            or options.get("startingVersion")
+            or "latest"
+        )
+        self._starting = start
+
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        if self._starting == "latest":
+            return {"version": int(self._table.current_version())}
+        return {"version": int(self._starting)}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"version": int(self._table.current_version())}
+
+    def _files_of(self, version: int) -> set[str]:
+        from bazof_spark.maintenance import _referenced_files
+
+        if version <= 0:
+            return set()
+        return _referenced_files(self._table.get_snapshot(str(version)))
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if s >= e:
+            return []
+        out = []
+        base = self._files_of(s)
+        prev = base
+        for v in range(s + 1, e + 1):
+            cur = self._files_of(v)
+            for f in sorted(cur - prev):
+                out.append(
+                    _VersionFilePartition(
+                        self._table.data_file_path(f), v
+                    )
+                )
+            prev = cur
+        return out
+
+    def read(self, partition: _VersionFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = pa.schema(
+            [f.with_nullable(True) for f in to_arrow_schema(self._schema)]
+        )
+        cols = [
+            f.name
+            for f in self._schema.fields
+            if f.name not in ("_rank", "_row_idx")
+        ]
+        order = [f.name for f in self._schema.fields]
+        row_idx = 0
+        f = pq.ParquetFile(partition.path)
+        for batch in f.iter_batches(columns=cols):
+            n = batch.num_rows
+            t = pa.Table.from_batches([batch])
+            t = t.append_column(
+                "_rank", pa.array([partition.version] * n, type=pa.int64())
+            ).append_column(
+                "_row_idx",
+                pa.array(range(row_idx, row_idx + n), type=pa.int64()),
+            )
+            row_idx += n
+            yield from t.select(order).cast(arrow_schema).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpointing is the engine's; snapshots are immutable
+
+
 class BazofStreamWriter(BazofBatchWriter, DataSourceStreamArrowWriter):
     """``stream.writeStream.format("bazof")`` — native Structured
     Streaming sink: each micro-batch commits as ONE new snapshot
@@ -577,6 +691,11 @@ class BazofDataSource(DataSource):
         self, schema: StructType, overwrite: bool
     ) -> BazofStreamWriter:
         return BazofStreamWriter(self.options, schema, overwrite)
+
+    def streamReader(  # noqa: N802 (Spark API name)
+        self, schema: StructType
+    ) -> BazofStreamReader:
+        return BazofStreamReader(self.options, schema)
 
 
 def write_table(

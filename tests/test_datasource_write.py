@@ -280,3 +280,45 @@ def test_append_merge_schema_evolves(spark, root):
     }
     # old rows null-fill the evolved column; new rows carry it
     assert rows == {"a": (1.0, None), "b": (2.0, "new")}
+
+
+def test_stream_reader_tails_committed_versions(spark, root, tmp_path):
+    """spark.readStream.format('bazof'): offsets are snapshot versions;
+    startingVersion=0 replays the full history, a numeric
+    startingVersion skips the versions at or below it, and rows carry
+    the committing version as _rank."""
+    from bazof_spark.datasource import BazofDataSource
+
+    spark.dataSource.register(BazofDataSource)
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    write_table(
+        mkdf(spark, [("b", ts("2024-02-01T00:00:00"), 2.0)]),
+        root, "t", mode="append",
+    )
+
+    def drain(starting, view):
+        q = (
+            spark.readStream.format("bazof")
+            .option("path", root)
+            .option("table", "t")
+            .option("startingVersion", starting)
+            .load()
+            .writeStream.format("memory")
+            .queryName(view)
+            .option("checkpointLocation", str(tmp_path / f"cp_{view}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["key"], r["_rank"]): r["value"]
+            for r in spark.sql(f"SELECT * FROM {view}").collect()
+        }
+
+    full = drain("0", "sr_full")
+    assert full == {("a", 1): 1.0, ("b", 2): 2.0}
+    tail = drain("1", "sr_tail")
+    assert tail == {("b", 2): 2.0}
