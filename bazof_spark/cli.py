@@ -89,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--file", required=True, help="CSV file path")
     p_up.add_argument("--create-segment", action="store_true")
 
+    p_wr = sub.add_parser(
+        "write",
+        help="parquet/CSV → azof table via the distributed two-phase sink",
+    )
+    p_wr.add_argument("--path", required=True)
+    p_wr.add_argument("--table", required=True)
+    p_wr.add_argument("--input", required=True, help="parquet or CSV path")
+    p_wr.add_argument("--mode", choices=["overwrite", "append"], default="append")
+    p_wr.add_argument("--num-files", type=int, default=None)
+    p_wr.add_argument("--merge-schema", action="store_true")
+
     p_rs = sub.add_parser("restore", help="roll back to a previous snapshot")
     p_rs.add_argument("--path", required=True)
     p_rs.add_argument("--table", required=True)
@@ -184,6 +195,36 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"upserted {args.file} into {args.table}: "
             f"version {table.current_version()}"
+        )
+    elif args.cmd == "write":
+        from bazof_spark.datasource import write_table
+        from bazof_spark.writer import csv_to_dataframe
+
+        if args.input.endswith(".csv"):
+            schema = (
+                lh.table(args.table).get_current_snapshot().schema
+                if args.mode == "append"
+                else None
+            )
+            if schema is None:
+                raise SystemExit(
+                    "CSV overwrite needs an existing table schema; "
+                    "write parquet or create the table first"
+                )
+            df = csv_to_dataframe(spark, args.input, schema)
+        else:
+            df = spark.read.parquet(args.input)
+        write_table(
+            df,
+            args.path,
+            args.table,
+            mode=args.mode,
+            num_files=args.num_files,
+            merge_schema=args.merge_schema,
+        )
+        print(
+            f"wrote {args.input} into {args.table} ({args.mode}): "
+            f"version {lh.table(args.table).current_version()}"
         )
     elif args.cmd == "restore":
         from bazof_spark.maintenance import restore_table

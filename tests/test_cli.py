@@ -125,3 +125,25 @@ def test_subprocess_entry_point(lake):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "abc2" in proc.stdout
+
+
+def test_write_parquet_overwrite_and_append(spark, lake, capsys, tmp_path):
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0), ("b", "2024-01-02 00:00:00", 2.0)],
+        "key string, event_time string, value double",
+    ).selectExpr(
+        "key", "CAST(event_time AS TIMESTAMP) AS event_time", "value"
+    ).write.mode("overwrite").parquet(src)
+    out = run(
+        capsys, "write", "--path", lake, "--table", "wt",
+        "--input", src, "--mode", "overwrite",
+    )
+    assert "version 1" in out
+    out = run(
+        capsys, "write", "--path", lake, "--table", "wt",
+        "--input", src, "--mode", "append",
+    )
+    assert "version 2" in out
+    out = run(capsys, "scan", "--path", lake, "--table", "wt")
+    assert "a" in out and "b" in out
