@@ -445,6 +445,31 @@ class Lakehouse:
 
         return append_delta(self.spark, self.table(table_name).path, df, **kwargs)
 
+    def write(
+        self,
+        df: DataFrame,
+        table_name: str,
+        mode: str = "append",
+        num_files: int | None = None,
+        merge_schema: bool = False,
+    ) -> None:
+        """Write ``df`` as one commit through the distributed Data
+        Source sink (`datasource.write_table`): ``overwrite``
+        creates/replaces the table at a new snapshot version, ``append``
+        upserts a delta batch. The API twin of :meth:`scan` — together
+        with :meth:`upsert` (driver-side single-file batches) this is
+        the full authoring surface."""
+        from bazof_spark.datasource import write_table
+
+        write_table(
+            df,
+            self.root,
+            table_name,
+            mode=mode,
+            num_files=num_files,
+            merge_schema=merge_schema,
+        )
+
     # -- SQL ----------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

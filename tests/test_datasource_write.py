@@ -322,3 +322,14 @@ def test_stream_reader_tails_committed_versions(spark, root, tmp_path):
     assert full == {("a", 1): 1.0, ("b", 2): 2.0}
     tail = drain("1", "sr_tail")
     assert tail == {("b", 2): 2.0}
+
+
+def test_lakehouse_write_method(spark, root):
+    lh = Lakehouse(spark, root)
+    lh.write(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]), "t",
+        mode="overwrite",
+    )
+    lh.write(mkdf(spark, [("b", ts("2024-02-01T00:00:00"), 2.0)]), "t")
+    assert {r["key"] for r in lh.scan("t").collect()} == {"a", "b"}
+    assert lh.table("t").current_version() == "2"
