@@ -2481,12 +2481,35 @@ _ADDED_AFTER_ROTATION = {
 }
 
 
+# Among the round-3 additions, the 50-slot window has room for ~6: put
+# the operator FAMILIES with no driver-checked row yet first (iterative
+# graph, time-series gapfill, hybrid retrieval, funnel/retention, LM);
+# png/ann_recall/lm_bigram extend families that already have checked
+# rows, and everything here also passes the local parity gate.
+_FRESH_PRIORITY = [
+    "graph_pagerank_supply",
+    "events_gapfill_hourly",
+    "hybrid_rrf_search",
+    "events_funnel",
+    "events_retention_cohorts",
+    "lm_unigram_score",
+    "gopher_quality_filter",
+    "dedup_edit_distance",
+    "lm_bigram_score",
+    "multimodal_png_decode",
+    "ann_recall_lsh",
+]
+
+
 def _rotation_order(names: list[str]) -> list[str]:
     unchecked = [
         n for n in names
         if n not in _DRIVER_CHECKED_R2 and n not in _ADDED_AFTER_ROTATION
     ]
-    fresh = [n for n in names if n in _ADDED_AFTER_ROTATION]
+    fresh = [n for n in _FRESH_PRIORITY if n in names] + [
+        n for n in names
+        if n in _ADDED_AFTER_ROTATION and n not in _FRESH_PRIORITY
+    ]
     recheck = [n for n in _RECHECK_PRIORITY if n in names]
     rest = [
         n for n in names
