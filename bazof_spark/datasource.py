@@ -35,6 +35,7 @@ What the source can and cannot do, honestly:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -84,9 +85,41 @@ class _FilePartition(InputPartition):
         self.rank = rank
 
 
+def _file_batches(path: str, rank: int, columns, field_order, arrow_schema):
+    """Shared batch assembly for the batch and stream readers: read the
+    parquet file, attach (_rank, _row_idx) provenance, null-fill
+    columns the file predates (schema evolution adds columns as
+    metadata only — pyarrow's iter_batches silently DROPS requested
+    columns a file lacks rather than erroring, so the fill must happen
+    here, mirroring the native scan's explicit-StructType behavior),
+    and cast to the exact declared Arrow types."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    row_idx = 0
+    f = pq.ParquetFile(path)
+    present = set(f.schema_arrow.names)
+    want = [c for c in columns if c in present]
+    for batch in f.iter_batches(columns=want):
+        n = batch.num_rows
+        t = pa.Table.from_batches([batch])
+        for c in columns:
+            if c not in present:
+                t = t.append_column(
+                    c, pa.nulls(n, type=arrow_schema.field(c).type)
+                )
+        t = t.append_column(
+            "_rank", pa.array([rank] * n, type=pa.int64())
+        ).append_column(
+            "_row_idx", pa.array(range(row_idx, row_idx + n), type=pa.int64())
+        )
+        row_idx += n
+        yield t.select(field_order).cast(arrow_schema)
+
+
 class BazofReader(DataSourceReader):
-    def __init__(self, options: dict, schema: StructType):
-        table, snapshot, as_of = _resolve(options)
+    def __init__(self, options: dict, schema: StructType, resolved=None):
+        table, snapshot, as_of = resolved or _resolve(options)
         self._files = [
             (table.data_file_path(f), r)
             for f, r in snapshot.ranked_data_files(as_of)
@@ -157,21 +190,19 @@ class BazofReader(DataSourceReader):
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        row_idx = 0
-        f = pq.ParquetFile(partition.path)
-        for batch in f.iter_batches(columns=self._columns):
-            n = batch.num_rows
-            t = pa.Table.from_batches([batch])
-            t = t.append_column(
-                "_rank", pa.array([partition.rank] * n, type=pa.int64())
-            ).append_column(
-                "_row_idx",
-                pa.array(range(row_idx, row_idx + n), type=pa.int64()),
-            )
-            row_idx += n
-            t = t.select(self._field_order).cast(self._arrow_schema)
+        if partition is None:
+            # every file pruned by the as-of bound: pyspark substitutes
+            # [None] for an empty partition list and still calls read()
+            # (plan_data_source_read.py) — a 0-row result, not an error
+            return
+        for t in _file_batches(
+            partition.path,
+            partition.rank,
+            self._columns,
+            self._field_order,
+            self._arrow_schema,
+        ):
             if self._as_of_dt is not None:
                 # event-time bound applied IN the reader: rows past the
                 # as-of instant never cross into the JVM. Naive parquet
@@ -276,18 +307,17 @@ class BazofBatchWriter(DataSourceArrowWriter):
                         f"{sorted(declared)}; evolve the table first or "
                         "set .option('mergeSchema', 'true')"
                     )
-                # auto-evolve: commit a metadata-only snapshot adding
-                # the new columns as nullable (existing files null-fill
-                # them on read), then append against the evolved schema
-                from types import SimpleNamespace
-
-                from bazof_spark.maintenance import evolve_table_schema
+                # auto-evolve: the evolved schema is derived here so
+                # tasks write files with the new nullable columns, but
+                # the evolution SNAPSHOT only commits in commit(),
+                # alongside the data — an aborted write must not leave
+                # the table's schema changed
                 from bazof_spark.schema import (
                     ColumnDef,
                     column_type_from_spark,
                 )
 
-                add = [
+                self._pending_add = [
                     ColumnDef(
                         name=f.name,
                         data_type=column_type_from_spark(f.dataType),
@@ -296,13 +326,10 @@ class BazofBatchWriter(DataSourceArrowWriter):
                     for f in schema.fields
                     if f.name not in declared
                 ]
-                lh = SimpleNamespace(
-                    table=lambda n: Table(path=self._table_path, name=n)
+                self._table_schema = TableSchema(
+                    tuple(self._table_schema.columns)
+                    + tuple(self._pending_add)
                 )
-                evolve_table_schema(lh, name, add=add)
-                self._table_schema = Table(
-                    path=self._table_path, name=name
-                ).get_current_snapshot().schema
         self._stage_dir = iofs.join(
             self._table_path, f"_ds_stage_{uuid.uuid4().hex[:12]}"
         )
@@ -377,7 +404,10 @@ class BazofBatchWriter(DataSourceArrowWriter):
         real = [m for m in messages if m is not None and m.file_path]
         try:
             if not real:
-                raise BazofError("cannot commit an empty write")
+                if self._overwrite:
+                    # an empty table has no state to publish
+                    raise BazofError("cannot commit an empty write")
+                return  # empty append: no-op, no version churn
             files = [m.file_path for m in real]
             start = datetime.fromtimestamp(
                 min(m.start_us for m in real) / 1e6, tz=timezone.utc
@@ -385,6 +415,7 @@ class BazofBatchWriter(DataSourceArrowWriter):
             end = datetime.fromtimestamp(
                 max(m.end_us for m in real) / 1e6, tz=timezone.utc
             )
+            self._apply_pending_evolution()
             if self._overwrite:
                 create_table_version_from_files(
                     self._table_path, self._table_schema, files, start, end
@@ -400,6 +431,24 @@ class BazofBatchWriter(DataSourceArrowWriter):
                 )
         finally:
             iofs.delete_dir(self._stage_dir)
+
+    def _apply_pending_evolution(self) -> None:
+        """Commit the mergeSchema column additions as a metadata-only
+        snapshot — called from commit(), never earlier, so an aborted
+        write leaves the table schema untouched."""
+        add = getattr(self, "_pending_add", None)
+        if not add:
+            return
+        from types import SimpleNamespace
+
+        from bazof_spark.maintenance import evolve_table_schema
+
+        name = os.path.basename(self._table_path.rstrip("/"))
+        lh = SimpleNamespace(
+            table=lambda n: Table(path=self._table_path, name=n)
+        )
+        evolve_table_schema(lh, name, add=list(add))
+        self._pending_add = None
 
     def abort(self, messages):
         from bazof_spark import iofs
@@ -428,8 +477,12 @@ class BazofStreamReader(DataSourceStreamReader):
       ``"latest"`` — the default — ⇒ only commits after the query
       starts).
     - rows carry ``_rank`` = the snapshot version that added the file
-      and ``_row_idx`` = row position (provenance; downstream
-      latest-per-key state is the job of the streaming operators).
+      and ``_row_idx`` = row position. CAUTION: this is the OPPOSITE
+      ordering convention from the batch source, where a LOWER ``_rank``
+      means higher precedence — here higher version = newer commit. A
+      latest-wins consumer of this stream orders by
+      ``struct(_rank, event_time, _row_idx)`` ascending-max (all three
+      ascending), NOT the batch ``(-_rank, ts, -_row_idx)`` recipe.
     - replay window: offsets reference ``s{N}.json`` snapshots; a
       vacuum that drops files still referenced by an un-checkpointed
       offset range breaks replay, exactly Delta's retention contract.
@@ -453,6 +506,11 @@ class BazofStreamReader(DataSourceStreamReader):
             or "latest"
         )
         self._starting = start
+        self._ignore_rewrites = (
+            options.get("ignorerewrites")
+            or options.get("ignoreRewrites")
+            or ""
+        ).lower() == "true"
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
@@ -470,29 +528,70 @@ class BazofStreamReader(DataSourceStreamReader):
             return set()
         return _referenced_files(self._table.get_snapshot(str(version)))
 
+    def _base_files_of(self, version: int) -> set[str]:
+        from bazof_spark.maintenance import _all_segments
+
+        if version <= 0:
+            return set()
+        return {
+            seg.file
+            for seg in _all_segments(self._table.get_snapshot(str(version)))
+            if seg.file
+        }
+
     def partitions(self, start: dict, end: dict):
+        from bazof_spark.errors import BazofError
+
         s, e = int(start["version"]), int(end["version"])
         if s >= e:
             return []
+        final = self._files_of(e)
         out = []
-        base = self._files_of(s)
-        prev = base
+        prev = self._files_of(s)
+        prev_bases = self._base_files_of(s)
         for v in range(s + 1, e + 1):
             cur = self._files_of(v)
-            for f in sorted(cur - prev):
-                out.append(
-                    _VersionFilePartition(
-                        self._table.data_file_path(f), v
+            cur_bases = self._base_files_of(v)
+            removed = prev - cur
+            added = cur - prev
+            new_bases = cur_bases - prev_bases
+            if removed or new_bases:
+                # files disappeared, or a segment BASE materialized ⇒
+                # this version REWROTE/compacted data (checkpoint,
+                # zorder, overwrite): its added files re-encode rows
+                # that already streamed, not new changes. Emitting them
+                # would double-deliver history, so fail loudly unless
+                # the user opts into skipping — the same contract as
+                # Delta's ignoreChanges.
+                if not self._ignore_rewrites:
+                    raise BazofError(
+                        f"snapshot version {v} rewrote data files "
+                        "(compaction/overwrite) inside the stream's "
+                        "offset range; restart the stream from a fresh "
+                        "startingVersion, or set "
+                        ".option('ignoreRewrites', 'true') to skip "
+                        "rewrite versions (appends committed inside a "
+                        "skipped rewrite version are not re-delivered)"
                     )
+                prev, prev_bases = cur, cur_bases
+                continue
+            # ∩ final: versions never published to the pointer (a crash
+            # between snapshot write and version.txt flip leaves an
+            # orphan s{v}.json) add files no later snapshot references —
+            # those rows never became table state and must not stream
+            for f in sorted(added & final):
+                out.append(
+                    _VersionFilePartition(self._table.data_file_path(f), v)
                 )
-            prev = cur
+            prev, prev_bases = cur, cur_bases
         return out
 
     def read(self, partition: _VersionFilePartition):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if partition is None:
+            return  # empty version range → 0-row batch, not an error
         arrow_schema = pa.schema(
             [f.with_nullable(True) for f in to_arrow_schema(self._schema)]
         )
@@ -502,19 +601,10 @@ class BazofStreamReader(DataSourceStreamReader):
             if f.name not in ("_rank", "_row_idx")
         ]
         order = [f.name for f in self._schema.fields]
-        row_idx = 0
-        f = pq.ParquetFile(partition.path)
-        for batch in f.iter_batches(columns=cols):
-            n = batch.num_rows
-            t = pa.Table.from_batches([batch])
-            t = t.append_column(
-                "_rank", pa.array([partition.version] * n, type=pa.int64())
-            ).append_column(
-                "_row_idx",
-                pa.array(range(row_idx, row_idx + n), type=pa.int64()),
-            )
-            row_idx += n
-            yield from t.select(order).cast(arrow_schema).to_batches()
+        for t in _file_batches(
+            partition.path, partition.version, cols, order, arrow_schema
+        ):
+            yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # checkpointing is the engine's; snapshots are immutable
@@ -572,34 +662,47 @@ class BazofStreamWriter(BazofBatchWriter, DataSourceStreamArrowWriter):
             self._overwrite = False
             self._create_pending = True
         # batchIds are scoped to a CHECKPOINT (a fresh checkpoint
-        # restarts at 0), so the replay marker must be too: same
-        # checkpoint after a crash-restart → replay detected; a new
-        # checkpoint → new marker, its batches commit normally. Without
-        # a checkpointLocation there is no durable batch scope — fall
-        # back to a per-run key, degrading to merge-level idempotence.
-        cp = options.get("checkpointlocation") or options.get(
+        # restarts at 0), so the replay marker must be too — and to the
+        # checkpoint's IDENTITY, not its path: deleting the checkpoint
+        # dir and reusing the path assigns a new streaming query id and
+        # restarts batchIds at 0, and a path-keyed marker would then
+        # silently drop every batch up to the stale recorded id. The
+        # query id lives in <checkpoint>/metadata; it may not exist yet
+        # when this writer is constructed, so the scope resolves lazily
+        # at first commit (driver side). Without a checkpointLocation
+        # there is no durable batch scope — a per-run key degrades to
+        # merge-level idempotence.
+        self._checkpoint = options.get("checkpointlocation") or options.get(
             "checkpointLocation"
         )
-        scope = (
-            hashlib.md5(cp.encode()).hexdigest()[:12]
-            if cp
-            else uuid.uuid4().hex[:12]
-        )
-        self._marker_name = f"_STREAM_BATCH_{scope}"
-        # checkpoint-scoped staging: writer instances are recreated
-        # across restarts — a deterministic dir stops empty-dir
-        # accumulation, and commit wipes it after moving each batch
+        self._marker_name: str | None = None
+
+    def _marker_scope(self) -> str:
+        import hashlib
+        import json
+        import uuid
+
         from bazof_spark import iofs
 
-        per_instance = self._stage_dir
-        self._stage_dir = iofs.join(self._table_path, f"_ds_stage_{scope}")
-        if per_instance != self._stage_dir:
-            iofs.delete_dir(per_instance)
-        iofs.makedirs(self._stage_dir)
+        if not self._checkpoint:
+            return uuid.uuid4().hex[:12]
+        try:
+            meta = json.loads(
+                iofs.read_text(iofs.join(self._checkpoint, "metadata"))
+            )
+            ident = str(meta["id"])
+        except Exception:
+            # metadata unreadable: fall back to the path (pre-4.x
+            # behavior) — still correct across crash-restarts of the
+            # SAME checkpoint, weaker only for delete-and-reuse
+            ident = self._checkpoint
+        return hashlib.md5(ident.encode()).hexdigest()[:12]
 
     def _marker_path(self) -> str:
         from bazof_spark import iofs
 
+        if self._marker_name is None:
+            self._marker_name = f"_STREAM_BATCH_{self._marker_scope()}"
         return iofs.join(self._table_path, self._marker_name)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
@@ -663,8 +766,17 @@ class BazofDataSource(DataSource):
     def name(cls) -> str:
         return "bazof"
 
+    def _resolved(self):
+        # schema() and reader() both need the (table, snapshot, as_of)
+        # triple; resolving once pins ONE snapshot for the whole read —
+        # two independent resolutions could straddle a concurrent
+        # commit and scan files the schema wasn't derived from
+        if not hasattr(self, "_resolved_cache"):
+            self._resolved_cache = _resolve(self.options)
+        return self._resolved_cache
+
     def schema(self) -> StructType:
-        _, snapshot, _ = _resolve(self.options)
+        _, snapshot, _ = self._resolved()
         base = snapshot.schema.to_struct_type()
         # nullable like the native scan: spark.read.parquet always
         # yields nullable fields, and golden data does carry nulls in
@@ -682,7 +794,7 @@ class BazofDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> BazofReader:
-        return BazofReader(self.options, schema)
+        return BazofReader(self.options, schema, resolved=self._resolved())
 
     def writer(self, schema: StructType, overwrite: bool) -> BazofBatchWriter:
         return BazofBatchWriter(self.options, schema, overwrite)

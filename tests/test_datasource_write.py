@@ -333,3 +333,172 @@ def test_lakehouse_write_method(spark, root):
     lh.write(mkdf(spark, [("b", ts("2024-02-01T00:00:00"), 2.0)]), "t")
     assert {r["key"] for r in lh.scan("t").collect()} == {"a", "b"}
     assert lh.table("t").current_version() == "2"
+
+
+def test_asof_pruning_all_files_returns_empty(spark, root):
+    """An as-of instant before the table's first event prunes every
+    file; the source must return 0 rows, not crash on the empty
+    partition list."""
+    write_table(
+        mkdf(spark, [("a", ts("2024-06-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    out = read_table(spark, root, "t", as_of="2023-01-01T00:00:00.000Z")
+    assert out.count() == 0
+
+
+def test_source_reads_pre_evolution_files_nullfilled(spark, root):
+    """After mergeSchema evolution, files written BEFORE the new column
+    must read back through the data source with nulls in that column
+    (pyarrow silently drops requested-but-missing columns; the reader
+    re-adds them)."""
+    import pyspark.sql.functions as F
+
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    widened = mkdf(spark, [("b", ts("2024-02-01T00:00:00"), 2.0)]).withColumn(
+        "note", F.lit("new")
+    )
+    write_table(widened, root, "t", mode="append", merge_schema=True)
+    rows = {
+        r["key"]: (r["value"], r["note"])
+        for r in read_table(spark, root, "t").collect()
+    }
+    assert rows == {"a": (1.0, None), "b": (2.0, "new")}
+
+
+def test_empty_append_is_noop(spark, root):
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    v1 = Table(path=os.path.join(root, "t"), name="t").current_version()
+    empty = mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]).filter("1=0")
+    write_table(empty, root, "t", mode="append")  # must not raise
+    assert Table(path=os.path.join(root, "t"), name="t").current_version() == v1
+
+
+def test_failed_merge_schema_write_does_not_evolve(spark, root):
+    """The mergeSchema evolution must commit WITH the data: a write
+    whose tasks fail leaves the table schema (and version) untouched."""
+    import pyspark.sql.functions as F
+
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    bad = spark.createDataFrame(
+        [(None, ts("2024-02-01T00:00:00").replace(tzinfo=None), 2.0)],
+        "key string, event_time timestamp, value double",
+    ).withColumn("note", F.lit("x"))
+    with pytest.raises(Exception):
+        write_table(bad, root, "t", mode="append", merge_schema=True,
+                    validate=False)
+    table = Table(path=os.path.join(root, "t"), name="t")
+    assert table.current_version() == "1"
+    assert [c.name for c in table.get_current_snapshot().schema.columns] == [
+        "value"
+    ]
+
+
+def test_stream_reader_fails_on_rewrite_unless_ignored(spark, root, tmp_path):
+    """A checkpoint/compaction inside the offset range must fail the
+    stream by default (re-emitting rewritten history would double-count)
+    and be skippable with ignoreRewrites."""
+    from bazof_spark import Lakehouse
+    from bazof_spark.datasource import BazofDataSource
+    from bazof_spark.maintenance import checkpoint_table
+
+    spark.dataSource.register(BazofDataSource)
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    from datetime import datetime, timezone
+
+    lh = Lakehouse(spark, root)
+    # rewrites: version 2 replaces the file set with a checkpoint base
+    checkpoint_table(lh, "t", at=datetime(2024, 2, 1, tzinfo=timezone.utc))
+    write_table(
+        mkdf(spark, [("b", ts("2024-03-01T00:00:00"), 2.0)]),
+        root, "t", mode="append",
+    )
+
+    def drain(view, ignore):
+        reader = (
+            spark.readStream.format("bazof")
+            .option("path", root)
+            .option("table", "t")
+            .option("startingVersion", "0")
+        )
+        if ignore:
+            reader = reader.option("ignoreRewrites", "true")
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(view)
+            .option("checkpointLocation", str(tmp_path / f"cp_{view}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["key"], r["_rank"])
+            for r in spark.sql(f"SELECT * FROM {view}").collect()
+        }
+
+    with pytest.raises(Exception, match="rewrote|rewrite"):
+        drain("sr_rw_fail", ignore=False)
+    got = drain("sr_rw_skip", ignore=True)
+    # version 1's append + version 3's append stream; the rewrite
+    # version (2) is skipped
+    assert got == {("a", 1), ("b", 3)}
+
+
+def test_stream_sink_marker_survives_checkpoint_reset(spark, root, tmp_path):
+    """Deleting and reusing a checkpoint path restarts batchIds at 0
+    under a NEW query id: the replay marker must key on the query id so
+    the fresh run's batches are not silently dropped."""
+    import json
+    import shutil
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.datasource import BazofDataSource
+
+    spark.dataSource.register(BazofDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        json.dumps(
+            {"key": "a", "event_time": "2024-01-01T00:00:00Z", "value": 1.0}
+        )
+    )
+    cp = str(tmp_path / "cp_reset")
+    schema = "key string, event_time timestamp, value double"
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).json(str(src)).repartition("key")
+            .writeStream.format("bazof")
+            .option("path", root)
+            .option("table", "st")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    lh = Lakehouse(spark, root)
+    assert {r["key"] for r in lh.scan("st").collect()} == {"a"}
+    # reset: delete the checkpoint, add data, rerun with the SAME path
+    shutil.rmtree(cp)
+    (src / "b.json").write_text(
+        json.dumps(
+            {"key": "b", "event_time": "2024-02-01T00:00:00Z", "value": 2.0}
+        )
+    )
+    run()
+    assert {r["key"] for r in lh.scan("st").collect()} == {"a", "b"}
