@@ -106,6 +106,67 @@ def _ts(dt: datetime) -> str:
     return format_rfc3339_ms(dt)
 
 
+def _aware_utc(dt: datetime) -> datetime:
+    """Normalize to tz-aware UTC with the SAME naive-value semantics as
+    :func:`format_rfc3339_ms` (astimezone interprets naive as
+    machine-local) — snapshots built in memory must compare and sort
+    exactly like their on-disk serialization will re-parse."""
+    from datetime import timezone
+
+    return dt.astimezone(timezone.utc)
+
+
+def _local_table_path(table_path: str) -> str:
+    """Local filesystem path for the distributed multi-file write
+    machinery (Spark part-file listing + os.replace renames).
+    ``file://`` URIs strip to their path; object-store URIs are
+    refused — use single-file mode or the (iofs-based) Data Source
+    writer there."""
+    if table_path.startswith("file://"):
+        return table_path[len("file://"):]
+    if "://" in table_path:
+        raise BazofError(
+            "distributed multi-file writes need a local or file:// table "
+            "path (Spark part-file renames); use single-file mode or "
+            "df.write.format('bazof') for object stores"
+        )
+    return table_path
+
+
+def _write_distributed_delta(
+    ordered: DataFrame,
+    table_path: str,
+    stem: str,
+    num_files: int | None,
+) -> list[str]:
+    """ONE Spark job writing the batch as many part files, each renamed
+    to ``{stem}_p{i:05d}.parquet`` under the table dir. Rows are
+    repartitioned by key (a key lives in exactly one file) and sorted
+    event_time DESC within files. Returns the final file names."""
+    import shutil
+
+    local = _local_table_path(table_path)
+    part = (
+        ordered.repartition(num_files, KEY_COL)
+        if num_files
+        else ordered.repartition(KEY_COL)
+    ).sortWithinPartitions(F.col(EVENT_TIME_COL).desc())
+    out_dir = os.path.join(local, f"_{stem}_job")
+    part.write.mode("overwrite").parquet(out_dir)
+    part_files = sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    names = []
+    for i, pf in enumerate(part_files):
+        name = f"{stem}_p{i:05d}.parquet"
+        os.replace(os.path.join(out_dir, pf), os.path.join(local, name))
+        names.append(name)
+    shutil.rmtree(out_dir)
+    return names
+
+
 class SegmentBuilder:
     """Builds one segment subtree (JSON shape per test-data/*/s1.json)."""
 
@@ -151,33 +212,14 @@ class SegmentBuilder:
         ordered = df.select(
             KEY_COL, EVENT_TIME_COL, *self._writer.schema.column_names()
         )
-        if num_files:
-            ordered = ordered.repartition(num_files, KEY_COL)
-        else:
-            ordered = ordered.repartition(KEY_COL)
-        ordered = ordered.sortWithinPartitions(F.col(EVENT_TIME_COL).desc())
-
         deltas = self._node.setdefault("delta", [])
         stem = f"{self._node['id']}_delta{len(deltas) + 1}"
-        out_dir = os.path.join(self._writer.path, f"_{stem}_job")
-        ordered.write.mode("overwrite").parquet(out_dir)
-        part_files = sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
-        for i, part in enumerate(part_files):
-            file_name = f"{stem}_p{i:05d}.parquet"
-            os.replace(
-                os.path.join(out_dir, part),
-                os.path.join(self._writer.path, file_name),
-            )
+        for file_name in _write_distributed_delta(
+            ordered, self._writer.path, stem, num_files
+        ):
             deltas.append(
                 {"file": file_name, "start": _ts(start), "end": _ts(end)}
             )
-        import shutil
-
-        shutil.rmtree(out_dir)
         return self
 
     def add_child(
@@ -300,14 +342,8 @@ def append_delta(
     lock — concurrent writers race on ``version.txt`` (last flip wins).
     Single-writer-per-table is the assumed discipline.
     """
-    if distributed and "://" in table_path and not table_path.startswith("file://"):
-        # the distributed path lists + renames Spark part files, which
-        # needs local rename semantics; single-file mode writes through
-        # pyarrow.fs and works on any object store
-        raise BazofError(
-            "append_delta(distributed=True) requires a local table path; "
-            "use single-file mode for object-store tables"
-        )
+    if distributed:
+        _local_table_path(table_path)  # fail fast on object-store URIs
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
     version = table.current_version()
     snapshot = table.get_snapshot(version)
@@ -335,16 +371,30 @@ def append_delta(
     if fills:
         df = df.select("*", *fills)
     ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())
-    if validate:
-        validate_data_file_invariants(ordered)
-    if start is None or end is None:
-        lo, hi = ordered.select(
-            F.min(EVENT_TIME_COL), F.max(EVENT_TIME_COL)
-        ).first()
-        if lo is None:
-            raise BazofError("cannot upsert an empty batch")
-        start = start or lo
-        end = end or hi
+    # one materialization for the up-to-three consumers (invariant
+    # check, min/max bounds, the write itself) — without it each re-runs
+    # the batch's full lineage as its own Spark job
+    multi_pass = validate or start is None or end is None
+    if multi_pass:
+        ordered = ordered.persist()
+    try:
+        if validate:
+            validate_data_file_invariants(ordered)
+        if start is None or end is None:
+            lo, hi = ordered.select(
+                F.min(EVENT_TIME_COL), F.max(EVENT_TIME_COL)
+            ).first()
+            if lo is None:
+                raise BazofError("cannot upsert an empty batch")
+            start = start or lo
+            end = end or hi
+    except BaseException:
+        if multi_pass:
+            ordered.unpersist()
+        raise
+    # aware-UTC like their serialized form, so the in-memory snapshot
+    # sorts/compares exactly as a re-read of s{N}.json will
+    start, end = _aware_utc(start), _aware_utc(end)
 
     # -- pick the target top-level segment --------------------------------
     segs = list(snapshot.segments)
@@ -353,40 +403,26 @@ def append_delta(
 
     # -- write the delta file(s) ------------------------------------------
     new_deltas: list[Delta] = []
-    if distributed:
-        # the 100-TB path: repartition by key (a key lives in exactly one
-        # file, so stable precedence among equal-start siblings can never
-        # arbitrate between two versions of one key), event_time-DESC
-        # within each file
-        part = (
-            ordered.repartition(num_files, KEY_COL)
-            if num_files
-            else ordered.repartition(KEY_COL)
-        )
-        part = part.sortWithinPartitions(F.col(EVENT_TIME_COL).desc())
-        stem = _fresh_delta_name(table_path, target.id, len(target.delta))[
-            : -len(".parquet")
-        ]
-        out_dir = os.path.join(table_path, f"_{stem}_job")
-        part.write.mode("overwrite").parquet(out_dir)
-        part_files = sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
-        for i, pf in enumerate(part_files):
-            name = f"{stem}_p{i:05d}.parquet"
-            os.replace(
-                os.path.join(out_dir, pf), os.path.join(table_path, name)
-            )
+    try:
+        if distributed:
+            # the 100-TB path: repartition by key (a key lives in exactly
+            # one file, so stable precedence among equal-start siblings
+            # can never arbitrate between two versions of one key),
+            # event_time-DESC within each file
+            stem = _fresh_delta_name(table_path, target.id, len(target.delta))[
+                : -len(".parquet")
+            ]
+            for name in _write_distributed_delta(
+                ordered, table_path, stem, num_files
+            ):
+                new_deltas.append(Delta(file=name, start=start, end=end))
+        else:
+            name = _fresh_delta_name(table_path, target.id, len(target.delta))
+            dataframe_to_parquet_file(ordered, iofs.join(table_path, name))
             new_deltas.append(Delta(file=name, start=start, end=end))
-        import shutil
-
-        shutil.rmtree(out_dir)
-    else:
-        name = _fresh_delta_name(table_path, target.id, len(target.delta))
-        dataframe_to_parquet_file(ordered, iofs.join(table_path, name))
-        new_deltas.append(Delta(file=name, start=start, end=end))
+    finally:
+        if multi_pass:
+            ordered.unpersist()
 
     # -- publish the new snapshot -----------------------------------------
     segs[idx] = dataclasses.replace(
@@ -413,8 +449,11 @@ def _insert_deltas(
 
     def _utc(dt: datetime) -> datetime:
         # snapshot timestamps parse tz-aware; batch aggregates may be
-        # naive (session-UTC Spark values) — compare as UTC instants
-        return dt if dt.tzinfo is not None else dt.replace(tzinfo=timezone.utc)
+        # naive. Interpret naive values exactly as format_rfc3339_ms
+        # will when the delta serializes (astimezone = machine-local
+        # for naive input), so the comparison here always agrees with
+        # the start the READER later sees on disk.
+        return dt.astimezone(timezone.utc)
 
     idx = len(existing)
     for i, d in enumerate(existing):
@@ -496,6 +535,7 @@ def commit_delta_files(
     if not staged_paths:
         raise BazofError("cannot commit an empty file set")
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
+    start, end = _aware_utc(start), _aware_utc(end)
     token = uuid.uuid4().hex[:8]
     moved: list[str] | None = None
     for attempt in range(retries + 1):
@@ -546,43 +586,80 @@ def create_table_version_from_files(
     Creates the table (version ``1``) when absent; on an existing table
     publishes above every numbered snapshot, so prior versions remain
     pinnable via ``.option("version", …)`` time travel while the
-    pointer now resolves to the replacement state."""
+    pointer now resolves to the replacement state.
+
+    Multi-writer safety mirrors :func:`commit_delta_files`: final file
+    names carry a per-commit random token (moved exactly once), so
+    concurrent overwrites never clobber each other's data files;
+    existing-table publishes go through the optimistic
+    ``_publish_snapshot`` check and re-derive the version on conflict.
+    Two racing CREATIONS of a table that does not exist yet still
+    last-write-win on ``version.txt`` (no CAS on object stores), but
+    each points at its own intact file set — never a torn mix."""
+    import uuid
+
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.maintenance import _numeric_versions
+
     if not staged_paths:
         raise BazofError("cannot publish an empty file set")
     iofs.makedirs(table_path)
     version_path = iofs.join(table_path, VERSION_FILE)
-    fresh = not iofs.exists(version_path)
-    from bazof_spark.maintenance import _numeric_versions
-
-    if fresh:
-        next_version = "1"
-    else:
-        table = Table(
-            path=table_path, name=os.path.basename(table_path.rstrip("/"))
+    start, end = _aware_utc(start), _aware_utc(end)
+    token = uuid.uuid4().hex[:8]
+    moved: list[str] | None = None
+    retries = 3
+    for attempt in range(retries + 1):
+        fresh = not iofs.exists(version_path)
+        if fresh:
+            expected = None
+            next_version = "1"
+        else:
+            table = Table(
+                path=table_path, name=os.path.basename(table_path.rstrip("/"))
+            )
+            expected = table.current_version()
+            try:
+                base = int(expected)
+            except ValueError as exc:
+                raise BazofError(
+                    f"cannot bump non-numeric snapshot version {expected!r}"
+                ) from exc
+            next_version = str(
+                max([base, *_numeric_versions(table_path)]) + 1
+            )
+        if moved is None:  # move exactly once, under collision-free names
+            moved = []
+            for i, staged in enumerate(sorted(staged_paths)):
+                name = f"w_{token}_p{i:05d}.parquet"
+                iofs.move(staged, iofs.join(table_path, name))
+                moved.append(name)
+        snapshot = Snapshot(
+            segments=(
+                Segment(
+                    id=f"w{next_version}",
+                    start=start,
+                    delta=tuple(
+                        Delta(file=n, start=start, end=end) for n in moved
+                    ),
+                ),
+            ),
+            schema=schema,
         )
-        current = table.current_version()
+        if expected is None:
+            iofs.write_text(
+                iofs.join(table_path, f"s{next_version}.json"),
+                snapshot.serialize(),
+            )
+            iofs.replace_text(version_path, next_version)
+            return snapshot
         try:
-            base = int(current)
-        except ValueError as exc:
-            raise BazofError(
-                f"cannot bump non-numeric snapshot version {current!r}"
-            ) from exc
-        next_version = str(max([base, *_numeric_versions(table_path)]) + 1)
-    seg_id = f"w{next_version}"
-    deltas = []
-    for i, staged in enumerate(sorted(staged_paths)):
-        name = f"{seg_id}_delta1_p{i:05d}.parquet"
-        iofs.move(staged, iofs.join(table_path, name))
-        deltas.append(Delta(file=name, start=start, end=end))
-    snapshot = Snapshot(
-        segments=(Segment(id=seg_id, start=start, delta=tuple(deltas)),),
-        schema=schema,
-    )
-    iofs.write_text(
-        iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize()
-    )
-    iofs.replace_text(version_path, next_version)
-    return snapshot
+            _publish_snapshot(table_path, expected, next_version, snapshot)
+            return snapshot
+        except CommitConflictError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def upsert_with_retry(

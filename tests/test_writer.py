@@ -260,3 +260,38 @@ def test_insert_deltas_tie_gives_new_commit_precedence():
     # naive start (Spark session-UTC aggregate) compares as UTC instant
     out2 = _insert_deltas(existing, new, datetime.fromisoformat("2024-01-01"))
     assert [x.file for x in out2] == ["old_hi", "new_p0", "new_p1", "old_eq"]
+
+
+def test_distributed_upsert_on_file_uri(spark, tmp_path):
+    """distributed=True on a file:// table path must work (the guard
+    admits it, so the rename machinery must handle the URI) and refuse
+    object-store schemes cleanly."""
+    from datetime import datetime, timezone
+
+    import pyspark.sql.functions as F
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.writer import append_delta
+
+    uri_root = "file://" + str(tmp_path)
+    df = spark.createDataFrame(
+        [(str(i), datetime(2024, 1, 1, tzinfo=timezone.utc), float(i))
+         for i in range(20)],
+        "key string, event_time timestamp, value double",
+    )
+    from bazof_spark.datasource import write_table
+
+    write_table(df, str(tmp_path), "t", mode="overwrite")
+    newer = df.withColumn(
+        "event_time", F.expr("event_time + interval 30 days")
+    ).withColumn("value", F.col("value") + 100)
+    append_delta(
+        spark, uri_root + "/t", newer, distributed=True, num_files=3
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in Lakehouse(spark, str(tmp_path)).scan("t").collect()
+    }
+    assert got["0"] == 100.0 and len(got) == 20
+    with pytest.raises(Exception, match="local or file://"):
+        append_delta(spark, "s3://bucket/t", newer, distributed=True)
