@@ -38,7 +38,13 @@ def gapfill(
 
     ``locf_cols`` carry the last observed value forward (null before a
     key's first observation — no invention of data); ``zero_cols``
-    fill gaps with 0 (the right semantics for additive counts)."""
+    fill gaps with 0 (the right semantics for additive counts).
+
+    With explicit ``bounds``, observations BEFORE ``lo`` still seed the
+    carry-forward (a key last observed before the window opens shows
+    that value at the window's first slots, the hypertable locf
+    contract); rows outside ``[lo, hi]`` are excluded from the output
+    itself."""
     if bounds is not None:
         lo, hi = F.lit(bounds[0]), F.lit(bounds[1])
         spine_bounds = series.select(*keys).distinct().select(
@@ -57,7 +63,18 @@ def gapfill(
             F.expr(f"sequence(_lo, _hi, interval {step})")
         ).alias(ts_col),
     )
-    out = spine.join(series, [*keys, ts_col], "left")
+    out = spine.join(series, [*keys, ts_col], "left").withColumn(
+        "_in_window", F.lit(True)
+    )
+    if bounds is not None:
+        # pre-window observations ride along (outside the spine) so the
+        # LOCF window sees them, then drop out of the result
+        pre = (
+            series.filter(F.col(ts_col) < F.lit(bounds[0]))
+            .select(*out.columns[:-1])
+            .withColumn("_in_window", F.lit(False))
+        )
+        out = out.unionByName(pre)
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_col)
@@ -69,4 +86,4 @@ def gapfill(
         out = out.withColumn(
             c, F.coalesce(F.col(c), F.lit(0).cast(dict(out.dtypes)[c]))
         )
-    return out
+    return out.filter(F.col("_in_window")).drop("_in_window")

@@ -100,4 +100,10 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             # truncate lineage so plan size stays O(1) per superstep
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final (node-sized) result, then release the
+    # edge-sized helper caches — without this every pagerank() call
+    # leaks three persisted relations for the session's lifetime
+    ranks = ranks.localCheckpoint(eager=True)
+    for cached in (w, nodes, e):
+        cached.unpersist()
     return ranks

@@ -31,8 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# lowercase word tokens; mirrors functions.text.WORD_REGEX after lower()
-_TOKEN_EXPR = r"regexp_extract_all(lower({col}), '[a-z0-9_]+', 0)"
+# Lowercase word tokens — functions.text.WORD_REGEX lowered: the LM is
+# deliberately case-insensitive (counts fold case) while text-stats
+# counters are case-preserving; keep the two regexes visually adjacent
+# to their source so a tokenizer change updates both. The column name
+# is backquoted so non-identifier names ('text-col', dotted names)
+# resolve as COLUMNS, not expressions.
+_TOKEN_EXPR = r"regexp_extract_all(lower(`{col}`), '[a-z0-9_]+', 0)"
 
 
 def _tokens(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
@@ -40,6 +45,17 @@ def _tokens(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
         *keep,
         F.explode(F.expr(_TOKEN_EXPR.format(col=text_col))).alias("token"),
     )
+
+
+def _require_nonempty_model(model: DataFrame, what: str) -> None:
+    """An empty model would make every score NULL (sum over zero rows)
+    — garbage selection downstream with no error surfaced. The model is
+    a bounded relation, so this eager check is one tiny job."""
+    if model.isEmpty():
+        raise ValueError(
+            f"{what} is empty — the trusted-corpus filter matched no "
+            "documents (or produced no tokens); fix the training slice"
+        )
 
 
 def train_unigram_lm(
@@ -74,6 +90,7 @@ def unigram_logprob(
     ``model`` must be bounded (train_unigram_lm's top-V guarantee): it
     is broadcast, and its normalization constants come from a 1-row
     aggregate cross-joined in — the plan stays one scan + one reduce."""
+    _require_nonempty_model(model, "unigram model")
     stats = model.agg(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_v")
     )
@@ -105,18 +122,27 @@ def lm_quality_select(
 ) -> DataFrame:
     """Keep the best-scoring ``keep_fraction`` of documents by mean
     log-probability — the CCNet head/middle/tail cut collapsed to one
-    threshold. The cutoff is an exact global rank over the *scores*
-    relation (one row per document, already reduced), not over corpus
-    bytes; at extreme scale swap percent_rank for approxQuantile on the
-    score column to avoid the single global sort."""
+    threshold. Keeps exactly ``floor(keep_fraction * n_docs)``
+    documents via a global rank over the *scores* relation (one row per
+    document, already reduced — never corpus bytes); at extreme scale
+    swap the rank for an approxQuantile score threshold to avoid the
+    single global sort."""
     from pyspark.sql.window import Window
 
     scores = unigram_logprob(docs, model, id_col, text_col, alpha)
+    # exact budget: keep floor(fraction * n) documents — percent_rank
+    # would always admit the top row (its rank is 0 ≤ any fraction)
+    # and overshoot small corpora
+    n1 = scores.agg(F.count(F.lit(1)).alias("_n"))
     w = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
     return (
-        scores.withColumn("_pr", F.percent_rank().over(w))
-        .filter(F.col("_pr") <= keep_fraction)
-        .drop("_pr")
+        scores.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(n1))
+        .filter(
+            F.col("_rn")
+            <= F.floor(F.lit(keep_fraction) * F.col("_n") + F.lit(1e-9))
+        )
+        .drop("_rn", "_n")
     )
 
 
@@ -167,6 +193,7 @@ def bigram_logprob(
     bounded relations (top-V / top-B) → broadcast probes; the
     (prev, tok) pairs are built array-side so tokens never shuffle;
     the one exchange is the per-document reduce (~one row per doc)."""
+    _require_nonempty_model(unigram_model, "unigram model")
     stats = unigram_model.agg(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_v")
     )
@@ -179,10 +206,16 @@ def bigram_logprob(
     ).select(
         id_col,
         F.explode(
+            # size guard: sequence(0, -1) on a zero-token doc counts
+            # DOWN ([0,-1]) and _t[i] then indexes an empty array —
+            # an ANSI crash; skip such docs like the oracle's len>=1
             F.expr(
+                "CASE WHEN size(_t) >= 1 THEN "
                 "transform(sequence(0, size(_t) - 1), "
                 "i -> struct(IF(i = 0, CAST(NULL AS STRING), _t[i - 1]) AS prev, "
-                "_t[i] AS tok))"
+                "_t[i] AS tok)) "
+                "ELSE CAST(array() AS array<struct<prev: string, tok: string>>) "
+                "END"
             )
         ).alias("_p"),
     ).select(id_col, "_p.prev", "_p.tok")

@@ -138,8 +138,10 @@ def test_unigram_lm_scores_exact_math(spark):
     assert abs(out["d2"][1] - lp(0)) < 1e-12  # both tokens OOV
     assert out["d1"][1] > out["d2"][1]
 
-    kept = lm_quality_select(docs, model, keep_fraction=0.0)
+    kept = lm_quality_select(docs, model, keep_fraction=0.5)
     assert [r["doc_id"] for r in kept.collect()] == ["d1"]
+    # exact budget: 0.0 keeps NOTHING (percent_rank would keep the top)
+    assert lm_quality_select(docs, model, keep_fraction=0.0).count() == 0
 
 
 def test_bigram_lm_interpolation_exact_math(spark):

@@ -626,3 +626,30 @@ def test_edit_distance_pairs_blocking_and_threshold(spark):
     # doc 5 differs in the BLOCKING PREFIX: missed by design (one-pass
     # prefix blocking), despite edit distance 2
     assert all(5 not in p for p in out)
+
+
+def test_gapfill_explicit_bounds_seed_locf_from_before_window(spark):
+    """An observation BEFORE the explicit window must seed the LOCF
+    carry into the window; rows outside [lo, hi] stay out of the
+    output."""
+    from datetime import datetime
+
+    from bazof_spark.operators.gapfill import gapfill
+
+    series = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 9), 1, 10.0),   # before window
+            ("a", datetime(2024, 1, 1, 11), 2, 20.0),  # inside
+        ],
+        "k string, h timestamp, n long, v double",
+    )
+    out = gapfill(
+        series, keys=["k"], ts_col="h", step="1 hour",
+        locf_cols=("v",), zero_cols=("n",),
+        bounds=(datetime(2024, 1, 1, 10), datetime(2024, 1, 1, 12)),
+    )
+    got = {r["h"].hour: (r["n"], r["v"]) for r in out.collect()}
+    assert set(got) == {10, 11, 12}  # 09:00 excluded from output
+    assert got[10] == (0, 10.0)  # seeded by the pre-window observation
+    assert got[11] == (2, 20.0)
+    assert got[12] == (0, 20.0)
