@@ -132,6 +132,13 @@ def minhash_signature(
     per hash — after Catalyst's projection collapse that's num_hashes ×
     bands × join-sides copies, which blows up codegen (measured 160 s →
     <5 s for 500 docs on this rewrite)."""
+    if num_hashes > 49:
+        raise ValueError(
+            f"num_hashes={num_hashes} > 49: h1 + i*h2 can pass the "
+            "2^62 sentinel (saturating high-index slots and inflating "
+            "est_jaccard) and overflows int64 near i=114 — use more "
+            "bands/rows within 49 hashes instead"
+        )
     sh = shingles(text, k)
     # nested transform so md5 runs once per shingle (HOF lambdas don't
     # get codegen subexpression elimination)
@@ -166,6 +173,13 @@ def _banded_signatures(
     """(_id, _sig, band, bhash) — one row per (doc, band). Join key is
     (band, bhash): documents only meet if one full band matches, so
     downstream shuffles carry band keys + signatures, never text."""
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(bands > num_hashes would hash EMPTY bands — every doc "
+            "colliding; a non-divisor silently ignores trailing "
+            "signature slots)"
+        )
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
@@ -350,8 +364,11 @@ def ngram_decontaminate(
 ) -> DataFrame:
     """Verbatim n-gram containment decontamination (the GPT-3 appendix-C
     / PaLM recipe, typically with 8-13-gram windows): flag corpus
-    documents sharing at least ``min_matches`` word n-gram occurrences
-    with ANY probe (eval-set) document. Complementary to whole-document
+    documents whose text contains at least ``min_matches`` occurrences
+    of n-grams drawn from the POOLED probe (eval-set) gram set — the
+    matches may come from different probe documents (argument order is
+    (corpus, probe); both sides share a schema, so double-check call
+    sites against this signature). Complementary to whole-document
     MinHash (:func:`minhash_lsh_pairs_between`): containment catches a
     corpus page that EMBEDS an eval item inside otherwise-unrelated
     text, which document-level similarity dilutes below threshold.
@@ -452,6 +469,13 @@ def simhash_pairs(
     buckets that would feed a quadratic self-join. With buckets dropped
     the pigeonhole recall guarantee holds for all surviving buckets.
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}): the pigeonhole guarantee — some band "
+            "unchanged for every pair within the Hamming budget — "
+            "requires more bands than differing bits"
+        )
     if collapse_exact:
         df = _collapse_exact(df, text_col, id_col)
     fp = df.select(
@@ -539,6 +563,17 @@ def dedup_clusters(
     materializes in either path. (Same size-dependent discipline as
     broadcast-vs-shuffle join selection.)
     """
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    dts = dict(pairs.dtypes)
+    for c in (id_a, id_b):
+        if dts.get(c) not in _INTEGRAL:
+            # a silent cast would turn string/UUID ids into NULLs and
+            # collapse every edge into one garbage null component
+            raise ValueError(
+                f"dedup_clusters needs integral ids; {c!r} is "
+                f"{dts.get(c)} — hash non-numeric ids first "
+                "(e.g. F.xxhash64(id))"
+            )
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
@@ -567,11 +602,13 @@ def dedup_clusters(
         sizes: dict[int, int] = {}
         for _, rep in comp:
             sizes[rep] = sizes.get(rep, 0) + 1
+        edges.unpersist()  # fully materialized driver-side; drop the cache
         return spark.createDataFrame(
             [(x, rep, sizes[rep]) for x, rep in comp],
             "doc_id long, cluster_rep long, cluster_size long",
         )
 
+    directed = edges
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -608,7 +645,17 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise BazofError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the component "
+            "diameter exceeds max_iters; raise it (rounds are O(E) "
+            "each) rather than accept mid-propagation labels"
+        )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # labels is checkpointed: the result no longer references the edges
+    directed.unpersist()
+    edges.unpersist()
     return (
         labels.join(sizes, "lbl")
         .select(
@@ -703,6 +750,7 @@ def edit_distance_pairs(
     prefix_len: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_exact: bool = True,
     max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Bounded edit-distance near-duplicate pairs — the fuzzy-match
@@ -721,11 +769,17 @@ def edit_distance_pairs(
     - verification is Spark's thresholded Levenshtein kernel
       (JVM-side, O(d·min(n,m)) banded, returns -1 over budget) — never
       the full O(n·m) matrix;
+    - ``collapse_exact`` (default on, like the LSH families) keeps one
+      representative per byte-identical text BEFORE blocking — exact
+      copies under the bucket cap would otherwise emit quadratic
+      zero-distance pairs; exact duplication is `exact_dedup`'s job;
     - ``max_bucket_size`` drops degenerate blocking buckets, the same
       guard as the LSH families.
 
     Output: (id_a, id_b, edit_dist) with id_a < id_b, dist ≤ max_dist.
     """
+    if collapse_exact:
+        df = _collapse_exact(df, text_col, id_col)
     base = df.select(
         F.col(id_col),
         F.col(text_col),
@@ -734,6 +788,8 @@ def edit_distance_pairs(
     )
     if max_bucket_size is not None:
         base = _cap_buckets(base, ["_p"], max_bucket_size)
+    base = base.persist()  # both join sides read it: without this the
+    # cap window's full-text shuffle (and the scan) runs twice
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("_ta"),

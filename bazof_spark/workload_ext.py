@@ -1286,13 +1286,21 @@ ORACLES_EXT = {
           FROM sc GROUP BY doc_id
     """,
     # prefix-blocked bounded Levenshtein pairs; identical blocking,
-    # length-diff bound and threshold on both engines
+    # length-diff bound and threshold on both engines. rep = the
+    # operator's collapse_exact (min doc_id per byte-identical text)
     "dedup_edit_distance": """
-        WITH d AS (
+        WITH rep AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                  FROM documents
+            ) WHERE doc_id = keep_id
+        ),
+        d AS (
             SELECT doc_id, text,
                    substr(text, 1, 12) AS p,
                    length(text) AS ln
-              FROM documents
+              FROM rep
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist

@@ -75,7 +75,7 @@ def test_minhash_banded_rows_linear_in_distinct_texts(spark):
 
 def test_simhash_identical_corpus_no_blowup(spark):
     df = _degenerate_corpus(spark)
-    rows = simhash_pairs(df, max_hamming=10).collect()
+    rows = simhash_pairs(df, max_hamming=10, bands=16).collect()
     assert all(
         (r["id_a"] == 0 or r["id_a"] >= 1_000_000)
         and (r["id_b"] == 0 or r["id_b"] >= 1_000_000)
@@ -97,7 +97,7 @@ def test_bucket_cap_drops_oversized_buckets(spark):
     assert (
         minhash_lsh_pairs(df, threshold=0.1, max_bucket_size=1).count() == 0
     )
-    assert simhash_pairs(df, max_hamming=30, max_bucket_size=1).count() == 0
+    assert simhash_pairs(df, max_hamming=30, bands=32, max_bucket_size=1).count() == 0
     # and with the default cap the near-dup pair IS found
     assert minhash_lsh_pairs(df, threshold=0.1).count() == 1
 
@@ -163,9 +163,10 @@ def test_guards_are_pure_scale_protections_minhash(spark, seed):
 @pytest.mark.parametrize("seed", [5, 29])
 def test_guards_are_pure_scale_protections_simhash(spark, seed):
     df = _random_corpus(spark, seed)
-    on = simhash_pairs(df, max_hamming=12).collect()
+    on = simhash_pairs(df, max_hamming=12, bands=16).collect()
     off = simhash_pairs(
-        df, max_hamming=12, collapse_exact=False, max_bucket_size=None
+        df, max_hamming=12, bands=16, collapse_exact=False,
+        max_bucket_size=None,
     ).collect()
     assert sorted(map(tuple, on)) == sorted(map(tuple, off))
     assert len(on) > 0
@@ -177,3 +178,24 @@ def test_exact_groups_mapping(spark):
     )
     got = {r["doc_id"]: r["rep_id"] for r in exact_groups(df).collect()}
     assert got == {3: 3, 7: 3, 5: 5}
+
+
+def test_parameter_validation_raises(spark):
+    """Misconfigurations that would silently break recall or correctness
+    must fail fast."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        minhash_lsh_pairs(df, num_hashes=8, bands=16).collect()
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=5).collect()
+    with pytest.raises(ValueError, match="bands > max_hamming"):
+        simhash_pairs(df, max_hamming=4, bands=4).collect()
+    from bazof_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b")], "id_a string, id_b string"
+    )
+    with pytest.raises(ValueError, match="integral ids"):
+        dedup_clusters(pairs)
