@@ -591,6 +591,11 @@ def wav_waveform_stats(
         for pdf in it:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    raise ValueError(
+                        f"NULL WAV content for media_id={mid!r} — "
+                        "filter null blobs upstream"
+                    )
                 rate, ch, s = decode_wav(bytes(blob))
                 a = np.abs(s.astype(np.int64))
                 out.append(
@@ -683,7 +688,7 @@ def audio_waveform_stats(
     numpy pass per batch, no per-row Python, partition-parallel."""
     schema = StructType(
         [
-            StructField("media_id", StringType(), False),
+            StructField(id_col, df.schema[id_col].dataType, False),
             StructField("n_samples", LongType(), False),
             StructField("peak", IntegerType(), False),
             StructField("amp_sum", LongType(), False),
@@ -704,7 +709,7 @@ def audio_waveform_stats(
                 s = int(pcm.sum(dtype=np.int64))
                 out.append(
                     (
-                        str(mid),
+                        mid,
                         n,
                         int(pcm.max()) if n else 0,
                         s,

@@ -52,7 +52,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm floor: a single all-zero vector would otherwise throw
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode and kill the
+    # whole job (the numpy paths in this module guard identically);
+    # real embeddings have norms ~1, so results are unchanged
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def normalize(vec: Column) -> Column:
@@ -62,7 +66,7 @@ def normalize(vec: Column) -> Column:
     instead of O(pairs). The inverse norm rides in via array_repeat so
     it is evaluated once per ROW (an outer-reference inside a lambda
     would be re-evaluated per element)."""
-    inv = F.lit(1.0) / norm(vec)
+    inv = F.lit(1.0) / F.greatest(norm(vec), F.lit(1e-12))  # zero-norm guard
     return F.zip_with(
         vec, F.array_repeat(inv, F.size(vec)), lambda x, n: x * n
     )
@@ -225,7 +229,19 @@ def _bucket_udf(planes_all: np.ndarray):
     def buckets(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
+        if any(x is None for x in vecs):
+            raise ValueError(
+                "NULL embedding in LSH bucketing — filter or impute "
+                "null vectors upstream"
+            )
         v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+        if v.ndim != 2 or v.shape[1] != P.shape[0]:
+            raise ValueError(
+                f"embedding dim mismatch: vectors are "
+                f"{v.shape[1] if v.ndim == 2 else 'ragged'}-d but the "
+                f"hyperplanes were built for dim={P.shape[0]} — pass "
+                "the correct dim= to the ANN operator"
+            )
         signs = (v @ P >= 0).reshape(len(vecs), n_tables, n_bits)
         ids = (signs * weights).sum(axis=2)  # (batch, n_tables)
         return pd.Series(list(ids))
@@ -445,8 +461,10 @@ def cosine_pairs_blocked(
     BLAS matmul per (chunk × block) tile instead of an interpreted
     64-element fold per pair (a self-join + HOF dot was ~50× slower at
     2k vectors and the gap grows with block size). Blocks shuffle once
-    on the blocking key; tiles of ``chunk_rows`` bound the similarity
-    matrix held in memory, so one skewed block cannot OOM an executor.
+    on the blocking key; tiles bound the similarity matrix held in
+    memory to chunk_rows × remaining-block-rows — a skewed block still
+    scales a tile's width with the BLOCK size (cap the blocking key's
+    cardinality upstream, e.g. _cap_buckets, for a hard bound).
     """
     id_type = df.schema[id_col].dataType.simpleString()
     v = df.select(
@@ -469,12 +487,14 @@ def cosine_pairs_blocked(
         out_a, out_b, out_s = [], [], []
         for lo in range(0, n, chunk_rows):
             hi = min(lo + chunk_rows, n)
-            sims = mat[lo:hi] @ mat.T  # (chunk, n)
+            # only columns >= lo can survive the upper-triangle filter:
+            # computing them halves the FLOPs and shrinks later tiles
+            sims = mat[lo:hi] @ mat[lo:].T  # (chunk, n - lo)
             rows, cols = np.nonzero(sims >= threshold)
-            keep = cols > rows + lo  # id_a < id_b after the sort
+            keep = cols > rows  # both relative to lo ⇒ id_a < id_b
             rows, cols = rows[keep], cols[keep]
             out_a.append(ids[rows + lo])
-            out_b.append(ids[cols])
+            out_b.append(ids[cols + lo])
             out_s.append(sims[rows, cols])
         return pd.DataFrame(
             {
@@ -539,12 +559,13 @@ def semdedup_prune(
         chunk_rows=chunk_rows,
     )
     # a vector is pruned iff it appears as the HIGHER id of any
-    # qualifying pair; the pruned set is tiny relative to the corpus,
-    # so broadcast it into a map-side left anti-style join
+    # qualifying pair. No broadcast hint: the pruned set scales with
+    # near-dup density (it can be a large fraction of the corpus, the
+    # exact case this operator targets) — let AQE pick the join side
     pruned = pairs.select(F.col("id_b").alias("_pruned")).distinct()
     return (
         assigned.join(
-            F.broadcast(pruned),
+            pruned,
             assigned["_id"] == F.col("_pruned"),
             "left",
         )
@@ -578,7 +599,8 @@ def cosine_neardup_pairs(
     )
     all_t = v.select(
         "_id", "_v", F.posexplode(buckets("_v")).alias("_tbl", "_bkt")
-    )
+    ).persist()  # both self-join sides read it: without this the
+    # Arrow-batched bucket UDF scans the corpus twice
     l, r = all_t.alias("l"), all_t.alias("r")
     cand = (
         l.join(

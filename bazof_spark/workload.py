@@ -1695,7 +1695,7 @@ _MULTIMODAL_ORACLES = {
     # u8-PCM read of the ASCII blob: byte == codepoint
     "multimodal_audio_stats": """
         WITH b AS (
-            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+            SELECT doc_id AS media_id,
                    list_transform(range(1, length(text) + 1),
                        i -> ascii(substring(text, i, 1))) AS bytes
             FROM documents
