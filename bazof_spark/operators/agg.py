@@ -44,21 +44,11 @@ def _base(df: DataFrame, keys: Sequence[str], measures: MeasureSpec) -> DataFram
     )
 
 
-def _level(
-    base: DataFrame,
-    all_keys: Sequence[str],
-    keep: Sequence[str],
-    measures: MeasureSpec,
-) -> DataFrame:
-    merged = [
+def _merged(measures: MeasureSpec) -> list[Column]:
+    return [
         getattr(F, merge)(name).alias(name)
         for name, (_, merge) in measures.items()
     ]
-    lvl = base.groupBy(*keep).agg(*merged) if keep else base.agg(*merged)
-    for k in all_keys:
-        if k not in keep:
-            lvl = lvl.withColumn(k, F.lit(None).cast(base.schema[k].dataType))
-    return lvl.select(*all_keys, *measures.keys())
 
 
 def rollup_from_partials(
@@ -66,31 +56,32 @@ def rollup_from_partials(
 ) -> DataFrame:
     """ROLLUP(keys) — levels (k1..kn), (k1..kn-1), …, () — computed
     from the finest aggregate. Same rows as ``df.rollup(*keys).agg``
-    with null-filled coarse levels."""
+    with null-filled coarse levels.
+
+    Plan: ONE fact shuffle into the finest aggregate, then Spark's
+    native ``rollup`` over that (already tiny) base — the Expand node
+    replicates base rows, never fact rows. The base subtree is consumed
+    exactly once inside a single plan, so nothing is persisted and
+    repeated calls leave no cache-manager state behind (the previous
+    union-of-levels encoding cached the base and leaked it across
+    calls). At the finest grouping set each base group is a single row,
+    so the merge fns (sum/min/max) are identity there."""
     _check(measures)
-    # persist the finest level: every coarser level re-aggregates it,
-    # and without the cache each union branch would re-run the fact
-    # scan + aggregate (n+1 scans instead of 1). Cached blocks live
-    # until clearCache()/unpersist or LRU eviction — repeated calls in
-    # a long-lived session should clear between calls.
-    base = _base(df, keys, measures).persist()
-    out = base.select(*keys, *measures.keys())
-    for i in range(len(keys) - 1, -1, -1):
-        out = out.union(_level(base, keys, keys[:i], measures))
-    return out
+    base = _base(df, keys, measures)
+    return base.rollup(*keys).agg(*_merged(measures)).select(
+        *keys, *measures.keys()
+    )
 
 
 def cube_from_partials(
     df: DataFrame, keys: Sequence[str], measures: MeasureSpec
 ) -> DataFrame:
-    """CUBE(keys) — every key subset — each derived from the finest
-    aggregate (the base is small, so 2^n tiny aggregates beat a 2^n×
-    Expand of the fact table)."""
+    """CUBE(keys) — every key subset — derived from the finest
+    aggregate via native ``cube`` on the base: the 2^n Expand happens
+    on the distinct-key-combination relation, not the fact table, and
+    no intermediate is persisted (see rollup_from_partials)."""
     _check(measures)
-    base = _base(df, keys, measures).persist()  # see rollup_from_partials
-    out = base.select(*keys, *measures.keys())
-    n = len(keys)
-    for mask in range(2**n - 2, -1, -1):
-        keep = [keys[i] for i in range(n) if mask & (1 << i)]
-        out = out.union(_level(base, keys, keep, measures))
-    return out
+    base = _base(df, keys, measures)
+    return base.cube(*keys).agg(*_merged(measures)).select(
+        *keys, *measures.keys()
+    )

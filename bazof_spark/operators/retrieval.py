@@ -19,7 +19,6 @@ fixed fold order, reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,9 +43,16 @@ def bm25_rank(
 
     # Array-native: the query's term set is tiny, so per-doc term
     # frequencies are |terms| array-filter passes over the token array —
-    # no token explode, no (doc, token) shuffle at all. The only
-    # aggregates are ONE single-row stats agg (N, avgdl, per-term df —
-    # broadcast back) and the final top-k. Wide shuffles: zero.
+    # no token explode, no (doc, token) shuffle at all. Corpus statistics
+    # (N, avgdl, per-term df) are a single map-side-combined aggregate
+    # collected driver-side (one bounded row: 2+|terms| scalars) and
+    # injected back as LITERALS, so the scoring pass is one map-only
+    # scan + top-k with no cache and no join. Two scans of the corpus
+    # beat caching the tokenized projection: at 100 TB the projection is
+    # itself TB-scale and a MEMORY_AND_DISK cache would spill it to
+    # executor disks AND leak across repeated calls (the cache manager
+    # holds it until an explicit clear); two pushdown-pruned columnar
+    # scans are cheaper and leave no session state behind.
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
 
     def _tf_expr(term: str) -> F.Column:
@@ -63,15 +69,6 @@ def bm25_rank(
         )
         # docs with zero tokens contribute to neither N nor avgdl
         .filter(F.col("_dl") > 0)
-        # base is ~|terms|+2 numerics per doc and feeds BOTH the stats
-        # agg and the scoring pass; persisting it stops Spark from
-        # tokenizing the corpus twice (the regexp dominates the cost).
-        # MEMORY_AND_DISK: at corpus scale the per-doc rows can exceed
-        # executor memory and should spill, not recompute. The cache
-        # lives until spark.catalog.clearCache()/unpersist or LRU
-        # eviction — long-lived sessions issuing many bm25 calls should
-        # clear between calls (the bench harness does).
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -80,17 +77,25 @@ def bm25_rank(
             F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
             for i in range(len(terms))
         ],
-    )
-    scored = base.crossJoin(F.broadcast(stats))
+    ).first()
+    n_docs = int(stats["_n"])
+    # empty corpus: the scoring pass below yields zero rows regardless;
+    # the fallback only keeps the norm expression null-free
+    avgdl = float(stats["_avgdl"]) if stats["_avgdl"] is not None else 1.0
+    dfs = [int(stats[f"_df_{i}"]) for i in range(len(terms))]
+
+    scored = base
     norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
     )
 
     def _term_score(i: int) -> F.Column:
         tf_i = F.col(f"_tf_{i}")
+        # same double-arithmetic order as the previous column-side
+        # expression (and the DuckDB oracle), JVM-evaluated on literals
         idf = F.log(
-            (F.col("_n") - F.col(f"_df_{i}") + F.lit(0.5))
-            / (F.col(f"_df_{i}") + F.lit(0.5))
+            (F.lit(n_docs) - F.lit(dfs[i]) + F.lit(0.5))
+            / (F.lit(dfs[i]) + F.lit(0.5))
             + F.lit(1.0)
         )
         return F.when(

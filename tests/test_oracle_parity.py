@@ -18,6 +18,12 @@ SF_DIR = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.001")
 os.environ["BAZOF_PARITY_SF"] = SF_DIR
 
 import __spark_entry__ as entrymod  # noqa: E402
+from bazof_spark import workload as _workload  # noqa: E402
+
+# another test module may have imported the registry BEFORE this module
+# set BAZOF_PARITY_SF (pytest imports follow command-line order), which
+# would freeze data-derived oracle literals from the wrong sf dir
+_workload.refresh_env_dependent_oracles()
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
