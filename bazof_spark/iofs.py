@@ -19,13 +19,39 @@ from __future__ import annotations
 import os
 
 
+def _emulated_schemes() -> frozenset[str]:
+    """Schemes listed in ``$BAZOF_FS_EMULATE`` (comma-separated, e.g.
+    ``s3,gs``) are served by the LOCAL filesystem instead of their real
+    pyarrow backend: ``scheme://bucket/abs/path`` maps to ``/abs/path``
+    (the bucket authority is dropped). This is a dev/test harness — it
+    executes every URI code branch (is_uri joins, the object-store PUT
+    path in replace_text, FileSelector listings, URI rank
+    normalization) against a real pyarrow FileSystem with only the
+    transport swapped, the closest a network-less sandbox gets to an
+    S3 integration run. Never set it in production."""
+    raw = os.environ.get("BAZOF_FS_EMULATE", "")
+    return frozenset(s.strip() for s in raw.split(",") if s.strip())
+
+
 def _split(path: str):
     """(filesystem, fs-relative-path) for a local path or URI."""
     from pyarrow import fs as pafs
 
     if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme.lower() in _emulated_schemes():
+            rel = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+            return pafs.LocalFileSystem(), rel
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
+
+
+def split(path: str):
+    """Public resolution seam: (pyarrow FileSystem, fs-relative path).
+    Callers doing their own parquet IO (e.g. ``pq.write_table`` with an
+    explicit ``filesystem=``) must resolve through THIS so every byte
+    follows the same URI handling — including scheme emulation."""
+    return _split(path)
 
 
 def is_uri(path: str) -> bool:

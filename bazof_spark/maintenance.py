@@ -65,6 +65,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
+from bazof_spark import iofs
 from bazof_spark.asof import Current as CURRENT
 from bazof_spark.errors import BazofError
 from bazof_spark.metadata import Segment, Snapshot
@@ -405,10 +406,17 @@ def validate_snapshot(snapshot: Snapshot) -> ValidationReport:
     return report
 
 
-def validate_table(lakehouse, table_name: str) -> ValidationReport:
+def validate_table(
+    lakehouse, table_name: str, data_checks: bool = True
+) -> ValidationReport:
     """Snapshot structure + data-file invariants, checked with ONE Spark
     job across all files (grouped by file via input_file_name), not a
-    job per file."""
+    job per file.
+
+    ``data_checks=False`` stops after structure validation and the
+    (iofs-based) file-existence probe — the useful subset on an
+    object-store table root whose scheme the running Spark has no
+    Hadoop connector for (the metadata side needs only pyarrow)."""
     table: Table = lakehouse.table(table_name)
     snapshot = table.get_current_snapshot()
     report = validate_snapshot(snapshot)
@@ -418,13 +426,16 @@ def validate_table(lakehouse, table_name: str) -> ValidationReport:
         for s in _all_segments(snapshot)
         for f in ([s.file] if s.file else []) + [d.file for d in s.delta]
     }
+    # iofs.exists, not os.path.exists: the table root may be an
+    # object-store URI where a local stat is always False (every file
+    # would be misreported missing)
     missing = [
-        f for f in sorted(files) if not os.path.exists(table.data_file_path(f))
+        f for f in sorted(files) if not iofs.exists(table.data_file_path(f))
     ]
     for f in missing:
         report.errors.append(f"data file missing: {f}")
     present = [table.data_file_path(f) for f in sorted(files) if f not in missing]
-    if present:
+    if present and data_checks:
         df = lakehouse.spark.read.parquet(*present)
         dupes = (
             df.select(

@@ -181,6 +181,27 @@ def time_travel_changes(spark, sf_dir):
     )
 
 
+def time_travel_changes_sql(spark, sf_dir):
+    """Change-data-feed through the SQL surface (sql.py CHANGES(...)
+    rewrite → a registered changes view) rather than the Python
+    `scan_changes` API, with a projection and an UPDATE-ONLY window:
+    only keys that existed at t1 and whose winning version differs at
+    t2. Exercises the whole rewrite → view-registration → diff-join
+    chain plus column pruning on the changes relation; the driver's r2
+    `time_travel_changes` row covered only the Python API with inserts
+    included."""
+    lh = events_lakehouse(spark, sf_dir)
+    return lh.sql(
+        f"""
+        SELECT key, value_early, value_late, event_type_late
+          FROM CHANGES('events_versioned',
+                       '{ASOF_TS_EARLY}', '{ASOF_TS_LATE}')
+         WHERE change_type = 'update'
+         ORDER BY key
+        """
+    )
+
+
 def asof_join_events(spark, sf_dir):
     """Stream-style point-in-time join (operators/asof.py): for each
     'click' event, the latest 'purchase' by the same user at or before
@@ -453,6 +474,21 @@ _ASOF_ORACLES = {
                l.event_time_us AS ts_late_us
           FROM late l LEFT JOIN early e ON l.key = e.key
          WHERE e.key IS NULL OR l.event_time_us <> e.event_time_us
+    """,
+    "time_travel_changes_sql": f"""
+        WITH early AS ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-10 00:00:00'")}),
+             late  AS ({_events_oracle_cte("ts <= TIMESTAMP '2024-01-25 00:00:00'")})
+        SELECT l.key,
+               e.value AS value_early,
+               l.value AS value_late,
+               l.event_type AS event_type_late
+          FROM late l JOIN early e ON l.key = e.key
+         WHERE l.event_time_us <> e.event_time_us
+            OR l.value       IS DISTINCT FROM e.value
+            OR l.event_type  IS DISTINCT FROM e.event_type
+            OR l.event_id    IS DISTINCT FROM e.event_id
+            OR l.props       IS DISTINCT FROM e.props
+         ORDER BY l.key
     """,
     "asof_join_events": """
         WITH clicks AS (
@@ -2379,6 +2415,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_travel_sql": time_travel_sql,
     "asof_self_join_sql": asof_self_join_sql,
     "time_travel_changes": time_travel_changes,
+    "time_travel_changes_sql": time_travel_changes_sql,
     "asof_join_events": asof_join_events,
     "streaming_latest_rows": streaming_latest_rows,
     "streaming_window_counts": streaming_window_counts,

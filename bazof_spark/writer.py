@@ -22,9 +22,11 @@ written from one batch.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
+import time
 from datetime import datetime
 
 import pyarrow as pa
@@ -86,10 +88,15 @@ def dataframe_to_parquet_file(
         else:
             fields.append(f)
     tbl = tbl.cast(pa.schema(fields))
+    # resolve through iofs so URI handling (incl. scheme emulation) is
+    # identical for data bytes and metadata bytes
+    dest_fs, dest_rel = iofs.split(dest_path)
     if row_group_rows:
-        pq.write_table(tbl, dest_path, row_group_size=row_group_rows)
+        pq.write_table(
+            tbl, dest_rel, filesystem=dest_fs, row_group_size=row_group_rows
+        )
     else:
-        pq.write_table(tbl, dest_path)
+        pq.write_table(tbl, dest_rel, filesystem=dest_fs)
 
 
 def validate_data_file_invariants(df: DataFrame) -> None:
@@ -293,14 +300,41 @@ class TableWriter:
 # ---------------------------------------------------------------------------
 
 
+def _as_local_path(path: str) -> str | None:
+    """Local filesystem path for a plain or ``file://`` table path;
+    None for any other scheme (object stores)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
+        return None
+    return path
+
+
 def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
     """First non-colliding ``{seg}_delta{N}.parquet`` name — snapshots
     may reference fewer files than the directory holds (e.g. after a
-    checkpoint kept originals on disk), so probe for existence."""
+    checkpoint kept originals on disk), so probe for existence.
+
+    Local FS: the name is RESERVED atomically (O_EXCL create of an
+    empty file the parquet write then overwrites) — two concurrent
+    writers probing at once can otherwise pick the same name and
+    clobber each other's delta bytes before either commits. Object
+    stores fall back to a plain existence probe (no atomic
+    create-if-absent through pyarrow.fs); their residual window is the
+    same one the commit itself has without a conditional put."""
     n = n_existing + 1
     while True:
         name = f"{segment_id}_delta{n}.parquet"
-        if not iofs.exists(iofs.join(table_path, name)):
+        full = iofs.join(table_path, name)
+        local = _as_local_path(full)
+        if local is not None:
+            try:
+                os.close(os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                return name
+            except FileExistsError:
+                n += 1
+                continue
+        if not iofs.exists(full):
             return name
         n += 1
 
@@ -683,34 +717,80 @@ def upsert_with_retry(
                 raise
 
 
+_COMMIT_LOCK_STALE_S = 60.0
+
+
+@contextlib.contextmanager
+def _commit_lock(table_path: str):
+    """Mutual exclusion for the check→flip publish window. Local FS:
+    O_EXCL creation of ``version.txt.lock`` makes check-then-write a
+    real CAS — two simultaneous publishers can no longer both pass the
+    pointer check (the loser gets CommitConflictError and the retry
+    loop re-derives). A lock older than ``_COMMIT_LOCK_STALE_S`` is
+    presumed abandoned by a crashed writer and broken so the table
+    never wedges. Object-store URIs yield WITHOUT locking — pyarrow.fs
+    has no atomic create-if-absent, so the documented residual window
+    stays there until a conditional-put/locking service is wired in
+    (the gap Delta closes with a LogStore)."""
+    from bazof_spark.errors import CommitConflictError
+
+    local = _as_local_path(table_path)
+    if local is None:
+        yield
+        return
+    lock = os.path.join(local, VERSION_FILE + ".lock")
+    try:
+        os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:
+            age = 0.0  # holder released between our open and stat
+        if age > _COMMIT_LOCK_STALE_S:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)  # break a crashed writer's lock
+        raise CommitConflictError(
+            f"commit lock held by a concurrent writer ({lock}); "
+            "re-read the table and retry"
+        ) from None
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
 def _publish_snapshot(
     table_path: str,
     expected_version: str,
     next_version: str,
     snapshot: Snapshot,
 ) -> None:
-    """Optimistic-concurrency publish: re-check the version pointer
-    still reads ``expected_version`` (the snapshot this commit was
-    derived from) immediately before writing; a moved pointer means a
-    concurrent writer won — raise CommitConflictError so the caller
-    re-reads and retries instead of silently dropping the other
-    commit's deltas from its snapshot copy. The residual window between
-    check and flip needs a real CAS (a locking service / conditional
-    put on object stores — the same gap Delta closes with a LogStore);
-    on a local FS this check catches every non-simultaneous race, and
-    abandoned delta files stay unreferenced until vacuum_table."""
+    """Optimistic-concurrency publish: under the commit lock, re-check
+    the version pointer still reads ``expected_version`` (the snapshot
+    this commit was derived from), then write the snapshot and flip the
+    pointer; a moved pointer means a concurrent writer won — raise
+    CommitConflictError so the caller re-reads and retries instead of
+    silently dropping the other commit's deltas from its snapshot copy.
+    On local FS the lock closes the check→flip window completely; on
+    object stores the check alone catches every non-simultaneous race
+    (see _commit_lock for the residual gap). Abandoned delta files stay
+    unreferenced until vacuum_table."""
     from bazof_spark.errors import CommitConflictError
 
-    latest = Table(
-        path=table_path, name=os.path.basename(table_path.rstrip("/"))
-    ).current_version()
-    if latest != expected_version:
-        raise CommitConflictError(
-            f"version pointer moved {expected_version!r} → {latest!r} "
-            "while this commit ran; re-read the table and retry"
+    with _commit_lock(table_path):
+        latest = Table(
+            path=table_path, name=os.path.basename(table_path.rstrip("/"))
+        ).current_version()
+        if latest != expected_version:
+            raise CommitConflictError(
+                f"version pointer moved {expected_version!r} → {latest!r} "
+                "while this commit ran; re-read the table and retry"
+            )
+        iofs.write_text(
+            iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize()
         )
-    iofs.write_text(iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize())
-    # atomic flip: concurrent readers must never observe a torn/empty
-    # version pointer (replace_text = temp+rename locally, single PUT
-    # on object stores)
-    iofs.replace_text(iofs.join(table_path, VERSION_FILE), next_version)
+        # atomic flip: concurrent readers must never observe a torn/empty
+        # version pointer (replace_text = temp+rename locally, single PUT
+        # on object stores)
+        iofs.replace_text(iofs.join(table_path, VERSION_FILE), next_version)

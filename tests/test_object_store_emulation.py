@@ -1,0 +1,131 @@
+"""Object-store dry run: the writer→metadata→scan loop on a NON-file
+scheme, executed for real.
+
+`$BAZOF_FS_EMULATE=s3` makes iofs serve `s3://bucket/abs/path` from the
+local filesystem at `/abs/path` (iofs._split), so every URI code branch
+— `is_uri` joins, the object-store single-PUT branch of `replace_text`,
+FileSelector listings, existence probes, the writer's filesystem-routed
+parquet writes — executes against a real pyarrow FileSystem with only
+the transport swapped. This is the closest a network-less sandbox gets
+to an S3 integration run (the reference runs on any object_store
+backend, /root/reference/README.md:47); the remaining untested surface
+is the real S3 client itself and the JVM-side Hadoop connector.
+
+Because both spellings address the same bytes, a LOCAL-rooted Lakehouse
+can scan the table authored through s3:// URIs and verify content.
+"""
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Row  # noqa: E402
+
+from bazof_spark import Lakehouse, iofs  # noqa: E402
+from bazof_spark.maintenance import validate_table  # noqa: E402
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema  # noqa: E402
+from bazof_spark.writer import TableWriter, append_delta  # noqa: E402
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture()
+def s3_root(tmp_path, monkeypatch):
+    monkeypatch.setenv("BAZOF_FS_EMULATE", "s3")
+    return "s3://test-bucket" + str(tmp_path), str(tmp_path)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(key=k, event_time=t, value=v) for k, t, v in rows]
+    )
+
+
+def test_iofs_primitives_on_s3_scheme(s3_root):
+    uri, local = s3_root
+    iofs.makedirs(iofs.join(uri, "meta"))
+    p = iofs.join(uri, "meta", "version.txt")
+    iofs.write_text(p, "1")
+    assert iofs.read_text(p) == "1"
+    # replace_text takes the object-store PUT branch (no temp+rename)
+    iofs.replace_text(p, "2")
+    assert iofs.read_text(p) == "2"
+    assert iofs.exists(p)
+    assert iofs.listdir(iofs.join(uri, "meta")) == ["version.txt"]
+    # the bytes really live on the local mirror of the same path
+    with open(os.path.join(local, "meta", "version.txt")) as f:
+        assert f.read() == "2"
+    iofs.move(p, iofs.join(uri, "meta", "v2.txt"))
+    assert not iofs.exists(p)
+    iofs.delete(iofs.join(uri, "meta", "v2.txt"))
+    assert iofs.listdir(iofs.join(uri, "meta")) == []
+
+
+def test_writer_scan_sql_loop_on_s3_scheme(spark, s3_root):
+    uri, local = s3_root
+    table_uri = iofs.join(uri, "t0")
+    schema = TableSchema(
+        columns=(
+            ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+        )
+    )
+
+    w = TableWriter(spark, table_uri, schema)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w.add_segment(
+        "seg1",
+        start=t0,
+        base_df=_batch(spark, [("a", t0, "a1"), ("b", t0, "b1")]),
+    )
+    w.commit("1")
+    assert iofs.read_text(iofs.join(table_uri, "version.txt")) == "1"
+
+    # upsert through the s3 spelling: delta parquet written driver-side
+    # through the iofs-resolved filesystem, snapshot + pointer PUT
+    t1 = dt.datetime(2024, 2, 1, tzinfo=UTC)
+    append_delta(
+        spark, table_uri, _batch(spark, [("a", t1, "a2"), ("c", t1, "c1")])
+    )
+    assert iofs.read_text(iofs.join(table_uri, "version.txt")) == "2"
+    assert iofs.exists(iofs.join(table_uri, "s2.json"))
+
+    # metadata-side validation directly on the s3 root: before the iofs
+    # existence fix this reported EVERY data file missing on URI roots
+    s3_lh = Lakehouse(spark, uri)
+    report = validate_table(s3_lh, "t0", data_checks=False)
+    assert not [e for e in report.errors if "missing" in e], report.errors
+
+    # the same bytes scan + SQL through the local mirror (the sandbox
+    # JVM has no s3 connector; on a real cluster the s3 root scans too)
+    lh = Lakehouse(spark, local)
+    got = {r["key"]: r["value"] for r in lh.scan("t0").collect()}
+    assert got == {"a": "a2", "b": "b1", "c": "c1"}
+    early = {
+        r["key"]: r["value"]
+        for r in lh.sql(
+            "SELECT key, value FROM t0 AT ('2024-01-15T00:00:00.000Z')"
+        ).collect()
+    }
+    assert early == {"a": "a1", "b": "b1"}
+    full_report = validate_table(lh, "t0")
+    assert not full_report.errors, full_report.errors
+
+
+def test_emulation_requires_optin(tmp_path, monkeypatch):
+    """Without the env knob, s3:// still resolves through the REAL
+    pyarrow backend — emulation never kicks in silently."""
+    monkeypatch.delenv("BAZOF_FS_EMULATE", raising=False)
+    from pyarrow.fs import LocalFileSystem
+
+    fs, _rel = iofs.split(str(tmp_path))
+    assert isinstance(fs, LocalFileSystem)
+    # an s3 URI must NOT fall back to the local filesystem
+    try:
+        fs2, rel2 = iofs.split("s3://bucket/x")
+    except Exception:
+        return  # backend may refuse outright without credentials: fine
+    assert not isinstance(fs2, LocalFileSystem)

@@ -331,3 +331,51 @@ def test_commit_delta_files_retries_on_conflict(spark, tmp_path):
     }
     assert got == {"a": 1.0, "b": 2.0, "c": 3.0}
     assert fired["n"] == 1  # conflict happened exactly once
+
+
+def test_concurrent_upserts_lose_nothing(spark, tmp_path):
+    """Two writer threads race 6 commits each through upsert_with_retry.
+    The local-FS commit lock (writer._commit_lock) makes the pointer
+    check→flip a real CAS and the O_EXCL delta-name reservation stops
+    same-name clobbering, so EVERY committed delta must survive: all 12
+    keys present, version advanced exactly 12 times, snapshot chain
+    linear, validation clean."""
+    import threading
+
+    from bazof_spark.writer import upsert_with_retry
+
+    lh = _seed_table(spark, str(tmp_path))
+    table_path = f"{tmp_path}/t"
+    n_each = 6
+    errors: list[BaseException] = []
+
+    def writer_thread(tag: str):
+        try:
+            for i in range(n_each):
+                upsert_with_retry(
+                    spark,
+                    table_path,
+                    _df(spark, [(f"{tag}{i}", ts(2024, 2, 1 + i), f"v_{tag}{i}")]),
+                    retries=50,
+                )
+        except BaseException as exc:  # surface in the main thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer_thread, args=(t,)) for t in ("x", "y")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    assert lh.table("t").current_version() == str(1 + 2 * n_each)
+    got = dict(_current(lh))
+    for tag in ("x", "y"):
+        for i in range(n_each):
+            assert got.get(f"{tag}{i}") == f"v_{tag}{i}", (tag, i, got)
+    report = validate_table(lh, "t")
+    assert not report.errors, report.errors
+    # no lock file left behind
+    assert not os.path.exists(os.path.join(table_path, "version.txt.lock"))

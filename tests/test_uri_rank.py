@@ -139,3 +139,91 @@ def test_scale_rank_path_fails_fast_on_unknown_spelling(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="no precedence rank"):
         Lakehouse(spark, REF).scan("financials", as_of=AS_OF).collect()
+
+
+def _author_many_file_table(root: str, n_files: int) -> str:
+    """Author a bazof table whose Current snapshot lists `n_files`
+    ranked delta files under ONE open segment — the financials tree
+    (171 files) extrapolated to realistic compacted-lake counts. Each
+    file carries one unique key plus a shared key 'k0' written with the
+    IDENTICAL event_time everywhere, so k0's winner is decided purely
+    by file precedence (rank 0 = newest delta start, metadata.rs:47-73
+    ordering): exactly the thing the rank attachment must get right."""
+    import datetime as dt
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(root, "many")
+    os.makedirs(tdir)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ts_type = pa.timestamp("ms", tz="UTC")
+    deltas = []
+    for i in range(n_files):
+        start = t0 + dt.timedelta(minutes=i)
+        fname = f"d{i:04d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array(["k0", f"u{i:04d}"], pa.string()),
+                    "event_time": pa.array([t0, start], ts_type),
+                    "value": pa.array([f"v{i}", f"uv{i}"], pa.string()),
+                }
+            ),
+            os.path.join(tdir, fname),
+        )
+        iso = start.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        deltas.append({"file": fname, "start": iso, "end": iso})
+    snap = {
+        "schema": {
+            "columns": [
+                {"name": "value", "data_type": "String", "nullable": False}
+            ]
+        },
+        "segments": [
+            {
+                "id": "all",
+                "start": "2024-01-01T00:00:00.000Z",
+                "delta": deltas,
+            }
+        ],
+    }
+    with open(os.path.join(tdir, "s1.json"), "w") as f:
+        json.dump(snap, f)
+    with open(os.path.join(tdir, "version.txt"), "w") as f:
+        f.write("1")
+    return tdir
+
+
+def test_rank_join_path_at_2000_files(spark, tmp_path):
+    """The scale (broadcast-join) rank path at a realistic file count:
+    2,000 ranked files through the REAL threshold (no monkeypatch —
+    2000 > _RANK_MAP_LITERAL_MAX=512). Correctness: every unique key
+    survives, and the shared key resolves to the rank-0 file (newest
+    delta start) because file precedence beats timestamp. Plan: the
+    rank attach must be ONE broadcast exchange — a shuffle join on
+    2,000 × N rows here would shuffle the whole table at 100 TB."""
+    from bazof_spark.plans.inspect import (
+        _plan_nodes,
+        broadcast_join_count,
+        shuffle_count,
+    )
+
+    n = 2000
+    _author_many_file_table(str(tmp_path), n)
+    df = Lakehouse(spark, str(tmp_path)).scan("many")
+
+    nodes = _plan_nodes(df)
+    assert sum(x == "BroadcastExchange" for x in nodes) == 1, nodes
+    assert broadcast_join_count(df) == 1
+    # one broadcast hash join for the rank + the merge's key agg: the
+    # only data-sized exchange is the groupBy(key)
+    assert shuffle_count(df) <= 1
+
+    rows = {r["key"]: r["value"] for r in df.collect()}
+    assert len(rows) == n + 1
+    # rank 0 = newest start = file n-1 (deltas sort start DESC)
+    assert rows["k0"] == f"v{n - 1}"
+    assert rows["u0000"] == "uv0"
+    assert rows[f"u{n - 1:04d}"] == f"uv{n - 1}"
