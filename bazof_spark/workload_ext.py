@@ -1178,7 +1178,34 @@ def dedup_edit_distance(spark, sf_dir):
     return edit_distance_pairs(docs, max_dist=16, prefix_len=12)
 
 
+def scd2_user_event_type(spark, sf_dir):
+    """SCD2 dimension build (operators/scd.scd2_from_log): per user,
+    compress the event stream into event_type VERSIONS — one row per
+    change, with [valid_from, valid_to) interval micros and an
+    is_current flag. One hash shuffle on user_id; both window passes
+    share its partitioning. event_id breaks same-timestamp ties so the
+    compression is a total order, deterministic across engines."""
+    from bazof_spark.operators.scd import scd2_from_log
+
+    ev = _t("events")(spark, sf_dir)
+    out = scd2_from_log(
+        ev,
+        key_cols="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
 QUERIES_EXT = {
+    "scd2_user_event_type": scd2_user_event_type,
     "lm_unigram_score": lm_unigram_score,
     "lm_bigram_score": lm_bigram_score,
     "dedup_edit_distance": dedup_edit_distance,
@@ -1225,6 +1252,33 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    # SCD2: compress consecutive same-type observations per user (total
+    # order: ts then event_id), then close each version's interval with
+    # the next version's start
+    "scd2_user_event_type": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        versions AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        closed AS (
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS valid_to_us
+            FROM versions
+        )
+        SELECT user_id, event_type, valid_from_us, valid_to_us,
+               valid_to_us IS NULL AS is_current
+        FROM closed
+    """,
     # interpolated bigram LM: p = 0.7*p_bi + (1.0-0.7)*p_uni (the
     # (1.0 - 0.7) expression keeps the IEEE double identical across
     # engines); unseen context or first token -> pure add-1 unigram

@@ -653,3 +653,80 @@ def test_gapfill_explicit_bounds_seed_locf_from_before_window(spark):
     assert got[10] == (0, 10.0)  # seeded by the pre-window observation
     assert got[11] == (2, 20.0)
     assert got[12] == (0, 20.0)
+
+
+def test_scd2_compresses_and_closes_intervals(spark):
+    """Consecutive same-value observations compress into one version;
+    each version closes at the next version's start; the last is
+    current. Null attribute values compare null-safely (a null→null
+    run is ONE version, not many)."""
+    from datetime import datetime
+
+    from bazof_spark.operators.scd import scd2_from_log
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # key a: x, x (compressed), y, x — 3 versions
+        ("a", t(1), 1, "x"),
+        ("a", t(2), 2, "x"),
+        ("a", t(3), 3, "y"),
+        ("a", t(4), 4, "x"),
+        # key b: null, null (compressed), z — 2 versions
+        ("b", t(1), 5, None),
+        ("b", t(2), 6, None),
+        ("b", t(3), 7, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, attr string")
+    out = scd2_from_log(df, "k", "ts", ["attr"], tiebreak_cols=["eid"]).collect()
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"].hour,
+             r["valid_to"].hour if r["valid_to"] else None, r["is_current"])
+            for r in out
+        ),
+        key=lambda t: tuple((x is None, 0 if x is None else x) for x in t),
+    )
+    assert got == [
+        ("a", "x", 1, 3, False),
+        ("a", "x", 4, None, True),
+        ("a", "y", 3, 4, False),
+        ("b", "z", 3, None, True),  # None attr sorts last per position
+        ("b", None, 1, 3, False),
+    ]
+
+
+def test_scd2_same_ts_tiebreak_and_validation(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from bazof_spark.operators.scd import scd2_from_log
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 2, "late"), ("a", t0, 1, "early")],
+        "k string, ts timestamp, eid int, attr string",
+    )
+    out = scd2_from_log(df, "k", "ts", ["attr"], tiebreak_cols=["eid"]).collect()
+    cur = [r for r in out if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["attr"] == "late"
+    with _pytest.raises(ValueError, match="attr_cols"):
+        scd2_from_log(df, "k", "ts", [])
+
+
+def test_scd2_single_exchange(spark):
+    """Both window passes share the key partitioning: exactly one
+    shuffle in the plan (the 100 TB cost model in the docstring)."""
+    from datetime import datetime
+
+    from bazof_spark.operators.scd import scd2_from_log
+    from bazof_spark.plans.inspect import shuffle_count
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, h), h, "x") for h in range(1, 5)],
+        "k string, ts timestamp, eid int, attr string",
+    )
+    out = scd2_from_log(df, "k", "ts", ["attr"], tiebreak_cols=["eid"])
+    assert shuffle_count(out) <= 1
