@@ -578,9 +578,14 @@ class Lakehouse:
             write_table(df, self.root, dml.table, mode="overwrite")
             op = "create"
         else:
+            # insert and merge share the append path: in this format an
+            # appended delta IS a merge-by-key — the new version shadows
+            # the older one per key at read time (lakehouse.rs:40-79),
+            # which is exactly WHEN MATCHED UPDATE / NOT MATCHED INSERT
             if not self.has_table(dml.table):
                 raise BazofError(
-                    f"cannot INSERT INTO missing table {dml.table!r}"
+                    f"cannot {dml.kind.upper()} into missing table "
+                    f"{dml.table!r}"
                 )
             # SQL INSERT is positional: when the select's column names
             # are not the table's (e.g. bare literals), align by
@@ -593,7 +598,7 @@ class Lakehouse:
             ):
                 df = df.toDF(*expected)
             write_table(df, self.root, dml.table, mode="append")
-            op = "insert"
+            op = dml.kind
         if self.spark.catalog.tableExists(dml.table):
             self.scan(dml.table).createOrReplaceTempView(dml.table)
         version = self.table(dml.table).current_version()

@@ -261,11 +261,26 @@ _INSERT_RE = re.compile(
     rf"^INSERT\s+INTO\s+(?P<name>{_IDENT})\s+(?P<select>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-
+# MERGE INTO t USING <source query> [ON/WHEN canonical suffix]. The
+# format's append-delta IS merge-by-key (a newer version shadows the
+# older one per key at read time, crates/azof/src/lakehouse.rs:40-79),
+# so the only merge the format can express is the full-row
+# upsert-by-key — the optional ON/WHEN suffix is validated against
+# exactly that canonical shape and anything else is a clear error, not
+# silently different semantics.
+_MERGE_RE = re.compile(
+    rf"^MERGE\s+INTO\s+(?P<name>{_IDENT})\s+USING\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CANONICAL_SUFFIX_RE = re.compile(
+    r"\s+ON\s+key\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 @dataclass(frozen=True)
 class DmlStatement:
-    kind: str  # "ctas" | "insert"
+    kind: str  # "ctas" | "insert" | "merge"
     table: str
     replace: bool
     select: str
@@ -311,6 +326,35 @@ def parse_dml(sql: str) -> DmlStatement | None:
             table=m.group("name"),
             replace=False,
             select=m.group("select"),
+        )
+    m = _MERGE_RE.match(head)
+    if m:
+        select = m.group("select")
+        spans = _string_spans(select)
+        canon = _MERGE_CANONICAL_SUFFIX_RE.search(select)
+        if canon is not None and not _inside(canon.start(), spans):
+            select = select[: canon.start()]
+        else:
+            # a WHEN [NOT] MATCHED clause that is NOT the canonical
+            # full-row upsert must error, never silently run with
+            # different semantics ("ON key" alone is left to the source
+            # query — it is a legal join condition there)
+            for cand in re.finditer(
+                r"\bWHEN\s+(NOT\s+)?MATCHED\b", select, re.IGNORECASE
+            ):
+                if not _inside(cand.start(), spans):
+                    raise SqlRewriteError(
+                        "MERGE INTO supports only the format's native "
+                        "full-row upsert-by-key; the optional clause "
+                        "must be exactly 'ON key WHEN MATCHED THEN "
+                        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *', "
+                        f"got: {select[cand.start():].strip()!r}"
+                    )
+        return DmlStatement(
+            kind="merge",
+            table=m.group("name"),
+            replace=False,
+            select=select,
         )
     return None
 

@@ -144,3 +144,72 @@ def test_show_and_describe_statements(spark, lh):
     assert vers == {"1": False, "2": True}
     # SHOW/DESCRIBE text inside a string is a plain query, not a statement
     assert lh.sql("SELECT 'SHOW TABLES' AS s").collect()[0]["s"] == "SHOW TABLES"
+
+
+def test_parse_merge_detection():
+    from bazof_spark.sql import SqlRewriteError
+
+    d = parse_dml("MERGE INTO t USING SELECT * FROM s")
+    assert d.kind == "merge" and d.table == "t"
+    assert d.select.strip() == "SELECT * FROM s"
+    # the canonical Delta-style clause is accepted and stripped
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s "
+        "ON key WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge" and d.select.strip() == "SELECT * FROM s"
+    # a JOIN ... ON key inside the source is NOT mistaken for the clause
+    d = parse_dml("MERGE INTO t USING SELECT * FROM a JOIN b ON key = b.k")
+    assert d.select.strip() == "SELECT * FROM a JOIN b ON key = b.k"
+    # any non-canonical WHEN MATCHED semantics must error, not drift
+    with pytest.raises(SqlRewriteError, match="full-row upsert-by-key"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s "
+            "ON key WHEN MATCHED THEN DELETE"
+        )
+    # ...but WHEN MATCHED inside a string literal is data, not a clause
+    d = parse_dml("MERGE INTO t USING SELECT 'WHEN MATCHED THEN DELETE' AS x")
+    assert d.kind == "merge"
+
+
+def test_merge_into_upserts_by_key(spark, lh):
+    lh.sql(
+        """
+        CREATE TABLE m AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id * 10 AS DOUBLE) AS value
+          FROM range(3)
+        """
+    )
+    res = lh.sql(
+        """
+        MERGE INTO m USING
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-02-01 00:00:00' AS event_time,
+               CAST(id * 100 AS DOUBLE) AS value
+          FROM range(2, 5)
+        ON key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        """
+    ).collect()
+    assert res[0]["operation"] == "merge" and res[0]["version"] == "2"
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM m").collect()
+    }
+    # key 2 matched → updated; keys 3-4 not matched → inserted
+    assert got == {"0": 0.0, "1": 10.0, "2": 200.0, "3": 300.0, "4": 400.0}
+    # pre-merge state remains time-travelable
+    old = {
+        r["key"]: r["value"]
+        for r in lh.sql(
+            "SELECT key, value FROM m AT ('2024-01-15T00:00:00.000Z')"
+        ).collect()
+    }
+    assert old == {"0": 0.0, "1": 10.0, "2": 20.0}
+
+
+def test_merge_into_missing_table_fails(spark, lh):
+    with pytest.raises(BazofError, match="MERGE"):
+        lh.sql("MERGE INTO nope USING SELECT 1")
