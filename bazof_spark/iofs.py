@@ -118,6 +118,20 @@ def listdir(path: str) -> list[str]:
     return [info.base_name for info in filesystem.get_file_info(sel)]
 
 
+def listdir_info(path: str) -> list[tuple[str, bool]]:
+    """(base name, is_directory) for entries directly under ``path``.
+    On object stores a "directory" is a key prefix; pyarrow reports it
+    as FileType.Directory either way."""
+    from pyarrow import fs as pafs
+
+    filesystem, rel = _split(path)
+    sel = pafs.FileSelector(rel, recursive=False)
+    return [
+        (info.base_name, info.type == pafs.FileType.Directory)
+        for info in filesystem.get_file_info(sel)
+    ]
+
+
 def makedirs(path: str) -> None:
     filesystem, rel = _split(path)
     filesystem.create_dir(rel, recursive=True)

@@ -160,14 +160,11 @@ def checkpoint_table(
     new_snapshot = Snapshot(segments=segments + (new_seg,), schema=snapshot.schema)
 
     next_version = str(int(version) + 1)
-    with open(
-        os.path.join(table.path, f"s{next_version}.json"), "w", encoding="utf-8"
-    ) as f:
-        f.write(new_snapshot.serialize())
-    with open(
-        os.path.join(table.path, VERSION_FILE), "w", encoding="utf-8"
-    ) as f:
-        f.write(next_version)
+    # iofs routing: works identically on local and object-store roots
+    iofs.write_text(
+        iofs.join(table.path, f"s{next_version}.json"), new_snapshot.serialize()
+    )
+    iofs.replace_text(iofs.join(table.path, VERSION_FILE), next_version)
     return new_snapshot
 
 
@@ -298,8 +295,6 @@ def evolve_table_schema(
     add = add or []
     drop = drop or []
     table = lakehouse.table(table_name)
-    if "://" in table.path:
-        raise BazofError("evolve_table_schema supports local tables only")
     version = table.current_version()
     snapshot = table.get_current_snapshot()
 
@@ -325,14 +320,11 @@ def evolve_table_schema(
         segments=snapshot.segments, schema=TableSchema(new_columns)
     )
     next_version = str(int(version) + 1)
-    with open(
-        os.path.join(table.path, f"s{next_version}.json"), "w", encoding="utf-8"
-    ) as f:
-        f.write(new_snapshot.serialize())
-    with open(
-        os.path.join(table.path, VERSION_FILE), "w", encoding="utf-8"
-    ) as f:
-        f.write(next_version)
+    # iofs routing: works identically on local and object-store roots
+    iofs.write_text(
+        iofs.join(table.path, f"s{next_version}.json"), new_snapshot.serialize()
+    )
+    iofs.replace_text(iofs.join(table.path, VERSION_FILE), next_version)
     return new_snapshot
 
 
@@ -562,13 +554,11 @@ def restore_table(lakehouse, table_name: str, version: str | int) -> Snapshot:
     Time/as-of travel within the restored snapshot is unaffected.
     """
     table = lakehouse.table(table_name)
-    if "://" in table.path:
-        raise BazofError("restore_table supports local tables only")
     snapshot = table.get_snapshot(str(version))  # must exist + deserialize
     missing = [
         f
         for f in _referenced_files(snapshot)
-        if not os.path.exists(os.path.join(table.path, f))
+        if not iofs.exists(iofs.join(table.path, f))
     ]
     if missing:
         raise BazofError(
@@ -576,14 +566,11 @@ def restore_table(lakehouse, table_name: str, version: str | int) -> Snapshot:
             f"data file(s) no longer exist (vacuumed?): {missing[:3]}"
         )
     next_version = str(max(_numeric_versions(table.path)) + 1)
-    with open(
-        os.path.join(table.path, f"s{next_version}.json"), "w", encoding="utf-8"
-    ) as f:
-        f.write(snapshot.serialize())
-    with open(
-        os.path.join(table.path, VERSION_FILE), "w", encoding="utf-8"
-    ) as f:
-        f.write(next_version)
+    iofs.write_text(
+        iofs.join(table.path, f"s{next_version}.json"), snapshot.serialize()
+    )
+    # atomic pointer flip locally; single PUT on object stores
+    iofs.replace_text(iofs.join(table.path, VERSION_FILE), next_version)
     return snapshot
 
 
@@ -612,8 +599,6 @@ def vacuum_table(
     if keep_versions < 1:
         raise BazofError("keep_versions must be >= 1")
     table = lakehouse.table(table_name)
-    if "://" in table.path:
-        raise BazofError("vacuum_table supports local tables only")
     current = int(table.current_version())
     versions = _numeric_versions(table.path)
     if current not in versions:
@@ -630,27 +615,27 @@ def vacuum_table(
     removed_files: list[str] = []
     removed_snapshots: list[str] = []
     removed_dirs: list[str] = []
-    for f in sorted(os.listdir(table.path)):
-        full = os.path.join(table.path, f)
-        if os.path.isdir(full):
+    # iofs listing/deletes: vacuum works unchanged on object-store URIs
+    # (a "directory" there is a key prefix; pyarrow maps both)
+    for f, is_dir in sorted(iofs.listdir_info(table.path)):
+        full = iofs.join(table.path, f)
+        if is_dir:
             if f.startswith("_") and f.endswith("_job"):
                 removed_dirs.append(f)
                 if not dry_run:
-                    import shutil
-
-                    shutil.rmtree(full)
+                    iofs.delete_dir(full)
             continue
         m = _SNAPSHOT_RE.match(f)
         if m:
             if int(m.group(1)) not in retained:
                 removed_snapshots.append(f)
                 if not dry_run:
-                    os.remove(full)
+                    iofs.delete(full)
             continue
         if f.endswith(".parquet") and f not in referenced:
             removed_files.append(f)
             if not dry_run:
-                os.remove(full)
+                iofs.delete(full)
     return {
         "removed_files": removed_files,
         "removed_snapshots": removed_snapshots,

@@ -129,3 +129,54 @@ def test_emulation_requires_optin(tmp_path, monkeypatch):
     except Exception:
         return  # backend may refuse outright without credentials: fine
     assert not isinstance(fs2, LocalFileSystem)
+
+
+def test_maintenance_on_s3_scheme(spark, s3_root):
+    """restore / vacuum / evolve_table_schema now run on URI roots
+    through iofs (they previously refused any '://' path). The full
+    lifecycle executes on the s3 spelling: upsert → restore to v1 →
+    vacuum the abandoned branch → evolve the schema."""
+    from bazof_spark.maintenance import (
+        evolve_table_schema,
+        restore_table,
+        vacuum_table,
+    )
+    from bazof_spark.schema import ColumnDef, ColumnType
+
+    uri, local = s3_root
+    table_uri = iofs.join(uri, "t1")
+    w = TableWriter(
+        spark,
+        table_uri,
+        TableSchema(
+            columns=(
+                ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+            )
+        ),
+    )
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w.add_segment("s1", start=t0, base_df=_batch(spark, [("a", t0, "a1")]))
+    w.commit("1")
+    t1 = dt.datetime(2024, 2, 1, tzinfo=UTC)
+    append_delta(spark, table_uri, _batch(spark, [("a", t1, "a2")]))
+
+    s3_lh = Lakehouse(spark, uri)
+    restore_table(s3_lh, "t1", 1)  # re-publishes v1's content as v3
+    assert iofs.read_text(iofs.join(table_uri, "version.txt")) == "3"
+
+    # the restored branch abandoned s2's delta: vacuum collects it
+    res = vacuum_table(s3_lh, "t1", keep_versions=1)
+    assert res["removed_snapshots"], res
+    assert any(f.endswith(".parquet") for f in res["removed_files"]), res
+
+    evolve_table_schema(
+        s3_lh,
+        "t1",
+        add=[ColumnDef(name="note", data_type=ColumnType.STRING, nullable=True)],
+    )
+    assert iofs.read_text(iofs.join(table_uri, "version.txt")) == "4"
+
+    # scan the surviving state through the local mirror
+    lh = Lakehouse(spark, local)
+    rows = lh.scan("t1").collect()
+    assert [(r["key"], r["value"], r["note"]) for r in rows] == [("a", "a1", None)]
