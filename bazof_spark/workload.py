@@ -682,31 +682,24 @@ def q14_promo_effect(spark, sf_dir):
 
 
 def agg_rollup_lineitem(spark, sf_dir):
-    """ROLLUP semantics computed from partials. Spark's built-in
-    `rollup()` Expands every input row once per grouping set (3× the
-    map-side rows here) BEFORE the partial aggregate; deriving the
-    subtotal and grand-total levels from the finest-level aggregate
-    instead aggregates the fact table once and re-aggregates a
-    handful of groups — ~2× faster at sf0.1 and the gap widens with
-    data volume and grouping-set count. Decimal sums make the
-    re-aggregation exact (sums of sums == sum)."""
+    """ROLLUP semantics computed from partials
+    (operators/agg.rollup_from_partials): the fact table is scanned
+    and shuffled ONCE into the finest aggregate; native rollup then
+    Expands only that handful of base rows — vs built-in rollup on the
+    fact table, which Expands every input row once per grouping set
+    (3× the map-side rows here). Single plan, no cache. Decimal sums
+    make the re-aggregation exact (sums of sums == sum)."""
+    from bazof_spark.operators.agg import rollup_from_partials
+
     li = _t("lineitem")(spark, sf_dir)
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).alias("_q"),
-        F.count(F.lit(1)).alias("n_rows"),
+    out = rollup_from_partials(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        measures={
+            "_q": (F.sum(_dec("l_quantity")), "sum"),
+            "n_rows": (F.count(F.lit(1)), "sum"),
+        },
     )
-    sub = (
-        base.groupBy("l_returnflag")
-        .agg(F.sum("_q").alias("_q"), F.sum("n_rows").alias("n_rows"))
-        .withColumn("l_linestatus", F.lit(None).cast("string"))
-    )
-    grand = (
-        base.agg(F.sum("_q").alias("_q"), F.sum("n_rows").alias("n_rows"))
-        .withColumn("l_returnflag", F.lit(None).cast("string"))
-        .withColumn("l_linestatus", F.lit(None).cast("string"))
-    )
-    cols = ["l_returnflag", "l_linestatus", "_q", "n_rows"]
-    out = base.select(cols).union(sub.select(cols)).union(grand.select(cols))
     return out.select(
         "l_returnflag",
         "l_linestatus",

@@ -229,13 +229,17 @@ def test_corpus_quality_queries_bounded(spark):
 
 
 def test_round2_queries_bounded(spark):
-    """BM25 is array-native: rebalance + one single-row stats exchange
-    + final top-k, never a (doc, token) shuffle; repetition is map-only
-    after the rebalance; the rollup pays one tail aggregate + one merge
-    aggregate; the salted join broadcasts the dim (its only exchange is
-    the final group-by) and prunes orders to its two columns."""
+    """BM25 is array-native AND literal-injected (round 4): corpus
+    stats are collected as one bounded row and inlined, so the returned
+    plan is a single map-only scan + top-k — at most the rebalance
+    exchange, no crossJoin, no broadcast, no cache. Repetition is
+    map-only after the rebalance; the rollup pays one tail aggregate +
+    one merge aggregate; the salted join broadcasts the dim (its only
+    exchange is the final group-by) and prunes orders to its two
+    columns."""
     df = q("bm25_search", spark)
-    assert shuffle_count(df) <= 3
+    assert shuffle_count(df) <= 1
+    assert broadcast_join_count(df) == 0
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}
 
@@ -262,13 +266,21 @@ def test_round2_queries_bounded(spark):
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}
 
-    # cube-from-partials: ONE fact shuffle + tiny re-aggregates (the
-    # union of 4 grouping sets adds per-level exchanges of ≤15 rows;
-    # whether the cached base's exchange is counted depends on
-    # materialization state, hence ≤5)
+    # cube/rollup-from-partials (round 4: native cube/rollup ON the
+    # base inside one plan): ONE fact scan, ONE fact shuffle into the
+    # finest aggregate, then the Expand replicates only base rows and
+    # one more exchange re-aggregates them — 2 exchanges total, no
+    # cache, no repeated scans (the previous union-of-levels shape was
+    # ≤5 exchanges over a persisted base)
     df = q("agg_cube_orders", spark)
     assert scan_columns(df) == [{"o_orderstatus", "o_orderpriority", "o_totalprice"}]
-    assert shuffle_count(df) <= 5
+    assert shuffle_count(df) <= 2
+
+    df = q("agg_rollup_lineitem", spark)
+    assert scan_columns(df) == [
+        {"l_returnflag", "l_linestatus", "l_quantity"}
+    ]  # ONE scan — the union encoding read lineitem three times
+    assert shuffle_count(df) <= 2
 
 
 def test_round3_semdedup_and_mixture_bounded(spark):
