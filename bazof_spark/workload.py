@@ -1327,6 +1327,48 @@ def embedding_cosine_topk_q(spark, sf_dir):
     )
 
 
+def knn_label_vote_q(spark, sf_dir):
+    """kNN majority-vote label evaluation — the standard harness for
+    judging embedding quality against ground-truth labels: exact cosine
+    top-10 per query (self excluded), neighbors vote with their label,
+    majority wins (ties → smaller label), compared to the query's own
+    label. Plan: the brute-force top-k broadcasts the 50-query slice
+    over a map-only corpus scan; the candidate set (50×10 rows) is then
+    BROADCAST into the label join, so the corpus-sized relation never
+    shuffles — the same discipline at 100 TB, where the corpus scan is
+    the only data-sized work."""
+    emb = _t("embeddings")(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 50).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    nn = cosine_topk_bruteforce(emb, q, k=10)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = lab.join(
+        F.broadcast(nn.select("query_id", "neighbor_id")), "neighbor_id"
+    )
+    tally = votes.groupBy("query_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    pred = tally.groupBy("query_id").agg(
+        F.max_by(
+            F.struct(F.col("n_label").alias("l"), F.col("votes").alias("v")),
+            F.struct(F.col("votes"), -F.col("n_label")),
+        ).alias("_w")
+    )
+    truth = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("_w.l").alias("pred_label"),
+        F.col("_w.v").alias("votes"),
+        "true_label",
+        (F.col("_w.l") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
 def embedding_quantize_q(spark, sf_dir):
     """Symmetric int8 vector quantization (operators/similarity.
     quantize_int8): per-vector scale + codes, summarized as exact
@@ -1968,6 +2010,39 @@ _PIPELINE_ORACLES = {
                CAST(rn AS INT) AS rank, round(sim, 6) AS cosine_sim
         FROM r WHERE rn <= 5
     """,
+    "knn_label_vote": """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS true_label
+            FROM embeddings WHERE vec_id < 50
+        ),
+        c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label
+            FROM embeddings
+        ),
+        s AS (
+            SELECT qid, cid, label, list_cosine_similarity(qv, cv) AS sim
+            FROM q, c WHERE qid != cid
+        ),
+        r AS (
+            SELECT qid, label, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        ),
+        v AS (
+            SELECT qid, label, count(*) AS votes
+            FROM r WHERE rn <= 10 GROUP BY qid, label
+        ),
+        p AS (
+            SELECT qid, label, votes, row_number() OVER (
+                PARTITION BY qid ORDER BY votes DESC, label
+            ) AS pr FROM v
+        )
+        SELECT p.qid AS query_id, p.label AS pred_label, p.votes,
+               q.true_label,
+               CAST(p.label = q.true_label AS INT) AS correct
+        FROM p JOIN q ON p.qid = q.qid WHERE pr = 1
+    """,
     "embedding_neardup": """
         SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2449,6 +2524,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_language_id": text_language_id_q,
     "doc_fingerprint": doc_fingerprint_q,
     "embedding_cosine_topk": embedding_cosine_topk_q,
+    "knn_label_vote": knn_label_vote_q,
     "embedding_neardup": embedding_neardup_q,
     "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
