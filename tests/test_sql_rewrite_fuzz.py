@@ -139,3 +139,31 @@ def test_unterminated_string_protects_rest_of_text():
     # the opening quote swallows to the next quote; the tail after it is
     # NOT a valid clause match ('{TS}' is not an identifier position)
     assert "f__" not in out
+
+
+def test_merge_keywords_inside_strings_and_comments():
+    from bazof_spark.sql import parse_dml
+
+    # MERGE INTO inside a string is data, not DML
+    assert parse_dml("SELECT 'MERGE INTO t USING x' AS doc") is None
+    # ...and inside a leading comment the real statement still parses
+    d = parse_dml("/* MERGE INTO other USING y */ MERGE INTO t USING SELECT 1")
+    assert d is not None and d.kind == "merge" and d.table == "t"
+    # time-travel inside a MERGE source query still rewrites
+    d = parse_dml(
+        f"MERGE INTO t USING SELECT key, event_time, value "
+        f"FROM src AT ('{TS}')"
+    )
+    assert d.kind == "merge"
+    out, tables = rewrite_and_extract_tables(d.select)
+    assert f"src__{MS}" in out
+    # canonical-clause text inside a string survives as data even when
+    # a REAL canonical clause follows it
+    d = parse_dml(
+        "MERGE INTO t USING SELECT 'ON key WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *' AS doc FROM s "
+        "ON key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge" and "AS doc FROM s" in d.select
+    assert "WHEN MATCHED" in d.select  # the string literal stays
+    assert not d.select.rstrip().upper().endswith("INSERT *")  # clause gone
