@@ -45,6 +45,65 @@ def _hash_pair(value: Column) -> tuple[Column, Column]:
     return h1, h2
 
 
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group KMV sketch STATE: ``group_cols + (n_rows, _m0.._m{k-1})``
+    — a plain relation you can WRITE OUT (e.g. one sketch row per
+    table/day) and later re-aggregate with :func:`kmv_merge`. Because
+    min-of-mins over any regrouping equals the min over the union of
+    the raw rows, a merged sketch is BIT-IDENTICAL to the sketch
+    computed directly on the union — the re-aggregability that makes
+    incremental distinct counts possible at 100 TB (compute per
+    partition/day once, merge forever, never rescan history)."""
+    h1, h2 = _hash_pair(F.col(value_col))
+    hashed = df.select(
+        *group_cols,
+        *[
+            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(f"_h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)],
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Re-aggregate sketch states to coarser groups: sum of row counts,
+    min of each minimum. The exchange carries k longs + a count per
+    group per partition — sketch-sized, never data-sized."""
+    return sketches.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)],
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 32) -> DataFrame:
+    """Distinct-count estimate from a sketch state (map-only).
+    Output: group_cols + (n_rows, kmv_k, distinct_est)."""
+    # fixed-order left-to-right double fold so the oracle's explicit
+    # (m0/H + m1/H + ...) sum reproduces the same IEEE result
+    total = F.lit(0.0)
+    for i in range(k):
+        total = total + F.col(f"_m{i}") / F.lit(float(KMV_HASH_SPACE))
+    est = F.lit(float(k)) / total - F.lit(1.0)
+    return sketch.select(
+        *group_cols,
+        "n_rows",
+        F.lit(k).alias("kmv_k"),
+        F.round(est, 6).alias("distinct_est"),
+    )
+
+
 def kmv_distinct_estimate(
     df: DataFrame,
     group_cols: list[str],
@@ -55,31 +114,8 @@ def kmv_distinct_estimate(
 
     Output: group_cols + (n_rows, kmv_k, distinct_est). One shuffle;
     the partial carries k longs + a count per group per partition.
-    """
-    h1, h2 = _hash_pair(F.col(value_col))
-    hashed = df.select(
-        *group_cols,
-        *[
-            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(f"_h{i}")
-            for i in range(k)
-        ],
-    )
-    per_group = hashed.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)],
-    )
-    # fixed-order left-to-right double fold so the oracle's explicit
-    # (m0/H + m1/H + ...) sum reproduces the same IEEE result
-    total = F.lit(0.0)
-    for i in range(k):
-        total = total + F.col(f"_m{i}") / F.lit(float(KMV_HASH_SPACE))
-    est = F.lit(float(k)) / total - F.lit(1.0)
-    return per_group.select(
-        *group_cols,
-        "n_rows",
-        F.lit(k).alias("kmv_k"),
-        F.round(est, 6).alias("distinct_est"),
-    )
+    Composition of :func:`kmv_sketch` → :func:`kmv_estimate`."""
+    return kmv_estimate(kmv_sketch(df, group_cols, value_col, k), group_cols, k)
 
 
 def histogram_quantile(

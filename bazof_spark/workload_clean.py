@@ -153,6 +153,38 @@ _SKETCH_ORACLE = kmv_oracle_sql(
 )
 
 
+def sketch_kmv_mergeable_q(spark, sf_dir):
+    """Sketch RE-AGGREGABILITY end-to-end: build one KMV sketch per
+    (event_type, day) — the shape you'd persist daily at 100 TB — then
+    MERGE the daily states per event_type and estimate. Because
+    min-of-mins equals min-over-union, the merged estimate is
+    bit-identical to computing directly on all rows, which is exactly
+    what the oracle does: the comparison PROVES the merge loses
+    nothing. Both aggregations carry k longs per group per partition;
+    history is never rescanned."""
+    from bazof_spark.functions.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    from bazof_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("user", F.col("user_id").cast("string"))
+        .withColumn("_day", F.to_date("ts"))
+    )
+    daily = kmv_sketch(ev, ["event_type", "_day"], "user", k=32)
+    merged = kmv_merge(daily, ["event_type"], k=32)
+    return kmv_estimate(merged, ["event_type"], k=32)
+
+
+# the oracle computes the estimate DIRECTLY over all rows — equality
+# with the Spark side's daily-sketch→merge path is the merge proof
+_SKETCH_MERGE_ORACLE = kmv_oracle_sql(
+    "(SELECT event_type, CAST(user_id AS VARCHAR) AS user_ FROM events)",
+    ["event_type"],
+    "user_",
+    k=32,
+)
+
+
 _HIST_ARGS = dict(
     group_cols=["l_returnflag"],
     value_col="l_extendedprice",
@@ -179,6 +211,7 @@ QUERIES_CLEAN = {
     "text_repetition": text_repetition_q,
     "pii_redaction": pii_redaction_q,
     "sketch_distinct_kmv": sketch_distinct_kmv_q,
+    "sketch_kmv_mergeable": sketch_kmv_mergeable_q,
     "sketch_histogram_quantile": sketch_histogram_quantile_q,
 }
 
@@ -186,6 +219,7 @@ ORACLES_CLEAN = {
     "text_repetition": _TEXT_REPETITION_ORACLE,
     "pii_redaction": _pii_oracle(),
     "sketch_distinct_kmv": _SKETCH_ORACLE,
+    "sketch_kmv_mergeable": _SKETCH_MERGE_ORACLE,
     "sketch_histogram_quantile": histogram_quantile_oracle_sql(
         "lineitem", **_HIST_ARGS
     ),
