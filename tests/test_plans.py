@@ -334,3 +334,30 @@ def test_funnel_and_retention_shuffle_on_user_only(spark):
     for name, bound in [("events_funnel", 8), ("events_retention_cohorts", 5)]:
         df = q(name, spark)
         assert shuffle_count(df) <= bound, name
+
+
+def test_round4_queries_bounded(spark):
+    """Round-4 additions: the kNN vote's exchanges carry candidate/vote
+    rows (≤ queries×k), its corpus relation only ever crossJoins a
+    broadcast query slice and joins a broadcast candidate set; the
+    mergeable-sketch query pays exactly two sketch-sized aggregations
+    (daily build + merge — the estimate is a map-only read-out); SCD2's
+    two window passes share ONE key exchange (also pinned at the
+    operator level in test_operators)."""
+    df = q("knn_label_vote", spark)
+    assert shuffle_count(df) <= 3
+    assert broadcast_join_count(df) >= 2
+    for cols in scan_columns(df):
+        assert cols <= {"vec_id", "embedding", "label"}
+
+    df = q("sketch_kmv_mergeable", spark)
+    assert shuffle_count(df) <= 2
+    assert scan_columns(df) == [{"event_type", "user_id", "ts"}]
+
+    df = q("scd2_user_event_type", spark)
+    assert shuffle_count(df) <= 1
+    assert scan_columns(df) == [{"event_type", "user_id", "ts", "event_id"}]
+
+    df = q("time_travel_changes_sql", spark)
+    assert shuffle_count(df) <= 3
+    assert broadcast_join_count(df) >= 1
