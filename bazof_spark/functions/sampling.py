@@ -179,3 +179,54 @@ def deterministic_sample(
         raise ValueError("rate must be in (0, 1]")
     keep = int(rate * _MOD_FINE)
     return df.filter(hash_bucket(F.col(id_col), _MOD_FINE, salt) < keep)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis exponential-key scheme made deterministic:
+    each row draws u = (h+1)/(H+1) from its identity hash (never 0/1),
+    gets key = -ln(u)/w ~ Exp(w), and the k SMALLEST keys per group win
+    — inclusion probability proportional to weight, stable across
+    runs/engines/appends like every sampler in this module (a kept row
+    can only be displaced by a new heavier/luckier row, never by
+    re-randomization).
+
+    Plan: the key is a map-only projection (one md5, one ln); selection
+    is one rank window per group — a single hash shuffle whose rows
+    carry (group, key, id). Rows with NULL or non-positive weight are
+    excluded (they have no sampling mass). Output: input columns +
+    ``sample_rank`` (1..k by ascending key).
+
+    100 TB note: for group counts ≫ k use the two-pass variant — a
+    per-partition top-k partial (Algorithm A-ES is mergeable: keep the
+    k smallest keys of any union) before the global window — same
+    contract as the KMV sketch's bounded partials; this one-window form
+    is the readable reference implementation and is already map-side
+    bounded by Spark's WindowGroupLimit pushdown for rank <= k.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

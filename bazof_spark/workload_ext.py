@@ -617,6 +617,21 @@ def stratified_sample_by_lang(spark, sf_dir):
     return stratified_sample(docs, "lang", _STRATA_RATES)
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement
+    (functions/sampling.weighted_sample_per_group): 5 documents per
+    language with inclusion probability proportional to length
+    (n_chars) — the Efraimidis–Spirakis exponential-key scheme on a
+    deterministic identity hash, so runs/engines/appends agree. One
+    rank-window exchange carrying (lang, key, id)."""
+    from bazof_spark.functions.sampling import weighted_sample_per_group
+
+    docs = _t("documents")(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(
+        docs, ["lang"], "n_chars", k=5, id_col="doc_id", salt="ws1"
+    ).select("lang", "doc_id", "n_chars", "sample_rank")
+
+
 def quality_select_per_lang(spark, sf_dir):
     """Quality-quantile selection — the FILTERING step that completes
     the quality-scoring story: keep the top half of documents per
@@ -1247,11 +1262,34 @@ QUERIES_EXT = {
     "doc_chunking": doc_chunking,
     "agg_cube_orders": agg_cube_orders,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "weighted_sample_docs": weighted_sample_docs,
     "quality_select_per_lang": quality_select_per_lang,
     "embedding_matryoshka_topk": embedding_matryoshka_topk,
 }
 
 ORACLES_EXT = {
+    # Efraimidis–Spirakis weighted sampling: key = -ln(u)/w with u
+    # derived from the identity hash; k smallest keys per group win.
+    # 1152921504606846977 = 2^60 + 1 (the double literal rounds to 2^60
+    # in BOTH engines, keeping the IEEE arithmetic identical).
+    "weighted_sample_docs": """
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars,
+                   -ln((CAST('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR) || 'ws1'), 1, 15)
+                        AS BIGINT) + 1.0) / 1152921504606846977.0)
+                       / n_chars AS _key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        r AS (
+            SELECT lang, doc_id, n_chars, row_number() OVER (
+                PARTITION BY lang ORDER BY _key, doc_id
+            ) AS sample_rank FROM keyed
+        )
+        SELECT lang, doc_id, n_chars, CAST(sample_rank AS INT) AS sample_rank
+        FROM r WHERE sample_rank <= 5
+    """,
     # SCD2: compress consecutive same-type observations per user (total
     # order: ts then event_id), then close each version's interval with
     # the next version's start
