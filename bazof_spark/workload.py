@@ -1449,6 +1449,37 @@ def ann_recall_lsh_q(spark, sf_dir):
     )
 
 
+def ann_recall_ivf_q(spark, sf_dir):
+    """ANN evaluation, second index family: recall@5 of the IVF index
+    (fixed-slice quantizer, n_probe=4 of 16 lists) against the exact
+    brute-force top-5 — the companion measurement to ann_recall_lsh, so
+    the eval harness covers BOTH standard ANN scale paths. Same
+    composed-oracle structure: each ranking's existing oracle text is a
+    CTE, recall is their join."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = embedding_ann_ivf_q(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return per_q.join(matched, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
 def embedding_ann_ivf_q(spark, sf_dir):
     """IVF ANN with a deterministic quantizer: centroids are the (unit-
     normalized) embeddings of vec_id 0..15 — a fixed corpus slice instead
@@ -2374,6 +2405,25 @@ _PIPELINE_ORACLES["ann_recall_lsh"] = f"""
       FROM ex LEFT JOIN m USING (query_id)
 """
 
+# same composition for the IVF index — the two standard ANN scale
+# paths get symmetrical, cross-engine-verified recall harnesses
+_PIPELINE_ORACLES["ann_recall_ivf"] = f"""
+    WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
+    ann_r AS ({_PIPELINE_ORACLES["embedding_ann_ivf"]}),
+    m AS (
+        SELECT e.query_id, count(*) AS n_matched
+          FROM exact_r e JOIN ann_r a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id
+    ),
+    ex AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY query_id)
+    SELECT ex.query_id,
+           ex.n_exact,
+           coalesce(m.n_matched, 0) AS n_matched,
+           round(coalesce(m.n_matched, 0) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN m USING (query_id)
+"""
+
 
 def _ivf_trained_oracle_sql(
     n_lists: int = 16,
@@ -2529,6 +2579,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
     "ann_recall_lsh": ann_recall_lsh_q,
+    "ann_recall_ivf": ann_recall_ivf_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
     "embedding_ann_ivf_trained": embedding_ann_ivf_trained_q,
     # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
