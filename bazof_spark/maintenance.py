@@ -98,13 +98,23 @@ def checkpoint_table(
     previously-open segments under a closed parent and open a new
     segment whose base file is the merged Current state. Reads are
     preserved bit-identically at every as-of (see module docstring).
-    Returns the committed snapshot. Local-FS tables only (the
-    reference's writer surface is local too)."""
+    Returns the committed snapshot. Needs a Spark-readable table root
+    (local or file:// here; cloud schemes once the runtime ships the
+    connector — metadata and the base write are iofs-routed already)."""
     if at.tzinfo is None:
         at = at.replace(tzinfo=timezone.utc)
     table = lakehouse.table(table_name)
-    if "://" in table.path:
-        raise BazofError("checkpoint_table supports local tables only")
+    from bazof_spark.writer import _as_local_path
+
+    if _as_local_path(table.path) is None:
+        # the merged-state scan runs through Spark: the root must be a
+        # scheme this Spark runtime can read. Metadata + the base-file
+        # write are already iofs-routed; extend this guard to cloud
+        # schemes when the cluster ships the matching Hadoop connector.
+        raise BazofError(
+            "checkpoint_table needs a Spark-readable table root "
+            "(local path or file:// URI in this runtime)"
+        )
     version = table.current_version()
     snapshot = table.get_current_snapshot()
 

@@ -293,3 +293,27 @@ def test_checkpoint_refuses_delta_before_open_segment_start(spark, tmp_path):
         checkpoint_table(
             lh, "t", at=datetime(2024, 6, 1, tzinfo=timezone.utc)
         )
+
+
+def test_checkpoint_on_file_uri_root(spark, tmp_path):
+    """checkpoint_table now accepts file:// roots (the guard is
+    'Spark-readable', not 'no scheme'): reads stay bit-identical and
+    Current collapses to one file, same as on a plain path."""
+    w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
+    seg = w.add_segment(
+        "s1", ts(1), base_df=rows(spark, ("k1", ts(1), "a1"))
+    )
+    seg.add_delta(rows(spark, ("k1", ts(3), "a2")), start=ts(3), end=ts(4))
+    w.commit()
+
+    lh = Lakehouse(spark, "file://" + str(tmp_path))
+    before = snap(lh.scan("t"))
+    checkpoint_table(lh, "t", at=ts(10))
+    table = lh.table("t")
+    assert table.current_version() == "2"
+    assert len(table.get_current_snapshot().get_data_files()) == 1
+    assert snap(lh.scan("t")) == before
+
+    # object-store schemes without a Spark connector still refuse
+    with pytest.raises(BazofError, match="Spark-readable"):
+        checkpoint_table(Lakehouse(spark, "s3://b/x"), "t", at=ts(10))
