@@ -379,3 +379,41 @@ def test_concurrent_upserts_lose_nothing(spark, tmp_path):
     assert not report.errors, report.errors
     # no lock file left behind
     assert not os.path.exists(os.path.join(table_path, "version.txt.lock"))
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A lock file abandoned by a crashed writer must not wedge the
+    table: the first publish attempt conflicts (and breaks the stale
+    lock), the retry loop then commits normally."""
+    import time as _time
+
+    from bazof_spark.writer import upsert_with_retry
+
+    lh = _seed_table(spark, str(tmp_path))
+    table_path = f"{tmp_path}/t"
+    lock = os.path.join(table_path, "version.txt.lock")
+    open(lock, "w").close()
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+
+    upsert_with_retry(
+        spark, table_path, _df(spark, [("9", ts(2024, 3, 1), "z1")]), retries=3
+    )
+    assert lh.table("t").current_version() == "2"
+    assert ("9", "z1") in _current(lh)
+    assert not os.path.exists(lock)
+
+
+def test_fresh_foreign_lock_conflicts_cleanly(spark, tmp_path):
+    """A RECENT lock (another writer mid-commit) raises
+    CommitConflictError without being broken."""
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.writer import append_delta as _append
+
+    _seed_table(spark, str(tmp_path))
+    table_path = f"{tmp_path}/t"
+    lock = os.path.join(table_path, "version.txt.lock")
+    open(lock, "w").close()
+    with pytest.raises(CommitConflictError, match="lock held"):
+        _append(spark, table_path, _df(spark, [("9", ts(2024, 3, 1), "z1")]))
+    assert os.path.exists(lock)  # not stolen from a live writer
