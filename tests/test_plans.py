@@ -361,3 +361,12 @@ def test_round4_queries_bounded(spark):
     df = q("time_travel_changes_sql", spark)
     assert shuffle_count(df) <= 3
     assert broadcast_join_count(df) >= 1
+
+    # weighted sampling: ONE key exchange, and Spark's WindowGroupLimit
+    # runs BOTH map-side (partial top-k per partition — the mergeable
+    # A-ES property the docstring cites) and after the exchange
+    from bazof_spark.plans.inspect import _plan_nodes
+
+    df = q("weighted_sample_docs", spark)
+    assert shuffle_count(df) <= 1
+    assert _plan_nodes(df).count("WindowGroupLimit") == 2
