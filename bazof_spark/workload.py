@@ -396,9 +396,57 @@ def streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def streaming_native_read(spark, sf_dir):
+    """The NATIVE streaming source (`readStream.format("bazof")`,
+    datasource.BazofStreamReader): offsets are snapshot versions, so a
+    drain from startingVersion=0 with trigger(availableNow) replays
+    exactly the commit-referenced files of every version — for this
+    upsert log, every raw event exactly once. The DuckDB oracle reads
+    the raw event set directly, proving the version-offset replay loses
+    and duplicates nothing. (The other streaming_* queries drive the
+    file-stream path; this is the Data Source V2 one.)"""
+    import tempfile as _tf
+
+    from bazof_spark.datasource import BazofDataSource
+
+    lh = events_lakehouse(spark, sf_dir)
+    try:
+        spark.dataSource.register(BazofDataSource)
+    except Exception:
+        pass  # already registered in this session
+    name = f"stream_native_{next(_STREAM_SEQ)}"
+    q = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", "events_versioned")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bazof_cp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
     "streaming_latest_rows": _events_oracle_cte(),
+    # version-offset replay = the raw upsert log, each event once
+    "streaming_native_read": """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS event_time_us,
+               event_id, event_type, value
+        FROM events
+    """,
     # set semantics: stateful streaming dedup must equal batch DISTINCT
     "streaming_dedup": """
         SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, event_type
@@ -2536,6 +2584,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_travel_changes_sql": time_travel_changes_sql,
     "asof_join_events": asof_join_events,
     "streaming_latest_rows": streaming_latest_rows,
+    "streaming_native_read": streaming_native_read,
     "streaming_window_counts": streaming_window_counts,
     "streaming_sessions": streaming_sessions,
     "streaming_dedup": streaming_dedup,
