@@ -115,6 +115,23 @@ def main(argv: list[str] | None = None) -> int:
     p_hist.add_argument("--path", required=True)
     p_hist.add_argument("--table", required=True)
 
+    p_ev = sub.add_parser(
+        "evolve", help="metadata-only schema evolution (add/drop columns)"
+    )
+    p_ev.add_argument("--path", required=True)
+    p_ev.add_argument("--table", required=True)
+    p_ev.add_argument(
+        "--add",
+        action="append",
+        default=[],
+        metavar="NAME:TYPE",
+        help="nullable column to add (TYPE: String|Int|Boolean|DateTime|Float)",
+    )
+    p_ev.add_argument(
+        "--drop", action="append", default=[], metavar="NAME",
+        help="value column to drop",
+    )
+
     args = parser.parse_args(argv)
 
     from bazof_spark.lakehouse import Lakehouse
@@ -259,6 +276,28 @@ def main(argv: list[str] | None = None) -> int:
                 f"{h['n_files_current']} file(s) serve Current, "
                 f"{h['n_columns']} column(s)"
             )
+    elif args.cmd == "evolve":
+        from bazof_spark.maintenance import evolve_table_schema
+        from bazof_spark.schema import ColumnDef, ColumnType
+
+        add = []
+        for spec in args.add:
+            try:
+                name, type_name = spec.split(":", 1)
+                add.append(ColumnDef(name, ColumnType(type_name), True))
+            except ValueError as exc:
+                raise SystemExit(
+                    f"bad --add {spec!r} (want NAME:TYPE with TYPE one of "
+                    f"{[t.value for t in ColumnType]}): {exc}"
+                ) from exc
+        snapshot = evolve_table_schema(lh, args.table, add=add, drop=args.drop)
+        cols = ", ".join(
+            f"{c.name}:{c.data_type.value}" for c in snapshot.schema.columns
+        )
+        print(
+            f"evolved {args.table} to version "
+            f"{lh.table(args.table).current_version()}: {cols}"
+        )
     return 0
 
 

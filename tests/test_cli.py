@@ -147,3 +147,18 @@ def test_write_parquet_overwrite_and_append(spark, lake, capsys, tmp_path):
     assert "version 2" in out
     out = run(capsys, "scan", "--path", lake, "--table", "wt")
     assert "a" in out and "b" in out
+
+
+def test_evolve_subcommand(spark, lake, capsys):
+    rc = main([
+        "evolve", "--path", lake, "--table", "table0",
+        "--add", "note:String",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "note:String" in out and "version 2" in out
+    rc = main(["evolve", "--path", lake, "--table", "table0", "--drop", "note"])
+    assert rc == 0
+    assert "note" not in capsys.readouterr().out.split("version 3: ")[-1]
+    with pytest.raises(SystemExit, match="bad --add"):
+        main(["evolve", "--path", lake, "--table", "table0", "--add", "x:Nope"])
