@@ -60,6 +60,13 @@ MEASURED = [
     "graph_pagerank_supply",
     "events_funnel",
     "events_retention_cohorts",
+    # round-4 additions
+    "scd2_user_event_type",
+    "knn_label_vote",
+    "weighted_sample_docs",
+    "sketch_kmv_mergeable",
+    "ann_recall_ivf",
+    "time_travel_changes_sql",
 ]
 
 
