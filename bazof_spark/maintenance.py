@@ -169,12 +169,16 @@ def checkpoint_table(
     new_seg = Segment(id=seg_id, start=at, file=base_file)
     new_snapshot = Snapshot(segments=segments + (new_seg,), schema=snapshot.schema)
 
-    next_version = str(int(version) + 1)
-    # iofs routing: works identically on local and object-store roots
-    iofs.write_text(
-        iofs.join(table.path, f"s{next_version}.json"), new_snapshot.serialize()
+    # locked CAS publish (writer._publish_snapshot): a writer commit
+    # landing while the checkpoint ran raises CommitConflictError
+    # instead of being silently overwritten; never reuse an abandoned
+    # snapshot number
+    from bazof_spark.writer import _publish_snapshot
+
+    next_version = str(
+        max(int(version), *_numeric_versions(table.path)) + 1
     )
-    iofs.replace_text(iofs.join(table.path, VERSION_FILE), next_version)
+    _publish_snapshot(table.path, version, next_version, new_snapshot)
     return new_snapshot
 
 
@@ -329,12 +333,13 @@ def evolve_table_schema(
     new_snapshot = Snapshot(
         segments=snapshot.segments, schema=TableSchema(new_columns)
     )
-    next_version = str(int(version) + 1)
-    # iofs routing: works identically on local and object-store roots
-    iofs.write_text(
-        iofs.join(table.path, f"s{next_version}.json"), new_snapshot.serialize()
+    # locked CAS publish — see checkpoint_table's tail
+    from bazof_spark.writer import _publish_snapshot
+
+    next_version = str(
+        max(int(version), *_numeric_versions(table.path)) + 1
     )
-    iofs.replace_text(iofs.join(table.path, VERSION_FILE), next_version)
+    _publish_snapshot(table.path, version, next_version, new_snapshot)
     return new_snapshot
 
 
@@ -564,6 +569,7 @@ def restore_table(lakehouse, table_name: str, version: str | int) -> Snapshot:
     Time/as-of travel within the restored snapshot is unaffected.
     """
     table = lakehouse.table(table_name)
+    expected = table.current_version()  # CAS anchor for the publish
     snapshot = table.get_snapshot(str(version))  # must exist + deserialize
     missing = [
         f
@@ -575,12 +581,12 @@ def restore_table(lakehouse, table_name: str, version: str | int) -> Snapshot:
             f"cannot restore to version {version}: {len(missing)} referenced "
             f"data file(s) no longer exist (vacuumed?): {missing[:3]}"
         )
+    # locked CAS publish: a writer commit racing the restore raises
+    # CommitConflictError instead of being silently overwritten
+    from bazof_spark.writer import _publish_snapshot
+
     next_version = str(max(_numeric_versions(table.path)) + 1)
-    iofs.write_text(
-        iofs.join(table.path, f"s{next_version}.json"), snapshot.serialize()
-    )
-    # atomic pointer flip locally; single PUT on object stores
-    iofs.replace_text(iofs.join(table.path, VERSION_FILE), next_version)
+    _publish_snapshot(table.path, expected, next_version, snapshot)
     return snapshot
 
 

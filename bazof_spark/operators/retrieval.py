@@ -79,10 +79,14 @@ def bm25_rank(
         ],
     ).first()
     n_docs = int(stats["_n"])
-    # empty corpus: the scoring pass below yields zero rows regardless;
-    # the fallback only keeps the norm expression null-free
+    # empty corpus (no rows, or every doc tokenized to nothing): the
+    # aggregate returns NULL avg/sums — fall back to neutral literals;
+    # the scoring pass over the empty base then yields zero rows
     avgdl = float(stats["_avgdl"]) if stats["_avgdl"] is not None else 1.0
-    dfs = [int(stats[f"_df_{i}"]) for i in range(len(terms))]
+    dfs = [
+        int(stats[f"_df_{i}"]) if stats[f"_df_{i}"] is not None else 0
+        for i in range(len(terms))
+    ]
 
     scored = base
     norm = F.lit(k1) * (

@@ -56,7 +56,9 @@ def scd2_from_log(
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*keys).orderBy(*order)
     cur = F.struct(*[F.col(c) for c in attrs])
-    changed = ~cur.eqNullSafe(F.lag(cur).over(w)) | F.lag(cur).over(w).isNull()
+    # lag() is NULL on the first row per key; cur (a struct literal) is
+    # never NULL, so eqNullSafe alone marks the first row as changed
+    changed = ~cur.eqNullSafe(F.lag(cur).over(w))
     versions = (
         df.select(*keys, ts_col, *tiebreak_cols, *attrs)
         .withColumn("_chg", changed)

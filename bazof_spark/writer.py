@@ -742,13 +742,7 @@ def _commit_lock(table_path: str):
     try:
         os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
     except FileExistsError:
-        try:
-            age = time.time() - os.path.getmtime(lock)
-        except OSError:
-            age = 0.0  # holder released between our open and stat
-        if age > _COMMIT_LOCK_STALE_S:
-            with contextlib.suppress(OSError):
-                os.unlink(lock)  # break a crashed writer's lock
+        _maybe_break_stale_lock(lock)
         raise CommitConflictError(
             f"commit lock held by a concurrent writer ({lock}); "
             "re-read the table and retry"
@@ -758,6 +752,42 @@ def _commit_lock(table_path: str):
     finally:
         with contextlib.suppress(OSError):
             os.unlink(lock)
+
+
+def _maybe_break_stale_lock(lock: str) -> None:
+    """Remove ``lock`` iff it was abandoned by a crashed writer.
+
+    Breakers are SERIALIZED through an O_EXCL ``<lock>.break`` file and
+    re-stat the lock inside that critical section: without this, two
+    breakers observing the same stale lock could both unlink by path,
+    the second deleting a FRESH lock acquired in between — re-opening
+    the very lost-update window the commit lock exists to close. A
+    breaker that crashed holding the break file is aged out the same
+    way (unconditionally — break holders do microseconds of work, so
+    any old break file is abandoned)."""
+    breaker = lock + ".break"
+    try:
+        stale_for = time.time() - os.path.getmtime(lock)
+    except OSError:
+        return  # holder released meanwhile
+    if stale_for <= _COMMIT_LOCK_STALE_S:
+        return
+    try:
+        os.close(os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        with contextlib.suppress(OSError):
+            if time.time() - os.path.getmtime(breaker) > _COMMIT_LOCK_STALE_S:
+                os.unlink(breaker)  # crashed breaker; next caller retries
+        return
+    try:
+        # re-check INSIDE the break section: only the original stale
+        # lock (same age reading) is removed, never a fresh one
+        with contextlib.suppress(OSError):
+            if time.time() - os.path.getmtime(lock) > _COMMIT_LOCK_STALE_S:
+                os.unlink(lock)
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(breaker)
 
 
 def _publish_snapshot(

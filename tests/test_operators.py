@@ -730,3 +730,17 @@ def test_scd2_single_exchange(spark):
     )
     out = scd2_from_log(df, "k", "ts", ["attr"], tiebreak_cols=["eid"])
     assert shuffle_count(out) <= 1
+
+
+def test_bm25_empty_and_all_empty_corpus(spark):
+    """Zero rows, or every doc tokenizing to nothing, must yield an
+    empty ranking — not a driver TypeError from NULL aggregate stats
+    (regression: the literal-injection rewrite fed int(None))."""
+    from bazof_spark.operators.retrieval import bm25_rank
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert bm25_rank(empty, ["spark"]).count() == 0
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!!")], "doc_id int, text string"
+    )
+    assert bm25_rank(blank, ["spark"]).count() == 0

@@ -114,3 +114,30 @@ def test_history_lineage(spark, tmp_path):
     hist = lh.history("t")
     assert hist[-1]["version"] == "4" and hist[-1]["is_current"]
     assert hist[-1]["n_files_current"] == hist[1]["n_files_current"]
+
+
+def test_maintenance_publishers_respect_commit_lock(spark, tmp_path):
+    """restore / evolve publish through the SAME locked CAS as writer
+    commits (review finding: they previously wrote unguarded and could
+    silently overwrite a racing writer's commit): with a fresh foreign
+    lock held, both raise CommitConflictError and leave no partial
+    state; after the lock clears they succeed."""
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.maintenance import evolve_table_schema
+
+    lh = _seed(spark, str(tmp_path))
+    table_path = os.path.join(str(tmp_path), "t")
+    lock = os.path.join(table_path, "version.txt.lock")
+    open(lock, "w").close()
+    with pytest.raises(CommitConflictError):
+        restore_table(lh, "t", 1)
+    with pytest.raises(CommitConflictError):
+        evolve_table_schema(
+            lh, "t", add=[ColumnDef("note", ColumnType.STRING, True)]
+        )
+    assert lh.table("t").current_version() == "3"
+    assert not os.path.exists(os.path.join(table_path, "s4.json"))
+
+    os.unlink(lock)
+    restore_table(lh, "t", 1)
+    assert lh.table("t").current_version() == "4"

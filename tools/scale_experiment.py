@@ -237,6 +237,11 @@ def build_docs_x(spark, copies: int, dst: str) -> None:
         branches = []
         for i in range(copies):
             c = emb.withColumn("vec_id", F.col("vec_id") + i * vkey)
+            # copies beyond `dim` would repeat a rotation (i % dim) and
+            # produce bit-identical vector clones — the quadratic
+            # duplicate-clique artifact this scheme exists to avoid —
+            # so each wrap of the rotation also flips the sign (norms
+            # preserved, dim × 2 distinct transforms)
             r = i % dim
             if r:
                 c = c.withColumn(
@@ -245,6 +250,10 @@ def build_docs_x(spark, copies: int, dst: str) -> None:
                         f"concat(slice(embedding, {r + 1}, "
                         f"size(embedding) - {r}), slice(embedding, 1, {r}))"
                     ),
+                )
+            if (i // dim) % 2 == 1:
+                c = c.withColumn(
+                    "embedding", F.expr("transform(embedding, x -> -x)")
                 )
             branches.append(c)
         _write(_union(branches), out)
