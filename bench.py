@@ -35,6 +35,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # rounds.
 BENCH_QUERIES = sorted(q for q in QUERIES if not q.startswith("streaming_"))
 
+# Optional comma-separated subset (e.g. re-measuring one family without
+# the 20-minute full sweep): SPARK_GRAFT_BENCH_ONLY=bm25_search,...
+_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+if _only.strip():
+    wanted = {q.strip() for q in _only.split(",") if q.strip()}
+    BENCH_QUERIES = [q for q in BENCH_QUERIES if q in wanted]
+
 
 def main() -> None:
     spark = get_spark(app_name="bazof-bench")
@@ -46,38 +53,54 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    # min-of-N timed runs: single-run timings on a shared box swing
-    # 1.3-2.8× with machine load (measured round 3 — the r1 code re-run
-    # under r3 conditions reproduced the r3 numbers, not its own r1
-    # record), and min is the standard estimator for the load-free cost
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # Variance-aware protocol (round 5): single-run timings on a shared
+    # box swing 1.3-2.8× with machine load (measured round 3 — the r1
+    # code re-run under r3 conditions reproduced the r3 numbers, not its
+    # own r1 record), and round 4 saw +15-37% "regressions" on queries
+    # whose code had not changed. So: 3 timed runs per query, report the
+    # MEDIAN (robust to one loaded run in either direction, unlike min
+    # which still tracks cache-state luck), and record the per-query
+    # spread (min/max) in bench_results.json so cross-round deltas can
+    # be judged against the query's own noise band instead of guessed.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         if warmup:
             # steady-state measurement: first execution pays one-time
             # whole-stage-codegen compilation (Janino), irrelevant at scale
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = None
+        runs: list[float] = []
         for _ in range(reps):
             start = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
+            runs.append(time.perf_counter() - start)
             # operators persist() intermediates for the duration of
             # their query; drop them so cached blocks don't accumulate
             # across the ~100-query session and tax later queries
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        runs.sort()
+        median = runs[len(runs) // 2] if reps % 2 else (
+            (runs[reps // 2 - 1] + runs[reps // 2]) / 2
+        )
+        timings[name] = round(median, 3)
+        spreads[name] = {
+            "min": round(runs[0], 3),
+            "max": round(runs[-1], 3),
+            "n": reps,
+        }
 
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "workload_total_runtime",
         "value": total,
         "unit": "sec",
+        "estimator": "median",
         "n_queries": len(timings),
         "queries": timings,
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver records only the LAST 2000 chars of stdout (BENCH_r02's
@@ -94,6 +117,7 @@ def main() -> None:
     # slowest queries first and stop before ~1900 chars; the full dict
     # is always in queries_file.
     line_payload = dict(payload, queries={}, queries_file="bench_results.json")
+    del line_payload["spread"]  # full per-query spread lives in the file
     budget = 1900 - len(json.dumps(line_payload, separators=(",", ":")))
     shown: dict[str, float] = {}
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
