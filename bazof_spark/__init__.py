@@ -31,6 +31,7 @@ from bazof_spark.maintenance import (
     validate_table,
 )
 from bazof_spark.metadata import Delta, Segment, Snapshot
+from bazof_spark.ordering import latest_wins_ordering
 from bazof_spark.projection import Projection
 from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
 from bazof_spark.table import Table
@@ -55,6 +56,7 @@ __all__ = [
     "__version__",
     "append_delta",
     "checkpoint_table",
+    "latest_wins_ordering",
     "optimize_table",
     "evolve_table_schema",
     "restore_table",

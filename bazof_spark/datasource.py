@@ -479,10 +479,12 @@ class BazofStreamReader(DataSourceStreamReader):
     - rows carry ``_rank`` = the snapshot version that added the file
       and ``_row_idx`` = row position. CAUTION: this is the OPPOSITE
       ordering convention from the batch source, where a LOWER ``_rank``
-      means higher precedence — here higher version = newer commit. A
-      latest-wins consumer of this stream orders by
-      ``struct(_rank, event_time, _row_idx)`` ascending-max (all three
-      ascending), NOT the batch ``(-_rank, ts, -_row_idx)`` recipe.
+      means higher precedence — here higher version = newer commit.
+      Don't hand-build the precedence struct: use
+      ``bazof_spark.ordering.latest_wins_ordering("stream")`` (the
+      batch recipe is ``latest_wins_ordering("batch")``), which owns
+      both conventions and the shared event_time / first-physical-row
+      tie-breaks.
     - replay window: offsets reference ``s{N}.json`` snapshots; a
       vacuum that drops files still referenced by an un-checkpointed
       offset range breaks replay, exactly Delta's retention contract.
@@ -877,14 +879,13 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
         c for c in df.columns
         if c not in ("key", "event_time", "_rank", "_row_idx")
     ]
+    from bazof_spark.ordering import latest_wins_ordering
+
     payload = F.struct(
         F.col("event_time").alias("event_time"),
         *[F.col(c).alias(c) for c in value_cols],
     )
-    precedence = F.struct(
-        (-F.col("_rank")).alias("neg_rank"),
-        F.col("event_time").alias("ts"),
-        (-F.col("_row_idx")).alias("neg_row_idx"),
+    winner = df.groupBy("key").agg(
+        F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
     )
-    winner = df.groupBy("key").agg(F.max_by(payload, precedence).alias("_w"))
     return winner.select("key", "_w.*")

@@ -22,15 +22,46 @@ import os
 def _emulated_schemes() -> frozenset[str]:
     """Schemes listed in ``$BAZOF_FS_EMULATE`` (comma-separated, e.g.
     ``s3,gs``) are served by the LOCAL filesystem instead of their real
-    pyarrow backend: ``scheme://bucket/abs/path`` maps to ``/abs/path``
-    (the bucket authority is dropped). This is a dev/test harness — it
-    executes every URI code branch (is_uri joins, the object-store PUT
-    path in replace_text, FileSelector listings, URI rank
-    normalization) against a real pyarrow FileSystem with only the
-    transport swapped, the closest a network-less sandbox gets to an
-    S3 integration run. Never set it in production."""
+    pyarrow backend: ``scheme://bucket/key`` maps to
+    ``$BAZOF_FS_EMULATE_ROOT/<scheme>/<bucket>/<key>`` (default root
+    ``/tmp/bazof-emulated-fs``) — the bucket authority is PART of the
+    mapping, so ``s3://bucket-a/p`` and ``s3://bucket-b/p`` never alias
+    the same local file. This is a dev/test harness — it executes every
+    URI code branch (is_uri joins, the object-store PUT path in
+    replace_text, FileSelector listings, URI rank normalization)
+    against a real pyarrow FileSystem with only the transport swapped,
+    the closest a network-less sandbox gets to an S3 integration run.
+    Never set it in production."""
     raw = os.environ.get("BAZOF_FS_EMULATE", "")
     return frozenset(s.strip() for s in raw.split(",") if s.strip())
+
+
+def _emulated_local_path(scheme: str, rest: str) -> str:
+    root = os.environ.get("BAZOF_FS_EMULATE_ROOT", "/tmp/bazof-emulated-fs")
+    bucket, _, key = rest.partition("/")
+    return os.path.join(root, scheme.lower(), bucket, key.lstrip("/"))
+
+
+def _as_emulated(path: str) -> str | None:
+    """Mapped local path when ``path`` is an emulated-scheme URI, else
+    None."""
+    if "://" not in path:
+        return None
+    scheme, rest = path.split("://", 1)
+    if scheme.lower() not in _emulated_schemes():
+        return None
+    return _emulated_local_path(scheme, rest)
+
+
+def emulated_mirror(uri: str) -> str:
+    """Local path that serves ``uri`` under scheme emulation (testing
+    aid — lets a test read the bytes it authored through the emulated
+    scheme, or scan them with an engine that has no object-store
+    connector)."""
+    local = _as_emulated(uri)
+    if local is None:
+        raise ValueError(f"{uri!r} is not an emulated-scheme URI")
+    return local
 
 
 def _split(path: str):
@@ -38,10 +69,9 @@ def _split(path: str):
     from pyarrow import fs as pafs
 
     if "://" in path:
-        scheme, rest = path.split("://", 1)
-        if scheme.lower() in _emulated_schemes():
-            rel = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-            return pafs.LocalFileSystem(), rel
+        emulated = _as_emulated(path)
+        if emulated is not None:
+            return pafs.LocalFileSystem(), emulated
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
 
@@ -64,28 +94,8 @@ def read_text(path: str) -> str:
         return f.read().decode("utf-8")
 
 
-def write_text(path: str, content: str) -> None:
-    filesystem, rel = _split(path)
-    with filesystem.open_output_stream(rel) as f:
-        f.write(content.encode("utf-8"))
-
-
-def replace_text(path: str, content: str) -> None:
-    """Atomically replace ``path``'s content — readers never observe an
-    empty/partial file (``write_text`` is truncate-then-write, so a
-    concurrent reader CAN see a torn state mid-flip).
-
-    Local filesystems: write a sibling temp file + ``os.replace``
-    (POSIX-atomic rename). Object stores via pyarrow.fs: a single PUT
-    is already all-or-nothing on S3/GCS/ABFS, so plain write_text IS
-    the atomic path there; what object stores cannot give you without
-    a conditional-put/locking service is compare-and-swap across
-    concurrent WRITERS — see writer._publish_snapshot's conflict
-    check."""
-    if is_uri(path) and not path.startswith("file://"):
-        write_text(path, content)
-        return
-    local = path[len("file://"):] if path.startswith("file://") else path
+def _atomic_local_write(local: str, content: str) -> None:
+    """Sibling temp file + ``os.replace`` (POSIX-atomic rename)."""
     import tempfile
 
     d = os.path.dirname(local) or "."
@@ -100,6 +110,43 @@ def replace_text(path: str, content: str) -> None:
         except OSError:
             pass
         raise
+
+
+def write_text(path: str, content: str) -> None:
+    """PUT ``content`` at ``path``. Emulated object-store schemes model
+    the REAL store's PUT semantics, not the local filesystem's: the
+    write is all-or-nothing (temp+rename — a real S3/GCS PUT never
+    exposes a torn object) and parent "directories" are auto-created
+    (object stores have no directories, so a PUT cannot fail for a
+    missing prefix). Without this, emulated concurrency tests could
+    observe torn version pointers a real store can never produce."""
+    emulated = _as_emulated(path)
+    if emulated is not None:
+        os.makedirs(os.path.dirname(emulated) or ".", exist_ok=True)
+        _atomic_local_write(emulated, content)
+        return
+    filesystem, rel = _split(path)
+    with filesystem.open_output_stream(rel) as f:
+        f.write(content.encode("utf-8"))
+
+
+def replace_text(path: str, content: str) -> None:
+    """Atomically replace ``path``'s content — readers never observe an
+    empty/partial file.
+
+    Local filesystems: write a sibling temp file + ``os.replace``
+    (POSIX-atomic rename). Object stores via pyarrow.fs: a single PUT
+    is already all-or-nothing on S3/GCS/ABFS, so plain write_text IS
+    the atomic path there (and the emulated-scheme write_text mirrors
+    that atomicity locally); what object stores cannot give you without
+    a conditional-put/locking service is compare-and-swap across
+    concurrent WRITERS — see writer._publish_snapshot's conflict
+    check."""
+    if is_uri(path) and not path.startswith("file://"):
+        write_text(path, content)
+        return
+    local = path[len("file://"):] if path.startswith("file://") else path
+    _atomic_local_write(local, content)
 
 
 def exists(path: str) -> bool:

@@ -33,6 +33,11 @@ theoretical case — the reference's own financials data ships 5 duplicate
 the scan reads ``_metadata.row_index`` (per-file physical position,
 costless column from the reader) and breaks ties on it inside the same
 ``max_by``, reproducing the reference bit-for-bit.
+
+Precedence-struct note: the ``max_by`` ordering used here is
+``bazof_spark.ordering.latest_wins_ordering("batch")`` — the native
+STREAM reader's ``_rank`` has the opposite convention (snapshot
+version, higher = newer); see ``ordering.py`` for both recipes.
 """
 
 from __future__ import annotations
@@ -325,17 +330,14 @@ class Lakehouse:
         beats timestamp'."""
         df = self._with_rank(df, table, ranked)
 
+        from bazof_spark.ordering import latest_wins_ordering
+
         payload = F.struct(
             F.col(EVENT_TIME_COL).alias(EVENT_TIME_COL),
             *[F.col(c).alias(c) for c in value_cols],
         )
-        precedence = F.struct(
-            (-F.col("_rank")).alias("neg_rank"),
-            F.col(EVENT_TIME_COL).alias("ts"),
-            (-F.col("_row_idx")).alias("neg_row_idx"),
-        )
         winner = df.groupBy(KEY_COL).agg(
-            F.max_by(payload, precedence).alias("_w")
+            F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
         )
         return winner.select(KEY_COL, "_w.*")
 

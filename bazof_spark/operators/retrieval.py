@@ -36,6 +36,16 @@ def bm25_rank(
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query by BM25 score.
     Output: (doc_id, score, n_matched) ordered by score desc, id asc.
+
+    Eager-statistics semantics: corpus statistics (N, avgdl, per-term
+    df) are computed by a Spark job AT CALL TIME — one bounded-row
+    aggregate over ``df`` — and frozen into the returned plan as
+    literals. The returned DataFrame is therefore bound to the corpus
+    as it stood when this function ran: appending documents afterwards
+    and re-executing the result scores against the OLD statistics
+    (re-call to rebind), and explain-only/plan-inspection flows pay the
+    stats scan. This is the deliberate trade for a cache-free, join-
+    free scoring pass (see the scale note below).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")

@@ -1292,18 +1292,26 @@ ORACLES_EXT = {
     """,
     # SCD2: compress consecutive same-type observations per user (total
     # order: ts then event_id), then close each version's interval with
-    # the next version's start
+    # the next version's start. Change detection mirrors the operator's
+    # null-safe eqNullSafe contract: the FIRST observation always opens
+    # a version (rn = 1 — `prev_type IS NULL` could not distinguish
+    # lag-at-start from a genuinely NULL previous attribute), and
+    # IS DISTINCT FROM keeps NULL→NULL as "unchanged", NULL↔value as a
+    # change, independent of whether the fixture carries NULL attrs.
     "scd2_user_event_type": """
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,
                    lag(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS prev_type
+                   ) AS prev_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
             FROM events
         ),
         versions AS (
             SELECT user_id, event_type, ts, event_id FROM ordered
-            WHERE prev_type IS NULL OR event_type <> prev_type
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
         ),
         closed AS (
             SELECT user_id, event_type,

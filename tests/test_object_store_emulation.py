@@ -1,18 +1,23 @@
 """Object-store dry run: the writer→metadata→scan loop on a NON-file
 scheme, executed for real.
 
-`$BAZOF_FS_EMULATE=s3` makes iofs serve `s3://bucket/abs/path` from the
-local filesystem at `/abs/path` (iofs._split), so every URI code branch
-— `is_uri` joins, the object-store single-PUT branch of `replace_text`,
-FileSelector listings, existence probes, the writer's filesystem-routed
-parquet writes — executes against a real pyarrow FileSystem with only
-the transport swapped. This is the closest a network-less sandbox gets
-to an S3 integration run (the reference runs on any object_store
-backend, /root/reference/README.md:47); the remaining untested surface
-is the real S3 client itself and the JVM-side Hadoop connector.
+`$BAZOF_FS_EMULATE=s3` makes iofs serve `s3://bucket/key` from the
+local filesystem at `$BAZOF_FS_EMULATE_ROOT/s3/bucket/key` (the bucket
+authority is part of the mapping — distinct buckets never alias), so
+every URI code branch — `is_uri` joins, the object-store single-PUT
+branch of `replace_text`, FileSelector listings, existence probes, the
+writer's filesystem-routed parquet writes — executes against a real
+pyarrow FileSystem with only the transport swapped. Emulated PUTs are
+atomic (temp+rename) like a real S3 PUT, and auto-create parent
+prefixes like a real store (which has no directories). This is the
+closest a network-less sandbox gets to an S3 integration run (the
+reference runs on any object_store backend,
+/root/reference/README.md:47); the remaining untested surface is the
+real S3 client itself and the JVM-side Hadoop connector.
 
-Because both spellings address the same bytes, a LOCAL-rooted Lakehouse
-can scan the table authored through s3:// URIs and verify content.
+Because `iofs.emulated_mirror(uri)` exposes the backing local path, a
+LOCAL-rooted Lakehouse can scan the table authored through s3:// URIs
+and verify content.
 """
 
 import datetime as dt
@@ -36,7 +41,23 @@ UTC = dt.timezone.utc
 @pytest.fixture()
 def s3_root(tmp_path, monkeypatch):
     monkeypatch.setenv("BAZOF_FS_EMULATE", "s3")
-    return "s3://test-bucket" + str(tmp_path), str(tmp_path)
+    monkeypatch.setenv("BAZOF_FS_EMULATE_ROOT", str(tmp_path))
+    uri = "s3://test-bucket/lake"
+    return uri, iofs.emulated_mirror(uri)
+
+
+def test_bucket_authority_never_aliases(tmp_path, monkeypatch):
+    """s3://bucket-a/p and s3://bucket-b/p are DIFFERENT objects — the
+    bucket is part of the local mapping."""
+    monkeypatch.setenv("BAZOF_FS_EMULATE", "s3")
+    monkeypatch.setenv("BAZOF_FS_EMULATE_ROOT", str(tmp_path))
+    iofs.write_text("s3://bucket-a/p/version.txt", "A")
+    iofs.write_text("s3://bucket-b/p/version.txt", "B")
+    assert iofs.read_text("s3://bucket-a/p/version.txt") == "A"
+    assert iofs.read_text("s3://bucket-b/p/version.txt") == "B"
+    assert iofs.emulated_mirror("s3://bucket-a/p") != iofs.emulated_mirror(
+        "s3://bucket-b/p"
+    )
 
 
 def _batch(spark, rows):
