@@ -26,7 +26,6 @@ import contextlib
 import dataclasses
 import json
 import os
-import time
 from datetime import datetime
 
 import pyarrow as pa
@@ -717,77 +716,27 @@ def upsert_with_retry(
                 raise
 
 
-_COMMIT_LOCK_STALE_S = 60.0
-
-
 @contextlib.contextmanager
 def _commit_lock(table_path: str):
-    """Mutual exclusion for the check→flip publish window. Local FS:
-    O_EXCL creation of ``version.txt.lock`` makes check-then-write a
-    real CAS — two simultaneous publishers can no longer both pass the
-    pointer check (the loser gets CommitConflictError and the retry
-    loop re-derives). A lock older than ``_COMMIT_LOCK_STALE_S`` is
-    presumed abandoned by a crashed writer and broken so the table
-    never wedges. Object-store URIs yield WITHOUT locking — pyarrow.fs
-    has no atomic create-if-absent, so the documented residual window
-    stays there until a conditional-put/locking service is wired in
-    (the gap Delta closes with a LogStore)."""
-    from bazof_spark.errors import CommitConflictError
+    """Mutual exclusion for the check→flip publish window, resolved
+    through the pluggable guard seam (:mod:`bazof_spark.commitguard`):
+    local / ``file://`` tables get the token-verified O_EXCL file lock
+    (a real CAS — two simultaneous publishers can no longer both pass
+    the pointer check; the loser gets CommitConflictError and the
+    retry loop re-derives), emulated object-store schemes lock on
+    their local mirror (a conditional-put stand-in), and unregistered
+    object-store URIs publish unguarded — the documented last-write-
+    wins residual until a real conditional-put/locking service is
+    registered via ``commitguard.register_commit_guard`` (the gap
+    Delta closes with a LogStore). Yields the HeldGuard so the caller
+    can ``verify()`` at the commit point."""
+    from bazof_spark.commitguard import guard_for
 
-    local = _as_local_path(table_path)
-    if local is None:
-        yield
-        return
-    lock = os.path.join(local, VERSION_FILE + ".lock")
+    held = guard_for(table_path).acquire()
     try:
-        os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-    except FileExistsError:
-        _maybe_break_stale_lock(lock)
-        raise CommitConflictError(
-            f"commit lock held by a concurrent writer ({lock}); "
-            "re-read the table and retry"
-        ) from None
-    try:
-        yield
+        yield held
     finally:
-        with contextlib.suppress(OSError):
-            os.unlink(lock)
-
-
-def _maybe_break_stale_lock(lock: str) -> None:
-    """Remove ``lock`` iff it was abandoned by a crashed writer.
-
-    Breakers are SERIALIZED through an O_EXCL ``<lock>.break`` file and
-    re-stat the lock inside that critical section: without this, two
-    breakers observing the same stale lock could both unlink by path,
-    the second deleting a FRESH lock acquired in between — re-opening
-    the very lost-update window the commit lock exists to close. A
-    breaker that crashed holding the break file is aged out the same
-    way (unconditionally — break holders do microseconds of work, so
-    any old break file is abandoned)."""
-    breaker = lock + ".break"
-    try:
-        stale_for = time.time() - os.path.getmtime(lock)
-    except OSError:
-        return  # holder released meanwhile
-    if stale_for <= _COMMIT_LOCK_STALE_S:
-        return
-    try:
-        os.close(os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-    except FileExistsError:
-        with contextlib.suppress(OSError):
-            if time.time() - os.path.getmtime(breaker) > _COMMIT_LOCK_STALE_S:
-                os.unlink(breaker)  # crashed breaker; next caller retries
-        return
-    try:
-        # re-check INSIDE the break section: only the original stale
-        # lock (same age reading) is removed, never a fresh one
-        with contextlib.suppress(OSError):
-            if time.time() - os.path.getmtime(lock) > _COMMIT_LOCK_STALE_S:
-                os.unlink(lock)
-    finally:
-        with contextlib.suppress(OSError):
-            os.unlink(breaker)
+        held.release()
 
 
 def _publish_snapshot(
@@ -796,19 +745,23 @@ def _publish_snapshot(
     next_version: str,
     snapshot: Snapshot,
 ) -> None:
-    """Optimistic-concurrency publish: under the commit lock, re-check
+    """Optimistic-concurrency publish: under the commit guard, re-check
     the version pointer still reads ``expected_version`` (the snapshot
     this commit was derived from), then write the snapshot and flip the
     pointer; a moved pointer means a concurrent writer won — raise
     CommitConflictError so the caller re-reads and retries instead of
     silently dropping the other commit's deltas from its snapshot copy.
-    On local FS the lock closes the check→flip window completely; on
-    object stores the check alone catches every non-simultaneous race
-    (see _commit_lock for the residual gap). Abandoned delta files stay
-    unreferenced until vacuum_table."""
+    ``held.verify()`` runs immediately before the flip (the commit
+    point): a holder whose lock was broken as stale while it stalled
+    aborts here instead of overwriting its successor's publish. On
+    guarded paths this closes the check→flip window completely; on
+    unguarded object stores the check alone catches every
+    non-simultaneous race (see commitguard.UnguardedPublish for the
+    residual gap). Abandoned delta files stay unreferenced until
+    vacuum_table."""
     from bazof_spark.errors import CommitConflictError
 
-    with _commit_lock(table_path):
+    with _commit_lock(table_path) as held:
         latest = Table(
             path=table_path, name=os.path.basename(table_path.rstrip("/"))
         ).current_version()
@@ -820,6 +773,9 @@ def _publish_snapshot(
         iofs.write_text(
             iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize()
         )
+        # the flip is the commit point: confirm the guard is still ours
+        # (a >stale-window stall may have had the lock broken under us)
+        held.verify()
         # atomic flip: concurrent readers must never observe a torn/empty
         # version pointer (replace_text = temp+rename locally, single PUT
         # on object stores)

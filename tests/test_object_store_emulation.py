@@ -152,6 +152,76 @@ def test_emulation_requires_optin(tmp_path, monkeypatch):
     assert not isinstance(fs2, LocalFileSystem)
 
 
+def test_concurrent_writers_on_s3_scheme_lose_nothing(spark, s3_root):
+    """Multi-writer stress on the EMULATED object-store scheme: with
+    the mirror-locked conditional-put stand-in (commitguard.guard_for
+    routes emulated schemes to a FileLockGuard on the local mirror),
+    two racing writer threads must lose no committed delta — the same
+    contract tests/test_upsert.py pins for local tables. On a real S3
+    deployment this is the guard a conditional-put/DynamoDB LogStore
+    implementation plugs into via register_commit_guard."""
+    import threading
+
+    from bazof_spark.writer import upsert_with_retry
+
+    uri, local = s3_root
+    table_uri = iofs.join(uri, "race")
+    w = TableWriter(
+        spark,
+        table_uri,
+        TableSchema(
+            columns=(
+                ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+            )
+        ),
+    )
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w.add_segment("s1", start=t0, base_df=_batch(spark, [("seed", t0, "s0")]))
+    w.commit("1")
+
+    n_each = 5
+    errors: list[BaseException] = []
+
+    def writer_thread(tag: str):
+        try:
+            for i in range(n_each):
+                upsert_with_retry(
+                    spark,
+                    table_uri,
+                    _batch(
+                        spark,
+                        [(f"{tag}{i}", dt.datetime(2024, 2, 1 + i, tzinfo=UTC),
+                          f"v_{tag}{i}")],
+                    ),
+                    retries=50,
+                )
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer_thread, args=(t,)) for t in ("x", "y")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # every commit survived: linear version chain, all 10 keys present
+    assert iofs.read_text(iofs.join(table_uri, "version.txt")) == str(
+        1 + 2 * n_each
+    )
+    lh = Lakehouse(spark, local)
+    got = {r["key"]: r["value"] for r in lh.scan("race").collect()}
+    for tag in ("x", "y"):
+        for i in range(n_each):
+            assert got.get(f"{tag}{i}") == f"v_{tag}{i}", (tag, i, got)
+    # the guard released cleanly on the mirror
+    assert not os.path.exists(
+        os.path.join(iofs.emulated_mirror(table_uri), "version.txt.lock")
+    )
+
+
 def test_maintenance_on_s3_scheme(spark, s3_root):
     """restore / vacuum / evolve_table_schema now run on URI roots
     through iofs (they previously refused any '://' path). The full
