@@ -120,8 +120,9 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema):
 class BazofReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType, resolved=None):
         table, snapshot, as_of = resolved or _resolve(options)
+        stats = snapshot.file_key_stats()
         self._files = [
-            (table.data_file_path(f), r)
+            (table.data_file_path(f), r, *stats.get(f, (None, None)))
             for f, r in snapshot.ranked_data_files(as_of)
         ]
         self._columns = [
@@ -184,8 +185,38 @@ class BazofReader(DataSourceReader):
             else:
                 yield f  # unsupported → Spark evaluates it
 
-    def partitions(self):  # one task per ranked data file
-        return [_FilePartition(p, r) for p, r in self._files]
+    def _pushed_key_range(self):
+        """KeyRange implied by the pushed ``key`` comparisons, or None.
+        Strict bounds are widened to inclusive — a superset is always
+        safe (the reader still row-filters), and zone maps only need
+        may-contain semantics."""
+        from bazof_spark.metadata import KeyRange
+
+        lo: str | None = None
+        hi: str | None = None
+        seen = False
+        for op, col, value in self._pushed:
+            if col != "key" or not isinstance(value, str):
+                continue
+            seen = True
+            if op in ("equal", "greater", "greater_equal"):
+                lo = value if lo is None else max(lo, value)
+            if op in ("equal", "less", "less_equal"):
+                hi = value if hi is None else min(hi, value)
+        return KeyRange(lo, hi) if seen else None
+
+    def partitions(self):
+        """One task per ranked data file — minus the files whose
+        zone-map bounds (snapshot key_min/key_max) are disjoint from
+        the pushed key predicate: a selective key lookup on a
+        key-clustered table schedules O(matching files) tasks, the
+        Data-Source twin of Lakehouse.scan(keys=...)."""
+        kr = self._pushed_key_range()
+        return [
+            _FilePartition(p, r)
+            for p, r, kmin, kmax in self._files
+            if kr is None or kr.admits(kmin, kmax)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa

@@ -172,6 +172,8 @@ class Lakehouse:
         as_of: AsOf | datetime | str | None = None,
         columns: Iterable[str] | Projection | None = None,
         version: str | int | None = None,
+        keys: Iterable[str] | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
     ) -> DataFrame:
         """Point-in-time merge scan → lazy DataFrame
         (reference: crates/azof/src/lakehouse.rs:29-86).
@@ -181,10 +183,23 @@ class Lakehouse:
         current pointer, crates/azof/src/table.rs:35-41). ``as_of``
         still applies within that snapshot.
 
+        ``keys`` (exact key set) / ``key_range`` ((lo, hi) inclusive,
+        None = unbounded side) restrict the scan to those keys — and,
+        on snapshots whose files carry zone-map bounds
+        (metadata.Delta.key_min/key_max, written at commit time since
+        round 5), prune non-overlapping FILES at metadata time, so a
+        selective key lookup on a key-clustered table reads O(matching
+        files), not O(all in-range files). Merge-safe by construction:
+        a pruned file cannot contain any requested key, so per-key
+        winners are unchanged. The same row predicate is also applied
+        in the scan, pushed to parquet row-group stats.
+
         Output columns follow the reference's ordering rules: key,
         event_time, then declared value columns, each only if projected
         (crates/azof/src/schema.rs:148-171).
         """
+        from bazof_spark.metadata import KeyRange
+
         as_of = coerce_as_of(as_of)
         projection = coerce_projection(columns)
         table = self.table(table_name)
@@ -192,7 +207,19 @@ class Lakehouse:
             snapshot = table.get_snapshot(str(version))
         else:
             snapshot = table.get_current_snapshot()
-        return self.scan_snapshot(table, snapshot, as_of, projection)
+        key_values: list[str] | None = None
+        kr: KeyRange | None = None
+        if keys is not None and key_range is not None:
+            raise ValueError("pass keys= or key_range=, not both")
+        if keys is not None:
+            key_values = sorted({str(k) for k in keys})
+            kr = KeyRange.of_keys(key_values)
+        elif key_range is not None:
+            kr = KeyRange(lo=key_range[0], hi=key_range[1])
+        return self.scan_snapshot(
+            table, snapshot, as_of, projection, key_range=kr,
+            key_values=key_values,
+        )
 
     def scan_changes(
         self,
@@ -275,8 +302,10 @@ class Lakehouse:
         snapshot: Snapshot,
         as_of: AsOf,
         projection: Projection,
+        key_range=None,
+        key_values: list[str] | None = None,
     ) -> DataFrame:
-        ranked = snapshot.ranked_data_files(as_of)
+        ranked = snapshot.ranked_data_files(as_of, key_range)
         out_cols = snapshot.schema.output_columns(projection)
         struct_type = snapshot.schema.to_struct_type(projection)
         if not ranked:
@@ -312,6 +341,18 @@ class Lakehouse:
             # are invisible and do NOT shadow older versions
             # (lakehouse.rs:62-67)
             df = df.filter(F.col(EVENT_TIME_COL) <= F.lit(as_of.event_time_at))
+
+        # key predicate as a row filter too (pushed to parquet row-group
+        # stats): file-level zone maps bound WHICH files are read, the
+        # row filter bounds which rows survive; filter-on-key commutes
+        # with the groupBy(key) merge, so winners are unchanged
+        if key_values is not None:
+            df = df.filter(F.col(KEY_COL).isin(key_values))
+        elif key_range is not None:
+            if key_range.lo is not None:
+                df = df.filter(F.col(KEY_COL) >= F.lit(key_range.lo))
+            if key_range.hi is not None:
+                df = df.filter(F.col(KEY_COL) <= F.lit(key_range.hi))
 
         df = self._dedup_latest_per_key(df, table, ranked, value_cols)
         return df.select(*out_cols) if out_cols else df.select(KEY_COL).drop(KEY_COL)

@@ -161,12 +161,19 @@ def checkpoint_table(
                     file=s.file,
                     segments=s.segments,
                     delta=s.delta,
+                    key_min=s.key_min,
+                    key_max=s.key_max,
                 )
                 for s in was_open
             ),
         )
         segments = segments + (wrapper,)
-    new_seg = Segment(id=seg_id, start=at, file=base_file)
+    from bazof_spark.writer import file_key_stats
+
+    kmin, kmax = file_key_stats(table.path, base_file)
+    new_seg = Segment(
+        id=seg_id, start=at, file=base_file, key_min=kmin, key_max=kmax
+    )
     new_snapshot = Snapshot(segments=segments + (new_seg,), schema=snapshot.schema)
 
     # locked CAS publish (writer._publish_snapshot): a writer commit

@@ -39,13 +39,53 @@ from bazof_spark.schema import TableSchema
 
 
 @dataclass(frozen=True)
+class KeyRange:
+    """A closed key-range predicate ``[lo, hi]`` (string keys, lex
+    order; None = unbounded on that side) used for FILE-LEVEL zone-map
+    pruning — our extension over the reference's temporal-only pruning
+    (crates/azof/src/metadata.rs:47-86). Dropping a file whose
+    ``[key_min, key_max]`` is disjoint from the range is merge-safe:
+    the as-of winner for a key is computed only from files that can
+    contain that key, and a disjoint file contains none of the
+    requested keys."""
+
+    lo: str | None = None
+    hi: str | None = None
+
+    @staticmethod
+    def of_keys(keys) -> "KeyRange":
+        ks = [str(k) for k in keys]
+        if not ks:
+            raise MetadataError("empty key set for KeyRange")
+        return KeyRange(lo=min(ks), hi=max(ks))
+
+    def admits(self, key_min: str | None, key_max: str | None) -> bool:
+        """May a file with these zone-map bounds contain a key in this
+        range? Files WITHOUT stats (older snapshots, undecodable
+        bounds) are always admitted — pruning is an optimization,
+        never a correctness dependency."""
+        if key_min is None or key_max is None:
+            return True
+        if self.lo is not None and key_max < self.lo:
+            return False
+        if self.hi is not None and key_min > self.hi:
+            return False
+        return True
+
+
+@dataclass(frozen=True)
 class Delta:
     """A parquet batch of upserts covering event-time ``[start, end]``
-    (crates/azof/src/metadata.rs:89-96)."""
+    (crates/azof/src/metadata.rs:89-96). ``key_min``/``key_max`` are
+    optional file-level zone-map bounds (our extension — written from
+    the parquet footer at commit time, absent on snapshots authored by
+    the reference or by older writers)."""
 
     file: str
     start: datetime
     end: datetime
+    key_min: str | None = None
+    key_max: str | None = None
 
     def is_before(self, as_of: AsOf) -> bool:
         """Eligibility (metadata.rs:98-104): Current ⇒ always; EventTime ⇒
@@ -61,22 +101,30 @@ class Delta:
                 file=obj["file"],
                 start=parse_rfc3339(obj["start"]),
                 end=parse_rfc3339(obj["end"]),
+                key_min=obj.get("key_min"),
+                key_max=obj.get("key_max"),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad delta {obj!r}: {exc}") from exc
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "file": self.file,
             "start": format_rfc3339_ms(self.start),
             "end": format_rfc3339_ms(self.end),
         }
+        if self.key_min is not None:
+            out["key_min"] = self.key_min
+        if self.key_max is not None:
+            out["key_max"] = self.key_max
+        return out
 
 
 @dataclass(frozen=True)
 class Segment:
     """A logical event-time-range partition
-    (crates/azof/src/metadata.rs:28-45)."""
+    (crates/azof/src/metadata.rs:28-45). ``key_min``/``key_max`` are
+    the optional zone-map bounds of the segment's BASE file."""
 
     id: str
     start: datetime
@@ -84,6 +132,8 @@ class Segment:
     file: str | None = None  # base file: full key state at `start`
     segments: tuple["Segment", ...] = field(default_factory=tuple)
     delta: tuple[Delta, ...] = field(default_factory=tuple)
+    key_min: str | None = None
+    key_max: str | None = None
 
     def is_in_range(self, as_of: AsOf) -> bool:
         """metadata.rs:75-86 — Current matches only open-ended segments;
@@ -95,17 +145,30 @@ class Segment:
             return self.start <= t <= self.end
         return self.start <= t
 
-    def get_data_files(self, as_of: AsOf) -> list[str]:
+    def get_data_files(
+        self, as_of: AsOf, key_range: KeyRange | None = None
+    ) -> list[str]:
         """metadata.rs:47-73 — children, then deltas (start DESC), then
-        own base file if in range."""
+        own base file if in range. ``key_range`` additionally drops
+        files whose zone-map bounds are disjoint from it (files without
+        stats always pass); relative precedence order is untouched."""
         files: list[str] = []
         for sub in self.segments:
             if sub.is_in_range(as_of):
-                files.extend(sub.get_data_files(as_of))
-        eligible = [d for d in self.delta if d.is_before(as_of)]
+                files.extend(sub.get_data_files(as_of, key_range))
+        eligible = [
+            d
+            for d in self.delta
+            if d.is_before(as_of)
+            and (key_range is None or key_range.admits(d.key_min, d.key_max))
+        ]
         eligible.sort(key=lambda d: d.start, reverse=True)
         files.extend(d.file for d in eligible)
-        if self.is_in_range(as_of) and self.file is not None:
+        if (
+            self.is_in_range(as_of)
+            and self.file is not None
+            and (key_range is None or key_range.admits(self.key_min, self.key_max))
+        ):
             files.append(self.file)
         return files
 
@@ -121,6 +184,8 @@ class Segment:
                     Segment.from_json(s) for s in obj.get("segments") or ()
                 ),
                 delta=tuple(Delta.from_json(d) for d in obj.get("delta") or ()),
+                key_min=obj.get("key_min"),
+                key_max=obj.get("key_max"),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad segment {obj!r}: {exc}") from exc
@@ -131,6 +196,10 @@ class Segment:
             out["end"] = format_rfc3339_ms(self.end)
         if self.file is not None:
             out["file"] = self.file
+        if self.key_min is not None:
+            out["key_min"] = self.key_min
+        if self.key_max is not None:
+            out["key_max"] = self.key_max
         if self.segments:
             out["segments"] = [s.to_json() for s in self.segments]
         if self.delta:
@@ -166,15 +235,44 @@ class Snapshot:
             indent=2,
         )
 
-    def get_data_files(self, as_of: AsOf = Current) -> list[str]:
+    def get_data_files(
+        self, as_of: AsOf = Current, key_range: KeyRange | None = None
+    ) -> list[str]:
         """Ordered file list; index in the list is the merge precedence
         rank (lower = wins). metadata.rs:20-25: all top-level segments are
-        visited, no root-level range check."""
+        visited, no root-level range check. ``key_range`` applies
+        zone-map file pruning on top of the temporal walk (see
+        :class:`KeyRange`)."""
         files: list[str] = []
         for segment in self.segments:
-            files.extend(segment.get_data_files(as_of))
+            files.extend(segment.get_data_files(as_of, key_range))
         return files
 
-    def ranked_data_files(self, as_of: AsOf = Current) -> list[tuple[str, int]]:
-        """``[(file, rank)]`` with rank = position in precedence order."""
-        return [(f, i) for i, f in enumerate(self.get_data_files(as_of))]
+    def ranked_data_files(
+        self, as_of: AsOf = Current, key_range: KeyRange | None = None
+    ) -> list[tuple[str, int]]:
+        """``[(file, rank)]`` with rank = position in precedence order.
+        Ranks are positions WITHIN the pruned list: only relative order
+        matters to the merge, and every file that can contain a key in
+        ``key_range`` keeps its relative position."""
+        return [
+            (f, i) for i, f in enumerate(self.get_data_files(as_of, key_range))
+        ]
+
+    def file_key_stats(self) -> dict[str, tuple[str | None, str | None]]:
+        """``file → (key_min, key_max)`` over the whole tree (missing
+        stats ⇒ (None, None)) — lets the Data Source reader prune its
+        partition list from pushed key predicates."""
+        out: dict[str, tuple[str | None, str | None]] = {}
+
+        def walk(seg: Segment) -> None:
+            for sub in seg.segments:
+                walk(sub)
+            for d in seg.delta:
+                out[d.file] = (d.key_min, d.key_max)
+            if seg.file is not None:
+                out[seg.file] = (seg.key_min, seg.key_max)
+
+        for seg in self.segments:
+            walk(seg)
+        return out

@@ -55,6 +55,68 @@ def events_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
     return Lakehouse(spark, root)
 
 
+KEYED_TABLE_NAME = "events_by_key"
+_N_KEY_BUCKETS = 8
+
+
+def events_key_clustered_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """Key-clustered twin of ``events_versioned``: key =
+    ``lpad(user_id, 6, '0')`` (lex order == numeric order) and the log
+    split into ``_N_KEY_BUCKETS`` deltas by contiguous KEY range instead
+    of by time. Each file's zone-map bounds (writer-recorded
+    key_min/key_max) are then genuinely selective, so
+    ``Lakehouse.scan(key_range=...)`` prunes most files at metadata
+    time — the layout a real deployment gets from key-partitioned
+    ingest or ``optimize_table(cluster_by=["key"])``."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_keyed_{tag}")
+    marker = os.path.join(root, KEYED_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _build_keyed(spark, sf_dir, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
+def _build_keyed(spark: SparkSession, sf_dir: str, root: str) -> None:
+    from bazof_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    max_user = events.agg(F.max("user_id")).first()[0]
+    keyed = events.select(
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "props",
+        F.col("user_id").alias("_uid"),
+    )
+    writer = TableWriter(
+        spark, os.path.join(root, KEYED_TABLE_NAME), EVENTS_SCHEMA
+    )
+    seg = writer.add_segment("k1", _SEGMENT_START)
+    span = max(1, (int(max_user) + _N_KEY_BUCKETS) // _N_KEY_BUCKETS)
+    for i in range(_N_KEY_BUCKETS):
+        lo_uid, hi_uid = span * i, span * (i + 1)
+        chunk = keyed.filter(
+            (F.col("_uid") >= lo_uid) & (F.col("_uid") < hi_uid)
+        ).drop("_uid")
+        if chunk.limit(1).count() == 0:
+            continue
+        # every bucket shares the segment's time range: precedence among
+        # the siblings never matters (key sets are disjoint)
+        seg.add_delta(
+            chunk,
+            start=_SEGMENT_START,
+            end=_SEGMENT_START + timedelta(days=_DELTA_DAYS * _N_DELTAS),
+            name=f"kbucket_{i}.parquet",
+        )
+    writer.commit()
+
+
 def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
     from bazof_spark.sources.tables import load_table
 

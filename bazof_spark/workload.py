@@ -43,7 +43,11 @@ from bazof_spark.operators.similarity import (
     lsh_ann_topk,
     quantize_int8,
 )
-from bazof_spark.sources.events import events_lakehouse
+from bazof_spark.sources.events import (
+    KEYED_TABLE_NAME,
+    events_key_clustered_lakehouse,
+    events_lakehouse,
+)
 from bazof_spark.sources.tables import rebalance_if_undersplit
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -122,6 +126,25 @@ def asof_projection(spark, sf_dir):
     output ordering; Catalyst prunes the parquet read)."""
     df = _scan_events(spark, sf_dir, as_of=ASOF_TS, columns=["key", "value"])
     return df.select("key", "value")
+
+
+def zonemap_key_lookup(spark, sf_dir):
+    """Op: file-level key zone maps (metadata.KeyRange + writer
+    key_min/key_max — our scale extension over the reference's
+    temporal-only pruning, crates/azof/src/metadata.rs:47-86). The
+    key-clustered events table has 8 deltas split by contiguous key
+    range; this selective lookup reads only the overlapping files
+    (tests/test_zonemap.py pins the pruned file count) and merges
+    identically to the unpruned scan."""
+    lh = events_key_clustered_lakehouse(spark, sf_dir)
+    df = lh.scan(KEYED_TABLE_NAME, key_range=("000003", "000007"))
+    return df.select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
 
 
 def time_travel_sql(spark, sf_dir):
@@ -439,6 +462,19 @@ def streaming_native_read(spark, sf_dir):
 
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
+    # latest event per user over the zone-map-pruned key window; the
+    # lpad key spelling matches the key-clustered materialization
+    "zonemap_key_lookup": """
+        SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS key,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS event_time_us,
+               event_id, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC
+            ) AS _rn
+            FROM events WHERE user_id BETWEEN 3 AND 7
+        ) WHERE _rn = 1
+    """,
     "streaming_latest_rows": _events_oracle_cte(),
     # version-offset replay = the raw upsert log, each event once
     "streaming_native_read": """
@@ -2576,6 +2612,7 @@ def refresh_env_dependent_oracles() -> None:
 QUERIES: dict[str, QueryFn] = {
     # core format operators
     "asof_scan_current": asof_scan_current,
+    "zonemap_key_lookup": zonemap_key_lookup,
     "asof_scan_event_time": asof_scan_event_time,
     "asof_projection": asof_projection,
     "time_travel_sql": time_travel_sql,
@@ -2700,55 +2737,64 @@ _DRIVER_CHECKED_R3 = {
     "events_retention_cohorts", "lm_unigram_score",
 }
 
-# The ONLY queries with no driver CORRECTNESS row after three rounds —
-# they lead the round-4 window unconditionally (verdict r3 task #1:
-# green rows here make it 105/105 ever-green). All pass the local
-# parity gate at sf0.001.
-_NEVER_CHECKED = [
-    "ann_recall_lsh",
-    "dedup_edit_distance",
-    "gopher_quality_filter",
-    "lm_bigram_score",
-    "multimodal_png_decode",
-]
+# queries the round-4 driver window verified (CORRECTNESS_r04.json —
+# all 50 passed; with this, every query's LATEST driver row is r2/r3/r4
+# and the union covers all of them)
+_DRIVER_CHECKED_R4 = {
+    "ann_recall_lsh", "dedup_edit_distance", "gopher_quality_filter",
+    "lm_bigram_score", "multimodal_png_decode", "time_travel_changes_sql",
+    "streaming_native_read", "knn_label_vote", "ann_recall_ivf",
+    "scd2_user_event_type", "weighted_sample_docs", "sketch_kmv_mergeable",
+    "bm25_search", "hybrid_rrf_search", "agg_rollup_lineitem",
+    "agg_cube_orders", "time_travel_changes", "asof_scan_current",
+    "asof_scan_event_time", "asof_projection", "time_travel_sql",
+    "asof_self_join_sql", "asof_join_events", "streaming_latest_rows",
+    "streaming_window_counts", "streaming_sessions", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_change",
+    "q8_market_share", "q14_promo_effect", "q4_semi_join_priority",
+    "q18_large_volume_customer", "q22_anti_join_idle_customers",
+    "filter_in_topk", "window_customer_order_rank",
+    "set_ops_active_customers", "scalar_functions_showcase",
+    "agg_nation_customer_stats", "semi_structured_json_array",
+    "events_tumbling_window", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dataset_split", "sequence_packing", "corpus_clean",
+}
 
-# operators whose code changed in round 4 → re-check even though green
-# earlier: bm25 now injects collected stats as literals (no persist, no
-# crossJoin), rollup/cube-from-partials run native rollup/cube on the
-# base, and the CHANGES SQL surface gained a second query
-_RECHECK_PRIORITY = [
-    "bm25_search",
-    "hybrid_rrf_search",
-    "agg_rollup_lineitem",
-    "agg_cube_orders",
-    "time_travel_changes",
+# round-5 code changes on r4-green queries → re-check ahead of the
+# merely-stale tail: scd2's ORACLE gained null-safe change detection
+# (IS DISTINCT FROM), and the scan family's max_by struct now comes
+# from ordering.latest_wins_ordering (identical semantics, pinned by
+# tests — but the driver row is the authority worth refreshing)
+_RECHECK_R5 = [
+    "scd2_user_event_type",
+    "asof_scan_current",
 ]
 
 
 def _rotation_order(names: list[str]) -> list[str]:
-    """Driver-window ordering: never-driver-checked first, then queries
-    added since the last rotation freeze, then queries whose operators
-    changed this round, then the stalest green rows (checked in r2 only
-    — two rounds old) ahead of the freshly-r3-checked tail."""
-    never = [n for n in _NEVER_CHECKED if n in names]
-    placed = set(never)
-    new_this_round = [
-        n for n in names
-        if n not in placed
-        and n not in _DRIVER_CHECKED_R2
-        and n not in _DRIVER_CHECKED_R3
-    ]
-    placed.update(new_this_round)
-    recheck = [n for n in _RECHECK_PRIORITY if n in names and n not in placed]
-    placed.update(recheck)
-    stale_r2 = [
-        n for n in names
-        if n not in placed and n in _DRIVER_CHECKED_R2
-        and n not in _DRIVER_CHECKED_R3
-    ]
-    placed.update(stale_r2)
-    rest = [n for n in names if n not in placed]
-    return never + new_this_round + recheck + stale_r2 + rest
+    """Driver-window ordering for round 5 (the driver checks the FIRST
+    50 entries): staleness-first so no query's latest driver row ages
+    past two rounds — (1) queries with NO driver row yet (new this
+    round), (2) queries whose latest green row is r2, (3) this round's
+    operator-change re-checks, (4) queries whose latest green row is
+    r3, (5) the freshly-r4-checked tail."""
+    placed: set[str] = set()
+
+    def take(candidates) -> list[str]:
+        out = [n for n in candidates if n in names and n not in placed]
+        placed.update(out)
+        return out
+
+    checked = _DRIVER_CHECKED_R2 | _DRIVER_CHECKED_R3 | _DRIVER_CHECKED_R4
+    never = take([n for n in names if n not in checked])
+    stale_r2 = take(
+        sorted(_DRIVER_CHECKED_R2 - _DRIVER_CHECKED_R3 - _DRIVER_CHECKED_R4)
+    )
+    recheck = take(_RECHECK_R5)
+    stale_r3 = take(sorted(_DRIVER_CHECKED_R3 - _DRIVER_CHECKED_R4))
+    rest = take(list(names))
+    return never + stale_r2 + recheck + stale_r3 + rest
 
 
 QUERIES = {k: QUERIES[k] for k in _rotation_order(list(QUERIES))}

@@ -98,6 +98,46 @@ def dataframe_to_parquet_file(
         pq.write_table(tbl, dest_rel, filesystem=dest_fs)
 
 
+def file_key_stats(table_path: str, file_name: str) -> tuple[str | None, str | None]:
+    """Zone-map bounds ``(key_min, key_max)`` for one committed parquet
+    file, read from its footer — one driver-side metadata fetch per
+    file at COMMIT time (O(files in this commit), never per-read).
+    Parquet footer min/max are valid bounds even when the writer
+    truncated long values (parquet-cpp truncates mins downward and
+    increments truncated maxes), which is all pruning needs. Returns
+    (None, None) when any row group lacks usable stats — absent stats
+    disable pruning for the file, never correctness
+    (metadata.KeyRange.admits)."""
+    try:
+        fs, rel = iofs.split(iofs.join(table_path, file_name))
+        md = pq.ParquetFile(rel, filesystem=fs).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == KEY_COL:
+                idx = i
+                break
+        if idx is None or md.num_row_groups == 0:
+            return None, None
+        lo: str | None = None
+        hi: str | None = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            gmin, gmax = st.min, st.max
+            if isinstance(gmin, bytes):
+                gmin = gmin.decode("utf-8")
+            if isinstance(gmax, bytes):
+                gmax = gmax.decode("utf-8")
+            lo = gmin if lo is None else min(lo, gmin)
+            hi = gmax if hi is None else max(hi, gmax)
+        return lo, hi
+    except Exception:
+        # stats are best-effort: an unreadable footer (or non-UTF8
+        # bounds) must never fail a commit
+        return None, None
+
+
 def validate_data_file_invariants(df: DataFrame) -> None:
     """Check unique (key, event_time) pairs — the invariant that makes
     the as-of dedup well-defined (SURVEY §7.4)."""
@@ -110,6 +150,28 @@ def validate_data_file_invariants(df: DataFrame) -> None:
 
 def _ts(dt: datetime) -> str:
     return format_rfc3339_ms(dt)
+
+
+def _delta_with_stats(
+    table_path: str, file_name: str, start: datetime, end: datetime
+) -> Delta:
+    """Delta entry carrying the file's zone-map bounds when readable."""
+    kmin, kmax = file_key_stats(table_path, file_name)
+    return Delta(
+        file=file_name, start=start, end=end, key_min=kmin, key_max=kmax
+    )
+
+
+def _stats_json(table_path: str, file_name: str) -> dict:
+    """Optional ``key_min``/``key_max`` JSON fields for a node
+    referencing ``file_name`` (empty when stats are unavailable)."""
+    kmin, kmax = file_key_stats(table_path, file_name)
+    out: dict = {}
+    if kmin is not None:
+        out["key_min"] = kmin
+    if kmax is not None:
+        out["key_max"] = kmax
+    return out
 
 
 def _aware_utc(dt: datetime) -> datetime:
@@ -191,7 +253,14 @@ class SegmentBuilder:
         deltas = self._node.setdefault("delta", [])
         file_name = name or f"{self._node['id']}_delta{len(deltas) + 1}.parquet"
         self._writer._write_file(df, file_name, validate)
-        deltas.append({"file": file_name, "start": _ts(start), "end": _ts(end)})
+        deltas.append(
+            {
+                "file": file_name,
+                "start": _ts(start),
+                "end": _ts(end),
+                **_stats_json(self._writer.path, file_name),
+            }
+        )
         return self
 
     def add_delta_distributed(
@@ -224,7 +293,12 @@ class SegmentBuilder:
             ordered, self._writer.path, stem, num_files
         ):
             deltas.append(
-                {"file": file_name, "start": _ts(start), "end": _ts(end)}
+                {
+                    "file": file_name,
+                    "start": _ts(start),
+                    "end": _ts(end),
+                    **_stats_json(self._writer.path, file_name),
+                }
             )
         return self
 
@@ -243,6 +317,7 @@ class SegmentBuilder:
             file_name = f"{segment_id}_base.parquet"
             self._writer._write_file(base_df, file_name, validate)
             node["file"] = file_name
+            node.update(_stats_json(self._writer.path, file_name))
         self._node.setdefault("segments", []).append(node)
         return SegmentBuilder(self._writer, node)
 
@@ -279,6 +354,7 @@ class TableWriter:
             file_name = f"{segment_id}_base.parquet"
             self._write_file(base_df, file_name, validate)
             node["file"] = file_name
+            node.update(_stats_json(self.path, file_name))
         self._segments.append(node)
         return SegmentBuilder(self, node)
 
@@ -448,11 +524,11 @@ def append_delta(
             for name in _write_distributed_delta(
                 ordered, table_path, stem, num_files
             ):
-                new_deltas.append(Delta(file=name, start=start, end=end))
+                new_deltas.append(_delta_with_stats(table_path, name, start, end))
         else:
             name = _fresh_delta_name(table_path, target.id, len(target.delta))
             dataframe_to_parquet_file(ordered, iofs.join(table_path, name))
-            new_deltas.append(Delta(file=name, start=start, end=end))
+            new_deltas.append(_delta_with_stats(table_path, name, start, end))
     finally:
         if multi_pass:
             ordered.unpersist()
@@ -593,7 +669,9 @@ def commit_delta_files(
                 name = f"{stem}_p{i:05d}.parquet"
                 iofs.move(staged, iofs.join(table_path, name))
                 moved.append(name)
-        new_deltas = [Delta(file=n, start=start, end=end) for n in moved]
+        new_deltas = [
+            _delta_with_stats(table_path, n, start, end) for n in moved
+        ]
         segs[idx] = dataclasses.replace(
             target, delta=_insert_deltas(tuple(target.delta), new_deltas, start)
         )
@@ -673,7 +751,8 @@ def create_table_version_from_files(
                     id=f"w{next_version}",
                     start=start,
                     delta=tuple(
-                        Delta(file=n, start=start, end=end) for n in moved
+                        _delta_with_stats(table_path, n, start, end)
+                        for n in moved
                     ),
                 ),
             ),
