@@ -110,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     p_vac.add_argument("--table", required=True)
     p_vac.add_argument("--keep-versions", type=int, default=1)
     p_vac.add_argument("--dry-run", action="store_true")
+    # retention window for UNREFERENCED files (seconds); 0 disables —
+    # only safe when no writer can be mid-commit
+    p_vac.add_argument("--min-age-s", type=float, default=None)
 
     p_hist = sub.add_parser("history", help="snapshot lineage")
     p_hist.add_argument("--path", required=True)
@@ -255,11 +258,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "vacuum":
         from bazof_spark.maintenance import vacuum_table
 
+        kwargs = {}
+        if args.min_age_s is not None:
+            kwargs["min_age_s"] = args.min_age_s
         result = vacuum_table(
             lh,
             args.table,
             keep_versions=args.keep_versions,
             dry_run=args.dry_run,
+            **kwargs,
         )
         verb = "would remove" if args.dry_run else "removed"
         print(

@@ -149,6 +149,18 @@ def replace_text(path: str, content: str) -> None:
     _atomic_local_write(local, content)
 
 
+def file_mtime(path: str) -> float | None:
+    """Last-modified time (epoch seconds), or None when unknown/absent.
+    Object stores report the object's creation/last-PUT time."""
+    from pyarrow import fs as pafs
+
+    filesystem, rel = _split(path)
+    info = filesystem.get_file_info(rel)
+    if info.type == pafs.FileType.NotFound or info.mtime is None:
+        return None
+    return info.mtime.timestamp()
+
+
 def exists(path: str) -> bool:
     from pyarrow import fs as pafs
 

@@ -597,16 +597,37 @@ def restore_table(lakehouse, table_name: str, version: str | int) -> Snapshot:
     return snapshot
 
 
+#: default minimum age before an UNREFERENCED file is collectible —
+#: the Delta-style retention guard: a delta staged by an in-flight
+#: commit is unreferenced until its snapshot publishes, so deleting
+#: young strays can destroy data an imminent commit references.
+VACUUM_MIN_AGE_S = 3600.0
+
+
 def vacuum_table(
     lakehouse,
     table_name: str,
     keep_versions: int = 1,
     dry_run: bool = False,
+    min_age_s: float = VACUUM_MIN_AGE_S,
 ) -> dict:
     """Garbage-collect a table directory (Delta-style VACUUM): delete
     snapshot JSONs older than the ``keep_versions`` most recent ones,
     parquet data files referenced by NO retained snapshot, and leftover
     ``_*_job`` temp dirs from crashed distributed writes.
+
+    Concurrency (two guards, belt and braces):
+
+    - the whole list→delete pass runs under the table's COMMIT GUARD
+      (writer._commit_lock): no snapshot can publish mid-vacuum, so a
+      just-published ``s{N}.json`` (above the pointer vacuum read) can
+      never be swept, and the reference set is computed against a
+      frozen version chain;
+    - ``min_age_s`` retention: an unreferenced parquet file / job dir
+      younger than this is SKIPPED — it may be a delta staged by an
+      in-flight commit that has written files but not yet published
+      (files move before the snapshot flips). Pass ``0`` only when no
+      writer can be active (tests, decommissioned tables).
 
     The format is append-mostly, so data files usually stay referenced
     forever; vacuum matters after operations that drop references
@@ -619,46 +640,68 @@ def vacuum_table(
     "removed_dirs": [...], "kept_versions": [...]}``; with
     ``dry_run=True`` nothing is deleted.
     """
+    import time as _time
+
+    from bazof_spark.writer import _commit_lock
+
     if keep_versions < 1:
         raise BazofError("keep_versions must be >= 1")
     table = lakehouse.table(table_name)
-    current = int(table.current_version())
-    versions = _numeric_versions(table.path)
-    if current not in versions:
-        raise BazofError(
-            f"version pointer {current} has no s{current}.json"
-        )
-    # retain the keep_versions most recent, always including current
-    retained = sorted(set(v for v in versions if v <= current))[-keep_versions:]
-    retained = sorted(set(retained) | {current})
-    referenced: set[str] = set()
-    for v in retained:
-        referenced |= _referenced_files(table.get_snapshot(str(v)))
 
-    removed_files: list[str] = []
-    removed_snapshots: list[str] = []
-    removed_dirs: list[str] = []
-    # iofs listing/deletes: vacuum works unchanged on object-store URIs
-    # (a "directory" there is a key prefix; pyarrow maps both)
-    for f, is_dir in sorted(iofs.listdir_info(table.path)):
-        full = iofs.join(table.path, f)
-        if is_dir:
-            if f.startswith("_") and f.endswith("_job"):
-                removed_dirs.append(f)
-                if not dry_run:
-                    iofs.delete_dir(full)
-            continue
-        m = _SNAPSHOT_RE.match(f)
-        if m:
-            if int(m.group(1)) not in retained:
-                removed_snapshots.append(f)
+    def _young(full: str) -> bool:
+        if min_age_s <= 0:
+            return False
+        mtime = iofs.file_mtime(full)
+        return mtime is not None and (_time.time() - mtime) < min_age_s
+
+    with _commit_lock(table.path):
+        current = int(table.current_version())
+        versions = _numeric_versions(table.path)
+        if current not in versions:
+            raise BazofError(
+                f"version pointer {current} has no s{current}.json"
+            )
+        # retain the keep_versions most recent, always including current
+        retained = sorted(
+            set(v for v in versions if v <= current)
+        )[-keep_versions:]
+        retained = sorted(set(retained) | {current})
+        referenced: set[str] = set()
+        for v in retained:
+            referenced |= _referenced_files(table.get_snapshot(str(v)))
+
+        removed_files: list[str] = []
+        removed_snapshots: list[str] = []
+        removed_dirs: list[str] = []
+        # iofs listing/deletes: vacuum works unchanged on object-store
+        # URIs (a "directory" there is a key prefix; pyarrow maps both)
+        for f, is_dir in sorted(iofs.listdir_info(table.path)):
+            full = iofs.join(table.path, f)
+            if is_dir:
+                if f.startswith("_") and f.endswith("_job") and not _young(
+                    full
+                ):
+                    removed_dirs.append(f)
+                    if not dry_run:
+                        iofs.delete_dir(full)
+                continue
+            m = _SNAPSHOT_RE.match(f)
+            if m:
+                # retained-set membership alone decides snapshots: the
+                # commit guard freezes the chain, and a snapshot ABOVE
+                # the pointer can only be an abandoned publish (its
+                # writer re-derives on retry), never a live commit
+                if int(m.group(1)) not in retained:
+                    removed_snapshots.append(f)
+                    if not dry_run:
+                        iofs.delete(full)
+                continue
+            if f.endswith(".parquet") and f not in referenced and not _young(
+                full
+            ):
+                removed_files.append(f)
                 if not dry_run:
                     iofs.delete(full)
-            continue
-        if f.endswith(".parquet") and f not in referenced:
-            removed_files.append(f)
-            if not dry_run:
-                iofs.delete(full)
     return {
         "removed_files": removed_files,
         "removed_snapshots": removed_snapshots,

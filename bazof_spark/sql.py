@@ -71,6 +71,18 @@ _TABLE_FACTOR_RE = re.compile(
     rf"\b(?:FROM|JOIN)\s+(?P<name>{_IDENT})", re.IGNORECASE
 )
 
+# CTE definitions: WITH [RECURSIVE] name AS ( ... ) [, name2 AS ( ... )].
+# Names defined here are query-local relations — a CTE named like an
+# azof table must NOT be registered/scanned (the CTE shadows it inside
+# the query; registering would still scan the azof table's files as a
+# side effect). The `,` alternative also matches named windows
+# (`WINDOW w AS (...)`) — harmless over-collection: those names never
+# appear in FROM/JOIN position.
+_CTE_DEF_RE = re.compile(
+    rf"(?:\bWITH(?:\s+RECURSIVE)?|,)\s*(?P<name>{_IDENT})\s+AS\s*\(",
+    re.IGNORECASE,
+)
+
 # comma-separated continuation of a FROM list (`FROM a, b, c` — the
 # reference registers every table factor, so must we); an optional
 # bare/AS alias may sit between the previous factor and the comma
@@ -222,11 +234,16 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
     rewritten = _SYSTEM_TIME_RE.sub(lambda m: _sub(m, spans), rewritten)
 
     spans = _string_spans(rewritten)
+    cte_names = {
+        m.group("name")
+        for m in _CTE_DEF_RE.finditer(rewritten)
+        if not _inside(m.start("name"), spans)
+    }
 
     def _register_bare(name: str, pos: int) -> None:
         if _inside(pos, spans):
             return
-        if name.lower() in _KEYWORDS or name in seen:
+        if name.lower() in _KEYWORDS or name in seen or name in cte_names:
             return
         seen.add(name)
         tables.append(VersionedTable(name, name, Current))

@@ -385,23 +385,42 @@ def _as_local_path(path: str) -> str | None:
     return path
 
 
+def _reservable_local_path(full: str) -> str | None:
+    """Local path on which a delta NAME can be reserved atomically:
+    plain/file:// paths directly; emulated object-store URIs via their
+    local mirror (the emulation's conditional-put stand-in — caught red-
+    handed by the emulated two-writer stress, where the plain existence
+    probe let both writers pick the same name and clobber each other's
+    bytes while the version chain looked intact). Real object stores
+    return None."""
+    local = _as_local_path(full)
+    if local is not None:
+        return local
+    try:
+        return iofs.emulated_mirror(full)
+    except ValueError:
+        return None
+
+
 def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
     """First non-colliding ``{seg}_delta{N}.parquet`` name — snapshots
     may reference fewer files than the directory holds (e.g. after a
     checkpoint kept originals on disk), so probe for existence.
 
-    Local FS: the name is RESERVED atomically (O_EXCL create of an
-    empty file the parquet write then overwrites) — two concurrent
-    writers probing at once can otherwise pick the same name and
-    clobber each other's delta bytes before either commits. Object
-    stores fall back to a plain existence probe (no atomic
-    create-if-absent through pyarrow.fs); their residual window is the
-    same one the commit itself has without a conditional put."""
+    Local FS (and emulated object-store schemes, via their mirror): the
+    name is RESERVED atomically (O_EXCL create of an empty file the
+    parquet write then overwrites) — two concurrent writers probing at
+    once can otherwise pick the same name and clobber each other's
+    delta bytes before either commits. Real object stores fall back to
+    a plain existence probe (no atomic create-if-absent through
+    pyarrow.fs); their residual window is the same one the commit
+    itself has without a conditional put — closed by registering a
+    commitguard and using the token-named commit_delta_files path."""
     n = n_existing + 1
     while True:
         name = f"{segment_id}_delta{n}.parquet"
         full = iofs.join(table_path, name)
-        local = _as_local_path(full)
+        local = _reservable_local_path(full)
         if local is not None:
             try:
                 os.close(os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY))

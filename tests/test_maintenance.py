@@ -317,3 +317,78 @@ def test_checkpoint_on_file_uri_root(spark, tmp_path):
     # object-store schemes without a Spark connector still refuse
     with pytest.raises(BazofError, match="Spark-readable"):
         checkpoint_table(Lakehouse(spark, "s3://b/x"), "t", at=ts(10))
+
+
+def test_checkpoint_races_live_upserts_loses_nothing(spark, lakehouse, tmp_path):
+    """Compaction under concurrency (round-5 verdict task 7): a
+    checkpoint loop racing live upsert threads through the shared
+    commit CAS must never lose a committed row. Every checkpoint
+    publish re-checks the version pointer under the commit guard, so a
+    delta landing between the state scan and the flip forces a
+    recompute instead of being silently folded away; upserts losing the
+    pointer race re-derive and retry. Post-conditions: the final scan
+    holds every upserted key, and the per-version key→value maps are
+    MONOTONE (each key written exactly once ⇒ no intermediate snapshot
+    may drop a previously-committed key)."""
+    import threading
+    import time as _time
+
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.maintenance import checkpoint_table, validate_table
+    from bazof_spark.writer import upsert_with_retry
+
+    lh = lakehouse
+    table_path = lh.table("t").path
+    n_each = 4
+    errors: list[BaseException] = []
+
+    def writer_thread(tag: str):
+        try:
+            for i in range(n_each):
+                upsert_with_retry(
+                    spark,
+                    table_path,
+                    rows(spark, (f"{tag}{i}", ts(10 + i), f"v_{tag}{i}")),
+                    retries=100,
+                )
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer_thread, args=(t,)) for t in ("x", "y")
+    ]
+    for t in threads:
+        t.start()
+    # checkpoint loop racing the writers: each checkpoint retries until
+    # it wins a CAS round (at must cover all committed event times)
+    for k in range(2):
+        for attempt in range(100):
+            try:
+                checkpoint_table(lh, "t", at=ts(20 + k))
+                break
+            except CommitConflictError:
+                _time.sleep(0.05)
+        else:
+            raise AssertionError("checkpoint never won a commit round")
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    final = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    for tag in ("x", "y"):
+        for i in range(n_each):
+            assert final.get(f"{tag}{i}") == f"v_{tag}{i}", (tag, i, final)
+    validate_table(lh, "t").raise_if_invalid()
+
+    # monotone per-version content: no snapshot lost a committed key
+    from bazof_spark.maintenance import _numeric_versions
+
+    prev: dict[str, str] = {}
+    for v in sorted(_numeric_versions(table_path)):
+        cur = {
+            r["key"]: r["value"]
+            for r in lh.scan("t", version=v).collect()
+        }
+        missing = {k: prev[k] for k in prev if k not in cur or cur[k] != prev[k]}
+        assert not missing, (v, missing)
+        prev = cur

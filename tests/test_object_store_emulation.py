@@ -256,7 +256,9 @@ def test_maintenance_on_s3_scheme(spark, s3_root):
     assert iofs.read_text(iofs.join(table_uri, "version.txt")) == "3"
 
     # the restored branch abandoned s2's delta: vacuum collects it
-    res = vacuum_table(s3_lh, "t1", keep_versions=1)
+    # min_age_s=0: the abandoned branch's files are seconds old and no
+    # writer is live; production keeps the retention window
+    res = vacuum_table(s3_lh, "t1", keep_versions=1, min_age_s=0)
     assert res["removed_snapshots"], res
     assert any(f.endswith(".parquet") for f in res["removed_files"]), res
 

@@ -100,7 +100,87 @@ def test_cte_and_subquery_nesting():
     )
     out, tables = rewrite_and_extract_tables(sql)
     assert f"financials__{MS}" in out and f"t2__{MS}" in out
-    assert {f"financials__{MS}", f"t2__{MS}", "base"} <= names(tables)
+    assert {f"financials__{MS}", f"t2__{MS}"} <= names(tables)
+    # the CTE name is query-local: never registered (and thus never
+    # scanned even if an azof table shares the name)
+    assert "base" not in names(tables)
+
+
+def test_cte_shadowing_azof_table_not_registered():
+    # a CTE named like a real table must shadow it, not scan it
+    sql = (
+        f"WITH events_versioned AS (SELECT 1 AS k) "
+        f"SELECT * FROM events_versioned"
+    )
+    _, tables = rewrite_and_extract_tables(sql)
+    assert "events_versioned" not in names(tables)
+    # multi-CTE: both names excluded, real tables still registered
+    sql = (
+        "WITH a AS (SELECT 1), b AS (SELECT * FROM real_tbl) "
+        "SELECT * FROM a JOIN b ON 1=1"
+    )
+    _, tables = rewrite_and_extract_tables(sql)
+    got = names(tables)
+    assert "real_tbl" in got and "a" not in got and "b" not in got
+
+
+def test_with_recursive_cte_excluded():
+    sql = (
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM r WHERE n < 5) SELECT * FROM r"
+    )
+    _, tables = rewrite_and_extract_tables(sql)
+    assert "r" not in names(tables)
+
+
+def test_cte_shaped_text_inside_string_still_registers_table():
+    # 'WITH x AS (' inside a literal must not suppress registering a
+    # real table named x
+    sql = "SELECT 'WITH x AS (' AS doc FROM x"
+    _, tables = rewrite_and_extract_tables(sql)
+    assert "x" in names(tables)
+
+
+def test_at_on_parenthesized_derived_table_not_rewritten():
+    # AT() binds to a NAMED table factor; a derived table's closing
+    # paren must not produce a rewrite of some inner identifier
+    sql = f"SELECT * FROM (SELECT k FROM t) AT('{TS}')"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert "__" not in out  # nothing rewritten; Spark reports the
+    assert names(tables) == {"t"}  # syntax error on the stray AT
+
+
+def test_at_on_aliased_derived_table_rewrites_only_the_alias():
+    # `(subquery) x AT(...)`: the alias is a query-local name; the
+    # rewrite maps it to x__millis which then fails resolution loudly
+    # (x is not an azof table) instead of silently scanning anything —
+    # pinned here so the behavior is a clear error, not data corruption
+    sql = f"SELECT * FROM (SELECT k FROM t) x AT('{TS}')"
+    out, tables = rewrite_and_extract_tables(sql)
+    assert f"x__{MS}" in out
+    assert "t" in names(tables)
+
+
+def test_quoted_identifiers_not_rewritten():
+    # backtick/double-quoted table factors are outside the rewrite's
+    # identifier grammar: the clause survives to Spark (loud parse
+    # error), nothing is silently scanned
+    for quoted in ("`events`", '"events"'):
+        sql = f"SELECT * FROM {quoted} AT('{TS}')"
+        out, tables = rewrite_and_extract_tables(sql)
+        assert "events__" not in out, quoted
+
+
+def test_join_chain_registration_with_cte_mix():
+    sql = (
+        f"WITH w AS (SELECT 1 AS k) "
+        f"SELECT * FROM a, b JOIN w ON w.k = b.k "
+        f"JOIN c AT('{TS}') ON c.k = b.k"
+    )
+    out, tables = rewrite_and_extract_tables(sql)
+    got = names(tables)
+    assert {"a", "b", f"c__{MS}"} <= got
+    assert "w" not in got
 
 
 def test_self_join_two_instants_distinct_names():

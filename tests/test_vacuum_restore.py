@@ -3,6 +3,7 @@ GC) — maintenance surfaces over the format's single mutable pointer
 (crates/azof/src/table.rs:35-41)."""
 
 import os
+import time
 from datetime import datetime, timezone
 
 import pytest
@@ -73,10 +74,21 @@ def test_vacuum_gc_and_retention(spark, tmp_path):
     with open(os.path.join(tdir, "orphan.parquet"), "wb") as f:
         f.write(b"junk")
 
-    dry = vacuum_table(lh, "t", keep_versions=1, dry_run=True)
+    # retention guard: the orphan is YOUNG (just created) — default
+    # min_age_s must protect it (it could be an in-flight commit's
+    # staged delta); snapshot GC proceeds regardless (guard-serialized)
+    young = vacuum_table(lh, "t", keep_versions=1, dry_run=True)
+    assert "orphan.parquet" not in young["removed_files"]
+    assert "_x_job" not in young["removed_dirs"]
+
+    dry = vacuum_table(lh, "t", keep_versions=1, dry_run=True, min_age_s=0)
     assert "orphan.parquet" in dry["removed_files"]
     assert os.path.exists(os.path.join(tdir, "orphan.parquet"))  # dry!
 
+    # aged debris is collected even with the default retention window
+    old = time.time() - 7200
+    os.utime(os.path.join(tdir, "orphan.parquet"), (old, old))
+    os.utime(os.path.join(tdir, "_x_job"), (old, old))
     result = vacuum_table(lh, "t", keep_versions=1)
     assert result["removed_snapshots"] == ["s1.json", "s2.json"]
     assert "orphan.parquet" in result["removed_files"]
