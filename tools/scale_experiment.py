@@ -196,6 +196,11 @@ X100_MEASURED = [
     "graph_pagerank_supply",
     "ngram_decontamination",
     "hybrid_rrf_search",
+    # round-4 heavy hitters (verdict r4 task 6): the one-shuffle SCD2
+    # build over 100× events (10M rows) and the fixed-query kNN
+    # harness over a 100× decorrelated corpus
+    "scd2_user_event_type",
+    "knn_label_vote",
 ]
 
 
@@ -258,6 +263,26 @@ def build_docs_x(spark, copies: int, dst: str) -> None:
             branches.append(c)
         _write(_union(branches), out)
 
+    # events: same decorrelation as the 10× build — event_id AND
+    # user_id shift per copy, so per-user event density stays constant
+    # (100× users, not 100× events per user); the realistic growth for
+    # the scd2/as-of/session family, whose state is per-key
+    out = os.path.join(dst, "events.parquet")
+    if not os.path.exists(out):
+        ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+        ekey = ev.agg(F.max("event_id")).first()[0] + 1
+        ukey = ev.agg(F.max("user_id")).first()[0] + 1
+        _write(
+            _union(
+                [
+                    ev.withColumn("event_id", F.col("event_id") + i * ekey)
+                    .withColumn("user_id", F.col("user_id") + i * ukey)
+                    for i in range(copies)
+                ]
+            ),
+            out,
+        )
+
     out = os.path.join(dst, "lineitem.parquet")
     if not os.path.exists(out):
         li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet")).select(
@@ -295,6 +320,11 @@ def main() -> None:
             shutil.rmtree(X100_DST)
         build_docs_x(spark, 100, X100_DST)
         MEASURED = X100_MEASURED
+        for arg in sys.argv[1:]:
+            if arg.startswith("--only="):
+                MEASURED = [
+                    n for n in arg[len("--only="):].split(",") if n
+                ]
         base = run(spark, SRC)
         scaled = run(spark, X100_DST)
         report = {
