@@ -163,16 +163,18 @@ def checkpoint_table(
                     delta=s.delta,
                     key_min=s.key_min,
                     key_max=s.key_max,
+                    ts_min=s.ts_min,
+                    ts_max=s.ts_max,
                 )
                 for s in was_open
             ),
         )
         segments = segments + (wrapper,)
-    from bazof_spark.writer import file_key_stats
+    from bazof_spark.writer import file_zone_stats
 
-    kmin, kmax = file_key_stats(table.path, base_file)
     new_seg = Segment(
-        id=seg_id, start=at, file=base_file, key_min=kmin, key_max=kmax
+        id=seg_id, start=at, file=base_file,
+        **file_zone_stats(table.path, base_file),
     )
     new_snapshot = Snapshot(segments=segments + (new_seg,), schema=snapshot.schema)
 

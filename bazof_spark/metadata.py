@@ -73,11 +73,24 @@ class KeyRange:
         return True
 
 
+def _ts_invisible(ts_min: datetime | None, as_of: AsOf) -> bool:
+    """True when a file's MEASURED minimum event_time lies beyond the
+    as-of instant: every row would be filtered by ``event_time <= t``,
+    so the file contributes nothing and may be skipped. Catches files
+    the declared ``start`` admits (eligibility is semantic precedence,
+    metadata.rs:98-104 — unchanged) whose actual rows are all newer,
+    e.g. a wide-declared batch scanned at a deep-past instant."""
+    if as_of.is_current or ts_min is None:
+        return False
+    return ts_min > as_of.event_time_at
+
+
 @dataclass(frozen=True)
 class Delta:
     """A parquet batch of upserts covering event-time ``[start, end]``
-    (crates/azof/src/metadata.rs:89-96). ``key_min``/``key_max`` are
-    optional file-level zone-map bounds (our extension — written from
+    (crates/azof/src/metadata.rs:89-96). ``key_min``/``key_max`` (key
+    bounds) and ``ts_min``/``ts_max`` (measured event_time bounds) are
+    optional file-level zone-map stats (our extension — written from
     the parquet footer at commit time, absent on snapshots authored by
     the reference or by older writers)."""
 
@@ -86,6 +99,8 @@ class Delta:
     end: datetime
     key_min: str | None = None
     key_max: str | None = None
+    ts_min: datetime | None = None
+    ts_max: datetime | None = None
 
     def is_before(self, as_of: AsOf) -> bool:
         """Eligibility (metadata.rs:98-104): Current ⇒ always; EventTime ⇒
@@ -103,6 +118,12 @@ class Delta:
                 end=parse_rfc3339(obj["end"]),
                 key_min=obj.get("key_min"),
                 key_max=obj.get("key_max"),
+                ts_min=(
+                    parse_rfc3339(obj["ts_min"]) if obj.get("ts_min") else None
+                ),
+                ts_max=(
+                    parse_rfc3339(obj["ts_max"]) if obj.get("ts_max") else None
+                ),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad delta {obj!r}: {exc}") from exc
@@ -117,6 +138,10 @@ class Delta:
             out["key_min"] = self.key_min
         if self.key_max is not None:
             out["key_max"] = self.key_max
+        if self.ts_min is not None:
+            out["ts_min"] = format_rfc3339_ms(self.ts_min)
+        if self.ts_max is not None:
+            out["ts_max"] = format_rfc3339_ms(self.ts_max)
         return out
 
 
@@ -134,6 +159,8 @@ class Segment:
     delta: tuple[Delta, ...] = field(default_factory=tuple)
     key_min: str | None = None
     key_max: str | None = None
+    ts_min: datetime | None = None
+    ts_max: datetime | None = None
 
     def is_in_range(self, as_of: AsOf) -> bool:
         """metadata.rs:75-86 — Current matches only open-ended segments;
@@ -160,6 +187,7 @@ class Segment:
             d
             for d in self.delta
             if d.is_before(as_of)
+            and not _ts_invisible(d.ts_min, as_of)
             and (key_range is None or key_range.admits(d.key_min, d.key_max))
         ]
         eligible.sort(key=lambda d: d.start, reverse=True)
@@ -167,6 +195,7 @@ class Segment:
         if (
             self.is_in_range(as_of)
             and self.file is not None
+            and not _ts_invisible(self.ts_min, as_of)
             and (key_range is None or key_range.admits(self.key_min, self.key_max))
         ):
             files.append(self.file)
@@ -186,6 +215,12 @@ class Segment:
                 delta=tuple(Delta.from_json(d) for d in obj.get("delta") or ()),
                 key_min=obj.get("key_min"),
                 key_max=obj.get("key_max"),
+                ts_min=(
+                    parse_rfc3339(obj["ts_min"]) if obj.get("ts_min") else None
+                ),
+                ts_max=(
+                    parse_rfc3339(obj["ts_max"]) if obj.get("ts_max") else None
+                ),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad segment {obj!r}: {exc}") from exc
@@ -200,6 +235,10 @@ class Segment:
             out["key_min"] = self.key_min
         if self.key_max is not None:
             out["key_max"] = self.key_max
+        if self.ts_min is not None:
+            out["ts_min"] = format_rfc3339_ms(self.ts_min)
+        if self.ts_max is not None:
+            out["ts_max"] = format_rfc3339_ms(self.ts_max)
         if self.segments:
             out["segments"] = [s.to_json() for s in self.segments]
         if self.delta:

@@ -98,44 +98,76 @@ def dataframe_to_parquet_file(
         pq.write_table(tbl, dest_rel, filesystem=dest_fs)
 
 
-def file_key_stats(table_path: str, file_name: str) -> tuple[str | None, str | None]:
-    """Zone-map bounds ``(key_min, key_max)`` for one committed parquet
-    file, read from its footer — one driver-side metadata fetch per
-    file at COMMIT time (O(files in this commit), never per-read).
-    Parquet footer min/max are valid bounds even when the writer
+def _column_footer_bounds(md, name: str):
+    """(min, max) for one column across all row groups of a parquet
+    footer, or (None, None) when any group lacks usable stats."""
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == name:
+            idx = i
+            break
+    if idx is None or md.num_row_groups == 0:
+        return None, None
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        gmin, gmax = st.min, st.max
+        if isinstance(gmin, bytes):
+            gmin = gmin.decode("utf-8")
+        if isinstance(gmax, bytes):
+            gmax = gmax.decode("utf-8")
+        lo = gmin if lo is None else min(lo, gmin)
+        hi = gmax if hi is None else max(hi, gmax)
+    return lo, hi
+
+
+def file_zone_stats(table_path: str, file_name: str) -> dict:
+    """Zone-map bounds for one committed parquet file, read from its
+    footer — one driver-side metadata fetch per file at COMMIT time
+    (O(files in this commit), never per-read). Returns a dict with any
+    of ``key_min``/``key_max`` (strings) and ``ts_min``/``ts_max``
+    (tz-aware datetimes for the event_time column; naive footer values
+    are interpreted as UTC instants, the same convention the readers
+    use). Parquet footer min/max are valid bounds even when the writer
     truncated long values (parquet-cpp truncates mins downward and
-    increments truncated maxes), which is all pruning needs. Returns
-    (None, None) when any row group lacks usable stats — absent stats
-    disable pruning for the file, never correctness
-    (metadata.KeyRange.admits)."""
+    increments truncated maxes), which is all pruning needs. Missing
+    entries disable pruning for that dimension, never correctness
+    (metadata.KeyRange.admits / the ts_min guard)."""
+    from datetime import timezone
+
+    out: dict = {}
     try:
         fs, rel = iofs.split(iofs.join(table_path, file_name))
         md = pq.ParquetFile(rel, filesystem=fs).metadata
-        idx = None
-        for i in range(md.num_columns):
-            if md.schema.column(i).name == KEY_COL:
-                idx = i
-                break
-        if idx is None or md.num_row_groups == 0:
-            return None, None
-        lo: str | None = None
-        hi: str | None = None
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None, None
-            gmin, gmax = st.min, st.max
-            if isinstance(gmin, bytes):
-                gmin = gmin.decode("utf-8")
-            if isinstance(gmax, bytes):
-                gmax = gmax.decode("utf-8")
-            lo = gmin if lo is None else min(lo, gmin)
-            hi = gmax if hi is None else max(hi, gmax)
-        return lo, hi
     except Exception:
-        # stats are best-effort: an unreadable footer (or non-UTF8
-        # bounds) must never fail a commit
-        return None, None
+        # stats are best-effort: an unreadable footer must never fail
+        # a commit
+        return out
+    try:
+        kmin, kmax = _column_footer_bounds(md, KEY_COL)
+        if isinstance(kmin, str) and isinstance(kmax, str):
+            out["key_min"], out["key_max"] = kmin, kmax
+    except Exception:
+        pass
+    try:
+        tmin, tmax = _column_footer_bounds(md, EVENT_TIME_COL)
+        if isinstance(tmin, datetime) and isinstance(tmax, datetime):
+            if tmin.tzinfo is None:
+                tmin = tmin.replace(tzinfo=timezone.utc)
+            if tmax.tzinfo is None:
+                tmax = tmax.replace(tzinfo=timezone.utc)
+            out["ts_min"], out["ts_max"] = tmin, tmax
+    except Exception:
+        pass
+    return out
+
+
+def file_key_stats(table_path: str, file_name: str) -> tuple[str | None, str | None]:
+    """Key bounds only — see :func:`file_zone_stats`."""
+    stats = file_zone_stats(table_path, file_name)
+    return stats.get("key_min"), stats.get("key_max")
 
 
 def validate_data_file_invariants(df: DataFrame) -> None:
@@ -156,21 +188,26 @@ def _delta_with_stats(
     table_path: str, file_name: str, start: datetime, end: datetime
 ) -> Delta:
     """Delta entry carrying the file's zone-map bounds when readable."""
-    kmin, kmax = file_key_stats(table_path, file_name)
     return Delta(
-        file=file_name, start=start, end=end, key_min=kmin, key_max=kmax
+        file=file_name,
+        start=start,
+        end=end,
+        **file_zone_stats(table_path, file_name),
     )
 
 
 def _stats_json(table_path: str, file_name: str) -> dict:
-    """Optional ``key_min``/``key_max`` JSON fields for a node
-    referencing ``file_name`` (empty when stats are unavailable)."""
-    kmin, kmax = file_key_stats(table_path, file_name)
+    """Optional zone-map JSON fields (``key_min``/``key_max``/
+    ``ts_min``/``ts_max``) for a node referencing ``file_name`` (empty
+    when stats are unavailable)."""
+    stats = file_zone_stats(table_path, file_name)
     out: dict = {}
-    if kmin is not None:
-        out["key_min"] = kmin
-    if kmax is not None:
-        out["key_max"] = kmax
+    for k in ("key_min", "key_max"):
+        if k in stats:
+            out[k] = stats[k]
+    for k in ("ts_min", "ts_max"):
+        if k in stats:
+            out[k] = _ts(stats[k])
     return out
 
 

@@ -370,3 +370,16 @@ def test_round4_queries_bounded(spark):
     df = q("weighted_sample_docs", spark)
     assert shuffle_count(df) <= 1
     assert _plan_nodes(df).count("WindowGroupLimit") == 2
+
+
+def test_zonemap_key_lookup_pushes_key_and_single_shuffle(spark):
+    """Round-5 zone maps: beyond the metadata-time FILE pruning (pinned
+    by inputFiles counts in tests/test_zonemap.py), the key-range row
+    predicate must reach the parquet reader for row-group pruning, and
+    the query stays the canonical one-shuffle merge."""
+    df = q("zonemap_key_lookup", spark)
+    pushed = " ".join(pushed_filters(df))
+    assert "key" in pushed, (
+        "the key-range predicate must reach the parquet reader"
+    )
+    assert shuffle_count(df) <= 1

@@ -102,6 +102,46 @@ def test_scan_key_pruning_respects_as_of(spark, tmp_path):
     assert df.collect()[0]["value"] == "b2@01"
 
 
+def test_measured_event_time_bounds_prune_invisible_files(spark, tmp_path):
+    """ts_min zone maps: a delta whose DECLARED start admits it at an
+    as-of instant but whose MEASURED minimum event_time lies beyond it
+    contributes zero visible rows (the reader filters event_time <= t)
+    — so the scan skips the file entirely, with identical results."""
+    path = str(tmp_path / "t")
+    w = TableWriter(
+        spark,
+        path,
+        TableSchema(
+            columns=(
+                ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+            )
+        ),
+    )
+    seg = w.add_segment("s1", start=T0)
+    seg.add_delta(_df(spark, "a", T0), start=T0, end=T1)
+    # declared start T0 (eligible at any t >= T0) but every ROW is at T1
+    seg.add_delta(_df(spark, "a", T1), start=T0, end=T1)
+    w.commit("1")
+    lh = Lakehouse(spark, str(tmp_path))
+
+    mid = dt.datetime(2024, 1, 15, tzinfo=UTC)
+    df = lh.scan("t", as_of=mid)
+    assert len(df.inputFiles()) == 1  # the all-T1 file is skipped
+    got = {r["key"]: r["value"] for r in df.collect()}
+    assert got == {f"a{i:02d}": f"a{i}@01" for i in range(5)}
+    # at Current both files are visible; the deltas share a declared
+    # start, so ARRAY ORDER decides precedence (stable sort — file
+    # precedence beats timestamp, SURVEY §4.2) and the first delta wins
+    cur = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    assert cur == {f"a{i:02d}": f"a{i}@01" for i in range(5)}
+    # stats roundtrip through the snapshot JSON
+    snap = lh.table("t").get_current_snapshot()
+    d0 = snap.segments[0].delta[0]
+    assert d0.ts_min is not None and d0.ts_max is not None
+    again = Snapshot.deserialize(snap.serialize())
+    assert again.segments[0].delta[0].ts_min == d0.ts_min
+
+
 def test_missing_stats_admit_everything(spark, tmp_path):
     lh = _key_clustered_table(spark, tmp_path)
     table = lh.table("t")
