@@ -122,7 +122,7 @@ class BazofReader(DataSourceReader):
         table, snapshot, as_of = resolved or _resolve(options)
         stats = snapshot.file_key_stats()
         self._files = [
-            (table.data_file_path(f), r, *stats.get(f, (None, None)))
+            (table.data_file_path(f), r, *stats.get(f, (None, None, None)))
             for f, r in snapshot.ranked_data_files(as_of)
         ]
         self._columns = [
@@ -189,33 +189,39 @@ class BazofReader(DataSourceReader):
         """KeyRange implied by the pushed ``key`` comparisons, or None.
         Strict bounds are widened to inclusive — a superset is always
         safe (the reader still row-filters), and zone maps only need
-        may-contain semantics."""
+        may-contain semantics. A pushed EQUALITY additionally carries
+        the exact key so partition planning can probe each file's
+        bloom (every result row must satisfy the conjunction, so the
+        equality value is the only key the scan can return)."""
         from bazof_spark.metadata import KeyRange
 
         lo: str | None = None
         hi: str | None = None
+        eq: set[str] = set()
         seen = False
         for op, col, value in self._pushed:
             if col != "key" or not isinstance(value, str):
                 continue
             seen = True
+            if op == "equal":
+                eq.add(value)
             if op in ("equal", "greater", "greater_equal"):
                 lo = value if lo is None else max(lo, value)
             if op in ("equal", "less", "less_equal"):
                 hi = value if hi is None else min(hi, value)
-        return KeyRange(lo, hi) if seen else None
+        return KeyRange(lo, hi, keys=tuple(sorted(eq)) or None) if seen else None
 
     def partitions(self):
         """One task per ranked data file — minus the files whose
-        zone-map bounds (snapshot key_min/key_max) are disjoint from
-        the pushed key predicate: a selective key lookup on a
-        key-clustered table schedules O(matching files) tasks, the
-        Data-Source twin of Lakehouse.scan(keys=...)."""
+        zone-map stats (snapshot key_min/key_max bounds, key bloom)
+        exclude the pushed key predicate: a selective key lookup
+        schedules O(matching files) tasks, the Data-Source twin of
+        Lakehouse.scan(keys=...)."""
         kr = self._pushed_key_range()
         return [
             _FilePartition(p, r)
-            for p, r, kmin, kmax in self._files
-            if kr is None or kr.admits(kmin, kmax)
+            for p, r, kmin, kmax, bloom in self._files
+            if kr is None or kr.admits(kmin, kmax, bloom)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:

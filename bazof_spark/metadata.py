@@ -29,6 +29,8 @@ O(segments) regardless of data size.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -36,6 +38,99 @@ from datetime import datetime
 from bazof_spark.asof import AsOf, Current, format_rfc3339_ms, parse_rfc3339
 from bazof_spark.errors import MetadataError
 from bazof_spark.schema import TableSchema
+
+# Point-lookup key sets larger than this fall back to range-only
+# pruning: the per-file bloom probe is O(|keys|) per file, and a lookup
+# that big is a join, not a point lookup.
+MAX_BLOOM_PROBE_KEYS = 256
+
+
+@dataclass(frozen=True)
+class KeyBloom:
+    """A fixed-size bloom filter over a file's key column — the
+    second half of our file-skipping extension (zone-map ranges prune
+    clustered layouts; blooms prune POINT lookups even when every
+    file's [key_min, key_max] spans the whole key space, e.g.
+    time-partitioned ingest where each batch touches scattered keys).
+
+    Deterministic by construction: bit indexes come from
+    Kirsch–Mitzenmacher double hashing (public construction,
+    "Less Hashing, Same Performance", 2006) over the md5 digest of the
+    UTF-8 key — index_i = (h1 + i*h2) mod m — so the same key set
+    always yields identical bytes, and a filter built on one machine
+    probes correctly on any other. ``might_contain`` may return a
+    false positive (admitting a file is always safe) but never a false
+    negative (the merge-safety requirement).
+
+    Stored inline in the snapshot JSON (base64). At 100 TB scale a
+    snapshot references many files; the inline encoding is bounded at
+    ``M_MAX_BITS`` (32 KiB raw) per file and skipped entirely when the
+    key cardinality would degrade the FPR past usefulness — a real
+    deployment graduates to sidecar stat files (Delta/Iceberg style)
+    behind the same ``KeyBloom`` probe interface."""
+
+    m: int  # filter size in bits (power of two)
+    k: int  # number of hash probes
+    data: bytes
+
+    BITS_PER_KEY = 10
+    M_MIN_BITS = 1024
+    M_MAX_BITS = 1 << 18  # 32 KiB raw / ~43 KiB base64 per file
+    MAX_KEYS = 25_000  # beyond this m would cap out; skip the bloom
+
+    @staticmethod
+    def build(keys) -> "KeyBloom | None":
+        """Bloom over a key set, or None when the set is empty or too
+        large for the inline size budget (absent bloom = no pruning,
+        never an error)."""
+        ks = {str(k) for k in keys}
+        n = len(ks)
+        if n == 0 or n > KeyBloom.MAX_KEYS:
+            return None
+        m = KeyBloom.M_MIN_BITS
+        while m < n * KeyBloom.BITS_PER_KEY and m < KeyBloom.M_MAX_BITS:
+            m <<= 1
+        k = max(1, min(8, round(0.693 * m / n)))
+        bits = bytearray(m // 8)
+        for key in ks:
+            for idx in KeyBloom._indexes(key, m, k):
+                bits[idx >> 3] |= 1 << (idx & 7)
+        return KeyBloom(m=m, k=k, data=bytes(bits))
+
+    @staticmethod
+    def _indexes(key: str, m: int, k: int):
+        digest = hashlib.md5(key.encode("utf-8")).digest()
+        h1 = int.from_bytes(digest[:8], "little")
+        h2 = int.from_bytes(digest[8:16], "little") | 1  # odd ⇒ full cycle
+        for i in range(k):
+            yield (h1 + i * h2) % m
+
+    def might_contain(self, key: str) -> bool:
+        for idx in KeyBloom._indexes(str(key), self.m, self.k):
+            if not (self.data[idx >> 3] >> (idx & 7)) & 1:
+                return False
+        return True
+
+    @staticmethod
+    def from_json(obj: dict) -> "KeyBloom | None":
+        """Parse the optional ``key_bloom`` node; any malformed field
+        yields None (pruning disabled for that file, never a failed
+        snapshot load — stats are advisory, the temporal walk is not)."""
+        try:
+            m, k = int(obj["m"]), int(obj["k"])
+            data = base64.b64decode(obj["b64"], validate=True)
+            if m <= 0 or m % 8 != 0 or k <= 0 or len(data) != m // 8:
+                return None
+            return KeyBloom(m=m, k=k, data=data)
+        except (KeyError, TypeError, ValueError):
+            return None
+
+    def to_json(self) -> dict:
+        return {
+            "m": self.m,
+            "k": self.k,
+            "b64": base64.b64encode(self.data).decode("ascii"),
+        }
 
 
 @dataclass(frozen=True)
@@ -51,25 +146,41 @@ class KeyRange:
 
     lo: str | None = None
     hi: str | None = None
+    # the EXACT requested keys when the predicate came from a point
+    # lookup (scan(keys=...) / pushed `key =` equalities): enables the
+    # per-file bloom probe on top of the [lo, hi] bound. None for true
+    # range predicates or key sets past MAX_BLOOM_PROBE_KEYS.
+    keys: tuple[str, ...] | None = None
 
     @staticmethod
     def of_keys(keys) -> "KeyRange":
-        ks = [str(k) for k in keys]
+        ks = sorted({str(k) for k in keys})
         if not ks:
             raise MetadataError("empty key set for KeyRange")
-        return KeyRange(lo=min(ks), hi=max(ks))
+        probe = tuple(ks) if len(ks) <= MAX_BLOOM_PROBE_KEYS else None
+        return KeyRange(lo=ks[0], hi=ks[-1], keys=probe)
 
-    def admits(self, key_min: str | None, key_max: str | None) -> bool:
-        """May a file with these zone-map bounds contain a key in this
-        range? Files WITHOUT stats (older snapshots, undecodable
-        bounds) are always admitted — pruning is an optimization,
-        never a correctness dependency."""
-        if key_min is None or key_max is None:
-            return True
-        if self.lo is not None and key_max < self.lo:
-            return False
-        if self.hi is not None and key_min > self.hi:
-            return False
+    def admits(
+        self,
+        key_min: str | None,
+        key_max: str | None,
+        bloom: "KeyBloom | None" = None,
+    ) -> bool:
+        """May a file with these zone-map stats contain a requested
+        key? Range check first (cheap), then — for point lookups with
+        a file bloom — the membership probe: if NO requested key might
+        be in the file, it is skipped even when its [key_min, key_max]
+        overlaps (the scattered-layout case ranges can't prune). Files
+        WITHOUT stats (older snapshots, reference-authored snapshots,
+        undecodable bounds) are always admitted — pruning is an
+        optimization, never a correctness dependency."""
+        if key_min is not None and key_max is not None:
+            if self.lo is not None and key_max < self.lo:
+                return False
+            if self.hi is not None and key_min > self.hi:
+                return False
+        if self.keys is not None and bloom is not None:
+            return any(bloom.might_contain(k) for k in self.keys)
         return True
 
 
@@ -101,6 +212,7 @@ class Delta:
     key_max: str | None = None
     ts_min: datetime | None = None
     ts_max: datetime | None = None
+    key_bloom: KeyBloom | None = None
 
     def is_before(self, as_of: AsOf) -> bool:
         """Eligibility (metadata.rs:98-104): Current ⇒ always; EventTime ⇒
@@ -124,6 +236,11 @@ class Delta:
                 ts_max=(
                     parse_rfc3339(obj["ts_max"]) if obj.get("ts_max") else None
                 ),
+                key_bloom=(
+                    KeyBloom.from_json(obj["key_bloom"])
+                    if isinstance(obj.get("key_bloom"), dict)
+                    else None
+                ),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad delta {obj!r}: {exc}") from exc
@@ -142,6 +259,8 @@ class Delta:
             out["ts_min"] = format_rfc3339_ms(self.ts_min)
         if self.ts_max is not None:
             out["ts_max"] = format_rfc3339_ms(self.ts_max)
+        if self.key_bloom is not None:
+            out["key_bloom"] = self.key_bloom.to_json()
         return out
 
 
@@ -161,6 +280,7 @@ class Segment:
     key_max: str | None = None
     ts_min: datetime | None = None
     ts_max: datetime | None = None
+    key_bloom: KeyBloom | None = None
 
     def is_in_range(self, as_of: AsOf) -> bool:
         """metadata.rs:75-86 — Current matches only open-ended segments;
@@ -188,7 +308,10 @@ class Segment:
             for d in self.delta
             if d.is_before(as_of)
             and not _ts_invisible(d.ts_min, as_of)
-            and (key_range is None or key_range.admits(d.key_min, d.key_max))
+            and (
+                key_range is None
+                or key_range.admits(d.key_min, d.key_max, d.key_bloom)
+            )
         ]
         eligible.sort(key=lambda d: d.start, reverse=True)
         files.extend(d.file for d in eligible)
@@ -196,7 +319,10 @@ class Segment:
             self.is_in_range(as_of)
             and self.file is not None
             and not _ts_invisible(self.ts_min, as_of)
-            and (key_range is None or key_range.admits(self.key_min, self.key_max))
+            and (
+                key_range is None
+                or key_range.admits(self.key_min, self.key_max, self.key_bloom)
+            )
         ):
             files.append(self.file)
         return files
@@ -221,6 +347,11 @@ class Segment:
                 ts_max=(
                     parse_rfc3339(obj["ts_max"]) if obj.get("ts_max") else None
                 ),
+                key_bloom=(
+                    KeyBloom.from_json(obj["key_bloom"])
+                    if isinstance(obj.get("key_bloom"), dict)
+                    else None
+                ),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad segment {obj!r}: {exc}") from exc
@@ -239,6 +370,8 @@ class Segment:
             out["ts_min"] = format_rfc3339_ms(self.ts_min)
         if self.ts_max is not None:
             out["ts_max"] = format_rfc3339_ms(self.ts_max)
+        if self.key_bloom is not None:
+            out["key_bloom"] = self.key_bloom.to_json()
         if self.segments:
             out["segments"] = [s.to_json() for s in self.segments]
         if self.delta:
@@ -298,19 +431,22 @@ class Snapshot:
             (f, i) for i, f in enumerate(self.get_data_files(as_of, key_range))
         ]
 
-    def file_key_stats(self) -> dict[str, tuple[str | None, str | None]]:
-        """``file → (key_min, key_max)`` over the whole tree (missing
-        stats ⇒ (None, None)) — lets the Data Source reader prune its
-        partition list from pushed key predicates."""
-        out: dict[str, tuple[str | None, str | None]] = {}
+    def file_key_stats(
+        self,
+    ) -> dict[str, tuple[str | None, str | None, KeyBloom | None]]:
+        """``file → (key_min, key_max, key_bloom)`` over the whole tree
+        (missing stats ⇒ Nones) — lets the Data Source reader prune its
+        partition list from pushed key predicates (ranges via the
+        bounds, point equalities via the bloom probe)."""
+        out: dict[str, tuple[str | None, str | None, KeyBloom | None]] = {}
 
         def walk(seg: Segment) -> None:
             for sub in seg.segments:
                 walk(sub)
             for d in seg.delta:
-                out[d.file] = (d.key_min, d.key_max)
+                out[d.file] = (d.key_min, d.key_max, d.key_bloom)
             if seg.file is not None:
-                out[seg.file] = (seg.key_min, seg.key_max)
+                out[seg.file] = (seg.key_min, seg.key_max, seg.key_bloom)
 
         for seg in self.segments:
             walk(seg)

@@ -147,6 +147,29 @@ def zonemap_key_lookup(spark, sf_dir):
     )
 
 
+def keyset_point_lookup(spark, sf_dir):
+    """Op: exact-key point lookup through the metadata stats
+    (metadata.KeyRange.of_keys → per-file key blooms + bounds — our
+    scale extension over the reference's temporal-only pruning,
+    crates/azof/src/metadata.rs:47-86). On events_versioned the deltas
+    are TIME-split, so every file's [key_min, key_max] spans the whole
+    key space and range pruning alone is moot — exactly the layout the
+    commit-time bloom exists for (tests/test_bloom.py pins the pruned
+    file counts on a controlled scattered layout). The scan also
+    row-filters `key IN (...)` so parquet row-group stats prune within
+    admitted files."""
+    lh = events_lakehouse(spark, sf_dir)
+    df = lh.scan("events_versioned", keys=["3", "7", "11"])
+    return df.select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def time_travel_sql(spark, sf_dir):
     """Op: SQL time-travel rewrite + full relational surface
     (parse.rs:17-118 + DataFusion-equivalent Spark SQL)."""
@@ -475,6 +498,10 @@ _ASOF_ORACLES = {
             FROM events WHERE user_id BETWEEN 3 AND 7
         ) WHERE _rn = 1
     """,
+    # latest event per user restricted to the looked-up key set (the
+    # scan's keys= path: bloom/bounds admit files, a row filter keeps
+    # only the requested keys, the merge is unchanged)
+    "keyset_point_lookup": _events_oracle_cte("user_id IN (3, 7, 11)"),
     "streaming_latest_rows": _events_oracle_cte(),
     # version-offset replay = the raw upsert log, each event once
     "streaming_native_read": """
@@ -2613,6 +2640,7 @@ QUERIES: dict[str, QueryFn] = {
     # core format operators
     "asof_scan_current": asof_scan_current,
     "zonemap_key_lookup": zonemap_key_lookup,
+    "keyset_point_lookup": keyset_point_lookup,
     "asof_scan_event_time": asof_scan_event_time,
     "asof_projection": asof_projection,
     "time_travel_sql": time_travel_sql,

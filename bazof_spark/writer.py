@@ -170,6 +170,37 @@ def file_key_stats(table_path: str, file_name: str) -> tuple[str | None, str | N
     return stats.get("key_min"), stats.get("key_max")
 
 
+def file_key_bloom(table_path: str, file_name: str):
+    """Bloom filter over one committed file's key column, or None.
+
+    Complements the footer min/max: ranges prune key-CLUSTERED
+    layouts, the bloom prunes POINT lookups on scattered layouts
+    (time-partitioned ingest where every file's [key_min, key_max]
+    spans the whole key space). Built at COMMIT time from a
+    single-column read of the just-written file — the driver-side
+    equivalent of building the filter executor-side during the write
+    (where a real deployment computes it; parquet's own bloom filters
+    are written the same way). Returns None — disabling bloom pruning
+    for this file, never failing the commit — when the column is
+    unreadable or its cardinality exceeds the inline size budget
+    (metadata.KeyBloom.MAX_KEYS)."""
+    from bazof_spark.metadata import KeyBloom
+
+    try:
+        fs, rel = iofs.split(iofs.join(table_path, file_name))
+        pf = pq.ParquetFile(rel, filesystem=fs)
+        if KEY_COL not in pf.schema_arrow.names:
+            return None
+        keys: set[str] = set()
+        for batch in pf.iter_batches(columns=[KEY_COL]):
+            keys.update(batch.column(0).to_pylist())
+            if len(keys) > KeyBloom.MAX_KEYS:
+                return None
+        return KeyBloom.build(k for k in keys if k is not None)
+    except Exception:
+        return None
+
+
 def validate_data_file_invariants(df: DataFrame) -> None:
     """Check unique (key, event_time) pairs — the invariant that makes
     the as-of dedup well-defined (SURVEY §7.4)."""
@@ -187,19 +218,20 @@ def _ts(dt: datetime) -> str:
 def _delta_with_stats(
     table_path: str, file_name: str, start: datetime, end: datetime
 ) -> Delta:
-    """Delta entry carrying the file's zone-map bounds when readable."""
+    """Delta entry carrying the file's zone-map stats when readable."""
     return Delta(
         file=file_name,
         start=start,
         end=end,
+        key_bloom=file_key_bloom(table_path, file_name),
         **file_zone_stats(table_path, file_name),
     )
 
 
 def _stats_json(table_path: str, file_name: str) -> dict:
     """Optional zone-map JSON fields (``key_min``/``key_max``/
-    ``ts_min``/``ts_max``) for a node referencing ``file_name`` (empty
-    when stats are unavailable)."""
+    ``ts_min``/``ts_max``/``key_bloom``) for a node referencing
+    ``file_name`` (empty when stats are unavailable)."""
     stats = file_zone_stats(table_path, file_name)
     out: dict = {}
     for k in ("key_min", "key_max"):
@@ -208,6 +240,9 @@ def _stats_json(table_path: str, file_name: str) -> dict:
     for k in ("ts_min", "ts_max"):
         if k in stats:
             out[k] = _ts(stats[k])
+    bloom = file_key_bloom(table_path, file_name)
+    if bloom is not None:
+        out["key_bloom"] = bloom.to_json()
     return out
 
 

@@ -63,11 +63,14 @@ def test_snapshot_carries_and_roundtrips_stats(spark, tmp_path):
     snap = lh.table("t").get_current_snapshot()
     stats = snap.file_key_stats()
     assert len(stats) == 4
-    by_min = sorted(v for v in stats.values())
+    by_min = sorted((lo, hi) for lo, hi, _bloom in stats.values())
     assert by_min == [
         ("a00", "a04"), ("b00", "b04"), ("b00", "b04"), ("c00", "c04")
     ]
-    # serialize → deserialize preserves the bounds
+    # every file also carries a key bloom that admits its own keys
+    for lo, _hi, bloom in stats.values():
+        assert bloom is not None and bloom.might_contain(lo)
+    # serialize → deserialize preserves bounds and bloom bytes
     again = Snapshot.deserialize(snap.serialize())
     assert again.file_key_stats() == stats
 
