@@ -199,3 +199,42 @@ def test_datasource_pushed_equality_probes_bloom(spark, tmp_path):
     assert rejected == []
     # range alone admits all 3; the equality's bloom probe keeps 1
     assert len(reader.partitions()) == 1
+
+
+# ---------------------------------------------------------------------------
+# Property: pruning can never change a lookup's answer
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_key = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(members=st.sets(_key, min_size=1, max_size=300), probes=st.sets(_key, max_size=50))
+def test_bloom_membership_is_conservative(members, probes):
+    """No false negatives ever: every member probes True; a pruned
+    file can only be one that contains NO requested key."""
+    b = KeyBloom.build(members)
+    assert b is not None
+    assert all(b.might_contain(k) for k in members)
+    # pruning decision mirrors Segment.get_data_files: a file is
+    # dropped only when NO probe key might be present
+    lookup = KeyRange.of_keys(probes) if probes else None
+    if lookup is not None and lookup.keys is not None:
+        kmin, kmax = min(members), max(members)
+        if members & probes:
+            # the file really holds a requested key → must be admitted
+            assert lookup.admits(kmin, kmax, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(members=st.sets(_key, min_size=1, max_size=200))
+def test_bloom_bytes_are_order_independent(members):
+    ordered = sorted(members)
+    assert KeyBloom.build(ordered) == KeyBloom.build(reversed(ordered))
