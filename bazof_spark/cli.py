@@ -1,6 +1,7 @@
 """CLI mirroring `azof-cli` (crates/azof-cli/src/main.rs:28-59):
 
     python -m bazof_spark.cli scan --path P --table T [--as-of TS]
+                                   [--keys a,b | --key-range LO..HI]
     python -m bazof_spark.cli gen  --path P --table T --file F
     python -m bazof_spark.cli sql  --path P --query "SELECT ..."
     python -m bazof_spark.cli changes --path P --table T --since TS [--until TS]
@@ -42,6 +43,19 @@ def main(argv: list[str] | None = None) -> int:
         "--version", default=None, help="snapshot version (system travel)"
     )
     p_scan.add_argument("--columns", default=None, help="comma-separated")
+    p_scan.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated exact keys: point lookup through the "
+        "file-level stats (zone-map bounds + key blooms)",
+    )
+    p_scan.add_argument(
+        "--key-range",
+        dest="key_range",
+        default=None,
+        help="LO..HI inclusive (either side empty = unbounded), pruned "
+        "via zone-map bounds",
+    )
     p_scan.add_argument("--limit", type=int, default=20)
 
     p_gen = sub.add_parser("gen", help="csv → parquet per table schema")
@@ -146,11 +160,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "scan":
         cols = args.columns.split(",") if args.columns else None
+        key_range = None
+        if args.key_range is not None:
+            lo, sep, hi = args.key_range.partition("..")
+            if not sep:
+                parser.error("--key-range must be LO..HI")
+            key_range = (lo or None, hi or None)
         df = lh.scan(
             args.table,
             as_of=_parse_as_of(args.as_of),
             columns=cols,
             version=args.version,
+            keys=args.keys.split(",") if args.keys else None,
+            key_range=key_range,
         )
         df.show(args.limit, truncate=False)
     elif args.cmd == "gen":

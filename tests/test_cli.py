@@ -45,6 +45,22 @@ def test_scan_current_and_as_of(spark, lake, capsys):
     assert "abc" in out and "abc2" not in out
 
 
+def test_scan_key_predicates(spark, lake, capsys):
+    out = run(
+        capsys, "scan", "--path", lake, "--table", "financials",
+        "--keys", "MSFT,ORCL", "--columns", "key,revenue",
+    )
+    assert "MSFT" in out and "ORCL" in out and "CRM" not in out
+    out = run(
+        capsys, "scan", "--path", lake, "--table", "financials",
+        "--key-range", "SAP..SAP", "--columns", "key",
+    )
+    assert "SAP" in out and "MSFT" not in out
+    with pytest.raises(SystemExit):
+        main(["scan", "--path", lake, "--table", "financials",
+              "--key-range", "no-dots"])
+
+
 def test_sql_time_travel(spark, lake, capsys):
     out = run(
         capsys,
