@@ -11,13 +11,44 @@ serves s3://, gs://, abfs:// and file paths.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 
 from bazof_spark.errors import TableNotFoundError
 from bazof_spark.metadata import Snapshot
 
 VERSION_FILE = "version.txt"
+
+# Content-addressed parse cache: snapshot JSON grew real weight with the
+# inline zone-map stats (base64 blooms), and every scan re-loads one.
+# Keyed by the sha256 of the RAW BYTES — never by (path, version), which
+# overwrite-mode re-creation at the same path would poison — so a hit is
+# definitionally the same document and staleness is impossible; the
+# (small) pointer+snapshot reads still happen every call, only the
+# JSON/base64 decode is skipped. Snapshots are frozen dataclasses of
+# tuples, safe to share across threads and Lakehouse instances.
+_PARSE_CACHE_MAX = 64
+_parse_cache: "OrderedDict[str, Snapshot]" = OrderedDict()
+_parse_lock = threading.Lock()
+
+
+def _deserialize_cached(raw: str) -> Snapshot:
+    key = hashlib.sha256(raw.encode("utf-8")).hexdigest()
+    with _parse_lock:
+        hit = _parse_cache.get(key)
+        if hit is not None:
+            _parse_cache.move_to_end(key)
+            return hit
+    snap = Snapshot.deserialize(raw)
+    with _parse_lock:
+        _parse_cache[key] = snap
+        _parse_cache.move_to_end(key)
+        while len(_parse_cache) > _PARSE_CACHE_MAX:
+            _parse_cache.popitem(last=False)
+    return snap
 
 
 def _read_text(path: str) -> str:
@@ -60,7 +91,7 @@ class Table:
             raise TableNotFoundError(
                 f"table {self.name!r}: cannot read {snapshot_path}: {exc}"
             ) from exc
-        return Snapshot.deserialize(raw)
+        return _deserialize_cached(raw)
 
     def get_current_snapshot(self) -> Snapshot:
         return self.get_snapshot(self.current_version())

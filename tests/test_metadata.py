@@ -276,3 +276,31 @@ def test_reference_snapshots_parse():
     assert all("2021" in f for f in current)
     asof_2019 = fin.get_data_files(EventTime(datetime(2019, 1, 17, tzinfo=timezone.utc)))
     assert asof_2019[-1] == "year_2019_base.parquet"
+
+
+def test_snapshot_parse_cache_is_content_addressed(tmp_path):
+    """Repeated loads of the same bytes share one parsed Snapshot;
+    overwriting the SAME path+version with different content (the
+    overwrite-mode re-create case) returns the new parse — the cache
+    key is the content hash, never the path."""
+    import json
+
+    from bazof_spark.table import Table
+
+    doc = {
+        "schema": {"columns": [{"name": "v", "data_type": "String"}]},
+        "segments": [
+            {"id": "s1", "start": "2024-01-01T00:00:00.000Z", "file": "b.parquet"}
+        ],
+    }
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "version.txt").write_text("1")
+    (tmp_path / "t" / "s1.json").write_text(json.dumps(doc))
+    t = Table(path=str(tmp_path / "t"), name="t")
+    first = t.get_current_snapshot()
+    assert t.get_current_snapshot() is first  # cache hit shares the object
+    doc["segments"][0]["file"] = "c.parquet"
+    (tmp_path / "t" / "s1.json").write_text(json.dumps(doc))
+    again = t.get_current_snapshot()
+    assert again is not first
+    assert again.segments[0].file == "c.parquet"

@@ -383,3 +383,14 @@ def test_zonemap_key_lookup_pushes_key_and_single_shuffle(spark):
         "the key-range predicate must reach the parquet reader"
     )
     assert shuffle_count(df) <= 1
+
+
+def test_keyset_point_lookup_pushes_in_filter_and_single_shuffle(spark):
+    """Round-5 key blooms: the point lookup's exact-key row predicate
+    reaches the parquet reader as an In filter (row-group pruning
+    inside admitted files; FILE admission itself is metadata-time,
+    pinned by tests/test_bloom.py), and the merge stays one shuffle."""
+    df = q("keyset_point_lookup", spark)
+    pushed = " ".join(pushed_filters(df))
+    assert "In(key" in pushed or ("key" in pushed and "In" in pushed), pushed
+    assert shuffle_count(df) <= 1
