@@ -93,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
     p_ch.add_argument("--since", required=True)
     p_ch.add_argument("--until", default=None, help="default: Current")
     p_ch.add_argument("--columns", default=None, help="comma-separated")
+    p_ch.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated: restrict the feed to these keys "
+        "(stats-pruned like scan --keys)",
+    )
     p_ch.add_argument("--limit", type=int, default=20)
 
     p_up = sub.add_parser(
@@ -196,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
             since=_parse_as_of(args.since),
             until=_parse_as_of(args.until),
             columns=cols,
+            keys=args.keys.split(",") if args.keys else None,
         )
         df.show(args.limit, truncate=False)
     elif args.cmd == "checkpoint":

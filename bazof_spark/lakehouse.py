@@ -227,6 +227,8 @@ class Lakehouse:
         since: AsOf | datetime | str,
         until: AsOf | datetime | str | None = None,
         columns: Iterable[str] | Projection | None = None,
+        keys: Iterable[str] | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
     ) -> DataFrame:
         """Change-data-feed between two as-of instants: every key whose
         winning version differs between ``since`` and ``until``
@@ -245,7 +247,15 @@ class Lakehouse:
 
         Scale: both sides are independently pruned scans joined on the
         table key; AQE broadcasts whichever as-of slice is small.
+        ``keys``/``key_range`` restrict the feed to those keys with the
+        same file-level stats pruning as :meth:`scan` (valid because
+        the per-key diff depends only on that key's rows on both
+        sides): "what changed for key X" reads O(matching files) per
+        side, not two full scans.
         """
+        # materialize once: the key iterable feeds BOTH side scans
+        if keys is not None:
+            keys = list(keys)
         # the diff always needs key + event_time, whatever the caller
         # projects (like the reference's merge itself,
         # crates/azof/src/lakehouse.rs:98-109)
@@ -259,8 +269,14 @@ class Lakehouse:
             columns = list(
                 dict.fromkeys([KEY_COL, EVENT_TIME_COL, *cols])
             )
-        early = self.scan(table_name, as_of=since, columns=columns)
-        late = self.scan(table_name, as_of=until, columns=columns)
+        early = self.scan(
+            table_name, as_of=since, columns=columns,
+            keys=keys, key_range=key_range,
+        )
+        late = self.scan(
+            table_name, as_of=until, columns=columns,
+            keys=keys, key_range=key_range,
+        )
         value_cols = [
             c for c in late.columns if c not in (KEY_COL, EVENT_TIME_COL)
         ]

@@ -236,3 +236,22 @@ def test_datasource_end_to_end_key_filter(spark, tmp_path):
     df = read_table(spark, str(tmp_path), "t").filter("key = 'b02'")
     rows = df.collect()
     assert [(r["key"], r["value"]) for r in rows] == [("b02", "b2@02")]
+
+
+def test_scan_changes_with_key_predicate_prunes_both_sides(spark, tmp_path):
+    """"What changed for key X": the CDF restricted to a key set runs
+    the same file-level stats pruning on BOTH as-of sides — here the
+    early side keeps 1 file (temporal prune of the T1 wave + key prune
+    of a*/c*), the late side 2, so the whole diff touches 2 of 4
+    files."""
+    lh = _key_clustered_table(spark, tmp_path)
+    ch = lh.scan_changes("t", since=T0, keys=["b02"])
+    assert len({os.path.basename(f) for f in ch.inputFiles()}) == 2
+    rows = ch.collect()
+    assert [(r["key"], r["change_type"], r["value_early"], r["value_late"])
+            for r in rows] == [("b02", "update", "b2@01", "b2@02")]
+    # a key with no post-`since` activity yields an empty feed — and
+    # still only reads its own cluster's files
+    quiet = lh.scan_changes("t", since=T0, keys=["a01"])
+    assert len(quiet.inputFiles()) == 1
+    assert quiet.count() == 0
