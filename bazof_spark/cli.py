@@ -8,6 +8,7 @@
     python -m bazof_spark.cli upsert --path P --table T --file batch.csv
     python -m bazof_spark.cli restore --path P --table T --version N
     python -m bazof_spark.cli vacuum --path P --table T [--keep-versions K]
+    python -m bazof_spark.cli stats --path P --table T [--version N]
 
 `--as-of` accepts `YYYY-MM-DDTHH:mm:ss` (suffixed `.000Z` like the
 reference, main.rs:101-119) or full RFC3339. `gen` converts
@@ -85,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     p_val.add_argument("--path", required=True)
     p_val.add_argument("--table", required=True)
 
+    p_st = sub.add_parser(
+        "stats",
+        help="per-file zone-map stats (key bounds, event-time bounds, "
+        "bloom) — what the pruning rules see",
+    )
+    p_st.add_argument("--path", required=True)
+    p_st.add_argument("--table", required=True)
+    p_st.add_argument(
+        "--version", default=None, help="snapshot version (default: current)"
+    )
+
     p_ch = sub.add_parser(
         "changes", help="change feed between two as-of instants"
     )
@@ -156,6 +168,50 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "stats":
+        # pure metadata walk — no Spark session needed
+        from bazof_spark import iofs
+        from bazof_spark.table import Table
+
+        t = Table(path=iofs.join(args.path, args.table), name=args.table)
+        version = args.version or t.current_version()
+        snap = t.get_snapshot(str(version))
+        print(f"table {args.table} @ version {version}")
+        hdr = f"{'file':<28} {'kind':<6} {'key_min':<14} {'key_max':<14} " \
+              f"{'ts_min':<20} {'ts_max':<20} bloom"
+        print(hdr)
+
+        def _ts_s(v):
+            return v.strftime("%Y-%m-%dT%H:%M:%S") if v else "-"
+
+        def walk(seg):
+            for sub_seg in seg.segments:
+                walk(sub_seg)
+            for d in seg.delta:
+                bloom = f"m={d.key_bloom.m},k={d.key_bloom.k}" \
+                    if d.key_bloom else "-"
+                print(f"{d.file:<28} {'delta':<6} {d.key_min or '-':<14} "
+                      f"{d.key_max or '-':<14} {_ts_s(d.ts_min):<20} "
+                      f"{_ts_s(d.ts_max):<20} {bloom}")
+            if seg.file is not None:
+                bloom = f"m={seg.key_bloom.m},k={seg.key_bloom.k}" \
+                    if seg.key_bloom else "-"
+                print(f"{seg.file:<28} {'base':<6} {seg.key_min or '-':<14} "
+                      f"{seg.key_max or '-':<14} {_ts_s(seg.ts_min):<20} "
+                      f"{_ts_s(seg.ts_max):<20} {bloom}")
+
+        for s in snap.segments:
+            walk(s)
+        stats = snap.file_key_stats()
+        with_bounds = sum(1 for lo, _, _ in stats.values() if lo is not None)
+        with_bloom = sum(1 for _, _, b in stats.values() if b is not None)
+        print(
+            f"{len(stats)} files: {with_bounds} with key bounds, "
+            f"{with_bloom} with blooms (files without stats are always "
+            f"admitted by pruning)"
+        )
+        return 0
 
     from bazof_spark.lakehouse import Lakehouse
     from bazof_spark.session import get_spark

@@ -178,3 +178,33 @@ def test_evolve_subcommand(spark, lake, capsys):
     assert "note" not in capsys.readouterr().out.split("version 3: ")[-1]
     with pytest.raises(SystemExit, match="bad --add"):
         main(["evolve", "--path", lake, "--table", "table0", "--add", "x:Nope"])
+
+
+def test_stats_subcommand(spark, lake, capsys, tmp_path):
+    # reference-authored table: no stats, every file admitted
+    out = run(capsys, "stats", "--path", lake, "--table", "financials")
+    assert "version 1" in out and "0 with key bounds" in out
+    # repo-authored table: bounds + blooms present
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    w = TableWriter(
+        spark, str(tmp_path / "k"),
+        TableSchema(columns=(
+            ColumnDef(name="v", data_type=ColumnType.STRING, nullable=False),
+        )),
+    )
+    seg = w.add_segment("s1", start=t0)
+    seg.add_delta(
+        spark.createDataFrame([Row(key="a", event_time=t0, v="x")]),
+        start=t0, end=t0,
+    )
+    w.commit("1")
+    out = run(capsys, "stats", "--path", str(tmp_path), "--table", "k")
+    assert "1 with key bounds" in out and "1 with blooms" in out
+    assert "m=1024" in out
