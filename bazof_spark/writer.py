@@ -191,6 +191,12 @@ def file_key_bloom(table_path: str, file_name: str):
         pf = pq.ParquetFile(rel, filesystem=fs)
         if KEY_COL not in pf.schema_arrow.names:
             return None
+        # bail on the FOOTER row count before touching the column: a
+        # file that large (compacted base) can't fit the inline budget
+        # anyway, and the driver must never pay an unbounded column
+        # read at commit time
+        if pf.metadata.num_rows > 40 * KeyBloom.MAX_KEYS:
+            return None
         keys: set[str] = set()
         for batch in pf.iter_batches(columns=[KEY_COL]):
             keys.update(batch.column(0).to_pylist())
