@@ -273,3 +273,30 @@ def test_maintenance_on_s3_scheme(spark, s3_root):
     lh = Lakehouse(spark, local)
     rows = lh.scan("t1").collect()
     assert [(r["key"], r["value"], r["note"]) for r in rows] == [("a", "a1", None)]
+
+
+def test_cli_stats_on_s3_scheme(spark, s3_root, capsys):
+    """The no-Spark-session `stats` subcommand resolves s3:// roots
+    through iofs like every other metadata read — and the writer's
+    commit-time blooms round-trip through the object-store branch."""
+    from bazof_spark.cli import main
+
+    uri, _local = s3_root
+    table_uri = iofs.join(uri, "t0")
+    schema = TableSchema(
+        columns=(
+            ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+        )
+    )
+    w = TableWriter(spark, table_uri, schema)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w.add_segment(
+        "seg1",
+        start=t0,
+        base_df=_batch(spark, [("a", t0, "a1"), ("b", t0, "b1")]),
+    )
+    w.commit("1")
+    assert main(["stats", "--path", uri, "--table", "t0"]) == 0
+    out = capsys.readouterr().out
+    assert "version 1" in out
+    assert "1 with key bounds" in out and "1 with blooms" in out

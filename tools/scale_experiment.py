@@ -201,6 +201,10 @@ X100_MEASURED = [
     # harness over a 100× decorrelated corpus
     "scd2_user_event_type",
     "knn_label_vote",
+    # round-5: the flagship near-dup pair generators (banding /
+    # pigeonhole guards vs corpus² growth)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 
