@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -182,6 +183,16 @@ class BazofReader(DataSourceReader):
             col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
             if op is not None and _acceptable(col, getattr(f, "value", None)):
                 self._pushed.append((op, col, f.value))
+            elif (
+                isinstance(f, In)
+                and isinstance(getattr(f, "value", None), tuple)
+                and f.value
+                and all(_acceptable(col, v) for v in f.value)
+            ):
+                # IN-list: evaluated via pc.is_in in the reader; a key
+                # IN-list additionally feeds the bloom-probed partition
+                # planning (the multi-key point-lookup path)
+                self._pushed.append(("isin", col, tuple(f.value)))
             else:
                 yield f  # unsupported → Spark evaluates it
 
@@ -200,7 +211,19 @@ class BazofReader(DataSourceReader):
         eq: set[str] = set()
         seen = False
         for op, col, value in self._pushed:
-            if col != "key" or not isinstance(value, str):
+            if col != "key":
+                continue
+            if op == "isin" and all(isinstance(v, str) for v in value):
+                # conservative under conjunction: the union of all
+                # equality/IN values is a superset of the satisfiable
+                # keys, and [min, max] of the list bounds the range
+                seen = True
+                eq.update(value)
+                vlo, vhi = min(value), max(value)
+                lo = vlo if lo is None else max(lo, vlo)
+                hi = vhi if hi is None else min(hi, vhi)
+                continue
+            if not isinstance(value, str):
                 continue
             seen = True
             if op == "equal":
@@ -257,9 +280,14 @@ class BazofReader(DataSourceReader):
                 t = t.filter(pc.less_equal(pc.cast(col, target), bound))
             for op, name, value in self._pushed:
                 col = t.column(name)
-                t = t.filter(
-                    getattr(pc, op)(col, pa.scalar(value, type=col.type))
-                )
+                if op == "isin":
+                    t = t.filter(
+                        pc.is_in(col, value_set=pa.array(value, type=col.type))
+                    )
+                else:
+                    t = t.filter(
+                        getattr(pc, op)(col, pa.scalar(value, type=col.type))
+                    )
             yield from t.to_batches()
 
 
