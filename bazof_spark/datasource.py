@@ -204,7 +204,7 @@ class BazofReader(DataSourceReader):
         the exact key so partition planning can probe each file's
         bloom (every result row must satisfy the conjunction, so the
         equality value is the only key the scan can return)."""
-        from bazof_spark.metadata import KeyRange
+        from bazof_spark.metadata import MAX_BLOOM_PROBE_KEYS, KeyRange
 
         lo: str | None = None
         hi: str | None = None
@@ -232,7 +232,17 @@ class BazofReader(DataSourceReader):
                 lo = value if lo is None else max(lo, value)
             if op in ("equal", "less", "less_equal"):
                 hi = value if hi is None else min(hi, value)
-        return KeyRange(lo, hi, keys=tuple(sorted(eq)) or None) if seen else None
+        if not seen:
+            return None
+        # mirror KeyRange.of_keys: past the probe budget the per-file
+        # bloom check is O(|keys|) per file — a pushed list that big is
+        # a join, not a point lookup, so fall back to range-only pruning
+        probe = (
+            tuple(sorted(eq))
+            if eq and len(eq) <= MAX_BLOOM_PROBE_KEYS
+            else None
+        )
+        return KeyRange(lo, hi, keys=probe)
 
     def partitions(self):
         """One task per ranked data file — minus the files whose

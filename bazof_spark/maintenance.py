@@ -165,15 +165,23 @@ def checkpoint_table(
                     key_max=s.key_max,
                     ts_min=s.ts_min,
                     ts_max=s.ts_max,
+                    # carry the base-file bloom: dropping it here would
+                    # silently degrade point-lookup pruning after every
+                    # checkpoint (absent bloom = always admit)
+                    key_bloom=s.key_bloom,
                 )
                 for s in was_open
             ),
         )
         segments = segments + (wrapper,)
-    from bazof_spark.writer import file_zone_stats
+    from bazof_spark.writer import file_key_bloom, file_zone_stats
 
     new_seg = Segment(
         id=seg_id, start=at, file=base_file,
+        # best-effort: file_key_bloom self-gates on the footer row
+        # count / cardinality budget, so a big compacted base simply
+        # gets range-only pruning
+        key_bloom=file_key_bloom(table.path, base_file),
         **file_zone_stats(table.path, base_file),
     )
     new_snapshot = Snapshot(segments=segments + (new_seg,), schema=snapshot.schema)
@@ -689,12 +697,31 @@ def vacuum_table(
                 continue
             m = _SNAPSHOT_RE.match(f)
             if m:
-                # retained-set membership alone decides snapshots: the
-                # commit guard freezes the chain, and a snapshot ABOVE
-                # the pointer can only be an abandoned publish (its
-                # writer re-derives on retry), never a live commit
-                if int(m.group(1)) not in retained:
+                v = int(m.group(1))
+                # BELOW/AT the pointer, retained-set membership alone
+                # decides: the commit guard freezes the chain while the
+                # reference set is computed. ABOVE the pointer the
+                # guard is only mutual exclusion on GUARDED schemes —
+                # on an unregistered object store (UnguardedPublish) a
+                # concurrent commit's just-written s{N}.json could sit
+                # there in its write→flip window, and sweeping it would
+                # leave version.txt pointing at a missing snapshot. The
+                # min_age_s retention makes that safe the same way it
+                # does for staged parquet: only OLD above-pointer
+                # snapshots (truly abandoned publishes) are removed.
+                if v not in retained:
+                    if v > current and _young(full):
+                        continue
                     removed_snapshots.append(f)
+                    if not dry_run:
+                        iofs.delete(full)
+                continue
+            if ".json.stage-" in f:
+                # snapshot staged by writer._publish_snapshot whose
+                # writer crashed between stage and finalize; same
+                # min_age_s retention as in-flight parquet
+                if not _young(full):
+                    removed_files.append(f)
                     if not dry_run:
                         iofs.delete(full)
                 continue

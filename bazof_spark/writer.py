@@ -927,14 +927,24 @@ def _publish_snapshot(
     pointer; a moved pointer means a concurrent writer won — raise
     CommitConflictError so the caller re-reads and retries instead of
     silently dropping the other commit's deltas from its snapshot copy.
-    ``held.verify()`` runs immediately before the flip (the commit
-    point): a holder whose lock was broken as stale while it stalled
-    aborts here instead of overwriting its successor's publish. On
-    guarded paths this closes the check→flip window completely; on
-    unguarded object stores the check alone catches every
-    non-simultaneous race (see commitguard.UnguardedPublish for the
-    residual gap). Abandoned delta files stay unreferenced until
-    vacuum_table."""
+    The snapshot is STAGED under an attempt-unique name and only
+    finalized to ``s{N}.json`` after ``held.verify()`` passes, with a
+    second ``verify()`` immediately before the pointer flip. Without
+    the staging, a writer that stalled past the stale window (lock
+    broken, successor published the SAME next_version and flipped the
+    pointer) would wake and overwrite the successor's ``s{N}.json``
+    with its own content before its verify() could abort — the pointer
+    would then reference the aborted writer's snapshot, silently losing
+    the successor's commit. Staging confines the pre-verify write to a
+    name no reader or pointer ever references; only the verified winner
+    touches ``s{N}.json``. A sub-millisecond verify→finalize /
+    verify→flip window remains by construction — FULL closure needs a
+    CAS/conditional-put guard (commitguard.register_commit_guard); on
+    unguarded object stores the pointer re-check alone still catches
+    every non-simultaneous race. Abandoned delta files and staged
+    snapshots stay unreferenced until vacuum_table."""
+    import uuid as _uuid
+
     from bazof_spark.errors import CommitConflictError
 
     with _commit_lock(table_path) as held:
@@ -946,9 +956,18 @@ def _publish_snapshot(
                 f"version pointer moved {expected_version!r} → {latest!r} "
                 "while this commit ran; re-read the table and retry"
             )
-        iofs.write_text(
-            iofs.join(table_path, f"s{next_version}.json"), snapshot.serialize()
-        )
+        final = iofs.join(table_path, f"s{next_version}.json")
+        staged = f"{final}.stage-{_uuid.uuid4().hex}"
+        try:
+            iofs.write_text(staged, snapshot.serialize())
+            # finalize gate: a holder whose lock was broken while it
+            # serialized must not touch the real s{N}.json at all
+            held.verify()
+            iofs.move(staged, final)
+        except BaseException:
+            with contextlib.suppress(OSError, Exception):
+                iofs.delete(staged)
+            raise
         # the flip is the commit point: confirm the guard is still ours
         # (a >stale-window stall may have had the lock broken under us)
         held.verify()

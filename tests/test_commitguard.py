@@ -218,3 +218,100 @@ def test_publish_verifies_guard_before_flip(spark, tmp_path, monkeypatch):
     lh = Lakehouse(spark, str(tmp_path))
     got = {r["key"]: r["value"] for r in lh.scan("t").collect()}
     assert got == {"a": "a2"}
+
+
+def test_staged_publish_protects_successor_snapshot(spark, tmp_path, monkeypatch):
+    """The lost-update residue the staging closes: a publisher that
+    passed the pointer check but lost its guard while serializing
+    (stale break + successor publishing the SAME next_version) must
+    abort WITHOUT touching the successor's s{N}.json — previously the
+    pre-verify write landed on the final name, so the pointer could end
+    up referencing the aborted writer's snapshot content. Also checks
+    the staged temp file is cleaned up on the abort path."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bazof_spark import commitguard
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.table import Table
+    from bazof_spark.writer import TableWriter, _publish_snapshot
+
+    table_path = str(tmp_path / "t")
+    w = TableWriter(
+        spark,
+        table_path,
+        TableSchema(
+            columns=(
+                ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+            )
+        ),
+    )
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    w.add_segment(
+        "s1",
+        start=t0,
+        base_df=spark.createDataFrame([Row(key="a", event_time=t0, value="a1")]),
+    )
+    w.commit("1")
+    snap = Table(path=table_path, name="t").get_current_snapshot()
+
+    # the successor's just-published s2.json (its pointer flip races ours)
+    sentinel = '{"successor": true}'
+    with open(os.path.join(table_path, "s2.json"), "w", encoding="utf-8") as f:
+        f.write(sentinel)
+
+    class _Lost(HeldGuard):
+        def verify(self):
+            raise CommitConflictError("guard lost (simulated stale break)")
+
+    class _LostGuard(CommitGuard):
+        def acquire(self):
+            return _Lost()
+
+    monkeypatch.setattr(commitguard, "guard_for", lambda p: _LostGuard())
+    with pytest.raises(CommitConflictError, match="guard lost"):
+        _publish_snapshot(table_path, "1", "2", snap)
+
+    # successor's snapshot untouched, pointer untouched, no staged debris
+    with open(os.path.join(table_path, "s2.json"), encoding="utf-8") as f:
+        assert f.read() == sentinel
+    with open(os.path.join(table_path, "version.txt"), encoding="utf-8") as f:
+        assert f.read().strip() == "1"
+    assert not [n for n in os.listdir(table_path) if ".stage-" in n]
+
+
+def test_staged_publish_success_leaves_no_stage_debris(spark, tmp_path):
+    """Happy path through the staged write: final snapshot + flipped
+    pointer, and the attempt-unique staging name is gone (renamed)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.table import Table
+    from bazof_spark.writer import TableWriter, _publish_snapshot
+
+    table_path = str(tmp_path / "t")
+    w = TableWriter(
+        spark,
+        table_path,
+        TableSchema(
+            columns=(
+                ColumnDef(name="value", data_type=ColumnType.STRING, nullable=False),
+            )
+        ),
+    )
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    w.add_segment(
+        "s1",
+        start=t0,
+        base_df=spark.createDataFrame([Row(key="a", event_time=t0, value="a1")]),
+    )
+    w.commit("1")
+    table = Table(path=table_path, name="t")
+    snap = table.get_current_snapshot()
+    _publish_snapshot(table_path, "1", "2", snap)
+    assert table.current_version() == "2"
+    assert os.path.exists(os.path.join(table_path, "s2.json"))
+    assert not [n for n in os.listdir(table_path) if ".stage-" in n]

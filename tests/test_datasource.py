@@ -107,3 +107,30 @@ def test_as_of_prunes_rows_in_reader(spark):
     )
     # the delta's 2024-02 row must never cross into the JVM
     assert early.filter("event_time >= '2024-02-01'").count() == 0
+
+
+def test_pushed_key_probe_set_is_capped(spark):
+    """A huge pushed `key IN (...)` list must not turn partition
+    planning into an O(|keys|)-per-file bloom probe: past
+    MAX_BLOOM_PROBE_KEYS the pushed range falls back to range-only
+    pruning (keys=None), mirroring KeyRange.of_keys; small lists keep
+    the exact probe set."""
+    from bazof_spark.metadata import MAX_BLOOM_PROBE_KEYS
+
+    src = BazofDataSource(options={"path": REF, "table": "financials"})
+    reader = src.reader(src.schema())
+
+    reader._pushed = [("isin", "key", tuple(f"k{i:05d}" for i in range(5)))]
+    kr = reader._pushed_key_range()
+    assert kr.keys == tuple(f"k{i:05d}" for i in range(5))
+
+    big = tuple(f"k{i:05d}" for i in range(MAX_BLOOM_PROBE_KEYS + 1))
+    reader._pushed = [("isin", "key", big)]
+    kr = reader._pushed_key_range()
+    assert kr.keys is None  # range-only pruning
+    assert (kr.lo, kr.hi) == (big[0], big[-1])
+
+    # equality conjoined with the big IN stays capped too
+    reader._pushed = [("isin", "key", big), ("equal", "key", "k00001")]
+    kr = reader._pushed_key_range()
+    assert kr.keys is None

@@ -392,3 +392,28 @@ def test_checkpoint_races_live_upserts_loses_nothing(spark, lakehouse, tmp_path)
         missing = {k: prev[k] for k in prev if k not in cur or cur[k] != prev[k]}
         assert not missing, (v, missing)
         prev = cur
+
+
+def test_checkpoint_preserves_key_blooms(spark, lakehouse):
+    """Checkpoint must not silently degrade point-lookup pruning: the
+    archived wrapper's children keep their base-file blooms, and the
+    new merged base gets its own (built at commit time, self-gated on
+    the cardinality budget). Absent blooms stay correct (always admit)
+    but lose the file-skipping the stats exist for."""
+    before = lakehouse.table("t").get_current_snapshot()
+    [open_seg] = [s for s in before.segments if s.end is None]
+    assert open_seg.key_bloom is not None  # writer recorded one
+
+    checkpoint_table(lakehouse, "t", at=ts(10))
+    after = lakehouse.table("t").get_current_snapshot()
+
+    [base] = [s for s in after.segments if s.file and s.end is None]
+    assert base.key_bloom is not None
+    for k in ("k1", "k2", "k3"):
+        assert base.key_bloom.might_contain(k)
+    assert not base.key_bloom.might_contain("absent-key-zzz")
+
+    [wrapper] = [s for s in after.segments if s.segments]
+    [archived] = wrapper.segments
+    assert archived.key_bloom is not None
+    assert archived.key_bloom.to_json() == open_seg.key_bloom.to_json()

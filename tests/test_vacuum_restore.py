@@ -153,3 +153,32 @@ def test_maintenance_publishers_respect_commit_lock(spark, tmp_path):
     os.unlink(lock)
     restore_table(lh, "t", 1)
     assert lh.table("t").current_version() == "4"
+
+
+def test_vacuum_retains_young_above_pointer_snapshot(spark, tmp_path):
+    """On UNGUARDED schemes a concurrent commit's s{N}.json can exist
+    above the pointer inside its write->flip window; sweeping it would
+    leave version.txt pointing at a missing snapshot. min_age_s
+    retention must protect young above-pointer snapshots (and young
+    staged snapshots) exactly like young staged parquet; aged ones are
+    abandoned publishes and get collected."""
+    lh = _seed(spark, str(tmp_path))  # v1..v3, pointer = 3
+    tdir = f"{tmp_path}/t"
+    for name in ("s4.json", "s5.json.stage-deadbeef"):
+        with open(os.path.join(tdir, name), "w", encoding="utf-8") as f:
+            f.write("{}")
+
+    young = vacuum_table(lh, "t", keep_versions=1, dry_run=True)
+    assert "s4.json" not in young["removed_snapshots"]
+    assert "s5.json.stage-deadbeef" not in young["removed_files"]
+
+    old = time.time() - 7200
+    for name in ("s4.json", "s5.json.stage-deadbeef"):
+        os.utime(os.path.join(tdir, name), (old, old))
+    result = vacuum_table(lh, "t", keep_versions=1)
+    assert "s4.json" in result["removed_snapshots"]
+    assert "s5.json.stage-deadbeef" in result["removed_files"]
+    assert not os.path.exists(os.path.join(tdir, "s4.json"))
+    # table still healthy
+    assert _val(lh) == "a3"
+    validate_table(lh, "t").raise_if_invalid()
