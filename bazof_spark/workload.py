@@ -2789,24 +2789,50 @@ _DRIVER_CHECKED_R4 = {
     "dataset_split", "sequence_packing", "corpus_clean",
 }
 
-# round-5 code changes on r4-green queries → re-check ahead of the
-# merely-stale tail: scd2's ORACLE gained null-safe change detection
-# (IS DISTINCT FROM), and the scan family's max_by struct now comes
-# from ordering.latest_wins_ordering (identical semantics, pinned by
-# tests — but the driver row is the authority worth refreshing)
-_RECHECK_R5 = [
-    "scd2_user_event_type",
-    "asof_scan_current",
+# queries the round-5 driver window verified (CORRECTNESS_r05.json —
+# all 50 passed: the never-checked r5 additions led the window, then the
+# stale-r2 set, the r5 re-checks, and the head of the stale-r3 set)
+_DRIVER_CHECKED_R5 = {
+    "zonemap_key_lookup", "keyset_point_lookup", "decontamination",
+    "doc_fingerprint", "embedding_ann_ivf", "embedding_ann_lsh",
+    "embedding_cosine_topk", "embedding_neardup", "embedding_quantize",
+    "multimodal_audio_stats", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_metadata_stats",
+    "text_language_id", "text_quality", "text_stats",
+    "scd2_user_event_type", "asof_scan_current", "agg_percentiles",
+    "asof_join_tolerance", "bucketed_colocated_join", "dedup_end_to_end",
+    "doc_chunking", "embedding_ann_ivf_trained",
+    "embedding_matryoshka_topk", "events_funnel", "events_gapfill_hourly",
+    "events_retention_cohorts", "events_session_window",
+    "events_sliding_window", "graph_pagerank_supply", "jsonl_roundtrip",
+    "lm_unigram_score", "mixture_by_lang", "multimodal_bmp_decode",
+    "multimodal_resize", "multimodal_wav_decode", "ngram_decontamination",
+    "pii_redaction", "pivot_status_by_year", "q10_returned_items",
+    "q11_important_balances", "q12_priority_class",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q19_disjunctive_filter", "q20_semi_join_chain",
+    "q21_sole_fault_supplier",
+}
+
+# round-6 code changes on r5-green queries → re-check ahead of the
+# merely-stale tail: the Data Source's pushed key IN handling gained
+# the MAX_BLOOM_PROBE_KEYS cap and checkpoint stat/bloom propagation
+# changed — the key-pruning queries are the ones those paths serve
+_RECHECK_R6 = [
+    "keyset_point_lookup",
+    "zonemap_key_lookup",
 ]
 
 
 def _rotation_order(names: list[str]) -> list[str]:
-    """Driver-window ordering for round 5 (the driver checks the FIRST
+    """Driver-window ordering for round 6 (the driver checks the FIRST
     50 entries): staleness-first so no query's latest driver row ages
     past two rounds — (1) queries with NO driver row yet (new this
-    round), (2) queries whose latest green row is r2, (3) this round's
-    operator-change re-checks, (4) queries whose latest green row is
-    r3, (5) the freshly-r4-checked tail."""
+    round), (2) queries whose latest green row is r3 (the stalest that
+    exist after r5), (3) this round's operator-change re-checks,
+    (4) queries whose latest green row is r4, (5) the freshly-
+    r5-checked tail."""
     placed: set[str] = set()
 
     def take(candidates) -> list[str]:
@@ -2814,15 +2840,18 @@ def _rotation_order(names: list[str]) -> list[str]:
         placed.update(out)
         return out
 
-    checked = _DRIVER_CHECKED_R2 | _DRIVER_CHECKED_R3 | _DRIVER_CHECKED_R4
-    never = take([n for n in names if n not in checked])
-    stale_r2 = take(
-        sorted(_DRIVER_CHECKED_R2 - _DRIVER_CHECKED_R3 - _DRIVER_CHECKED_R4)
+    checked = (
+        _DRIVER_CHECKED_R2 | _DRIVER_CHECKED_R3 | _DRIVER_CHECKED_R4
+        | _DRIVER_CHECKED_R5
     )
-    recheck = take(_RECHECK_R5)
-    stale_r3 = take(sorted(_DRIVER_CHECKED_R3 - _DRIVER_CHECKED_R4))
+    never = take([n for n in names if n not in checked])
+    stale_r3 = take(
+        sorted(_DRIVER_CHECKED_R3 - _DRIVER_CHECKED_R4 - _DRIVER_CHECKED_R5)
+    )
+    recheck = take(_RECHECK_R6)
+    stale_r4 = take(sorted(_DRIVER_CHECKED_R4 - _DRIVER_CHECKED_R5))
     rest = take(list(names))
-    return never + stale_r2 + recheck + stale_r3 + rest
+    return never + stale_r3 + recheck + stale_r4 + rest
 
 
 QUERIES = {k: QUERIES[k] for k in _rotation_order(list(QUERIES))}
