@@ -817,3 +817,50 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-SPAN detection: split every document into
+    non-overlapping ``chunk_tokens``-word chunks, mark each chunk whose
+    exact text already occurred earlier in the corpus (first occurrence
+    = lowest (doc_id, chunk_id)), and report per-document duplication
+    stats — the chunk-granularity approximation of exact substring
+    dedup (RefinedWeb / "Deduplicating Training Data Makes Language
+    Models Better" run suffix-array substring dedup; at 100 TB the
+    chunk rasterization is the standard first cut because it stays
+    map + one hash shuffle).
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_frac) — one row per
+    document; ``dup_frac`` is the fraction of the document's chunks
+    that are repeats of earlier corpus text (candidates for removal).
+
+    Scale shape: chunking is map-only (operators/chunking.py — split/
+    slice expressions, no UDF); first-occurrence is ONE exchange keyed
+    on the chunk md5 (uniformly distributed — no skew beyond true
+    duplicate mass, and group work is linear in group size: no pair
+    generation anywhere); the per-doc rollup is a second map-side-
+    combined shuffle on doc_id. Nothing is quadratic in corpus size or
+    in the size of a duplicate cluster."""
+    from bazof_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    ).select(id_col, "chunk_id", F.md5("chunk_text").alias("_h"))
+    first = F.min(F.struct(id_col, "chunk_id")).over(
+        Window.partitionBy("_h")
+    )
+    marked = chunks.withColumn(
+        "_dup",
+        (F.struct(id_col, "chunk_id") != first).cast("int"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_dup").alias("n_dup_chunks"),
+        F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+    )

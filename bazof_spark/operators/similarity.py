@@ -625,3 +625,166 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def pq_codebooks_from_rows(rows: np.ndarray, m_subs: int) -> np.ndarray:
+    """Deterministic product-quantization codebooks from a fixed corpus
+    slice: unit-normalize each row, split the dim into ``m_subs`` equal
+    subspaces, and use row j's m-th subvector as code j of subspace m.
+    Shape (m_subs, n_codes, sub_dim). A production deployment trains
+    per-subspace k-means instead (same seam as IVF's `_train_centroids`
+    — a bounded sample, driver-side numpy); the fixed slice keeps every
+    code, and therefore the whole index, reproducible in a SQL oracle."""
+    rows = np.asarray(rows, dtype=np.float64)
+    rows = rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+    n_codes, dim = rows.shape
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    sub = dim // m_subs
+    # (n_codes, m_subs, sub) -> (m_subs, n_codes, sub)
+    return rows.reshape(n_codes, m_subs, sub).transpose(1, 0, 2).copy()
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """vec -> array<int> of per-subspace code ids (nearest codebook
+    entry by L2 over the unit-normalized vector's subvectors; ties →
+    lower code id via argmin-first). One vectorized distance batch per
+    Arrow batch — the codebooks (m_subs × n_codes × sub doubles, a few
+    KB) ride in the task closure, the same shape as IVF assignment."""
+    cb = np.asarray(codebooks, dtype=np.float64)  # (M, J, sub)
+    m_subs, _, sub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        s = v.reshape(len(v), m_subs, sub)
+        # (batch, M, J): squared L2 between subvector and each code
+        d = ((s[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+        codes = np.argmin(d, axis=2)  # first min = lowest code id
+        return pd.Series([row.astype("int32") for row in codes])
+
+    return encode
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) + exact re-rank — the third standard ANN scale path next to
+    LSH and IVF (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011; the PQ half of Faiss's IVF-PQ).
+
+    The corpus is ENCODED once: each unit-normalized vector becomes
+    m_subs small code ids (a map-only pass; at scale the index stores
+    m_subs bytes per vector instead of 4·dim — the 32× memory/scan
+    compression is the point of PQ). Each query precomputes a lookup
+    table LUT[m][j] = <query_sub_m, codebook[m][j]> driver-side (tiny:
+    |queries|·m_subs·n_codes doubles), and the approximate similarity
+    of a corpus vector is the JVM-side sum of m_subs LUT entries — no
+    full-width dot product touches the corpus. The top ``rerank``
+    candidates per query are re-ranked exactly on their full vectors
+    (fetched by a broadcast id join, so the corpus full-vector column
+    is scanned, never shuffled).
+
+    Approximate scores are rounded to 6 dp BEFORE the candidate cutoff
+    (ties then break on neighbor id) so the cutoff is reproducible
+    across engines despite sum-association differences.
+
+    Output matches the family: (query_id, neighbor_id, rank,
+    cosine_sim)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_subs, n_codes, sub = cb.shape
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        _pq_encode_udf(cb)(_as_double(F.col(vec_col))).alias("_codes"),
+    )
+    # bounded collect: the query SET is small by contract (same bound
+    # as IVF's centroid slice); the corpus side stays fully distributed
+    q_rows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, rank int, cosine_sim double"
+        )
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        qs = qv.reshape(m_subs, sub)
+        # LUT[m][j] = <q_sub_m, cb[m][j]>
+        lut = np.einsum("ms,mjs->mj", qs, cb)
+        luts.append((r[query_id_col], [[float(x) for x in row] for row in lut]))
+    lut_df = corpus.sparkSession.createDataFrame(
+        luts, f"{query_id_col} long, _lut array<array<double>>"
+    )
+    # ADC: approx sim = ordered fold over subspaces of LUT[m][codes[m]]
+    approx = (
+        c.crossJoin(F.broadcast(lut_df))
+        .filter(F.col(query_id_col) != F.col("_cid"))
+        .select(
+            query_id_col,
+            "_cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "_codes",
+                        "_lut",
+                        lambda code, row: F.element_at(row, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("_asim"),
+        )
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("_asim").desc(), F.col("_cid").asc()
+    )
+    cand = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select(query_id_col, "_cid")
+    )
+    # exact re-rank on full vectors: candidate ids are tiny → broadcast
+    # them INTO the corpus scan; queries broadcast too
+    qn = queries.select(
+        F.col(query_id_col),
+        normalize(_as_double(F.col(vec_col))).alias("_qv"),
+    )
+    rer = (
+        corpus.select(
+            F.col(id_col).alias("_cid"),
+            normalize(_as_double(F.col(vec_col))).alias("_cv"),
+        )
+        .join(F.broadcast(cand), "_cid")
+        .join(F.broadcast(qn), query_id_col)
+        .select(
+            query_id_col,
+            "_cid",
+            dot(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("_cid").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )

@@ -41,6 +41,8 @@ from bazof_spark.operators.similarity import (
     cosine_topk_bruteforce,
     ivf_ann_topk,
     lsh_ann_topk,
+    pq_adc_topk,
+    pq_codebooks_from_rows,
     quantize_int8,
 )
 from bazof_spark.sources.events import (
@@ -2632,6 +2634,193 @@ def refresh_env_dependent_oracles() -> None:
         ORACLES["embedding_ann_ivf_trained"] = sql
 
 
+def span_dedup_q(spark, sf_dir):
+    """Duplicated-span report over the documents corpus: the chunk-
+    granularity exact-substring dedup pass a training pipeline runs
+    before (or after) document-level dedup — document dedup misses
+    boilerplate repeated INSIDE otherwise-distinct documents
+    (operators/dedup.span_dedup_stats)."""
+    from bazof_spark.operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(_t("documents")(spark, sf_dir), chunk_tokens=32)
+
+
+def embedding_ann_pq_q(spark, sf_dir):
+    """Product-quantization ANN (ADC + exact re-rank) with deterministic
+    codebooks: code j of subspace m = the m-th subvector of the unit-
+    normalized embedding vec_id=j (j < 16) — the same fixed-corpus-slice
+    trick as embedding_ann_ivf's quantizer, so every code assignment,
+    LUT entry, and therefore the exact output reproduces in the DuckDB
+    oracle. The PQ machinery (map-only encode, LUT scoring, top-R
+    re-rank) is identical to what a k-means-trained deployment runs."""
+    import numpy as np
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    slice_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = pq_codebooks_from_rows(
+        np.array([r["embedding"] for r in slice_rows], dtype=np.float64),
+        m_subs=8,
+    )
+    return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def ann_recall_pq_q(spark, sf_dir):
+    """ANN evaluation, third index family: recall@5 of the PQ/ADC index
+    against the exact brute-force top-5 — completes the recall harness
+    over all three standard ANN scale paths (LSH, IVF, PQ). Same
+    composed-oracle structure as ann_recall_lsh/_ivf."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = embedding_ann_pq_q(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return per_q.join(matched, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+# span dedup: chunk boundaries are integer-exact (same arithmetic as the
+# doc_chunking oracle with overlap=0), first occurrence = row_number 1
+# over (doc_id, chunk_id) within each chunk-md5 group — the SQL twin of
+# Spark's min(struct(doc_id, chunk_id)) over the hash window
+_PIPELINE_ORACLES["span_dedup"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS w,
+               greatest(1, (len(string_split_regex(trim(text), '\s+'))
+                            + 31) // 32) AS nc
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, t.ci AS chunk_id,
+               array_to_string(w[t.ci*32+1 : t.ci*32+32], ' ') AS chunk_text
+        FROM d, UNNEST(range(d.nc)) AS t(ci)
+    ),
+    m AS (
+        SELECT doc_id, chunk_id, row_number() OVER (
+                   PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+               ) AS rn
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS dup_frac
+    FROM m GROUP BY doc_id
+"""
+
+# PQ/ADC with the deterministic codebooks of embedding_ann_pq_q:
+# everything (normalization, codebooks, code assignment, LUT partial
+# dots, the rounded-approx candidate cutoff, the exact re-rank) is
+# derived from the embeddings table inside the SQL. Approx scores are
+# rounded to 6 dp in BOTH engines before the top-20 cutoff so the
+# candidate set survives sum-association fp differences; list_distance
+# (sqrt of numpy's squared L2) is order-equivalent for the argmin.
+_PIPELINE_ORACLES["embedding_ann_pq"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(raw, x -> x * (1.0 / greatest(
+                   sqrt(list_dot_product(raw, raw)), 1e-12))) AS v
+        FROM e
+    ),
+    cb AS (
+        SELECT vec_id AS code, t.m AS m, v[t.m*8+1 : t.m*8+8] AS cv
+        FROM n, UNNEST(range(8)) AS t(m) WHERE vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT n.vec_id, cb.m, cb.code,
+                   row_number() OVER (PARTITION BY n.vec_id, cb.m
+                       ORDER BY list_distance(
+                           n.v[cb.m*8+1 : cb.m*8+8], cb.cv) ASC, cb.code ASC
+                   ) AS rn
+            FROM n CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS qid, cb.m, cb.code,
+               list_dot_product(q.v[cb.m*8+1 : cb.m*8+8], cb.cv) AS part
+        FROM n q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    approx AS (
+        SELECT l.qid, enc.vec_id AS cid, round(SUM(l.part), 6) AS asim
+        FROM enc JOIN lut l ON l.m = enc.m AND l.code = enc.code
+        WHERE l.qid != enc.vec_id
+        GROUP BY l.qid, enc.vec_id
+    ),
+    cand AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY asim DESC, cid
+            ) AS rn FROM approx
+        ) WHERE rn <= 20
+    ),
+    s AS (
+        SELECT cand.qid, cand.cid,
+               list_cosine_similarity(eq.raw, ec.raw) AS sim
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e ec ON ec.vec_id = cand.cid
+    ),
+    r AS (
+        SELECT qid, cid, sim, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid
+        ) AS rn FROM s
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rn <= 5
+"""
+
+# recall@5 of the PQ index vs the exact top-5 — same composition as the
+# LSH/IVF recall harnesses
+_PIPELINE_ORACLES["ann_recall_pq"] = f"""
+    WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
+    ann_r AS ({_PIPELINE_ORACLES["embedding_ann_pq"]}),
+    m AS (
+        SELECT e.query_id, count(*) AS n_matched
+          FROM exact_r e JOIN ann_r a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id
+    ),
+    ex AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY query_id)
+    SELECT ex.query_id,
+           ex.n_exact,
+           coalesce(m.n_matched, 0) AS n_matched,
+           round(coalesce(m.n_matched, 0) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN m USING (query_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2696,6 +2885,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_ivf": ann_recall_ivf_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
     "embedding_ann_ivf_trained": embedding_ann_ivf_trained_q,
+    "embedding_ann_pq": embedding_ann_pq_q,
+    "ann_recall_pq": ann_recall_pq_q,
+    "span_dedup": span_dedup_q,
     # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
     "multimodal_frame_sample": multimodal_frame_sample_q,
     "multimodal_features": multimodal_features_q,

@@ -744,3 +744,30 @@ def test_bm25_empty_and_all_empty_corpus(spark):
         [(1, ""), (2, "   "), (3, "!!!")], "doc_id int, text string"
     )
     assert bm25_rank(blank, ["spark"]).count() == 0
+
+
+def test_span_dedup_stats_hand_computed(spark):
+    """Known duplicate-span layout, chunk_tokens=3: first occurrence is
+    the lowest (doc_id, chunk_id); repeats — within a document or
+    across documents — count as duplicates."""
+    from bazof_spark.operators.dedup import span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # chunks: "a b c", "d e f" (both first)
+            (1, "a b c x y z"),        # "a b c" dup, "x y z" first
+            (2, "x y z"),              # dup of doc1 chunk1
+            (3, "d e f d e f d"),      # dup, dup, "d" first
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac"])
+        for r in span_dedup_stats(docs, chunk_tokens=3).collect()
+    }
+    assert got == {
+        0: (2, 0, 0.0),
+        1: (2, 1, 0.5),
+        2: (1, 1, 1.0),
+        3: (3, 2, 0.666667),
+    }

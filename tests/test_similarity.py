@@ -146,3 +146,71 @@ def test_semdedup_prune_matches_bruteforce(emb):
     # the seeded near-duplicates (40..43 of 0..3) must be pruned
     pruned = {r["vec_id"] for r in got if not r["is_kept"]}
     assert {40, 41, 42, 43} <= pruned
+
+
+def _pq_codebooks(emb, m_subs=4, n_codes=8):
+    from bazof_spark.operators.similarity import pq_codebooks_from_rows
+
+    pdf = emb.toPandas().sort_values("vec_id").head(n_codes)
+    return pq_codebooks_from_rows(
+        np.array(pdf["embedding"].tolist()), m_subs=m_subs
+    )
+
+
+def test_pq_codebook_shape_and_normalization(emb):
+    cb = _pq_codebooks(emb)
+    assert cb.shape == (4, 8, DIM // 4)
+    # concatenating code j's subvectors across subspaces rebuilds the
+    # unit-normalized row j
+    rebuilt = np.concatenate([cb[m][2] for m in range(4)])
+    assert np.linalg.norm(rebuilt) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pq_full_rerank_is_exact(emb):
+    """With rerank >= corpus size the ADC stage only orders candidates;
+    the exact re-rank must recover brute force bit-for-bit."""
+    from bazof_spark.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_adc_topk(
+            emb, queries, _pq_codebooks(emb), k=3, rerank=44
+        ).collect()
+    }
+    assert pq == bf
+
+
+def test_pq_partial_rerank_recall_and_determinism(emb):
+    from bazof_spark.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cb = _pq_codebooks(emb)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = pq_adc_topk(emb, queries, cb, k=3, rerank=12).collect()
+    pq_set = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(bf & pq_set) / len(bf)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    # a near-identical pair quantizes to (almost) the same codes — the
+    # seeded near-dup must survive the ADC cutoff
+    assert (0, 40) in pq_set
+    again = pq_adc_topk(emb, queries, cb, k=3, rerank=12).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pq_codebook_dim_mismatch_raises(emb):
+    from bazof_spark.operators.similarity import pq_codebooks_from_rows
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_from_rows(np.ones((4, DIM)), m_subs=5)
