@@ -549,11 +549,14 @@ class Lakehouse:
         result through the distributed Data Source writer; the returned
         DataFrame is a 1-row (table, version, operation) status.
         """
-        from bazof_spark.sql import parse_dml, parse_show
+        from bazof_spark.sql import parse_dml, parse_maintenance, parse_show
 
         show = parse_show(query)
         if show is not None:
             return self._execute_show(show)
+        maint = parse_maintenance(query)
+        if maint is not None:
+            return self._execute_maintenance(maint)
         dml = parse_dml(query)
         if dml is not None:
             return self._execute_dml(dml)
@@ -614,6 +617,63 @@ class Lakehouse:
         return self.spark.createDataFrame(
             rows,
             "version string, is_current boolean, n_segments long, n_files long",
+        )
+
+    def _execute_maintenance(self, maint) -> DataFrame:
+        """Maintenance statements → the bazof_spark.maintenance
+        publishers (all share the writer's commit CAS): ``OPTIMIZE t
+        [ZORDER BY (...)]`` / ``CHECKPOINT t`` compact Current into a
+        new base at 'now', ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``
+        garbage-collects, ``RESTORE t TO VERSION n`` re-publishes an
+        old snapshot as the new head. Returns a 1-row
+        (table, version, operation, detail) status frame; any Current
+        temp view is refreshed so subsequent SQL sees the new version."""
+        from datetime import datetime, timezone
+
+        from bazof_spark.maintenance import (
+            checkpoint_table,
+            optimize_table,
+            restore_table,
+            vacuum_table,
+        )
+
+        if maint.kind == "optimize":
+            now = datetime.now(timezone.utc)
+            if maint.cluster_by:
+                optimize_table(self, maint.table, now, list(maint.cluster_by))
+                detail = f"zorder by ({', '.join(maint.cluster_by)})"
+            else:
+                checkpoint_table(self, maint.table, now)
+                detail = "compaction checkpoint"
+        elif maint.kind == "checkpoint":
+            checkpoint_table(self, maint.table, datetime.now(timezone.utc))
+            detail = "compaction checkpoint"
+        elif maint.kind == "vacuum":
+            res = vacuum_table(
+                self,
+                maint.table,
+                **(
+                    {"keep_versions": maint.keep_versions}
+                    if maint.keep_versions is not None
+                    else {}
+                ),
+                dry_run=maint.dry_run,
+            )
+            detail = (
+                f"removed_files={len(res['removed_files'])} "
+                f"removed_snapshots={len(res['removed_snapshots'])} "
+                f"removed_dirs={len(res['removed_dirs'])}"
+                + (" (dry run)" if maint.dry_run else "")
+            )
+        else:  # restore
+            restore_table(self, maint.table, maint.version)
+            detail = f"from version {maint.version}"
+        if self.spark.catalog.tableExists(maint.table):
+            self.scan(maint.table).createOrReplaceTempView(maint.table)
+        version = self.table(maint.table).current_version()
+        return self.spark.createDataFrame(
+            [(maint.table, version, maint.kind, detail)],
+            "table string, version string, operation string, detail string",
         )
 
     def _execute_dml(self, dml) -> DataFrame:

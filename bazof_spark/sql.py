@@ -406,3 +406,69 @@ def parse_show(sql: str) -> ShowStatement | None:
     if m:
         return ShowStatement(kind="describe", table=m.group("name"))
     return None
+
+
+_OPTIMIZE_RE = re.compile(
+    rf"^OPTIMIZE\s+(?P<name>{_IDENT})"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[^)]*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    rf"^VACUUM\s+(?P<name>{_IDENT})"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CHECKPOINT_RE = re.compile(
+    rf"^CHECKPOINT\s+(?P<name>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_RESTORE_RE = re.compile(
+    rf"^RESTORE\s+(?P<name>{_IDENT})\s+TO\s+VERSION\s+(?P<v>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass(frozen=True)
+class MaintenanceStatement:
+    kind: str  # "optimize" | "vacuum" | "checkpoint" | "restore"
+    table: str
+    cluster_by: tuple[str, ...] = ()
+    keep_versions: int | None = None
+    dry_run: bool = False
+    version: int | None = None
+
+
+def parse_maintenance(sql: str) -> "MaintenanceStatement | None":
+    """Maintenance statements (ours — the Delta-style surface over
+    bazof_spark.maintenance): ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+    (compaction checkpoint; with ZORDER the merged base is Z-order
+    clustered), ``CHECKPOINT t``, ``VACUUM t [RETAIN n VERSIONS]
+    [DRY RUN]``, ``RESTORE t TO VERSION n``. Statement-leading only,
+    same trivia handling as DML."""
+    head = _lstrip_trivia(sql)
+    m = _OPTIMIZE_RE.match(head)
+    if m:
+        cols = tuple(
+            c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
+        )
+        return MaintenanceStatement(
+            kind="optimize", table=m.group("name"), cluster_by=cols
+        )
+    m = _CHECKPOINT_RE.match(head)
+    if m:
+        return MaintenanceStatement(kind="checkpoint", table=m.group("name"))
+    m = _VACUUM_RE.match(head)
+    if m:
+        n = m.group("n")
+        return MaintenanceStatement(
+            kind="vacuum",
+            table=m.group("name"),
+            keep_versions=int(n) if n else None,
+            dry_run=bool(m.group("dry")),
+        )
+    m = _RESTORE_RE.match(head)
+    if m:
+        return MaintenanceStatement(
+            kind="restore", table=m.group("name"), version=int(m.group("v"))
+        )
+    return None

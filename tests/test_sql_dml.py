@@ -213,3 +213,78 @@ def test_merge_into_upserts_by_key(spark, lh):
 def test_merge_into_missing_table_fails(spark, lh):
     with pytest.raises(BazofError, match="MERGE"):
         lh.sql("MERGE INTO nope USING SELECT 1")
+
+
+def test_parse_maintenance_detection():
+    from bazof_spark.sql import parse_maintenance
+
+    m = parse_maintenance("OPTIMIZE t")
+    assert m.kind == "optimize" and m.table == "t" and m.cluster_by == ()
+    m = parse_maintenance("optimize t zorder by (key, value);")
+    assert m.cluster_by == ("key", "value")
+    m = parse_maintenance("VACUUM t RETAIN 2 VERSIONS")
+    assert m.kind == "vacuum" and m.keep_versions == 2 and not m.dry_run
+    m = parse_maintenance("VACUUM t DRY RUN")
+    assert m.keep_versions is None and m.dry_run
+    m = parse_maintenance("CHECKPOINT t")
+    assert m.kind == "checkpoint"
+    m = parse_maintenance("RESTORE t TO VERSION 3")
+    assert m.kind == "restore" and m.version == 3
+    # plain queries / lookalikes inside strings never match
+    assert parse_maintenance("SELECT 'OPTIMIZE t'") is None
+    assert parse_maintenance("SELECT * FROM vacuum_log") is None
+    assert parse_maintenance("SELECT 1") is None
+
+
+def test_sql_maintenance_statements_end_to_end(spark, lh):
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(6)
+        """
+    )
+    lh.sql(
+        "INSERT INTO t SELECT '0', timestamp'2024-02-01 00:00:00', 99.0"
+    )
+    before = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+
+    [st] = lh.sql("OPTIMIZE t ZORDER BY (value)").collect()
+    assert st["operation"] == "optimize" and "zorder" in st["detail"]
+    after = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    assert after == before  # compaction is read-invisible
+    # Current is served by the single merged base now
+    assert (
+        len(lh.table("t").get_current_snapshot().get_data_files()) == 1
+    )
+
+    [st] = lh.sql("CHECKPOINT t").collect()
+    assert st["operation"] == "checkpoint"
+
+    # restore to the pre-optimize version: values revert to that state
+    [st] = lh.sql("RESTORE t TO VERSION 2").collect()
+    assert st["operation"] == "restore"
+    assert {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    } == before
+
+    # dry-run vacuum reports without deleting; real vacuum prunes old
+    # snapshots (min_age retention protects young data files by design)
+    [st] = lh.sql("VACUUM t RETAIN 1 VERSIONS DRY RUN").collect()
+    assert st["operation"] == "vacuum" and "dry run" in st["detail"]
+    [st] = lh.sql("VACUUM t RETAIN 1 VERSIONS").collect()
+    assert "removed_snapshots=" in st["detail"]
+    # table still reads correctly after the GC
+    assert {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    } == before

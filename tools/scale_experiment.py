@@ -67,6 +67,9 @@ MEASURED = [
     "sketch_kmv_mergeable",
     "ann_recall_ivf",
     "time_travel_changes_sql",
+    # round-6 additions
+    "span_dedup",
+    "embedding_ann_pq",
 ]
 
 
@@ -205,6 +208,10 @@ X100_MEASURED = [
     # pigeonhole guards vs corpus² growth)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # round-6: chunk-hash span dedup (map + one hash shuffle) and the
+    # PQ/ADC index (map-only encode + LUT scoring; fixed query set)
+    "span_dedup",
+    "embedding_ann_pq",
 ]
 
 
