@@ -121,6 +121,20 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--file", required=True, help="CSV file path")
     p_up.add_argument("--create-segment", action="store_true")
 
+    p_del = sub.add_parser(
+        "delete",
+        help="tombstone-delete keys (time-travel-consistent DELETE)",
+    )
+    p_del.add_argument("--path", required=True)
+    p_del.add_argument("--table", required=True)
+    p_del.add_argument(
+        "--keys", required=True, help="comma-separated keys to delete"
+    )
+    p_del.add_argument(
+        "--at", default=None,
+        help="deletion instant (RFC3339; default: now UTC)",
+    )
+
     p_wr = sub.add_parser(
         "write",
         help="parquet/CSV → azof table via the distributed two-phase sink",
@@ -299,6 +313,23 @@ def main(argv: list[str] | None = None) -> int:
         lh.upsert(args.table, df, create_segment=args.create_segment)
         print(
             f"upserted {args.file} into {args.table}: "
+            f"version {table.current_version()}"
+        )
+    elif args.cmd == "delete":
+        from bazof_spark.asof import parse_rfc3339
+        from bazof_spark.writer import delete_keys
+
+        table = lh.table(args.table)
+        ks = [k for k in args.keys.split(",") if k]
+        delete_keys(
+            spark,
+            table.path,
+            ks,
+            at=parse_rfc3339(args.at) if args.at else None,
+            create_segment=True,
+        )
+        print(
+            f"deleted {len(ks)} keys from {args.table}: "
             f"version {table.current_version()}"
         )
     elif args.cmd == "write":

@@ -956,11 +956,37 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
     ]
     from bazof_spark.ordering import latest_wins_ordering
 
+    # tombstone deltas (the DELETE extension): same post-merge hide as
+    # Lakehouse.scan — the flag rides in the payload, keys whose winner
+    # is a tombstone row are dropped. Delete-free tables (tombstone set
+    # empty — every reference-authored table) keep the original plan.
+    opts = {"path": root, "table": name}
+    if as_of is not None:
+        opts["asof"] = as_of
+    if version is not None:
+        opts["version"] = version
+    _, snapshot, as_of_obj = _resolve(opts)
+    tomb = snapshot.tombstone_files()
+    tomb_ranks = [
+        r for f, r in snapshot.ranked_data_files(as_of_obj) if f in tomb
+    ]
+
     payload = F.struct(
         F.col("event_time").alias("event_time"),
         *[F.col(c).alias(c) for c in value_cols],
+        *(
+            [F.col("_rank").isin(tomb_ranks).alias("_tombstone")]
+            if tomb_ranks
+            else []
+        ),
     )
     winner = df.groupBy("key").agg(
         F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
     )
+    if tomb_ranks:
+        return (
+            winner.filter(~F.col("_w._tombstone"))
+            .select("key", "_w.*")
+            .drop("_tombstone")
+        )
     return winner.select("key", "_w.*")

@@ -233,17 +233,20 @@ class Lakehouse:
         """Change-data-feed between two as-of instants: every key whose
         winning version differs between ``since`` and ``until``
         (``None`` = Current). The reference leaves a change/streaming
-        read on its roadmap (README.md:150-160); over an upsert-only
-        log it is a left join of two as-of scans — keys can appear or
-        change, never disappear.
+        read on its roadmap (README.md:150-160); over an upsert log it
+        is a full join of two as-of scans — keys appear (insert),
+        change (update), or, on tables using the tombstone DELETE
+        extension, disappear (delete; impossible on append-only tables,
+        whose feeds are unchanged).
 
-        Output: ``key``, ``change_type`` (``insert`` | ``update``),
-        ``event_time_early``/``event_time_late`` and each projected
-        value column as ``<col>_early``/``<col>_late``. A key counts as
-        changed when its (event_time, values) tuple differs null-safely
-        — not event_time alone, since a segment becoming in-range can
-        change the winner by file precedence (§4.2) without a newer
-        timestamp.
+        Output: ``key``, ``change_type`` (``insert`` | ``update`` |
+        ``delete``), ``event_time_early``/``event_time_late`` and each
+        projected value column as ``<col>_early``/``<col>_late``
+        (``delete`` rows carry the early values and a null late side).
+        A key counts as changed when its (event_time, values) tuple
+        differs null-safely — not event_time alone, since a segment
+        becoming in-range can change the winner by file precedence
+        (§4.2) without a newer timestamp.
 
         Scale: both sides are independently pruned scans joined on the
         table key; AQE broadcasts whichever as-of slice is small.
@@ -288,7 +291,19 @@ class Lakehouse:
                 *[F.col(c).alias(f"{c}_{tag}") for c in value_cols],
             )
 
-        j = _tagged(late, "late").join(_tagged(early, "early"), KEY_COL, "left")
+        # join type follows the table's delete capability: on tables
+        # with tombstone deltas a key can DISAPPEAR in the window, which
+        # only a FULL join can report — but a full outer join cannot
+        # broadcast (SMJ both sides), so append-only tables (every
+        # reference-authored table; keys never vanish there) keep the
+        # LEFT join and its broadcastable early side, the exact
+        # pre-extension plan.
+        has_deletes = bool(
+            self.table(table_name).get_current_snapshot().tombstone_files()
+        )
+        j = _tagged(late, "late").join(
+            _tagged(early, "early"), KEY_COL, "full" if has_deletes else "left"
+        )
         def _version_struct(tag: str) -> F.Column:
             # identical inner field names so the struct types compare
             return F.struct(
@@ -299,11 +314,13 @@ class Lakehouse:
         early_struct = _version_struct("early")
         late_struct = _version_struct("late")
         is_insert = F.col(f"{EVENT_TIME_COL}_early").isNull()
+        is_delete = F.col(f"{EVENT_TIME_COL}_late").isNull()
         return j.filter(
-            is_insert | ~late_struct.eqNullSafe(early_struct)
+            is_insert | is_delete | ~late_struct.eqNullSafe(early_struct)
         ).select(
             KEY_COL,
             F.when(is_insert, F.lit("insert"))
+            .when(is_delete, F.lit("delete"))
             .otherwise(F.lit("update"))
             .alias("change_type"),
             f"{EVENT_TIME_COL}_early",
@@ -370,7 +387,12 @@ class Lakehouse:
             if key_range.hi is not None:
                 df = df.filter(F.col(KEY_COL) <= F.lit(key_range.hi))
 
-        df = self._dedup_latest_per_key(df, table, ranked, value_cols)
+        tomb_ranks = tuple(
+            r for f, r in ranked if f in snapshot.tombstone_files()
+        )
+        df = self._dedup_latest_per_key(
+            df, table, ranked, value_cols, tomb_ranks
+        )
         return df.select(*out_cols) if out_cols else df.select(KEY_COL).drop(KEY_COL)
 
     def _dedup_latest_per_key(
@@ -379,12 +401,20 @@ class Lakehouse:
         table: Table,
         ranked: list[tuple[str, int]],
         value_cols: list[str],
+        tomb_ranks: tuple[int, ...] = (),
     ) -> DataFrame:
         """First-eligible-occurrence-in-file-order semantics
         (crates/azof/src/lakehouse.rs:40,54-79 + metadata.rs:47-73),
         encoded as max_by over (−rank, event_time): min rank wins, then
         max event_time — exactly 'latest version ≤ t, file precedence
-        beats timestamp'."""
+        beats timestamp'.
+
+        ``tomb_ranks`` marks tombstone deltas (our DELETE extension):
+        their rows compete in the merge like any newer version, but a
+        winning tombstone row HIDES its key instead of surfacing. The
+        flag rides inside the max_by payload, so the filter costs one
+        post-aggregate predicate and nothing at all on delete-free
+        tables (the common case keeps the exact pre-extension plan)."""
         df = self._with_rank(df, table, ranked)
 
         from bazof_spark.ordering import latest_wins_ordering
@@ -392,10 +422,21 @@ class Lakehouse:
         payload = F.struct(
             F.col(EVENT_TIME_COL).alias(EVENT_TIME_COL),
             *[F.col(c).alias(c) for c in value_cols],
+            *(
+                [F.col("_rank").isin(list(tomb_ranks)).alias("_tombstone")]
+                if tomb_ranks
+                else []
+            ),
         )
         winner = df.groupBy(KEY_COL).agg(
             F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
         )
+        if tomb_ranks:
+            return (
+                winner.filter(~F.col("_w._tombstone"))
+                .select(KEY_COL, "_w.*")
+                .drop("_tombstone")
+            )
         return winner.select(KEY_COL, "_w.*")
 
     def _with_rank(
@@ -686,6 +727,33 @@ class Lakehouse:
         from bazof_spark.datasource import write_table
         from bazof_spark.errors import BazofError
         from bazof_spark.sql import DmlStatement  # noqa: F401 (typing)
+
+        if dml.kind == "delete":
+            if not self.has_table(dml.table):
+                raise BazofError(
+                    f"cannot DELETE from missing table {dml.table!r}"
+                )
+            # matching keys stay a DataFrame end to end (writer
+            # .delete_keys' distributed path): DELETE WHERE <predicate>
+            # at corpus scale never collects the key set
+            q = f"SELECT key FROM {dml.table}"
+            if dml.select:
+                q += f" WHERE {dml.select}"
+            from bazof_spark.writer import delete_keys
+
+            delete_keys(
+                self.spark,
+                self.table(dml.table).path,
+                self.sql(q),
+                create_segment=True,
+            )
+            if self.spark.catalog.tableExists(dml.table):
+                self.scan(dml.table).createOrReplaceTempView(dml.table)
+            version = self.table(dml.table).current_version()
+            return self.spark.createDataFrame(
+                [(dml.table, version, "delete")],
+                "table string, version string, operation string",
+            )
 
         df = self.sql(dml.select.rstrip().rstrip(";"))
         if dml.kind == "ctas":

@@ -213,6 +213,14 @@ class Delta:
     ts_min: datetime | None = None
     ts_max: datetime | None = None
     key_bloom: KeyBloom | None = None
+    #: our extension (Delta-Lake-style DELETE): a tombstone delta's rows
+    #: carry only (key, event_time); a tombstone row winning the merge
+    #: makes its key invisible at that as-of instead of surfacing. The
+    #: flag is metadata-only — eligibility/precedence are the ordinary
+    #: delta rules, so time travel before the delete sees the old row
+    #: and a later upsert resurrects the key. Absent in
+    #: reference-authored snapshots (reads there are unchanged).
+    tombstone: bool = False
 
     def is_before(self, as_of: AsOf) -> bool:
         """Eligibility (metadata.rs:98-104): Current ⇒ always; EventTime ⇒
@@ -241,6 +249,7 @@ class Delta:
                     if isinstance(obj.get("key_bloom"), dict)
                     else None
                 ),
+                tombstone=bool(obj.get("tombstone", False)),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad delta {obj!r}: {exc}") from exc
@@ -261,6 +270,8 @@ class Delta:
             out["ts_max"] = format_rfc3339_ms(self.ts_max)
         if self.key_bloom is not None:
             out["key_bloom"] = self.key_bloom.to_json()
+        if self.tombstone:
+            out["tombstone"] = True
         return out
 
 
@@ -419,6 +430,23 @@ class Snapshot:
         for segment in self.segments:
             files.extend(segment.get_data_files(as_of, key_range))
         return files
+
+    def tombstone_files(self) -> frozenset[str]:
+        """File names of every tombstone delta anywhere in the segment
+        tree (our DELETE extension — see :class:`Delta`). Empty for
+        reference-authored or delete-free snapshots, in which case the
+        readers skip the tombstone filter entirely."""
+
+        def _walk(seg: Segment):
+            for sub in seg.segments:
+                yield from _walk(sub)
+            for d in seg.delta:
+                if d.tombstone:
+                    yield d.file
+
+        return frozenset(
+            f for seg in self.segments for f in _walk(seg)
+        )
 
     def ranked_data_files(
         self, as_of: AsOf = Current, key_range: KeyRange | None = None

@@ -295,12 +295,23 @@ _MERGE_CANONICAL_SUFFIX_RE = re.compile(
     re.IGNORECASE,
 )
 
+# DELETE FROM t [WHERE <pred>] — the tombstone extension
+# (writer.delete_keys): matching keys get a tombstone delta, making
+# them invisible from the delete instant on while every earlier as-of
+# still sees them (time-travel-consistent deletes, Delta-style).
+_DELETE_RE = re.compile(
+    rf"^DELETE\s+FROM\s+(?P<name>{_IDENT})"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 @dataclass(frozen=True)
 class DmlStatement:
-    kind: str  # "ctas" | "insert" | "merge"
+    kind: str  # "ctas" | "insert" | "merge" | "delete"
     table: str
     replace: bool
-    select: str
+    select: str  # for "delete": the WHERE predicate ("" = all rows)
 
 
 def _lstrip_trivia(sql: str) -> str:
@@ -343,6 +354,14 @@ def parse_dml(sql: str) -> DmlStatement | None:
             table=m.group("name"),
             replace=False,
             select=m.group("select"),
+        )
+    m = _DELETE_RE.match(head)
+    if m:
+        return DmlStatement(
+            kind="delete",
+            table=m.group("name"),
+            replace=False,
+            select=(m.group("pred") or "").strip(),
         )
     m = _MERGE_RE.match(head)
     if m:

@@ -222,7 +222,11 @@ def _ts(dt: datetime) -> str:
 
 
 def _delta_with_stats(
-    table_path: str, file_name: str, start: datetime, end: datetime
+    table_path: str,
+    file_name: str,
+    start: datetime,
+    end: datetime,
+    tombstone: bool = False,
 ) -> Delta:
     """Delta entry carrying the file's zone-map stats when readable."""
     return Delta(
@@ -230,6 +234,7 @@ def _delta_with_stats(
         start=start,
         end=end,
         key_bloom=file_key_bloom(table_path, file_name),
+        tombstone=tombstone,
         **file_zone_stats(table_path, file_name),
     )
 
@@ -522,6 +527,7 @@ def append_delta(
     distributed: bool = False,
     num_files: int | None = None,
     validate: bool = True,
+    tombstone: bool = False,
 ) -> Snapshot:
     """Upsert one batch into an existing azof table: write a delta file
     (or, ``distributed=True``, one Spark write job producing many files),
@@ -547,6 +553,16 @@ def append_delta(
     Concurrency: like the reference, the format has no commit log or
     lock — concurrent writers race on ``version.txt`` (last flip wins).
     Single-writer-per-table is the assumed discipline.
+
+    ``tombstone=True`` commits the batch as a DELETE marker (our
+    Delta-Lake-style extension; see :func:`delete_keys` and
+    metadata.Delta.tombstone): only ``(key, event_time)`` are written —
+    the scan null-fills value columns via its explicit-schema read, the
+    same mechanism schema evolution uses — and the delta node carries
+    the tombstone flag, so a tombstone row winning the merge hides its
+    key instead of surfacing. Precedence/eligibility are the ordinary
+    delta rules: as-of instants before the delete still see the old
+    row, and a later upsert resurrects the key.
     """
     if distributed:
         _local_table_path(table_path)  # fail fast on object-store URIs
@@ -566,17 +582,22 @@ def append_delta(
     next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
 
     schema = snapshot.schema
-    # null-fill nullable columns the batch doesn't carry (e.g. added by
-    # evolve_table_schema after the producer was written)
-    have = set(df.columns)
-    fills = [
-        F.lit(None).cast(c.data_type.to_spark()).alias(c.name)
-        for c in schema.columns
-        if c.name not in have and c.nullable
-    ]
-    if fills:
-        df = df.select("*", *fills)
-    ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())
+    if tombstone:
+        # a tombstone file carries ONLY the merge keys; the scan's
+        # explicit-schema read null-fills the value columns
+        ordered = df.select(KEY_COL, EVENT_TIME_COL)
+    else:
+        # null-fill nullable columns the batch doesn't carry (e.g. added
+        # by evolve_table_schema after the producer was written)
+        have = set(df.columns)
+        fills = [
+            F.lit(None).cast(c.data_type.to_spark()).alias(c.name)
+            for c in schema.columns
+            if c.name not in have and c.nullable
+        ]
+        if fills:
+            df = df.select("*", *fills)
+        ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())
     # one materialization for the up-to-three consumers (invariant
     # check, min/max bounds, the write itself) — without it each re-runs
     # the batch's full lineage as its own Spark job
@@ -621,11 +642,19 @@ def append_delta(
             for name in _write_distributed_delta(
                 ordered, table_path, stem, num_files
             ):
-                new_deltas.append(_delta_with_stats(table_path, name, start, end))
+                new_deltas.append(
+                    _delta_with_stats(
+                        table_path, name, start, end, tombstone=tombstone
+                    )
+                )
         else:
             name = _fresh_delta_name(table_path, target.id, len(target.delta))
             dataframe_to_parquet_file(ordered, iofs.join(table_path, name))
-            new_deltas.append(_delta_with_stats(table_path, name, start, end))
+            new_deltas.append(
+                _delta_with_stats(
+                    table_path, name, start, end, tombstone=tombstone
+                )
+            )
     finally:
         if multi_pass:
             ordered.unpersist()
@@ -890,6 +919,48 @@ def upsert_with_retry(
         except CommitConflictError:
             if attempt == retries:
                 raise
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys,
+    at: datetime | None = None,
+    **kwargs,
+) -> Snapshot:
+    """Delete ``keys`` from the table as of ``at`` (default: now, UTC) —
+    the Delta-Lake-style DELETE over the format's merge semantics: one
+    tombstone delta whose rows are ``(key, at)``; at any as-of ≥ ``at``
+    the tombstone wins the merge and the key disappears from scans, at
+    instants before it the old row is still visible (the delete is
+    itself time-travel-consistent), and a LATER upsert resurrects the
+    key (file precedence, exactly like an ordinary newer version).
+
+    ``keys`` is an iterable of key strings (driver-side, bounded — a
+    point delete) or a DataFrame with a ``key`` column (the distributed
+    path: DELETE WHERE <predicate> at corpus scale never collects the
+    matching keys). Extra kwargs pass through to :func:`append_delta`
+    (``segment_id``, ``create_segment``, ``distributed``...)."""
+    from datetime import timezone
+
+    if at is None:
+        at = datetime.now(timezone.utc)
+    at = _aware_utc(at)
+    if isinstance(keys, DataFrame):
+        df = keys.select(
+            F.col(KEY_COL).cast("string").alias(KEY_COL),
+            F.lit(at).alias(EVENT_TIME_COL),
+        ).dropDuplicates([KEY_COL])
+    else:
+        ks = sorted({str(k) for k in keys})
+        if not ks:
+            raise BazofError("delete_keys: empty key set")
+        df = spark.createDataFrame(
+            [(k, at) for k in ks], f"{KEY_COL} string, {EVENT_TIME_COL} timestamp"
+        )
+    return append_delta(
+        spark, table_path, df, start=at, end=at, tombstone=True, **kwargs
+    )
 
 
 @contextlib.contextmanager

@@ -208,3 +208,19 @@ def test_stats_subcommand(spark, lake, capsys, tmp_path):
     out = run(capsys, "stats", "--path", str(tmp_path), "--table", "k")
     assert "1 with key bounds" in out and "1 with blooms" in out
     assert "m=1024" in out
+
+
+def test_delete_subcommand(spark, lake, capsys):
+    out = run(
+        capsys, "delete", "--path", lake, "--table", "table0",
+        "--keys", "1", "--at", "2024-06-01T00:00:00.000Z",
+    )
+    assert "deleted 1 keys" in out
+    out = run(capsys, "scan", "--path", lake, "--table", "table0")
+    assert "abc2" not in out and "xyz" in out
+    # before the deletion instant the key is still visible
+    out = run(
+        capsys, "scan", "--path", lake, "--table", "table0",
+        "--as-of", "2024-02-17T00:00:00",
+    )
+    assert "abc2" in out

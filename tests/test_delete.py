@@ -1,0 +1,167 @@
+"""DELETE (tombstone) extension: writer.delete_keys / SQL DELETE FROM.
+
+The format is append-only merge-by-key (crates/azof/src/lakehouse.rs:
+40-79); deletes are our Delta-Lake-style extension expressed INSIDE
+those semantics — a tombstone delta competes in the merge like any
+newer version, and a winning tombstone hides its key instead of
+surfacing. Invariants under test: time-travel consistency (instants
+before the delete still see the row), resurrection by later upsert,
+point-lookup pruning agreement, Data-Source read parity, CDF delete
+rows, checkpoint/restore/validate compatibility, and zero impact on
+delete-free tables (reference snapshots have no tombstone flag).
+"""
+
+import os
+import sys
+from datetime import datetime, timezone
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark import Lakehouse  # noqa: E402
+from bazof_spark.metadata import Delta  # noqa: E402
+from bazof_spark.schema import ColumnDef, ColumnType, TableSchema  # noqa: E402
+from bazof_spark.writer import TableWriter, delete_keys  # noqa: E402
+
+
+def ts(m, d=1):
+    return datetime(2024, m, d, tzinfo=timezone.utc)
+
+
+SCHEMA = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], SCHEMA.to_struct_type()
+    )
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
+    w.add_segment(
+        "s1",
+        ts(1),
+        base_df=_df(
+            spark,
+            [("a", ts(1), "a1"), ("b", ts(1), "b1"), ("c", ts(1), "c1")],
+        ),
+    )
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    lh.upsert("t", _df(spark, [("a", ts(2), "a2")]))
+    return lh
+
+
+def _state(lh, **kw):
+    return {
+        r["key"]: r["value"] for r in lh.scan("t", **kw).collect()
+    }
+
+
+def test_delta_tombstone_json_roundtrip():
+    d = Delta(file="f.parquet", start=ts(3), end=ts(3), tombstone=True)
+    j = d.to_json()
+    assert j["tombstone"] is True
+    assert Delta.from_json(j).tombstone
+    # absent flag (reference-authored snapshots) parses False
+    j2 = Delta(file="g.parquet", start=ts(3), end=ts(3)).to_json()
+    assert "tombstone" not in j2
+    assert not Delta.from_json(j2).tombstone
+
+
+def test_delete_scan_semantics_time_travel_and_resurrection(spark, lh):
+    table_path = lh.table("t").path
+    delete_keys(spark, table_path, ["a"], at=ts(3))
+
+    # Current and post-delete instants hide the key
+    assert _state(lh) == {"b": "b1", "c": "c1"}
+    assert _state(lh, as_of=ts(3)) == {"b": "b1", "c": "c1"}
+    # instants BEFORE the delete still see the old versions
+    assert _state(lh, as_of=ts(2, 15)) == {"a": "a2", "b": "b1", "c": "c1"}
+    assert _state(lh, as_of=ts(1, 15)) == {"a": "a1", "b": "b1", "c": "c1"}
+
+    # point lookups agree with the full scan (zone-map/bloom pruning
+    # must keep the tombstone file for its key)
+    assert {r["key"] for r in lh.scan("t", keys=["a"]).collect()} == set()
+    assert {r["key"] for r in lh.scan("t", keys=["b"]).collect()} == {"b"}
+
+    # a LATER upsert resurrects the key
+    lh.upsert("t", _df(spark, [("a", ts(4), "a4")]))
+    assert _state(lh) == {"a": "a4", "b": "b1", "c": "c1"}
+    assert _state(lh, as_of=ts(3, 15)) == {"b": "b1", "c": "c1"}
+
+    from bazof_spark.maintenance import validate_table
+
+    validate_table(lh, "t").raise_if_invalid()
+
+
+def test_delete_matches_datasource_read(spark, lh):
+    from bazof_spark.datasource import read_table
+
+    delete_keys(spark, lh.table("t").path, ["b"], at=ts(3))
+    for as_of in (None, "2024-03-01T00:00:00.000Z", "2024-01-15T00:00:00.000Z"):
+        native = lh.scan("t", as_of=as_of)
+        via = read_table(spark, lh.root, "t", as_of=as_of)
+        assert sorted(map(tuple, via.select(*native.columns).collect())) == sorted(
+            map(tuple, native.collect())
+        ), as_of
+
+
+def test_sql_delete_and_cdf(spark, lh):
+    v_before = int(lh.table("t").current_version())
+    [st] = lh.sql("DELETE FROM t WHERE value = 'a2'").collect()
+    assert st["operation"] == "delete"
+    assert int(st["version"]) == v_before + 1
+
+    assert {r["key"] for r in lh.sql("SELECT key FROM t").collect()} == {
+        "b", "c",
+    }
+    # the change feed reports the delete (early values, null late side):
+    # early = an instant after every upsert but before the delete
+    # (SQL DELETE stamps 'now'), late = Current
+    feed = lh.scan_changes("t", since="2025-01-01T00:00:00.000Z").collect()
+    changes = {r["key"]: r["change_type"] for r in feed}
+    assert changes == {"a": "delete"}
+    [row] = feed
+    assert row["value_early"] == "a2" and row["value_late"] is None
+    assert row["event_time_late"] is None
+
+    # DELETE without WHERE empties the table; history remains readable
+    lh.sql("DELETE FROM t")
+    assert lh.sql("SELECT key FROM t").count() == 0
+    assert _state(lh, version=v_before) == {
+        "a": "a2", "b": "b1", "c": "c1",
+    }
+
+
+def test_checkpoint_and_restore_preserve_deletes(spark, lh):
+    table_path = lh.table("t").path
+    delete_keys(spark, table_path, ["c"], at=ts(3))
+    before_cur = _state(lh)
+    before_t2 = _state(lh, as_of=ts(2, 15))
+    v_del = lh.table("t").current_version()
+
+    from bazof_spark.maintenance import checkpoint_table, restore_table, validate_table
+
+    checkpoint_table(lh, "t", at=ts(5))
+    assert _state(lh) == before_cur  # deleted key absent from the base
+    assert _state(lh, as_of=ts(2, 15)) == before_t2  # history intact
+    assert _state(lh, as_of=ts(6)) == before_cur
+    validate_table(lh, "t").raise_if_invalid()
+
+    restore_table(lh, "t", v_del)
+    assert _state(lh) == before_cur
+
+
+def test_tombstone_files_tracked_in_snapshot(spark, lh):
+    table_path = lh.table("t").path
+    assert lh.table("t").get_current_snapshot().tombstone_files() == frozenset()
+    snap = delete_keys(spark, table_path, ["a"], at=ts(3))
+    tomb = snap.tombstone_files()
+    assert len(tomb) == 1
+    # the flag survives the JSON round trip
+    reread = lh.table("t").get_current_snapshot()
+    assert reread.tombstone_files() == tomb

@@ -288,3 +288,12 @@ def test_sql_maintenance_statements_end_to_end(spark, lh):
         r["key"]: r["value"]
         for r in lh.sql("SELECT key, value FROM t").collect()
     } == before
+
+
+def test_parse_delete_detection():
+    d = parse_dml("DELETE FROM t WHERE key = 'a'")
+    assert d.kind == "delete" and d.table == "t" and d.select == "key = 'a'"
+    d = parse_dml("delete from x.y;")
+    assert d.kind == "delete" and d.select == ""
+    assert parse_dml("SELECT 'DELETE FROM t'") is None
+    assert parse_dml("SELECT * FROM delete_log") is None
