@@ -141,3 +141,63 @@ def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
             continue
         seg.add_delta(chunk, start=lo, end=hi, name=f"delta_{i}.parquet")
     writer.commit()
+
+
+DELETED_TABLE_NAME = "events_deleted"
+#: deletion instant: past every driver event timestamp, so Current
+#: hides the deleted users while every in-range as-of still sees them
+DELETE_AT = datetime(2024, 3, 1, tzinfo=timezone.utc)
+DELETE_MODULUS = 7
+
+
+def events_deleted_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """``events_versioned`` clone with a tombstone DELETE applied: every
+    user with ``user_id % DELETE_MODULUS == 0`` is deleted at
+    ``DELETE_AT`` through ``writer.delete_keys`` (the DataFrame path —
+    the key set never collects). Exercises the DELETE extension under
+    the driver's DuckDB oracle."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, DELETED_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _build_deleted(spark, sf_dir, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
+def _build_deleted(spark: SparkSession, sf_dir: str, root: str) -> None:
+    from bazof_spark.sources.tables import load_table
+    from bazof_spark.writer import delete_keys
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "props",
+    )
+    writer = TableWriter(
+        spark, os.path.join(root, DELETED_TABLE_NAME), EVENTS_SCHEMA
+    )
+    seg = writer.add_segment("s1", _SEGMENT_START)
+    for i in range(_N_DELTAS):
+        lo = _SEGMENT_START + timedelta(days=_DELTA_DAYS * i)
+        hi = lo + timedelta(days=_DELTA_DAYS)
+        chunk = keyed.filter(
+            (F.col("event_time") >= F.lit(lo)) & (F.col("event_time") < F.lit(hi))
+        )
+        if chunk.limit(1).count() == 0:
+            continue
+        seg.add_delta(chunk, start=lo, end=hi, name=f"delta_{i}.parquet")
+    writer.commit()
+    doomed = events.filter(
+        F.col("user_id") % DELETE_MODULUS == 0
+    ).select(F.col("user_id").cast("string").alias("key")).distinct()
+    delete_keys(
+        spark, os.path.join(root, DELETED_TABLE_NAME), doomed, at=DELETE_AT
+    )

@@ -111,6 +111,26 @@ def asof_scan_current(spark, sf_dir):
     )
 
 
+def delete_tombstone_scan(spark, sf_dir):
+    """Op: the tombstone DELETE extension under the driver oracle — a
+    clone of events_versioned with every user_id % 7 == 0 deleted at an
+    instant past the log (writer.delete_keys, DataFrame path). Current
+    must equal 'latest event per surviving user'; the tombstone rows
+    compete in the SAME one-shuffle merge and are hidden by one
+    post-aggregate predicate (lakehouse._dedup_latest_per_key)."""
+    from bazof_spark.sources.events import events_deleted_lakehouse
+
+    lh = events_deleted_lakehouse(spark, sf_dir)
+    return lh.scan("events_deleted").select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def asof_scan_event_time(spark, sf_dir):
     """Op: as-of merge-dedup at an event-time instant."""
     return _scan_events(spark, sf_dir, as_of=ASOF_TS).select(
@@ -487,6 +507,10 @@ def streaming_native_read(spark, sf_dir):
 
 _ASOF_ORACLES = {
     "asof_scan_current": _events_oracle_cte(),
+    # user-level tombstone delete: dropping every row of the deleted
+    # users before the latest-per-user window is set-identical to
+    # hiding their merge winners
+    "delete_tombstone_scan": _events_oracle_cte("user_id % 7 <> 0"),
     # latest event per user over the zone-map-pruned key window; the
     # lpad key spelling matches the key-clustered materialization
     "zonemap_key_lookup": """
@@ -2828,6 +2852,7 @@ _PIPELINE_ORACLES["ann_recall_pq"] = f"""
 QUERIES: dict[str, QueryFn] = {
     # core format operators
     "asof_scan_current": asof_scan_current,
+    "delete_tombstone_scan": delete_tombstone_scan,
     "zonemap_key_lookup": zonemap_key_lookup,
     "keyset_point_lookup": keyset_point_lookup,
     "asof_scan_event_time": asof_scan_event_time,
