@@ -204,3 +204,96 @@ def test_scan_matches_spec(spark, tmp_path_factory, h):
             for r in lh.scan("t", as_of=as_of).collect()
         }
         assert got == expected, f"as_of offset {t_off}"
+
+
+_TOMB = object()  # model marker: a tombstone row
+
+mixed_history = st.fixed_dictionaries(
+    {
+        "base": _delta,
+        "batches": st.lists(
+            st.one_of(
+                st.tuples(st.just("upsert"), _delta),
+                st.tuples(
+                    st.just("delete"),
+                    st.tuples(
+                        st.lists(
+                            st.sampled_from(["k1", "k2", "k3", "k4"]),
+                            min_size=1,
+                            max_size=3,
+                            unique=True,
+                        ),
+                        st.integers(min_value=0, max_value=200),
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        "asof_offsets": st.lists(
+            st.integers(min_value=0, max_value=260), min_size=2, max_size=3
+        ),
+    }
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(h=mixed_history)
+def test_interleaved_upserts_and_deletes_match_spec(
+    spark, tmp_path_factory, h
+):
+    """Random interleavings of upsert batches and tombstone deletes:
+    the scan must equal the SAME reference merge spec with one added
+    rule — a winning tombstone row hides its key. Deletes are ordinary
+    deltas (precedence by start, file order on ties), so time travel,
+    shadowing, and resurrection all fall out of the model for free."""
+    from bazof_spark.writer import delete_keys
+
+    tmp = tmp_path_factory.mktemp("prop_del")
+    w = TableWriter(spark, str(tmp / "t"), SCHEMA)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(k, _ts(off), v) for k, off, v in rows], SCHEMA.to_struct_type()
+        )
+
+    w.add_segment("s1", _ts(0), base_df=df(h["base"]))
+    w.commit()
+    lh = Lakehouse(spark, str(tmp))
+    file_rows = {"s1_base.parquet": list(h["base"])}
+    for i, (kind, payload) in enumerate(h["batches"]):
+        fname = f"s1_delta{i + 1}.parquet"
+        if kind == "upsert":
+            lh.upsert("t", df(payload))
+            file_rows[fname] = list(payload)
+        else:
+            keys, off = payload
+            delete_keys(spark, str(tmp / "t"), keys, at=_ts(off))
+            file_rows[fname] = [(k, off, _TOMB) for k in sorted(keys)]
+
+    snapshot = lh.table("t").get_current_snapshot()
+    seg = snapshot.segments[-1]
+    assert {d.file for d in seg.delta} == set(file_rows) - {"s1_base.parquet"}
+
+    def merge_with_tombstones(ranked, t):
+        winners = _python_merge(
+            [(r, file_rows[f]) for f, r in ranked], t
+        )
+        return {k: v for k, v in winners.items() if v is not _TOMB}
+
+    for t_off in [None, *h["asof_offsets"]]:
+        as_of = None if t_off is None else _ts(t_off)
+        ranked = snapshot.ranked_data_files(
+            Current if as_of is None else EventTime(as_of)
+        )
+        expected = merge_with_tombstones(ranked, t_off)
+        got = {
+            r["key"]: r["value"]
+            for r in lh.scan("t", as_of=as_of).collect()
+        }
+        assert got == expected, f"as_of offset {t_off}"
