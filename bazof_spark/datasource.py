@@ -563,6 +563,15 @@ class BazofStreamReader(DataSourceStreamReader):
     - replay window: offsets reference ``s{N}.json`` snapshots; a
       vacuum that drops files still referenced by an un-checkpointed
       offset range breaks replay, exactly Delta's retention contract.
+    - tombstone DELETE versions (writer.delete_keys) stream their
+      rows like any other delta — ``(key, event_time)`` with null
+      value columns — but carry NO delete marker in the stream schema
+      yet; a consumer folding latest-state from the raw stream will
+      surface those keys with null values instead of dropping them.
+      Known limitation: use the batch change feed
+      (``Lakehouse.scan_changes``, which emits ``change_type='delete'``
+      rows) when delete events must be distinguished; a marked
+      streaming CDC feed is the documented follow-up.
     """
 
     def __init__(self, options: dict, schema: StructType):
