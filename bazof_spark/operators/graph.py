@@ -31,6 +31,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 8,
+    every_node_receives: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iterations`` synchronous
     supersteps from a uniform start. Output: (node, pr).
@@ -42,9 +43,19 @@ def pagerank(
     driver query does the former, which also guarantees every node
     receives contributions each step.
 
+    ``every_node_receives=True`` asserts that guarantee (true for any
+    symmetrized edge list: every node has an in-edge): the per-superstep
+    left join against the node relation — whose only job is keeping
+    contribution-less nodes at pure teleport — is then provably a no-op
+    and is skipped, saving one join per superstep. Results are
+    identical when the guarantee holds; leave it False for arbitrary
+    directed graphs.
+
     All constants (N, per-node out-degree) are relations, not collected
-    scalars: N is a 1-row aggregate cross-joined in (broadcast), degrees
-    join co-partitioned with the contribution shuffle.
+    scalars: N is a 1-row aggregate cross-joined in (broadcast) ONCE —
+    the teleport term rides on the node relation, built before the
+    loop — and degrees join co-partitioned with the contribution
+    shuffle.
     """
     from pyspark import StorageLevel
 
@@ -61,13 +72,26 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    n1 = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # teleport term folded onto the node relation ONCE — supersteps
+    # reuse it instead of re-broadcasting the 1-row count every round
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "node",
+            (F.lit(1.0) / F.col("_n")).alias("_pr0"),
+            (F.lit(1.0 - damping) / F.col("_n")).alias("_tele"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outd"))
     w = (
         e.join(deg, "src")
@@ -75,35 +99,46 @@ def pagerank(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
-    )
+    ranks = nodes.select("node", F.col("_pr0").alias("pr"), "_tele")
     for i in range(iterations):
         contrib = w.join(
             ranks.withColumnRenamed("node", "src"), "src"
-        ).select("dst", (F.col("pr") * F.col("_w")).alias("_c"))
-        inbound = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.sum("_c").alias("_in")
+        ).select(
+            "dst",
+            (F.col("pr") * F.col("_w")).alias("_c"),
+            F.col("_tele").alias("_t_src"),
         )
-        # left join keeps sources-only/dangling nodes at pure teleport
-        ranks = (
-            nodes.join(inbound, "node", "left")
-            .crossJoin(F.broadcast(n1))
-            .select(
+        if every_node_receives:
+            # every node is some edge's dst ⇒ the inbound aggregate IS
+            # the node set; fold teleport inside the same aggregate
+            # (first() of the constant rides along for free) — no join
+            ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+                (
+                    F.first("_t_src")
+                    + F.lit(damping) * F.sum("_c")
+                ).alias("pr"),
+                F.first("_t_src").alias("_tele"),
+            )
+        else:
+            inbound = contrib.groupBy(F.col("dst").alias("node")).agg(
+                F.sum("_c").alias("_in")
+            )
+            # left join keeps sources-only/dangling nodes at pure teleport
+            ranks = nodes.join(inbound, "node", "left").select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("_n")
-                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                    F.col("_tele")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("pr"),
+                "_tele",
             )
-        )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             # truncate lineage so plan size stays O(1) per superstep
             ranks = ranks.localCheckpoint(eager=True)
     # materialize the final (node-sized) result, then release the
     # edge-sized helper caches — without this every pagerank() call
     # leaks three persisted relations for the session's lifetime
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.select("node", "pr").localCheckpoint(eager=True)
     for cached in (w, nodes, e):
         cached.unpersist()
     return ranks

@@ -1048,7 +1048,9 @@ def graph_pagerank_supply(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    pr = pagerank(edges, iterations=3, damping=0.85)
+    # symmetrized ⇒ every node is some edge's dst: the per-superstep
+    # dangling-node join is provably a no-op and skipped
+    pr = pagerank(edges, iterations=3, damping=0.85, every_node_receives=True)
     return pr.select("node", F.round("pr", 9).alias("pr"))
 
 

@@ -544,6 +544,24 @@ def test_pagerank_two_node_cycle_exact(spark):
     assert abs(pr["a"] - pr["z"]) < 1e-12  # symmetric ends
     assert abs(sum(pr.values()) - 1.0) < 1e-9  # no dangling leak here
 
+    # the every_node_receives fast path (valid on these symmetrized
+    # graphs: every node has an in-edge) must give identical ranks
+    fast = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            chain, iterations=10, every_node_receives=True
+        ).collect()
+    }
+    assert fast == pr
+    # a dangling graph (sink z) must keep the safe path's semantics:
+    # both paths only agree when the guarantee actually holds, so here
+    # we just pin the SAFE path (z never redistributes, mass leaks)
+    dangle = spark.createDataFrame(
+        [("a", "z"), ("b", "z")], "src string, dst string"
+    )
+    safe = {r["node"]: r["pr"] for r in pagerank(dangle, iterations=2).collect()}
+    assert safe["z"] > safe["a"] == safe["b"]
+
 
 def test_gapfill_locf_and_zero_fill(spark):
     """Dense hourly grid from a sparse series: zero-filled counts, LOCF
