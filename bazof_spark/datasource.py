@@ -55,7 +55,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from bazof_spark.asof import AsOf, Current, parse_rfc3339
 from bazof_spark.table import Table
@@ -81,12 +81,14 @@ def _resolve(options: dict):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, rank: int):
+    def __init__(self, path: str, rank: int, tombstone: bool = False):
         self.path = path
         self.rank = rank
+        self.tombstone = tombstone
 
 
-def _file_batches(path: str, rank: int, columns, field_order, arrow_schema):
+def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
+                  tombstone: bool = False):
     """Shared batch assembly for the batch and stream readers: read the
     parquet file, attach (_rank, _row_idx) provenance, null-fill
     columns the file predates (schema evolution adds columns as
@@ -114,6 +116,12 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema):
         ).append_column(
             "_row_idx", pa.array(range(row_idx, row_idx + n), type=pa.int64())
         )
+        if "_tombstone" in arrow_schema.names:
+            # delete-marker provenance (tables with tombstone deltas
+            # only): constant per file, like _rank
+            t = t.append_column(
+                "_tombstone", pa.array([tombstone] * n, type=pa.bool_())
+            )
         row_idx += n
         yield t.select(field_order).cast(arrow_schema)
 
@@ -122,12 +130,20 @@ class BazofReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType, resolved=None):
         table, snapshot, as_of = resolved or _resolve(options)
         stats = snapshot.file_key_stats()
+        tomb = snapshot.tombstone_files()
         self._files = [
-            (table.data_file_path(f), r, *stats.get(f, (None, None, None)))
+            (
+                table.data_file_path(f),
+                r,
+                *stats.get(f, (None, None, None)),
+                f in tomb,
+            )
             for f, r in snapshot.ranked_data_files(as_of)
         ]
         self._columns = [
-            f.name for f in schema.fields if f.name not in ("_rank", "_row_idx")
+            f.name
+            for f in schema.fields
+            if f.name not in ("_rank", "_row_idx", "_tombstone")
         ]
         self._field_order = [f.name for f in schema.fields]
         # Spark's Arrow bridge accepts only µs timestamps; the format's
@@ -252,8 +268,8 @@ class BazofReader(DataSourceReader):
         Lakehouse.scan(keys=...)."""
         kr = self._pushed_key_range()
         return [
-            _FilePartition(p, r)
-            for p, r, kmin, kmax, bloom in self._files
+            _FilePartition(p, r, tomb)
+            for p, r, kmin, kmax, bloom, tomb in self._files
             if kr is None or kr.admits(kmin, kmax, bloom)
         ]
 
@@ -272,6 +288,7 @@ class BazofReader(DataSourceReader):
             self._columns,
             self._field_order,
             self._arrow_schema,
+            tombstone=partition.tombstone,
         ):
             if self._as_of_dt is not None:
                 # event-time bound applied IN the reader: rows past the
@@ -532,9 +549,10 @@ class BazofBatchWriter(DataSourceArrowWriter):
 
 
 class _VersionFilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, tombstone: bool = False):
         self.path = path
         self.version = version
+        self.tombstone = tombstone
 
 
 class BazofStreamReader(DataSourceStreamReader):
@@ -563,15 +581,16 @@ class BazofStreamReader(DataSourceStreamReader):
     - replay window: offsets reference ``s{N}.json`` snapshots; a
       vacuum that drops files still referenced by an un-checkpointed
       offset range breaks replay, exactly Delta's retention contract.
-    - tombstone DELETE versions (writer.delete_keys) stream their
-      rows like any other delta — ``(key, event_time)`` with null
-      value columns — but carry NO delete marker in the stream schema
-      yet; a consumer folding latest-state from the raw stream will
-      surface those keys with null values instead of dropping them.
-      Known limitation: use the batch change feed
-      (``Lakehouse.scan_changes``, which emits ``change_type='delete'``
-      rows) when delete events must be distinguished; a marked
-      streaming CDC feed is the documented follow-up.
+    - tombstone DELETE versions (writer.delete_keys) stream their rows
+      like any other delta — ``(key, event_time)`` with null value
+      columns — and, on delete-capable tables, every row carries a
+      ``_tombstone`` boolean marker (constant per file, like
+      ``_rank``): a consumer folding latest-state drops keys whose
+      winning row has it set, exactly like ``read_table``. The marker
+      column exists only once the table has a tombstone delta, so a
+      table's FIRST delete is a source schema change: a stream started
+      before it fails fast at that version with a restart instruction
+      instead of surfacing deleted keys as unmarked null rows.
     """
 
     def __init__(self, options: dict, schema: StructType):
@@ -665,9 +684,22 @@ class BazofStreamReader(DataSourceStreamReader):
             # between snapshot write and version.txt flip leaves an
             # orphan s{v}.json) add files no later snapshot references —
             # those rows never became table state and must not stream
+            tomb = self._table.get_snapshot(str(v)).tombstone_files()
             for f in sorted(added & final):
+                if f in tomb and "_tombstone" not in self._schema.fieldNames():
+                    # the stream's schema was fixed before this table's
+                    # first delete; delivering the rows unmarked would
+                    # silently surface deleted keys as null-valued rows
+                    raise BazofError(
+                        f"snapshot version {v} added a tombstone delta "
+                        "but this stream started before the table had "
+                        "deletes (schema lacks _tombstone); restart the "
+                        "stream so the source schema includes the marker"
+                    )
                 out.append(
-                    _VersionFilePartition(self._table.data_file_path(f), v)
+                    _VersionFilePartition(
+                        self._table.data_file_path(f), v, f in tomb
+                    )
                 )
             prev, prev_bases = cur, cur_bases
         return out
@@ -684,11 +716,16 @@ class BazofStreamReader(DataSourceStreamReader):
         cols = [
             f.name
             for f in self._schema.fields
-            if f.name not in ("_rank", "_row_idx")
+            if f.name not in ("_rank", "_row_idx", "_tombstone")
         ]
         order = [f.name for f in self._schema.fields]
         for t in _file_batches(
-            partition.path, partition.version, cols, order, arrow_schema
+            partition.path,
+            partition.version,
+            cols,
+            order,
+            arrow_schema,
+            tombstone=partition.tombstone,
         ):
             yield from t.to_batches()
 
@@ -871,13 +908,17 @@ class BazofDataSource(DataSource):
         fields = [
             StructField(f.name, f.dataType, True) for f in base.fields
         ]
-        return StructType(
-            fields
-            + [
-                StructField("_rank", LongType(), False),
-                StructField("_row_idx", LongType(), False),
-            ]
-        )
+        out = fields + [
+            StructField("_rank", LongType(), False),
+            StructField("_row_idx", LongType(), False),
+        ]
+        if snapshot.tombstone_files():
+            # delete-capable table: every raw row carries the marker so
+            # stream/raw consumers can fold deletes (delete-free tables
+            # keep the historical schema — nothing changes for them; a
+            # table's FIRST delete is a schema change, restart streams)
+            out.append(StructField("_tombstone", BooleanType(), False))
+        return StructType(out)
 
     def reader(self, schema: StructType) -> BazofReader:
         return BazofReader(self.options, schema, resolved=self._resolved())
@@ -961,38 +1002,26 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
     df = reader.load()
     value_cols = [
         c for c in df.columns
-        if c not in ("key", "event_time", "_rank", "_row_idx")
+        if c not in ("key", "event_time", "_rank", "_row_idx", "_tombstone")
     ]
     from bazof_spark.ordering import latest_wins_ordering
 
     # tombstone deltas (the DELETE extension): same post-merge hide as
-    # Lakehouse.scan — the flag rides in the payload, keys whose winner
-    # is a tombstone row are dropped. Delete-free tables (tombstone set
-    # empty — every reference-authored table) keep the original plan.
-    opts = {"path": root, "table": name}
-    if as_of is not None:
-        opts["asof"] = as_of
-    if version is not None:
-        opts["version"] = version
-    _, snapshot, as_of_obj = _resolve(opts)
-    tomb = snapshot.tombstone_files()
-    tomb_ranks = [
-        r for f, r in snapshot.ranked_data_files(as_of_obj) if f in tomb
-    ]
-
+    # Lakehouse.scan — the source exposes a per-row _tombstone marker on
+    # delete-capable tables; it rides in the payload and keys whose
+    # winner is a tombstone row are dropped. Delete-free tables (no
+    # marker column — every reference-authored table) keep the original
+    # plan.
+    has_tomb = "_tombstone" in df.columns
     payload = F.struct(
         F.col("event_time").alias("event_time"),
         *[F.col(c).alias(c) for c in value_cols],
-        *(
-            [F.col("_rank").isin(tomb_ranks).alias("_tombstone")]
-            if tomb_ranks
-            else []
-        ),
+        *([F.col("_tombstone").alias("_tombstone")] if has_tomb else []),
     )
     winner = df.groupBy("key").agg(
         F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
     )
-    if tomb_ranks:
+    if has_tomb:
         return (
             winner.filter(~F.col("_w._tombstone"))
             .select("key", "_w.*")

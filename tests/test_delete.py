@@ -165,3 +165,118 @@ def test_tombstone_files_tracked_in_snapshot(spark, lh):
     # the flag survives the JSON round trip
     reread = lh.table("t").get_current_snapshot()
     assert reread.tombstone_files() == tomb
+
+
+def test_raw_load_carries_tombstone_marker(spark, lh):
+    """Delete-capable tables expose _tombstone on the raw source load
+    (constant per file, like _rank); delete-free tables keep the
+    historical schema."""
+    from bazof_spark.datasource import BazofDataSource
+
+    spark.dataSource.register(BazofDataSource)
+
+    def raw():
+        return (
+            spark.read.format("bazof")
+            .option("path", lh.root)
+            .option("table", "t")
+            .load()
+        )
+
+    assert "_tombstone" not in raw().columns  # no deletes yet
+    delete_keys(spark, lh.table("t").path, ["a"], at=ts(3))
+    df = raw()
+    assert "_tombstone" in df.columns
+    marked = {(r["key"], r["_tombstone"]) for r in df.collect()}
+    assert ("a", True) in marked          # the tombstone row
+    assert ("a", False) in marked         # the original versions
+    assert ("b", True) not in marked
+
+
+def _deltas_only_lh(spark, tmp_path, name="ts"):
+    """Base-less table (deltas only): replaying a stream from version 0
+    needs version 1 to be delta-only (a base file reads as a rewrite —
+    the same shape the events materialization uses)."""
+    w = TableWriter(spark, str(tmp_path / name), SCHEMA)
+    seg = w.add_segment("s1", ts(1))
+    seg.add_delta(
+        _df(spark, [("a", ts(1), "a1"), ("b", ts(1), "b1")]),
+        start=ts(1),
+        end=ts(2),
+    )
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    lh.upsert(name, _df(spark, [("a", ts(2), "a2")]))
+    return lh
+
+
+def test_stream_reads_tombstone_versions_marked(spark, tmp_path):
+    """readStream from version 0 over a history containing a delete:
+    the tombstone rows arrive marked, and folding latest-state with
+    latest_wins_ordering('stream') + the marker equals the batch scan."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark.datasource import BazofDataSource
+    from bazof_spark.ordering import latest_wins_ordering
+
+    spark.dataSource.register(BazofDataSource)
+    lh = _deltas_only_lh(spark, tmp_path)
+    delete_keys(spark, lh.table("ts").path, ["a"], at=ts(3))
+
+    stream = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", "ts")
+        .option("startingVersion", "0")
+        .load()
+    )
+    out = str(tmp_path / "sink")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert "_tombstone" in got.columns
+    assert got.filter("_tombstone").count() == 1  # exactly the delete row
+
+    payload = F.struct("event_time", "value", "_tombstone")
+    folded = (
+        got.groupBy("key")
+        .agg(F.max_by(payload, latest_wins_ordering("stream")).alias("_w"))
+        .filter(~F.col("_w._tombstone"))
+        .select("key", "_w.value")
+    )
+    batch = {r["key"]: r["value"] for r in lh.scan("ts").collect()}
+    assert {r["key"]: r["value"] for r in folded.collect()} == batch
+
+
+def test_stream_started_before_first_delete_fails_fast(spark, tmp_path):
+    """A stream whose schema predates the table's first tombstone must
+    refuse the delete version loudly (restart contract), never deliver
+    deleted keys as unmarked null rows."""
+    from bazof_spark.datasource import BazofDataSource
+
+    spark.dataSource.register(BazofDataSource)
+    lh = _deltas_only_lh(spark, tmp_path)
+    stream = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", "ts")
+        .option("startingVersion", "0")
+        .load()
+    )
+    assert "_tombstone" not in stream.columns  # schema fixed pre-delete
+    delete_keys(spark, lh.table("ts").path, ["a"], at=ts(3))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("predelete_stream")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="_tombstone|tombstone"):
+        q.awaitTermination(120)
