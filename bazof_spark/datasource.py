@@ -616,6 +616,11 @@ class BazofStreamReader(DataSourceStreamReader):
             or options.get("ignoreRewrites")
             or ""
         ).lower() == "true"
+        self._ignore_deletes = (
+            options.get("ignoredeletes")
+            or options.get("ignoreDeletes")
+            or ""
+        ).lower() == "true"
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
@@ -690,11 +695,18 @@ class BazofStreamReader(DataSourceStreamReader):
                     # the stream's schema was fixed before this table's
                     # first delete; delivering the rows unmarked would
                     # silently surface deleted keys as null-valued rows
+                    if self._ignore_deletes:
+                        # Delta's ignoreDeletes analog: the consumer
+                        # declared delete events irrelevant (append-only
+                        # downstream); skip the tombstone file
+                        continue
                     raise BazofError(
                         f"snapshot version {v} added a tombstone delta "
                         "but this stream started before the table had "
                         "deletes (schema lacks _tombstone); restart the "
-                        "stream so the source schema includes the marker"
+                        "stream so the source schema includes the "
+                        "marker, or set .option('ignoreDeletes', "
+                        "'true') to skip tombstone files"
                     )
                 out.append(
                     _VersionFilePartition(

@@ -280,3 +280,36 @@ def test_stream_started_before_first_delete_fails_fast(spark, tmp_path):
     )
     with pytest.raises(Exception, match="_tombstone|tombstone"):
         q.awaitTermination(120)
+
+
+def test_stream_ignore_deletes_skips_tombstone_files(spark, tmp_path):
+    """.option('ignoreDeletes','true'): a pre-delete-schema stream
+    skips tombstone files instead of failing (Delta's ignoreDeletes
+    contract) — appends still deliver."""
+    from bazof_spark.datasource import BazofDataSource
+
+    spark.dataSource.register(BazofDataSource)
+    lh = _deltas_only_lh(spark, tmp_path)
+    stream = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", "ts")
+        .option("startingVersion", "0")
+        .option("ignoreDeletes", "true")
+        .load()
+    )
+    assert "_tombstone" not in stream.columns
+    delete_keys(spark, lh.table("ts").path, ["a"], at=ts(3))
+    out = str(tmp_path / "sink_id")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_id"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # every append row delivered, tombstone rows skipped
+    assert got.count() == 3  # a1, b1, a2
+    assert {r["key"] for r in got.collect()} == {"a", "b"}
