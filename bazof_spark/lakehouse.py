@@ -387,9 +387,8 @@ class Lakehouse:
             if key_range.hi is not None:
                 df = df.filter(F.col(KEY_COL) <= F.lit(key_range.hi))
 
-        tomb_ranks = tuple(
-            r for f, r in ranked if f in snapshot.tombstone_files()
-        )
+        tombs = snapshot.tombstone_files()
+        tomb_ranks = tuple(r for f, r in ranked if f in tombs)
         df = self._dedup_latest_per_key(
             df, table, ranked, value_cols, tomb_ranks
         )

@@ -117,7 +117,11 @@ def _build_keyed(spark: SparkSession, sf_dir: str, root: str) -> None:
     writer.commit()
 
 
-def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
+def _materialize_events(
+    spark: SparkSession, sf_dir: str, root: str, table_name: str
+) -> None:
+    """Shared events materialization: keyed projection, one segment,
+    one time-sliced delta per _DELTA_DAYS window."""
     from bazof_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -129,7 +133,7 @@ def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
         F.col("value").cast("double").alias("value"),
         "props",
     )
-    writer = TableWriter(spark, os.path.join(root, TABLE_NAME), EVENTS_SCHEMA)
+    writer = TableWriter(spark, os.path.join(root, table_name), EVENTS_SCHEMA)
     seg = writer.add_segment("s1", _SEGMENT_START)
     for i in range(_N_DELTAS):
         lo = _SEGMENT_START + timedelta(days=_DELTA_DAYS * i)
@@ -141,6 +145,10 @@ def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
             continue
         seg.add_delta(chunk, start=lo, end=hi, name=f"delta_{i}.parquet")
     writer.commit()
+
+
+def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
+    _materialize_events(spark, sf_dir, root, TABLE_NAME)
 
 
 DELETED_TABLE_NAME = "events_deleted"
@@ -172,29 +180,8 @@ def _build_deleted(spark: SparkSession, sf_dir: str, root: str) -> None:
     from bazof_spark.sources.tables import load_table
     from bazof_spark.writer import delete_keys
 
+    _materialize_events(spark, sf_dir, root, DELETED_TABLE_NAME)
     events = load_table(spark, sf_dir, "events")
-    keyed = events.select(
-        F.col("user_id").cast("string").alias("key"),
-        F.col("ts").alias("event_time"),
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type",
-        F.col("value").cast("double").alias("value"),
-        "props",
-    )
-    writer = TableWriter(
-        spark, os.path.join(root, DELETED_TABLE_NAME), EVENTS_SCHEMA
-    )
-    seg = writer.add_segment("s1", _SEGMENT_START)
-    for i in range(_N_DELTAS):
-        lo = _SEGMENT_START + timedelta(days=_DELTA_DAYS * i)
-        hi = lo + timedelta(days=_DELTA_DAYS)
-        chunk = keyed.filter(
-            (F.col("event_time") >= F.lit(lo)) & (F.col("event_time") < F.lit(hi))
-        )
-        if chunk.limit(1).count() == 0:
-            continue
-        seg.add_delta(chunk, start=lo, end=hi, name=f"delta_{i}.parquet")
-    writer.commit()
     doomed = events.filter(
         F.col("user_id") % DELETE_MODULUS == 0
     ).select(F.col("user_id").cast("string").alias("key")).distinct()

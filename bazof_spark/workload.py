@@ -3039,6 +3039,9 @@ _DRIVER_CHECKED_R5 = {
 _RECHECK_R6 = [
     "keyset_point_lookup",
     "zonemap_key_lookup",
+    # pagerank switched to the every_node_receives fast path (no
+    # dangling-node fold-in join) — re-check the plan change
+    "graph_pagerank_supply",
 ]
 
 

@@ -951,6 +951,16 @@ def delete_keys(
             F.col(KEY_COL).cast("string").alias(KEY_COL),
             F.lit(at).alias(EVENT_TIME_COL),
         ).dropDuplicates([KEY_COL])
+        if df.isEmpty():
+            # A predicate that matches nothing is a no-op, NOT an empty
+            # tombstone commit: publishing one would permanently flip a
+            # delete-free table to delete-capable (raw/stream schema
+            # gains _tombstone, running streams fail fast on the delta)
+            # without removing a single row. Return the current
+            # snapshot unchanged instead.
+            from bazof_spark.table import Table
+
+            return Table(table_path, table_path).get_current_snapshot()
     else:
         ks = sorted({str(k) for k in keys})
         if not ks:
@@ -1036,7 +1046,9 @@ def _publish_snapshot(
             held.verify()
             iofs.move(staged, final)
         except BaseException:
-            with contextlib.suppress(OSError, Exception):
+            # best-effort debris cleanup while re-raising the real error
+            # (vacuum collects any stage file this leaves behind)
+            with contextlib.suppress(Exception):
                 iofs.delete(staged)
             raise
         # the flip is the commit point: confirm the guard is still ours

@@ -137,6 +137,31 @@ def test_sql_delete_and_cdf(spark, lh):
     }
 
 
+def test_no_match_delete_is_a_noop(spark, lh):
+    """A DELETE whose predicate matches zero keys must NOT publish an
+    empty tombstone delta: that would permanently flip a delete-free
+    table to delete-capable (raw schema gains _tombstone, running
+    streams fail fast) without removing any row."""
+    v_before = lh.table("t").current_version()
+    [st] = lh.sql("DELETE FROM t WHERE key = 'nonexistent'").collect()
+    assert st["operation"] == "delete"
+    assert lh.table("t").current_version() == v_before
+    assert lh.table("t").get_current_snapshot().tombstone_files() == frozenset()
+    assert _state(lh) == {"a": "a2", "b": "b1", "c": "c1"}
+
+    # direct DataFrame path: same no-op, returns the current snapshot
+    empty = lh.sql("SELECT key FROM t WHERE key = 'zzz'")
+    snap = delete_keys(spark, lh.table("t").path, empty, at=ts(3))
+    assert snap.tombstone_files() == frozenset()
+    assert lh.table("t").current_version() == v_before
+
+    # the iterable path still rejects a literal empty set loudly
+    from bazof_spark.errors import BazofError
+
+    with pytest.raises(BazofError, match="empty key set"):
+        delete_keys(spark, lh.table("t").path, [], at=ts(3))
+
+
 def test_checkpoint_and_restore_preserve_deletes(spark, lh):
     table_path = lh.table("t").path
     delete_keys(spark, table_path, ["c"], at=ts(3))
