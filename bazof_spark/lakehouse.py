@@ -754,6 +754,60 @@ class Lakehouse:
                 "table string, version string, operation string",
             )
 
+        if dml.kind == "update":
+            if not self.has_table(dml.table):
+                raise BazofError(
+                    f"cannot UPDATE missing table {dml.table!r}"
+                )
+            schema = self.table(dml.table).get_current_snapshot().schema
+            value_cols = list(schema.column_names())
+            set_map = dict(dml.sets)
+            bad = sorted(set(set_map) - set(value_cols))
+            if bad:
+                raise BazofError(
+                    f"UPDATE {dml.table} SET {', '.join(bad)}: only value "
+                    f"columns {value_cols} are assignable (key and "
+                    "event_time are immutable — a new version is stamped "
+                    "automatically)"
+                )
+            # matching rows re-read with the SET expressions applied in
+            # the old row's context (SET v = v + 1 works), then upserted
+            # at 'now' so the new versions win the merge — stays a
+            # DataFrame end to end, never collects
+            proj = ", ".join(
+                ["key"]
+                + [
+                    f"({set_map[c]}) AS {c}" if c in set_map else c
+                    for c in value_cols
+                ]
+            )
+            q = f"SELECT {proj} FROM {dml.table}"
+            if dml.select:
+                q += f" WHERE {dml.select}"
+            matched = self.sql(q)
+            if not matched.isEmpty():
+                from datetime import datetime, timezone
+
+                at = datetime.now(timezone.utc)
+                self.upsert(
+                    dml.table,
+                    matched.select(
+                        "key",
+                        F.lit(at).alias(EVENT_TIME_COL),
+                        *value_cols,
+                    ),
+                    start=at,
+                    end=at,
+                    create_segment=True,
+                )
+            if self.spark.catalog.tableExists(dml.table):
+                self.scan(dml.table).createOrReplaceTempView(dml.table)
+            version = self.table(dml.table).current_version()
+            return self.spark.createDataFrame(
+                [(dml.table, version, "update")],
+                "table string, version string, operation string",
+            )
+
         df = self.sql(dml.select.rstrip().rstrip(";"))
         if dml.kind == "ctas":
             if self.has_table(dml.table) and not dml.replace:

@@ -295,6 +295,75 @@ _MERGE_CANONICAL_SUFFIX_RE = re.compile(
     re.IGNORECASE,
 )
 
+# UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
+# format's merge-by-key: matching rows are re-read with the SET
+# expressions applied (they may reference the old column values) and
+# upserted at 'now', so the update is time-travel-consistent exactly
+# like DELETE — earlier as-ofs still see the old values.
+_UPDATE_RE = re.compile(
+    rf"^UPDATE\s+(?P<name>{_IDENT})\s+SET\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASSIGN_RE = re.compile(
+    rf"^(?P<col>{_IDENT})\s*=\s*(?P<expr>.+)$", re.DOTALL
+)
+
+
+def _split_top_level(text: str, word_or_comma: str):
+    """Positions of ``word_or_comma`` (a keyword like WHERE, or ',')
+    outside string/comment spans and at paren depth 0."""
+    spans = _string_spans(text)
+    if word_or_comma == ",":
+        pat = re.compile(",")
+    else:
+        pat = re.compile(rf"\b{word_or_comma}\b", re.IGNORECASE)
+    # paren depth at each candidate, counting only outside strings
+    out = []
+    for m in pat.finditer(text):
+        if _inside(m.start(), spans):
+            continue
+        depth = 0
+        for i, ch in enumerate(text[: m.start()]):
+            if _inside(i, spans):
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if depth == 0:
+            out.append(m)
+    return out
+
+
+def _parse_update_body(body: str) -> tuple[tuple[tuple[str, str], ...], str]:
+    """Split an UPDATE body into ((col, expr), ...) assignments and the
+    WHERE predicate ('' = all rows). WHERE/commas inside strings or
+    parenthesized subexpressions never split."""
+    wheres = _split_top_level(body, "WHERE")
+    if wheres:
+        first = wheres[0]
+        pred = body[first.end():].strip()
+        body = body[: first.start()]
+    else:
+        pred = ""
+    cuts = [m.start() for m in _split_top_level(body, ",")]
+    pieces, lo = [], 0
+    for c in cuts:
+        pieces.append(body[lo:c])
+        lo = c + 1
+    pieces.append(body[lo:])
+    sets = []
+    for piece in pieces:
+        m = _ASSIGN_RE.match(piece.strip())
+        if m is None:
+            raise SqlRewriteError(
+                f"UPDATE SET expects 'column = expression', got: "
+                f"{piece.strip()!r}"
+            )
+        sets.append((m.group("col"), m.group("expr").strip()))
+    return tuple(sets), pred
+
+
 # DELETE FROM t [WHERE <pred>] — the tombstone extension
 # (writer.delete_keys): matching keys get a tombstone delta, making
 # them invisible from the delete instant on while every earlier as-of
@@ -308,10 +377,12 @@ _DELETE_RE = re.compile(
 
 @dataclass(frozen=True)
 class DmlStatement:
-    kind: str  # "ctas" | "insert" | "merge" | "delete"
+    kind: str  # "ctas" | "insert" | "merge" | "delete" | "update"
     table: str
     replace: bool
-    select: str  # for "delete": the WHERE predicate ("" = all rows)
+    select: str  # for "delete"/"update": the WHERE predicate ("" = all)
+    #: for "update": ((column, sql_expression), ...) SET assignments
+    sets: tuple = ()
 
 
 def _lstrip_trivia(sql: str) -> str:
@@ -362,6 +433,16 @@ def parse_dml(sql: str) -> DmlStatement | None:
             table=m.group("name"),
             replace=False,
             select=(m.group("pred") or "").strip(),
+        )
+    m = _UPDATE_RE.match(head)
+    if m:
+        sets, pred = _parse_update_body(m.group("body"))
+        return DmlStatement(
+            kind="update",
+            table=m.group("name"),
+            replace=False,
+            select=pred,
+            sets=sets,
         )
     m = _MERGE_RE.match(head)
     if m:

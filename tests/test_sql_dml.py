@@ -297,3 +297,80 @@ def test_parse_delete_detection():
     assert d.kind == "delete" and d.select == ""
     assert parse_dml("SELECT 'DELETE FROM t'") is None
     assert parse_dml("SELECT * FROM delete_log") is None
+
+
+def test_parse_update_detection():
+    d = parse_dml("UPDATE t SET value = 1.5 WHERE key = 'a'")
+    assert d.kind == "update" and d.table == "t"
+    assert d.sets == (("value", "1.5"),) and d.select == "key = 'a'"
+    # multiple assignments; expressions may contain commas in parens
+    # and WHERE inside strings/subqueries must not split the predicate
+    d = parse_dml(
+        "UPDATE t SET a = coalesce(a, 0), b = 'WHERE not a predicate' "
+        "WHERE key IN (SELECT key FROM s WHERE flag)"
+    )
+    assert d.sets == (
+        ("a", "coalesce(a, 0)"),
+        ("b", "'WHERE not a predicate'"),
+    )
+    assert d.select == "key IN (SELECT key FROM s WHERE flag)"
+    # no WHERE → all rows
+    d = parse_dml("update x.y set v = v + 1;")
+    assert d.sets == (("v", "v + 1"),) and d.select == ""
+    assert parse_dml("SELECT 'UPDATE t SET v = 1'") is None
+    assert parse_dml("SELECT * FROM update_log") is None
+    from bazof_spark.sql import SqlRewriteError
+
+    with pytest.raises(SqlRewriteError, match="column = expression"):
+        parse_dml("UPDATE t SET 42")
+
+
+def test_update_statement_end_to_end(spark, lh):
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id * 10 AS DOUBLE) AS value,
+               'raw' AS status
+          FROM range(4)
+        """
+    )
+    v1 = lh.table("t").current_version()
+    [st] = lh.sql(
+        "UPDATE t SET value = value + 0.5, status = 'adj' WHERE key IN ('1', '3')"
+    ).collect()
+    assert st["operation"] == "update"
+    assert int(st["version"]) == int(v1) + 1
+
+    cur = {
+        r["key"]: (r["value"], r["status"])
+        for r in lh.sql("SELECT key, value, status FROM t").collect()
+    }
+    assert cur == {
+        "0": (0.0, "raw"),
+        "1": (10.5, "adj"),
+        "2": (20.0, "raw"),
+        "3": (30.5, "adj"),
+    }
+    # time-travel-consistent: an as-of before the update sees old values
+    old = {
+        r["key"]: r["value"]
+        for r in lh.sql(
+            "SELECT key, value FROM t AT ('2024-06-01T00:00:00.000Z')"
+        ).collect()
+    }
+    assert old["1"] == 10.0 and old["3"] == 30.0
+
+    # no-match UPDATE is a no-op (no new version)
+    v2 = lh.table("t").current_version()
+    lh.sql("UPDATE t SET value = -1 WHERE key = 'zzz'")
+    assert lh.table("t").current_version() == v2
+
+    # key/event_time are immutable; unknown columns rejected
+    with pytest.raises(BazofError, match="assignable"):
+        lh.sql("UPDATE t SET key = 'x'")
+    with pytest.raises(BazofError, match="assignable"):
+        lh.sql("UPDATE t SET nope = 1")
+    with pytest.raises(BazofError, match="missing table"):
+        lh.sql("UPDATE ghost SET value = 1")
