@@ -544,6 +544,63 @@ class Lakehouse:
 
         return append_delta(self.spark, self.table(table_name).path, df, **kwargs)
 
+    def update(
+        self,
+        table_name: str,
+        sets: dict,
+        where: str = "",
+        at: datetime | None = None,
+    ) -> bool:
+        """UPDATE over merge-by-key: re-read the matching Current rows
+        with the ``sets`` SQL expressions applied in the old row's
+        context (``{"v": "v + 1"}`` works), upsert them at ``at``
+        (default: now, UTC) so the new versions win the merge — every
+        earlier as-of still sees the old values (time-travel-consistent,
+        like DELETE). The matching set stays a DataFrame end to end.
+        Returns True if a new version was published, False for a
+        no-match no-op. key/event_time are immutable."""
+        from datetime import timezone
+
+        from bazof_spark.errors import BazofError
+
+        if not self.has_table(table_name):
+            raise BazofError(f"cannot UPDATE missing table {table_name!r}")
+        schema = self.table(table_name).get_current_snapshot().schema
+        value_cols = list(schema.column_names())
+        bad = sorted(set(sets) - set(value_cols))
+        if bad:
+            raise BazofError(
+                f"UPDATE {table_name} SET {', '.join(bad)}: only value "
+                f"columns {value_cols} are assignable (key and "
+                "event_time are immutable — a new version is stamped "
+                "automatically)"
+            )
+        proj = ", ".join(
+            ["key"]
+            + [
+                f"({sets[c]}) AS {c}" if c in sets else c
+                for c in value_cols
+            ]
+        )
+        q = f"SELECT {proj} FROM {table_name}"
+        if where:
+            q += f" WHERE {where}"
+        matched = self.sql(q)
+        if matched.isEmpty():
+            return False
+        if at is None:
+            at = datetime.now(timezone.utc)
+        self.upsert(
+            table_name,
+            matched.select(
+                "key", F.lit(at).alias(EVENT_TIME_COL), *value_cols
+            ),
+            start=at,
+            end=at,
+            create_segment=True,
+        )
+        return True
+
     def write(
         self,
         df: DataFrame,
@@ -755,51 +812,7 @@ class Lakehouse:
             )
 
         if dml.kind == "update":
-            if not self.has_table(dml.table):
-                raise BazofError(
-                    f"cannot UPDATE missing table {dml.table!r}"
-                )
-            schema = self.table(dml.table).get_current_snapshot().schema
-            value_cols = list(schema.column_names())
-            set_map = dict(dml.sets)
-            bad = sorted(set(set_map) - set(value_cols))
-            if bad:
-                raise BazofError(
-                    f"UPDATE {dml.table} SET {', '.join(bad)}: only value "
-                    f"columns {value_cols} are assignable (key and "
-                    "event_time are immutable — a new version is stamped "
-                    "automatically)"
-                )
-            # matching rows re-read with the SET expressions applied in
-            # the old row's context (SET v = v + 1 works), then upserted
-            # at 'now' so the new versions win the merge — stays a
-            # DataFrame end to end, never collects
-            proj = ", ".join(
-                ["key"]
-                + [
-                    f"({set_map[c]}) AS {c}" if c in set_map else c
-                    for c in value_cols
-                ]
-            )
-            q = f"SELECT {proj} FROM {dml.table}"
-            if dml.select:
-                q += f" WHERE {dml.select}"
-            matched = self.sql(q)
-            if not matched.isEmpty():
-                from datetime import datetime, timezone
-
-                at = datetime.now(timezone.utc)
-                self.upsert(
-                    dml.table,
-                    matched.select(
-                        "key",
-                        F.lit(at).alias(EVENT_TIME_COL),
-                        *value_cols,
-                    ),
-                    start=at,
-                    end=at,
-                    create_segment=True,
-                )
+            self.update(dml.table, dict(dml.sets), where=dml.select)
             if self.spark.catalog.tableExists(dml.table):
                 self.scan(dml.table).createOrReplaceTempView(dml.table)
             version = self.table(dml.table).current_version()

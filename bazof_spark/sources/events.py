@@ -188,3 +188,35 @@ def _build_deleted(spark: SparkSession, sf_dir: str, root: str) -> None:
     delete_keys(
         spark, os.path.join(root, DELETED_TABLE_NAME), doomed, at=DELETE_AT
     )
+
+UPDATED_TABLE_NAME = "events_updated"
+#: update instant: past every driver event timestamp, so the updated
+#: versions win Current while every in-range as-of sees the originals
+UPDATE_AT = datetime(2024, 3, 1, tzinfo=timezone.utc)
+#: the UPDATE under test (Lakehouse.update — the SQL UPDATE statement
+#: delegates to the same method): double the value and retag every
+#: current 'click' row
+UPDATE_SETS = {"value": "value * 2", "event_type": "'adj_click'"}
+UPDATE_WHERE = "event_type = 'click'"
+
+
+def events_updated_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """``events_versioned`` clone with an UPDATE applied: every user
+    whose Current row has ``event_type = 'click'`` gets value doubled
+    and the type retagged at ``UPDATE_AT`` (Lakehouse.update — the
+    matching set stays a DataFrame). Exercises the UPDATE extension
+    under the driver's DuckDB oracle."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, UPDATED_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _materialize_events(spark, sf_dir, root, UPDATED_TABLE_NAME)
+        lh = Lakehouse(spark, root)
+        assert lh.update(
+            UPDATED_TABLE_NAME, UPDATE_SETS, where=UPDATE_WHERE, at=UPDATE_AT
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)

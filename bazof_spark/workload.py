@@ -131,6 +131,26 @@ def delete_tombstone_scan(spark, sf_dir):
     )
 
 
+def update_set_scan(spark, sf_dir):
+    """Op: the UPDATE extension under the driver oracle — a clone of
+    events_versioned where every Current 'click' row got value doubled
+    and the type retagged at a fixed instant (Lakehouse.update, the
+    SQL UPDATE statement's engine). Current must equal 'latest event
+    per user, with the SET expressions applied to the matched rows';
+    the updated versions compete in the SAME one-shuffle merge."""
+    from bazof_spark.sources.events import events_updated_lakehouse
+
+    lh = events_updated_lakehouse(spark, sf_dir)
+    return lh.scan("events_updated").select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def asof_scan_event_time(spark, sf_dir):
     """Op: as-of merge-dedup at an event-time instant."""
     return _scan_events(spark, sf_dir, as_of=ASOF_TS).select(
@@ -511,6 +531,22 @@ _ASOF_ORACLES = {
     # users before the latest-per-user window is set-identical to
     # hiding their merge winners
     "delete_tombstone_scan": _events_oracle_cte("user_id % 7 <> 0"),
+    # UPDATE = latest-per-user, then the SET expressions applied to the
+    # rows whose CURRENT event_type matched the predicate (their
+    # event_time becomes the update instant — the upserted version)
+    "update_set_scan": f"""
+        SELECT key,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+                    ELSE event_time_us END AS event_time_us,
+               event_id,
+               CASE WHEN event_type = 'click'
+                    THEN 'adj_click' ELSE event_type END AS event_type,
+               CASE WHEN event_type = 'click'
+                    THEN value * 2 ELSE value END AS value,
+               props
+        FROM ({_events_oracle_cte()})
+    """,
     # latest event per user over the zone-map-pruned key window; the
     # lpad key spelling matches the key-clustered materialization
     "zonemap_key_lookup": """
@@ -2853,6 +2889,7 @@ QUERIES: dict[str, QueryFn] = {
     # core format operators
     "asof_scan_current": asof_scan_current,
     "delete_tombstone_scan": delete_tombstone_scan,
+    "update_set_scan": update_set_scan,
     "zonemap_key_lookup": zonemap_key_lookup,
     "keyset_point_lookup": keyset_point_lookup,
     "asof_scan_event_time": asof_scan_event_time,
