@@ -544,6 +544,21 @@ class Lakehouse:
 
         return append_delta(self.spark, self.table(table_name).path, df, **kwargs)
 
+    def _fresh_current_view(self, table_name: str) -> str:
+        """Register a uniquely-named temp view of the table's CURRENT
+        scan and return its name. DML row sources must never resolve
+        through the bare-name catalog view: programmatic ``upsert()``
+        doesn't refresh catalog views, and a same-named view registered
+        by another Lakehouse (or an earlier test) would silently shadow
+        this table. Caller drops the view when done."""
+        import re as _re
+        import uuid as _uuid
+
+        safe = _re.sub(r"\W", "_", table_name)
+        view = f"__bazof_dml_{safe}_{_uuid.uuid4().hex[:8]}"
+        self.scan(table_name).createOrReplaceTempView(view)
+        return view
+
     def update(
         self,
         table_name: str,
@@ -582,24 +597,28 @@ class Lakehouse:
                 for c in value_cols
             ]
         )
-        q = f"SELECT {proj} FROM {table_name}"
-        if where:
-            q += f" WHERE {where}"
-        matched = self.sql(q)
-        if matched.isEmpty():
-            return False
-        if at is None:
-            at = datetime.now(timezone.utc)
-        self.upsert(
-            table_name,
-            matched.select(
-                "key", F.lit(at).alias(EVENT_TIME_COL), *value_cols
-            ),
-            start=at,
-            end=at,
-            create_segment=True,
-        )
-        return True
+        view = self._fresh_current_view(table_name)
+        try:
+            q = f"SELECT {proj} FROM {view}"
+            if where:
+                q += f" WHERE {where}"
+            matched = self.sql(q)
+            if matched.isEmpty():
+                return False
+            if at is None:
+                at = datetime.now(timezone.utc)
+            self.upsert(
+                table_name,
+                matched.select(
+                    "key", F.lit(at).alias(EVENT_TIME_COL), *value_cols
+                ),
+                start=at,
+                end=at,
+                create_segment=True,
+            )
+            return True
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def write(
         self,
@@ -792,17 +811,21 @@ class Lakehouse:
             # matching keys stay a DataFrame end to end (writer
             # .delete_keys' distributed path): DELETE WHERE <predicate>
             # at corpus scale never collects the key set
-            q = f"SELECT key FROM {dml.table}"
-            if dml.select:
-                q += f" WHERE {dml.select}"
             from bazof_spark.writer import delete_keys
 
-            delete_keys(
-                self.spark,
-                self.table(dml.table).path,
-                self.sql(q),
-                create_segment=True,
-            )
+            view = self._fresh_current_view(dml.table)
+            try:
+                q = f"SELECT key FROM {view}"
+                if dml.select:
+                    q += f" WHERE {dml.select}"
+                delete_keys(
+                    self.spark,
+                    self.table(dml.table).path,
+                    self.sql(q),
+                    create_segment=True,
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
             if self.spark.catalog.tableExists(dml.table):
                 self.scan(dml.table).createOrReplaceTempView(dml.table)
             version = self.table(dml.table).current_version()

@@ -297,3 +297,137 @@ def test_interleaved_upserts_and_deletes_match_spec(
             for r in lh.scan("t", as_of=as_of).collect()
         }
         assert got == expected, f"as_of offset {t_off}"
+
+
+full_dml_history = st.fixed_dictionaries(
+    {
+        "base": _delta,
+        "batches": st.lists(
+            st.one_of(
+                st.tuples(st.just("upsert"), _delta),
+                st.tuples(
+                    st.just("delete"),
+                    st.tuples(
+                        st.lists(
+                            st.sampled_from(["k1", "k2", "k3", "k4"]),
+                            min_size=1,
+                            max_size=3,
+                            unique=True,
+                        ),
+                        st.integers(min_value=0, max_value=200),
+                    ),
+                ),
+                st.tuples(
+                    st.just("update"),
+                    st.tuples(
+                        st.lists(
+                            st.sampled_from(["k1", "k2", "k3", "k4", "k9"]),
+                            min_size=1,
+                            max_size=3,
+                            unique=True,
+                        ),
+                        st.integers(min_value=0, max_value=200),
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        "asof_offsets": st.lists(
+            st.integers(min_value=0, max_value=260), min_size=2, max_size=3
+        ),
+    }
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(h=full_dml_history)
+def test_interleaved_upserts_deletes_updates_match_spec(
+    spark, tmp_path_factory, h
+):
+    """Random interleavings of upserts, tombstone deletes, AND updates:
+    Lakehouse.update re-reads the Current winners at the moment it runs
+    and upserts the transformed rows at its own instant, so the model
+    computes the matched winners with the SAME python merge spec over
+    the files committed so far, then the transformed rows become one
+    more ordinary delta. A no-match update must publish nothing. k9
+    never exists — updates targeting it alone exercise the no-op."""
+    from bazof_spark.writer import delete_keys
+
+    tmp = tmp_path_factory.mktemp("prop_dml")
+    w = TableWriter(spark, str(tmp / "t"), SCHEMA)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(k, _ts(off), v) for k, off, v in rows], SCHEMA.to_struct_type()
+        )
+
+    w.add_segment("s1", _ts(0), base_df=df(h["base"]))
+    w.commit()
+    lh = Lakehouse(spark, str(tmp))
+    file_rows = {"s1_base.parquet": list(h["base"])}
+
+    def current_files():
+        return {
+            f
+            for f, _ in lh.table("t")
+            .get_current_snapshot()
+            .ranked_data_files(Current)
+        }
+
+    def current_winners():
+        ranked = lh.table("t").get_current_snapshot().ranked_data_files(
+            Current
+        )
+        return _python_merge([(r, file_rows[f]) for f, r in ranked], None)
+
+    for kind, payload in h["batches"]:
+        before = current_files()
+        if kind == "upsert":
+            lh.upsert("t", df(payload))
+            rows = list(payload)
+        elif kind == "delete":
+            keys, off = payload
+            delete_keys(spark, str(tmp / "t"), keys, at=_ts(off))
+            rows = [(k, off, _TOMB) for k in sorted(keys)]
+        else:  # update
+            keys, off = payload
+            winners = current_winners()
+            matched = {
+                k: v
+                for k, v in winners.items()
+                if k in keys and v is not _TOMB
+            }
+            quoted = ", ".join(f"'{k}'" for k in keys)
+            did = lh.update(
+                "t",
+                {"value": "value || 'u'"},
+                where=f"key IN ({quoted})",
+                at=_ts(off),
+            )
+            assert did == bool(matched), (keys, winners)
+            if not matched:
+                continue
+            rows = [(k, off, v + "u") for k, v in sorted(matched.items())]
+        new = current_files() - before
+        assert len(new) == 1, (kind, new)
+        file_rows[new.pop()] = rows
+
+    snapshot = lh.table("t").get_current_snapshot()
+    for t_off in [None, *h["asof_offsets"]]:
+        as_of = None if t_off is None else _ts(t_off)
+        ranked = snapshot.ranked_data_files(
+            Current if as_of is None else EventTime(as_of)
+        )
+        winners = _python_merge([(r, file_rows[f]) for f, r in ranked], t_off)
+        expected = {k: v for k, v in winners.items() if v is not _TOMB}
+        got = {
+            r["key"]: r["value"]
+            for r in lh.scan("t", as_of=as_of).collect()
+        }
+        assert got == expected, f"as_of offset {t_off}"
