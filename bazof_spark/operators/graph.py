@@ -72,25 +72,28 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n1 = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    # the node set is computed ONCE and cached: N and the per-node
+    # teleport/init terms both derive from the cache, so the edge-sized
+    # distinct runs a single time (an uncached n1 would re-run it —
+    # Spark does not share subplans across DataFrames). When every node
+    # receives contributions, node set = dst set: half the distinct's
+    # input and no union.
+    if every_node_receives:
+        node_base = e.select(F.col("dst").alias("node")).distinct()
+    else:
+        node_base = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    node_base = node_base.persist(StorageLevel.MEMORY_AND_DISK)
+    n1 = node_base.agg(F.count(F.lit(1)).alias("_n"))
     # teleport term folded onto the node relation ONCE — supersteps
     # reuse it instead of re-broadcasting the 1-row count every round
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "node",
-            (F.lit(1.0) / F.col("_n")).alias("_pr0"),
-            (F.lit(1.0 - damping) / F.col("_n")).alias("_tele"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = node_base.crossJoin(F.broadcast(n1)).select(
+        "node",
+        (F.lit(1.0) / F.col("_n")).alias("_pr0"),
+        (F.lit(1.0 - damping) / F.col("_n")).alias("_tele"),
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outd"))
     w = (
@@ -139,6 +142,6 @@ def pagerank(
     # edge-sized helper caches — without this every pagerank() call
     # leaks three persisted relations for the session's lifetime
     ranks = ranks.select("node", "pr").localCheckpoint(eager=True)
-    for cached in (w, nodes, e):
+    for cached in (w, node_base, e):
         cached.unpersist()
     return ranks
