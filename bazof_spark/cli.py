@@ -135,6 +135,22 @@ def main(argv: list[str] | None = None) -> int:
         help="deletion instant (RFC3339; default: now UTC)",
     )
 
+    p_upd = sub.add_parser(
+        "update",
+        help="UPDATE rows (SET expressions over the Current winners)",
+    )
+    p_upd.add_argument("--path", required=True)
+    p_upd.add_argument("--table", required=True)
+    p_upd.add_argument(
+        "--set", required=True, action="append", metavar="COL=EXPR",
+        help="assignment (repeatable): column = SQL expression over the old row",
+    )
+    p_upd.add_argument("--where", default="", help="SQL predicate (default: all rows)")
+    p_upd.add_argument(
+        "--at", default=None,
+        help="update instant (RFC3339; default: now UTC)",
+    )
+
     p_wr = sub.add_parser(
         "write",
         help="parquet/CSV → azof table via the distributed two-phase sink",
@@ -331,6 +347,24 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"deleted {len(ks)} keys from {args.table}: "
             f"version {table.current_version()}"
+        )
+    elif args.cmd == "update":
+        from bazof_spark.asof import parse_rfc3339
+
+        sets = {}
+        for a in args.set:
+            col, _, expr = a.partition("=")
+            if not _:
+                raise SystemExit(f"--set expects COL=EXPR, got {a!r}")
+            sets[col.strip()] = expr.strip()
+        did = lh.update(
+            args.table,
+            sets,
+            where=args.where,
+            at=parse_rfc3339(args.at) if args.at else None,
+        )
+        print(
+            f"update {'published version ' + lh.table(args.table).current_version() if did else 'matched no rows (no-op)'}"
         )
     elif args.cmd == "write":
         from bazof_spark.datasource import write_table

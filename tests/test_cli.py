@@ -224,3 +224,26 @@ def test_delete_subcommand(spark, lake, capsys):
         "--as-of", "2024-02-17T00:00:00",
     )
     assert "abc2" in out
+
+
+def test_update_subcommand(spark, lake, capsys):
+    out = run(
+        capsys, "update", "--path", lake, "--table", "table0",
+        "--set", "value = upper(value)", "--where", "key = '1'",
+        "--at", "2024-06-01T00:00:00.000Z",
+    )
+    assert "published version" in out
+    out = run(capsys, "scan", "--path", lake, "--table", "table0")
+    assert "ABC2" in out and "xyz" in out
+    # before the update instant the original casing is visible
+    out = run(
+        capsys, "scan", "--path", lake, "--table", "table0",
+        "--as-of", "2024-02-17T00:00:00",
+    )
+    assert "abc2" in out
+    # no-match predicate is a no-op
+    out = run(
+        capsys, "update", "--path", lake, "--table", "table0",
+        "--set", "value = 'nope'", "--where", "key = 'zzz'",
+    )
+    assert "no-op" in out
