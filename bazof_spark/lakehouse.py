@@ -573,7 +573,16 @@ class Lakehouse:
         earlier as-of still sees the old values (time-travel-consistent,
         like DELETE). The matching set stays a DataFrame end to end.
         Returns True if a new version was published, False for a
-        no-match no-op. key/event_time are immutable."""
+        no-match no-op. key/event_time are immutable.
+
+        Isolation: the matched rows come from the snapshot current at
+        call time and the commit CAS-publishes against that version —
+        a concurrent writer moving the pointer mid-update raises
+        CommitConflictError instead of silently publishing the stale
+        read-modify-write (no lost update). Re-run update() to retry
+        against the fresh state; there is deliberately NO automatic
+        retry here, because the SET expressions must be re-evaluated
+        over the new winners, not replayed."""
         from datetime import timezone
 
         from bazof_spark.errors import BazofError
@@ -597,6 +606,11 @@ class Lakehouse:
                 for c in value_cols
             ]
         )
+        # pin the version BEFORE the matched-read: the scan below
+        # resolves its file list from the then-current snapshot, and
+        # the commit CAS-checks this pin — a commit slipping in between
+        # can only cause a (safe, spurious) conflict, never a missed one
+        pinned = self.table(table_name).current_version()
         view = self._fresh_current_view(table_name)
         try:
             q = f"SELECT {proj} FROM {view}"
@@ -615,6 +629,7 @@ class Lakehouse:
                 start=at,
                 end=at,
                 create_segment=True,
+                expected_version=pinned,
             )
             return True
         finally:

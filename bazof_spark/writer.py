@@ -528,6 +528,7 @@ def append_delta(
     num_files: int | None = None,
     validate: bool = True,
     tombstone: bool = False,
+    expected_version: str | None = None,
 ) -> Snapshot:
     """Upsert one batch into an existing azof table: write a delta file
     (or, ``distributed=True``, one Spark write job producing many files),
@@ -568,6 +569,19 @@ def append_delta(
         _local_table_path(table_path)  # fail fast on object-store URIs
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
     version = table.current_version()
+    if expected_version is not None and version != expected_version:
+        # the caller derived ``df`` from a read of ``expected_version``
+        # (e.g. Lakehouse.update's read-modify-write): a commit that
+        # landed since would be silently shadowed by rows computed
+        # without seeing it — surface the conflict instead so the
+        # caller re-derives (the same contract _publish_snapshot
+        # enforces for the narrower read→flip window below)
+        from bazof_spark.errors import CommitConflictError
+
+        raise CommitConflictError(
+            f"table moved {expected_version!r} → {version!r} since the "
+            "batch was derived; re-read and re-derive before retrying"
+        )
     snapshot = table.get_snapshot(version)
     try:
         current = int(version)

@@ -374,3 +374,51 @@ def test_update_statement_end_to_end(spark, lh):
         lh.sql("UPDATE t SET nope = 1")
     with pytest.raises(BazofError, match="missing table"):
         lh.sql("UPDATE ghost SET value = 1")
+
+
+def test_update_conflicts_on_concurrent_commit(spark, lh):
+    """UPDATE is a read-modify-write: a commit landing between the
+    matched-read and the publish must raise CommitConflictError (the
+    update's rows were derived without seeing it), never silently
+    shadow the concurrent writer."""
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.writer import append_delta
+
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(3)
+        """
+    )
+    path = lh.table("t").path
+    pinned = lh.table("t").current_version()
+    # concurrent writer commits after the update's would-be read
+    lh.sql("INSERT INTO t SELECT '9', timestamp'2024-02-01 00:00:00', 9.0")
+    stale = lh.spark.createDataFrame(
+        [("0", __import__("datetime").datetime(2024, 3, 1), 99.0)],
+        "key string, event_time timestamp, value double",
+    )
+    with pytest.raises(CommitConflictError, match="re-derive"):
+        append_delta(
+            lh.spark, path, stale, create_segment=True,
+            expected_version=pinned,
+        )
+    # and the wiring: Lakehouse.update pins the pre-read version
+    import bazof_spark.writer as w
+
+    seen = {}
+    orig = w.append_delta
+
+    def spy(spark, table_path, df, **kw):
+        seen.update(kw)
+        return orig(spark, table_path, df, **kw)
+
+    w.append_delta = spy
+    try:
+        assert lh.update("t", {"value": "value + 1"}, where="key = '0'")
+    finally:
+        w.append_delta = orig
+    assert seen.get("expected_version") is not None
