@@ -362,6 +362,16 @@ def test_update_statement_end_to_end(spark, lh):
     }
     assert old["1"] == 10.0 and old["3"] == 30.0
 
+    # the change feed classifies the updated keys as 'update' (key
+    # exists on both sides of the diff) with the new values late
+    feed = {
+        r["key"]: (r["change_type"], r["value_late"])
+        for r in lh.scan_changes(
+            "t", since="2025-01-01T00:00:00.000Z"
+        ).collect()
+    }
+    assert feed == {"1": ("update", 10.5), "3": ("update", 30.5)}
+
     # no-match UPDATE is a no-op (no new version)
     v2 = lh.table("t").current_version()
     lh.sql("UPDATE t SET value = -1 WHERE key = 'zzz'")

@@ -247,3 +247,50 @@ def test_merge_keywords_inside_strings_and_comments():
     assert d.kind == "merge" and "AS doc FROM s" in d.select
     assert "WHEN MATCHED" in d.select  # the string literal stays
     assert not d.select.rstrip().upper().endswith("INSERT *")  # clause gone
+
+
+# ---------------------------------------------------------------------------
+# UPDATE body splitting (top-level WHERE / comma detection)
+# ---------------------------------------------------------------------------
+
+
+def test_update_set_where_inside_string_not_a_boundary():
+    from bazof_spark.sql import parse_dml
+
+    d = parse_dml("UPDATE t SET note = 'set x WHERE y, z' WHERE key = 'a'")
+    assert d.sets == (("note", "'set x WHERE y, z'"),)
+    assert d.select == "key = 'a'"
+
+
+def test_update_where_only_inside_subquery_means_all_rows():
+    from bazof_spark.sql import parse_dml
+
+    d = parse_dml(
+        "UPDATE t SET v = (SELECT max(v) FROM s WHERE s.flag)"
+    )
+    assert d.sets == (("v", "(SELECT max(v) FROM s WHERE s.flag)"),)
+    assert d.select == ""
+
+
+def test_update_comma_inside_function_args_not_a_split():
+    from bazof_spark.sql import parse_dml
+
+    d = parse_dml(
+        "UPDATE t SET a = coalesce(a, b, 0), b = greatest(b, 1) "
+        "WHERE a < b"
+    )
+    assert d.sets == (
+        ("a", "coalesce(a, b, 0)"),
+        ("b", "greatest(b, 1)"),
+    )
+    assert d.select == "a < b"
+
+
+def test_update_keyword_inside_string_or_comment_is_not_dml():
+    from bazof_spark.sql import parse_dml
+
+    assert parse_dml("SELECT 'UPDATE t SET v = 1' AS s") is None
+    assert parse_dml("-- UPDATE t SET v = 1\nSELECT 1") is None
+    # leading comment must not hide a real UPDATE
+    d = parse_dml("/* note */ UPDATE t SET v = 1")
+    assert d is not None and d.kind == "update"
