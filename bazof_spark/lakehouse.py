@@ -756,7 +756,10 @@ class Lakehouse:
         [ZORDER BY (...)]`` / ``CHECKPOINT t`` compact Current into a
         new base at 'now', ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``
         garbage-collects, ``RESTORE t TO VERSION n`` re-publishes an
-        old snapshot as the new head. Returns a 1-row
+        old snapshot as the new head, ``ALTER TABLE t ADD|DROP
+        COLUMN(S) ...`` is metadata-only schema evolution
+        (evolve_table_schema — added columns must be nullable; old
+        files null-fill them). Returns a 1-row
         (table, version, operation, detail) status frame; any Current
         temp view is refreshed so subsequent SQL sees the new version."""
         from datetime import datetime, timezone
@@ -779,6 +782,31 @@ class Lakehouse:
         elif maint.kind == "checkpoint":
             checkpoint_table(self, maint.table, datetime.now(timezone.utc))
             detail = "compaction checkpoint"
+        elif maint.kind == "alter":
+            from bazof_spark.maintenance import evolve_table_schema
+            from bazof_spark.schema import ColumnDef, ColumnType
+
+            evolve_table_schema(
+                self,
+                maint.table,
+                add=[
+                    ColumnDef(name=n, data_type=ColumnType(t), nullable=True)
+                    for n, t in maint.add_columns
+                ],
+                drop=list(maint.drop_columns),
+            )
+            detail = " ".join(
+                filter(
+                    None,
+                    [
+                        "added " + ", ".join(
+                            f"{n} {t}" for n, t in maint.add_columns
+                        ) if maint.add_columns else "",
+                        "dropped " + ", ".join(maint.drop_columns)
+                        if maint.drop_columns else "",
+                    ],
+                )
+            )
         elif maint.kind == "vacuum":
             res = vacuum_table(
                 self,

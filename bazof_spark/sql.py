@@ -526,16 +526,47 @@ _RESTORE_RE = re.compile(
     rf"^RESTORE\s+(?P<name>{_IDENT})\s+TO\s+VERSION\s+(?P<v>\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_RE = re.compile(
+    rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+ADD\s+COLUMNS?\s+"
+    r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+DROP\s+COLUMNS?\s+"
+    r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: SQL type spellings → azof ColumnType names (schema.ColumnType)
+SQL_TYPE_NAMES = {
+    "STRING": "String",
+    "VARCHAR": "String",
+    "TEXT": "String",
+    "INT": "Int",
+    "INTEGER": "Int",
+    "BIGINT": "Int",
+    "LONG": "Int",
+    "BOOLEAN": "Boolean",
+    "BOOL": "Boolean",
+    "TIMESTAMP": "DateTime",
+    "DATETIME": "DateTime",
+    "DOUBLE": "Float",
+    "FLOAT": "Float",
+}
 
 
 @dataclass(frozen=True)
 class MaintenanceStatement:
-    kind: str  # "optimize" | "vacuum" | "checkpoint" | "restore"
+    kind: str  # "optimize" | "vacuum" | "checkpoint" | "restore" | "alter"
     table: str
     cluster_by: tuple[str, ...] = ()
     keep_versions: int | None = None
     dry_run: bool = False
     version: int | None = None
+    #: for "alter": ((column, ColumnType name), ...) additions
+    add_columns: tuple = ()
+    #: for "alter": dropped column names
+    drop_columns: tuple = ()
 
 
 def parse_maintenance(sql: str) -> "MaintenanceStatement | None":
@@ -570,5 +601,34 @@ def parse_maintenance(sql: str) -> "MaintenanceStatement | None":
     if m:
         return MaintenanceStatement(
             kind="restore", table=m.group("name"), version=int(m.group("v"))
+        )
+    m = _ALTER_ADD_RE.match(head)
+    if m:
+        adds = []
+        for piece in m.group("cols").split(","):
+            parts = piece.split()
+            if len(parts) != 2:
+                raise SqlRewriteError(
+                    "ALTER TABLE ... ADD COLUMN expects 'name TYPE' "
+                    f"pairs, got: {piece.strip()!r}"
+                )
+            name, typ = parts
+            ct = SQL_TYPE_NAMES.get(typ.upper())
+            if ct is None:
+                raise SqlRewriteError(
+                    f"unsupported column type {typ!r}; one of "
+                    f"{sorted(set(SQL_TYPE_NAMES))}"
+                )
+            adds.append((name, ct))
+        return MaintenanceStatement(
+            kind="alter", table=m.group("name"), add_columns=tuple(adds)
+        )
+    m = _ALTER_DROP_RE.match(head)
+    if m:
+        drops = tuple(
+            c.strip() for c in m.group("cols").split(",") if c.strip()
+        )
+        return MaintenanceStatement(
+            kind="alter", table=m.group("name"), drop_columns=drops
         )
     return None

@@ -432,3 +432,51 @@ def test_update_conflicts_on_concurrent_commit(spark, lh):
     finally:
         w.append_delta = orig
     assert seen.get("expected_version") is not None
+
+
+def test_parse_alter_table_detection():
+    from bazof_spark.sql import SqlRewriteError, parse_maintenance
+
+    m = parse_maintenance("ALTER TABLE t ADD COLUMN score DOUBLE")
+    assert m.kind == "alter" and m.table == "t"
+    assert m.add_columns == (("score", "Float"),) and m.drop_columns == ()
+    m = parse_maintenance("alter table x.y add columns (a INT, b varchar);")
+    assert m.add_columns == (("a", "Int"), ("b", "String"))
+    m = parse_maintenance("ALTER TABLE t DROP COLUMN score")
+    assert m.drop_columns == ("score",) and m.add_columns == ()
+    m = parse_maintenance("ALTER TABLE t DROP COLUMNS (a, b)")
+    assert m.drop_columns == ("a", "b")
+    assert parse_maintenance("SELECT 'ALTER TABLE t ADD COLUMN x INT'") is None
+    with pytest.raises(SqlRewriteError, match="unsupported column type"):
+        parse_maintenance("ALTER TABLE t ADD COLUMN x BLOB")
+    with pytest.raises(SqlRewriteError, match="name TYPE"):
+        parse_maintenance("ALTER TABLE t ADD COLUMN x")
+
+
+def test_alter_table_end_to_end(spark, lh):
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(3)
+        """
+    )
+    [st] = lh.sql("ALTER TABLE t ADD COLUMN note STRING").collect()
+    assert st["operation"] == "alter" and "added note String" in st["detail"]
+    cols = {r["column"] for r in lh.sql("DESCRIBE t").collect()}
+    assert "note" in cols
+    # old rows null-fill the added column; new writes may carry it
+    assert {r["note"] for r in lh.sql("SELECT note FROM t").collect()} == {None}
+    lh.sql(
+        "INSERT INTO t SELECT '9', timestamp'2024-02-01 00:00:00', 9.0, 'hi'"
+    )
+    got = {r["key"]: r["note"] for r in lh.sql("SELECT key, note FROM t").collect()}
+    assert got["9"] == "hi" and got["0"] is None
+
+    [st] = lh.sql("ALTER TABLE t DROP COLUMN note").collect()
+    assert "dropped note" in st["detail"]
+    assert "note" not in {r["column"] for r in lh.sql("DESCRIBE t").collect()}
+    # data files are untouched; the scan simply stops selecting it
+    assert lh.sql("SELECT key FROM t").count() == 4
