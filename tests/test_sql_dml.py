@@ -480,3 +480,47 @@ def test_alter_table_end_to_end(spark, lh):
     assert "note" not in {r["column"] for r in lh.sql("DESCRIBE t").collect()}
     # data files are untouched; the scan simply stops selecting it
     assert lh.sql("SELECT key FROM t").count() == 4
+
+
+def test_concurrent_updates_lose_no_increments(spark, lh):
+    """The lost-update litmus: N threads each apply 'value = value + 1'
+    through Lakehouse.update with a retry-on-conflict loop. Because
+    update pins its read version and the commit CAS-checks the pin,
+    every successful publish saw the previous one — the final value
+    must be EXACTLY the number of increments (a stale read-modify-write
+    slipping through would make it smaller)."""
+    import threading
+
+    from bazof_spark.errors import CommitConflictError
+
+    lh.sql(
+        "CREATE TABLE c AS SELECT 'a' AS key, "
+        "timestamp'2024-01-01' AS event_time, 0.0 AS value"
+    )
+    increments_per_thread, n_threads = 3, 4
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(increments_per_thread):
+                for attempt in range(50):
+                    try:
+                        assert lh.update(
+                            "c", {"value": "value + 1"}, where="key = 'a'"
+                        )
+                        break
+                    except CommitConflictError:
+                        continue
+                else:
+                    raise AssertionError("update never committed")
+        except Exception as exc:  # surface thread failures to pytest
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    [row] = lh.sql("SELECT value FROM c WHERE key = 'a'").collect()
+    assert row["value"] == float(increments_per_thread * n_threads)
