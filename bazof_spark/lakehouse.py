@@ -599,10 +599,20 @@ class Lakehouse:
                 "event_time are immutable — a new version is stamped "
                 "automatically)"
             )
+        # CAST every SET expression to the column's declared type: SQL
+        # arithmetic widens (Int / 2 → DOUBLE), and committing a delta
+        # whose parquet type disagrees with the snapshot schema would
+        # break every subsequent explicit-schema scan until RESTORE
+        sql_types = {
+            c.name: c.data_type.to_spark().simpleString()
+            for c in schema.columns
+        }
         proj = ", ".join(
             ["key"]
             + [
-                f"({sets[c]}) AS {c}" if c in sets else c
+                f"CAST(({sets[c]}) AS {sql_types[c]}) AS {c}"
+                if c in sets
+                else c
                 for c in value_cols
             ]
         )
@@ -856,6 +866,11 @@ class Lakehouse:
             # at corpus scale never collects the key set
             from bazof_spark.writer import delete_keys
 
+            # pin BEFORE the matched-key read, exactly like update():
+            # a commit landing between the predicate scan and the
+            # tombstone commit must conflict, not silently delete keys
+            # evaluated against the stale snapshot (lost update)
+            pinned = self.table(dml.table).current_version()
             view = self._fresh_current_view(dml.table)
             try:
                 q = f"SELECT key FROM {view}"
@@ -866,6 +881,7 @@ class Lakehouse:
                     self.table(dml.table).path,
                     self.sql(q),
                     create_segment=True,
+                    expected_version=pinned,
                 )
             finally:
                 self.spark.catalog.dropTempView(view)

@@ -317,20 +317,24 @@ def _split_top_level(text: str, word_or_comma: str):
         pat = re.compile(",")
     else:
         pat = re.compile(rf"\b{word_or_comma}\b", re.IGNORECASE)
-    # paren depth at each candidate, counting only outside strings
-    out = []
-    for m in pat.finditer(text):
-        if _inside(m.start(), spans):
-            continue
-        depth = 0
-        for i, ch in enumerate(text[: m.start()]):
-            if _inside(i, spans):
-                continue
+    # prefix paren-depth in ONE forward pass (counting only outside
+    # strings), then O(1) lookup per candidate — machine-generated
+    # UPDATEs with thousands of SET commas parse linearly
+    depth_at = [0] * (len(text) + 1)
+    depth = 0
+    for i, ch in enumerate(text):
+        depth_at[i] = depth
+        if not _inside(i, spans):
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-        if depth == 0:
+    depth_at[len(text)] = depth
+    out = []
+    for m in pat.finditer(text):
+        if _inside(m.start(), spans):
+            continue
+        if depth_at[m.start()] == 0:
             out.append(m)
     return out
 

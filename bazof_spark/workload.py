@@ -2725,10 +2725,16 @@ def embedding_ann_pq_q(spark, sf_dir):
         .orderBy("vec_id")
         .collect()
     )
-    cb = pq_codebooks_from_rows(
-        np.array([r["embedding"] for r in slice_rows], dtype=np.float64),
-        m_subs=8,
-    )
+    rows = np.array([r["embedding"] for r in slice_rows], dtype=np.float64)
+    # the DuckDB oracle hard-codes sub-vector slices of width 8 (dim 64
+    # / 8 subspaces); any other embedding dim must fail loudly here
+    # rather than silently diverge from the oracle
+    if rows.shape[1] != 64:
+        raise ValueError(
+            f"embedding_ann_pq oracle assumes dim=64 (8 subspaces × 8); "
+            f"got dim={rows.shape[1]}"
+        )
+    cb = pq_codebooks_from_rows(rows, m_subs=8)
     return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
     )

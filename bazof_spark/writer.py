@@ -978,7 +978,13 @@ def delete_keys(
     else:
         ks = sorted({str(k) for k in keys})
         if not ks:
-            raise BazofError("delete_keys: empty key set")
+            # same no-op contract as the empty-DataFrame path above: an
+            # empty request must not flip a delete-free table to
+            # delete-capable (schema gains _tombstone) without removing
+            # a single row
+            from bazof_spark.table import Table
+
+            return Table(table_path, table_path).get_current_snapshot()
         df = spark.createDataFrame(
             [(k, at) for k in ks], f"{KEY_COL} string, {EVENT_TIME_COL} timestamp"
         )

@@ -155,11 +155,11 @@ def test_no_match_delete_is_a_noop(spark, lh):
     assert snap.tombstone_files() == frozenset()
     assert lh.table("t").current_version() == v_before
 
-    # the iterable path still rejects a literal empty set loudly
-    from bazof_spark.errors import BazofError
-
-    with pytest.raises(BazofError, match="empty key set"):
-        delete_keys(spark, lh.table("t").path, [], at=ts(3))
+    # the iterable path is the SAME documented no-op — both input forms
+    # of the same logical request (delete nothing) behave identically
+    snap = delete_keys(spark, lh.table("t").path, [], at=ts(3))
+    assert snap.tombstone_files() == frozenset()
+    assert lh.table("t").current_version() == v_before
 
 
 def test_checkpoint_and_restore_preserve_deletes(spark, lh):

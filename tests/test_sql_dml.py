@@ -434,6 +434,67 @@ def test_update_conflicts_on_concurrent_commit(spark, lh):
     assert seen.get("expected_version") is not None
 
 
+def test_update_casts_set_expressions_to_declared_types(spark, lh):
+    """SQL arithmetic widens (Int / 2 → DOUBLE); the committed delta
+    must carry the DECLARED column type or every subsequent
+    explicit-schema scan breaks on the parquet type mismatch."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id * 10 AS BIGINT) AS v
+          FROM range(4)
+        """
+    )
+    from bazof_spark.schema import ColumnType
+
+    assert lh.table("t").get_current_snapshot().schema.columns[0].data_type \
+        is ColumnType.INT
+    lh.sql("UPDATE t SET v = v / 2")  # v/2 is DOUBLE in SQL
+    # the table still scans with its declared Int64 schema, and the
+    # values are the truncating cast of the division result
+    got = {r["key"]: r["v"] for r in lh.sql("SELECT key, v FROM t").collect()}
+    assert got == {"0": 0, "1": 5, "2": 10, "3": 15}
+    assert dict(lh.scan("t").dtypes)["v"] == "bigint"
+    # and DataFrame-API update too (same proj builder)
+    assert lh.update("t", {"v": "v + 0.9"})  # double expr → cast back
+    got = {r["key"]: r["v"] for r in lh.sql("SELECT key, v FROM t").collect()}
+    assert got == {"0": 0, "1": 5, "2": 10, "3": 15}
+
+
+def test_sql_delete_pins_read_version(spark, lh):
+    """SQL DELETE is a read-modify-write like UPDATE: the tombstone
+    commit must CAS against the version the predicate was evaluated on,
+    so a commit slipping in between conflicts instead of silently
+    deleting keys judged against the stale snapshot."""
+    import bazof_spark.writer as w
+
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(3)
+        """
+    )
+    seen = {}
+    orig = w.append_delta
+
+    def spy(spark, table_path, df, **kw):
+        seen.update(kw)
+        return orig(spark, table_path, df, **kw)
+
+    w.append_delta = spy
+    try:
+        lh.sql("DELETE FROM t WHERE key = '1'")
+    finally:
+        w.append_delta = orig
+    assert seen.get("expected_version") is not None
+    assert seen.get("tombstone") is True
+
+
 def test_parse_alter_table_detection():
     from bazof_spark.sql import SqlRewriteError, parse_maintenance
 
