@@ -394,3 +394,55 @@ def test_keyset_point_lookup_pushes_in_filter_and_single_shuffle(spark):
     pushed = " ".join(pushed_filters(df))
     assert "In(key" in pushed or ("key" in pushed and "In" in pushed), pushed
     assert shuffle_count(df) <= 1
+
+
+def test_span_dedup_two_hash_shuffles_no_pairs(spark):
+    """Round-6 span dedup: chunking is map-only expressions, first-
+    occurrence is ONE md5-keyed exchange (window), per-doc rollup is
+    the second — a regression to pair generation or an extra exchange
+    would be quadratic in duplicate-cluster size at corpus scale."""
+    df = q("span_dedup", spark)
+    assert shuffle_count(df) <= 2, "chunk-hash window + doc rollup only"
+    assert broadcast_join_count(df) == 0
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_pq_adc_encodes_map_only_and_broadcasts_lut(spark):
+    """Round-6 PQ/ADC: the corpus is encoded in a map-only pass and
+    scored against a BROADCAST per-query LUT (plus broadcast candidate
+    /query joins in the exact re-rank) — a shuffled join here would
+    move the whole corpus; the only exchanges are the two top-k
+    windows (approx cutoff + final rank)."""
+    df = q("embedding_ann_pq", spark)
+    assert shuffle_count(df) <= 2, "approx top-R window + exact top-k window"
+    assert broadcast_join_count(df) >= 3, "LUT + candidate ids + queries"
+    for cols in scan_columns(df):
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_ann_recall_pq_composition_bounded(spark):
+    """The PQ recall harness composes brute-force + the ADC plan: the
+    shuffle budget is the two PQ windows + brute-force top-k + the two
+    recall aggregations and join; every corpus-sized join side stays
+    broadcast."""
+    df = q("ann_recall_pq", spark)
+    assert shuffle_count(df) <= 7
+    assert broadcast_join_count(df) >= 4
+    for cols in scan_columns(df):
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_tombstone_and_update_scans_stay_one_shuffle(spark):
+    """Round-6 DELETE/UPDATE: tombstone winners are hidden (and updated
+    versions win) inside the SAME single map-side-combined merge
+    exchange as a plain scan — the extensions must not add a second
+    shuffle or un-prune the scan."""
+    for name in ("delete_tombstone_scan", "update_set_scan"):
+        df = q(name, spark)
+        assert shuffle_count(df) <= 1, name
+        for cols in scan_columns(df):
+            assert cols <= {
+                "key", "event_time", "event_id", "event_type", "value",
+                "props", "_tombstone", "_tmp_metadata_row_index",
+            }, (name, cols)
