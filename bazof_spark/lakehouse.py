@@ -62,6 +62,13 @@ from bazof_spark.table import Table
 # of a literal CASE/map expression (keeps the plan small for huge tables).
 _RANK_MAP_LITERAL_MAX = 512
 
+#: versioned-temp-view provenance: view name → the lakehouse root that
+#: registered it. Temp views are Spark-session-global while lakehouses
+#: are root-scoped; without this, two Lakehouse instances sharing a
+#: table name in one session would silently read each other's pinned
+#: `name__<millis>` / `FOR VERSION AS OF` views.
+_VERSIONED_VIEW_ROOTS: dict[str, str] = {}
+
 
 def _normalize_file_uri(path: str) -> str:
     """Normalize a path/URI into the SAME canonical form
@@ -704,24 +711,44 @@ class Lakehouse:
         rewritten, tables = rewrite_and_extract_tables(query)
         for vt in tables:
             if vt.changes is not None:
-                if not self.spark.catalog.tableExists(vt.versioned_name):
+                if self._versioned_view_is_stale(vt.versioned_name):
                     since, until = vt.changes
                     self.scan_changes(
                         vt.name, since=since, until=until
                     ).createOrReplaceTempView(vt.versioned_name)
+                    _VERSIONED_VIEW_ROOTS[vt.versioned_name] = self.root
             elif vt.versioned_name != vt.name:
                 # as-of / versioned view: contents are immutable for a
-                # given (table, timestamp|version) → safe to cache
-                if not self.spark.catalog.tableExists(vt.versioned_name):
+                # given (ROOT, table, timestamp|version) → safe to
+                # cache, but keyed by root: two lakehouses sharing a
+                # table name in one Spark session must not read each
+                # other's pinned views (the registry remembers which
+                # root registered each name)
+                if self._versioned_view_is_stale(vt.versioned_name):
                     self.scan(
                         vt.name, vt.as_of, version=vt.version
                     ).createOrReplaceTempView(vt.versioned_name)
+                    _VERSIONED_VIEW_ROOTS[vt.versioned_name] = self.root
             else:
                 if not self.spark.catalog.tableExists(vt.name) and self.has_table(
                     vt.name
                 ):
                     self.scan(vt.name).createOrReplaceTempView(vt.name)
         return self.spark.sql(rewritten)
+
+    def _versioned_view_is_stale(self, name: str) -> bool:
+        """True when the pinned temp view ``name`` must be (re)built:
+        it doesn't exist, or it was registered by a DIFFERENT lakehouse
+        root (temp views are session-global, lakehouses are
+        root-scoped). A view of this name the registry has never seen
+        is a user's own view and is left untouched, matching the bare-
+        name contract."""
+        if not self.spark.catalog.tableExists(name):
+            return True
+        return (
+            name in _VERSIONED_VIEW_ROOTS
+            and _VERSIONED_VIEW_ROOTS[name] != self.root
+        )
 
     def _execute_show(self, show) -> DataFrame:
         """Catalog statements over the lakehouse root: ``SHOW TABLES``
@@ -890,6 +917,55 @@ class Lakehouse:
             version = self.table(dml.table).current_version()
             return self.spark.createDataFrame(
                 [(dml.table, version, "delete")],
+                "table string, version string, operation string",
+            )
+
+        if dml.kind == "merge_delete":
+            # MERGE ... WHEN MATCHED [AND <pred>] THEN DELETE: tombstone
+            # every target key the source matches (pred narrows over the
+            # target's CURRENT row). Same read-modify-write discipline
+            # as DELETE FROM: pin before the matched read, CAS on commit.
+            if not self.has_table(dml.table):
+                raise BazofError(
+                    f"cannot MERGE into missing table {dml.table!r}"
+                )
+            from bazof_spark.writer import delete_keys
+
+            pinned = self.table(dml.table).current_version()
+            src = self.sql(dml.select.rstrip().rstrip(";"))
+            if "key" not in src.columns:
+                raise BazofError(
+                    "MERGE ... THEN DELETE source must produce a 'key' "
+                    f"column, got {src.columns}"
+                )
+            view = self._fresh_current_view(dml.table)
+            try:
+                src_view = f"{view}__src"
+                src.select("key").createOrReplaceTempView(src_view)
+                # semi join: output carries ONLY target columns, so the
+                # predicate's unqualified references resolve against the
+                # target's current row (and no source-duplicate fanout)
+                q = (
+                    f"SELECT key FROM (SELECT * FROM {view} t LEFT SEMI "
+                    f"JOIN {src_view} s ON t.key = s.key)"
+                )
+                if dml.pred:
+                    q += f" WHERE {dml.pred}"
+                delete_keys(
+                    self.spark,
+                    self.table(dml.table).path,
+                    self.spark.sql(q),
+                    create_segment=True,
+                    expected_version=pinned,
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+                self.spark.catalog.dropTempView(src_view)
+            if self.spark.catalog.tableExists(dml.table):
+                self.scan(dml.table).createOrReplaceTempView(dml.table)
+            version = self.table(dml.table).current_version()
+            return self.spark.createDataFrame(
+                [(dml.table, version, "merge_delete")],
                 "table string, version string, operation string",
             )
 

@@ -645,6 +645,66 @@ def pq_codebooks_from_rows(rows: np.ndarray, m_subs: int) -> np.ndarray:
     return rows.reshape(n_codes, m_subs, sub).transpose(1, 0, 2).copy()
 
 
+def _lloyd_kmeans_l2(x: np.ndarray, n_codes: int, seed: int) -> np.ndarray:
+    """Seeded PLAIN-L2 Lloyd k-means (no normalization) — the PQ
+    codebook trainer: sub-vectors of a unit vector are not themselves
+    unit, so spherical k-means (``_lloyd_kmeans``) would distort them.
+    Deterministic for a given (sample, n_codes, seed); the DuckDB
+    oracle re-runs THIS function on the same sample to embed identical
+    codebook literals. Ties in assignment break to the lower code id
+    (argmin-first), matching the encode UDF."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)].copy()
+    for _ in range(10):
+        d = ((x[:, None, :] - cent[None]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    m_subs: int = 8,
+    n_codes: int = 16,
+    seed: int = 29,
+    sample_rows: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """TRAINED product-quantization codebooks — the production path the
+    fixed-slice :func:`pq_codebooks_from_rows` documents as its seam:
+    per-subspace L2 k-means on a BOUNDED deterministic sample (the
+    ``sample_rows`` lowest-id vectors, unit-normalized — the same O(1)
+    sampling contract as IVF's ``_train_centroids``). Shape
+    (m_subs, n_codes, sub_dim). Fully deterministic for a given
+    (corpus, m_subs, n_codes, seed, sample_rows), so a SQL oracle can
+    re-derive the identical codebooks from the same parquet."""
+    rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    ]
+    x = np.stack(rows)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, dim = x.shape
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    sub = dim // m_subs
+    subvecs = x.reshape(n, m_subs, sub)
+    return np.stack(
+        [
+            _lloyd_kmeans_l2(subvecs[:, m, :], n_codes, seed + m)
+            for m in range(m_subs)
+        ]
+    )
+
+
 def _pq_encode_udf(codebooks: np.ndarray):
     """vec -> array<int> of per-subspace code ids (nearest codebook
     entry by L2 over the unit-normalized vector's subvectors; ties →
@@ -703,7 +763,6 @@ def pq_adc_topk(
     Output matches the family: (query_id, neighbor_id, rank,
     cosine_sim)."""
     cb = np.asarray(codebooks, dtype=np.float64)
-    m_subs, n_codes, sub = cb.shape
 
     c = corpus.select(
         F.col(id_col).alias("_cid"),
@@ -716,14 +775,7 @@ def pq_adc_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, neighbor_id long, rank int, cosine_sim double"
         )
-    luts = []
-    for r in q_rows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        qs = qv.reshape(m_subs, sub)
-        # LUT[m][j] = <q_sub_m, cb[m][j]>
-        lut = np.einsum("ms,mjs->mj", qs, cb)
-        luts.append((r[query_id_col], [[float(x) for x in row] for row in lut]))
+    luts = _query_luts(q_rows, cb, query_id_col, vec_col)
     lut_df = corpus.sparkSession.createDataFrame(
         luts, f"{query_id_col} long, _lut array<array<double>>"
     )
@@ -756,8 +808,38 @@ def pq_adc_topk(
         .filter(F.col("_arn") <= rerank)
         .select(query_id_col, "_cid")
     )
-    # exact re-rank on full vectors: candidate ids are tiny → broadcast
-    # them INTO the corpus scan; queries broadcast too
+    return _exact_rerank(
+        corpus, queries, cand, k, id_col, vec_col, query_id_col
+    )
+
+
+def _query_luts(q_rows, cb: np.ndarray, query_id_col: str, vec_col: str):
+    """Per-query ADC lookup tables, driver-side (tiny: |queries| ×
+    m_subs × n_codes doubles): LUT[m][j] = <q_sub_m, cb[m][j]> over the
+    unit-normalized query."""
+    m_subs, _, sub = cb.shape
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        qs = qv.reshape(m_subs, sub)
+        lut = np.einsum("ms,mjs->mj", qs, cb)
+        luts.append((r[query_id_col], [[float(x) for x in row] for row in lut]))
+    return luts
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact top-k over a (query_id, _cid) candidate set: candidate ids
+    are tiny → broadcast them INTO the corpus scan (the full-vector
+    column is scanned, never shuffled); queries broadcast too."""
     qn = queries.select(
         F.col(query_id_col),
         normalize(_as_double(F.col(vec_col))).alias("_qv"),
@@ -787,4 +869,101 @@ def pq_adc_topk(
             "rank",
             F.col("_sim").alias("cosine_sim"),
         )
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: coarse inverted-file pruning composed with PQ/ADC
+    scoring — the standard 100 TB ANN index shape (Faiss IVFADC, Jégou
+    et al. 2011 §V; here the ``by_residual=false`` variant: codes
+    quantize the vector itself, not the residual, so the same codebooks
+    and encodings serve both the pure-ADC and the IVF-composed index).
+
+    The corpus pass is map-only and produces BOTH index structures at
+    once: the nearest-centroid list id (IVF assignment) and the m_subs
+    PQ code ids. Each query probes its ``n_probe`` nearest lists and
+    ADC-scores ONLY the codes in those lists — scored-candidate volume
+    is ∝ corpus × n_probe / n_lists instead of the full corpus, which
+    is what pure ADC (:func:`pq_adc_topk`) scans. Scoring joins the
+    broadcast per-(query, probed-list) LUT relation on the list id; the
+    top ``rerank`` approximate candidates re-rank exactly on full
+    vectors. Approx scores round to 6 dp before the cutoff (ties →
+    neighbor id) so the candidate set reproduces across engines.
+
+    Output matches the family: (query_id, neighbor_id, rank,
+    cosine_sim)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(cent))
+
+    # ONE map-only corpus pass: coarse list id + PQ codes
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        _list_assign_udf(cent, 1)(_as_double(F.col(vec_col)))[0].alias("_list"),
+        _pq_encode_udf(cb)(_as_double(F.col(vec_col))).alias("_codes"),
+    )
+    q_rows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, rank int, cosine_sim double"
+        )
+    # per-query LUT + probed lists, driver-side (queries are bounded by
+    # contract); one relation row per (query, probed list) so scoring is
+    # an equi-join on the list id — only probed lists' codes are scored
+    luts = dict(_query_luts(q_rows, cb, query_id_col, vec_col))
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        top = np.argsort(-(qv @ cent.T), kind="stable")[:n_probe]
+        for lid in top:
+            probe_rows.append(
+                (r[query_id_col], int(lid), luts[r[query_id_col]])
+            )
+    lut_df = corpus.sparkSession.createDataFrame(
+        probe_rows,
+        f"{query_id_col} long, _list int, _lut array<array<double>>",
+    )
+    approx = (
+        c.join(F.broadcast(lut_df), "_list")
+        .filter(F.col(query_id_col) != F.col("_cid"))
+        .select(
+            query_id_col,
+            "_cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "_codes",
+                        "_lut",
+                        lambda code, row: F.element_at(row, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("_asim"),
+        )
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("_asim").desc(), F.col("_cid").asc()
+    )
+    cand = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select(query_id_col, "_cid")
+    )
+    return _exact_rerank(
+        corpus, queries, cand, k, id_col, vec_col, query_id_col
     )

@@ -189,6 +189,40 @@ def _build_deleted(spark: SparkSession, sf_dir: str, root: str) -> None:
         spark, os.path.join(root, DELETED_TABLE_NAME), doomed, at=DELETE_AT
     )
 
+MERGE_DELETED_TABLE_NAME = "events_merge_deleted"
+#: the MERGE ... WHEN MATCHED AND <pred> THEN DELETE under test: the
+#: source matches every user_id % MERGE_DELETE_MODULUS == 0 key, and
+#: the predicate narrows to rows whose CURRENT value is below the bound
+MERGE_DELETE_MODULUS = 5
+MERGE_DELETE_VALUE_BOUND = 100.0
+
+
+def events_merge_deleted_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """``events_versioned`` clone with a SQL MERGE-DELETE applied: the
+    source is the modulus-matched key set, the WHEN MATCHED AND
+    predicate keeps only keys whose Current value is under the bound —
+    exercising the merge-delete statement (tombstones via the matched
+    set) under the driver's DuckDB oracle."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, MERGE_DELETED_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _materialize_events(spark, sf_dir, root, MERGE_DELETED_TABLE_NAME)
+        lh = Lakehouse(spark, root)
+        lh.sql(
+            f"MERGE INTO {MERGE_DELETED_TABLE_NAME} USING "
+            f"SELECT key FROM {MERGE_DELETED_TABLE_NAME} "
+            f"WHERE CAST(key AS BIGINT) % {MERGE_DELETE_MODULUS} = 0 "
+            f"ON key WHEN MATCHED AND value < {MERGE_DELETE_VALUE_BOUND} "
+            "THEN DELETE"
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
 UPDATED_TABLE_NAME = "events_updated"
 #: update instant: past every driver event timestamp, so the updated
 #: versions win Current while every in-range as-of sees the originals

@@ -294,6 +294,16 @@ _MERGE_CANONICAL_SUFFIX_RE = re.compile(
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
     re.IGNORECASE,
 )
+# the delete form: MERGE INTO t USING <src> ON key
+# WHEN MATCHED [AND <pred>] THEN DELETE — tombstone every target key
+# the source matches (optionally narrowed by <pred> over the target's
+# current row). Compiles to delete_keys over the matched set, so it is
+# time-travel-consistent exactly like DELETE FROM.
+_MERGE_DELETE_SUFFIX_RE = re.compile(
+    r"\s+ON\s+key\s+WHEN\s+MATCHED"
+    r"(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+DELETE\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
 # format's merge-by-key: matching rows are re-read with the SET
@@ -381,12 +391,15 @@ _DELETE_RE = re.compile(
 
 @dataclass(frozen=True)
 class DmlStatement:
-    kind: str  # "ctas" | "insert" | "merge" | "delete" | "update"
+    kind: str  # "ctas"|"insert"|"merge"|"merge_delete"|"delete"|"update"
     table: str
     replace: bool
     select: str  # for "delete"/"update": the WHERE predicate ("" = all)
     #: for "update": ((column, sql_expression), ...) SET assignments
     sets: tuple = ()
+    #: for "merge_delete": the WHEN MATCHED AND predicate ("" = all
+    #: matched keys), evaluated over the target's current rows
+    pred: str = ""
 
 
 def _lstrip_trivia(sql: str) -> str:
@@ -455,6 +468,17 @@ def parse_dml(sql: str) -> DmlStatement | None:
         canon = _MERGE_CANONICAL_SUFFIX_RE.search(select)
         if canon is not None and not _inside(canon.start(), spans):
             select = select[: canon.start()]
+        elif (
+            (dele := _MERGE_DELETE_SUFFIX_RE.search(select)) is not None
+            and not _inside(dele.start(), spans)
+        ):
+            return DmlStatement(
+                kind="merge_delete",
+                table=m.group("name"),
+                replace=False,
+                select=select[: dele.start()],
+                pred=(dele.group("pred") or "").strip(),
+            )
         else:
             # a WHEN [NOT] MATCHED clause that is NOT the canonical
             # full-row upsert must error, never silently run with
@@ -466,9 +490,11 @@ def parse_dml(sql: str) -> DmlStatement | None:
                 if not _inside(cand.start(), spans):
                     raise SqlRewriteError(
                         "MERGE INTO supports only the format's native "
-                        "full-row upsert-by-key; the optional clause "
-                        "must be exactly 'ON key WHEN MATCHED THEN "
-                        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *', "
+                        "merges-by-key; the optional clause must be "
+                        "exactly 'ON key WHEN MATCHED THEN UPDATE SET "
+                        "* WHEN NOT MATCHED THEN INSERT *' (full-row "
+                        "upsert) or 'ON key WHEN MATCHED [AND <pred>] "
+                        "THEN DELETE' (tombstone the matched keys), "
                         f"got: {select[cand.start():].strip()!r}"
                     )
         return DmlStatement(

@@ -40,6 +40,7 @@ from bazof_spark.operators.similarity import (
     cosine_pairs_blocked,
     cosine_topk_bruteforce,
     ivf_ann_topk,
+    ivf_pq_topk,
     lsh_ann_topk,
     pq_adc_topk,
     pq_codebooks_from_rows,
@@ -142,6 +143,25 @@ def update_set_scan(spark, sf_dir):
 
     lh = events_updated_lakehouse(spark, sf_dir)
     return lh.scan("events_updated").select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def merge_delete_scan(spark, sf_dir):
+    """Op: SQL MERGE ... WHEN MATCHED AND <pred> THEN DELETE under the
+    driver oracle — a clone of events_versioned where the source's
+    modulus-matched keys whose CURRENT value is under the bound were
+    tombstoned through the merge-delete statement. Current must equal
+    'latest event per user, minus the matched-and-predicated keys'."""
+    from bazof_spark.sources.events import events_merge_deleted_lakehouse
+
+    lh = events_merge_deleted_lakehouse(spark, sf_dir)
+    return lh.scan("events_merge_deleted").select(
         "key",
         F.unix_micros("event_time").alias("event_time_us"),
         "event_id",
@@ -531,6 +551,15 @@ _ASOF_ORACLES = {
     # users before the latest-per-user window is set-identical to
     # hiding their merge winners
     "delete_tombstone_scan": _events_oracle_cte("user_id % 7 <> 0"),
+    # merge-delete = latest-per-user, minus keys the source matched
+    # (user_id % 5 = 0) whose CURRENT winner satisfies the WHEN MATCHED
+    # AND predicate (value < 100) — the pred filters winners, so it
+    # applies AFTER the latest-per-user window, unlike the user-level
+    # tombstone above
+    "merge_delete_scan": f"""
+        SELECT * FROM ({_events_oracle_cte()})
+        WHERE NOT (CAST(key AS BIGINT) % 5 = 0 AND value < 100.0)
+    """,
     # UPDATE = latest-per-user, then the SET expressions applied to the
     # rows whose CURRENT event_type matched the predicate (their
     # event_time becomes the update instant — the upserted version)
@@ -2680,18 +2709,169 @@ if _ivf_trained_sql is not None:
     _PIPELINE_ORACLES["embedding_ann_ivf_trained"] = _ivf_trained_sql
 
 
+def _pq_trained_oracle_sql(
+    m_subs: int = 8,
+    n_codes: int = 16,
+    seed: int = 29,
+    sample_rows: int = 256,
+    k: int = 5,
+    rerank: int = 20,
+) -> str | None:
+    """DuckDB twin of embedding_ann_pq_trained_q: re-derive the SAME
+    codebooks the Spark query trains — identical sample (the
+    `sample_rows` lowest vec_ids, unit-normalized) through the
+    identical per-subspace `_lloyd_kmeans_l2` numpy trainer — and embed
+    them as (m, code, cv) literals (repr() round-trips doubles
+    exactly). Encode/LUT/ADC/re-rank then mirror the fixed-slice PQ
+    oracle with the literal codebooks in place of the slice CTE.
+    Returns None (→ rows-only check) if the parquet is unavailable at
+    oracle-build time."""
+    import duckdb
+    import numpy as np
+
+    from bazof_spark.operators.similarity import _lloyd_kmeans_l2
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"ORDER BY vec_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m_subs:
+        return None
+    sub = dim // m_subs
+    subvecs = x.reshape(len(x), m_subs, sub)
+    cb = np.stack(
+        [
+            _lloyd_kmeans_l2(subvecs[:, m, :], n_codes, seed + m)
+            for m in range(m_subs)
+        ]
+    )
+    vals = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(float(v)) for v in cb[m, j])}]::DOUBLE[])"
+        for m in range(m_subs)
+        for j in range(n_codes)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   list_transform(raw, x -> x * (1.0 / greatest(
+                       sqrt(list_dot_product(raw, raw)), 1e-12))) AS v
+            FROM e
+        ),
+        cb AS (SELECT * FROM (VALUES {vals}) t(m, code, cv)),
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT n.vec_id, cb.m, cb.code,
+                       row_number() OVER (PARTITION BY n.vec_id, cb.m
+                           ORDER BY list_distance(
+                               n.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cv
+                           ) ASC, cb.code ASC
+                       ) AS rn
+                FROM n CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS qid, cb.m, cb.code,
+                   list_dot_product(
+                       q.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cv) AS part
+            FROM n q CROSS JOIN cb WHERE q.vec_id < 10
+        ),
+        approx AS (
+            SELECT l.qid, enc.vec_id AS cid, round(SUM(l.part), 6) AS asim
+            FROM enc JOIN lut l ON l.m = enc.m AND l.code = enc.code
+            WHERE l.qid != enc.vec_id
+            GROUP BY l.qid, enc.vec_id
+        ),
+        cand AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (
+                    PARTITION BY qid ORDER BY asim DESC, cid
+                ) AS rn FROM approx
+            ) WHERE rn <= {rerank}
+        ),
+        s AS (
+            SELECT cand.qid, cand.cid,
+                   list_cosine_similarity(eq.raw, ec.raw) AS sim
+            FROM cand
+            JOIN e eq ON eq.vec_id = cand.qid
+            JOIN e ec ON ec.vec_id = cand.cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= {k}
+    """
+
+
+def _pq_trained_recall_sql(pq_sql: str) -> str:
+    return f"""
+        WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
+        ann_r AS ({pq_sql}),
+        m AS (
+            SELECT e.query_id, count(*) AS n_matched
+              FROM exact_r e JOIN ann_r a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             GROUP BY e.query_id
+        ),
+        ex AS (
+            SELECT query_id, count(*) AS n_exact FROM exact_r
+            GROUP BY query_id
+        )
+        SELECT ex.query_id,
+               ex.n_exact,
+               coalesce(m.n_matched, 0) AS n_matched,
+               round(coalesce(m.n_matched, 0) / ex.n_exact, 6) AS recall
+          FROM ex LEFT JOIN m USING (query_id)
+    """
+
+
+_pq_trained_sql = _pq_trained_oracle_sql()
+if _pq_trained_sql is not None:
+    _PIPELINE_ORACLES["embedding_ann_pq_trained"] = _pq_trained_sql
+    _PIPELINE_ORACLES["ann_recall_pq_trained"] = _pq_trained_recall_sql(
+        _pq_trained_sql
+    )
+
+
 def refresh_env_dependent_oracles() -> None:
     """Rebuild oracles whose SQL embeds data-derived literals (the
-    trained-IVF centroids) from the CURRENT $BAZOF_PARITY_SF. The
-    module-import build is correct when the parity harness is imported
-    first (it sets the env var before importing this module); any other
-    import order — e.g. a plans test importing the registry before the
-    parity module runs — would freeze literals from the wrong sf dir.
-    Call this after changing BAZOF_PARITY_SF."""
+    trained-IVF centroids, the trained-PQ codebooks) from the CURRENT
+    $BAZOF_PARITY_SF. The module-import build is correct when the
+    parity harness is imported first (it sets the env var before
+    importing this module); any other import order — e.g. a plans test
+    importing the registry before the parity module runs — would
+    freeze literals from the wrong sf dir. Call this after changing
+    BAZOF_PARITY_SF."""
     sql = _ivf_trained_oracle_sql()
     if sql is not None:
         _PIPELINE_ORACLES["embedding_ann_ivf_trained"] = sql
         ORACLES["embedding_ann_ivf_trained"] = sql
+    pq_sql = _pq_trained_oracle_sql()
+    if pq_sql is not None:
+        _PIPELINE_ORACLES["embedding_ann_pq_trained"] = pq_sql
+        _PIPELINE_ORACLES["ann_recall_pq_trained"] = _pq_trained_recall_sql(
+            pq_sql
+        )
+        ORACLES["embedding_ann_pq_trained"] = pq_sql
+        ORACLES["ann_recall_pq_trained"] = _PIPELINE_ORACLES[
+            "ann_recall_pq_trained"
+        ]
 
 
 def span_dedup_q(spark, sf_dir):
@@ -2753,6 +2933,117 @@ def ann_recall_pq_q(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     ann = embedding_ann_pq_q(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return per_q.join(matched, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+def embedding_ann_ivfpq_q(spark, sf_dir):
+    """IVF-PQ ANN — the composed 100 TB index shape (Faiss IVFADC): the
+    coarse quantizer of embedding_ann_ivf prunes each query to its 4
+    probed lists, and PQ/ADC scores ONLY the codes inside them (pure
+    ADC scans every code; here scored volume ∝ n_probe/n_lists). Both
+    stages use the deterministic fixed-corpus-slice trick (centroids
+    AND codebooks from vec_id < 16) so the whole index reproduces in
+    the DuckDB oracle."""
+    import numpy as np
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    slice_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    rows = np.array([r["embedding"] for r in slice_rows], dtype=np.float64)
+    if rows.shape[1] != 64:
+        raise ValueError(
+            f"embedding_ann_ivfpq oracle assumes dim=64 (8 subspaces × 8); "
+            f"got dim={rows.shape[1]}"
+        )
+    cb = pq_codebooks_from_rows(rows, m_subs=8)
+    return ivf_pq_topk(
+        emb, queries, cb, rows, k=5, n_probe=4, rerank=20
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
+def ann_recall_ivfpq_q(spark, sf_dir):
+    """Recall@5 of the composed IVF-PQ index against the exact top-5 —
+    the fourth entry in the recall harness (LSH, IVF, PQ, IVF-PQ), so
+    the list-pruning recall cost vs pure ADC is measured, not assumed."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = embedding_ann_ivfpq_q(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return per_q.join(matched, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+def embedding_ann_pq_trained_q(spark, sf_dir):
+    """PQ/ADC with TRAINED codebooks — per-subspace L2 k-means on the
+    256 lowest-id vectors (operators/similarity.pq_codebooks_trained),
+    the production counterpart of embedding_ann_pq's fixed-slice
+    codebooks. The oracle re-derives the identical codebooks from the
+    same parquet sample through the same numpy trainer, so the trained
+    path is cross-engine verified the way trained IVF was."""
+    from bazof_spark.operators.similarity import pq_codebooks_trained
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cb = pq_codebooks_trained(
+        emb, m_subs=8, n_codes=16, seed=29, sample_rows=256
+    )
+    return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def ann_recall_pq_trained_q(spark, sf_dir):
+    """Recall@5 of the trained-codebook PQ index vs the exact top-5."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = embedding_ann_pq_trained_q(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).alias("n_matched"))
@@ -2867,6 +3158,108 @@ _PIPELINE_ORACLES["embedding_ann_pq"] = """
     FROM r WHERE rn <= 5
 """
 
+# IVF-PQ: the IVF oracle's coarse assignment/probe CTEs composed with
+# the PQ oracle's encode/LUT CTEs — ADC scoring restricted to codes
+# whose list the query probes (the whole point of the composition).
+# Same determinism devices as both parents: fixed-slice centroids AND
+# codebooks (vec_id < 16), 6-dp rounding before the candidate cutoff.
+_PIPELINE_ORACLES["embedding_ann_ivfpq"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(raw, x -> x * (1.0 / greatest(
+                   sqrt(list_dot_product(raw, raw)), 1e-12))) AS v
+        FROM e
+    ),
+    cent AS (SELECT vec_id AS lid, raw AS cvv FROM e WHERE vec_id < 16),
+    ca AS (
+        SELECT vec_id AS cid, lid,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(raw, cvv) DESC, lid
+               ) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (SELECT cid, lid FROM ca WHERE rn = 1),
+    qp AS (
+        SELECT vec_id AS qid, lid,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(raw, cvv) DESC, lid
+               ) AS rn
+        FROM e CROSS JOIN cent WHERE vec_id < 10
+    ),
+    probe AS (SELECT qid, lid FROM qp WHERE rn <= 4),
+    cb AS (
+        SELECT vec_id AS code, t.m AS m, v[t.m*8+1 : t.m*8+8] AS cv
+        FROM n, UNNEST(range(8)) AS t(m) WHERE vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT n.vec_id, cb.m, cb.code,
+                   row_number() OVER (PARTITION BY n.vec_id, cb.m
+                       ORDER BY list_distance(
+                           n.v[cb.m*8+1 : cb.m*8+8], cb.cv) ASC, cb.code ASC
+                   ) AS rn
+            FROM n CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS qid, cb.m, cb.code,
+               list_dot_product(q.v[cb.m*8+1 : cb.m*8+8], cb.cv) AS part
+        FROM n q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    approx AS (
+        SELECT p.qid, enc.vec_id AS cid, round(SUM(l.part), 6) AS asim
+        FROM enc
+        JOIN assign a ON a.cid = enc.vec_id
+        JOIN probe p ON p.lid = a.lid
+        JOIN lut l ON l.qid = p.qid AND l.m = enc.m AND l.code = enc.code
+        WHERE p.qid != enc.vec_id
+        GROUP BY p.qid, enc.vec_id
+    ),
+    cand AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY asim DESC, cid
+            ) AS rn FROM approx
+        ) WHERE rn <= 20
+    ),
+    s AS (
+        SELECT cand.qid, cand.cid,
+               list_cosine_similarity(eq.raw, ec.raw) AS sim
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e ec ON ec.vec_id = cand.cid
+    ),
+    r AS (
+        SELECT qid, cid, sim, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid
+        ) AS rn FROM s
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rn <= 5
+"""
+
+# recall@5 of the composed IVF-PQ index vs the exact top-5
+_PIPELINE_ORACLES["ann_recall_ivfpq"] = f"""
+    WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
+    ann_r AS ({_PIPELINE_ORACLES["embedding_ann_ivfpq"]}),
+    m AS (
+        SELECT e.query_id, count(*) AS n_matched
+          FROM exact_r e JOIN ann_r a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id
+    ),
+    ex AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY query_id)
+    SELECT ex.query_id,
+           ex.n_exact,
+           coalesce(m.n_matched, 0) AS n_matched,
+           round(coalesce(m.n_matched, 0) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN m USING (query_id)
+"""
+
 # recall@5 of the PQ index vs the exact top-5 — same composition as the
 # LSH/IVF recall harnesses
 _PIPELINE_ORACLES["ann_recall_pq"] = f"""
@@ -2895,6 +3288,7 @@ QUERIES: dict[str, QueryFn] = {
     # core format operators
     "asof_scan_current": asof_scan_current,
     "delete_tombstone_scan": delete_tombstone_scan,
+    "merge_delete_scan": merge_delete_scan,
     "update_set_scan": update_set_scan,
     "zonemap_key_lookup": zonemap_key_lookup,
     "keyset_point_lookup": keyset_point_lookup,
@@ -2955,6 +3349,10 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ann_ivf_trained": embedding_ann_ivf_trained_q,
     "embedding_ann_pq": embedding_ann_pq_q,
     "ann_recall_pq": ann_recall_pq_q,
+    "embedding_ann_ivfpq": embedding_ann_ivfpq_q,
+    "ann_recall_ivfpq": ann_recall_ivfpq_q,
+    "embedding_ann_pq_trained": embedding_ann_pq_trained_q,
+    "ann_recall_pq_trained": ann_recall_pq_trained_q,
     "span_dedup": span_dedup_q,
     # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
     "multimodal_frame_sample": multimodal_frame_sample_q,

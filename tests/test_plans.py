@@ -433,6 +433,23 @@ def test_ann_recall_pq_composition_bounded(spark):
         assert cols <= {"vec_id", "embedding"}, cols
 
 
+def test_ivfpq_and_trained_pq_plans_bounded(spark):
+    """Round-7 ANN depth: the composed IVF-PQ and the trained-codebook
+    PQ keep the ADC plan shape — map-only corpus pass (list assignment
+    + encode in one select), broadcast LUT/candidate/query joins, two
+    top-k windows. Any shuffled join here moves corpus-sized data."""
+    for name in ("embedding_ann_ivfpq", "embedding_ann_pq_trained"):
+        df = q(name, spark)
+        assert shuffle_count(df) <= 2, name
+        assert broadcast_join_count(df) >= 3, name
+        for cols in scan_columns(df):
+            assert cols <= {"vec_id", "embedding"}, (name, cols)
+    for name in ("ann_recall_ivfpq", "ann_recall_pq_trained"):
+        df = q(name, spark)
+        assert shuffle_count(df) <= 7, name
+        assert broadcast_join_count(df) >= 4, name
+
+
 def test_tombstone_and_update_scans_stay_one_shuffle(spark):
     """Round-6 DELETE/UPDATE: tombstone winners are hidden (and updated
     versions win) inside the SAME single map-side-combined merge

@@ -214,3 +214,99 @@ def test_pq_codebook_dim_mismatch_raises(emb):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks_from_rows(np.ones((4, DIM)), m_subs=5)
+
+
+def _centroids(emb, n):
+    pdf = (
+        emb.filter(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    return np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+
+def test_ivfpq_full_probe_full_rerank_is_exact(emb):
+    """IVF-PQ with n_probe == n_lists and rerank >= corpus degenerates
+    to brute force: list pruning admits everything, ADC only orders,
+    the exact re-rank recovers the true top-k bit-for-bit."""
+    from bazof_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cent = _centroids(emb, 8)
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_pq_topk(
+            emb, queries, _pq_codebooks(emb), cent,
+            k=3, n_probe=8, rerank=44,
+        ).collect()
+    }
+    assert got == bf
+
+
+def test_ivfpq_partial_probe_recall_and_determinism(emb):
+    from bazof_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cent = _centroids(emb, 8)
+    cb = _pq_codebooks(emb)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = ivf_pq_topk(emb, queries, cb, cent, k=3, n_probe=3, rerank=12).collect()
+    s = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(bf & s) / len(bf)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+    # the seeded near-dup shares its original's list AND codes — it
+    # must survive both the list pruning and the ADC cutoff
+    assert (0, 40) in s
+    again = ivf_pq_topk(
+        emb, queries, cb, cent, k=3, n_probe=3, rerank=12
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_trained_pq_codebooks_deterministic_and_usable(emb):
+    """pq_codebooks_trained: right shape, deterministic for a fixed
+    (sample, seed), and full-rerank through them still recovers brute
+    force (codebook quality affects the CUTOFF, never the re-rank)."""
+    from bazof_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_trained,
+    )
+
+    cb1 = pq_codebooks_trained(
+        emb, m_subs=4, n_codes=8, seed=29, sample_rows=44
+    )
+    cb2 = pq_codebooks_trained(
+        emb, m_subs=4, n_codes=8, seed=29, sample_rows=44
+    )
+    assert cb1.shape == (4, 8, DIM // 4)
+    assert np.array_equal(cb1, cb2)
+    # a different seed trains different codebooks (it's really training)
+    cb3 = pq_codebooks_trained(
+        emb, m_subs=4, n_codes=8, seed=30, sample_rows=44
+    )
+    assert not np.array_equal(cb1, cb3)
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_adc_topk(emb, queries, cb1, k=3, rerank=44).collect()
+    }
+    assert got == bf

@@ -163,10 +163,13 @@ def test_parse_merge_detection():
     d = parse_dml("MERGE INTO t USING SELECT * FROM a JOIN b ON key = b.k")
     assert d.select.strip() == "SELECT * FROM a JOIN b ON key = b.k"
     # any non-canonical WHEN MATCHED semantics must error, not drift
-    with pytest.raises(SqlRewriteError, match="full-row upsert-by-key"):
+    # (the delete form is now a SUPPORTED second shape — see
+    # test_parse_merge_delete_detection; an unsupported UPDATE SET
+    # assignment list still errors)
+    with pytest.raises(SqlRewriteError, match="merges-by-key"):
         parse_dml(
             "MERGE INTO t USING SELECT * FROM s "
-            "ON key WHEN MATCHED THEN DELETE"
+            "ON key WHEN MATCHED THEN UPDATE SET v = 1"
         )
     # ...but WHEN MATCHED inside a string literal is data, not a clause
     d = parse_dml("MERGE INTO t USING SELECT 'WHEN MATCHED THEN DELETE' AS x")
@@ -432,6 +435,119 @@ def test_update_conflicts_on_concurrent_commit(spark, lh):
     finally:
         w.append_delta = orig
     assert seen.get("expected_version") is not None
+
+
+def test_parse_merge_delete_detection():
+    d = parse_dml(
+        "MERGE INTO t USING SELECT key FROM s ON key "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert d.kind == "merge_delete" and d.table == "t" and d.pred == ""
+    assert d.select.strip() == "SELECT key FROM s"
+    d = parse_dml(
+        "merge into x.y using (select 'a' as key) on key "
+        "when matched and value > 5 then delete;"
+    )
+    assert d.kind == "merge_delete" and d.pred == "value > 5"
+    # the upsert canonical form still parses as plain merge
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key WHEN MATCHED THEN "
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge"
+    # any other WHEN shape still errors loudly
+    from bazof_spark.sql import SqlRewriteError
+
+    with pytest.raises(SqlRewriteError, match="THEN DELETE"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN MATCHED THEN UPDATE SET v = 1"
+        )
+
+
+def test_merge_delete_end_to_end(spark, lh):
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(6)
+        """
+    )
+    v1 = int(lh.table("t").current_version())
+    # unpredicated: every matched key is tombstoned; unmatched source
+    # keys ('9') and untouched target keys survive
+    [st] = lh.sql(
+        "MERGE INTO t USING SELECT * FROM (VALUES ('1'), ('3'), ('9')) "
+        "AS s(key) ON key WHEN MATCHED THEN DELETE"
+    ).collect()
+    assert st["operation"] == "merge_delete"
+    assert int(st["version"]) == v1 + 1
+    assert {r["key"] for r in lh.sql("SELECT key FROM t").collect()} == {
+        "0", "2", "4", "5",
+    }
+    # time-travel-consistent: the pre-merge version still sees them
+    assert lh.sql(
+        f"SELECT key FROM t FOR VERSION AS OF {v1}"
+    ).count() == 6
+
+    # predicated: only matched keys whose CURRENT row satisfies pred
+    lh.sql(
+        "MERGE INTO t USING SELECT * FROM (VALUES ('0'), ('4'), ('5')) "
+        "AS s(key) ON key WHEN MATCHED AND value >= 4.5 THEN DELETE"
+    )
+    assert {r["key"] for r in lh.sql("SELECT key FROM t").collect()} == {
+        "0", "2", "4",
+    }
+
+    # no-match merge-delete is a version no-op
+    v = lh.table("t").current_version()
+    lh.sql(
+        "MERGE INTO t USING SELECT 'zzz' AS key ON key "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert lh.table("t").current_version() == v
+
+    # a source without a key column errors loudly
+    with pytest.raises(BazofError, match="'key'"):
+        lh.sql(
+            "MERGE INTO t USING SELECT 1 AS nope ON key "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(BazofError, match="missing table"):
+        lh.sql(
+            "MERGE INTO ghost USING SELECT 'a' AS key ON key "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_delete_pins_read_version(spark, lh):
+    """merge-delete is a read-modify-write: the tombstone commit must
+    CAS against the version the matched set was computed on."""
+    import bazof_spark.writer as w
+
+    lh.sql(
+        "CREATE TABLE t AS SELECT 'a' AS key, "
+        "timestamp'2024-01-01' AS event_time, 1.0 AS value"
+    )
+    seen = {}
+    orig = w.append_delta
+
+    def spy(spark, table_path, df, **kw):
+        seen.update(kw)
+        return orig(spark, table_path, df, **kw)
+
+    w.append_delta = spy
+    try:
+        lh.sql(
+            "MERGE INTO t USING SELECT 'a' AS key ON key "
+            "WHEN MATCHED THEN DELETE"
+        )
+    finally:
+        w.append_delta = orig
+    assert seen.get("expected_version") is not None
+    assert seen.get("tombstone") is True
 
 
 def test_update_casts_set_expressions_to_declared_types(spark, lh):

@@ -212,6 +212,12 @@ X100_MEASURED = [
     # PQ/ADC index (map-only encode + LUT scoring; fixed query set)
     "span_dedup",
     "embedding_ann_pq",
+    # round-7: the composed IVF-PQ index — same fixed quantizer and
+    # query set as embedding_ann_pq, but ADC scores only probed lists
+    # (n_probe/n_lists of the corpus) instead of every code; measured
+    # side-by-side with pure ADC so the pruning shows up as a ratio gap
+    "embedding_ann_ivfpq",
+    "embedding_ann_pq_trained",
 ]
 
 
