@@ -181,7 +181,9 @@ def main(argv: list[str] | None = None) -> int:
     p_hist.add_argument("--table", required=True)
 
     p_ev = sub.add_parser(
-        "evolve", help="metadata-only schema evolution (add/drop columns)"
+        "evolve",
+        help="schema evolution (add/drop/rename columns metadata-only; "
+        "widen Int->Float with a history-preserving rewrite)",
     )
     p_ev.add_argument("--path", required=True)
     p_ev.add_argument("--table", required=True)
@@ -195,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
     p_ev.add_argument(
         "--drop", action="append", default=[], metavar="NAME",
         help="value column to drop",
+    )
+    p_ev.add_argument(
+        "--rename", action="append", default=[], metavar="OLD:NEW",
+        help="rename a value column (metadata-only; old files keep the "
+        "former name on disk and readers coalesce)",
+    )
+    p_ev.add_argument(
+        "--widen", action="append", default=[], metavar="NAME:TYPE",
+        help="widen a column's type (Int:Float is the only rule; "
+        "rewrites data files with the cast, history preserved)",
     )
 
     args = parser.parse_args(argv)
@@ -447,7 +459,29 @@ def main(argv: list[str] | None = None) -> int:
                     f"bad --add {spec!r} (want NAME:TYPE with TYPE one of "
                     f"{[t.value for t in ColumnType]}): {exc}"
                 ) from exc
-        snapshot = evolve_table_schema(lh, args.table, add=add, drop=args.drop)
+        rename = {}
+        for spec in args.rename:
+            try:
+                old, new = spec.split(":", 1)
+                rename[old] = new
+            except ValueError as exc:
+                raise SystemExit(
+                    f"bad --rename {spec!r} (want OLD:NEW): {exc}"
+                ) from exc
+        widen = {}
+        for spec in args.widen:
+            try:
+                name, type_name = spec.split(":", 1)
+                widen[name] = ColumnType(type_name)
+            except ValueError as exc:
+                raise SystemExit(
+                    f"bad --widen {spec!r} (want NAME:TYPE with TYPE one "
+                    f"of {[t.value for t in ColumnType]}): {exc}"
+                ) from exc
+        snapshot = evolve_table_schema(
+            lh, args.table, add=add, drop=args.drop,
+            rename=rename, widen=widen,
+        )
         cols = ", ".join(
             f"{c.name}:{c.data_type.value}" for c in snapshot.schema.columns
         )

@@ -88,26 +88,46 @@ class _FilePartition(InputPartition):
 
 
 def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
-                  tombstone: bool = False):
+                  tombstone: bool = False, formers=None):
     """Shared batch assembly for the batch and stream readers: read the
     parquet file, attach (_rank, _row_idx) provenance, null-fill
     columns the file predates (schema evolution adds columns as
     metadata only — pyarrow's iter_batches silently DROPS requested
     columns a file lacks rather than erroring, so the fill must happen
     here, mirroring the native scan's explicit-StructType behavior),
-    and cast to the exact declared Arrow types."""
+    and cast to the exact declared Arrow types.
+
+    ``formers`` (RENAME COLUMN support): {declared name: (former
+    spellings,)} — a file written before a rename stores a former name;
+    the per-file footer tells us which spelling this file carries, so
+    the read selects it and renames back to the declared name (the
+    Arrow twin of the native scan's coalesce)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    formers = formers or {}
     row_idx = 0
     f = pq.ParquetFile(path)
     present = set(f.schema_arrow.names)
-    want = [c for c in columns if c in present]
+    # per-file source spelling for each requested column
+    src: dict[str, str] = {}
+    for c in columns:
+        if c in present:
+            src[c] = c
+        else:
+            for alt in formers.get(c, ()):
+                if alt in present:
+                    src[c] = alt
+                    break
+    rev = {v: k for k, v in src.items()}
+    want = [src[c] for c in columns if c in src]
     for batch in f.iter_batches(columns=want):
         n = batch.num_rows
         t = pa.Table.from_batches([batch])
+        if any(k != v for k, v in src.items()):
+            t = t.rename_columns([rev.get(nm, nm) for nm in t.column_names])
         for c in columns:
-            if c not in present:
+            if c not in src:
                 t = t.append_column(
                     c, pa.nulls(n, type=arrow_schema.field(c).type)
                 )
@@ -146,6 +166,13 @@ class BazofReader(DataSourceReader):
             if f.name not in ("_rank", "_row_idx", "_tombstone")
         ]
         self._field_order = [f.name for f in schema.fields]
+        # former spellings per declared column (RENAME COLUMN): the
+        # per-file reader resolves which spelling each file carries
+        self._formers = {
+            c.name: c.formers
+            for c in snapshot.schema.columns
+            if c.formers
+        }
         # Spark's Arrow bridge accepts only µs timestamps; the format's
         # parquet may carry ms/ns — cast every batch to the declared
         # schema's exact Arrow types before handing it over
@@ -289,6 +316,7 @@ class BazofReader(DataSourceReader):
             self._field_order,
             self._arrow_schema,
             tombstone=partition.tombstone,
+            formers=self._formers,
         ):
             if self._as_of_dt is not None:
                 # event-time bound applied IN the reader: rows past the
@@ -549,10 +577,15 @@ class BazofBatchWriter(DataSourceArrowWriter):
 
 
 class _VersionFilePartition(InputPartition):
-    def __init__(self, path: str, version: int, tombstone: bool = False):
+    def __init__(self, path: str, version: int, tombstone: bool = False,
+                 formers=None):
         self.path = path
         self.version = version
         self.tombstone = tombstone
+        #: {declared name: (former spellings,)} as of the file's OWN
+        #: snapshot version — files carry whatever spelling was current
+        #: when they were written (RENAME COLUMN support)
+        self.formers = formers or {}
 
 
 class BazofStreamReader(DataSourceStreamReader):
@@ -656,6 +689,25 @@ class BazofStreamReader(DataSourceStreamReader):
         if s >= e:
             return []
         final = self._files_of(e)
+        # RENAME COLUMN across the replayed range: each column's rename
+        # chain (current name + all formers, from the LATEST snapshot —
+        # formers accumulate, so it covers every spelling the column
+        # ever had) maps the stream's fixed column names onto whatever
+        # spelling any individual file stores
+        fmap: dict[str, tuple] = {}
+        latest = self._table.get_snapshot(str(e)) if e > 0 else None
+        if latest is not None and latest.schema.has_formers():
+            stream_cols = [
+                n for n in self._schema.fieldNames()
+                if n not in ("_rank", "_row_idx", "_tombstone")
+            ]
+            for c in latest.schema.columns:
+                chain = (c.name, *c.formers)
+                for col in stream_cols:
+                    if col in chain:
+                        alts = tuple(x for x in chain if x != col)
+                        if alts:
+                            fmap[col] = alts
         out = []
         prev = self._files_of(s)
         prev_bases = self._base_files_of(s)
@@ -710,7 +762,8 @@ class BazofStreamReader(DataSourceStreamReader):
                     )
                 out.append(
                     _VersionFilePartition(
-                        self._table.data_file_path(f), v, f in tomb
+                        self._table.data_file_path(f), v, f in tomb,
+                        formers=fmap,
                     )
                 )
             prev, prev_bases = cur, cur_bases
@@ -738,6 +791,7 @@ class BazofStreamReader(DataSourceStreamReader):
             order,
             arrow_schema,
             tombstone=partition.tombstone,
+            formers=getattr(partition, "formers", None),
         ):
             yield from t.to_batches()
 

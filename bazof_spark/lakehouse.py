@@ -367,12 +367,32 @@ class Lakehouse:
         # reference's intra-file tie-break (first row wins among equal
         # (key, event_time) in one file, lakehouse.rs:54-79; its own
         # financials data contains such duplicates).
-        df = self.spark.read.schema(
-            snapshot.schema.to_struct_type()
-        ).parquet(*paths).select(
+        # RENAME COLUMN support: files written before a rename store the
+        # former name — the read schema carries former fields (nullable,
+        # same type) and each value column coalesces declared-then-former
+        # spellings (a file stores exactly one, so this is a disjoint
+        # union). Never-renamed tables take the identical plan as before
+        # (no extra fields, plain column refs — plan pins unaffected).
+        formers = {
+            c.name: c.formers
+            for c in snapshot.schema.columns
+            if c.formers and c.name in value_cols
+        }
+        value_exprs = [
+            F.coalesce(F.col(c), *[F.col(f) for f in formers[c]]).alias(c)
+            if c in formers
+            else F.col(c)
+            for c in value_cols
+        ]
+        read_schema = (
+            snapshot.schema.to_read_struct_type()
+            if formers
+            else snapshot.schema.to_struct_type()
+        )
+        df = self.spark.read.schema(read_schema).parquet(*paths).select(
             KEY_COL,
             EVENT_TIME_COL,
-            *value_cols,
+            *value_exprs,
             F.col("_metadata.row_index").alias("_row_idx"),
         )
 
@@ -831,6 +851,8 @@ class Lakehouse:
                     for n, t in maint.add_columns
                 ],
                 drop=list(maint.drop_columns),
+                rename=dict(maint.rename_columns),
+                widen={n: t for n, t in maint.widen_columns},
             )
             detail = " ".join(
                 filter(
@@ -841,6 +863,12 @@ class Lakehouse:
                         ) if maint.add_columns else "",
                         "dropped " + ", ".join(maint.drop_columns)
                         if maint.drop_columns else "",
+                        "renamed " + ", ".join(
+                            f"{o} to {n}" for o, n in maint.rename_columns
+                        ) if maint.rename_columns else "",
+                        "widened " + ", ".join(
+                            f"{n} to {t}" for n, t in maint.widen_columns
+                        ) if maint.widen_columns else "",
                     ],
                 )
             )

@@ -74,6 +74,7 @@ from bazof_spark.schema import (
     EVENT_TIME_COL,
     KEY_COL,
     ColumnDef,
+    ColumnType,
     TableSchema,
 )
 from bazof_spark.table import VERSION_FILE, Table
@@ -311,28 +312,59 @@ def evolve_table_schema(
     table_name: str,
     add: list[ColumnDef] | None = None,
     drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    widen: dict[str, "ColumnType | str"] | None = None,
 ) -> Snapshot:
     """Schema evolution (reference roadmap, README.md:159): commit a new
-    snapshot with columns added and/or dropped; data files are untouched.
+    snapshot with columns added, dropped, renamed and/or type-widened.
 
-    Metadata-only and O(1): the new snapshot reuses the existing segment
-    tree. Reads resolve per the snapshot's schema — files written before
-    an added column null-fill it (the scan reads with an explicit
-    StructType), files still carrying a dropped column simply don't have
-    it selected. Added columns must be nullable (existing rows have no
-    value for them). Renames/type-changes are not supported (same
-    stance as Delta Lake without column mapping).
+    ``add``/``drop``/``rename`` are metadata-only and O(1): the new
+    snapshot reuses the existing segment tree. Reads resolve per the
+    snapshot's schema — files written before an added column null-fill
+    it (the scan reads with an explicit StructType), files still
+    carrying a dropped column simply don't have it selected, and files
+    written before a RENAME keep the old name on disk: the renamed
+    ColumnDef records it in ``formers`` and every reader coalesces the
+    spellings (schema.to_read_struct_type). New writes use the new
+    name; no data moves.
+
+    ``widen`` (the documented type-widening rule): **Int → Float is the
+    only widening** in the type system (schema.rs:15-21 + our Float
+    extension). It is NOT metadata-only: Int is stored as parquet
+    int64, and int64 → double is a lossy promotion (>2⁵³) that Spark's
+    parquet reader deliberately refuses under an explicit read schema —
+    so the widen performs a structure-preserving REWRITE: every file
+    referenced by the current snapshot is re-written with the column
+    cast (row order preserved — the intra-file tie-break depends on
+    physical order), the segment tree keeps its exact shape/ids/stats
+    with new file names, and the old files stay on disk referenced by
+    prior snapshots (version travel to a pre-widen snapshot still reads
+    them with the old schema; vacuum reclaims them under its normal
+    retention). Values ≤ 2⁵³ in magnitude convert exactly. Narrowing
+    and other type changes are rejected.
     """
     add = add or []
     drop = drop or []
+    rename = dict(rename or {})
+    widen = {
+        k: (v if isinstance(v, ColumnType) else ColumnType(v))
+        for k, v in (widen or {}).items()
+    }
     table = lakehouse.table(table_name)
     version = table.current_version()
     snapshot = table.get_current_snapshot()
 
     existing = {c.name for c in snapshot.schema.columns}
+    former_names = snapshot.schema.former_names()
     for col in add:
         if col.name in existing or col.name in (KEY_COL, EVENT_TIME_COL):
             raise BazofError(f"column {col.name!r} already exists")
+        if col.name in former_names:
+            raise BazofError(
+                f"column name {col.name!r} is a FORMER name of a renamed "
+                "column — old data files still carry it, so reusing it "
+                "would alias their values into the new column"
+            )
         if not col.nullable:
             raise BazofError(
                 f"added column {col.name!r} must be nullable "
@@ -343,13 +375,67 @@ def evolve_table_schema(
             raise BazofError(f"cannot drop system column {name!r}")
         if name not in existing:
             raise BazofError(f"cannot drop unknown column {name!r}")
+    for old, new in rename.items():
+        if old in (KEY_COL, EVENT_TIME_COL):
+            raise BazofError(f"cannot rename system column {old!r}")
+        if old not in existing:
+            raise BazofError(f"cannot rename unknown column {old!r}")
+        if new in (KEY_COL, EVENT_TIME_COL) or new in existing:
+            raise BazofError(f"rename target {new!r} already exists")
+        if new in former_names or new in rename or list(
+            rename.values()
+        ).count(new) > 1:
+            raise BazofError(
+                f"rename target {new!r} collides with a former or "
+                "concurrently-renamed column name"
+            )
+    for name, target in widen.items():
+        if name not in existing:
+            raise BazofError(f"cannot widen unknown column {name!r}")
+        cur = next(c for c in snapshot.schema.columns if c.name == name)
+        if not (cur.data_type is ColumnType.INT and target is ColumnType.FLOAT):
+            raise BazofError(
+                f"unsupported type change {cur.data_type.value} -> "
+                f"{target.value} for {name!r}: the widening rule is "
+                "Int -> Float only (every other pair is a narrowing or "
+                "a re-interpretation)"
+            )
+        if name in rename or name in drop:
+            raise BazofError(
+                f"column {name!r} cannot be widened and renamed/dropped "
+                "in the same statement"
+            )
+
+    def _evolve_col(c: ColumnDef) -> ColumnDef:
+        if c.name in widen:
+            return ColumnDef(
+                name=c.name,
+                data_type=widen[c.name],
+                nullable=c.nullable,
+                formers=c.formers,
+            )
+        if c.name in rename:
+            return ColumnDef(
+                name=rename[c.name],
+                data_type=c.data_type,
+                nullable=c.nullable,
+                formers=c.formers + (c.name,),
+            )
+        return c
 
     new_columns = tuple(
-        c for c in snapshot.schema.columns if c.name not in set(drop)
+        _evolve_col(c)
+        for c in snapshot.schema.columns
+        if c.name not in set(drop)
     ) + tuple(add)
-    new_snapshot = Snapshot(
-        segments=snapshot.segments, schema=TableSchema(new_columns)
-    )
+    new_schema = TableSchema(new_columns)
+    segments = snapshot.segments
+    if widen:
+        segments = _rewrite_tree_with_cast(
+            table, snapshot.segments, snapshot.schema, widen,
+            suffix=f"w{int(version) + 1}",
+        )
+    new_snapshot = Snapshot(segments=segments, schema=new_schema)
     # locked CAS publish — see checkpoint_table's tail
     from bazof_spark.writer import _publish_snapshot
 
@@ -358,6 +444,66 @@ def evolve_table_schema(
     )
     _publish_snapshot(table.path, version, next_version, new_snapshot)
     return new_snapshot
+
+
+def _rewrite_tree_with_cast(
+    table,
+    segments,
+    old_schema: TableSchema,
+    widen: dict[str, ColumnType],
+    suffix: str,
+) -> tuple:
+    """Structure-preserving rewrite for type widening: every file in the
+    tree is re-written with the widened column(s) cast (pyarrow,
+    row-order preserved — the merge's intra-file tie-break is physical
+    position), under a new name ``{stem}__{suffix}.parquet``; segment
+    ids, ranges, and zone stats carry over unchanged (the cast touches
+    neither keys nor event times). Old files are left for prior
+    snapshots / vacuum. Former spellings of renamed columns are cast
+    in place under their stored name, so reader coalescing still works
+    post-widen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bazof_spark import iofs
+    from bazof_spark.metadata import Segment
+
+    # stored name -> target arrow type: the widened column may live in
+    # files under a former spelling too
+    targets: dict[str, pa.DataType] = {}
+    for c in old_schema.columns:
+        if c.name in widen:
+            for stored in (c.name, *c.formers):
+                targets[stored] = pa.float64()
+
+    def _rewrite_file(file: str) -> str:
+        stem = file[:-len(".parquet")] if file.endswith(".parquet") else file
+        new_name = f"{stem}__{suffix}.parquet"
+        src_fs, src_rel = iofs._split(table.data_file_path(file))
+        t = pq.read_table(src_rel, filesystem=src_fs)
+        fields = []
+        for f in t.schema:
+            tgt = targets.get(f.name)
+            fields.append(f.with_type(tgt) if tgt is not None else f)
+        t = t.cast(pa.schema(fields))
+        dst_fs, dst_rel = iofs._split(table.data_file_path(new_name))
+        pq.write_table(t, dst_rel, filesystem=dst_fs)
+        return new_name
+
+    import dataclasses
+
+    def _walk(seg: Segment) -> Segment:
+        return dataclasses.replace(
+            seg,
+            file=_rewrite_file(seg.file) if seg.file else seg.file,
+            segments=tuple(_walk(s) for s in seg.segments),
+            delta=tuple(
+                dataclasses.replace(d, file=_rewrite_file(d.file))
+                for d in seg.delta
+            ),
+        )
+
+    return tuple(_walk(s) for s in segments)
 
 
 # ---------------------------------------------------------------------------

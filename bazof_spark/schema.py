@@ -98,11 +98,20 @@ def column_type_from_spark(dt: DataType) -> ColumnType:
 
 @dataclass(frozen=True)
 class ColumnDef:
-    """One declared value column (crates/azof/src/schema.rs:23-28)."""
+    """One declared value column (crates/azof/src/schema.rs:23-28).
+
+    ``formers`` (ours — RENAME COLUMN support): earlier names this
+    column was stored under. Data files written before a rename carry
+    the old name; readers include every former as a nullable read field
+    of the same type and COALESCE into the declared name (a file stores
+    exactly one spelling, so coalesce is a disjoint-union, never a
+    merge). Serialized only when non-empty, so reference-authored and
+    never-renamed snapshots are byte-identical to before."""
 
     name: str
     data_type: ColumnType
     nullable: bool = False
+    formers: tuple[str, ...] = ()
 
     @staticmethod
     def from_json(obj: dict) -> "ColumnDef":
@@ -111,16 +120,20 @@ class ColumnDef:
                 name=obj["name"],
                 data_type=ColumnType(obj["data_type"]),
                 nullable=bool(obj.get("nullable", False)),
+                formers=tuple(obj.get("formers", ())),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad column definition {obj!r}: {exc}") from exc
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "name": self.name,
             "data_type": self.data_type.value,
             "nullable": self.nullable,
         }
+        if self.formers:
+            out["formers"] = list(self.formers)
+        return out
 
 
 @dataclass(frozen=True)
@@ -198,3 +211,24 @@ class TableSchema:
                     StructField(col.name, col.data_type.to_spark(), col.nullable)
                 )
         return StructType(fields)
+
+    def has_formers(self) -> bool:
+        return any(c.formers for c in self.columns)
+
+    def to_read_struct_type(self) -> StructType:
+        """The READ schema for data files: every declared field PLUS a
+        nullable field per former name (same type — a rename never
+        changes the type). Pre-rename files populate the former field
+        and null-fill the declared one; post-rename files the reverse;
+        :meth:`former_coalesce_exprs` folds them back together. When no
+        column has formers this is exactly :meth:`to_struct_type`."""
+        fields = list(self.to_struct_type().fields)
+        for col in self.columns:
+            for former in col.formers:
+                fields.append(
+                    StructField(former, col.data_type.to_spark(), True)
+                )
+        return StructType(fields)
+
+    def former_names(self) -> set[str]:
+        return {f for c in self.columns for f in c.formers}

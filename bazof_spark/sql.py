@@ -566,6 +566,16 @@ _ALTER_DROP_RE = re.compile(
     r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_RENAME_RE = re.compile(
+    rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+RENAME\s+COLUMN\s+"
+    rf"(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_RE = re.compile(
+    rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+ALTER\s+COLUMN\s+"
+    rf"(?P<col>{_IDENT})\s+(?:SET\s+DATA\s+)?TYPE\s+(?P<typ>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 #: SQL type spellings → azof ColumnType names (schema.ColumnType)
 SQL_TYPE_NAMES = {
@@ -597,6 +607,10 @@ class MaintenanceStatement:
     add_columns: tuple = ()
     #: for "alter": dropped column names
     drop_columns: tuple = ()
+    #: for "alter": ((old, new), ...) renames
+    rename_columns: tuple = ()
+    #: for "alter": ((column, ColumnType name), ...) type widenings
+    widen_columns: tuple = ()
 
 
 def parse_maintenance(sql: str) -> "MaintenanceStatement | None":
@@ -660,5 +674,25 @@ def parse_maintenance(sql: str) -> "MaintenanceStatement | None":
         )
         return MaintenanceStatement(
             kind="alter", table=m.group("name"), drop_columns=drops
+        )
+    m = _ALTER_RENAME_RE.match(head)
+    if m:
+        return MaintenanceStatement(
+            kind="alter",
+            table=m.group("name"),
+            rename_columns=((m.group("old"), m.group("new")),),
+        )
+    m = _ALTER_TYPE_RE.match(head)
+    if m:
+        ct = SQL_TYPE_NAMES.get(m.group("typ").upper())
+        if ct is None:
+            raise SqlRewriteError(
+                f"unsupported column type {m.group('typ')!r}; one of "
+                f"{sorted(set(SQL_TYPE_NAMES))}"
+            )
+        return MaintenanceStatement(
+            kind="alter",
+            table=m.group("name"),
+            widen_columns=((m.group("col"), ct),),
         )
     return None

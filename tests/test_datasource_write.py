@@ -324,6 +324,48 @@ def test_stream_reader_tails_committed_versions(spark, root, tmp_path):
     assert tail == {("b", 2): 2.0}
 
 
+def test_stream_reads_across_a_rename(spark, root, tmp_path):
+    """A RENAME COLUMN mid-history must not break streaming replay: the
+    stream's schema is fixed at start (old name); files committed after
+    the rename store the NEW spelling, and the per-version formers map
+    resolves them back into the stream's column."""
+    from bazof_spark.datasource import BazofDataSource
+    from bazof_spark.maintenance import evolve_table_schema
+
+    spark.dataSource.register(BazofDataSource)
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]),
+        root, "t", mode="overwrite",
+    )
+    lh = Lakehouse(spark, root)
+    evolve_table_schema(lh, "t", rename={"value": "amount"})
+    # post-rename commit stores the NEW name
+    lh.write(
+        mkdf(spark, [("b", ts("2024-02-01T00:00:00"), 2.0)]).withColumnRenamed(
+            "value", "amount"
+        ),
+        "t",
+    )
+    q = (
+        spark.readStream.format("bazof")
+        .option("path", root)
+        .option("table", "t")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("sr_renamed")
+        .option("checkpointLocation", str(tmp_path / "cp_renamed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sr_renamed").collect()
+    # the stream started AFTER the rename, so its schema carries the
+    # new name; the pre-rename file's old spelling maps into it
+    got = {r["key"]: r["amount"] for r in rows}
+    assert got == {"a": 1.0, "b": 2.0}
+
+
 def test_lakehouse_write_method(spark, root):
     lh = Lakehouse(spark, root)
     lh.write(

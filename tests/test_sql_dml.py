@@ -659,6 +659,143 @@ def test_alter_table_end_to_end(spark, lh):
     assert lh.sql("SELECT key FROM t").count() == 4
 
 
+def test_parse_alter_rename_and_widen_detection():
+    from bazof_spark.sql import SqlRewriteError, parse_maintenance
+
+    m = parse_maintenance("ALTER TABLE t RENAME COLUMN a TO b")
+    assert m.kind == "alter" and m.rename_columns == (("a", "b"),)
+    assert m.add_columns == () and m.widen_columns == ()
+    m = parse_maintenance("alter table x.y rename column old_v to v;")
+    assert m.rename_columns == (("old_v", "v"),)
+    m = parse_maintenance("ALTER TABLE t ALTER COLUMN n TYPE DOUBLE")
+    assert m.kind == "alter" and m.widen_columns == (("n", "Float"),)
+    m = parse_maintenance("ALTER TABLE t ALTER COLUMN n SET DATA TYPE FLOAT")
+    assert m.widen_columns == (("n", "Float"),)
+    with pytest.raises(SqlRewriteError, match="unsupported column type"):
+        parse_maintenance("ALTER TABLE t ALTER COLUMN n TYPE BLOB")
+    assert parse_maintenance("SELECT 'ALTER TABLE t RENAME COLUMN a TO b'") \
+        is None
+
+
+def test_rename_column_end_to_end(spark, lh):
+    """RENAME COLUMN is metadata-only: old files keep the former name on
+    disk; scans coalesce the spellings; new writes use the new name;
+    version travel to a pre-rename snapshot still shows the old name."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS amount
+          FROM range(3)
+        """
+    )
+    v1 = int(lh.table("t").current_version())
+    [st] = lh.sql("ALTER TABLE t RENAME COLUMN amount TO total").collect()
+    assert st["operation"] == "alter" and "renamed amount to total" in st["detail"]
+
+    # scan resolves old files through the former name
+    got = {r["key"]: r["total"] for r in lh.sql("SELECT key, total FROM t").collect()}
+    assert got == {"0": 0.0, "1": 1.0, "2": 2.0}
+    assert "total" in {r["column"] for r in lh.sql("DESCRIBE t").collect()}
+
+    # new writes use the NEW name; mixed old/new files coalesce
+    lh.sql("INSERT INTO t SELECT '9', timestamp'2024-02-01', 99.0")
+    lh.sql("INSERT INTO t SELECT '0', timestamp'2024-02-01', 42.0")
+    got = {r["key"]: r["total"] for r in lh.sql("SELECT key, total FROM t").collect()}
+    assert got == {"0": 42.0, "1": 1.0, "2": 2.0, "9": 99.0}
+
+    # version travel to the pre-rename snapshot shows the OLD schema
+    old = lh.scan("t", version=v1)
+    assert "amount" in old.columns and "total" not in old.columns
+
+    # the Data Source read path agrees with the native scan
+    from bazof_spark.datasource import read_table
+
+    via = read_table(spark, lh.root, "t")
+    assert sorted(
+        map(tuple, via.select("key", "total").collect())
+    ) == sorted(got.items())
+
+    # UPDATE/DELETE work on the renamed column
+    lh.sql("UPDATE t SET total = total + 1 WHERE key = '1'")
+    [row] = lh.sql("SELECT total FROM t WHERE key = '1'").collect()
+    assert row["total"] == 2.0
+
+    # a checkpoint after the rename migrates Current and stays correct
+    from bazof_spark.maintenance import checkpoint_table, validate_table
+
+    from datetime import datetime, timezone
+
+    checkpoint_table(lh, "t", datetime.now(timezone.utc))
+    got2 = {r["key"]: r["total"] for r in lh.sql("SELECT key, total FROM t").collect()}
+    assert got2 == {"0": 42.0, "1": 2.0, "2": 2.0, "9": 99.0}
+    validate_table(lh, "t").raise_if_invalid()
+
+    # guard rails: former names cannot be reused, targets must be free
+    with pytest.raises(BazofError, match="FORMER name"):
+        lh.sql("ALTER TABLE t ADD COLUMN amount DOUBLE")
+    with pytest.raises(BazofError, match="already exists"):
+        lh.sql("ALTER TABLE t RENAME COLUMN total TO key")
+    with pytest.raises(BazofError, match="unknown column"):
+        lh.sql("ALTER TABLE t RENAME COLUMN ghost TO g2")
+
+
+def test_widen_column_end_to_end(spark, lh):
+    """Int -> Float widening: declared type changes, every referenced
+    file is rewritten with the cast (row order preserved), history
+    stays readable at every as-of, pre-widen version travel keeps the
+    old schema, and post-widen writes carry fractional values."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id * 10 AS BIGINT) AS n
+          FROM range(3)
+        """
+    )
+    lh.sql("INSERT INTO t SELECT '0', timestamp'2024-02-01', CAST(7 AS BIGINT)")
+    v_pre = int(lh.table("t").current_version())
+    [st] = lh.sql("ALTER TABLE t ALTER COLUMN n TYPE DOUBLE").collect()
+    assert "widened n to Float" in st["detail"]
+
+    assert dict(lh.scan("t").dtypes)["n"] == "double"
+    got = {r["key"]: r["n"] for r in lh.sql("SELECT key, n FROM t").collect()}
+    assert got == {"0": 7.0, "1": 10.0, "2": 20.0}
+    # as-of BEFORE the later upsert still sees the original values —
+    # the rewrite preserved the whole history, not just Current
+    old = {
+        r["key"]: r["n"]
+        for r in lh.sql(
+            "SELECT key, n FROM t AT ('2024-01-15T00:00:00.000Z')"
+        ).collect()
+    }
+    assert old == {"0": 0.0, "1": 10.0, "2": 20.0}
+    # version travel to the pre-widen snapshot reads the OLD files
+    # with the OLD type
+    pre = lh.scan("t", version=v_pre)
+    assert dict(pre.dtypes)["n"] == "bigint"
+    assert {r["key"]: r["n"] for r in pre.collect()} == {
+        "0": 7, "1": 10, "2": 20,
+    }
+
+    # post-widen writes carry fractional values
+    lh.sql("INSERT INTO t SELECT '1', timestamp'2024-03-01', 1.5")
+    [row] = lh.sql("SELECT n FROM t WHERE key = '1'").collect()
+    assert row["n"] == 1.5
+
+    from bazof_spark.maintenance import validate_table
+
+    validate_table(lh, "t").raise_if_invalid()
+
+    # the rule is Int -> Float ONLY; system columns are not widenable
+    with pytest.raises(BazofError, match="unknown column"):
+        lh.sql("ALTER TABLE t ALTER COLUMN key TYPE DOUBLE")
+    with pytest.raises(BazofError, match="widening rule|unknown column"):
+        lh.sql("ALTER TABLE t ALTER COLUMN n TYPE BIGINT")
+
+
 def test_concurrent_updates_lose_no_increments(spark, lh):
     """The lost-update litmus: N threads each apply 'value = value + 1'
     through Lakehouse.update with a retry-on-conflict loop. Because
