@@ -455,7 +455,7 @@ def test_tombstone_and_update_scans_stay_one_shuffle(spark):
     versions win) inside the SAME single map-side-combined merge
     exchange as a plain scan — the extensions must not add a second
     shuffle or un-prune the scan."""
-    for name in ("delete_tombstone_scan", "update_set_scan"):
+    for name in ("delete_tombstone_scan", "update_set_scan", "merge_delete_scan"):
         df = q(name, spark)
         assert shuffle_count(df) <= 1, name
         for cols in scan_columns(df):
