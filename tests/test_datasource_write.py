@@ -366,6 +366,42 @@ def test_stream_reads_across_a_rename(spark, root, tmp_path):
     assert got == {"a": 1.0, "b": 2.0}
 
 
+def test_stream_fails_fast_across_a_widen(spark, root, tmp_path):
+    """Type widening rewrites every referenced file; replaying that
+    version through a stream would double-deliver history under a now-
+    incompatible schema, so it must hit the rewrite fail-fast (same
+    contract as checkpoint/overwrite), not silently re-emit."""
+    import pyspark.sql.functions as F
+
+    from bazof_spark.datasource import BazofDataSource
+    from bazof_spark.maintenance import evolve_table_schema
+    from bazof_spark.schema import ColumnType
+
+    spark.dataSource.register(BazofDataSource)
+    write_table(
+        mkdf(spark, [("a", ts("2024-01-01T00:00:00"), 1.0)]).withColumn(
+            "value", F.col("value").cast("bigint")
+        ),
+        root, "t", mode="overwrite",
+    )
+    lh = Lakehouse(spark, root)
+    evolve_table_schema(lh, "t", widen={"value": ColumnType.FLOAT})
+    q = (
+        spark.readStream.format("bazof")
+        .option("path", root)
+        .option("table", "t")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("sr_widen")
+        .option("checkpointLocation", str(tmp_path / "cp_widen"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrote data files"):
+        q.awaitTermination(120)
+
+
 def test_lakehouse_write_method(spark, root):
     lh = Lakehouse(spark, root)
     lh.write(

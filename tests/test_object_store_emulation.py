@@ -339,3 +339,44 @@ def test_delete_keys_on_s3_scheme(spark, s3_root):
     } == {"a", "b"}
     report = validate_table(Lakehouse(spark, uri), "td", data_checks=False)
     assert not report.errors, report.errors
+
+
+def test_widen_and_rename_on_s3_scheme(spark, s3_root):
+    """Schema evolution on an object-store root: RENAME is metadata-only
+    (iofs snapshot PUT), WIDEN's file rewrite routes every read/write
+    through the iofs seam — both must work on URI table paths, not just
+    local directories."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from bazof_spark.maintenance import evolve_table_schema, validate_table
+    from bazof_spark.schema import ColumnType
+
+    uri, local = s3_root
+    table_uri = iofs.join(uri, "ev")
+    schema = TableSchema(
+        columns=(ColumnDef(name="n", data_type=ColumnType.INT, nullable=False),)
+    )
+    w = TableWriter(spark, table_uri, schema)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w.add_segment(
+        "s1",
+        start=t0,
+        base_df=spark.createDataFrame(
+            [Row(key="a", event_time=t0, n=1), Row(key="b", event_time=t0, n=2)]
+        ).withColumn("n", F.col("n").cast("bigint")),
+    )
+    w.commit("1")
+
+    s3_lh = Lakehouse(spark, uri)
+    evolve_table_schema(s3_lh, "ev", rename={"n": "qty"})
+    evolve_table_schema(s3_lh, "ev", widen={"qty": ColumnType.FLOAT})
+    # metadata-side validation on the URI root stays clean (rewritten
+    # files exist at their URI paths)
+    report = validate_table(s3_lh, "ev", data_checks=False)
+    assert not report.errors, report.errors
+    # scan through the mirror: values survived rename + cast
+    lh = Lakehouse(spark, iofs.emulated_mirror(uri))
+    got = {r["key"]: r["qty"] for r in lh.scan("ev").collect()}
+    assert got == {"a": 1.0, "b": 2.0}
+    assert dict(lh.scan("ev").dtypes)["qty"] == "double"
