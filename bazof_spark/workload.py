@@ -2841,12 +2841,154 @@ def _pq_trained_recall_sql(pq_sql: str) -> str:
     """
 
 
+def _ivfpq_trained_oracle_sql(
+    n_lists: int = 16,
+    n_probe: int = 4,
+    cent_seed: int = 13,
+    m_subs: int = 8,
+    n_codes: int = 16,
+    cb_seed: int = 29,
+    sample_rows: int = 256,
+    k: int = 5,
+    rerank: int = 20,
+) -> str | None:
+    """DuckDB twin of embedding_ann_ivfpq_trained_q: BOTH training
+    stages (spherical k-means coarse centroids + per-subspace L2
+    k-means codebooks) re-derived in numpy from the same bounded
+    parquet sample and embedded as literals; assignment/probe then
+    mirror the trained-IVF oracle and encode/LUT/ADC/re-rank mirror
+    the trained-PQ oracle, composed the way the fixed-slice IVFPQ
+    oracle composes its parents."""
+    import duckdb
+    import numpy as np
+
+    from bazof_spark.operators.similarity import (
+        _lloyd_kmeans,
+        _lloyd_kmeans_l2,
+    )
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"ORDER BY vec_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    raw = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = _lloyd_kmeans(raw, n_lists, cent_seed)
+    x = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m_subs:
+        return None
+    sub = dim // m_subs
+    subvecs = x.reshape(len(x), m_subs, sub)
+    cb = np.stack(
+        [
+            _lloyd_kmeans_l2(subvecs[:, m, :], n_codes, cb_seed + m)
+            for m in range(m_subs)
+        ]
+    )
+    cent_vals = ", ".join(
+        f"({lid}, [{', '.join(repr(float(v)) for v in vec)}]::DOUBLE[])"
+        for lid, vec in enumerate(cent)
+    )
+    cb_vals = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(float(v)) for v in cb[m, j])}]::DOUBLE[])"
+        for m in range(m_subs)
+        for j in range(n_codes)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   list_transform(raw, x -> x * (1.0 / greatest(
+                       sqrt(list_dot_product(raw, raw)), 1e-12))) AS v
+            FROM e
+        ),
+        cent AS (SELECT * FROM (VALUES {cent_vals}) t(lid, cvv)),
+        ca AS (
+            SELECT vec_id AS cid, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(raw, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent
+        ),
+        assign AS (SELECT cid, lid FROM ca WHERE rn = 1),
+        qp AS (
+            SELECT vec_id AS qid, lid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(raw, cvv) DESC, lid
+                   ) AS rn
+            FROM e CROSS JOIN cent WHERE vec_id < 10
+        ),
+        probe AS (SELECT qid, lid FROM qp WHERE rn <= {n_probe}),
+        cb AS (SELECT * FROM (VALUES {cb_vals}) t(m, code, cv)),
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT n.vec_id, cb.m, cb.code,
+                       row_number() OVER (PARTITION BY n.vec_id, cb.m
+                           ORDER BY list_distance(
+                               n.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cv
+                           ) ASC, cb.code ASC
+                       ) AS rn
+                FROM n CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS qid, cb.m, cb.code,
+                   list_dot_product(
+                       q.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cv) AS part
+            FROM n q CROSS JOIN cb WHERE q.vec_id < 10
+        ),
+        approx AS (
+            SELECT p.qid, enc.vec_id AS cid, round(SUM(l.part), 6) AS asim
+            FROM enc
+            JOIN assign a ON a.cid = enc.vec_id
+            JOIN probe p ON p.lid = a.lid
+            JOIN lut l ON l.qid = p.qid AND l.m = enc.m AND l.code = enc.code
+            WHERE p.qid != enc.vec_id
+            GROUP BY p.qid, enc.vec_id
+        ),
+        cand AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (
+                    PARTITION BY qid ORDER BY asim DESC, cid
+                ) AS rn FROM approx
+            ) WHERE rn <= {rerank}
+        ),
+        s AS (
+            SELECT cand.qid, cand.cid,
+                   list_cosine_similarity(eq.raw, ec.raw) AS sim
+            FROM cand
+            JOIN e eq ON eq.vec_id = cand.qid
+            JOIN e ec ON ec.vec_id = cand.cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= {k}
+    """
+
+
 _pq_trained_sql = _pq_trained_oracle_sql()
 if _pq_trained_sql is not None:
     _PIPELINE_ORACLES["embedding_ann_pq_trained"] = _pq_trained_sql
     _PIPELINE_ORACLES["ann_recall_pq_trained"] = _pq_trained_recall_sql(
         _pq_trained_sql
     )
+_ivfpq_trained_sql = _ivfpq_trained_oracle_sql()
+if _ivfpq_trained_sql is not None:
+    _PIPELINE_ORACLES["embedding_ann_ivfpq_trained"] = _ivfpq_trained_sql
 
 
 def refresh_env_dependent_oracles() -> None:
@@ -2872,6 +3014,10 @@ def refresh_env_dependent_oracles() -> None:
         ORACLES["ann_recall_pq_trained"] = _PIPELINE_ORACLES[
             "ann_recall_pq_trained"
         ]
+    ivfpq_sql = _ivfpq_trained_oracle_sql()
+    if ivfpq_sql is not None:
+        _PIPELINE_ORACLES["embedding_ann_ivfpq_trained"] = ivfpq_sql
+        ORACLES["embedding_ann_ivfpq_trained"] = ivfpq_sql
 
 
 def span_dedup_q(spark, sf_dir):
@@ -3030,6 +3176,35 @@ def embedding_ann_pq_trained_q(spark, sf_dir):
     return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
     )
+
+
+def embedding_ann_ivfpq_trained_q(spark, sf_dir):
+    """The fully-trained composed index — trained coarse quantizer
+    (seeded spherical k-means, the embedding_ann_ivf_trained path) IN
+    FRONT OF trained PQ codebooks (per-subspace L2 k-means, the
+    embedding_ann_pq_trained path): the exact production IVF-PQ shape,
+    with BOTH training stages re-derived by the oracle from the same
+    bounded parquet sample so the whole train→assign→encode→probe→ADC→
+    re-rank chain is cross-engine verified."""
+    from bazof_spark.operators.similarity import (
+        _train_centroids,
+        pq_codebooks_trained,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cent = _train_centroids(
+        emb, "embedding", n_lists=16, seed=13, sample_rows=256,
+        id_col="vec_id",
+    )
+    cb = pq_codebooks_trained(
+        emb, m_subs=8, n_codes=16, seed=29, sample_rows=256
+    )
+    return ivf_pq_topk(
+        emb, queries, cb, cent, k=5, n_probe=4, rerank=20
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
 def ann_recall_pq_trained_q(spark, sf_dir):
@@ -3351,6 +3526,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_pq": ann_recall_pq_q,
     "embedding_ann_ivfpq": embedding_ann_ivfpq_q,
     "ann_recall_ivfpq": ann_recall_ivfpq_q,
+    "embedding_ann_ivfpq_trained": embedding_ann_ivfpq_trained_q,
     "embedding_ann_pq_trained": embedding_ann_pq_trained_q,
     "ann_recall_pq_trained": ann_recall_pq_trained_q,
     "span_dedup": span_dedup_q,

@@ -438,7 +438,11 @@ def test_ivfpq_and_trained_pq_plans_bounded(spark):
     PQ keep the ADC plan shape — map-only corpus pass (list assignment
     + encode in one select), broadcast LUT/candidate/query joins, two
     top-k windows. Any shuffled join here moves corpus-sized data."""
-    for name in ("embedding_ann_ivfpq", "embedding_ann_pq_trained"):
+    for name in (
+        "embedding_ann_ivfpq",
+        "embedding_ann_pq_trained",
+        "embedding_ann_ivfpq_trained",
+    ):
         df = q(name, spark)
         assert shuffle_count(df) <= 2, name
         assert broadcast_join_count(df) >= 3, name
