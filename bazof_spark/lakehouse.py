@@ -997,6 +997,54 @@ class Lakehouse:
                 "table string, version string, operation string",
             )
 
+        if dml.kind == "merge_insert":
+            # MERGE ... WHEN NOT MATCHED THEN INSERT *: append ONLY the
+            # source rows whose keys are absent from Current — a plain
+            # append would upsert (shadow) existing keys. Read-modify-
+            # write like merge-delete: pin, anti-join, CAS on commit.
+            if not self.has_table(dml.table):
+                raise BazofError(
+                    f"cannot MERGE into missing table {dml.table!r}"
+                )
+            from bazof_spark.writer import append_delta
+
+            pinned = self.table(dml.table).current_version()
+            src = self.sql(dml.select.rstrip().rstrip(";"))
+            schema = self.table(dml.table).get_current_snapshot().schema
+            expected = ["key", "event_time", *schema.column_names()]
+            if set(src.columns) != set(expected) and len(src.columns) == len(
+                expected
+            ):
+                src = src.toDF(*expected)  # positional, like INSERT
+            # (declared-type casting — DECIMAL literals etc. — happens
+            # inside append_delta for every writer path)
+            view = self._fresh_current_view(dml.table)
+            try:
+                src_view = f"{view}__src"
+                src.createOrReplaceTempView(src_view)
+                fresh = self.spark.sql(
+                    f"SELECT s.* FROM {src_view} s LEFT ANTI JOIN {view} t "
+                    "ON s.key = t.key"
+                )
+                if not fresh.isEmpty():
+                    append_delta(
+                        self.spark,
+                        self.table(dml.table).path,
+                        fresh,
+                        create_segment=True,
+                        expected_version=pinned,
+                    )
+            finally:
+                self.spark.catalog.dropTempView(view)
+                self.spark.catalog.dropTempView(src_view)
+            if self.spark.catalog.tableExists(dml.table):
+                self.scan(dml.table).createOrReplaceTempView(dml.table)
+            version = self.table(dml.table).current_version()
+            return self.spark.createDataFrame(
+                [(dml.table, version, "merge_insert")],
+                "table string, version string, operation string",
+            )
+
         if dml.kind == "update":
             self.update(dml.table, dict(dml.sets), where=dml.select)
             if self.spark.catalog.tableExists(dml.table):

@@ -304,6 +304,15 @@ _MERGE_DELETE_SUFFIX_RE = re.compile(
     r"(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+DELETE\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# the insert-only form: MERGE INTO t USING <src> ON key
+# WHEN NOT MATCHED THEN INSERT * — append only the source rows whose
+# keys are absent from the target's Current state; existing keys are
+# left untouched (a plain MERGE would upsert them). Version-pinned so
+# a key committed concurrently can't be silently overwritten.
+_MERGE_INSERT_ONLY_SUFFIX_RE = re.compile(
+    r"\s+ON\s+key\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
 # format's merge-by-key: matching rows are re-read with the SET
@@ -391,7 +400,8 @@ _DELETE_RE = re.compile(
 
 @dataclass(frozen=True)
 class DmlStatement:
-    kind: str  # "ctas"|"insert"|"merge"|"merge_delete"|"delete"|"update"
+    #: "ctas"|"insert"|"merge"|"merge_delete"|"merge_insert"|"delete"|"update"
+    kind: str
     table: str
     replace: bool
     select: str  # for "delete"/"update": the WHERE predicate ("" = all)
@@ -479,6 +489,16 @@ def parse_dml(sql: str) -> DmlStatement | None:
                 select=select[: dele.start()],
                 pred=(dele.group("pred") or "").strip(),
             )
+        elif (
+            (ins := _MERGE_INSERT_ONLY_SUFFIX_RE.search(select)) is not None
+            and not _inside(ins.start(), spans)
+        ):
+            return DmlStatement(
+                kind="merge_insert",
+                table=m.group("name"),
+                replace=False,
+                select=select[: ins.start()],
+            )
         else:
             # a WHEN [NOT] MATCHED clause that is NOT the canonical
             # full-row upsert must error, never silently run with
@@ -493,8 +513,10 @@ def parse_dml(sql: str) -> DmlStatement | None:
                         "merges-by-key; the optional clause must be "
                         "exactly 'ON key WHEN MATCHED THEN UPDATE SET "
                         "* WHEN NOT MATCHED THEN INSERT *' (full-row "
-                        "upsert) or 'ON key WHEN MATCHED [AND <pred>] "
-                        "THEN DELETE' (tombstone the matched keys), "
+                        "upsert), 'ON key WHEN MATCHED [AND <pred>] "
+                        "THEN DELETE' (tombstone the matched keys), or "
+                        "'ON key WHEN NOT MATCHED THEN INSERT *' "
+                        "(insert-only — existing keys untouched), "
                         f"got: {select[cand.start():].strip()!r}"
                     )
         return DmlStatement(

@@ -611,7 +611,20 @@ def append_delta(
         ]
         if fills:
             df = df.select("*", *fills)
-        ordered = df.select(KEY_COL, EVENT_TIME_COL, *schema.column_names())
+        # cast to the DECLARED column types: a batch carrying e.g. a
+        # DECIMAL (SQL literal) or INT where the schema says Float/Int64
+        # would otherwise be written verbatim, and the committed delta's
+        # divergent parquet type then breaks every later explicit-schema
+        # scan until RESTORE (the UPDATE path had exactly this bug). A
+        # matching type is a no-op cast Catalyst elides.
+        ordered = df.select(
+            F.col(KEY_COL).cast("string").alias(KEY_COL),
+            F.col(EVENT_TIME_COL).cast("timestamp").alias(EVENT_TIME_COL),
+            *[
+                F.col(c.name).cast(c.data_type.to_spark()).alias(c.name)
+                for c in schema.columns
+            ],
+        )
     # one materialization for the up-to-three consumers (invariant
     # check, min/max bounds, the write itself) — without it each re-runs
     # the batch's full lineage as its own Spark job

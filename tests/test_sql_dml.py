@@ -522,6 +522,76 @@ def test_merge_delete_end_to_end(spark, lh):
         )
 
 
+def test_parse_merge_insert_only_detection():
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge_insert" and d.table == "t"
+    assert d.select.strip() == "SELECT * FROM s"
+    # the canonical two-clause form still parses as plain merge
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key WHEN MATCHED THEN "
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge"
+
+
+def test_merge_insert_only_end_to_end(spark, lh):
+    """Insert-only merge: absent keys append, existing keys are left
+    UNTOUCHED (a plain MERGE would upsert them), and the commit pins
+    the anti-join's read version."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(3)
+        """
+    )
+    [st] = lh.sql(
+        "MERGE INTO t USING "
+        "SELECT '1' AS key, timestamp'2024-02-01' AS event_time, 99.0 AS value "
+        "UNION ALL SELECT '9', timestamp'2024-02-01', 9.0 "
+        "ON key WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert st["operation"] == "merge_insert"
+    got = {r["key"]: r["value"] for r in lh.sql("SELECT key, value FROM t").collect()}
+    # key '1' existed: NOT overwritten; key '9' was absent: inserted
+    assert got == {"0": 0.0, "1": 1.0, "2": 2.0, "9": 9.0}
+
+    # all-matched source is a version no-op
+    v = lh.table("t").current_version()
+    lh.sql(
+        "MERGE INTO t USING SELECT '0' AS key, "
+        "timestamp'2024-03-01' AS event_time, 5.0 AS value "
+        "ON key WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert lh.table("t").current_version() == v
+
+    # version pin reaches the commit
+    import bazof_spark.writer as w
+
+    seen = {}
+    orig = w.append_delta
+
+    def spy(spark, table_path, df, **kw):
+        seen.update(kw)
+        return orig(spark, table_path, df, **kw)
+
+    w.append_delta = spy
+    try:
+        lh.sql(
+            "MERGE INTO t USING SELECT 'z' AS key, "
+            "timestamp'2024-03-01' AS event_time, 1.0 AS value "
+            "ON key WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        w.append_delta = orig
+    assert seen.get("expected_version") is not None
+
+
 def test_merge_delete_pins_read_version(spark, lh):
     """merge-delete is a read-modify-write: the tombstone commit must
     CAS against the version the matched set was computed on."""

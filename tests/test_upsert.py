@@ -417,3 +417,30 @@ def test_fresh_foreign_lock_conflicts_cleanly(spark, tmp_path):
     with pytest.raises(CommitConflictError, match="lock held"):
         _append(spark, table_path, _df(spark, [("9", ts(2024, 3, 1), "z1")]))
     assert os.path.exists(lock)  # not stolen from a live writer
+
+
+def test_append_delta_casts_to_declared_types(spark, tmp_path):
+    """A batch carrying SQL-flavored types (DECIMAL literal, int where
+    the schema says Int64-as-string here) must be cast to the DECLARED
+    column types at write: an uncast delta's divergent parquet type
+    would break every later explicit-schema scan until RESTORE."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.writer import append_delta
+
+    lh = _seed_table(spark, str(tmp_path))
+    # value column is declared String; hand it an INT batch
+    bad = spark.createDataFrame(
+        [("9", ts(2024, 2, 1), 123)],
+        "key string, event_time timestamp, value int",
+    )
+    append_delta(spark, f"{tmp_path}/t", bad, create_segment=True)
+    got = dict(_current(lh))
+    assert got["9"] == "123"  # cast to the declared String
+    # and a DECIMAL into a declared-String column also round-trips
+    dec = spark.createDataFrame(
+        [("8", ts(2024, 2, 2))], "key string, event_time timestamp"
+    ).select("key", "event_time", F.lit(1.5).cast("decimal(3,1)").alias("value"))
+    append_delta(spark, f"{tmp_path}/t", dec)
+    assert dict(_current(lh))["8"] == "1.5"
