@@ -49,6 +49,60 @@ def exact_dedup(
     )
 
 
+def exact_dedup_source_priority(
+    df: DataFrame,
+    priority: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact dedup where the surviving copy is chosen by SOURCE
+    priority — the production rule when duplicates span provenance
+    tiers (a page present in a curated corpus AND a web crawl keeps the
+    curated copy, whatever its id). ``priority`` lists sources best
+    first; unlisted sources rank after every listed one, ties (same
+    tier) break to the lowest id, so the choice is total and
+    deterministic.
+
+    Output: (digest, keep_id, keep_source, n_copies).
+
+    Scale shape: identical to :func:`exact_dedup` — ONE map-side-
+    combined groupBy on 16-byte digests; the winner is a min over a
+    (rank, id) struct, so no window/second shuffle, and the priority
+    list rides as a literal map expression (bytes, not a join)."""
+    rank = F.create_map(
+        *[
+            x
+            for i, s in enumerate(priority)
+            for x in (F.lit(s), F.lit(i))
+        ]
+    )
+    pr = F.coalesce(
+        rank.getItem(F.col(source_col)), F.lit(len(priority))
+    ).cast("int")
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.struct(
+                pr.alias("pr"),
+                F.col(id_col).cast("long").alias("id"),
+                F.col(source_col).alias("src"),
+            ).alias("_cand"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("_cand").alias("_w"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "digest",
+            F.col("_w.id").alias("keep_id"),
+            F.col("_w.src").alias("keep_source"),
+            "n_copies",
+        )
+    )
+
+
 def exact_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1332,6 +1332,32 @@ def dedup_exact_q(spark, sf_dir):
     return exact_dedup(_t("documents")(spark, sf_dir))
 
 
+def dedup_source_priority_q(spark, sf_dir):
+    """Exact dedup with SOURCE-priority winner selection
+    (operators/dedup.exact_dedup_source_priority) — the provenance-tier
+    rule real pipelines apply when duplicates span sources (curated
+    beats crawl regardless of id). The driver corpus has no exact
+    duplicates, so the query synthesizes a second provenance tier: a
+    re-keyed clone of every document, 'curated' for doc_id % 3 == 0
+    (must WIN despite the higher id) and 'webclone' otherwise (unlisted
+    → ties with the unlisted original → lowest id, the original, wins).
+    Exercises listed-beats-unlisted, unlisted ties, and the listed
+    'src5' originals beating their clones."""
+    docs = _t("documents")(spark, sf_dir).select("doc_id", "text", "source")
+    clones = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("curated"))
+        .otherwise(F.lit("webclone"))
+        .alias("source"),
+    )
+    from bazof_spark.operators.dedup import exact_dedup_source_priority
+
+    return exact_dedup_source_priority(
+        docs.unionByName(clones), priority=["curated", "src5"]
+    )
+
+
 def dedup_ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(
         _docs_par(spark, sf_dir), k=3, threshold=0.5
@@ -2129,6 +2155,36 @@ _PIPELINE_ORACLES = {
         SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    # source-priority dedup over the synthesized two-tier corpus:
+    # winner = min (priority rank, doc_id); curated=0, src5=1,
+    # everything else 2 — mirrors the priority list in the Spark query
+    "dedup_source_priority": """
+        WITH corpus AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text,
+                   CASE WHEN doc_id % 3 = 0 THEN 'curated'
+                        ELSE 'webclone' END
+            FROM documents
+        ),
+        r AS (
+            SELECT md5(text) AS digest, doc_id, source,
+                   CASE source WHEN 'curated' THEN 0
+                               WHEN 'src5' THEN 1 ELSE 2 END AS pr
+            FROM corpus
+        ),
+        w AS (
+            SELECT digest, doc_id AS keep_id, source AS keep_source,
+                   row_number() OVER (
+                       PARTITION BY digest ORDER BY pr, doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY digest) AS n_copies
+            FROM r
+        )
+        SELECT digest, keep_id, keep_source,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM w WHERE rn = 1
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS (
@@ -3499,6 +3555,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling_window": events_tumbling_window,
     # training-data pipeline
     "dedup_exact": dedup_exact_q,
+    "dedup_source_priority": dedup_source_priority_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,

@@ -199,3 +199,38 @@ def test_parameter_validation_raises(spark):
     )
     with pytest.raises(ValueError, match="integral ids"):
         dedup_clusters(pairs)
+
+
+def test_exact_dedup_source_priority_winners(spark):
+    """Hand-computed winners: listed source beats unlisted regardless of
+    id; within a tier the lowest id wins; unlisted sources tie at the
+    post-list rank."""
+    from bazof_spark.operators.dedup import exact_dedup_source_priority
+
+    rows = [
+        # digest group A: curated (listed #0) must beat lower-id crawl
+        (1, "same text", "crawl"),
+        (2, "same text", "curated"),
+        # group B: two unlisted sources -> lowest id wins
+        (10, "other text", "webX"),
+        (11, "other text", "webY"),
+        # group C: listed #1 beats listed #0? NO - curated outranks src5
+        (20, "third text", "src5"),
+        (21, "third text", "curated"),
+        # group D: singleton
+        (30, "alone", "crawl"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["digest"]: (r["keep_id"], r["keep_source"], r["n_copies"])
+        for r in exact_dedup_source_priority(
+            df, priority=["curated", "src5"]
+        ).collect()
+    }
+    winners = {(kid, src, n) for kid, src, n in got.values()}
+    assert winners == {
+        (2, "curated", 2),
+        (10, "webX", 2),
+        (21, "curated", 2),
+        (30, "crawl", 1),
+    }

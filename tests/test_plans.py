@@ -396,6 +396,18 @@ def test_keyset_point_lookup_pushes_in_filter_and_single_shuffle(spark):
     assert shuffle_count(df) <= 1
 
 
+def test_source_priority_dedup_single_shuffle(spark):
+    """Round-7 source-priority dedup: same ONE map-side-combined
+    digest groupBy as dedup_exact (struct-min winner, no window, no
+    second exchange); the priority list is a literal map, never a
+    join."""
+    df = q("dedup_source_priority", spark)
+    assert shuffle_count(df) <= 1
+    assert broadcast_join_count(df) == 0
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text", "source"}, cols
+
+
 def test_span_dedup_two_hash_shuffles_no_pairs(spark):
     """Round-6 span dedup: chunking is map-only expressions, first-
     occurrence is ONE md5-keyed exchange (window), per-doc rollup is
