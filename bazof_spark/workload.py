@@ -3036,6 +3036,59 @@ def _ivfpq_trained_oracle_sql(
     """
 
 
+def _pca_oracle_sql(
+    n_components: int = 8, sample_rows: int = 256
+) -> str | None:
+    """DuckDB twin of embedding_pca_project_q: the identical numpy
+    model (covariance → eigh → sign-fixed top-k) from the identical
+    bounded sample, projected via the same linearity identity — each
+    pc[i] is one list_dot_product against a component literal minus
+    the precomputed mean·c_i scalar, the exact fold the Spark side
+    runs. Returns None (→ rows-only) if the parquet is unavailable."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"ORDER BY vec_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / len(x)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    mdots = comps @ mean
+    terms = ", ".join(
+        f"round(list_dot_product(raw, "
+        f"[{', '.join(repr(float(v)) for v in comps[i])}]::DOUBLE[]) "
+        f"- {repr(float(mdots[i]))}, 6)"
+        for i in range(len(comps))
+    )
+    return f"""
+        SELECT vec_id, [{terms}] AS pc
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+              FROM embeddings)
+    """
+
+
+_pca_sql = _pca_oracle_sql()
+if _pca_sql is not None:
+    _PIPELINE_ORACLES["embedding_pca_project"] = _pca_sql
+
+
 _pq_trained_sql = _pq_trained_oracle_sql()
 if _pq_trained_sql is not None:
     _PIPELINE_ORACLES["embedding_ann_pq_trained"] = _pq_trained_sql
@@ -3074,6 +3127,10 @@ def refresh_env_dependent_oracles() -> None:
     if ivfpq_sql is not None:
         _PIPELINE_ORACLES["embedding_ann_ivfpq_trained"] = ivfpq_sql
         ORACLES["embedding_ann_ivfpq_trained"] = ivfpq_sql
+    pca_sql = _pca_oracle_sql()
+    if pca_sql is not None:
+        _PIPELINE_ORACLES["embedding_pca_project"] = pca_sql
+        ORACLES["embedding_pca_project"] = pca_sql
 
 
 def span_dedup_q(spark, sf_dir):
@@ -3231,6 +3288,28 @@ def embedding_ann_pq_trained_q(spark, sf_dir):
     )
     return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def embedding_pca_project_q(spark, sf_dir):
+    """PCA projection of every embedding onto the corpus's top-8
+    principal components (operators/pca.py) — the dimensionality-
+    reduction pass before indexing/clustering. Model from the bounded
+    256-row sample (the repo's trained-model pattern); the oracle
+    re-derives the identical components in numpy from the same parquet
+    sample and projects via the linearity identity v·c − mean·c."""
+    from bazof_spark.operators.pca import (
+        pca_model_from_sample,
+        pca_project,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    comps, mean = pca_model_from_sample(
+        emb, n_components=8, sample_rows=256
+    )
+    return pca_project(emb, comps, mean).select(
+        "vec_id",
+        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
     )
 
 
@@ -3584,6 +3663,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ann_ivfpq": embedding_ann_ivfpq_q,
     "ann_recall_ivfpq": ann_recall_ivfpq_q,
     "embedding_ann_ivfpq_trained": embedding_ann_ivfpq_trained_q,
+    "embedding_pca_project": embedding_pca_project_q,
     "embedding_ann_pq_trained": embedding_ann_pq_trained_q,
     "ann_recall_pq_trained": ann_recall_pq_trained_q,
     "span_dedup": span_dedup_q,

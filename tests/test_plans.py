@@ -396,6 +396,17 @@ def test_keyset_point_lookup_pushes_in_filter_and_single_shuffle(spark):
     assert shuffle_count(df) <= 1
 
 
+def test_pca_projection_is_map_only(spark):
+    """Round-7 PCA: the model is ONE broadcast row and the projection
+    is a nested JVM fold — zero exchanges, scan pruned to
+    (vec_id, embedding)."""
+    df = q("embedding_pca_project", spark)
+    assert shuffle_count(df) == 0
+    assert broadcast_join_count(df) >= 1
+    for cols in scan_columns(df):
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
 def test_source_priority_dedup_single_shuffle(spark):
     """Round-7 source-priority dedup: same ONE map-side-combined
     digest groupBy as dedup_exact (struct-min winner, no window, no

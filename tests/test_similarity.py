@@ -310,3 +310,39 @@ def test_trained_pq_codebooks_deterministic_and_usable(emb):
         for r in pq_adc_topk(emb, queries, cb1, k=3, rerank=44).collect()
     }
     assert got == bf
+
+
+def test_pca_model_and_projection(emb):
+    """Model invariants (orthonormal components, descending variance,
+    deterministic sign) and projection correctness vs plain numpy on
+    the full fixture."""
+    from bazof_spark.operators.pca import pca_model_from_sample, pca_project
+
+    comps, mean = pca_model_from_sample(
+        emb, n_components=4, sample_rows=44
+    )
+    assert comps.shape == (4, DIM) and mean.shape == (DIM,)
+    # orthonormal rows
+    g = comps @ comps.T
+    assert np.allclose(g, np.eye(4), atol=1e-10)
+    # sign convention: the largest-|entry| coordinate is positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+    # variance along components is non-increasing (top-k by eigenvalue)
+    pdf = emb.toPandas().sort_values("vec_id")
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    proj = (x - mean) @ comps.T
+    v = proj.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(3))
+    # distributed projection equals numpy (fold vs matmul, ~1e-12)
+    got = {
+        r["vec_id"]: r["pc"]
+        for r in pca_project(emb, comps, mean).collect()
+    }
+    for i, vid in enumerate(pdf["vec_id"]):
+        assert np.allclose(got[vid], proj[i], atol=1e-9), vid
+    # deterministic across calls
+    comps2, mean2 = pca_model_from_sample(
+        emb, n_components=4, sample_rows=44
+    )
+    assert np.array_equal(comps, comps2) and np.array_equal(mean, mean2)
