@@ -218,6 +218,10 @@ X100_MEASURED = [
     # side-by-side with pure ADC so the pruning shows up as a ratio gap
     "embedding_ann_ivfpq",
     "embedding_ann_pq_trained",
+    # round-7 additions: one-shuffle digest dedup with provenance-tier
+    # winner; map-only PCA projection (bounded-sample model)
+    "dedup_source_priority",
+    "embedding_pca_project",
 ]
 
 
