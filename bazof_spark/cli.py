@@ -34,6 +34,16 @@ def _parse_as_of(value: str | None):
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="bazof-spark")
+    parser.add_argument(
+        "--lock-server",
+        dest="lock_server",
+        default=None,
+        metavar="HOST:PORT",
+        help="route every commit on the root's URI scheme through an "
+        "out-of-process CAS lock service (bazof_spark.lockserver — run "
+        "one with `python -m bazof_spark.lockserver`); local paths "
+        "register the 'file' scheme",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_scan = sub.add_parser("scan", help="point-in-time scan of a table")
@@ -210,6 +220,28 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = parser.parse_args(argv)
+
+    if args.lock_server:
+        host, _, port = args.lock_server.rpartition(":")
+        if not host or not port.isdigit():
+            raise SystemExit(
+                f"bad --lock-server {args.lock_server!r} (want HOST:PORT)"
+            )
+        if "://" in args.path:
+            from bazof_spark.lockserver import register_lockserver_guard
+
+            register_lockserver_guard(
+                args.path.split("://", 1)[0], host, int(port)
+            )
+        else:
+            # plain local roots already commit through the O_EXCL
+            # file-lock CAS; the network guard adds nothing there
+            print(
+                "--lock-server ignored: local roots use the built-in "
+                "file-lock CAS (use a file:// or object-store URI root "
+                "to route commits through the server)",
+                file=sys.stderr,
+            )
 
     if args.cmd == "stats":
         # pure metadata walk — no Spark session needed

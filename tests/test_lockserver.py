@@ -107,6 +107,63 @@ def test_unreachable_server_is_a_conflict_not_unguarded(server):
         g.acquire()
 
 
+def test_cli_lock_server_flag_routes_commits(spark, tmp_path, server):
+    """--lock-server HOST:PORT on the CLI registers the out-of-process
+    guard for the root's scheme: with a live server the upsert commits;
+    pointed at a dead port the commit FAILS CLOSED (proof the flag
+    actually routes the publish window through the server)."""
+    import pyspark.sql.functions as F
+
+    from bazof_spark import cli
+    from bazof_spark.commitguard import register_commit_guard
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.writer import TableWriter
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+
+    host, port = server
+    root = f"file://{tmp_path}/lake"
+    schema = TableSchema((ColumnDef("value", ColumnType.STRING, False),))
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w = TableWriter(spark, f"{root}/t", schema)
+    w.add_segment(
+        "s1",
+        start=t0,
+        base_df=spark.createDataFrame(
+            [("a", t0, "a1")], schema.to_struct_type()
+        ),
+    )
+    w.commit("1")
+    csv = tmp_path / "batch.csv"
+    csv.write_text("b,2024-02-01T00:00:00,b1\n")
+    try:
+        # live server: commit succeeds through the network guard
+        rc = cli.main([
+            "--lock-server", f"{host}:{port}",
+            "upsert", "--path", root, "--table", "t",
+            "--file", str(csv),
+        ])
+        assert rc == 0
+        lh = Lakehouse(spark, root)
+        assert {r["key"] for r in lh.scan("t").collect()} == {"a", "b"}
+
+        # dead server: the publish must fail closed, not fall back to
+        # an unguarded (or file-lock) commit
+        csv2 = tmp_path / "batch2.csv"
+        csv2.write_text("c,2024-03-01T00:00:00,c1\n")
+        with pytest.raises(Exception, match="unreachable|conflict|lock"):
+            cli.main([
+                "--lock-server", "127.0.0.1:1",
+                "upsert", "--path", root, "--table", "t",
+                "--file", str(csv2),
+            ])
+        assert "c" not in {r["key"] for r in lh.scan("t").collect()}
+    finally:
+        register_commit_guard("file", None)
+    with pytest.raises(SystemExit, match="bad --lock-server"):
+        cli.main(["--lock-server", "nope", "scan", "--path", str(tmp_path),
+                  "--table", "t"])
+
+
 def test_concurrent_writers_through_lockserver_lose_nothing(
     spark, tmp_path, monkeypatch, server
 ):
