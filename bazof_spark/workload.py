@@ -3089,6 +3089,77 @@ if _pca_sql is not None:
     _PIPELINE_ORACLES["embedding_pca_project"] = _pca_sql
 
 
+def _quality_lr_oracle_sql(sample_rows: int = 256) -> str | None:
+    """DuckDB twin of quality_model_score_q: the IDENTICAL trainer
+    (operators/quality.train_quality_lr — Python feature twins of the
+    Column expressions, deterministic GD) on the identical sample read
+    via DuckDB, weights embedded as literals; the SQL recomputes the
+    five features with the gopher-oracle formulas and evaluates the
+    logit in the same left-to-right association the Spark chain uses.
+    Returns None (→ rows-only) if the parquet is unavailable."""
+    import duckdb
+
+    from bazof_spark.operators.quality import train_quality_lr
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT text FROM read_parquet('{path}') "
+            f"ORDER BY doc_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    m = train_quality_lr([r[0] for r in rows])
+    g = [
+        f"((f{i} - {m['mu'][i]!r}) / {m['sd'][i]!r})"
+        for i in range(len(m["w"]))
+    ]
+    z = "0.0"
+    for i in range(len(m["w"])):
+        z = f"{z} + {m['w'][i]!r} * {g[i]}"
+    z = f"{z} + {m['b']!r}"
+    return rf"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        AS DOUBLE) AS f0,
+                   CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                        THEN len(regexp_extract_all(text, '[A-Za-z0-9_]'))
+                             * 1.0
+                             / len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        ELSE 0.0 END AS f1,
+                   CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9_]'))
+                             * 1.0
+                             / length(text)
+                        ELSE 0.0 END AS f2,
+                   CAST(len(regexp_extract_all(text,
+                        '(?i)\b(the|and|of|to|a|in|is|that)\b'))
+                        AS DOUBLE) AS f3,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+                        THEN 1.0
+                             - len(list_distinct(regexp_split_to_array(
+                                   trim(text), '\s+')))
+                               * 1.0
+                               / len(regexp_split_to_array(trim(text), '\s+'))
+                        ELSE 0.0 END AS f4
+              FROM documents
+        )
+        SELECT doc_id,
+               round({z}, 6) AS quality_logit,
+               ({z}) >= 0 AS predicted_keep
+          FROM f
+    """
+
+
+_quality_lr_sql = _quality_lr_oracle_sql()
+if _quality_lr_sql is not None:
+    _PIPELINE_ORACLES["quality_model_score"] = _quality_lr_sql
+
+
 _pq_trained_sql = _pq_trained_oracle_sql()
 if _pq_trained_sql is not None:
     _PIPELINE_ORACLES["embedding_ann_pq_trained"] = _pq_trained_sql
@@ -3131,6 +3202,10 @@ def refresh_env_dependent_oracles() -> None:
     if pca_sql is not None:
         _PIPELINE_ORACLES["embedding_pca_project"] = pca_sql
         ORACLES["embedding_pca_project"] = pca_sql
+    qlr_sql = _quality_lr_oracle_sql()
+    if qlr_sql is not None:
+        _PIPELINE_ORACLES["quality_model_score"] = qlr_sql
+        ORACLES["quality_model_score"] = qlr_sql
 
 
 def span_dedup_q(spark, sf_dir):
@@ -3289,6 +3364,23 @@ def embedding_ann_pq_trained_q(spark, sf_dir):
     return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
     )
+
+
+def quality_model_score_q(spark, sf_dir):
+    """Distilled quality classifier (operators/quality.py): logistic
+    regression trained driver-side on the 256 lowest-id documents
+    against the Gopher rule labels, scoring the whole corpus map-only.
+    The emitted score is the LOGIT — pure arithmetic over regex counts,
+    bit-reproducible in DuckDB (the oracle re-derives the identical
+    weights from the same parquet sample via the same trainer)."""
+    from bazof_spark.operators.quality import (
+        distill_quality_lr,
+        quality_lr_score,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    model = distill_quality_lr(docs, sample_rows=256)
+    return quality_lr_score(docs, model)
 
 
 def embedding_pca_project_q(spark, sf_dir):
@@ -3664,6 +3756,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_ivfpq": ann_recall_ivfpq_q,
     "embedding_ann_ivfpq_trained": embedding_ann_ivfpq_trained_q,
     "embedding_pca_project": embedding_pca_project_q,
+    "quality_model_score": quality_model_score_q,
     "embedding_ann_pq_trained": embedding_ann_pq_trained_q,
     "ann_recall_pq_trained": ann_recall_pq_trained_q,
     "span_dedup": span_dedup_q,

@@ -396,6 +396,16 @@ def test_keyset_point_lookup_pushes_in_filter_and_single_shuffle(spark):
     assert shuffle_count(df) <= 1
 
 
+def test_quality_model_score_is_map_only(spark):
+    """Round-7 distilled quality scorer: the model is literals in the
+    plan (6 doubles per feature) and scoring is regex counts +
+    arithmetic — zero exchanges, scan pruned to (doc_id, text)."""
+    df = q("quality_model_score", spark)
+    assert shuffle_count(df) == 0
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+
+
 def test_pca_projection_is_map_only(spark):
     """Round-7 PCA: the model is ONE broadcast row and the projection
     is a nested JVM fold — zero exchanges, scan pruned to
