@@ -222,6 +222,7 @@ X100_MEASURED = [
     # winner; map-only PCA projection (bounded-sample model)
     "dedup_source_priority",
     "embedding_pca_project",
+    "quality_model_score",
 ]
 
 
