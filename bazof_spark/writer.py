@@ -601,9 +601,29 @@ def append_delta(
         # explicit-schema read null-fills the value columns
         ordered = df.select(KEY_COL, EVENT_TIME_COL)
     else:
+        # a producer written before a RENAME may still ship the former
+        # spelling: map it to the declared name (1:1 by the rename
+        # chain — this is what makes a rename non-breaking for writers,
+        # the write-side twin of the readers' formers coalesce). A
+        # batch carrying BOTH spellings is ambiguous and errors loudly.
+        have = set(df.columns)
+        for c in schema.columns:
+            if c.name in have:
+                if any(f in have for f in c.formers):
+                    both = [f for f in c.formers if f in have]
+                    raise BazofError(
+                        f"batch carries column {c.name!r} AND its former "
+                        f"spelling(s) {both} — ambiguous after the "
+                        "rename; ship exactly one"
+                    )
+                continue
+            for f in c.formers:
+                if f in have:
+                    df = df.withColumnRenamed(f, c.name)
+                    have = (have - {f}) | {c.name}
+                    break
         # null-fill nullable columns the batch doesn't carry (e.g. added
         # by evolve_table_schema after the producer was written)
-        have = set(df.columns)
         fills = [
             F.lit(None).cast(c.data_type.to_spark()).alias(c.name)
             for c in schema.columns

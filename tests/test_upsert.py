@@ -444,3 +444,87 @@ def test_append_delta_casts_to_declared_types(spark, tmp_path):
     ).select("key", "event_time", F.lit(1.5).cast("decimal(3,1)").alias("value"))
     append_delta(spark, f"{tmp_path}/t", dec)
     assert dict(_current(lh))["8"] == "1.5"
+
+
+def test_evolve_races_upserts_without_loss(spark, tmp_path):
+    """Schema evolution publishes through the same CAS as data commits:
+    a RENAME racing a stream of upserts must neither lose a committed
+    delta nor publish a half-applied schema. The evolve side retries on
+    conflict (it is metadata-only, so re-deriving is re-running); the
+    upsert side uses the standard retry loop. Afterwards: schema is
+    renamed, every upsert's key is present, validation is clean."""
+    import threading
+
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.maintenance import evolve_table_schema, validate_table
+    from bazof_spark.writer import upsert_with_retry
+
+    lh = _seed_table(spark, str(tmp_path))
+    table_path = f"{tmp_path}/t"
+    n_each = 5
+    errors: list[BaseException] = []
+
+    def writer_thread():
+        try:
+            for i in range(n_each):
+                upsert_with_retry(
+                    spark,
+                    table_path,
+                    _df(spark, [(f"w{i}", ts(2024, 2, 1 + i), f"v{i}")]),
+                    retries=50,
+                )
+        except BaseException as exc:
+            errors.append(exc)
+
+    def evolve_thread():
+        try:
+            for attempt in range(50):
+                try:
+                    evolve_table_schema(lh, "t", rename={"value": "val2"})
+                    return
+                except CommitConflictError:
+                    continue
+            raise AssertionError("evolve never committed")
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer_thread),
+        threading.Thread(target=evolve_thread),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    snap = lh.table("t").get_current_snapshot()
+    assert [c.name for c in snap.schema.columns] == ["val2"]
+    assert "value" in snap.schema.former_names()
+    got = {r["key"]: r["val2"] for r in lh.scan("t").collect()}
+    for i in range(n_each):
+        assert got.get(f"w{i}") == f"v{i}", (i, got)
+    report = validate_table(lh, "t")
+    assert not report.errors, report.errors
+
+
+def test_append_accepts_former_column_spelling(spark, tmp_path):
+    """After a RENAME, a producer still shipping the former column name
+    keeps working: the writer maps it to the declared name (files store
+    the new spelling). A batch with BOTH spellings errors loudly."""
+    from bazof_spark import Lakehouse
+    from bazof_spark.maintenance import evolve_table_schema
+    from bazof_spark.writer import append_delta
+
+    lh = _seed_table(spark, str(tmp_path))
+    evolve_table_schema(lh, "t", rename={"value": "val2"})
+    # old producer: schema still says 'value'
+    append_delta(spark, f"{tmp_path}/t", _df(spark, [("9", ts(2024, 2, 1), "v9")]))
+    got = {r["key"]: r["val2"] for r in lh.scan("t").collect()}
+    assert got["9"] == "v9"
+    both = spark.createDataFrame(
+        [("x", ts(2024, 3, 1), "a", "b")],
+        "key string, event_time timestamp, value string, val2 string",
+    )
+    with pytest.raises(BazofError, match="ambiguous"):
+        append_delta(spark, f"{tmp_path}/t", both)
