@@ -504,6 +504,36 @@ def streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def streaming_sketch_kmv(spark, sf_dir):
+    """Streaming KMV distinct sketch: the per-event_type k-minimum
+    state accumulates ACROSS micro-batches of the events_versioned
+    delta stream (complete-mode aggregation — the sink holds the final
+    state), and because min-of-mins is order-, duplicate- and
+    batch-boundary-insensitive, the streaming estimate is BIT-IDENTICAL
+    to the batch sketch over the same rows — which is exactly what the
+    DuckDB oracle computes. The streaming twin of sketch_kmv_mergeable:
+    micro-batches are just another regrouping the sketch state is
+    already closed under."""
+    from bazof_spark.functions.sketch import kmv_estimate, kmv_sketch
+    from bazof_spark.streaming.stream import read_table_stream
+
+    lh = events_lakehouse(spark, sf_dir)
+    stream = read_table_stream(spark, lh.table("events_versioned"))
+    sk = kmv_sketch(
+        stream.select("event_type", "key"), ["event_type"], "key", k=32
+    )
+    name = f"stream_kmv_{next(_STREAM_SEQ)}"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return kmv_estimate(spark.table(name), ["event_type"], k=32)
+
+
 def streaming_native_read(spark, sf_dir):
     """The NATIVE streaming source (`readStream.format("bazof")`,
     datasource.BazofStreamReader): offsets are snapshot versions, so a
@@ -606,6 +636,10 @@ _ASOF_ORACLES = {
         SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, event_type
         FROM events
     """,
+    # streaming KMV sketch: set-insensitive state, so the final
+    # streaming estimate equals the batch sketch over the raw events —
+    # the oracle text is the standard KMV estimator (functions/sketch.
+    # kmv_oracle_sql, appended below after the import is available)
     # 6h tumbling windows, epoch-aligned exactly like Spark's window():
     # floor(epoch_us / 6h) * 6h
     "streaming_window_counts": """
@@ -712,6 +746,15 @@ _ASOF_ORACLES = {
           ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts
     """,
 }
+
+from bazof_spark.functions.sketch import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
+
+_ASOF_ORACLES["streaming_sketch_kmv"] = _kmv_oracle_sql(
+    "(SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events)",
+    ["event_type"],
+    "u",
+    k=32,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3706,6 +3749,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_window_counts": streaming_window_counts,
     "streaming_sessions": streaming_sessions,
     "streaming_dedup": streaming_dedup,
+    "streaming_sketch_kmv": streaming_sketch_kmv,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
