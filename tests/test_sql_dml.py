@@ -811,6 +811,61 @@ def test_rename_column_end_to_end(spark, lh):
         lh.sql("ALTER TABLE t RENAME COLUMN ghost TO g2")
 
 
+def test_change_feed_across_a_rename(spark, lh):
+    """scan_changes spanning a RENAME names both sides by the CURRENT
+    schema (one logical column) and reads the pre-rename side's values
+    through the formers coalesce."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS amount
+          FROM range(3)
+        """
+    )
+    lh.sql("ALTER TABLE t RENAME COLUMN amount TO total")
+    lh.sql("INSERT INTO t SELECT '0', timestamp'2024-02-01', 42.0")
+    feed = {
+        r["key"]: (r["change_type"], r["total_early"], r["total_late"])
+        for r in lh.scan_changes(
+            "t", since="2024-01-15T00:00:00.000Z"
+        ).collect()
+    }
+    # only key 0 changed; its early value comes from a pre-rename file
+    assert feed == {"0": ("update", 0.0, 42.0)}
+
+
+def test_vacuum_reclaims_pre_widen_files(spark, lh):
+    """A widen leaves the pre-rewrite files referenced only by older
+    snapshots; VACUUM RETAIN 1 VERSIONS (min_age 0) removes them while
+    the current rewritten table keeps reading correctly."""
+    import os
+
+    from bazof_spark.maintenance import vacuum_table, validate_table
+
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id * 10 AS BIGINT) AS n
+          FROM range(3)
+        """
+    )
+    path = lh.table("t").path
+    before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    lh.sql("ALTER TABLE t ALTER COLUMN n TYPE DOUBLE")
+    res = vacuum_table(lh, "t", keep_versions=1, min_age_s=0)
+    # every pre-widen parquet is unreferenced by the retained snapshot
+    assert before <= set(res["removed_files"]), (before, res)
+    got = {r["key"]: r["n"] for r in lh.sql("SELECT key, n FROM t").collect()}
+    assert got == {"0": 0.0, "1": 10.0, "2": 20.0}
+    validate_table(lh, "t").raise_if_invalid()
+
+
 def test_widen_column_end_to_end(spark, lh):
     """Int -> Float widening: declared type changes, every referenced
     file is rewritten with the cast (row order preserved), history
