@@ -294,3 +294,53 @@ def test_update_keyword_inside_string_or_comment_is_not_dml():
     # leading comment must not hide a real UPDATE
     d = parse_dml("/* note */ UPDATE t SET v = 1")
     assert d is not None and d.kind == "update"
+
+
+def test_round7_statements_inside_strings_and_comments_inert():
+    """The round-7 statement regexes (RENAME COLUMN / ALTER COLUMN TYPE
+    / MERGE delete / insert-only) must be statement-leading only: the
+    same text inside string literals, comments, or mid-query never
+    parses as a statement."""
+    from bazof_spark.sql import parse_dml, parse_maintenance
+
+    assert parse_maintenance(
+        "SELECT 'ALTER TABLE t RENAME COLUMN a TO b'"
+    ) is None
+    assert parse_maintenance(
+        "-- ALTER TABLE t ALTER COLUMN c TYPE DOUBLE\nSELECT 1"
+    ) is None
+    assert parse_maintenance(
+        "SELECT * FROM alter_table_log"
+    ) is None
+    assert parse_dml(
+        "SELECT 'MERGE INTO t USING s ON key WHEN MATCHED THEN DELETE'"
+    ) is None
+    assert parse_dml(
+        "/* MERGE INTO t USING s ON key WHEN NOT MATCHED THEN INSERT * */"
+        " SELECT 1"
+    ) is None
+    # a string containing the delete suffix inside a REAL merge source
+    # is data, not a clause (suffix anchors at end-of-statement)
+    d = parse_dml(
+        "MERGE INTO t USING SELECT "
+        "'ON key WHEN MATCHED THEN DELETE' AS note, key FROM s"
+    )
+    assert d is not None and d.kind == "merge"
+
+
+def test_round7_statements_leading_trivia_and_case():
+    from bazof_spark.sql import parse_dml, parse_maintenance
+
+    m = parse_maintenance(
+        "  -- note\n  alter table X.Y rename column OldN to NewN ;"
+    )
+    assert m.kind == "alter" and m.rename_columns == (("OldN", "NewN"),)
+    m = parse_maintenance(
+        "/* c */ ALTER TABLE t ALTER COLUMN n SET DATA TYPE double"
+    )
+    assert m.widen_columns == (("n", "Float"),)
+    d = parse_dml(
+        "-- lead\nmerge into t using select * from s on key "
+        "when matched and a < 'THEN DELETE' then delete"
+    )
+    assert d.kind == "merge_delete" and d.pred == "a < 'THEN DELETE'"
