@@ -872,6 +872,146 @@ def _exact_rerank(
     )
 
 
+def _residual_assign_encode_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    """vec -> array<int> [list_id, code_0..code_{m-1}] where codes
+    quantize the RESIDUAL (v_norm − centroid[list_id]) — one Arrow
+    batch pass computing both index structures of residual IVF-PQ."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_subs, _, sub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def assign_encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(v @ C.T, axis=1)
+        r = v - C[lists]
+        s = r.reshape(len(v), m_subs, sub)
+        d = ((s[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+        codes = np.argmin(d, axis=2)
+        out = np.concatenate([lists[:, None], codes], axis=1)
+        return pd.Series([row.astype("int32") for row in out])
+
+    return assign_encode
+
+
+def residual_pq_codebooks_from_rows(
+    rows: np.ndarray, centroids: np.ndarray, m_subs: int
+) -> np.ndarray:
+    """Deterministic RESIDUAL codebooks from a fixed corpus slice: code
+    j of subspace m = the m-th subvector of row j's residual against
+    its assigned centroid (argmax cosine, first-max ties) — the
+    residual twin of :func:`pq_codebooks_from_rows`, keeping the whole
+    index reproducible in a SQL oracle."""
+    rows = np.asarray(rows, dtype=np.float64)
+    rows = rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    lists = np.argmax(rows @ C.T, axis=1)
+    res = rows - C[lists]
+    n_codes, dim = res.shape
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    sub = dim // m_subs
+    return res.reshape(n_codes, m_subs, sub).transpose(1, 0, 2).copy()
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — Faiss IVFADC's default
+    (``by_residual=true``, Jégou et al. 2011 §V): codes quantize
+    v − centroid[assigned list], which is smaller in norm than v
+    itself, so the same code budget buys finer quantization. The ADC
+    identity: q·v ≈ q·centroid_l + Σ_m <q_sub_m, cb[m][code_m]> — the
+    per-(query, probed-list) BIAS q·centroid_l is a driver-side scalar
+    and the LUT is list-independent, so scoring stays the broadcast
+    equi-join on the list id that :func:`ivf_pq_topk` uses (scored
+    volume ∝ n_probe/n_lists), plus one scalar add. Exact re-rank on
+    full vectors as in the whole family; approx scores round to 6 dp
+    before the cutoff for cross-engine reproducibility."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_subs, _, sub = cb.shape
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(cent))
+
+    enc = _residual_assign_encode_udf(cent, cb)(
+        _as_double(F.col(vec_col))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        enc[0].alias("_list"),
+        F.slice(enc, 2, m_subs).alias("_codes"),
+    )
+    q_rows = queries.select(query_id_col, vec_col).orderBy(query_id_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, rank int, cosine_sim double"
+        )
+    luts = dict(_query_luts(q_rows, cb, query_id_col, vec_col))
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        top = np.argsort(-(qv @ cent.T), kind="stable")[:n_probe]
+        for lid in top:
+            probe_rows.append((
+                r[query_id_col],
+                int(lid),
+                float(qv @ cent[lid]),  # the residual ADC bias q·c_l
+                luts[r[query_id_col]],
+            ))
+    lut_df = corpus.sparkSession.createDataFrame(
+        probe_rows,
+        f"{query_id_col} long, _list int, _bias double, "
+        "_lut array<array<double>>",
+    )
+    approx = (
+        c.join(F.broadcast(lut_df), "_list")
+        .filter(F.col(query_id_col) != F.col("_cid"))
+        .select(
+            query_id_col,
+            "_cid",
+            F.round(
+                F.col("_bias")
+                + F.aggregate(
+                    F.zip_with(
+                        "_codes",
+                        "_lut",
+                        lambda code, row: F.element_at(row, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("_asim"),
+        )
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("_asim").desc(), F.col("_cid").asc()
+    )
+    cand = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select(query_id_col, "_cid")
+    )
+    return _exact_rerank(
+        corpus, queries, cand, k, id_col, vec_col, query_id_col
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3358,6 +3358,42 @@ def embedding_ann_ivfpq_q(spark, sf_dir):
     ).withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
+def embedding_ann_ivfpq_residual_q(spark, sf_dir):
+    """Residual IVF-PQ — Faiss IVFADC's by_residual=true default: codes
+    quantize v − centroid[assigned list] (smaller norm → finer
+    quantization for the same code budget), ADC adds the q·centroid
+    bias per probed list. Same fixed-corpus-slice determinism devices
+    as embedding_ann_ivfpq (centroids AND residual codebooks from
+    vec_id < 16), so the whole index reproduces in the DuckDB oracle."""
+    import numpy as np
+
+    from bazof_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        residual_pq_codebooks_from_rows,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    slice_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    rows = np.array([r["embedding"] for r in slice_rows], dtype=np.float64)
+    if rows.shape[1] != 64:
+        raise ValueError(
+            f"embedding_ann_ivfpq_residual oracle assumes dim=64; "
+            f"got dim={rows.shape[1]}"
+        )
+    cb = residual_pq_codebooks_from_rows(rows, rows, m_subs=8)
+    return ivf_pq_residual_topk(
+        emb, queries, cb, rows, k=5, n_probe=4, rerank=20
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
 def ann_recall_ivfpq_q(spark, sf_dir):
     """Recall@5 of the composed IVF-PQ index against the exact top-5 —
     the fourth entry in the recall harness (LSH, IVF, PQ, IVF-PQ), so
@@ -3687,6 +3723,106 @@ _PIPELINE_ORACLES["embedding_ann_ivfpq"] = """
     FROM r WHERE rn <= 5
 """
 
+# Residual IVF-PQ (by_residual=true): residual r = v_norm − cent_norm
+# built element-wise via range(1,65); codes = argmin list_distance of
+# residual subvectors vs the fixed-slice RESIDUAL codebooks; ADC =
+# q·cent_l bias + LUT sum. Same determinism devices as the parents.
+_PIPELINE_ORACLES["embedding_ann_ivfpq_residual"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(raw, x -> x * (1.0 / greatest(
+                   sqrt(list_dot_product(raw, raw)), 1e-12))) AS v
+        FROM e
+    ),
+    cent AS (SELECT vec_id AS lid, raw AS cvv FROM e WHERE vec_id < 16),
+    ncent AS (SELECT vec_id AS lid, v AS cw FROM n WHERE vec_id < 16),
+    ca AS (
+        SELECT vec_id AS cid, lid,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(raw, cvv) DESC, lid
+               ) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    assign AS (SELECT cid, lid FROM ca WHERE rn = 1),
+    res AS (
+        SELECT nn.vec_id, a.lid,
+               list_transform(range(1, 65), i -> nn.v[i] - nc.cw[i]) AS r
+        FROM n nn
+        JOIN assign a ON a.cid = nn.vec_id
+        JOIN ncent nc ON nc.lid = a.lid
+    ),
+    cb AS (
+        SELECT res.vec_id AS code, t.m AS m,
+               res.r[t.m*8+1 : t.m*8+8] AS cv
+        FROM res, UNNEST(range(8)) AS t(m) WHERE res.vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT res.vec_id, cb.m, cb.code,
+                   row_number() OVER (PARTITION BY res.vec_id, cb.m
+                       ORDER BY list_distance(
+                           res.r[cb.m*8+1 : cb.m*8+8], cb.cv) ASC,
+                       cb.code ASC
+                   ) AS rn
+            FROM res CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qp AS (
+        SELECT vec_id AS qid, lid,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(raw, cvv) DESC, lid
+               ) AS rn
+        FROM e CROSS JOIN cent WHERE vec_id < 10
+    ),
+    probe AS (SELECT qid, lid FROM qp WHERE rn <= 4),
+    biases AS (
+        SELECT p.qid, p.lid, list_dot_product(qn.v, nc.cw) AS bias
+        FROM probe p
+        JOIN n qn ON qn.vec_id = p.qid
+        JOIN ncent nc ON nc.lid = p.lid
+    ),
+    lut AS (
+        SELECT q.vec_id AS qid, cb.m, cb.code,
+               list_dot_product(q.v[cb.m*8+1 : cb.m*8+8], cb.cv) AS part
+        FROM n q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    approx AS (
+        SELECT b.qid, enc.vec_id AS cid,
+               round(ANY_VALUE(b.bias) + SUM(l.part), 6) AS asim
+        FROM enc
+        JOIN assign a ON a.cid = enc.vec_id
+        JOIN biases b ON b.lid = a.lid
+        JOIN lut l ON l.qid = b.qid AND l.m = enc.m AND l.code = enc.code
+        WHERE b.qid != enc.vec_id
+        GROUP BY b.qid, enc.vec_id
+    ),
+    cand AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY asim DESC, cid
+            ) AS rn FROM approx
+        ) WHERE rn <= 20
+    ),
+    s AS (
+        SELECT cand.qid, cand.cid,
+               list_cosine_similarity(eq.raw, ec.raw) AS sim
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e ec ON ec.vec_id = cand.cid
+    ),
+    r AS (
+        SELECT qid, cid, sim, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid
+        ) AS rn FROM s
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rn <= 5
+"""
+
 # recall@5 of the composed IVF-PQ index vs the exact top-5
 _PIPELINE_ORACLES["ann_recall_ivfpq"] = f"""
     WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
@@ -3799,6 +3935,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ann_ivfpq": embedding_ann_ivfpq_q,
     "ann_recall_ivfpq": ann_recall_ivfpq_q,
     "embedding_ann_ivfpq_trained": embedding_ann_ivfpq_trained_q,
+    "embedding_ann_ivfpq_residual": embedding_ann_ivfpq_residual_q,
     "embedding_pca_project": embedding_pca_project_q,
     "quality_model_score": quality_model_score_q,
     "embedding_ann_pq_trained": embedding_ann_pq_trained_q,

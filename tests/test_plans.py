@@ -475,6 +475,7 @@ def test_ivfpq_and_trained_pq_plans_bounded(spark):
         "embedding_ann_ivfpq",
         "embedding_ann_pq_trained",
         "embedding_ann_ivfpq_trained",
+        "embedding_ann_ivfpq_residual",
     ):
         df = q(name, spark)
         assert shuffle_count(df) <= 2, name

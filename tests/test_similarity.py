@@ -346,3 +346,64 @@ def test_pca_model_and_projection(emb):
         emb, n_components=4, sample_rows=44
     )
     assert np.array_equal(comps, comps2) and np.array_equal(mean, mean2)
+
+
+def test_ivfpq_residual_full_probe_full_rerank_is_exact(emb):
+    """Residual encoding changes the approximate ordering only — with
+    full probe + full rerank it must still recover brute force."""
+    from bazof_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        residual_pq_codebooks_from_rows,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cent = _centroids(emb, 8)
+    pdf = emb.toPandas().sort_values("vec_id").head(8)
+    cb = residual_pq_codebooks_from_rows(
+        np.array(pdf["embedding"].tolist()), cent, m_subs=4
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_pq_residual_topk(
+            emb, queries, cb, cent, k=3, n_probe=8, rerank=44
+        ).collect()
+    }
+    assert got == bf
+
+
+def test_ivfpq_residual_partial_recall_and_determinism(emb):
+    from bazof_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        residual_pq_codebooks_from_rows,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cent = _centroids(emb, 8)
+    pdf = emb.toPandas().sort_values("vec_id").head(8)
+    cb = residual_pq_codebooks_from_rows(
+        np.array(pdf["embedding"].tolist()), cent, m_subs=4
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = ivf_pq_residual_topk(
+        emb, queries, cb, cent, k=3, n_probe=3, rerank=12
+    ).collect()
+    s = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(bf & s) / len(bf)
+    assert recall >= 0.5, f"residual IVF-PQ recall too low: {recall}"
+    # seeded near-dup: same list AND near-identical residual codes
+    assert (0, 40) in s
+    again = ivf_pq_residual_topk(
+        emb, queries, cb, cent, k=3, n_probe=3, rerank=12
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
