@@ -223,6 +223,7 @@ X100_MEASURED = [
     "dedup_source_priority",
     "embedding_pca_project",
     "quality_model_score",
+    "embedding_ann_ivfpq_residual",
 ]
 
 
