@@ -344,3 +344,23 @@ def test_round7_statements_leading_trivia_and_case():
         "when matched and a < 'THEN DELETE' then delete"
     )
     assert d.kind == "merge_delete" and d.pred == "a < 'THEN DELETE'"
+
+
+def test_update_body_parsing_is_linear():
+    """ADVICE r6: _split_top_level recomputed paren depth per candidate
+    (O(n²)); a machine-generated UPDATE with thousands of SET commas
+    must now parse in well under a second (the quadratic form took
+    tens of seconds at this size)."""
+    import time
+
+    from bazof_spark.sql import parse_dml
+
+    n = 4000
+    body = ", ".join(f"c{i} = coalesce(c{i}, {i})" for i in range(n))
+    sql = f"UPDATE t SET {body} WHERE key IN ('a', 'b')"
+    t0 = time.perf_counter()
+    d = parse_dml(sql)
+    elapsed = time.perf_counter() - t0
+    assert d.kind == "update" and len(d.sets) == n
+    assert d.select == "key IN ('a', 'b')"
+    assert elapsed < 2.0, f"UPDATE body parse took {elapsed:.1f}s"
