@@ -41,8 +41,9 @@ def main(argv: list[str] | None = None) -> int:
         metavar="HOST:PORT",
         help="route every commit on the root's URI scheme through an "
         "out-of-process CAS lock service (bazof_spark.lockserver — run "
-        "one with `python -m bazof_spark.lockserver`); local paths "
-        "register the 'file' scheme",
+        "one with `python -m bazof_spark.lockserver`); requires a URI "
+        "root (file:// or an object-store scheme) — plain local paths "
+        "keep the built-in file-lock CAS and this flag is ignored",
     )
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -375,6 +375,7 @@ def evolve_table_schema(
             raise BazofError(f"cannot drop system column {name!r}")
         if name not in existing:
             raise BazofError(f"cannot drop unknown column {name!r}")
+    added_names = {c.name for c in add}
     for old, new in rename.items():
         if old in (KEY_COL, EVENT_TIME_COL):
             raise BazofError(f"cannot rename system column {old!r}")
@@ -382,6 +383,15 @@ def evolve_table_schema(
             raise BazofError(f"cannot rename unknown column {old!r}")
         if new in (KEY_COL, EVENT_TIME_COL) or new in existing:
             raise BazofError(f"rename target {new!r} already exists")
+        # an add in the SAME call also claims its name: rename={Y:X} +
+        # add=[X] would otherwise pass both per-list guards and commit
+        # a schema with two 'X' columns (TableSchema now also rejects
+        # duplicates at construction — this gives the precise message)
+        if new in added_names:
+            raise BazofError(
+                f"rename target {new!r} collides with a column added "
+                "in the same statement"
+            )
         if new in former_names or new in rename or list(
             rename.values()
         ).count(new) > 1:

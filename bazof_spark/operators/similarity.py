@@ -915,7 +915,19 @@ def residual_pq_codebooks_from_rows(
     if dim % m_subs:
         raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
     sub = dim // m_subs
-    return res.reshape(n_codes, m_subs, sub).transpose(1, 0, 2).copy()
+    cb = res.reshape(n_codes, m_subs, sub).transpose(1, 0, 2).copy()
+    # rows ⊆ centroids makes every residual — hence every codebook
+    # entry — exactly zero: ADC degenerates to the q·centroid bias and
+    # the "index" silently stops indexing. Fail loudly instead: derive
+    # codebooks from a slice DISJOINT from the centroid slice.
+    if float(np.abs(cb).max(initial=0.0)) < 1e-9:
+        raise ValueError(
+            "residual codebooks are (near-)zero — the codebook rows "
+            "coincide with their assigned centroids (rows == centroids "
+            "degenerates every residual to 0); use a row slice disjoint "
+            "from the centroid slice"
+        )
+    return cb
 
 
 def ivf_pq_residual_topk(

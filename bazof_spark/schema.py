@@ -138,9 +138,23 @@ class ColumnDef:
 
 @dataclass(frozen=True)
 class TableSchema:
-    """Declared value columns; system columns are implicit."""
+    """Declared value columns; system columns are implicit.
+
+    Duplicate declared names are rejected at construction: a snapshot
+    whose schema carries two columns with one name is unreadable (every
+    explicit-schema scan is ambiguous), so the invariant holds HERE —
+    before any snapshot can be serialized — rather than in each caller
+    (evolve's add/rename interaction was one past escape)."""
 
     columns: tuple[ColumnDef, ...] = field(default_factory=tuple)
+
+    def __post_init__(self):
+        names = [c.name for c in self.columns]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise MetadataError(
+                f"duplicate column name(s) in schema: {dupes}"
+            )
 
     @staticmethod
     def from_json(obj: dict) -> "TableSchema":

@@ -586,9 +586,13 @@ _ASOF_ORACLES = {
     # AND predicate (value < 100) — the pred filters winners, so it
     # applies AFTER the latest-per-user window, unlike the user-level
     # tombstone above
+    # coalesce(…, false): the engine's WHEN MATCHED AND predicate keeps
+    # a NULL-valued winner undeleted (pred evaluates false); bare SQL
+    # NOT(NULL AND …) would instead filter the row out of the oracle
     "merge_delete_scan": f"""
         SELECT * FROM ({_events_oracle_cte()})
-        WHERE NOT (CAST(key AS BIGINT) % 5 = 0 AND value < 100.0)
+        WHERE NOT (CAST(key AS BIGINT) % 5 = 0
+                   AND coalesce(value < 100.0, false))
     """,
     # UPDATE = latest-per-user, then the SET expressions applied to the
     # rows whose CURRENT event_type matched the predicate (their
@@ -3114,14 +3118,16 @@ def _pca_oracle_sql(
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     mdots = comps @ mean
+    # scalar pc{i} columns (not one DOUBLE[] column): the driver's
+    # canonicalizer pandas-sorts raw cells and dies on unhashable lists
     terms = ", ".join(
         f"round(list_dot_product(raw, "
         f"[{', '.join(repr(float(v)) for v in comps[i])}]::DOUBLE[]) "
-        f"- {repr(float(mdots[i]))}, 6)"
+        f"- {repr(float(mdots[i]))}, 6) AS pc{i}"
         for i in range(len(comps))
     )
     return f"""
-        SELECT vec_id, [{terms}] AS pc
+        SELECT vec_id, {terms}
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
               FROM embeddings)
     """
@@ -3362,9 +3368,12 @@ def embedding_ann_ivfpq_residual_q(spark, sf_dir):
     """Residual IVF-PQ — Faiss IVFADC's by_residual=true default: codes
     quantize v − centroid[assigned list] (smaller norm → finer
     quantization for the same code budget), ADC adds the q·centroid
-    bias per probed list. Same fixed-corpus-slice determinism devices
-    as embedding_ann_ivfpq (centroids AND residual codebooks from
-    vec_id < 16), so the whole index reproduces in the DuckDB oracle."""
+    bias per probed list. Fixed-corpus-slice determinism devices as
+    embedding_ann_ivfpq, but the CODEBOOK slice (vec_id 16..31) is
+    DISJOINT from the centroid slice (vec_id < 16): a codebook row
+    assigned to itself has residual exactly 0, so rows==centroids would
+    zero every codebook entry and the ADC term would vanish
+    (residual_pq_codebooks_from_rows now rejects that degeneracy)."""
     import numpy as np
 
     from bazof_spark.operators.similarity import (
@@ -3377,7 +3386,7 @@ def embedding_ann_ivfpq_residual_q(spark, sf_dir):
         "vec_id", "query_id"
     )
     slice_rows = (
-        emb.filter(F.col("vec_id") < 16)
+        emb.filter(F.col("vec_id") < 32)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -3388,9 +3397,10 @@ def embedding_ann_ivfpq_residual_q(spark, sf_dir):
             f"embedding_ann_ivfpq_residual oracle assumes dim=64; "
             f"got dim={rows.shape[1]}"
         )
-    cb = residual_pq_codebooks_from_rows(rows, rows, m_subs=8)
+    cent, cb_rows = rows[:16], rows[16:32]
+    cb = residual_pq_codebooks_from_rows(cb_rows, cent, m_subs=8)
     return ivf_pq_residual_topk(
-        emb, queries, cb, rows, k=5, n_probe=4, rerank=20
+        emb, queries, cb, cent, k=5, n_probe=4, rerank=20
     ).withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
@@ -3468,7 +3478,11 @@ def embedding_pca_project_q(spark, sf_dir):
     reduction pass before indexing/clustering. Model from the bounded
     256-row sample (the repo's trained-model pattern); the oracle
     re-derives the identical components in numpy from the same parquet
-    sample and projects via the linearity identity v·c − mean·c."""
+    sample and projects via the linearity identity v·c − mean·c.
+
+    Output contract: SCALAR columns pc0..pc7, not pc: array<double> —
+    the driver's canonicalizer sorts raw cells with pandas and cannot
+    hash list cells (the one red CORRECTNESS_r07 row)."""
     from bazof_spark.operators.pca import (
         pca_model_from_sample,
         pca_project,
@@ -3480,7 +3494,10 @@ def embedding_pca_project_q(spark, sf_dir):
     )
     return pca_project(emb, comps, mean).select(
         "vec_id",
-        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
+        *[
+            F.round(F.element_at("pc", i + 1), 6).alias(f"pc{i}")
+            for i in range(8)
+        ],
     )
 
 
@@ -3725,8 +3742,11 @@ _PIPELINE_ORACLES["embedding_ann_ivfpq"] = """
 
 # Residual IVF-PQ (by_residual=true): residual r = v_norm − cent_norm
 # built element-wise via range(1,65); codes = argmin list_distance of
-# residual subvectors vs the fixed-slice RESIDUAL codebooks; ADC =
-# q·cent_l bias + LUT sum. Same determinism devices as the parents.
+# residual subvectors vs the RESIDUAL codebooks — derived from the
+# vec_id 16..31 slice, DISJOINT from the vec_id<16 centroid slice
+# (rows==centroids would make every codebook entry exactly zero and the
+# ADC term vanish); code label = vec_id − 16 matches the numpy index.
+# ADC = q·cent_l bias + LUT sum. Same determinism devices as parents.
 _PIPELINE_ORACLES["embedding_ann_ivfpq_residual"] = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
@@ -3755,9 +3775,10 @@ _PIPELINE_ORACLES["embedding_ann_ivfpq_residual"] = """
         JOIN ncent nc ON nc.lid = a.lid
     ),
     cb AS (
-        SELECT res.vec_id AS code, t.m AS m,
+        SELECT res.vec_id - 16 AS code, t.m AS m,
                res.r[t.m*8+1 : t.m*8+8] AS cv
-        FROM res, UNNEST(range(8)) AS t(m) WHERE res.vec_id < 16
+        FROM res, UNNEST(range(8)) AS t(m)
+        WHERE res.vec_id >= 16 AND res.vec_id < 32
     ),
     enc AS (
         SELECT vec_id, m, code FROM (

@@ -617,11 +617,20 @@ def append_delta(
                         "rename; ship exactly one"
                     )
                 continue
-            for f in c.formers:
-                if f in have:
-                    df = df.withColumnRenamed(f, c.name)
-                    have = (have - {f}) | {c.name}
-                    break
+            present = [f for f in c.formers if f in have]
+            if len(present) > 1:
+                # a twice-renamed table can have producers shipping
+                # different old spellings, but ONE batch carrying two
+                # spellings of the same column is as ambiguous as
+                # declared+former above — silently remapping the first
+                # would drop the second in the final select (data loss)
+                raise BazofError(
+                    f"batch carries multiple former spellings {present} "
+                    f"of column {c.name!r} — ambiguous; ship exactly one"
+                )
+            if present:
+                df = df.withColumnRenamed(present[0], c.name)
+                have = (have - {present[0]}) | {c.name}
         # null-fill nullable columns the batch doesn't carry (e.g. added
         # by evolve_table_schema after the producer was written)
         fills = [

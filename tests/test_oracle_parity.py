@@ -47,6 +47,23 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if str(pdf[c].dtype).startswith("datetime64"):
             pdf[c] = pd.to_datetime(pdf[c], utc=True).dt.tz_localize(None)
         elif pdf[c].dtype == object:
+            # The DRIVER's canonicalizer pandas-sorts RAW cells: a
+            # list/array cell is unhashable there and the whole query
+            # turns red (embedding_pca_project, r7). astype(str) here
+            # used to mask exactly that class — fail the same way the
+            # driver does instead: no query may emit array-typed cells.
+            sample = pdf[c].dropna().head(50)
+            bad = [
+                v for v in sample
+                if isinstance(v, (list, tuple, set, dict))
+                or type(v).__module__ == "numpy" and getattr(v, "ndim", 0)
+            ]
+            if bad:
+                raise AssertionError(
+                    f"column {c!r} carries array-typed cells "
+                    f"(e.g. {bad[0]!r:.60}) — the driver's canonicalizer "
+                    "cannot hash these; emit scalar columns instead"
+                )
             pdf[c] = pdf[c].astype(str)
         else:
             try:

@@ -360,7 +360,9 @@ def test_ivfpq_residual_full_probe_full_rerank_is_exact(emb):
         "vec_id", "query_id"
     )
     cent = _centroids(emb, 8)
-    pdf = emb.toPandas().sort_values("vec_id").head(8)
+    # codebook rows 8..15: DISJOINT from the centroid slice 0..7 —
+    # rows==centroids zeroes every residual (and now raises)
+    pdf = emb.toPandas().sort_values("vec_id").iloc[8:16]
     cb = residual_pq_codebooks_from_rows(
         np.array(pdf["embedding"].tolist()), cent, m_subs=4
     )
@@ -387,7 +389,7 @@ def test_ivfpq_residual_partial_recall_and_determinism(emb):
         "vec_id", "query_id"
     )
     cent = _centroids(emb, 8)
-    pdf = emb.toPandas().sort_values("vec_id").head(8)
+    pdf = emb.toPandas().sort_values("vec_id").iloc[8:16]
     cb = residual_pq_codebooks_from_rows(
         np.array(pdf["embedding"].tolist()), cent, m_subs=4
     )
@@ -407,3 +409,22 @@ def test_ivfpq_residual_partial_recall_and_determinism(emb):
         emb, queries, cb, cent, k=3, n_probe=3, rerank=12
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_residual_codebooks_reject_rows_equal_centroids(emb):
+    """rows ⊆ centroids assigns every codebook row to itself (cosine
+    1.0) → all residuals exactly 0 → a vacuous index whose ADC term is
+    identically zero. The constructor must refuse it loudly."""
+    from bazof_spark.operators.similarity import (
+        residual_pq_codebooks_from_rows,
+    )
+
+    cent = _centroids(emb, 8)
+    with pytest.raises(ValueError, match="near-.?zero"):
+        residual_pq_codebooks_from_rows(cent, cent, m_subs=4)
+    # disjoint rows produce genuinely non-zero codebooks
+    rows = (
+        emb.toPandas().sort_values("vec_id").iloc[8:16]["embedding"]
+    ).tolist()
+    cb = residual_pq_codebooks_from_rows(np.array(rows), cent, m_subs=4)
+    assert float(np.abs(cb).max()) > 1e-3

@@ -528,3 +528,65 @@ def test_append_accepts_former_column_spelling(spark, tmp_path):
     )
     with pytest.raises(BazofError, match="ambiguous"):
         append_delta(spark, f"{tmp_path}/t", both)
+
+
+def test_append_rejects_two_former_spellings(spark, tmp_path):
+    """A twice-renamed column has TWO former spellings; a batch carrying
+    both (old producer shipping value AND val2 after value→val2→val3)
+    is as ambiguous as declared+former — it must error loudly, not remap
+    the first and silently drop the second in the final select."""
+    from bazof_spark.maintenance import evolve_table_schema
+    from bazof_spark.writer import append_delta
+
+    lh = _seed_table(spark, str(tmp_path))
+    evolve_table_schema(lh, "t", rename={"value": "val2"})
+    evolve_table_schema(lh, "t", rename={"val2": "val3"})
+    both_formers = spark.createDataFrame(
+        [("x", ts(2024, 3, 1), "a", "b")],
+        "key string, event_time timestamp, value string, val2 string",
+    )
+    with pytest.raises(BazofError, match="former spellings"):
+        append_delta(spark, f"{tmp_path}/t", both_formers)
+    # exactly ONE former spelling still remaps fine after two renames
+    append_delta(
+        spark, f"{tmp_path}/t", _df(spark, [("9", ts(2024, 2, 1), "v9")])
+    )
+    got = {r["key"]: r["val3"] for r in lh.scan("t").collect()}
+    assert got["9"] == "v9"
+
+
+def test_evolve_rejects_rename_target_colliding_with_add(spark, tmp_path):
+    """evolve(add=[X], rename={Y:X}) used to pass both per-list guards
+    and commit a snapshot with two 'X' columns, breaking every later
+    scan until RESTORE. Both the explicit guard and the TableSchema
+    duplicate-name invariant must refuse it — and the table must stay
+    readable at its pre-statement version."""
+    from bazof_spark.maintenance import evolve_table_schema
+    from bazof_spark.schema import ColumnDef, ColumnType
+
+    lh = _seed_table(spark, str(tmp_path))
+    before = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    with pytest.raises(BazofError, match="collides with a column added"):
+        evolve_table_schema(
+            lh,
+            "t",
+            add=[ColumnDef("x", ColumnType.INT, True)],
+            rename={"value": "x"},
+        )
+    # no corrupt snapshot landed
+    assert {r["key"]: r["value"] for r in lh.scan("t").collect()} == before
+
+
+def test_table_schema_rejects_duplicate_names():
+    """The duplicate-name invariant holds at TableSchema construction —
+    no caller can serialize a snapshot whose schema is ambiguous."""
+    from bazof_spark.errors import MetadataError
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+
+    with pytest.raises(MetadataError, match="duplicate column name"):
+        TableSchema(
+            (
+                ColumnDef("x", ColumnType.INT, True),
+                ColumnDef("x", ColumnType.STRING, True),
+            )
+        )
