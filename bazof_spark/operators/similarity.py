@@ -930,6 +930,72 @@ def residual_pq_codebooks_from_rows(
     return cb
 
 
+def _residual_codebooks_from_sample(
+    x: np.ndarray, centroids: np.ndarray, m_subs: int, n_codes: int, seed: int
+) -> np.ndarray:
+    """numpy core of :func:`residual_pq_codebooks_trained`, shared with
+    the DuckDB oracle builder so both engines embed IDENTICAL literals:
+    assign each (unit-normalized) sample row to its nearest centroid by
+    cosine (first-max ties), then per-subspace L2 Lloyd k-means on the
+    RESIDUAL subvectors — k-means on residuals is what
+    ``by_residual=true`` trains in Faiss (Jégou et al. 2011 §V)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    lists = np.argmax(x @ C.T, axis=1)
+    res = x - C[lists]
+    n, dim = res.shape
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    sub = dim // m_subs
+    subvecs = res.reshape(n, m_subs, sub)
+    cb = np.stack(
+        [
+            _lloyd_kmeans_l2(subvecs[:, m, :], n_codes, seed + m)
+            for m in range(m_subs)
+        ]
+    )
+    if float(np.abs(cb).max(initial=0.0)) < 1e-9:
+        raise ValueError(
+            "trained residual codebooks are (near-)zero — the sample "
+            "coincides with the centroid set; train on a real corpus "
+            "sample"
+        )
+    return cb
+
+
+def residual_pq_codebooks_trained(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    m_subs: int = 8,
+    n_codes: int = 16,
+    seed: int = 31,
+    sample_rows: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """TRAINED residual codebooks — the production counterpart of the
+    fixed-slice :func:`residual_pq_codebooks_from_rows`, completing the
+    Faiss-default column (by_residual=true + trained quantizers):
+    per-subspace L2 k-means on the RESIDUALS of a bounded deterministic
+    sample (the ``sample_rows`` lowest-id vectors) against the given
+    coarse centroids. O(1) w.r.t. corpus size like every trainer here;
+    fully deterministic for (corpus, centroids, m_subs, n_codes, seed,
+    sample_rows) so a SQL oracle re-derives identical literals."""
+    rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    ]
+    return _residual_codebooks_from_sample(
+        np.stack(rows), centroids, m_subs, n_codes, seed
+    )
+
+
 def ivf_pq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -476,13 +476,18 @@ def test_ivfpq_and_trained_pq_plans_bounded(spark):
         "embedding_ann_pq_trained",
         "embedding_ann_ivfpq_trained",
         "embedding_ann_ivfpq_residual",
+        "embedding_ann_ivfpq_residual_trained",
     ):
         df = q(name, spark)
         assert shuffle_count(df) <= 2, name
         assert broadcast_join_count(df) >= 3, name
         for cols in scan_columns(df):
             assert cols <= {"vec_id", "embedding"}, (name, cols)
-    for name in ("ann_recall_ivfpq", "ann_recall_pq_trained"):
+    for name in (
+        "ann_recall_ivfpq",
+        "ann_recall_pq_trained",
+        "ann_recall_ivfpq_residual_trained",
+    ):
         df = q(name, spark)
         assert shuffle_count(df) <= 7, name
         assert broadcast_join_count(df) >= 4, name

@@ -411,6 +411,42 @@ def test_ivfpq_residual_partial_recall_and_determinism(emb):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_trained_residual_ivfpq_full_probe_full_rerank_is_exact(emb):
+    """Trained residual codebooks (per-subspace L2 k-means ON residual
+    subvectors — the Faiss by_residual=true trainer) change only the
+    approximate ordering: full probe + full rerank recovers brute force,
+    and the trainer is deterministic across calls."""
+    from bazof_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        residual_pq_codebooks_trained,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cent = _centroids(emb, 8)
+    cb = residual_pq_codebooks_trained(
+        emb, cent, m_subs=4, n_codes=8, seed=31, sample_rows=24
+    )
+    assert cb.shape == (4, 8, 4)  # (m_subs, n_codes, DIM // m_subs)
+    assert float(np.abs(cb).max()) > 1e-3  # genuinely non-zero
+    cb2 = residual_pq_codebooks_trained(
+        emb, cent, m_subs=4, n_codes=8, seed=31, sample_rows=24
+    )
+    assert np.array_equal(cb, cb2)
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_pq_residual_topk(
+            emb, queries, cb, cent, k=3, n_probe=8, rerank=44
+        ).collect()
+    }
+    assert got == bf
+
+
 def test_residual_codebooks_reject_rows_equal_centroids(emb):
     """rows ⊆ centroids assigns every codebook row to itself (cosine
     1.0) → all residuals exactly 0 → a vacuous index whose ADC term is

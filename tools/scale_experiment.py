@@ -224,6 +224,10 @@ X100_MEASURED = [
     "embedding_pca_project",
     "quality_model_score",
     "embedding_ann_ivfpq_residual",
+    # round-8: the full Faiss-default stack — trained coarse quantizer
+    # + trained RESIDUAL codebooks; same probed-list ADC shape, so the
+    # expected ratio matches the other IVF-PQ variants
+    "embedding_ann_ivfpq_residual_trained",
 ]
 
 
