@@ -60,6 +60,90 @@ SENTINELS = {
     "q6_revenue_change": 0.188,  # r1
 }
 
+# Round-8 widening: BENCH_r07 showed two asof-family queries moving
+# +69%/+101% with UNTOUCHED code while the 3-query sentinel set (all
+# scan→agg profiles) read only 1.037 — the set under-determined drift
+# for window/join-shaped plans. Two FROZEN-COPY sentinels below close
+# that: their code lives HERE (plain parquet reads + built-in ops, no
+# bazof_spark operator imports), so no future workload/operator commit
+# can change what they measure — one asof/window profile, one
+# shuffle-heavy multi-join profile. Reference seconds measured r8
+# (min of 3 warm runs, load-checked against the legacy sentinels
+# reading ~1.0); same do-NOT-update rule as above.
+def _sentinel_asof_frozen(spark, sf_dir):
+    """FROZEN as-of/window profile: for each click, the latest purchase
+    value by the same user at or before it — the union-marker as-of
+    join (one user_id exchange + one ordered window), the plan family
+    asof_join_events/asof_join_tolerance exercise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("double").alias("pv"),
+        F.lit(1).alias("is_probe"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("value").alias("pv"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ets").asc(), F.col("is_probe").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_pv", F.last("pv", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("click_id", "user_id", "ets", "last_pv")
+    )
+
+
+def _sentinel_q18_frozen(spark, sf_dir):
+    """FROZEN shuffle-heavy profile: TPC-H Q18 shape — big lineitem
+    aggregation, join back to orders and customer, global top-20."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "_qty")
+        .orderBy(F.col("_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+FROZEN_SENTINELS = {
+    "sentinel_asof_frozen": _sentinel_asof_frozen,
+    "sentinel_q18_frozen": _sentinel_q18_frozen,
+}
+# Reference seconds for the frozen sentinels, established r8: the
+# legacy refs are all-time minima recorded on load-free sessions the
+# new sentinels never saw, so raw r8 minima would bake this session's
+# host condition into the scale. Instead: ref = (session minimum) /
+# (legacy sentinel factor co-measured in the same run) — 0.445/1.433
+# and 0.767/1.433 — putting both on the legacy load-free scale, so a
+# frozen-sentinel ratio reads like a legacy ratio (~1.0 on a quiet
+# host). Same do-NOT-update rule as above: these are the measurement
+# record drift is judged against.
+_FROZEN_REFS = {
+    "sentinel_asof_frozen": 0.311,
+    "sentinel_q18_frozen": 0.535,
+}
+
 
 def main() -> None:
     spark = get_spark(app_name="bazof-bench")
@@ -115,13 +199,54 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
-    # drift factor from the sentinels measured IN this run (they are
-    # ordinary workload queries, so a subset run without them reports
-    # factor null rather than a guessed one)
+
+    # frozen sentinels: measured with the SAME warm + min-of-n protocol,
+    # but NEVER added to the workload total (they are instruments, not
+    # workload — adding them would break cross-round total comparability)
+    frozen_times: dict[str, float] = {}
+    frozen_spreads: dict[str, dict[str, float]] = {}
+    for name, fn in FROZEN_SENTINELS.items():
+        if warmup:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+        runs.sort()
+        median = runs[len(runs) // 2] if reps % 2 else (
+            (runs[reps // 2 - 1] + runs[reps // 2]) / 2
+        )
+        frozen_times[name] = round(runs[0], 3)
+        frozen_spreads[name] = {
+            "median": round(median, 3),
+            "max": round(runs[-1], 3),
+            "n": reps,
+        }
+
+    # drift factor from the sentinels measured IN this run. Legacy
+    # sentinels are ordinary workload queries (absent from subset runs);
+    # frozen ones always run. Per-sentinel ratios are reported so
+    # adjudication can be per-family (asof vs scan-agg vs shuffle-heavy),
+    # the scalar factor stays the median for backward comparability and
+    # is null when fewer than 3 sentinels were measured.
+    all_refs = {**SENTINELS, **_FROZEN_REFS}
+    all_now = {**timings, **frozen_times}
+    per_sentinel = {
+        name: {
+            "ref_sec": ref,
+            "now_sec": all_now.get(name),
+            "ratio": (
+                round(all_now[name] / ref, 3)
+                if name in all_now and ref > 0
+                else None
+            ),
+        }
+        for name, ref in all_refs.items()
+    }
     ratios = sorted(
-        timings[name] / ref
-        for name, ref in SENTINELS.items()
-        if name in timings and ref > 0
+        v["ratio"] for v in per_sentinel.values() if v["ratio"] is not None
     )
     sentinel_factor = (
         round(
@@ -130,7 +255,7 @@ def main() -> None:
             else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2,
             3,
         )
-        if len(ratios) == len(SENTINELS)
+        if len(ratios) >= 3
         else None
     )
     payload = {
@@ -144,9 +269,17 @@ def main() -> None:
             if sentinel_factor
             else None
         ),
-        "sentinels": {
-            name: {"ref_sec": ref, "now_sec": timings.get(name)}
-            for name, ref in SENTINELS.items()
+        "sentinels": per_sentinel,
+        # min/median/max spread for the 5 sentinels inline (the full
+        # per-query spread dict lives in bench_results.json): BENCH_r{N}
+        # carries the evidence per-family drift adjudication needs
+        "sentinel_spread": {
+            name: dict(
+                {"min": all_now[name]},
+                **(frozen_spreads.get(name) or spreads.get(name) or {}),
+            )
+            for name in all_refs
+            if name in all_now
         },
         "n_queries": len(timings),
         "queries": timings,
