@@ -1045,6 +1045,116 @@ class Lakehouse:
                 "table string, version string, operation string",
             )
 
+        if dml.kind == "merge_multi":
+            # combined clause list — first matching WHEN MATCHED clause
+            # wins per key (Delta/ANSI semantics; predicates evaluate
+            # over the TARGET's current row like the single-delete
+            # form), WHEN NOT MATCHED THEN INSERT * takes the source
+            # rows whose keys are absent from Current. Compiles to ONE
+            # atomic commit: writer.merge_apply publishes the upsert
+            # delta and the tombstone delta in the same snapshot, so a
+            # reader sees all of the MERGE or none of it.
+            if not self.has_table(dml.table):
+                raise BazofError(
+                    f"cannot MERGE into missing table {dml.table!r}"
+                )
+            from bazof_spark.writer import merge_apply
+
+            pinned = self.table(dml.table).current_version()
+            src = self.sql(dml.select.rstrip().rstrip(";"))
+            if "key" not in src.columns:
+                raise BazofError(
+                    "MERGE source must produce a 'key' column, got "
+                    f"{src.columns}"
+                )
+            needs_rows = dml.insert_unmatched or any(
+                act == "update" for act, _ in dml.clauses
+            )
+            if needs_rows:
+                schema = self.table(dml.table).get_current_snapshot().schema
+                expected = ["key", "event_time", *schema.column_names()]
+                if set(src.columns) != set(expected) and len(
+                    src.columns
+                ) == len(expected):
+                    src = src.toDF(*expected)  # positional, like INSERT
+            view = self._fresh_current_view(dml.table)
+            src_view = f"{view}__src"
+            try:
+                src.createOrReplaceTempView(src_view)
+                # per matched key: verdict = first clause whose pred
+                # holds on the target's CURRENT row (NULL pred result =
+                # clause does not apply — coalesce keeps three-valued
+                # logic from leaking a row past an earlier clause)
+                arms = " ".join(
+                    f"WHEN coalesce({pred}, false) THEN '{act}{i}'"
+                    if pred
+                    else f"WHEN true THEN '{act}{i}'"
+                    for i, (act, pred) in enumerate(dml.clauses)
+                )
+                verdicts = self.spark.sql(
+                    f"SELECT t.key, CASE {arms} END AS _verdict "
+                    f"FROM {view} t LEFT SEMI JOIN {src_view} s "
+                    "ON t.key = s.key"
+                )
+                delete_df = None
+                upsert_parts = []
+                del_tags = [
+                    f"'delete{i}'"
+                    for i, (act, _) in enumerate(dml.clauses)
+                    if act == "delete"
+                ]
+                upd_tags = [
+                    f"'update{i}'"
+                    for i, (act, _) in enumerate(dml.clauses)
+                    if act == "update"
+                ]
+                verdicts.createOrReplaceTempView(f"{src_view}__v")
+                if del_tags:
+                    delete_df = self.spark.sql(
+                        f"SELECT key FROM {src_view}__v "
+                        f"WHERE _verdict IN ({', '.join(del_tags)})"
+                    )
+                if upd_tags:
+                    # UPDATE SET * = the full SOURCE row upserts the key
+                    upsert_parts.append(
+                        self.spark.sql(
+                            f"SELECT s.* FROM {src_view} s JOIN "
+                            f"{src_view}__v v ON s.key = v.key "
+                            f"WHERE v._verdict IN ({', '.join(upd_tags)})"
+                        )
+                    )
+                if dml.insert_unmatched:
+                    upsert_parts.append(
+                        self.spark.sql(
+                            f"SELECT s.* FROM {src_view} s LEFT ANTI "
+                            f"JOIN {view} t ON s.key = t.key"
+                        )
+                    )
+                upsert_df = None
+                for p in upsert_parts:
+                    upsert_df = p if upsert_df is None else (
+                        upsert_df.unionByName(p)
+                    )
+                merge_apply(
+                    self.spark,
+                    self.table(dml.table).path,
+                    upsert_df=upsert_df,
+                    delete_keys_df=delete_df,
+                    create_segment=True,
+                    expected_version=pinned,
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+                self.spark.catalog.dropTempView(src_view)
+                self.spark.catalog.dropTempView(f"{src_view}__v")
+            if self.spark.catalog.tableExists(dml.table):
+                self.scan(dml.table).createOrReplaceTempView(dml.table)
+            version = self.table(dml.table).current_version()
+            return self.spark.createDataFrame(
+                [(dml.table, version, "merge_multi")],
+                "table string, version string, operation string",
+            )
+
         if dml.kind == "update":
             self.update(dml.table, dict(dml.sets), where=dml.select)
             if self.spark.catalog.tableExists(dml.table):

@@ -223,6 +223,54 @@ def events_merge_deleted_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehous
     return Lakehouse(spark, root)
 
 
+MERGE_MULTI_TABLE_NAME = "events_merge_multi"
+#: the combined multi-clause MERGE under test (round 8): the source is
+#: every user_id % MERGE_MULTI_MODULUS == 0 key re-emitted at
+#: MERGE_MULTI_AT with value*10 / event_type 'merged', plus
+#: MERGE_MULTI_N_SEEDS synthetic unmatched keys; clause list =
+#: DELETE (value < DEL_BOUND) → UPDATE SET * (value < UPD_BOUND) →
+#: INSERT * — first match wins per key, ONE atomic commit
+MERGE_MULTI_MODULUS = 3
+MERGE_MULTI_DEL_BOUND = 50.0
+MERGE_MULTI_UPD_BOUND = 200.0
+MERGE_MULTI_AT_SQL = "timestamp'2024-03-01 00:00:00'"
+MERGE_MULTI_N_SEEDS = 3
+
+
+def events_merge_multi_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """``events_versioned`` clone with ONE multi-clause MERGE applied —
+    the Delta-style combined statement (per-clause predicates over the
+    target's CURRENT row, first match wins, unmatched source rows
+    insert), compiled to a single snapshot (writer.merge_apply)."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, MERGE_MULTI_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _materialize_events(spark, sf_dir, root, MERGE_MULTI_TABLE_NAME)
+        lh = Lakehouse(spark, root)
+        t = MERGE_MULTI_TABLE_NAME
+        lh.sql(
+            f"MERGE INTO {t} USING "
+            f"SELECT key, {MERGE_MULTI_AT_SQL} AS event_time, event_id, "
+            f"'merged' AS event_type, value * 10 AS value, props "
+            f"FROM {t} WHERE CAST(key AS BIGINT) % {MERGE_MULTI_MODULUS} = 0 "
+            "UNION ALL "
+            f"SELECT CAST(900001 + id AS STRING), {MERGE_MULTI_AT_SQL}, "
+            "CAST(-(1 + id) AS BIGINT), 'seed', CAST(1 + id AS DOUBLE), "
+            f"CAST(NULL AS STRING) FROM range({MERGE_MULTI_N_SEEDS}) "
+            "ON key "
+            f"WHEN MATCHED AND value < {MERGE_MULTI_DEL_BOUND} THEN DELETE "
+            f"WHEN MATCHED AND value < {MERGE_MULTI_UPD_BOUND} "
+            "THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
 UPDATED_TABLE_NAME = "events_updated"
 #: update instant: past every driver event timestamp, so the updated
 #: versions win Current while every in-range as-of sees the originals

@@ -314,6 +314,103 @@ _MERGE_INSERT_ONLY_SUFFIX_RE = re.compile(
     re.IGNORECASE,
 )
 
+# multi-clause MERGE — the shape real pipelines write, combining the
+# three single forms in one statement with per-clause predicates:
+#   MERGE INTO t USING <src> ON key
+#     WHEN MATCHED AND <p1> THEN DELETE
+#     WHEN MATCHED [AND <p2>] THEN UPDATE SET *
+#     WHEN NOT MATCHED THEN INSERT *
+# Clause order is significant (first matching WHEN MATCHED clause wins
+# per key, Delta/ANSI semantics); predicates evaluate over the TARGET's
+# current row, like the single merge-delete form. Compiles to ONE
+# atomic commit (writer.merge_apply: data delta + tombstone delta in
+# the same snapshot).
+_MERGE_WHEN_RE = re.compile(
+    r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE
+)
+_MERGE_ON_KEY_TAIL_RE = re.compile(
+    r"\s+ON\s+key\s*$", re.IGNORECASE
+)
+_MERGE_ACTION_TAIL_RE = re.compile(
+    r"\s+THEN\s+(?P<act>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*$",
+    re.IGNORECASE,
+)
+_MERGE_CLAUSE_HEAD_RE = re.compile(
+    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?:\s+AND\s+(?P<pred>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge_clauses(select: str, spans):
+    """Parse ``<src> ON key WHEN ... [WHEN ...]*`` into
+    (source_sql, matched_clauses, insert_unmatched) — or None when the
+    text doesn't have that shape (the caller falls through to the
+    single-form error). matched_clauses is a tuple of
+    ("delete"|"update", predicate_sql) in statement order; predicates
+    inside strings never split clauses."""
+    whens = [
+        m for m in _MERGE_WHEN_RE.finditer(select)
+        if not _inside(m.start(), spans)
+    ]
+    if not whens:
+        return None
+    prefix = select[: whens[0].start()]
+    on = _MERGE_ON_KEY_TAIL_RE.search(prefix)
+    if on is None:
+        return None
+    src = prefix[: on.start()]
+    tail = select[whens[0].start():].rstrip().rstrip(";").rstrip()
+    segments = []
+    for i, m in enumerate(whens):
+        lo = m.start() - whens[0].start()
+        hi = (
+            whens[i + 1].start() - whens[0].start()
+            if i + 1 < len(whens)
+            else len(tail)
+        )
+        segments.append(tail[lo:hi].strip())
+    matched: list[tuple[str, str]] = []
+    insert_unmatched = False
+    for seg in segments:
+        act_m = _MERGE_ACTION_TAIL_RE.search(seg)
+        if act_m is None:
+            raise SqlRewriteError(
+                "MERGE clause must end in THEN DELETE, THEN UPDATE SET "
+                f"*, or THEN INSERT * — got: {seg!r}"
+            )
+        head_m = _MERGE_CLAUSE_HEAD_RE.fullmatch(seg[: act_m.start()].strip())
+        if head_m is None:
+            raise SqlRewriteError(f"malformed MERGE clause: {seg!r}")
+        act = re.sub(r"\s+", " ", act_m.group("act").upper())
+        neg = bool(head_m.group("neg"))
+        pred = (head_m.group("pred") or "").strip()
+        if neg:
+            if act != "INSERT *" or pred:
+                raise SqlRewriteError(
+                    "WHEN NOT MATCHED supports only 'THEN INSERT *' "
+                    f"(no predicate), got: {seg!r}"
+                )
+            if insert_unmatched:
+                raise SqlRewriteError(
+                    "at most one WHEN NOT MATCHED clause per MERGE"
+                )
+            insert_unmatched = True
+        else:
+            if act == "INSERT *":
+                raise SqlRewriteError(
+                    "WHEN MATCHED cannot INSERT — use UPDATE SET * or "
+                    "DELETE"
+                )
+            if matched and matched[-1][1] == "":
+                raise SqlRewriteError(
+                    "an unpredicated WHEN MATCHED clause must be the "
+                    "LAST matched clause — later clauses are unreachable"
+                )
+            matched.append(
+                ("delete" if act == "DELETE" else "update", pred)
+            )
+    return src, tuple(matched), insert_unmatched
+
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
 # format's merge-by-key: matching rows are re-read with the SET
 # expressions applied (they may reference the old column values) and
@@ -400,7 +497,8 @@ _DELETE_RE = re.compile(
 
 @dataclass(frozen=True)
 class DmlStatement:
-    #: "ctas"|"insert"|"merge"|"merge_delete"|"merge_insert"|"delete"|"update"
+    #: "ctas"|"insert"|"merge"|"merge_delete"|"merge_insert"|
+    #: "merge_multi"|"delete"|"update"
     kind: str
     table: str
     replace: bool
@@ -410,6 +508,11 @@ class DmlStatement:
     #: for "merge_delete": the WHEN MATCHED AND predicate ("" = all
     #: matched keys), evaluated over the target's current rows
     pred: str = ""
+    #: for "merge_multi": ("delete"|"update", pred) WHEN MATCHED
+    #: clauses in statement order (first match wins per key)
+    clauses: tuple = ()
+    #: for "merge_multi": a WHEN NOT MATCHED THEN INSERT * clause
+    insert_unmatched: bool = False
 
 
 def _lstrip_trivia(sql: str) -> str:
@@ -475,11 +578,21 @@ def parse_dml(sql: str) -> DmlStatement | None:
     if m:
         select = m.group("select")
         spans = _string_spans(select)
+        # single-clause suffix regexes use lazy-dot predicates that
+        # could mis-span ACROSS clauses of a multi-clause statement
+        # (pred swallowing "… THEN UPDATE SET * WHEN MATCHED …"), so
+        # they only apply when there is at most one top-level WHEN
+        n_whens = sum(
+            1
+            for w in _MERGE_WHEN_RE.finditer(select)
+            if not _inside(w.start(), spans)
+        )
         canon = _MERGE_CANONICAL_SUFFIX_RE.search(select)
         if canon is not None and not _inside(canon.start(), spans):
             select = select[: canon.start()]
         elif (
-            (dele := _MERGE_DELETE_SUFFIX_RE.search(select)) is not None
+            n_whens <= 1
+            and (dele := _MERGE_DELETE_SUFFIX_RE.search(select)) is not None
             and not _inside(dele.start(), spans)
         ):
             return DmlStatement(
@@ -500,23 +613,43 @@ def parse_dml(sql: str) -> DmlStatement | None:
                 select=select[: ins.start()],
             )
         else:
-            # a WHEN [NOT] MATCHED clause that is NOT the canonical
-            # full-row upsert must error, never silently run with
+            # general clause-list form (combined multi-clause MERGE);
+            # falls back to a clear error for any WHEN [NOT] MATCHED
+            # text that is not a parseable clause list — never silently
             # different semantics ("ON key" alone is left to the source
             # query — it is a legal join condition there)
+            multi = _parse_merge_clauses(select, spans)
+            if multi is not None:
+                src, clauses, insert_unmatched = multi
+                if not clauses and insert_unmatched:
+                    return DmlStatement(
+                        kind="merge_insert",
+                        table=m.group("name"),
+                        replace=False,
+                        select=src,
+                    )
+                return DmlStatement(
+                    kind="merge_multi",
+                    table=m.group("name"),
+                    replace=False,
+                    select=src,
+                    clauses=clauses,
+                    insert_unmatched=insert_unmatched,
+                )
             for cand in re.finditer(
                 r"\bWHEN\s+(NOT\s+)?MATCHED\b", select, re.IGNORECASE
             ):
                 if not _inside(cand.start(), spans):
                     raise SqlRewriteError(
                         "MERGE INTO supports only the format's native "
-                        "merges-by-key; the optional clause must be "
-                        "exactly 'ON key WHEN MATCHED THEN UPDATE SET "
-                        "* WHEN NOT MATCHED THEN INSERT *' (full-row "
-                        "upsert), 'ON key WHEN MATCHED [AND <pred>] "
-                        "THEN DELETE' (tombstone the matched keys), or "
-                        "'ON key WHEN NOT MATCHED THEN INSERT *' "
-                        "(insert-only — existing keys untouched), "
+                        "merges-by-key: 'ON key WHEN MATCHED THEN "
+                        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *' "
+                        "(full-row upsert), 'ON key WHEN MATCHED [AND "
+                        "<pred>] THEN DELETE', 'ON key WHEN NOT "
+                        "MATCHED THEN INSERT *', or a combined clause "
+                        "list of those shapes (WHEN MATCHED [AND p] "
+                        "THEN UPDATE SET */DELETE ... WHEN NOT MATCHED "
+                        "THEN INSERT *), "
                         f"got: {select[cand.start():].strip()!r}"
                     )
         return DmlStatement(

@@ -171,6 +171,27 @@ def merge_delete_scan(spark, sf_dir):
     )
 
 
+def merge_multi_clause_scan(spark, sf_dir):
+    """Op: combined multi-clause SQL MERGE (round 8) under the driver
+    oracle — a clone of events_versioned put through ONE statement
+    whose clause list is DELETE (current value < 50) → UPDATE SET *
+    (current value < 200, source row = value*10 at 2024-03-01) →
+    INSERT * (3 synthetic unmatched keys), first match wins per key,
+    compiled to one atomic snapshot (writer.merge_apply: data delta +
+    tombstone delta in the same version)."""
+    from bazof_spark.sources.events import events_merge_multi_lakehouse
+
+    lh = events_merge_multi_lakehouse(spark, sf_dir)
+    return lh.scan("events_merge_multi").select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def asof_scan_event_time(spark, sf_dir):
     """Op: as-of merge-dedup at an event-time instant."""
     return _scan_events(spark, sf_dir, as_of=ASOF_TS).select(
@@ -593,6 +614,38 @@ _ASOF_ORACLES = {
         SELECT * FROM ({_events_oracle_cte()})
         WHERE NOT (CAST(key AS BIGINT) % 5 = 0
                    AND coalesce(value < 100.0, false))
+    """,
+    # multi-clause MERGE = latest-per-user, clause list applied with
+    # first-match-wins over the CURRENT row (null-safe like the engine's
+    # coalesce(pred, false)): %3-matched keys with value<50 drop,
+    # value<200 become the source row (value*10, 'merged', the merge
+    # instant), the rest stay; 3 synthetic unmatched source keys insert
+    "merge_multi_clause_scan": f"""
+        WITH cur AS ({_events_oracle_cte()})
+        SELECT key,
+               CASE WHEN CAST(key AS BIGINT) % 3 = 0
+                         AND coalesce(value < 200.0, false)
+                    THEN epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+                    ELSE event_time_us END AS event_time_us,
+               event_id,
+               CASE WHEN CAST(key AS BIGINT) % 3 = 0
+                         AND coalesce(value < 200.0, false)
+                    THEN 'merged' ELSE event_type END AS event_type,
+               CASE WHEN CAST(key AS BIGINT) % 3 = 0
+                         AND coalesce(value < 200.0, false)
+                    THEN value * 10 ELSE value END AS value,
+               props
+          FROM cur
+         WHERE NOT (CAST(key AS BIGINT) % 3 = 0
+                    AND coalesce(value < 50.0, false))
+        UNION ALL
+        SELECT CAST(900001 + r.range AS VARCHAR) AS key,
+               epoch_us(TIMESTAMP '2024-03-01 00:00:00') AS event_time_us,
+               CAST(-(1 + r.range) AS BIGINT) AS event_id,
+               'seed' AS event_type,
+               CAST(1 + r.range AS DOUBLE) AS value,
+               CAST(NULL AS VARCHAR) AS props
+          FROM range(3) r
     """,
     # UPDATE = latest-per-user, then the SET expressions applied to the
     # rows whose CURRENT event_type matched the predicate (their
@@ -4142,6 +4195,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_scan_current": asof_scan_current,
     "delete_tombstone_scan": delete_tombstone_scan,
     "merge_delete_scan": merge_delete_scan,
+    "merge_multi_clause_scan": merge_multi_clause_scan,
     "update_set_scan": update_set_scan,
     "zonemap_key_lookup": zonemap_key_lookup,
     "keyset_point_lookup": keyset_point_lookup,

@@ -516,6 +516,64 @@ def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
         n += 1
 
 
+def _conform_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Align a producer batch with the DECLARED schema before writing.
+
+    A producer written before a RENAME may still ship the former
+    spelling: map it to the declared name (1:1 by the rename chain —
+    this is what makes a rename non-breaking for writers, the
+    write-side twin of the readers' formers coalesce). A batch carrying
+    BOTH spellings — or two former spellings — is ambiguous and errors
+    loudly. Nullable columns the batch doesn't carry (e.g. added by
+    evolve_table_schema after the producer was written) are null-filled,
+    and every column is cast to its DECLARED type: a batch carrying
+    e.g. a DECIMAL (SQL literal) or INT where the schema says Float/
+    Int64 would otherwise be written verbatim, and the committed
+    delta's divergent parquet type then breaks every later
+    explicit-schema scan until RESTORE (the UPDATE path had exactly
+    this bug). A matching type is a no-op cast Catalyst elides."""
+    have = set(df.columns)
+    for c in schema.columns:
+        if c.name in have:
+            if any(f in have for f in c.formers):
+                both = [f for f in c.formers if f in have]
+                raise BazofError(
+                    f"batch carries column {c.name!r} AND its former "
+                    f"spelling(s) {both} — ambiguous after the "
+                    "rename; ship exactly one"
+                )
+            continue
+        present = [f for f in c.formers if f in have]
+        if len(present) > 1:
+            # a twice-renamed table can have producers shipping
+            # different old spellings, but ONE batch carrying two
+            # spellings of the same column is as ambiguous as
+            # declared+former above — silently remapping the first
+            # would drop the second in the final select (data loss)
+            raise BazofError(
+                f"batch carries multiple former spellings {present} "
+                f"of column {c.name!r} — ambiguous; ship exactly one"
+            )
+        if present:
+            df = df.withColumnRenamed(present[0], c.name)
+            have = (have - {present[0]}) | {c.name}
+    fills = [
+        F.lit(None).cast(c.data_type.to_spark()).alias(c.name)
+        for c in schema.columns
+        if c.name not in have and c.nullable
+    ]
+    if fills:
+        df = df.select("*", *fills)
+    return df.select(
+        F.col(KEY_COL).cast("string").alias(KEY_COL),
+        F.col(EVENT_TIME_COL).cast("timestamp").alias(EVENT_TIME_COL),
+        *[
+            F.col(c.name).cast(c.data_type.to_spark()).alias(c.name)
+            for c in schema.columns
+        ],
+    )
+
+
 def append_delta(
     spark: SparkSession,
     table_path: str,
@@ -601,59 +659,7 @@ def append_delta(
         # explicit-schema read null-fills the value columns
         ordered = df.select(KEY_COL, EVENT_TIME_COL)
     else:
-        # a producer written before a RENAME may still ship the former
-        # spelling: map it to the declared name (1:1 by the rename
-        # chain — this is what makes a rename non-breaking for writers,
-        # the write-side twin of the readers' formers coalesce). A
-        # batch carrying BOTH spellings is ambiguous and errors loudly.
-        have = set(df.columns)
-        for c in schema.columns:
-            if c.name in have:
-                if any(f in have for f in c.formers):
-                    both = [f for f in c.formers if f in have]
-                    raise BazofError(
-                        f"batch carries column {c.name!r} AND its former "
-                        f"spelling(s) {both} — ambiguous after the "
-                        "rename; ship exactly one"
-                    )
-                continue
-            present = [f for f in c.formers if f in have]
-            if len(present) > 1:
-                # a twice-renamed table can have producers shipping
-                # different old spellings, but ONE batch carrying two
-                # spellings of the same column is as ambiguous as
-                # declared+former above — silently remapping the first
-                # would drop the second in the final select (data loss)
-                raise BazofError(
-                    f"batch carries multiple former spellings {present} "
-                    f"of column {c.name!r} — ambiguous; ship exactly one"
-                )
-            if present:
-                df = df.withColumnRenamed(present[0], c.name)
-                have = (have - {present[0]}) | {c.name}
-        # null-fill nullable columns the batch doesn't carry (e.g. added
-        # by evolve_table_schema after the producer was written)
-        fills = [
-            F.lit(None).cast(c.data_type.to_spark()).alias(c.name)
-            for c in schema.columns
-            if c.name not in have and c.nullable
-        ]
-        if fills:
-            df = df.select("*", *fills)
-        # cast to the DECLARED column types: a batch carrying e.g. a
-        # DECIMAL (SQL literal) or INT where the schema says Float/Int64
-        # would otherwise be written verbatim, and the committed delta's
-        # divergent parquet type then breaks every later explicit-schema
-        # scan until RESTORE (the UPDATE path had exactly this bug). A
-        # matching type is a no-op cast Catalyst elides.
-        ordered = df.select(
-            F.col(KEY_COL).cast("string").alias(KEY_COL),
-            F.col(EVENT_TIME_COL).cast("timestamp").alias(EVENT_TIME_COL),
-            *[
-                F.col(c.name).cast(c.data_type.to_spark()).alias(c.name)
-                for c in schema.columns
-            ],
-        )
+        ordered = _conform_to_schema(df, schema)
     # one materialization for the up-to-three consumers (invariant
     # check, min/max bounds, the write itself) — without it each re-runs
     # the batch's full lineage as its own Spark job
@@ -1033,6 +1039,134 @@ def delete_keys(
     return append_delta(
         spark, table_path, df, start=at, end=at, tombstone=True, **kwargs
     )
+
+
+def merge_apply(
+    spark: SparkSession,
+    table_path: str,
+    upsert_df: DataFrame | None = None,
+    delete_keys_df: DataFrame | None = None,
+    at: datetime | None = None,
+    create_segment: bool = True,
+    expected_version: str | None = None,
+    validate: bool = True,
+) -> Snapshot:
+    """Apply a multi-clause MERGE outcome — upsert rows AND key
+    tombstones — as ONE snapshot publish: the data delta and the
+    tombstone delta land in the same ``s{v+1}.json``, so the statement
+    is atomic (a reader either sees none of the MERGE or all of it;
+    chaining append_delta + delete_keys would expose the half-applied
+    intermediate version and bump twice). Delta Lake's multi-clause
+    MERGE commits exactly one version for the same reason.
+
+    The caller guarantees the two key sets are DISJOINT (first-match-
+    wins clause compilation does this by construction) — within one
+    version a tombstone and a data row for the same key would tie on
+    precedence. Empty inputs degrade exactly like the single-form
+    writers: no upsert rows and no delete keys is a version no-op
+    (returns the current snapshot); an empty delete set never flips a
+    delete-free table to delete-capable."""
+    from datetime import timezone
+
+    from bazof_spark.maintenance import _numeric_versions
+
+    if at is None:
+        at = datetime.now(timezone.utc)
+    at = _aware_utc(at)
+
+    table = Table(
+        path=table_path, name=os.path.basename(table_path.rstrip("/"))
+    )
+    version = table.current_version()
+    if expected_version is not None and version != expected_version:
+        from bazof_spark.errors import CommitConflictError
+
+        raise CommitConflictError(
+            f"table moved {expected_version!r} → {version!r} since the "
+            "merge was derived; re-read and re-derive before retrying"
+        )
+    snapshot = table.get_snapshot(version)
+    try:
+        current = int(version)
+    except ValueError as exc:
+        raise BazofError(
+            f"cannot bump non-numeric snapshot version {version!r}"
+        ) from exc
+    next_version = str(max([current, *_numeric_versions(table_path)]) + 1)
+    schema = snapshot.schema
+
+    ordered = None
+    if upsert_df is not None:
+        ordered = _conform_to_schema(upsert_df, schema).persist()
+        try:
+            if ordered.isEmpty():
+                ordered.unpersist()
+                ordered = None
+            elif validate:
+                validate_data_file_invariants(ordered)
+        except BaseException:
+            ordered.unpersist()
+            raise
+    tomb = None
+    if delete_keys_df is not None:
+        tomb = delete_keys_df.select(
+            F.col(KEY_COL).cast("string").alias(KEY_COL),
+            F.lit(at).alias(EVENT_TIME_COL),
+        ).dropDuplicates([KEY_COL])
+        if tomb.isEmpty():
+            tomb = None  # same no-op contract as delete_keys
+    if ordered is None and tomb is None:
+        return snapshot
+
+    try:
+        if ordered is not None:
+            lo, hi = ordered.select(
+                F.min(EVENT_TIME_COL), F.max(EVENT_TIME_COL)
+            ).first()
+            u_start, u_end = _aware_utc(lo), _aware_utc(hi)
+        else:
+            u_start = u_end = at
+
+        segs = list(snapshot.segments)
+        idx = _pick_target_segment(
+            segs, None, create_segment, min(u_start, at), next_version
+        )
+        target = segs[idx]
+        deltas = tuple(target.delta)
+        n = len(deltas)
+        if ordered is not None:
+            name = _fresh_delta_name(table_path, target.id, n)
+            dataframe_to_parquet_file(ordered, iofs.join(table_path, name))
+            deltas = _insert_deltas(
+                deltas,
+                [
+                    _delta_with_stats(
+                        table_path, name, u_start, u_end, tombstone=False
+                    )
+                ],
+                u_start,
+            )
+            n += 1
+        if tomb is not None:
+            name = _fresh_delta_name(table_path, target.id, n)
+            dataframe_to_parquet_file(tomb, iofs.join(table_path, name))
+            deltas = _insert_deltas(
+                deltas,
+                [
+                    _delta_with_stats(
+                        table_path, name, at, at, tombstone=True
+                    )
+                ],
+                at,
+            )
+    finally:
+        if ordered is not None:
+            ordered.unpersist()
+
+    segs[idx] = dataclasses.replace(target, delta=deltas)
+    new_snapshot = Snapshot(segments=tuple(segs), schema=schema)
+    _publish_snapshot(table_path, version, next_version, new_snapshot)
+    return new_snapshot
 
 
 @contextlib.contextmanager

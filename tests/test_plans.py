@@ -498,7 +498,15 @@ def test_tombstone_and_update_scans_stay_one_shuffle(spark):
     versions win) inside the SAME single map-side-combined merge
     exchange as a plain scan — the extensions must not add a second
     shuffle or un-prune the scan."""
-    for name in ("delete_tombstone_scan", "update_set_scan", "merge_delete_scan"):
+    for name in (
+        "delete_tombstone_scan",
+        "update_set_scan",
+        "merge_delete_scan",
+        # round-8 multi-clause MERGE: deletes + upserts + inserts land
+        # in ONE snapshot, and the post-merge scan must keep the plain
+        # single-exchange merge plan
+        "merge_multi_clause_scan",
+    ):
         df = q(name, spark)
         assert shuffle_count(df) <= 1, name
         for cols in scan_columns(df):

@@ -163,10 +163,10 @@ def test_parse_merge_detection():
     d = parse_dml("MERGE INTO t USING SELECT * FROM a JOIN b ON key = b.k")
     assert d.select.strip() == "SELECT * FROM a JOIN b ON key = b.k"
     # any non-canonical WHEN MATCHED semantics must error, not drift
-    # (the delete form is now a SUPPORTED second shape — see
-    # test_parse_merge_delete_detection; an unsupported UPDATE SET
-    # assignment list still errors)
-    with pytest.raises(SqlRewriteError, match="merges-by-key"):
+    # (delete / insert-only / multi-clause are SUPPORTED shapes now; an
+    # unsupported per-column UPDATE SET assignment list still errors —
+    # via the clause parser's message since round 8)
+    with pytest.raises(SqlRewriteError, match="THEN DELETE"):
         parse_dml(
             "MERGE INTO t USING SELECT * FROM s "
             "ON key WHEN MATCHED THEN UPDATE SET v = 1"
@@ -963,3 +963,161 @@ def test_concurrent_updates_lose_no_increments(spark, lh):
     assert not errors, errors
     [row] = lh.sql("SELECT value FROM c WHERE key = 'a'").collect()
     assert row["value"] == float(increments_per_thread * n_threads)
+
+
+def test_parse_merge_multi_clause_detection():
+    """Combined clause lists parse into ordered (action, pred) tuples;
+    malformed combinations error with the clause in the message."""
+    from bazof_spark.sql import SqlRewriteError
+
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED AND value < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge_multi" and d.table == "t"
+    assert d.select.strip() == "SELECT * FROM s"
+    assert d.clauses == (("delete", "value < 0"), ("update", ""))
+    assert d.insert_unmatched
+    # predicated update alone (single clause the legacy forms lack)
+    d = parse_dml(
+        "merge into t using select * from s on key "
+        "when matched and value > 1 then update set *;"
+    )
+    assert d.kind == "merge_multi"
+    assert d.clauses == (("update", "value > 1"),)
+    assert not d.insert_unmatched
+    # two predicated deletes + insert, order preserved
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED AND a THEN DELETE "
+        "WHEN MATCHED AND b THEN UPDATE SET * "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.clauses == (
+        ("delete", "a"), ("update", "b"), ("delete", ""),
+    )
+    # the legacy single forms still route to their own kinds
+    assert parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED THEN DELETE"
+    ).kind == "merge_delete"
+    assert parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key WHEN MATCHED THEN "
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ).kind == "merge"
+    # an unpredicated MATCHED clause shadowing later clauses errors
+    with pytest.raises(SqlRewriteError, match="unreachable"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND x THEN UPDATE SET *"
+        )
+    with pytest.raises(SqlRewriteError, match="at most one WHEN NOT"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(SqlRewriteError, match="WHEN NOT MATCHED"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN NOT MATCHED THEN DELETE"
+        )
+    # per-row UPDATE SET col = expr is still unsupported (clear error)
+    with pytest.raises(SqlRewriteError, match="THEN DELETE"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN MATCHED AND x THEN UPDATE SET v = 1 "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_merge_multi_clause_end_to_end(spark, lh):
+    """One statement, three clauses, ONE version bump: matched keys
+    route to the FIRST clause whose predicate holds on their current
+    row (delete vs full-row upsert), unmatched source keys insert —
+    and the whole outcome is atomic (data delta + tombstone delta in
+    the same snapshot)."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(6)
+        """
+    )
+    v1 = int(lh.table("t").current_version())
+    # source rows: keys 1,3,4 matched; key 9 unmatched
+    [st] = lh.sql(
+        "MERGE INTO t USING "
+        "SELECT CAST(k AS STRING) AS key, "
+        "timestamp'2024-02-01' AS event_time, CAST(v AS DOUBLE) AS value "
+        "FROM (VALUES (1, 100.0), (3, 300.0), (4, 400.0), (9, 900.0)) "
+        "AS s(k, v) ON key "
+        "WHEN MATCHED AND value < 2 THEN DELETE "
+        "WHEN MATCHED AND value < 4 THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert st["operation"] == "merge_multi"
+    # ONE atomic commit for the whole statement
+    assert int(st["version"]) == v1 + 1
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    # key 1 (current value 1.0 < 2): deleted
+    # key 3 (3.0: fails pred1, passes pred2 < 4): upserted to 300.0
+    # key 4 (4.0: fails both predicates): left untouched
+    # key 9: unmatched, inserted at 900.0
+    assert got == {
+        "0": 0.0, "2": 2.0, "3": 300.0, "4": 4.0, "5": 5.0, "9": 900.0,
+    }
+    # time travel: the pre-merge version is intact
+    old = {
+        r["key"]: r["value"]
+        for r in lh.sql(
+            f"SELECT key, value FROM t FOR VERSION AS OF {v1}"
+        ).collect()
+    }
+    assert old == {str(i): float(i) for i in range(6)}
+
+    # no-effect statement (nothing matches, nothing to insert) is a
+    # version no-op — merge_apply's empty contract
+    v = lh.table("t").current_version()
+    lh.sql(
+        "MERGE INTO t USING SELECT 'zzz' AS key, "
+        "timestamp'2024-03-01' AS event_time, 0.0 AS value ON key "
+        "WHEN MATCHED AND value < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert lh.table("t").current_version() == v
+
+
+def test_merge_multi_null_predicate_keeps_row(spark, lh):
+    """Three-valued logic: a predicate evaluating to NULL on the
+    target's current row means the clause does NOT apply — the key must
+    fall through to later clauses (or stay untouched), never be
+    swallowed by NOT/NULL leakage."""
+    lh.sql(
+        "CREATE TABLE t AS "
+        "SELECT 'a' AS key, timestamp'2024-01-01' AS event_time, "
+        "CAST(NULL AS DOUBLE) AS value "
+        "UNION ALL SELECT 'b', timestamp'2024-01-01', 1.0"
+    )
+    lh.sql(
+        "MERGE INTO t USING SELECT 'a' AS key, "
+        "timestamp'2024-02-01' AS event_time, 7.0 AS value "
+        "UNION ALL SELECT 'b', timestamp'2024-02-01', 8.0 ON key "
+        "WHEN MATCHED AND value < 100 THEN DELETE"
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    # 'a' (NULL < 100 = NULL → clause does not apply) survives;
+    # 'b' (1.0 < 100) is deleted
+    assert got == {"a": None}

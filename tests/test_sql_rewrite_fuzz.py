@@ -249,6 +249,36 @@ def test_merge_keywords_inside_strings_and_comments():
     assert not d.select.rstrip().upper().endswith("INSERT *")  # clause gone
 
 
+def test_merge_multi_clause_fuzz_strings_stay_inert():
+    """Round-8 multi-clause MERGE: clause text inside string literals
+    never splits real clauses, predicates carrying quotes/parens parse
+    whole, and the source query survives verbatim."""
+    from bazof_spark.sql import parse_dml
+
+    d = parse_dml(
+        "MERGE INTO t USING SELECT 'WHEN MATCHED THEN DELETE' AS doc, "
+        "key FROM s ON key "
+        "WHEN MATCHED AND event_type = 'WHEN MATCHED' THEN DELETE "
+        "WHEN MATCHED AND (value > 1 AND value < 10) THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge_multi"
+    assert "AS doc" in d.select and "WHEN MATCHED THEN DELETE" in d.select
+    assert d.clauses == (
+        ("delete", "event_type = 'WHEN MATCHED'"),
+        ("update", "(value > 1 AND value < 10)"),
+    )
+    assert d.insert_unmatched
+    # a JOIN ... ON key in the source does not eat the clause anchor
+    d = parse_dml(
+        "MERGE INTO t USING SELECT a.key FROM a JOIN b ON key = b.k ON key "
+        "WHEN MATCHED AND value < 0 THEN UPDATE SET *"
+    )
+    assert d.kind == "merge_multi"
+    assert d.select.strip().endswith("ON key = b.k")
+    assert d.clauses == (("update", "value < 0"),)
+
+
 # ---------------------------------------------------------------------------
 # UPDATE body splitting (top-level WHERE / comma detection)
 # ---------------------------------------------------------------------------

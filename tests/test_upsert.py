@@ -590,3 +590,52 @@ def test_table_schema_rejects_duplicate_names():
                 ColumnDef("x", ColumnType.STRING, True),
             )
         )
+
+
+def test_merge_apply_atomic_single_version(spark, tmp_path):
+    """writer.merge_apply: upsert rows AND tombstones land in ONE
+    snapshot (one version bump, both effects visible together), empty
+    inputs are a version no-op, and a moved pointer raises
+    CommitConflictError before anything is written."""
+    from bazof_spark.errors import CommitConflictError
+    from bazof_spark.writer import merge_apply
+
+    lh = _seed_table(spark, str(tmp_path))
+    path = f"{tmp_path}/t"
+    v0 = lh.table("t").current_version()
+    snap = merge_apply(
+        spark,
+        path,
+        upsert_df=_df(spark, [("3", ts(2024, 2, 1), "c1")]),
+        delete_keys_df=spark.createDataFrame([("1",)], "key string"),
+        expected_version=v0,
+    )
+    v1 = lh.table("t").current_version()
+    assert int(v1) == int(v0) + 1  # ONE commit for both effects
+    assert _current(lh) == [("2", "b1"), ("3", "c1")]
+    # both delta files are in the SAME snapshot
+    files = snap.get_data_files()
+    assert len(files) == len(
+        lh.table("t").get_snapshot(v0).get_data_files()
+    ) + 2
+    # time travel: pre-merge version intact
+    assert _current(lh, version=v0) == [("1", "a1"), ("2", "b1")]
+
+    # empty inputs: version no-op (and never flips delete-capable)
+    assert merge_apply(
+        spark,
+        path,
+        upsert_df=_df(spark, []),
+        delete_keys_df=spark.createDataFrame([], "key string"),
+    ) is not None
+    assert lh.table("t").current_version() == v1
+
+    # stale expected_version: conflict, nothing committed
+    with pytest.raises(CommitConflictError):
+        merge_apply(
+            spark,
+            path,
+            upsert_df=_df(spark, [("9", ts(2024, 3, 1), "z")]),
+            expected_version=v0,
+        )
+    assert lh.table("t").current_version() == v1
