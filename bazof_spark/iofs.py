@@ -17,6 +17,7 @@ the same gap Delta closes with an external LogStore.
 from __future__ import annotations
 
 import os
+from functools import lru_cache as _functools_lru_cache
 
 
 def _emulated_schemes() -> frozenset[str]:
@@ -64,6 +65,32 @@ def emulated_mirror(uri: str) -> str:
     return local
 
 
+@_functools_lru_cache(maxsize=8)
+def _s3_endpoint_fs(endpoint: str, access: str, secret: str, region: str):
+    """pyarrow S3FileSystem bound to an explicit endpoint — the REAL
+    S3-protocol client path (AWS C++ SDK over HTTP): ListObjectsV2,
+    ranged GETs, multipart uploads, CopyObject. Point
+    ``$BAZOF_S3_ENDPOINT`` at any S3-compatible service (MinIO, the
+    bundled ``bazof_spark.s3server``, a real region endpoint) and every
+    ``s3://bucket/key`` in the repo resolves through it with no local
+    mirror anywhere. Cached per (endpoint, credentials) — the SDK
+    client is expensive to construct."""
+    from pyarrow import fs as pafs
+
+    scheme, _, hostport = endpoint.partition("://")
+    if not hostport:
+        scheme, hostport = "http", endpoint
+    return pafs.S3FileSystem(
+        endpoint_override=hostport,
+        scheme=scheme,
+        access_key=access,
+        secret_key=secret,
+        region=region,
+        allow_bucket_creation=True,
+        allow_bucket_deletion=True,
+    )
+
+
 def _split(path: str):
     """(filesystem, fs-relative-path) for a local path or URI."""
     from pyarrow import fs as pafs
@@ -72,6 +99,18 @@ def _split(path: str):
         emulated = _as_emulated(path)
         if emulated is not None:
             return pafs.LocalFileSystem(), emulated
+        scheme, rest = path.split("://", 1)
+        endpoint = os.environ.get("BAZOF_S3_ENDPOINT")
+        if scheme.lower() == "s3" and endpoint:
+            return (
+                _s3_endpoint_fs(
+                    endpoint,
+                    os.environ.get("BAZOF_S3_ACCESS_KEY", "bazof"),
+                    os.environ.get("BAZOF_S3_SECRET_KEY", "bazof-secret"),
+                    os.environ.get("BAZOF_S3_REGION", "us-east-1"),
+                ),
+                rest,
+            )
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
 

@@ -26,6 +26,7 @@ import contextlib
 import dataclasses
 import json
 import os
+import uuid
 from datetime import datetime
 
 import pyarrow as pa
@@ -494,11 +495,15 @@ def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
     name is RESERVED atomically (O_EXCL create of an empty file the
     parquet write then overwrites) — two concurrent writers probing at
     once can otherwise pick the same name and clobber each other's
-    delta bytes before either commits. Real object stores fall back to
-    a plain existence probe (no atomic create-if-absent through
-    pyarrow.fs); their residual window is the same one the commit
-    itself has without a conditional put — closed by registering a
-    commitguard and using the token-named commit_delta_files path."""
+    delta bytes before either commits. Real object stores have no
+    atomic create-if-absent through pyarrow.fs, so the name carries a
+    per-commit random token instead (``{seg}_delta{N}_{token}.parquet``
+    — the commit_delta_files discipline): two writers deriving the same
+    sequence number produce DIFFERENT names and can never clobber each
+    other's bytes; they race only on the version pointer, which the
+    commit guard arbitrates. The real-S3 two-writer stress
+    (tests/test_object_store_real.py) caught the plain existence probe
+    silently losing a committed delta's bytes exactly this way."""
     n = n_existing + 1
     while True:
         name = f"{segment_id}_delta{n}.parquet"
@@ -511,7 +516,9 @@ def _fresh_delta_name(table_path: str, segment_id: str, n_existing: int) -> str:
             except FileExistsError:
                 n += 1
                 continue
-        if not iofs.exists(full):
+        token = uuid.uuid4().hex[:8]
+        name = f"{segment_id}_delta{n}_{token}.parquet"
+        if not iofs.exists(iofs.join(table_path, name)):
             return name
         n += 1
 
