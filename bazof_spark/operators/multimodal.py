@@ -66,13 +66,15 @@ FEATURE_DIM = 16
 def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     """Decode an image blob to an H×W×C uint8 RGB array.
 
-    REAL for formats decodable with the stdlib: ``bmp`` (24-bit,
-    :func:`decode_bmp`), ``ppm`` (binary P6, :func:`decode_ppm`) and
-    ``png`` (8-bit gray/RGB/RGBA via zlib inflate + full scanline
-    unfiltering, :func:`decode_png`). Formats needing external codec
-    libraries (jpeg/webp — not present in this container) remain a
-    declared stub boundary: swap in Pillow/libvips there in
-    production."""
+    REAL for formats decodable without external libraries: ``bmp``
+    (24-bit, :func:`decode_bmp`), ``ppm`` (binary P6,
+    :func:`decode_ppm`), ``png`` (8-bit gray/RGB/RGBA via zlib inflate
+    + full scanline unfiltering, :func:`decode_png`) and — since round
+    8 — baseline-sequential ``jpeg`` (marker walk, stream-declared
+    Huffman tables, dequant + IDCT, chroma upsampling, JFIF YCbCr→RGB;
+    operators/jpegcodec.decode_jpeg_baseline — progressive/arithmetic
+    streams still raise). webp/avif remain a declared stub boundary:
+    swap in Pillow/libvips there in production."""
     f = (fmt or "").lower()
     if f == "bmp":
         return decode_bmp(content)
@@ -80,10 +82,18 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
         return decode_ppm(content)
     if f == "png":
         return decode_png(content)
+    if f in ("jpeg", "jpg"):
+        from bazof_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        px = decode_jpeg_baseline(content)
+        if px.ndim == 2:  # grayscale → RGB for the uniform H×W×3 contract
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
-        "in this environment (bmp/ppm/png decode IS implemented; use "
-        "those or fake_decode_features for pipeline testing)"
+        "in this environment (bmp/ppm/png/baseline-jpeg decode IS "
+        "implemented; use those or fake_decode_features for pipeline "
+        "testing)"
     )
 
 

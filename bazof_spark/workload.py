@@ -1991,6 +1991,52 @@ def multimodal_png_decode_q(spark, sf_dir):
     return bmp_pixel_stats(media, decoder=decode_png)
 
 
+def multimodal_jpeg_decode_q(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end (round 8 — the most-hit
+    codec gap): deterministic BLOCK-CONSTANT grayscale grids per doc
+    (value (mid + 11·by + 5·bx) % 256 per 8×8 block), encoded as actual
+    baseline JPEGs (full FDCT + quantization + canonical Huffman,
+    operators/jpegcodec.encode_jpeg_baseline), decoded back through the
+    GENERAL decoder (marker walk, stream-declared DHT tables, dequant,
+    IDCT) and reduced to position-weighted checksums. Block-constant
+    content under unit quant tables round-trips BIT-exactly (a constant
+    block's FDCT is a lone integer DC coefficient), so the DuckDB
+    oracle recomputes the stats straight from the block formula — a
+    mistake anywhere in the entropy coding, dequant, or IDCT changes
+    the hash. Two map-only Arrow-batched stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from bazof_spark.operators.multimodal import bmp_pixel_stats
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                by = np.arange(h // 8).reshape(-1, 1)
+                bx = np.arange(w // 8).reshape(1, -1)
+                blocks = ((mid + 11 * by + 5 * bx) % 256).astype(np.uint8)
+                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                blobs.append(encode_jpeg_baseline(px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(
+        media,
+        decoder=lambda b: np.repeat(
+            decode_jpeg_baseline(b)[:, :, None], 3, axis=2
+        ),
+    )
+
+
 def multimodal_bmp_decode_q(spark, sf_dir):
     """REAL image decode end-to-end: deterministic RGB pixel grids per
     doc, encoded as actual 24-bit BMP files (bottom-up rows, BGR order,
@@ -2097,6 +2143,31 @@ _MULTIMODAL_ORACLES = {
                        list_sum(list_transform(range(0, 3), c ->
                            ((media_id + 7*y + 3*x + c) % 256)
                            * (y*1000000 + x*1000 + c + 1)))))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
+    # recomputes multimodal_jpeg_decode's BLOCK formula directly (value
+    # (mid + 11·(y//8) + 5·(x//8)) % 256, replicated to 3 channels);
+    # Spark's answer came through a real baseline-JPEG encode→decode
+    # round trip — bit-exact for block-constant content under unit
+    # quantization tables
+    "multimodal_jpeg_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       3 * ((media_id + 11*(y//8) + 5*(x//8)) % 256)))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       ((media_id + 11*(y//8) + 5*(x//8)) % 256)
+                       * (3*(y*1000000 + x*1000) + 6)))))
                    AS BIGINT) AS pos_checksum
         FROM m
     """,
@@ -4279,6 +4350,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_wav_decode": multimodal_wav_decode_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
 }
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402

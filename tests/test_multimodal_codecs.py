@@ -104,8 +104,13 @@ def test_decode_dispatchers():
     from bazof_spark.operators.multimodal import encode_png
 
     assert np.array_equal(decode_image(encode_png(px), "png"), px)
-    with pytest.raises(NotImplementedError):
+    # jpeg routes to the REAL baseline decoder since round 8: truncated
+    # input is a loud ValueError, still-unimplemented codecs keep the
+    # NotImplementedError contract
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBP", "webp")
     s = np.array([1, -2, 3], dtype=np.int16)
     rate, ch, got = decode_audio(encode_wav(s), "wav")
     assert np.array_equal(got, s)
@@ -186,3 +191,176 @@ def test_png_gray_and_rgba_and_errors():
     )
     with pytest.raises(NotImplementedError):
         decode_png(blob16)
+
+
+# --- baseline JPEG (round 8) ----------------------------------------------
+
+
+def test_jpeg_block_constant_grayscale_is_bit_exact():
+    """A grayscale image of constant 8x8 blocks has a lone integer DC
+    coefficient per block; with unit quant tables the whole
+    encode->entropy->decode->IDCT chain must round-trip EXACTLY (the
+    contract the multimodal_jpeg_decode oracle relies on)."""
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        blocks = rng.integers(0, 256, (bh, bw))
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(px))
+        assert out.dtype == np.uint8 and np.array_equal(out, px)
+
+
+def test_jpeg_gradient_and_rgb_roundtrip_tolerance():
+    """General content: every AC path (magnitude categories, runs, ZRL,
+    EOB), edge padding for non-multiple-of-8 dims, and the YCbCr color
+    loop — quantization rounds each coefficient once, so the round trip
+    is within a small uniform tolerance."""
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    grad = (
+        (np.arange(13)[:, None] * 7 + np.arange(21)[None, :] * 3) % 256
+    ).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(grad))
+    assert out.shape == grad.shape
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 2
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (11, 18, 3)).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(rgb))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+    # a real (lossy) quantization table still produces a sane image
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    out = decode_jpeg_baseline(encode_jpeg_baseline(rgb, quant=q))
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 60
+
+
+def test_jpeg_sparse_ac_exercises_zrl():
+    """A block with one large isolated AC coefficient forces ZRL (16-
+    zero-run) symbols through the entropy coder; the decoded pixels
+    must match an independent IDCT of the quantized coefficients."""
+    from bazof_spark.operators.jpegcodec import (
+        _idct,
+        ZIGZAG,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    # craft pixels FROM coefficients so the expected answer is known:
+    # DC + a lone high-frequency AC at zigzag index 40 (>2 ZRLs away)
+    coef = np.zeros(64)
+    coef[ZIGZAG[0]] = 160.0
+    coef[ZIGZAG[40]] = 90.0
+    px = np.clip(np.round(_idct(coef.reshape(8, 8)) + 128.0), 0, 255).astype(
+        np.uint8
+    )
+    out = decode_jpeg_baseline(encode_jpeg_baseline(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_420_subsampled_stream_decodes():
+    """Hand-built 4:2:0 stream (Y 2x2, Cb/Cr 1x1 in one interleaved
+    MCU): exercises the sampling-factor block walk and the chroma
+    pixel-replication upsampling the fixture encoder (4:4:4) never
+    emits. Constant Y=200 / neutral chroma must decode to uniform
+    (200, 200, 200) RGB."""
+    from bazof_spark.operators.jpegcodec import (
+        _BitWriter,
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _canonical_codes,
+        _category,
+        _seg,
+        ZIGZAG,
+        decode_jpeg_baseline,
+    )
+
+    h = w = 16
+    out = bytearray(b"\xff\xd8")
+    q = np.ones((8, 8), dtype=np.int64)
+    out += _seg(0xDB, bytes([0]) + bytes(int(q.flat[z]) for z in ZIGZAG))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2
+    sof += bytes([2, 0x11, 0])  # Cb: 1x1
+    sof += bytes([3, 0x11, 0])  # Cr: 1x1
+    out += _seg(0xC0, bytes(sof))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = bytearray([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += _seg(0xDA, bytes(sos))
+    dc = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+
+    def dc_only(diff):
+        s, bits = _category(diff)
+        code, ln = dc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits, s)
+        code, ln = ac[0x00]  # EOB
+        bw.write(code, ln)
+
+    # one MCU: 4 Y blocks (first carries DC 8*(200-128)=576, rest diff 0),
+    # then Cb, Cr (DC 0 -> plane value 128 = neutral chroma)
+    dc_only(576)
+    for _ in range(3):
+        dc_only(0)
+    dc_only(0)  # Cb
+    dc_only(0)  # Cr
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    px = decode_jpeg_baseline(bytes(out))
+    assert px.shape == (16, 16, 3)
+    assert np.array_equal(px, np.full((16, 16, 3), 200, dtype=np.uint8))
+
+
+def test_jpeg_unsupported_frames_fail_loudly():
+    from bazof_spark.operators.jpegcodec import (
+        _seg,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"not a jpeg")
+    # progressive (SOF2) must raise, not mis-decode
+    blob = bytearray(b"\xff\xd8")
+    blob += _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_baseline(bytes(blob))
+    # restart intervals declared -> clear error
+    px = np.zeros((8, 8), dtype=np.uint8)
+    good = bytearray(encode_jpeg_baseline(px))
+    dri = _seg(0xDD, (4).to_bytes(2, "big"))
+    with_dri = good[:2] + dri + good[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_baseline(bytes(with_dri))
+
+
+def test_decode_image_routes_jpeg():
+    from bazof_spark.operators.multimodal import decode_image
+    from bazof_spark.operators.jpegcodec import encode_jpeg_baseline
+
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    out = decode_image(encode_jpeg_baseline(px), "jpeg")
+    assert out.shape == (8, 8, 3)  # grayscale replicated to RGB
+    assert np.array_equal(out[:, :, 0], px)
+    rgb = np.full((8, 8, 3), 90, dtype=np.uint8)
+    out = decode_image(encode_jpeg_baseline(rgb), "jpg")
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out.astype(int) - 90).max() <= 2
