@@ -1070,6 +1070,7 @@ class Lakehouse:
             needs_rows = dml.insert_unmatched or any(
                 act == "update" for act, _ in dml.clauses
             )
+            has_clauses = bool(dml.clauses)
             if needs_rows:
                 schema = self.table(dml.table).get_current_snapshot().schema
                 expected = ["key", "event_time", *schema.column_names()]
@@ -1085,17 +1086,19 @@ class Lakehouse:
                 # holds on the target's CURRENT row (NULL pred result =
                 # clause does not apply — coalesce keeps three-valued
                 # logic from leaking a row past an earlier clause)
-                arms = " ".join(
-                    f"WHEN coalesce({pred}, false) THEN '{act}{i}'"
-                    if pred
-                    else f"WHEN true THEN '{act}{i}'"
-                    for i, (act, pred) in enumerate(dml.clauses)
-                )
-                verdicts = self.spark.sql(
-                    f"SELECT t.key, CASE {arms} END AS _verdict "
-                    f"FROM {view} t LEFT SEMI JOIN {src_view} s "
-                    "ON t.key = s.key"
-                )
+                verdicts = None
+                if has_clauses:
+                    arms = " ".join(
+                        f"WHEN coalesce({pred}, false) THEN '{act}{i}'"
+                        if pred
+                        else f"WHEN true THEN '{act}{i}'"
+                        for i, (act, pred) in enumerate(dml.clauses)
+                    )
+                    verdicts = self.spark.sql(
+                        f"SELECT t.key, CASE {arms} END AS _verdict "
+                        f"FROM {view} t LEFT SEMI JOIN {src_view} s "
+                        "ON t.key = s.key"
+                    )
                 delete_df = None
                 upsert_parts = []
                 del_tags = [
@@ -1108,11 +1111,33 @@ class Lakehouse:
                     for i, (act, _) in enumerate(dml.clauses)
                     if act == "update"
                 ]
-                verdicts.createOrReplaceTempView(f"{src_view}__v")
+                if verdicts is not None:
+                    verdicts.createOrReplaceTempView(f"{src_view}__v")
                 if del_tags:
                     delete_df = self.spark.sql(
                         f"SELECT key FROM {src_view}__v "
                         f"WHERE _verdict IN ({', '.join(del_tags)})"
+                    )
+                if dml.by_source_delete is not None:
+                    # Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE:
+                    # target keys NO source row matches (anti join), pred
+                    # over the target's current row — disjoint from every
+                    # matched set AND from inserts (⊆ source keys), so
+                    # the single-commit contract holds
+                    q2 = (
+                        f"SELECT key FROM (SELECT * FROM {view} t "
+                        f"LEFT ANTI JOIN {src_view} s ON t.key = s.key)"
+                    )
+                    if dml.by_source_delete:
+                        q2 += (
+                            " WHERE coalesce("
+                            f"{dml.by_source_delete}, false)"
+                        )
+                    bysrc_df = self.spark.sql(q2)
+                    delete_df = (
+                        bysrc_df
+                        if delete_df is None
+                        else delete_df.unionByName(bysrc_df)
                     )
                 if upd_tags:
                     # UPDATE SET * = the full SOURCE row upserts the key

@@ -204,12 +204,17 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg_baseline(
-    pixels: np.ndarray, quant: np.ndarray | None = None
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode H×W (grayscale) or H×W×3 (RGB, written as JFIF YCbCr
     4:4:4) uint8 pixels as a baseline-sequential JPEG. ``quant`` is an
     8×8 quantization table (default all-ones — near-lossless, and
-    BIT-exact for block-constant grayscale content)."""
+    BIT-exact for block-constant grayscale content).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (with bit-flush and DC-predictor reset) every that-many MCUs — the
+    resync structure real encoders emit for error resilience."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -239,6 +244,8 @@ def encode_jpeg_baseline(
     out += _seg(
         0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
     )
+    if restart_interval:
+        out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sos = bytearray([n_comp])
     for ci in range(n_comp):
         sos += bytes([ci + 1, 0x00])
@@ -255,8 +262,17 @@ def encode_jpeg_baseline(
     pad[:h, :w] = planes
     pad[h:, :w] = planes[h - 1 : h, :]
     pad[:, w:] = pad[:, w - 1 : w]
+    mcu_n = 0
+    rst_n = 0
     for by in range(bh):
         for bx in range(bwid):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                bw = _BitWriter()
+                pred = [0] * n_comp
+            mcu_n += 1
             for ci in range(n_comp):
                 block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci]
                 coef = np.round(_fdct(block - 128.0) / q).astype(np.int64)
@@ -309,6 +325,7 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -368,18 +385,18 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                 " sequential (SOF0) is implemented; progressive/"
                 "arithmetic streams need a library decoder"
             )
-        elif marker == 0xDD:  # DRI
-            if int.from_bytes(payload[:2], "big") != 0:
-                raise NotImplementedError(
-                    "JPEG restart intervals are not implemented"
-                )
+        elif marker == 0xDD:  # DRI: MCUs between restart markers
+            restart_interval = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             ns = payload[0]
             sel = []
             for ci in range(ns):
                 cid, tda = payload[1 + 2 * ci : 3 + 2 * ci]
                 sel.append((cid, tda >> 4, tda & 0xF))
-            # un-stuff scan bytes up to the next real marker
+            # un-stuff scan bytes up to the next real marker, splitting
+            # into restart segments at RSTn (each segment is decoded
+            # with fresh bit alignment and DC predictors)
+            segments_data: list[bytes] = []
             data = bytearray()
             i = pos
             while i < len(content):
@@ -390,15 +407,17 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                         data.append(0xFF)
                         i += 2
                         continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        raise NotImplementedError(
-                            "JPEG restart markers are not implemented"
-                        )
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                        segments_data.append(bytes(data))
+                        data = bytearray()
+                        i += 2
+                        continue
                     break
                 data.append(b)
                 i += 1
             pos = i
-            scan = (sel, bytes(data))
+            segments_data.append(bytes(data))
+            scan = (sel, segments_data)
         elif marker in (0xC8, 0xF7):  # JPG / SOF55 (JPEG-LS)
             raise NotImplementedError(f"unsupported frame 0xFF{marker:02X}")
         # APPn / COM / others: skipped
@@ -406,7 +425,7 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
         raise ValueError("JPEG stream has no SOF0 frame or SOS scan")
 
     h, w, comps = frame
-    sel, data = scan
+    sel, segments_data = scan
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
@@ -414,15 +433,36 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     by_id = {c[0]: c for c in comps}
     order = [by_id[cid] for cid, _, _ in sel]
     tables = {cid: (td, ta) for cid, td, ta in sel}
+    if len(segments_data) > 1 and restart_interval == 0:
+        raise ValueError(
+            "JPEG scan carries RSTn markers but no DRI interval"
+        )
 
     planes = {
         cid: np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
         for cid, ch, cv, _ in comps
     }
-    br = _BitReader(data)
+    seg_idx = 0
+    br = _BitReader(segments_data[0])
     pred = {cid: 0 for cid, *_ in comps}
+    mcu_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            # restart boundary: fresh bit alignment + DC predictors
+            # (T.81 F.2.1.3.1 — the point of RSTn is resync)
+            if (
+                restart_interval
+                and mcu_n
+                and mcu_n % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segments_data):
+                    raise ValueError(
+                        "JPEG scan ended before all restart segments"
+                    )
+                br = _BitReader(segments_data[seg_idx])
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_n += 1
             for cid, ch, cv, tq in order:
                 dc_tbl = huff.get((0, tables[cid][0]))
                 ac_tbl = huff.get((1, tables[cid][1]))

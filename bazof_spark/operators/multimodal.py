@@ -71,7 +71,8 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     :func:`decode_ppm`), ``png`` (8-bit gray/RGB/RGBA via zlib inflate
     + full scanline unfiltering, :func:`decode_png`) and — since round
     8 — baseline-sequential ``jpeg`` (marker walk, stream-declared
-    Huffman tables, dequant + IDCT, chroma upsampling, JFIF YCbCr→RGB;
+    Huffman tables, restart intervals, dequant + IDCT, chroma
+    upsampling, JFIF YCbCr→RGB;
     operators/jpegcodec.decode_jpeg_baseline — progressive/arithmetic
     streams still raise). webp/avif remain a declared stub boundary:
     swap in Pillow/libvips there in production."""

@@ -271,6 +271,45 @@ def events_merge_multi_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
     return Lakehouse(spark, root)
 
 
+MERGE_BYSRC_TABLE_NAME = "events_merge_bysrc"
+#: the WHEN NOT MATCHED BY SOURCE shape (round 8): source = every
+#: user_id % MERGE_BYSRC_MODULUS == 0 key re-emitted at the merge
+#: instant with value*2 / 'kept'; matched keys upsert, UNMATCHED target
+#: keys with current value < MERGE_BYSRC_BOUND are deleted — the
+#: sync-table-to-source statement, one atomic commit
+MERGE_BYSRC_MODULUS = 4
+MERGE_BYSRC_BOUND = 150.0
+
+
+def events_merge_bysrc_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """``events_versioned`` clone with a MERGE carrying WHEN MATCHED
+    THEN UPDATE SET * + WHEN NOT MATCHED BY SOURCE AND <pred> THEN
+    DELETE applied (writer.merge_apply — upsert delta + tombstone delta
+    in one snapshot)."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, MERGE_BYSRC_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _materialize_events(spark, sf_dir, root, MERGE_BYSRC_TABLE_NAME)
+        lh = Lakehouse(spark, root)
+        t = MERGE_BYSRC_TABLE_NAME
+        lh.sql(
+            f"MERGE INTO {t} USING "
+            f"SELECT key, {MERGE_MULTI_AT_SQL} AS event_time, event_id, "
+            f"'kept' AS event_type, value * 2 AS value, props "
+            f"FROM {t} WHERE CAST(key AS BIGINT) % {MERGE_BYSRC_MODULUS} = 0 "
+            "ON key "
+            "WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED BY SOURCE AND value < {MERGE_BYSRC_BOUND} "
+            "THEN DELETE"
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
 UPDATED_TABLE_NAME = "events_updated"
 #: update instant: past every driver event timestamp, so the updated
 #: versions win Current while every in-range as-of sees the originals

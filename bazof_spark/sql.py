@@ -336,18 +336,21 @@ _MERGE_ACTION_TAIL_RE = re.compile(
     re.IGNORECASE,
 )
 _MERGE_CLAUSE_HEAD_RE = re.compile(
-    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?:\s+AND\s+(?P<pred>.+))?$",
+    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<pred>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 def _parse_merge_clauses(select: str, spans):
     """Parse ``<src> ON key WHEN ... [WHEN ...]*`` into
-    (source_sql, matched_clauses, insert_unmatched) — or None when the
-    text doesn't have that shape (the caller falls through to the
-    single-form error). matched_clauses is a tuple of
-    ("delete"|"update", predicate_sql) in statement order; predicates
-    inside strings never split clauses."""
+    (source_sql, matched_clauses, insert_unmatched, by_source_delete)
+    — or None when the text doesn't have that shape (the caller falls
+    through to the single-form error). matched_clauses is a tuple of
+    ("delete"|"update", predicate_sql) in statement order;
+    by_source_delete is None (no clause) or the WHEN NOT MATCHED BY
+    SOURCE [AND pred] THEN DELETE predicate ("" = all unmatched target
+    keys). Predicates inside strings never split clauses."""
     whens = [
         m for m in _MERGE_WHEN_RE.finditer(select)
         if not _inside(m.start(), spans)
@@ -371,6 +374,7 @@ def _parse_merge_clauses(select: str, spans):
         segments.append(tail[lo:hi].strip())
     matched: list[tuple[str, str]] = []
     insert_unmatched = False
+    by_source_delete: str | None = None
     for seg in segments:
         act_m = _MERGE_ACTION_TAIL_RE.search(seg)
         if act_m is None:
@@ -383,8 +387,29 @@ def _parse_merge_clauses(select: str, spans):
             raise SqlRewriteError(f"malformed MERGE clause: {seg!r}")
         act = re.sub(r"\s+", " ", act_m.group("act").upper())
         neg = bool(head_m.group("neg"))
+        by_src = bool(head_m.group("bysrc"))
         pred = (head_m.group("pred") or "").strip()
-        if neg:
+        if by_src:
+            # Delta's WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE:
+            # target keys NO source row matches; pred over the target's
+            # current row
+            if not neg:
+                raise SqlRewriteError(
+                    "MATCHED BY SOURCE is not a clause — use WHEN NOT "
+                    f"MATCHED BY SOURCE: {seg!r}"
+                )
+            if act != "DELETE":
+                raise SqlRewriteError(
+                    "WHEN NOT MATCHED BY SOURCE supports only 'THEN "
+                    f"DELETE', got: {seg!r}"
+                )
+            if by_source_delete is not None:
+                raise SqlRewriteError(
+                    "at most one WHEN NOT MATCHED BY SOURCE clause per "
+                    "MERGE"
+                )
+            by_source_delete = pred
+        elif neg:
             if act != "INSERT *" or pred:
                 raise SqlRewriteError(
                     "WHEN NOT MATCHED supports only 'THEN INSERT *' "
@@ -409,7 +434,7 @@ def _parse_merge_clauses(select: str, spans):
             matched.append(
                 ("delete" if act == "DELETE" else "update", pred)
             )
-    return src, tuple(matched), insert_unmatched
+    return src, tuple(matched), insert_unmatched, by_source_delete
 
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
 # format's merge-by-key: matching rows are re-read with the SET
@@ -513,6 +538,10 @@ class DmlStatement:
     clauses: tuple = ()
     #: for "merge_multi": a WHEN NOT MATCHED THEN INSERT * clause
     insert_unmatched: bool = False
+    #: for "merge_multi": WHEN NOT MATCHED BY SOURCE [AND p] THEN
+    #: DELETE — None = no clause, "" = all unmatched target keys,
+    #: else the predicate (over the target's current row)
+    by_source_delete: str | None = None
 
 
 def _lstrip_trivia(sql: str) -> str:
@@ -620,8 +649,8 @@ def parse_dml(sql: str) -> DmlStatement | None:
             # query — it is a legal join condition there)
             multi = _parse_merge_clauses(select, spans)
             if multi is not None:
-                src, clauses, insert_unmatched = multi
-                if not clauses and insert_unmatched:
+                src, clauses, insert_unmatched, by_src = multi
+                if not clauses and insert_unmatched and by_src is None:
                     return DmlStatement(
                         kind="merge_insert",
                         table=m.group("name"),
@@ -635,6 +664,7 @@ def parse_dml(sql: str) -> DmlStatement | None:
                     select=src,
                     clauses=clauses,
                     insert_unmatched=insert_unmatched,
+                    by_source_delete=by_src,
                 )
             for cand in re.finditer(
                 r"\bWHEN\s+(NOT\s+)?MATCHED\b", select, re.IGNORECASE

@@ -192,6 +192,25 @@ def merge_multi_clause_scan(spark, sf_dir):
     )
 
 
+def merge_by_source_scan(spark, sf_dir):
+    """Op: MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE (round 8,
+    the Delta sync-to-source shape) — matched keys (%4 == 0) upsert the
+    source row (value*2, 'kept', merge instant); UNMATCHED target keys
+    whose current value < 150 are deleted; value ≥ 150 (or NULL — the
+    engine's coalesce(pred, false)) survive. One atomic commit."""
+    from bazof_spark.sources.events import events_merge_bysrc_lakehouse
+
+    lh = events_merge_bysrc_lakehouse(spark, sf_dir)
+    return lh.scan("events_merge_bysrc").select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def asof_scan_event_time(spark, sf_dir):
     """Op: as-of merge-dedup at an event-time instant."""
     return _scan_events(spark, sf_dir, as_of=ASOF_TS).select(
@@ -646,6 +665,25 @@ _ASOF_ORACLES = {
                CAST(1 + r.range AS DOUBLE) AS value,
                CAST(NULL AS VARCHAR) AS props
           FROM range(3) r
+    """,
+    # NOT MATCHED BY SOURCE = latest-per-user where %4-matched keys
+    # become the source row and unmatched keys survive only when the
+    # delete predicate fails null-safely
+    "merge_by_source_scan": f"""
+        WITH cur AS ({_events_oracle_cte()})
+        SELECT key,
+               CASE WHEN CAST(key AS BIGINT) % 4 = 0
+                    THEN epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+                    ELSE event_time_us END AS event_time_us,
+               event_id,
+               CASE WHEN CAST(key AS BIGINT) % 4 = 0
+                    THEN 'kept' ELSE event_type END AS event_type,
+               CASE WHEN CAST(key AS BIGINT) % 4 = 0
+                    THEN value * 2 ELSE value END AS value,
+               props
+          FROM cur
+         WHERE CAST(key AS BIGINT) % 4 = 0
+               OR NOT coalesce(value < 150.0, false)
     """,
     # UPDATE = latest-per-user, then the SET expressions applied to the
     # rows whose CURRENT event_type matched the predicate (their
@@ -4267,6 +4305,7 @@ QUERIES: dict[str, QueryFn] = {
     "delete_tombstone_scan": delete_tombstone_scan,
     "merge_delete_scan": merge_delete_scan,
     "merge_multi_clause_scan": merge_multi_clause_scan,
+    "merge_by_source_scan": merge_by_source_scan,
     "update_set_scan": update_set_scan,
     "zonemap_key_lookup": zonemap_key_lookup,
     "keyset_point_lookup": keyset_point_lookup,

@@ -343,13 +343,37 @@ def test_jpeg_unsupported_frames_fail_loudly():
     blob += _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_baseline(bytes(blob))
-    # restart intervals declared -> clear error
-    px = np.zeros((8, 8), dtype=np.uint8)
-    good = bytearray(encode_jpeg_baseline(px))
-    dri = _seg(0xDD, (4).to_bytes(2, "big"))
-    with_dri = good[:2] + dri + good[2:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg_baseline(bytes(with_dri))
+    # RSTn markers in the scan with NO DRI declared -> loud error
+    blocks = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
+    px6 = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    with_rst = bytearray(encode_jpeg_baseline(px6, restart_interval=2))
+    dri_at = bytes(with_rst).index(b"\xff\xdd")
+    no_dri = with_rst[:dri_at] + with_rst[dri_at + 6 :]  # strip DRI seg
+    with pytest.raises(ValueError, match="no DRI"):
+        decode_jpeg_baseline(bytes(no_dri))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn (round-8 follow-up): the encoder emits a restart marker
+    with bit-flush + DC-predictor reset every N MCUs, the decoder
+    resyncs on each — block-constant grayscale stays BIT-exact across
+    segment boundaries (a predictor not reset would shift every DC
+    after the first restart)."""
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 256, (3, 5))
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    blob = encode_jpeg_baseline(px, restart_interval=2)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    assert np.array_equal(decode_jpeg_baseline(blob), px)
+    # RGB with restarts: same tolerance as without
+    rgb = rng.integers(0, 256, (20, 19, 3)).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(rgb, restart_interval=3))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
 
 
 def test_decode_image_routes_jpeg():

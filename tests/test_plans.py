@@ -509,6 +509,7 @@ def test_tombstone_and_update_scans_stay_one_shuffle(spark):
         # in ONE snapshot, and the post-merge scan must keep the plain
         # single-exchange merge plan
         "merge_multi_clause_scan",
+        "merge_by_source_scan",
     ):
         df = q(name, spark)
         assert shuffle_count(df) <= 1, name

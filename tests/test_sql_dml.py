@@ -1121,3 +1121,96 @@ def test_merge_multi_null_predicate_keeps_row(spark, lh):
     # 'a' (NULL < 100 = NULL → clause does not apply) survives;
     # 'b' (1.0 < 100) is deleted
     assert got == {"a": None}
+
+
+def test_parse_merge_not_matched_by_source():
+    from bazof_spark.sql import SqlRewriteError
+
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND value < 10 THEN DELETE"
+    )
+    assert d.kind == "merge_multi"
+    assert d.clauses == (("update", ""),)
+    assert d.by_source_delete == "value < 10"
+    assert not d.insert_unmatched
+    # unpredicated form deletes every unmatched target key
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert d.kind == "merge_multi"
+    assert d.clauses == () and d.by_source_delete == ""
+    with pytest.raises(SqlRewriteError, match="BY SOURCE supports only"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+    with pytest.raises(SqlRewriteError, match="at most one WHEN NOT MATCHED BY"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND x THEN DELETE"
+        )
+
+
+def test_merge_not_matched_by_source_end_to_end(spark, lh):
+    """The sync-to-source shape: matched keys upsert from the source,
+    target keys absent from the source are deleted (pred-narrowed) —
+    still ONE atomic version."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(6)
+        """
+    )
+    v1 = int(lh.table("t").current_version())
+    [st] = lh.sql(
+        "MERGE INTO t USING "
+        "SELECT CAST(k AS STRING) AS key, timestamp'2024-02-01' AS "
+        "event_time, CAST(v AS DOUBLE) AS value "
+        "FROM (VALUES (1, 100.0), (9, 900.0)) AS s(k, v) ON key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND value < 4.5 THEN DELETE"
+    ).collect()
+    assert st["operation"] == "merge_multi"
+    assert int(st["version"]) == v1 + 1  # one commit for all three effects
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    # 1 upserted, 9 inserted; 0,2,3,4 unmatched with value<4.5 deleted;
+    # 5 unmatched but value>=4.5 kept
+    assert got == {"1": 100.0, "5": 5.0, "9": 900.0}
+    # pre-merge version intact
+    assert lh.sql(f"SELECT key FROM t FOR VERSION AS OF {v1}").count() == 6
+
+
+def test_merge_multi_changes_feed_single_version(spark, lh):
+    """CDF pin: the atomic multi-clause commit emits BOTH its delete
+    rows and its upserted rows under the SAME version window."""
+    lh.sql(
+        "CREATE TABLE t AS "
+        "SELECT CAST(id AS STRING) AS key, "
+        "timestamp'2024-01-01' AS event_time, CAST(id AS DOUBLE) AS value "
+        "FROM range(4)"
+    )
+    lh.sql(
+        "MERGE INTO t USING SELECT '1' AS key, "
+        "timestamp'2024-02-01' AS event_time, 99.0 AS value ON key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND value < 0.5 THEN DELETE"
+    )
+    ch = lh.scan_changes("t", since="2024-01-15T00:00:00.000Z").collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["change_type"], set()).add(r["key"])
+    assert by_type.get("delete") == {"0"}
+    assert "1" in set().union(*[
+        v for k, v in by_type.items() if k != "delete"
+    ])
