@@ -90,6 +90,10 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
         if px.ndim == 2:  # grayscale → RGB for the uniform H×W×3 contract
             px = np.repeat(px[:, :, None], 3, axis=2)
         return px
+    if f == "gif":
+        from bazof_spark.operators.gifcodec import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
         "in this environment (bmp/ppm/png/baseline-jpeg decode IS "

@@ -2075,6 +2075,41 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
     )
 
 
+def multimodal_gif_decode_q(spark, sf_dir):
+    """REAL GIF decode end-to-end (round 8): deterministic grayscale
+    grids per doc (value (mid + 7y + 3x) % 256 under the 256-entry
+    identity palette), encoded as standard GIF89a with a genuine LZW
+    compressor — odd media_ids additionally INTERLACED (the four-pass
+    row order) — then recovered by the independent LZW decoder
+    (operators/gifcodec.decode_gif: variable code widths, dictionary
+    reset, deinterlace) and reduced to position-weighted checksums.
+    GIF is lossless for palette content, so the DuckDB oracle
+    recomputes the stats straight from the pixel formula — a bit-
+    packing or interlace mistake anywhere changes the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.gifcodec import decode_gif, encode_gif
+    from bazof_spark.operators.multimodal import bmp_pixel_stats
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1)
+                x = np.arange(w).reshape(1, w)
+                px = ((mid + 7 * y + 3 * x) % 256).astype(np.uint8)
+                blobs.append(encode_gif(px, interlace=bool(mid % 2)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(media, decoder=decode_gif)
+
+
 def multimodal_bmp_decode_q(spark, sf_dir):
     """REAL image decode end-to-end: deterministic RGB pixel grids per
     doc, encoded as actual 24-bit BMP files (bottom-up rows, BGR order,
@@ -2205,6 +2240,30 @@ _MULTIMODAL_ORACLES = {
                CAST(list_sum(list_transform(range(0, h), y ->
                    list_sum(list_transform(range(0, w), x ->
                        ((media_id + 11*(y//8) + 5*(x//8)) % 256)
+                       * (3*(y*1000000 + x*1000) + 6)))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
+    # recomputes multimodal_gif_decode's pixel formula (grayscale
+    # identity palette → all 3 decoded channels equal the index value);
+    # Spark's answer came through a real LZW encode→decode round trip,
+    # odd ids interlaced
+    "multimodal_gif_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       3 * ((media_id + 7*y + 3*x) % 256)))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       ((media_id + 7*y + 3*x) % 256)
                        * (3*(y*1000000 + x*1000) + 6)))))
                    AS BIGINT) AS pos_checksum
         FROM m
@@ -4390,6 +4449,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
+    "multimodal_gif_decode": multimodal_gif_decode_q,
 }
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402

