@@ -431,3 +431,133 @@ def test_interleaved_upserts_deletes_updates_match_spec(
             for r in lh.scan("t", as_of=as_of).collect()
         }
         assert got == expected, f"as_of offset {t_off}"
+
+
+# --- round 8: multi-clause MERGE property test -----------------------------
+
+_mc_table = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.none() | st.floats(min_value=0, max_value=100, allow_nan=False),
+    min_size=1,
+    max_size=5,
+)
+_mc_source = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "x", "y"]),
+    st.floats(min_value=0, max_value=100, allow_nan=False),
+    min_size=1,
+    max_size=5,
+)
+_mc_clause = st.tuples(
+    st.sampled_from(["delete", "update"]),
+    st.none() | st.integers(min_value=0, max_value=100),
+)
+
+
+def _mc_fix_clauses(cs):
+    """Enforce the parser's reachability rule: an unpredicated matched
+    clause terminates the list."""
+    out = []
+    for act, thr in cs:
+        out.append((act, thr))
+        if thr is None:
+            break
+    return out
+
+
+_mc_clauses = st.lists(_mc_clause, min_size=1, max_size=3).map(
+    _mc_fix_clauses
+)
+
+multi_merge_case = st.fixed_dictionaries(
+    {
+        "table": _mc_table,
+        "source": _mc_source,
+        "clauses": _mc_clauses,
+        "insert": st.booleans(),
+        "by_src": st.none() | st.integers(min_value=0, max_value=100),
+    }
+)
+
+
+def _mc_model(table, source, clauses, insert, by_src):
+    """Direct interpretation of the statement semantics: first matching
+    WHEN MATCHED clause wins per key (predicates null-safe over the
+    TARGET's current value), WHEN NOT MATCHED inserts, WHEN NOT MATCHED
+    BY SOURCE deletes unmatched target keys."""
+    out = dict(table)
+    for k in table:
+        if k in source:
+            for act, thr in clauses:
+                holds = (
+                    True
+                    if thr is None
+                    else (table[k] is not None and table[k] < thr)
+                )
+                if holds:
+                    if act == "delete":
+                        out.pop(k, None)
+                    else:
+                        out[k] = source[k]
+                    break
+        elif by_src is not None and (
+            by_src is True
+            or (table[k] is not None and table[k] < by_src)
+        ):
+            out.pop(k, None)
+    if insert:
+        for k, v in source.items():
+            if k not in table:
+                out[k] = v
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=multi_merge_case)
+def test_multi_clause_merge_matches_model(spark, tmp_path_factory, case):
+    """Random table states × random source rows × random clause lists
+    (with NULL target values exercising three-valued predicates): the
+    engine's single-commit multi-clause MERGE equals the direct Python
+    interpretation of first-match-wins semantics."""
+    root = str(tmp_path_factory.mktemp("mcmerge"))
+    lh = Lakehouse(spark, root)
+    rows_sql = " UNION ALL ".join(
+        f"SELECT '{k}' AS key, timestamp'2024-01-01' AS event_time, "
+        + ("CAST(NULL AS DOUBLE) AS value" if v is None else f"CAST({v!r} AS DOUBLE) AS value")
+        for k, v in sorted(case["table"].items())
+    )
+    lh.sql(f"CREATE TABLE t AS {rows_sql}")
+    src_sql = " UNION ALL ".join(
+        f"SELECT '{k}' AS key, timestamp'2024-02-01' AS event_time, "
+        f"CAST({v!r} AS DOUBLE) AS value"
+        for k, v in sorted(case["source"].items())
+    )
+    clause_sql = " ".join(
+        f"WHEN MATCHED{'' if thr is None else f' AND value < {thr}'} "
+        f"THEN {'DELETE' if act == 'delete' else 'UPDATE SET *'}"
+        for act, thr in case["clauses"]
+    )
+    if case["insert"]:
+        clause_sql += " WHEN NOT MATCHED THEN INSERT *"
+    if case["by_src"] is not None:
+        clause_sql += (
+            f" WHEN NOT MATCHED BY SOURCE AND value < {case['by_src']} "
+            "THEN DELETE"
+        )
+    v0 = int(lh.table("t").current_version())
+    lh.sql(f"MERGE INTO t USING {src_sql} ON key {clause_sql}")
+    expected = _mc_model(
+        case["table"], case["source"], case["clauses"],
+        case["insert"], case["by_src"],
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    assert got == expected, (case, got)
+    # at most ONE version bump for the whole statement (0 = no-op)
+    assert int(lh.table("t").current_version()) - v0 <= 1

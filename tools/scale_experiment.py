@@ -228,6 +228,10 @@ X100_MEASURED = [
     # + trained RESIDUAL codebooks; same probed-list ADC shape, so the
     # expected ratio matches the other IVF-PQ variants
     "embedding_ann_ivfpq_residual_trained",
+    # round-8 codecs: synthesize→encode→decode→stats, two chained
+    # mapInPandas stages — pure map profile, expected ~linear in docs
+    "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
 ]
 
 
