@@ -277,6 +277,18 @@ def test_merge_multi_clause_fuzz_strings_stay_inert():
     assert d.kind == "merge_multi"
     assert d.select.strip().endswith("ON key = b.k")
     assert d.clauses == (("update", "value < 0"),)
+    # BY SOURCE text inside a string literal is data; the real clause
+    # still parses, with its predicate carrying quotes intact
+    d = parse_dml(
+        "MERGE INTO t USING SELECT 'WHEN NOT MATCHED BY SOURCE' AS doc, "
+        "key FROM s ON key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND note != 'BY SOURCE' THEN DELETE"
+    )
+    assert d.kind == "merge_multi"
+    assert "BY SOURCE' AS doc" in d.select
+    assert d.clauses == (("update", ""),)
+    assert d.by_source_delete == "note != 'BY SOURCE'"
 
 
 # ---------------------------------------------------------------------------
