@@ -174,8 +174,83 @@ def encode_gif(
     return bytes(out)
 
 
+def encode_gif_animated(
+    frames: list[np.ndarray],
+    palette: np.ndarray | None = None,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode a list of H×W uint8 palette-index frames as an ANIMATED
+    GIF89a (Netscape loop extension + a graphic-control extension per
+    frame, disposal "do not dispose") — the fixture side of the real
+    video-column seam. All frames share the canvas size and the global
+    color table (default 256-entry grayscale identity)."""
+    if not frames:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    fr = [np.asarray(f) for f in frames]
+    h, w = fr[0].shape
+    for f in fr:
+        if f.shape != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be H×W uint8 and same size")
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = len(pal)
+    bits = max(1, int(n - 1).bit_length())
+    size = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[:n] = pal
+    out += table.tobytes()
+    # Netscape 2.0 looping extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, bits)
+    for f in fr:
+        # graphic control: delay, disposal=1 (do not dispose)
+        out += b"\x21\xf9\x04" + bytes([0x04]) + int(delay_cs).to_bytes(
+            2, "little"
+        ) + b"\x00\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+        out += b"\x00"
+        out.append(min_code)
+        lzw = _lzw_encode(f.tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(content: bytes) -> np.ndarray:
     """Decode the first frame of a GIF87a/89a to H×W×3 uint8 RGB."""
+    for frame in _iter_gif_frames(content):
+        return frame
+    raise ValueError("GIF stream has no image block")
+
+
+def decode_gif_frames(content: bytes, max_frames: int | None = None):
+    """Decode ALL frames of an animated GIF to a list of H×W×3 uint8
+    RGB arrays — the real video-column seam (frame extraction before
+    sampling/feature work). Frames composite progressively: each image
+    block paints its region over the previous canvas (the GIF
+    "do not dispose" default — disposal methods 2/3, restore-to-
+    background/previous, raise rather than mis-composite)."""
+    out = []
+    for frame in _iter_gif_frames(content):
+        out.append(frame)
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    if not out:
+        raise ValueError("GIF stream has no image block")
+    return out
+
+
+def _iter_gif_frames(content: bytes):
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw = int.from_bytes(content[6:8], "little")
@@ -188,11 +263,21 @@ def decode_gif(content: bytes) -> np.ndarray:
         gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8)
         gct = gct.reshape(n, 3)
         pos += 3 * n
+    canvas = None
     while pos < len(content):
         b = content[pos]
         if b == 0x3B:  # trailer
-            break
-        if b == 0x21:  # extension: label + sub-blocks, skip
+            return
+        if b == 0x21:  # extension: label + sub-blocks
+            label = content[pos + 1]
+            if label == 0xF9:  # graphic control: check disposal bits
+                disposal = (content[pos + 3] >> 2) & 0x7
+                if disposal > 1:
+                    raise NotImplementedError(
+                        f"GIF disposal method {disposal} (restore to "
+                        "background/previous) is not implemented — "
+                        "frames would mis-composite"
+                    )
             pos += 2
             while content[pos] != 0:
                 pos += 1 + content[pos]
@@ -237,9 +322,7 @@ def decode_gif(content: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF pixel index outside the color table")
         rgb = pal[idx]
-        if (left, top, w, h) != (0, 0, sw, sh):
+        if canvas is None:
             canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-            canvas[top : top + h, left : left + w] = rgb
-            rgb = canvas
-        return rgb  # first frame only
-    raise ValueError("GIF stream has no image block")
+        canvas[top : top + h, left : left + w] = rgb
+        yield canvas.copy()

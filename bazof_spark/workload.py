@@ -2110,6 +2110,82 @@ def multimodal_gif_decode_q(spark, sf_dir):
     return bmp_pixel_stats(media, decoder=decode_gif)
 
 
+def multimodal_gif_frame_sample_q(spark, sf_dir):
+    """REAL video-seam frame sampling (round 8): per doc an ANIMATED
+    GIF (2 + mid%4 frames, pixel (mid + 5f + 7y + 3x) % 256, grayscale
+    identity palette, Netscape loop + per-frame graphic control), then
+    every SECOND frame is extracted through the full LZW decode +
+    progressive compositing path (gifcodec.decode_gif_frames) and
+    reduced to frame-weighted checksums. This replaces the byte-chunk
+    stand-in (multimodal_frame_sample) with genuine decode-then-sample
+    — the shape a video column takes at scale, with the library codec
+    slotting into the same mapInPandas seam. GIF is lossless, so the
+    DuckDB oracle recomputes from the synthesis formula."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from bazof_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1)
+                x = np.arange(w).reshape(1, w)
+                frames = [
+                    ((mid + 5 * f + 7 * y + 3 * x) % 256).astype(np.uint8)
+                    for f in range(2 + mid % 4)
+                ]
+                blobs.append(encode_gif_animated(frames))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("n_sampled", IntegerType(), False),
+            StructField("checksum", LongType(), False),
+            StructField("frame_weighted", LongType(), False),
+        ]
+    )
+
+    def sample(it):
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif_frames(bytes(blob))
+                sampled = frames[::2]
+                cs = sum(int(f.astype(np.int64).sum()) for f in sampled)
+                fw = sum(
+                    int(f.astype(np.int64).sum()) * (2 * i + 1)
+                    for i, f in enumerate(sampled)
+                )
+                out.append((mid, len(frames), len(sampled), cs, fw))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "n_sampled", "checksum",
+                    "frame_weighted",
+                ],
+            )
+
+    return media.mapInPandas(sample, schema)
+
+
 def multimodal_bmp_decode_q(spark, sf_dir):
     """REAL image decode end-to-end: deterministic RGB pixel grids per
     doc, encoded as actual 24-bit BMP files (bottom-up rows, BGR order,
@@ -2266,6 +2342,32 @@ _MULTIMODAL_ORACLES = {
                        ((media_id + 7*y + 3*x) % 256)
                        * (3*(y*1000000 + x*1000) + 6)))))
                    AS BIGINT) AS pos_checksum
+        FROM m
+    """,
+    # recomputes multimodal_gif_frame_sample's per-frame formula (pixel
+    # (mid + 5f + 7y + 3x) % 256, every second frame sampled, weight =
+    # original frame index + 1); Spark's answer came through a real
+    # animated-GIF encode→frame-decode→sample round trip
+    "multimodal_gif_frame_sample": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                   2 + doc_id % 4 AS nf
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(nf AS INT) AS n_frames,
+               CAST(len(range(0, nf, 2)) AS INT) AS n_sampled,
+               CAST(list_sum(list_transform(range(0, nf, 2), f ->
+                   list_sum(list_transform(range(0, h), y ->
+                       list_sum(list_transform(range(0, w), x ->
+                           3 * ((media_id + 5*f + 7*y + 3*x) % 256)))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, nf, 2), f ->
+                   (f + 1) * list_sum(list_transform(range(0, h), y ->
+                       list_sum(list_transform(range(0, w), x ->
+                           3 * ((media_id + 5*f + 7*y + 3*x) % 256)))))))
+                   AS BIGINT) AS frame_weighted
         FROM m
     """,
     "multimodal_bmp_decode": """
@@ -4450,6 +4552,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
     "multimodal_gif_decode": multimodal_gif_decode_q,
+    "multimodal_gif_frame_sample": multimodal_gif_frame_sample_q,
 }
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402

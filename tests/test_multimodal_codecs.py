@@ -462,3 +462,52 @@ def test_decode_image_routes_gif():
     px = np.full((3, 5), 42, dtype=np.uint8)
     out = decode_image(encode_gif(px), "gif")
     assert out.shape == (3, 5, 3) and int(out.max()) == 42
+
+
+def test_gif_animated_frames_roundtrip_and_compositing():
+    """Animated GIF: per-frame graphic-control blocks, Netscape loop,
+    progressive compositing (do-not-dispose) — all frames round-trip
+    exactly; a sub-rectangle frame paints OVER the previous canvas; and
+    unsupported disposal methods raise instead of mis-compositing."""
+    from bazof_spark.operators.gifcodec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (9, 13)).astype(np.uint8) for _ in range(4)]
+    blob = encode_gif_animated(frames)
+    got = decode_gif_frames(blob)
+    assert len(got) == 4
+    for f, g in zip(frames, got):
+        assert np.array_equal(g[:, :, 0], f)
+    assert np.array_equal(decode_gif(blob), got[0])  # first frame agrees
+    assert len(decode_gif_frames(blob, max_frames=2)) == 2
+    # disposal 2 (restore to background) must raise, not mis-composite
+    bad = bytearray(blob)
+    i = bytes(bad).index(b"\x21\xf9\x04")
+    bad[i + 3] = 0x08
+    with pytest.raises(NotImplementedError, match="disposal"):
+        decode_gif_frames(bytes(bad))
+    # sub-rectangle second frame composites over the first canvas
+    from bazof_spark.operators.gifcodec import _lzw_encode
+
+    base = encode_gif_animated([frames[0]])
+    patch = np.full((2, 3), 200, dtype=np.uint8)
+    img = bytearray()
+    img += b"\x2c" + (4).to_bytes(2, "little") + (5).to_bytes(2, "little")
+    img += (3).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00"
+    img.append(8)
+    lzw = _lzw_encode(patch.tobytes(), 8)
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        img.append(len(chunk))
+        img += chunk
+    img += b"\x00"
+    two = base[:-1] + bytes(img) + b"\x3b"
+    got = decode_gif_frames(two)
+    assert len(got) == 2
+    expect = got[0].copy()
+    expect[5:7, 4:7] = 200
+    assert np.array_equal(got[1], expect)
