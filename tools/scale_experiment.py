@@ -232,6 +232,7 @@ X100_MEASURED = [
     # mapInPandas stages — pure map profile, expected ~linear in docs
     "multimodal_jpeg_decode",
     "multimodal_gif_decode",
+    "multimodal_gif_frame_sample",
 ]
 
 
