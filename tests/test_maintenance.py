@@ -417,3 +417,19 @@ def test_checkpoint_preserves_key_blooms(spark, lakehouse):
     [archived] = wrapper.segments
     assert archived.key_bloom is not None
     assert archived.key_bloom.to_json() == open_seg.key_bloom.to_json()
+
+
+def test_arrow_data_checks_match_spark_findings(spark):
+    """data_checks='arrow' must report the SAME invariant findings as
+    the Spark path — pinned on the reference's own financials table,
+    whose shipped files contain 5 duplicate (key, event_time) pairs."""
+    lh = Lakehouse(spark, "/root/reference/test-data")
+    via_spark = validate_table(lh, "financials", data_checks=True)
+    via_arrow = validate_table(lh, "financials", data_checks="arrow")
+    assert via_spark.errors == via_arrow.errors == []
+
+    def dupe_warn(report):
+        return [w for w in report.warnings if "duplicate (key" in w]
+
+    assert dupe_warn(via_spark) == dupe_warn(via_arrow)
+    assert dupe_warn(via_arrow), "expected the known duplicate-pair warning"

@@ -289,3 +289,30 @@ def test_concurrent_writers_real_s3_with_lockserver(spark, s3_endpoint):
         register_commit_guard("s3", None)
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_validate_full_data_checks_over_real_s3(spark, s3_endpoint):
+    """validate_table with FULL data checks on an s3:// root: the Spark
+    read cannot resolve the scheme (no S3A in this JVM), so the checks
+    fall back to the driver-side pyarrow twin — recorded as a warning,
+    never silently skipped — and the invariants still verify over the
+    real protocol. data_checks='arrow' forces the same path explicitly."""
+    uri = "s3://bazof-real/fullcheck"
+    table_uri = iofs.join(uri, "t")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w = TableWriter(spark, table_uri, _schema())
+    w.add_segment(
+        "s1", start=t0,
+        base_df=_batch(spark, [("a", t0, "a1"), ("b", t0, "b1")]),
+    )
+    w.commit("1")
+    append_delta(
+        spark, table_uri,
+        _batch(spark, [("a", dt.datetime(2024, 2, 1, tzinfo=UTC), "a2")]),
+    )
+    lh = Lakehouse(spark, uri)
+    report = validate_table(lh, "t", data_checks=True)
+    assert not report.errors, report.errors
+    assert any("pyarrow" in w_ for w_ in report.warnings), report.warnings
+    explicit = validate_table(lh, "t", data_checks="arrow")
+    assert not explicit.errors, explicit.errors
