@@ -1068,11 +1068,11 @@ class Lakehouse:
                     f"{src.columns}"
                 )
             needs_rows = dml.insert_unmatched or any(
-                act == "update" for act, _ in dml.clauses
+                cl[0] in ("update", "update_set") for cl in dml.clauses
             )
             has_clauses = bool(dml.clauses)
+            schema = self.table(dml.table).get_current_snapshot().schema
             if needs_rows:
-                schema = self.table(dml.table).get_current_snapshot().schema
                 expected = ["key", "event_time", *schema.column_names()]
                 if set(src.columns) != set(expected) and len(
                     src.columns
@@ -1089,10 +1089,10 @@ class Lakehouse:
                 verdicts = None
                 if has_clauses:
                     arms = " ".join(
-                        f"WHEN coalesce({pred}, false) THEN '{act}{i}'"
-                        if pred
-                        else f"WHEN true THEN '{act}{i}'"
-                        for i, (act, pred) in enumerate(dml.clauses)
+                        f"WHEN coalesce({cl[1]}, false) THEN '{cl[0]}{i}'"
+                        if cl[1]
+                        else f"WHEN true THEN '{cl[0]}{i}'"
+                        for i, cl in enumerate(dml.clauses)
                     )
                     verdicts = self.spark.sql(
                         f"SELECT t.key, CASE {arms} END AS _verdict "
@@ -1103,13 +1103,13 @@ class Lakehouse:
                 upsert_parts = []
                 del_tags = [
                     f"'delete{i}'"
-                    for i, (act, _) in enumerate(dml.clauses)
-                    if act == "delete"
+                    for i, cl in enumerate(dml.clauses)
+                    if cl[0] == "delete"
                 ]
                 upd_tags = [
                     f"'update{i}'"
-                    for i, (act, _) in enumerate(dml.clauses)
-                    if act == "update"
+                    for i, cl in enumerate(dml.clauses)
+                    if cl[0] == "update"
                 ]
                 if verdicts is not None:
                     verdicts.createOrReplaceTempView(f"{src_view}__v")
@@ -1146,6 +1146,42 @@ class Lakehouse:
                             f"SELECT s.* FROM {src_view} s JOIN "
                             f"{src_view}__v v ON s.key = v.key "
                             f"WHERE v._verdict IN ({', '.join(upd_tags)})"
+                        )
+                    )
+                for i, cl in enumerate(dml.clauses):
+                    if cl[0] != "update_set":
+                        continue
+                    # per-column SET: the TARGET's current row with the
+                    # assignment expressions applied (expressions see
+                    # the target's value columns, like UPDATE t SET …),
+                    # committed at the matched SOURCE row's event_time —
+                    # the per-column analog of SET *'s source-driven
+                    # upsert, and deterministic (no wall-clock)
+                    sets = dict(cl[2])
+                    unknown = sorted(
+                        set(sets) - {c.name for c in schema.columns}
+                    )
+                    if unknown:
+                        raise BazofError(
+                            f"MERGE UPDATE SET references unknown "
+                            f"column(s) {unknown}; declared: "
+                            f"{[c.name for c in schema.columns]}"
+                        )
+                    cols_sql = ", ".join(
+                        f"({sets[c.name]}) AS {c.name}"
+                        if c.name in sets
+                        else f"t.{c.name} AS {c.name}"
+                        for c in schema.columns
+                    )
+                    upsert_parts.append(
+                        self.spark.sql(
+                            f"SELECT t.key AS key, s.event_time AS "
+                            f"event_time, {cols_sql} "
+                            f"FROM {view} t "
+                            f"JOIN (SELECT key, event_time FROM "
+                            f"{src_view}) s ON t.key = s.key "
+                            f"JOIN {src_view}__v v ON v.key = t.key "
+                            f"WHERE v._verdict = 'update_set{i}'"
                         )
                     )
                 if dml.insert_unmatched:

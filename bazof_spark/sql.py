@@ -332,8 +332,9 @@ _MERGE_ON_KEY_TAIL_RE = re.compile(
     r"\s+ON\s+key\s*$", re.IGNORECASE
 )
 _MERGE_ACTION_TAIL_RE = re.compile(
-    r"\s+THEN\s+(?P<act>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*$",
-    re.IGNORECASE,
+    r"\s+THEN\s+(?P<act>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*"
+    r"|UPDATE\s+SET\s+.+)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSE_HEAD_RE = re.compile(
     r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
@@ -346,11 +347,13 @@ def _parse_merge_clauses(select: str, spans):
     """Parse ``<src> ON key WHEN ... [WHEN ...]*`` into
     (source_sql, matched_clauses, insert_unmatched, by_source_delete)
     — or None when the text doesn't have that shape (the caller falls
-    through to the single-form error). matched_clauses is a tuple of
-    ("delete"|"update", predicate_sql) in statement order;
-    by_source_delete is None (no clause) or the WHEN NOT MATCHED BY
-    SOURCE [AND pred] THEN DELETE predicate ("" = all unmatched target
-    keys). Predicates inside strings never split clauses."""
+    through to the single-form error). matched_clauses entries, in
+    statement order: ("delete", pred), ("update", pred) for the
+    full-row UPDATE SET *, or ("update_set", pred, ((col, expr), …))
+    for per-column assignment lists; by_source_delete is None (no
+    clause) or the WHEN NOT MATCHED BY SOURCE [AND pred] THEN DELETE
+    predicate ("" = all unmatched target keys). Predicates inside
+    strings never split clauses."""
     whens = [
         m for m in _MERGE_WHEN_RE.finditer(select)
         if not _inside(m.start(), spans)
@@ -431,9 +434,43 @@ def _parse_merge_clauses(select: str, spans):
                     "an unpredicated WHEN MATCHED clause must be the "
                     "LAST matched clause — later clauses are unreachable"
                 )
-            matched.append(
-                ("delete" if act == "DELETE" else "update", pred)
-            )
+            if act == "DELETE":
+                matched.append(("delete", pred))
+            elif act == "UPDATE SET *":
+                matched.append(("update", pred))
+            else:
+                # per-column assignment list: UPDATE SET a = e1, b = e2
+                # — expressions over the TARGET's current row plus
+                # src.<col> for the matched source row; key/event_time
+                # immutable like the UPDATE statement
+                body = re.sub(
+                    r"^UPDATE\s+SET\s+", "", act_m.group("act"),
+                    flags=re.IGNORECASE,
+                )
+                cuts = [m.start() for m in _split_top_level(body, ",")]
+                pieces, lo = [], 0
+                for cpos in cuts:
+                    pieces.append(body[lo:cpos])
+                    lo = cpos + 1
+                pieces.append(body[lo:])
+                sets = []
+                for piece in pieces:
+                    am = _ASSIGN_RE.match(piece.strip())
+                    if am is None:
+                        raise SqlRewriteError(
+                            "MERGE UPDATE SET expects 'column = "
+                            f"expression', got: {piece.strip()!r}"
+                        )
+                    col = am.group("col")
+                    if col.lower() in ("key", "event_time"):
+                        raise SqlRewriteError(
+                            f"MERGE UPDATE SET cannot assign {col!r} — "
+                            "key and event_time are immutable (the "
+                            "updated row is committed at the matched "
+                            "source row's event_time)"
+                        )
+                    sets.append((col, am.group("expr").strip()))
+                matched.append(("update_set", pred, tuple(sets)))
     return src, tuple(matched), insert_unmatched, by_source_delete
 
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the

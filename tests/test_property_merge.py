@@ -448,7 +448,9 @@ _mc_source = st.dictionaries(
     max_size=5,
 )
 _mc_clause = st.tuples(
-    st.sampled_from(["delete", "update"]),
+    # "bump" = per-column UPDATE SET value = value + 1000 (round-8
+    # assignment-list clause; NULL propagates through the expression)
+    st.sampled_from(["delete", "update", "bump"]),
     st.none() | st.integers(min_value=0, max_value=100),
 )
 
@@ -496,6 +498,10 @@ def _mc_model(table, source, clauses, insert, by_src):
                 if holds:
                     if act == "delete":
                         out.pop(k, None)
+                    elif act == "bump":
+                        out[k] = (
+                            None if table[k] is None else table[k] + 1000
+                        )
                     else:
                         out[k] = source[k]
                     break
@@ -536,9 +542,14 @@ def test_multi_clause_merge_matches_model(spark, tmp_path_factory, case):
         f"CAST({v!r} AS DOUBLE) AS value"
         for k, v in sorted(case["source"].items())
     )
+    actions = {
+        "delete": "DELETE",
+        "update": "UPDATE SET *",
+        "bump": "UPDATE SET value = value + 1000",
+    }
     clause_sql = " ".join(
         f"WHEN MATCHED{'' if thr is None else f' AND value < {thr}'} "
-        f"THEN {'DELETE' if act == 'delete' else 'UPDATE SET *'}"
+        f"THEN {actions[act]}"
         for act, thr in case["clauses"]
     )
     if case["insert"]:

@@ -162,14 +162,18 @@ def test_parse_merge_detection():
     # a JOIN ... ON key inside the source is NOT mistaken for the clause
     d = parse_dml("MERGE INTO t USING SELECT * FROM a JOIN b ON key = b.k")
     assert d.select.strip() == "SELECT * FROM a JOIN b ON key = b.k"
-    # any non-canonical WHEN MATCHED semantics must error, not drift
-    # (delete / insert-only / multi-clause are SUPPORTED shapes now; an
-    # unsupported per-column UPDATE SET assignment list still errors —
-    # via the clause parser's message since round 8)
-    with pytest.raises(SqlRewriteError, match="THEN DELETE"):
+    # delete / insert-only / multi-clause / per-column SET are all
+    # SUPPORTED shapes now; a malformed clause still errors loudly
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s "
+        "ON key WHEN MATCHED THEN UPDATE SET v = 1"
+    )
+    assert d.kind == "merge_multi"
+    assert d.clauses == (("update_set", "", (("v", "1"),)),)
+    with pytest.raises(SqlRewriteError, match="must end in"):
         parse_dml(
             "MERGE INTO t USING SELECT * FROM s "
-            "ON key WHEN MATCHED THEN UPDATE SET v = 1"
+            "ON key WHEN MATCHED THEN TRUNCATE"
         )
     # ...but WHEN MATCHED inside a string literal is data, not a clause
     d = parse_dml("MERGE INTO t USING SELECT 'WHEN MATCHED THEN DELETE' AS x")
@@ -455,14 +459,12 @@ def test_parse_merge_delete_detection():
         "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     )
     assert d.kind == "merge"
-    # any other WHEN shape still errors loudly
-    from bazof_spark.sql import SqlRewriteError
-
-    with pytest.raises(SqlRewriteError, match="THEN DELETE"):
-        parse_dml(
-            "MERGE INTO t USING SELECT * FROM s ON key "
-            "WHEN MATCHED THEN UPDATE SET v = 1"
-        )
+    # per-column SET parses as a multi-clause statement since round 8
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED THEN UPDATE SET v = 1"
+    )
+    assert d.kind == "merge_multi"
 
 
 def test_merge_delete_end_to_end(spark, lh):
@@ -1026,13 +1028,14 @@ def test_parse_merge_multi_clause_detection():
             "MERGE INTO t USING SELECT * FROM s ON key "
             "WHEN NOT MATCHED THEN DELETE"
         )
-    # per-row UPDATE SET col = expr is still unsupported (clear error)
-    with pytest.raises(SqlRewriteError, match="THEN DELETE"):
-        parse_dml(
-            "MERGE INTO t USING SELECT * FROM s ON key "
-            "WHEN MATCHED AND x THEN UPDATE SET v = 1 "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+    # per-column UPDATE SET col = expr is SUPPORTED since late round 8
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED AND x THEN UPDATE SET v = 1 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.clauses == (("update_set", "x", (("v", "1"),)),)
+    assert d.insert_unmatched
 
 
 def test_merge_multi_clause_end_to_end(spark, lh):
@@ -1214,3 +1217,94 @@ def test_merge_multi_changes_feed_single_version(spark, lh):
     assert "1" in set().union(*[
         v for k, v in by_type.items() if k != "delete"
     ])
+
+
+def test_parse_merge_update_set_assignments():
+    from bazof_spark.sql import SqlRewriteError
+
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED AND value < 10 THEN UPDATE SET value = value * 2 "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge_multi"
+    assert d.clauses == (
+        ("update_set", "value < 10", (("value", "value * 2"),)),
+        ("delete", ""),
+    )
+    # multi-assignment with a CASE (embedded THEN) stays whole
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED THEN UPDATE SET a = CASE WHEN x THEN 1 ELSE 2 END, "
+        "b = concat(b, ',x')"
+    )
+    assert d.clauses == (
+        (
+            "update_set",
+            "",
+            (("a", "CASE WHEN x THEN 1 ELSE 2 END"), ("b", "concat(b, ',x')")),
+        ),
+    )
+    # key/event_time are immutable
+    with pytest.raises(SqlRewriteError, match="immutable"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN MATCHED THEN UPDATE SET key = 'x'"
+        )
+    with pytest.raises(SqlRewriteError, match="column = "):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN MATCHED THEN UPDATE SET 42"
+        )
+
+
+def test_merge_update_set_assignments_end_to_end(spark, lh):
+    """Per-column SET inside a clause list: the target's current row
+    with expressions applied, committed at the matched source row's
+    event_time — deterministic, single version bump, composing with
+    DELETE and INSERT clauses."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(5)
+        """
+    )
+    v1 = int(lh.table("t").current_version())
+    [st] = lh.sql(
+        "MERGE INTO t USING "
+        "SELECT CAST(k AS STRING) AS key, timestamp'2024-02-01' AS "
+        "event_time, CAST(0 AS DOUBLE) AS value "
+        "FROM (VALUES (1), (2), (3), (9)) AS s(k) ON key "
+        "WHEN MATCHED AND value < 2 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET value = value * 10 + 1 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert st["operation"] == "merge_multi"
+    assert int(st["version"]) == v1 + 1
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    # 1 (value 1.0 < 2): deleted; 2,3: value -> v*10+1 from the OLD
+    # value; 9: inserted with the source row (value 0); 0,4 untouched
+    assert got == {"0": 0.0, "2": 21.0, "3": 31.0, "4": 4.0, "9": 0.0}
+    # the updated rows carry the SOURCE event_time (deterministic)
+    ts = {
+        r["key"]: r["event_time"].isoformat()
+        for r in lh.sql("SELECT key, event_time FROM t").collect()
+    }
+    assert ts["2"].startswith("2024-02-01")
+    assert ts["4"].startswith("2024-01-01")
+    # pre-merge version intact
+    assert lh.sql(f"SELECT key FROM t FOR VERSION AS OF {v1}").count() == 5
+    # unknown column errors loudly
+    with pytest.raises(BazofError, match="unknown"):
+        lh.sql(
+            "MERGE INTO t USING SELECT '2' AS key, "
+            "timestamp'2024-03-01' AS event_time, 0.0 AS value ON key "
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
+        )
