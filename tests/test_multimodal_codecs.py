@@ -511,3 +511,57 @@ def test_gif_animated_frames_roundtrip_and_compositing():
     expect = got[0].copy()
     expect[5:7, 4:7] = 200
     assert np.array_equal(got[1], expect)
+
+
+def test_jpeg_16bit_dqt_and_multi_table_dht_segments():
+    """Decoder generality: a 16-bit (Pq=1) quantization table and a
+    single DHT segment carrying BOTH the DC and AC tables — shapes real
+    encoders emit that the fixture encoder does not — must decode to
+    the same pixels as the fixture's layout."""
+    from bazof_spark.operators.jpegcodec import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        ZIGZAG,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = np.repeat(
+        np.repeat(np.array([[70, 200], [10, 130]], dtype=np.uint8), 8, 0),
+        8, 1,
+    )
+    blob = bytearray(encode_jpeg_baseline(px))
+    # locate the fixture's segments
+    def seg_at(marker):
+        i = bytes(blob).index(bytes([0xFF, marker]))
+        ln = int.from_bytes(blob[i + 2 : i + 4], "big")
+        return i, i + 2 + ln
+
+    # replace the 8-bit DQT with a 16-bit (big-endian u16) twin
+    q16 = b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + bytes([0x10])
+    q16 += b"".join((1).to_bytes(2, "big") for _ in range(64))
+    lo, hi = seg_at(0xDB)
+    blob2 = blob[:lo] + q16 + blob[hi:]
+    # merge the two DHT segments into ONE with both tables
+    d1lo, d1hi = seg_at(0xC4)
+    rest = blob2[d1hi:]
+    d2off = bytes(rest).index(b"\xff\xc4")
+    d2ln = int.from_bytes(rest[d2off + 2 : d2off + 4], "big")
+    payload = (
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+    merged = b"\xff\xc4" + (len(payload) + 2).to_bytes(2, "big") + payload
+    d1lo2, d1hi2 = None, None
+    i = bytes(blob2).index(b"\xff\xc4")
+    ln = int.from_bytes(blob2[i + 2 : i + 4], "big")
+    first_end = i + 2 + ln
+    rest2 = blob2[first_end:]
+    j = bytes(rest2).index(b"\xff\xc4")
+    jln = int.from_bytes(rest2[j + 2 : j + 4], "big")
+    blob3 = blob2[:i] + merged + rest2[: j] + rest2[j + 2 + jln :]
+    out = decode_jpeg_baseline(bytes(blob3))
+    assert np.array_equal(out, px)
+    assert len(ZIGZAG) == 64  # sanity on the imported helper

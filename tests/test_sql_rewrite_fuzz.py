@@ -406,3 +406,84 @@ def test_update_body_parsing_is_linear():
     assert d.kind == "update" and len(d.sets) == n
     assert d.select == "key IN ('a', 'b')"
     assert elapsed < 2.0, f"UPDATE body parse took {elapsed:.1f}s"
+
+
+def test_merge_clause_list_generative_roundtrip():
+    """Generative parser fuzz: random legal clause lists rendered to
+    SQL must parse back to exactly the structures that produced them —
+    the splitter can never mis-segment across predicates carrying
+    parens, quotes, commas, or CASE…THEN text."""
+    import random
+
+    from bazof_spark.sql import parse_dml
+
+    rng = random.Random(42)
+    preds = [
+        "", "value < 10", "(a AND b) OR c",
+        "note = 'WHEN MATCHED THEN DELETE'",
+        "CASE WHEN x THEN 1 ELSE 0 END = 1",
+        "f(a, b) > g(c, ',')",
+    ]
+    set_lists = [
+        (("v", "1"),),
+        (("a", "a + 1"), ("b", "concat(b, ', tail')")),
+        (("v", "CASE WHEN v > 0 THEN v ELSE -v END"),),
+    ]
+    for _ in range(200):
+        matched = []
+        n = rng.randint(0, 3)
+        for i in range(n):
+            act = rng.choice(["delete", "update", "update_set"])
+            # only the LAST matched clause may be unpredicated
+            pred = rng.choice(preds[1:] if i < n - 1 else preds)
+            if act == "update_set":
+                matched.append((act, pred, rng.choice(set_lists)))
+            else:
+                matched.append((act, pred))
+        insert = rng.random() < 0.5
+        by_src = rng.choice([None, "", "value < 5"])
+        if not matched and not insert and by_src is None:
+            continue
+        parts = []
+        for cl in matched:
+            head = "WHEN MATCHED" + (f" AND {cl[1]}" if cl[1] else "")
+            if cl[0] == "delete":
+                parts.append(f"{head} THEN DELETE")
+            elif cl[0] == "update":
+                parts.append(f"{head} THEN UPDATE SET *")
+            else:
+                sets = ", ".join(f"{c} = {e}" for c, e in cl[2])
+                parts.append(f"{head} THEN UPDATE SET {sets}")
+        if insert:
+            parts.append("WHEN NOT MATCHED THEN INSERT *")
+        if by_src is not None:
+            parts.append(
+                "WHEN NOT MATCHED BY SOURCE"
+                + (f" AND {by_src}" if by_src else "")
+                + " THEN DELETE"
+            )
+        sql = (
+            "MERGE INTO t USING SELECT * FROM src WHERE x = ',' ON key "
+            + " ".join(parts)
+        )
+        d = parse_dml(sql)
+        # the canonical two-clause form routes to the legacy kind
+        if (
+            len(matched) == 1
+            and matched[0] == ("update", "")
+            and insert
+            and by_src is None
+        ):
+            assert d.kind == "merge", sql
+            continue
+        if len(matched) == 1 and matched[0] == ("delete", "") and not insert and by_src is None:
+            assert d.kind == "merge_delete", sql
+            continue
+        if not matched and insert and by_src is None:
+            assert d.kind == "merge_insert", sql
+            continue
+        assert d.kind == "merge_multi", sql
+        assert d.select.strip() == "SELECT * FROM src WHERE x = ','", sql
+        assert d.clauses == tuple(matched), sql
+        assert d.insert_unmatched == insert, sql
+        assert d.by_source_delete == by_src, sql
