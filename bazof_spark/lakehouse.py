@@ -1152,11 +1152,21 @@ class Lakehouse:
                     if cl[0] != "update_set":
                         continue
                     # per-column SET: the TARGET's current row with the
-                    # assignment expressions applied (expressions see
-                    # the target's value columns, like UPDATE t SET …),
-                    # committed at the matched SOURCE row's event_time —
-                    # the per-column analog of SET *'s source-driven
-                    # upsert, and deterministic (no wall-clock)
+                    # assignment expressions applied. Unqualified names
+                    # resolve to the target (like UPDATE t SET …); the
+                    # matched SOURCE row rides along as ONE struct
+                    # column named `src`, so expressions can read
+                    # src.<col> without making bare value-column
+                    # references ambiguous. Committed at the matched
+                    # SOURCE row's event_time — deterministic (no
+                    # wall-clock), and event-versioned like every azof
+                    # merge: a STALE source (src.event_time earlier
+                    # than the target row's current event_time) loses
+                    # merge precedence, so the UPDATE is a no-op for
+                    # that key. That asymmetry with DELETE clauses
+                    # (tombstones are stamped at the statement time and
+                    # always win) is the format's contract, not a bug;
+                    # README §MERGE documents it.
                     sets = dict(cl[2])
                     unknown = sorted(
                         set(sets) - {c.name for c in schema.columns}
@@ -1175,11 +1185,12 @@ class Lakehouse:
                     )
                     upsert_parts.append(
                         self.spark.sql(
-                            f"SELECT t.key AS key, s.event_time AS "
+                            f"SELECT t.key AS key, src.event_time AS "
                             f"event_time, {cols_sql} "
                             f"FROM {view} t "
-                            f"JOIN (SELECT key, event_time FROM "
-                            f"{src_view}) s ON t.key = s.key "
+                            f"JOIN (SELECT s.key AS _src_key, "
+                            f"struct(s.*) AS src FROM {src_view} s) "
+                            f"ON t.key = _src_key "
                             f"JOIN {src_view}__v v ON v.key = t.key "
                             f"WHERE v._verdict = 'update_set{i}'"
                         )

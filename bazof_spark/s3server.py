@@ -85,7 +85,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         for k, v in (headers or {}).items():
             self.send_header(k, v)
-        self.send_header("Content-Length", str(len(body)))
+        # RFC 9110 §8.6: a message must not carry two differing
+        # Content-Length headers — when the caller already framed the
+        # response (HEAD replaying a GET's length, ranged GETs), don't
+        # append a second one
+        if not any(
+            k.lower() == "content-length" for k in (headers or {})
+        ):
+            self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         if body and self.command != "HEAD":
             self.wfile.write(body)

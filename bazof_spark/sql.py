@@ -379,7 +379,23 @@ def _parse_merge_clauses(select: str, spans):
     insert_unmatched = False
     by_source_delete: str | None = None
     for seg in segments:
-        act_m = _MERGE_ACTION_TAIL_RE.search(seg)
+        # anchor the action on a THEN that sits OUTSIDE string
+        # literals — a predicate like note = 'x THEN UPDATE SET v = 1'
+        # must not donate its THEN to the action tail (it would garble
+        # the assignment list into a confusing downstream error)
+        seg_spans = _string_spans(seg)
+        act_m, pos = None, 0
+        while True:
+            cand = _MERGE_ACTION_TAIL_RE.search(seg, pos)
+            if cand is None:
+                break
+            if _inside(cand.start(), seg_spans) or _inside(
+                cand.start("act"), seg_spans
+            ):
+                pos = cand.start() + 1
+                continue
+            act_m = cand
+            break
         if act_m is None:
             raise SqlRewriteError(
                 "MERGE clause must end in THEN DELETE, THEN UPDATE SET "
@@ -440,9 +456,14 @@ def _parse_merge_clauses(select: str, spans):
                 matched.append(("update", pred))
             else:
                 # per-column assignment list: UPDATE SET a = e1, b = e2
-                # — expressions over the TARGET's current row plus
-                # src.<col> for the matched source row; key/event_time
-                # immutable like the UPDATE statement
+                # — unqualified names resolve to the TARGET's current
+                # row (like UPDATE t SET …); the matched source row is
+                # exposed as a struct named `src`, so src.<col> reads
+                # any source column. key/event_time stay immutable like
+                # the UPDATE statement; the new row commits at the
+                # SOURCE row's event_time (a stale source — earlier
+                # than the target's current event_time — is a merge-
+                # precedence no-op, see lakehouse merge_multi)
                 body = re.sub(
                     r"^UPDATE\s+SET\s+", "", act_m.group("act"),
                     flags=re.IGNORECASE,

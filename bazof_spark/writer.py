@@ -1116,12 +1116,22 @@ def merge_apply(
             raise
     tomb = None
     if delete_keys_df is not None:
+        # persist around the isEmpty probe + parquet write so the
+        # delete-key derivation (joins over the target scan) runs once,
+        # mirroring `ordered` above
         tomb = delete_keys_df.select(
             F.col(KEY_COL).cast("string").alias(KEY_COL),
             F.lit(at).alias(EVENT_TIME_COL),
-        ).dropDuplicates([KEY_COL])
-        if tomb.isEmpty():
-            tomb = None  # same no-op contract as delete_keys
+        ).dropDuplicates([KEY_COL]).persist()
+        try:
+            if tomb.isEmpty():
+                tomb.unpersist()
+                tomb = None  # same no-op contract as delete_keys
+        except BaseException:
+            tomb.unpersist()
+            if ordered is not None:
+                ordered.unpersist()
+            raise
     if ordered is None and tomb is None:
         return snapshot
 
@@ -1169,6 +1179,8 @@ def merge_apply(
     finally:
         if ordered is not None:
             ordered.unpersist()
+        if tomb is not None:
+            tomb.unpersist()
 
     segs[idx] = dataclasses.replace(target, delta=deltas)
     new_snapshot = Snapshot(segments=tuple(segs), schema=schema)

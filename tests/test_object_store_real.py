@@ -316,3 +316,38 @@ def test_validate_full_data_checks_over_real_s3(spark, s3_endpoint):
     assert any("pyarrow" in w_ for w_ in report.warnings), report.warnings
     explicit = validate_table(lh, "t", data_checks="arrow")
     assert not explicit.errors, explicit.errors
+
+
+def test_http_responses_single_content_length(s3_endpoint):
+    """ADVICE r9: _respond used to append its own Content-Length after
+    the caller's, so HEAD carried two conflicting values ('11' then
+    '0') — an RFC 9110 violation stricter clients reject. Every
+    response must frame exactly one Content-Length, and HEAD's must be
+    the OBJECT length (what a subsequent GET returns), not 0."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", s3_endpoint.port)
+    try:
+        conn.request("PUT", "/clbkt")
+        conn.getresponse().read()
+        conn.request("PUT", "/clbkt/k", body=b"hello world")
+        conn.getresponse().read()
+        for method, want in (("HEAD", "11"), ("GET", "11")):
+            conn.request(method, "/clbkt/k")
+            r = conn.getresponse()
+            r.read()
+            assert r.headers.get_all("Content-Length") == [want], method
+        # ranged GET: one Content-Length matching the PART length
+        conn.request("GET", "/clbkt/k", headers={"Range": "bytes=0-4"})
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 206 and body == b"hello"
+        assert r.headers.get_all("Content-Length") == ["5"]
+        # error + list responses framed once too
+        conn.request("GET", "/clbkt/missing")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
+        assert len(r.headers.get_all("Content-Length")) == 1
+    finally:
+        conn.close()

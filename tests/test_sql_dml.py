@@ -1308,3 +1308,98 @@ def test_merge_update_set_assignments_end_to_end(spark, lh):
             "timestamp'2024-03-01' AS event_time, 0.0 AS value ON key "
             "WHEN MATCHED THEN UPDATE SET nope = 1"
         )
+
+
+def test_parse_merge_action_then_inside_string():
+    """ADVICE r9: a predicate string literal containing 'THEN UPDATE
+    SET …' must not donate its THEN to the action tail — the action
+    anchors on the THEN outside strings (clean parse, not a garbled
+    assignment list)."""
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED AND note = 'x THEN UPDATE SET v = 1' THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert d.kind == "merge_multi"
+    assert d.clauses == (("delete", "note = 'x THEN UPDATE SET v = 1'"),)
+    assert d.insert_unmatched
+    # the single-clause fast path keeps its own correct handling
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED AND note = 'x THEN UPDATE SET v = 1' THEN DELETE"
+    )
+    assert d.kind == "merge_delete"
+    assert d.pred == "note = 'x THEN UPDATE SET v = 1'"
+    # same protection for an assignment EXPRESSION ending in a string
+    # that embeds THEN DELETE
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN MATCHED THEN UPDATE SET v = 'a THEN DELETE'"
+    )
+    assert d.clauses == (("update_set", "", (("v", "'a THEN DELETE'"),)),)
+
+
+def test_merge_update_set_src_columns_end_to_end(spark, lh):
+    """ADVICE r9: per-column SET expressions see the matched SOURCE row
+    as a struct named `src` — src.<col> reads any source column, while
+    unqualified names (including bare event_time) keep resolving to the
+    TARGET's current row."""
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(4)
+        """
+    )
+    lh.sql(
+        "MERGE INTO t USING "
+        "SELECT CAST(k AS STRING) AS key, timestamp'2024-02-01' AS "
+        "event_time, CAST(v AS DOUBLE) AS value "
+        "FROM (VALUES (1, 100.0), (2, 200.0)) AS s(k, v) ON key "
+        # target value + source value, plus bare event_time (target's)
+        # proving no ambiguity between t and the src struct
+        "WHEN MATCHED THEN UPDATE SET "
+        "value = value + src.value + year(event_time) - 2024"
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    # 1: 1 + 100 + 0; 2: 2 + 200 + 0; others untouched
+    assert got == {"0": 0.0, "1": 101.0, "2": 202.0, "3": 3.0}
+    # the committed event_time is the SOURCE row's
+    ts = {
+        r["key"]: r["event_time"].isoformat()
+        for r in lh.sql("SELECT key, event_time FROM t").collect()
+    }
+    assert ts["1"].startswith("2024-02-01")
+    assert ts["0"].startswith("2024-01-01")
+
+
+def test_merge_update_set_stale_source_noop(spark, lh):
+    """Documented event-versioned contract: an update_set row commits
+    at the SOURCE row's event_time, so a STALE source (earlier than the
+    target row's current event_time) loses merge precedence — the
+    UPDATE is a no-op for that key, unlike DELETE whose tombstone
+    (stamped at statement time) always wins."""
+    lh.sql(
+        "CREATE TABLE t AS SELECT 'a' AS key, "
+        "timestamp'2024-06-01' AS event_time, 5.0 AS value"
+    )
+    lh.sql(
+        "MERGE INTO t USING SELECT 'a' AS key, "
+        "timestamp'2024-01-01' AS event_time, 0.0 AS value ON key "
+        "WHEN MATCHED THEN UPDATE SET value = 999.0"
+    )
+    [row] = lh.sql("SELECT key, value, event_time FROM t").collect()
+    assert row["value"] == 5.0  # stale source: merge precedence no-op
+    assert row["event_time"].isoformat().startswith("2024-06-01")
+    # …while a DELETE clause on the same stale source still wins
+    lh.sql(
+        "MERGE INTO t USING SELECT 'a' AS key, "
+        "timestamp'2024-01-01' AS event_time, 0.0 AS value ON key "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert lh.sql("SELECT key FROM t").count() == 0
