@@ -4562,206 +4562,70 @@ QUERIES.update(QUERIES_EXT)
 QUERIES.update(QUERIES_CLEAN)
 
 # ---------------------------------------------------------------------------
-# Driver-rotation ordering. The driver's correctness harness checks at most
-# 50 queries()-entries per round, in dict order. Rounds 1-2 checked the 50
-# below, leaving everything else (all of workload_ext + late additions)
-# with only the local parity gate. Order the registry so (a) the
-# never-driver-checked queries come first, (b) queries whose operators
-# changed recently are re-checked next, (c) the long-stable remainder
-# fills the tail.
-_DRIVER_CHECKED_R2 = {
-    "asof_scan_current", "asof_scan_event_time", "asof_projection",
-    "time_travel_sql", "asof_self_join_sql", "time_travel_changes",
-    "asof_join_events", "streaming_latest_rows", "streaming_window_counts",
-    "streaming_sessions", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_change", "q8_market_share",
-    "q14_promo_effect", "agg_rollup_lineitem", "q4_semi_join_priority",
-    "q18_large_volume_customer", "q22_anti_join_idle_customers",
-    "filter_in_topk", "window_customer_order_rank",
-    "set_ops_active_customers", "scalar_functions_showcase",
-    "agg_nation_customer_stats", "semi_structured_json_array",
-    "events_tumbling_window", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dataset_split", "sequence_packing", "corpus_clean", "bm25_search",
-    "decontamination", "text_stats", "text_quality", "text_language_id",
-    "doc_fingerprint", "embedding_cosine_topk", "embedding_neardup",
-    "embedding_quantize", "embedding_ann_lsh", "embedding_ann_ivf",
-    "multimodal_frame_sample", "multimodal_features",
-    "multimodal_metadata_stats", "multimodal_audio_stats",
-}
-# queries the round-3 driver window verified (CORRECTNESS_r03.json —
-# all 50 passed)
-_DRIVER_CHECKED_R3 = {
-    "streaming_dedup", "dedup_end_to_end", "embedding_ann_ivf_trained",
-    "multimodal_resize", "multimodal_wav_decode", "multimodal_bmp_decode",
-    "semdedup_prune", "mixture_by_lang", "ngram_decontamination",
-    "q2_min_cost_part", "q7_volume_shipping", "q9_product_profit",
-    "q10_returned_items", "q11_important_balances", "q12_priority_class",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q19_disjunctive_filter", "q20_semi_join_chain",
-    "q21_sole_fault_supplier", "range_join_clicks_after_purchase",
-    "events_session_window", "events_sliding_window", "window_moving_avg",
-    "agg_percentiles", "top_terms_per_lang", "set_ops_multiset",
-    "pivot_status_by_year", "rollup_events_hourly", "skew_salted_join",
-    "jsonl_roundtrip", "asof_join_tolerance", "bucketed_colocated_join",
-    "doc_chunking", "agg_cube_orders", "stratified_sample_by_lang",
-    "quality_select_per_lang", "embedding_matryoshka_topk",
-    "text_repetition", "pii_redaction", "sketch_distinct_kmv",
-    "sketch_histogram_quantile", "graph_pagerank_supply",
-    "events_gapfill_hourly", "hybrid_rrf_search", "events_funnel",
-    "events_retention_cohorts", "lm_unigram_score",
-}
-
-# queries the round-4 driver window verified (CORRECTNESS_r04.json —
-# all 50 passed; with this, every query's LATEST driver row is r2/r3/r4
-# and the union covers all of them)
-_DRIVER_CHECKED_R4 = {
-    "ann_recall_lsh", "dedup_edit_distance", "gopher_quality_filter",
-    "lm_bigram_score", "multimodal_png_decode", "time_travel_changes_sql",
-    "streaming_native_read", "knn_label_vote", "ann_recall_ivf",
-    "scd2_user_event_type", "weighted_sample_docs", "sketch_kmv_mergeable",
-    "bm25_search", "hybrid_rrf_search", "agg_rollup_lineitem",
-    "agg_cube_orders", "time_travel_changes", "asof_scan_current",
-    "asof_scan_event_time", "asof_projection", "time_travel_sql",
-    "asof_self_join_sql", "asof_join_events", "streaming_latest_rows",
-    "streaming_window_counts", "streaming_sessions", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_change",
-    "q8_market_share", "q14_promo_effect", "q4_semi_join_priority",
-    "q18_large_volume_customer", "q22_anti_join_idle_customers",
-    "filter_in_topk", "window_customer_order_rank",
-    "set_ops_active_customers", "scalar_functions_showcase",
-    "agg_nation_customer_stats", "semi_structured_json_array",
-    "events_tumbling_window", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dataset_split", "sequence_packing", "corpus_clean",
-}
-
-# queries the round-5 driver window verified (CORRECTNESS_r05.json —
-# all 50 passed: the never-checked r5 additions led the window, then the
-# stale-r2 set, the r5 re-checks, and the head of the stale-r3 set)
-_DRIVER_CHECKED_R5 = {
-    "zonemap_key_lookup", "keyset_point_lookup", "decontamination",
-    "doc_fingerprint", "embedding_ann_ivf", "embedding_ann_lsh",
-    "embedding_cosine_topk", "embedding_neardup", "embedding_quantize",
-    "multimodal_audio_stats", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_metadata_stats",
-    "text_language_id", "text_quality", "text_stats",
-    "scd2_user_event_type", "asof_scan_current", "agg_percentiles",
-    "asof_join_tolerance", "bucketed_colocated_join", "dedup_end_to_end",
-    "doc_chunking", "embedding_ann_ivf_trained",
-    "embedding_matryoshka_topk", "events_funnel", "events_gapfill_hourly",
-    "events_retention_cohorts", "events_session_window",
-    "events_sliding_window", "graph_pagerank_supply", "jsonl_roundtrip",
-    "lm_unigram_score", "mixture_by_lang", "multimodal_bmp_decode",
-    "multimodal_resize", "multimodal_wav_decode", "ngram_decontamination",
-    "pii_redaction", "pivot_status_by_year", "q10_returned_items",
-    "q11_important_balances", "q12_priority_class",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q19_disjunctive_filter", "q20_semi_join_chain",
-    "q21_sole_fault_supplier",
-}
-
-# queries the round-6 driver window verified (CORRECTNESS_r06.json —
-# all 50 green)
-_DRIVER_CHECKED_R6 = {
-    "agg_cube_orders", "agg_nation_customer_stats", "agg_rollup_lineitem",
-    "ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq",
-    "asof_join_events", "asof_projection", "asof_scan_event_time",
-    "asof_self_join_sql", "bm25_search", "corpus_clean", "dataset_split",
-    "dedup_clusters", "dedup_edit_distance", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "delete_tombstone_scan", "embedding_ann_pq", "events_tumbling_window",
-    "filter_in_topk", "gopher_quality_filter", "graph_pagerank_supply",
-    "hybrid_rrf_search", "keyset_point_lookup", "knn_label_vote",
-    "lm_bigram_score", "multimodal_png_decode", "q14_promo_effect",
-    "q2_min_cost_part", "q7_volume_shipping", "q9_product_profit",
-    "quality_select_per_lang", "range_join_clicks_after_purchase",
-    "rollup_events_hourly", "semdedup_prune", "set_ops_multiset",
-    "sketch_distinct_kmv", "sketch_histogram_quantile", "skew_salted_join",
-    "span_dedup", "stratified_sample_by_lang", "streaming_dedup",
-    "text_repetition", "top_terms_per_lang", "update_set_scan",
-    "window_moving_avg", "zonemap_key_lookup",
-}
-
-# queries the round-7 driver window verified green (CORRECTNESS_r07.json
-# — 49 of 50; embedding_pca_project was RED there — driver canonicalizer
-# crash on its array-typed output — so it is deliberately NOT in this
-# set: the rotation treats it as never-checked and re-fronts it)
-_DRIVER_CHECKED_R7 = {
-    "delete_tombstone_scan", "merge_delete_scan", "update_set_scan",
-    "streaming_sketch_kmv", "dedup_source_priority", "embedding_ann_pq",
-    "ann_recall_pq", "embedding_ann_ivfpq", "ann_recall_ivfpq",
-    "embedding_ann_ivfpq_trained", "embedding_ann_ivfpq_residual",
-    "quality_model_score", "embedding_ann_pq_trained",
-    "ann_recall_pq_trained", "span_dedup", "q2_min_cost_part",
-    "q7_volume_shipping", "q9_product_profit", "quality_select_per_lang",
-    "range_join_clicks_after_purchase", "rollup_events_hourly",
-    "semdedup_prune", "set_ops_multiset", "sketch_distinct_kmv",
-    "sketch_histogram_quantile", "skew_salted_join",
-    "stratified_sample_by_lang", "streaming_dedup", "text_repetition",
-    "top_terms_per_lang", "window_moving_avg", "keyset_point_lookup",
-    "zonemap_key_lookup", "graph_pagerank_supply", "agg_cube_orders",
-    "agg_nation_customer_stats", "agg_rollup_lineitem", "ann_recall_ivf",
-    "ann_recall_lsh", "asof_join_events", "asof_projection",
-    "asof_scan_event_time", "asof_self_join_sql", "bm25_search",
-    "corpus_clean", "dataset_split", "dedup_clusters",
-    "dedup_edit_distance", "dedup_exact",
-}
-
-# r5-stale queries whose code paths changed in r6/r7 — front of the
-# r5 bucket: the merge/scan machinery gained tombstone hiding, MERGE
-# DELETE, rename-tolerant reads and formers coalesce (asof/dedup
-# end-to-end); the trained-IVF literals interact with
-# refresh_env_dependent_oracles; asof_join_tolerance regressed in
-# BENCH_r07 with untouched code (adjudicate with a fresh row)
-_RECHECK_R5_FIRST = [
-    "asof_scan_current",
-    "asof_join_tolerance",
-    "dedup_end_to_end",
-    "embedding_ann_ivf_trained",
-    "embedding_cosine_topk",
-    "decontamination",
-    "ngram_decontamination",
-]
+# Driver-rotation ordering. The driver's correctness harness checks the
+# FIRST 50 queries()-entries per round, in dict order. Rounds 7 and 8 each
+# shipped with this ordering one round stale (hand-maintained checked-set
+# literals lagging the latest CORRECTNESS file), so the sets are now
+# DERIVED at import time from the CORRECTNESS_r{N}.json artifacts the
+# driver itself writes at the repo root: a query's staleness is the
+# newest round whose artifact recorded it GREEN (rows+schema+hash all
+# passing — red rows are excluded so they re-front as never-checked).
+# Ordering: never-green first (new queries + any red row), then stale
+# buckets oldest-round-first (alphabetical within a bucket), then the
+# freshest remainder. The rotation can no longer lag: committing a new
+# CORRECTNESS file IS the update.
 
 
-def _rotation_order(names: list[str]) -> list[str]:
-    """Driver-window ordering for round 8 (the driver checks the FIRST
-    50 entries): (1) queries with NO GREEN driver row yet — this
-    round's additions plus embedding_pca_project, whose r7 row was red;
-    (2) the 22 queries whose latest green row is r4 (three rounds
-    stale — the round-7 freshness miss; includes time_travel_changes*,
-    whose CDF semantics changed in r7, and the 4 stale streaming_*
-    rows predating the r5/r6 tombstone stream changes); (3) the r5
-    bucket, operator-change re-checks first; (4) r6, (5) r7 tail.
-    Buckets are computed from the per-round checked sets so staleness
-    is derived, not hand-sorted."""
-    placed: set[str] = set()
+def _driver_checked_rounds() -> list[tuple[int, set]]:
+    """(round, green-query-names) per CORRECTNESS_r{N}.json found at the
+    repo root (the directory holding the bazof_spark package). Missing
+    or unparsable files are skipped — with none found every query ranks
+    never-checked and the registry keeps its natural order."""
+    import glob as _glob
+    import json as _json
+    import re as _re
 
-    def take(candidates) -> list[str]:
-        out = [n for n in candidates if n in names and n not in placed]
-        placed.update(out)
-        return out
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: list[tuple[int, set]] = []
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        green = {
+            name
+            for name, row in data.items()
+            if isinstance(row, dict)
+            and row.get("rows_match") is True
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
+        }
+        out.append((int(m.group(1)), green))
+    out.sort()
+    return out
 
-    rounds = [
-        _DRIVER_CHECKED_R2, _DRIVER_CHECKED_R3, _DRIVER_CHECKED_R4,
-        _DRIVER_CHECKED_R5, _DRIVER_CHECKED_R6, _DRIVER_CHECKED_R7,
-    ]
-    latest: dict[str, int] = {}
-    for i, s in enumerate(rounds):
-        for n in s:
-            latest[n] = i + 2  # rounds are r2..r7
-    never = take([n for n in names if n not in latest])
-    stale_r4 = take(sorted(n for n in names if latest.get(n) == 4))
-    r5_recheck = take(_RECHECK_R5_FIRST)
-    stale_r5 = take(sorted(n for n in names if latest.get(n) == 5))
-    stale_r6 = take(sorted(n for n in names if latest.get(n) == 6))
-    rest = take(list(names))
-    return (
-        never + stale_r4 + r5_recheck + stale_r5 + stale_r6 + rest
+
+def _rotation_order(names: list) -> list:
+    """Order the registry for the driver's 50-query window: (1) queries
+    with NO green driver row in ANY CORRECTNESS artifact (new additions
+    and red rows) in registry order, then (2) everything else bucketed
+    by the round of its newest green row, oldest bucket first,
+    alphabetical within a bucket."""
+    latest: dict = {}
+    for rnd, green in _driver_checked_rounds():
+        for n in green:
+            latest[n] = rnd
+    never = [n for n in names if n not in latest]
+    rest = sorted(
+        (n for n in names if n in latest), key=lambda n: (latest[n], n)
     )
+    return never + rest
 
 
 QUERIES = {k: QUERIES[k] for k in _rotation_order(list(QUERIES))}
