@@ -61,7 +61,24 @@ from bazof_spark.asof import AsOf, Current, parse_rfc3339
 from bazof_spark.table import Table
 
 
+def _apply_env_option(options: dict) -> None:
+    """Apply the driver's BAZOF_* env forwarded via the ``bazofEnv``
+    option. Python Data Source planning (schema()/partitions()) runs in
+    a SEPARATE Python worker process, not the driver — an endpoint or
+    emulation variable set after session start never reaches it through
+    the process environment, so the driver JSON-encodes its snapshot
+    into the options (see iofs.env_snapshot)."""
+    raw = options.get("bazofenv") or options.get("bazofEnv")
+    if raw:
+        import json
+
+        from bazof_spark import iofs
+
+        iofs.apply_env(json.loads(raw))
+
+
 def _resolve(options: dict):
+    _apply_env_option(options)
     root = options.get("path")
     name = options.get("table")
     if not root or not name:
@@ -105,9 +122,16 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from bazof_spark import iofs
+
     formers = formers or {}
     row_idx = 0
-    f = pq.ParquetFile(path)
+    # resolve through iofs so object-store URIs follow the same
+    # endpoint/emulation routing as every other byte in the repo
+    # (pq.ParquetFile on a raw s3:// string would bypass
+    # $BAZOF_S3_ENDPOINT and scheme emulation entirely)
+    filesystem, rel = iofs.split(path)
+    f = pq.ParquetFile(filesystem.open_input_file(rel))
     present = set(f.schema_arrow.names)
     # per-file source spelling for each requested column
     src: dict[str, str] = {}
@@ -148,6 +172,7 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
 
 class BazofReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType, resolved=None):
+        _apply_env_option(options)
         table, snapshot, as_of = resolved or _resolve(options)
         stats = snapshot.file_key_stats()
         tomb = snapshot.tombstone_files()
@@ -187,6 +212,13 @@ class BazofReader(DataSourceReader):
         )
         self._as_of_dt = as_of.event_time_at
         self._pushed: list[tuple[str, str, object]] = []
+        # driver-side BAZOF_* env rides with the pickled reader —
+        # executors inherit the JVM's LAUNCH-time env, so an endpoint
+        # or emulation variable set after session start would
+        # otherwise never reach the per-file iofs resolution
+        from bazof_spark import iofs
+
+        self._env = iofs.env_snapshot()
 
     _COMPARATORS = {
         EqualTo: "equal",
@@ -304,6 +336,9 @@ class BazofReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from bazof_spark import iofs
+
+        iofs.apply_env(self._env)
         if partition is None:
             # every file pruned by the as-of bound: pyspark substitutes
             # [None] for an empty partition list and still calls read()
@@ -394,6 +429,7 @@ class BazofBatchWriter(DataSourceArrowWriter):
             TableSchema,
         )
 
+        _apply_env_option(options)
         root = options.get("path")
         name = options.get("table")
         if not root or not name:
@@ -454,9 +490,11 @@ class BazofBatchWriter(DataSourceArrowWriter):
             self._table_path, f"_ds_stage_{uuid.uuid4().hex[:12]}"
         )
         iofs.makedirs(self._stage_dir)
+        self._env = iofs.env_snapshot()  # see BazofReader.__init__
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> _DeltaFileMessage:
+        import os
         import uuid
 
         import pyarrow as pa
@@ -465,6 +503,8 @@ class BazofBatchWriter(DataSourceArrowWriter):
 
         from bazof_spark import iofs
         from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+
+        iofs.apply_env(self._env)
 
         from pyspark.sql.pandas.types import to_arrow_type
 
@@ -636,6 +676,8 @@ class BazofStreamReader(DataSourceStreamReader):
                 "bazof stream source needs .option('path', …) and "
                 ".option('table', …)"
             )
+        _apply_env_option(options)
+        self._env = iofs.env_snapshot()  # see BazofReader.__init__
         self._table = Table(path=iofs.join(root, name), name=name)
         self._schema = schema
         start = (
@@ -773,6 +815,9 @@ class BazofStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from bazof_spark import iofs
+
+        iofs.apply_env(self._env)
         if partition is None:
             return  # empty version range → 0-row batch, not an error
         arrow_schema = pa.schema(
@@ -974,6 +1019,28 @@ class BazofDataSource(DataSource):
         fields = [
             StructField(f.name, f.dataType, True) for f in base.fields
         ]
+        # projection pushdown: the Python Data Source API has no column
+        # pruning hook, so callers narrow via .option("columns",
+        # "a,b") — value columns outside the list never leave the
+        # Arrow reader (key/event_time always read; the merge needs
+        # them, exactly like the native scan's ReadSchema)
+        wanted = self.options.get("columns")
+        if wanted is not None:
+            from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
+
+            keep = {c.strip() for c in wanted.split(",") if c.strip()}
+            declared = {f.name for f in fields}
+            missing = sorted(keep - declared)
+            if missing:
+                raise ValueError(
+                    f"columns option names unknown column(s) {missing}; "
+                    f"declared: {sorted(declared)}"
+                )
+            fields = [
+                f
+                for f in fields
+                if f.name in (KEY_COL, EVENT_TIME_COL) or f.name in keep
+            ]
         out = fields + [
             StructField("_rank", LongType(), False),
             StructField("_row_idx", LongType(), False),
@@ -1034,10 +1101,15 @@ def write_table(
         if num_files
         else df.repartition(KEY_COL)
     )
+    import json
+
+    from bazof_spark import iofs
+
     writer = (
         part.write.format("bazof")
         .option("path", root)
         .option("table", name)
+        .option("bazofEnv", json.dumps(iofs.env_snapshot()))
         .mode(mode)
     )
     if merge_schema:
@@ -1058,8 +1130,15 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
     # Spark 4.1; pre-set in session.get_spark, repeated here for
     # sessions built elsewhere — runtime-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    import json
+
+    from bazof_spark import iofs
+
     reader = (
-        spark.read.format("bazof").option("path", root).option("table", name)
+        spark.read.format("bazof")
+        .option("path", root)
+        .option("table", name)
+        .option("bazofEnv", json.dumps(iofs.env_snapshot()))
     )
     if as_of is not None:
         reader = reader.option("asOf", as_of)

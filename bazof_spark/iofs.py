@@ -123,6 +123,30 @@ def split(path: str):
     return _split(path)
 
 
+def env_snapshot() -> dict:
+    """The driver's ``BAZOF_*`` environment, for capture into task
+    closures / serialized reader-writer objects: Python workers inherit
+    the env the JVM was LAUNCHED with, so an endpoint or emulation
+    variable set after session start (test harnesses, late
+    configuration) would silently not reach executor-side iofs
+    resolution without an explicit snapshot applied in the task."""
+    return {k: v for k, v in os.environ.items() if k.startswith("BAZOF_")}
+
+
+def apply_env(env: dict) -> None:
+    """Make the process's BAZOF_* namespace EXACTLY ``env`` (a
+    :func:`env_snapshot`). Python workers are long-lived and reused
+    across jobs — merely updating would leave a previous task's
+    emulation/endpoint variables behind, silently rerouting this
+    task's IO (observed: an emulation run poisoning a later real-S3
+    run in the same worker)."""
+    for k in [
+        k for k in os.environ if k.startswith("BAZOF_") and k not in env
+    ]:
+        del os.environ[k]
+    os.environ.update(env)
+
+
 def is_uri(path: str) -> bool:
     return "://" in path
 

@@ -50,8 +50,9 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bazof_spark import iofs
 from bazof_spark.asof import AsOf, coerce_as_of
-from bazof_spark.errors import TableNotFoundError
+from bazof_spark.errors import BazofError, TableNotFoundError
 from bazof_spark.metadata import Snapshot
 from bazof_spark.projection import Projection, coerce_projection
 from bazof_spark.schema import EVENT_TIME_COL, KEY_COL
@@ -210,10 +211,14 @@ class Lakehouse:
         as_of = coerce_as_of(as_of)
         projection = coerce_projection(columns)
         table = self.table(table_name)
-        if version is not None:
-            snapshot = table.get_snapshot(str(version))
-        else:
-            snapshot = table.get_current_snapshot()
+        # resolve the version FIRST so the object-store scan branch can
+        # pin the Data Source read to exactly this snapshot (a second
+        # independent current-pointer resolution could straddle a
+        # concurrent commit)
+        resolved_version = (
+            str(version) if version is not None else table.current_version()
+        )
+        snapshot = table.get_snapshot(resolved_version)
         key_values: list[str] | None = None
         kr: KeyRange | None = None
         if keys is not None and key_range is not None:
@@ -225,7 +230,7 @@ class Lakehouse:
             kr = KeyRange(lo=key_range[0], hi=key_range[1])
         return self.scan_snapshot(
             table, snapshot, as_of, projection, key_range=kr,
-            key_values=key_values,
+            key_values=key_values, version=resolved_version,
         )
 
     def scan_changes(
@@ -344,7 +349,19 @@ class Lakehouse:
         projection: Projection,
         key_range=None,
         key_values: list[str] | None = None,
+        version: str | None = None,
     ) -> DataFrame:
+        if iofs.is_uri(table.path) and not table.path.startswith("file://"):
+            # object-store root: the JVM may lack the scheme's connector
+            # (no S3A jars in this runtime) — route through the Python
+            # Data Source, whose executor-side pyarrow readers resolve
+            # every byte via iofs (endpoint + emulation aware). Same
+            # merge semantics, one task per surviving ranked file.
+            return self._scan_snapshot_arrow(
+                table, snapshot, as_of, projection,
+                key_range=key_range, key_values=key_values,
+                version=version,
+            )
         ranked = snapshot.ranked_data_files(as_of, key_range)
         out_cols = snapshot.schema.output_columns(projection)
         struct_type = snapshot.schema.to_struct_type(projection)
@@ -420,6 +437,100 @@ class Lakehouse:
             df, table, ranked, value_cols, tomb_ranks
         )
         return df.select(*out_cols) if out_cols else df.select(KEY_COL).drop(KEY_COL)
+
+    def _scan_snapshot_arrow(
+        self,
+        table: Table,
+        snapshot: Snapshot,
+        as_of: AsOf,
+        projection: Projection,
+        key_range=None,
+        key_values: list[str] | None = None,
+        version: str | None = None,
+    ) -> DataFrame:
+        """Object-store twin of :meth:`scan_snapshot`: the Spark 4
+        Python Data Source plans one task per ranked file, each an
+        executor-side pyarrow read through iofs ($BAZOF_S3_ENDPOINT /
+        emulation routed), with the as-of bound, pushed key predicates
+        and column projection applied IN the reader — then the same
+        ``max_by(payload, latest_wins_ordering)`` merge as the JVM
+        branch (the source exposes ``_rank``/``_row_idx`` provenance
+        and a per-row ``_tombstone`` marker on delete-capable tables).
+        Reference parity: the reference runs on any ``object_store``
+        backend (crates/azof/src/lakehouse.rs:19-27); this closes the
+        ``scan()``/``sql()`` side of that on connector-less JVMs."""
+        from bazof_spark.asof import format_rfc3339_ms
+        from bazof_spark.datasource import BazofDataSource
+        from bazof_spark.ordering import latest_wins_ordering
+
+        path = table.path.rstrip("/")
+        if not path.endswith("/" + table.name):
+            raise BazofError(
+                f"cannot derive lakehouse root from table path {path!r}"
+            )
+        root = path[: -(len(table.name) + 1)]
+        out_cols = snapshot.schema.output_columns(projection)
+        value_cols = [
+            c for c in out_cols if c not in (KEY_COL, EVENT_TIME_COL)
+        ]
+
+        self.spark.dataSource.register(BazofDataSource)
+        self.spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
+        import json
+
+        reader = (
+            self.spark.read.format("bazof")
+            .option("path", root)
+            .option("table", table.name)
+            # projection reaches the Arrow reader (the Python source
+            # API has no pruning hook, so it travels as an option)
+            .option("columns", ",".join(value_cols))
+            # planning runs in a separate Python worker — forward the
+            # driver's endpoint/emulation env (datasource._apply_env_option)
+            .option("bazofEnv", json.dumps(iofs.env_snapshot()))
+        )
+        if version is not None:
+            reader = reader.option("version", version)
+        if not as_of.is_current:
+            reader = reader.option(
+                "asOf", format_rfc3339_ms(as_of.event_time_at)
+            )
+        df = reader.load()
+
+        # key predicates as ordinary filters: pushFilters routes them
+        # into the reader (row filter + bloom-probed file pruning)
+        if key_values is not None:
+            df = df.filter(F.col(KEY_COL).isin(key_values))
+        elif key_range is not None:
+            if key_range.lo is not None:
+                df = df.filter(F.col(KEY_COL) >= F.lit(key_range.lo))
+            if key_range.hi is not None:
+                df = df.filter(F.col(KEY_COL) <= F.lit(key_range.hi))
+
+        has_tomb = "_tombstone" in df.columns
+        payload = F.struct(
+            F.col(EVENT_TIME_COL).alias(EVENT_TIME_COL),
+            *[F.col(c).alias(c) for c in value_cols],
+            *([F.col("_tombstone").alias("_tombstone")] if has_tomb else []),
+        )
+        winner = df.groupBy(KEY_COL).agg(
+            F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
+        )
+        if has_tomb:
+            merged = (
+                winner.filter(~F.col("_w._tombstone"))
+                .select(KEY_COL, "_w.*")
+                .drop("_tombstone")
+            )
+        else:
+            merged = winner.select(KEY_COL, "_w.*")
+        return (
+            merged.select(*out_cols)
+            if out_cols
+            else merged.select(KEY_COL).drop(KEY_COL)
+        )
 
     def _dedup_latest_per_key(
         self,

@@ -13,9 +13,12 @@ LOSSLESS for palette content, so round trips are bit-exact — which is
 what lets a DuckDB oracle recompute decoded-pixel statistics from the
 synthesis formula (the multimodal_gif_decode workload query).
 
-Animated multi-frame GIFs: only the FIRST frame is returned (the
-still-image contract the other codecs use); extension blocks are
-skipped. Unsupported structure raises ValueError, never mis-decodes.
+Animated multi-frame GIFs: ``decode_gif`` returns only the FIRST frame
+(the still-image contract the other codecs use), while
+``decode_gif_frames`` decodes EVERY frame with progressive
+do-not-dispose compositing — the video-seam decode-then-sample path
+(multimodal_gif_frame_sample). Unsupported structure raises
+ValueError, never mis-decodes.
 """
 
 from __future__ import annotations

@@ -7,9 +7,10 @@ rebuilt from the stream's own DHT segments, byte-unstuffing, MCU
 interleaving with per-component sampling factors, dequantization,
 2-D IDCT (orthonormal DCT-II basis), chroma upsampling and JFIF
 YCbCr→RGB — it decodes any baseline JPEG whose entropy coding fits in
-these frames, not just this module's own output. Progressive (SOF2),
-arithmetic coding and restart intervals raise ``NotImplementedError``
-with a clear message (the same contract the other codec gaps use,
+these frames, not just this module's own output. Restart intervals
+(DRI/RSTn) and 16-bit DQT ARE handled; progressive (SOF2) and
+arithmetic coding raise ``NotImplementedError`` with a clear message
+(the same contract the other codec gaps use,
 operators/multimodal.py:83).
 
 ``encode_jpeg_baseline`` is the deterministic fixture encoder: full
@@ -314,17 +315,20 @@ def encode_jpeg_baseline(
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg_baseline(content: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG to uint8 pixels — (H, W) for
-    one component, (H, W, 3) RGB for three (JFIF YCbCr, any integer
-    sampling factors via pixel-replication upsampling)."""
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2,
+    Huffman — T.81 Annex G spectral selection + successive
+    approximation) JPEG to uint8 pixels — (H, W) for one component,
+    (H, W, 3) RGB for three (JFIF YCbCr, any integer sampling factors
+    via pixel-replication upsampling)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
-    scan = None
+    progressive = False
+    scans: list[tuple] = []
     restart_interval = 0
     while pos < len(content):
         if content[pos] != 0xFF:

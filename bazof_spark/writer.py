@@ -269,20 +269,101 @@ def _aware_utc(dt: datetime) -> datetime:
 
 
 def _local_table_path(table_path: str) -> str:
-    """Local filesystem path for the distributed multi-file write
-    machinery (Spark part-file listing + os.replace renames).
-    ``file://`` URIs strip to their path; object-store URIs are
-    refused — use single-file mode or the (iofs-based) Data Source
-    writer there."""
+    """Local filesystem path for the JVM-side distributed write branch
+    (Spark part-file listing + os.replace renames). ``file://`` URIs
+    strip to their path; object-store URIs take the executor-side
+    pyarrow branch (:func:`_write_distributed_delta_uri`) instead."""
     if table_path.startswith("file://"):
         return table_path[len("file://"):]
     if "://" in table_path:
         raise BazofError(
-            "distributed multi-file writes need a local or file:// table "
-            "path (Spark part-file renames); use single-file mode or "
-            "df.write.format('bazof') for object stores"
+            "internal: _local_table_path called with an object-store "
+            f"URI {table_path!r} — route through "
+            "_write_distributed_delta_uri"
         )
     return table_path
+
+
+def _write_distributed_delta_uri(
+    ordered: DataFrame,
+    table_path: str,
+    stem: str,
+    num_files: int | None,
+) -> list[str]:
+    """Distributed multi-file delta on an OBJECT-STORE root: each
+    partition writes its own parquet file under a stage prefix via an
+    executor-side pyarrow write through iofs (the same seam the Data
+    Source writer proves, datasource.py:459-505 — data bytes never
+    pass through the driver), then the driver finalizes the bounded
+    file list with iofs moves (copy+delete on stores without rename)
+    under deterministic ``{stem}_p{i:05d}.parquet`` names. The collect
+    is one tiny row per non-empty partition — O(files), not O(rows)."""
+    import uuid
+
+    stage = iofs.join(table_path, f"_{stem}_stage-{uuid.uuid4().hex[:12]}")
+    iofs.makedirs(stage)
+    env = iofs.env_snapshot()
+
+    def _write_partition(batches):
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from bazof_spark import iofs as _iofs
+
+        _iofs.apply_env(env)
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        t = _pa.Table.from_batches(got)
+        fields = [
+            _pa.field(f.name, _pa.timestamp("us", tz="UTC"), f.nullable)
+            if _pa.types.is_timestamp(f.type)
+            else f
+            for f in t.schema
+        ]
+        t = t.cast(_pa.schema(fields)).sort_by(
+            [(EVENT_TIME_COL, "descending")]
+        )
+        dest = _iofs.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+        fs, rel = _iofs.split(dest)
+        _pq.write_table(t, rel, filesystem=fs)
+        yield _pa.RecordBatch.from_pydict(
+            {"staged": [dest], "rows": [t.num_rows]}
+        )
+
+    part = (
+        ordered.repartition(num_files, KEY_COL)
+        if num_files
+        else ordered.repartition(KEY_COL)
+    )
+    staged = sorted(
+        r["staged"]
+        for r in part.mapInArrow(
+            _write_partition, "staged string, rows long"
+        ).collect()
+    )
+    names = []
+    try:
+        for i, src in enumerate(staged):
+            name = f"{stem}_p{i:05d}.parquet"
+            iofs.move(src, iofs.join(table_path, name))
+            names.append(name)
+    except BaseException:
+        for name in names:  # roll staged-but-unreferenced files back
+            try:
+                iofs.delete(iofs.join(table_path, name))
+            except Exception:
+                pass
+        raise
+    finally:
+        try:
+            iofs.delete_dir(stage)
+        except Exception:
+            pass
+    return names
 
 
 def _write_distributed_delta(
@@ -294,9 +375,18 @@ def _write_distributed_delta(
     """ONE Spark job writing the batch as many part files, each renamed
     to ``{stem}_p{i:05d}.parquet`` under the table dir. Rows are
     repartitioned by key (a key lives in exactly one file) and sorted
-    event_time DESC within files. Returns the final file names."""
+    event_time DESC within files. Returns the final file names.
+
+    Local/file:// roots use the JVM parquet writer + os.replace; any
+    other URI (s3:// through ``$BAZOF_S3_ENDPOINT`` or emulation,
+    gs://, abfs://) takes the executor-side pyarrow branch — the same
+    one-job distribution, finalized with iofs moves."""
     import shutil
 
+    if "://" in table_path and not table_path.startswith("file://"):
+        return _write_distributed_delta_uri(
+            ordered, table_path, stem, num_files
+        )
     local = _local_table_path(table_path)
     part = (
         ordered.repartition(num_files, KEY_COL)
@@ -630,8 +720,6 @@ def append_delta(
     delta rules: as-of instants before the delete still see the old
     row, and a later upsert resurrects the key.
     """
-    if distributed:
-        _local_table_path(table_path)  # fail fast on object-store URIs
     table = Table(path=table_path, name=os.path.basename(table_path.rstrip("/")))
     version = table.current_version()
     if expected_version is not None and version != expected_version:

@@ -380,3 +380,49 @@ def test_widen_and_rename_on_s3_scheme(spark, s3_root):
     got = {r["key"]: r["qty"] for r in lh.scan("ev").collect()}
     assert got == {"a": 1.0, "b": 2.0}
     assert dict(lh.scan("ev").dtypes)["qty"] == "double"
+
+
+def test_distributed_multifile_delta_on_s3_scheme(spark, s3_root):
+    """Round-9: distributed multi-file writes take the executor-side
+    iofs staging branch on ANY object-store URI — under emulation the
+    same branch lands in the local mirror (env snapshot forwarded into
+    the task closure, since workers inherit the JVM's launch-time env,
+    not the driver's current one)."""
+    import datetime as dt
+
+    from bazof_spark.writer import TableWriter, append_delta
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+
+    uri, _mirror = s3_root
+    table_uri = iofs.join(uri, "dist")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    schema = TableSchema(
+        (ColumnDef("value", ColumnType.STRING, nullable=False),)
+    )
+    w = TableWriter(spark, table_uri, schema)
+    seg = w.add_segment("s1", start=t0)
+    big = _batch(
+        spark, [(str(i), t0, f"v{i}") for i in range(60)]
+    )
+    seg.add_delta_distributed(
+        big, start=t0, end=t0 + dt.timedelta(days=1), num_files=3
+    )
+    snap = w.commit("1")
+    assert len(snap.get_data_files()) == 3
+    append_delta(
+        spark,
+        table_uri,
+        _batch(spark, [("7", t0 + dt.timedelta(days=2), "updated")]),
+        distributed=True,
+        num_files=2,
+    )
+    from bazof_spark import Lakehouse
+
+    got = {
+        r["key"]: r["value"]
+        for r in Lakehouse(spark, uri).scan("dist").collect()
+    }
+    assert len(got) == 60 and got["7"] == "updated" and got["3"] == "v3"
+    assert not [
+        n for n in iofs.listdir(table_uri) if "_stage" in n
+    ]

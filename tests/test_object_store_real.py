@@ -351,3 +351,127 @@ def test_http_responses_single_content_length(s3_endpoint):
         assert len(r.headers.get_all("Content-Length")) == 1
     finally:
         conn.close()
+
+
+def test_distributed_multifile_delta_over_real_s3(spark, s3_endpoint):
+    """Round-9: the distributed multi-file writer on an OBJECT-STORE
+    root — executor-side pyarrow staging under the table URI (the Data
+    Source writer's seam), driver finalize via iofs moves. Same
+    precedence/invariant contract as the local path
+    (tests/test_writer.py::test_distributed_delta_write): keys are
+    hash-disjoint across files, files are event_time DESC inside, a
+    later delta still wins per key, and no stage debris survives."""
+    import pyarrow.parquet as pq
+
+    uri = "s3://bazof-real/dist/t"
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    t9 = dt.datetime(2024, 2, 1, tzinfo=UTC)
+
+    w = TableWriter(spark, uri, _schema())
+    seg = w.add_segment("s1", start=t0)
+    big = _batch(
+        spark,
+        [
+            (str(i), t0 + dt.timedelta(hours=i % 7), f"v{i}")
+            for i in range(200)
+        ],
+    )
+    seg.add_delta_distributed(big, start=t0, end=t9, num_files=4)
+    snap = w.commit("1")
+    files = snap.get_data_files()
+    assert len(files) == 4 and all("_p000" in f for f in files)
+
+    # file invariants over the wire: disjoint keys across files,
+    # event_time DESC within each file
+    seen: set[str] = set()
+    for fname in files:
+        filesystem, rel = iofs.split(iofs.join(uri, fname))
+        tbl = pq.read_table(rel, filesystem=filesystem)
+        keys = tbl.column("key").to_pylist()
+        assert not (set(keys) & seen)
+        seen.update(keys)
+        ts_us = tbl.column("event_time").cast("int64").to_pylist()
+        assert ts_us == sorted(ts_us, reverse=True)
+    assert seen == {str(i) for i in range(200)}
+
+    # a later distributed delta through append_delta(distributed=True)
+    # updates one key — precedence beats timestamp across the siblings
+    upd = _batch(
+        spark, [("7", dt.datetime(2024, 1, 10, tzinfo=UTC), "updated")]
+    )
+    append_delta(spark, uri, upd, distributed=True, num_files=2)
+    got = _read_current_keys(uri)
+    assert len(got) == 200 and got["7"] == "updated" and got["13"] == "v13"
+
+    # no staging debris left under the table prefix
+    leftovers = [
+        n for n in iofs.listdir(uri)
+        if "_stage" in n or n.endswith("_job")
+    ]
+    assert leftovers == []
+
+
+def test_scan_and_sql_over_real_s3(spark, s3_endpoint):
+    """Round-9: ``Lakehouse.scan``/``sql`` on an s3:// root with NO JVM
+    connector — scan_snapshot auto-routes through the Python Data
+    Source (executor-side pyarrow reads per ranked file over HTTP S3
+    REST), closing the round-8 residue where only format('bazof') was
+    distributed over object stores. As-of, version travel, projection
+    and key pruning all flow through; the raw source schedules one
+    task per surviving file."""
+    uri = "s3://bazof-real/scanlake"
+    table_uri = iofs.join(uri, "t")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    t1 = dt.datetime(2024, 2, 1, tzinfo=UTC)
+
+    w = TableWriter(spark, table_uri, _schema())
+    w.add_segment(
+        "s1", start=t0,
+        base_df=_batch(spark, [("a", t0, "a1"), ("b", t0, "b1")]),
+    )
+    w.commit("1")
+    append_delta(
+        spark, table_uri, _batch(spark, [("a", t1, "a2"), ("c", t1, "c1")])
+    )
+
+    lh = Lakehouse(spark, uri)
+    cur = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    assert cur == {"a": "a2", "b": "b1", "c": "c1"}
+    early = {
+        r["key"]: r["value"]
+        for r in lh.scan("t", as_of=dt.datetime(2024, 1, 15, tzinfo=UTC)
+                         ).collect()
+    }
+    assert early == {"a": "a1", "b": "b1"}
+    # version travel pins snapshot 1 (pre-delta)
+    v1 = {r["key"]: r["value"] for r in lh.scan("t", version=1).collect()}
+    assert v1 == {"a": "a1", "b": "b1"}
+    # projection narrows to the requested columns
+    proj = lh.scan("t", columns=["value"])
+    assert proj.columns == ["key", "event_time", "value"] or set(
+        proj.columns
+    ) <= {"key", "event_time", "value"}
+    # key point-lookup
+    assert {
+        r["key"] for r in lh.scan("t", keys=["a"]).collect()
+    } == {"a"}
+
+    # SQL time travel straight over the s3 root
+    got = lh.sql(
+        "SELECT key, value FROM t AT ('2024-01-15T00:00:00.000Z') "
+        "ORDER BY key"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in got] == [("a", "a1"), ("b", "b1")]
+
+    # one task per ranked file in the raw source read (2 files: base +
+    # delta)
+    import json as _json
+
+    raw = (
+        spark.read.format("bazof")
+        .option("path", uri)
+        .option("table", "t")
+        .option("bazofEnv", _json.dumps(iofs.env_snapshot()))
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 2

@@ -263,9 +263,8 @@ def test_insert_deltas_tie_gives_new_commit_precedence():
 
 
 def test_distributed_upsert_on_file_uri(spark, tmp_path):
-    """distributed=True on a file:// table path must work (the guard
-    admits it, so the rename machinery must handle the URI) and refuse
-    object-store schemes cleanly."""
+    """distributed=True on a file:// table path must work — the rename
+    machinery handles the URI via the local fast path."""
     from datetime import datetime, timezone
 
     import pyspark.sql.functions as F
@@ -293,5 +292,7 @@ def test_distributed_upsert_on_file_uri(spark, tmp_path):
         for r in Lakehouse(spark, str(tmp_path)).scan("t").collect()
     }
     assert got["0"] == 100.0 and len(got) == 20
-    with pytest.raises(Exception, match="local or file://"):
-        append_delta(spark, "s3://bucket/t", newer, distributed=True)
+    # object-store schemes are no longer refused: distributed writes on
+    # s3:// roots stage executor-side through iofs (round 9 —
+    # tests/test_object_store_real.py::
+    # test_distributed_multifile_delta_over_real_s3)
