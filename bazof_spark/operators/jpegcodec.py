@@ -1,24 +1,30 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — pure stdlib+numpy.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec — pure stdlib+numpy.
 
 Closes the round-7 multimodal residue ("compressed-media codecs"):
-``decode_jpeg_baseline`` is a real general baseline-sequential decoder
-— marker walk (SOI/APP/DQT/SOF0/DHT/SOS/EOI), canonical Huffman tables
-rebuilt from the stream's own DHT segments, byte-unstuffing, MCU
-interleaving with per-component sampling factors, dequantization,
-2-D IDCT (orthonormal DCT-II basis), chroma upsampling and JFIF
-YCbCr→RGB — it decodes any baseline JPEG whose entropy coding fits in
+``decode_jpeg`` is a real general Huffman JPEG decoder — marker walk
+(SOI/APP/DQT/SOF/DHT/SOS/EOI), canonical Huffman tables rebuilt from
+the stream's own DHT segments, byte-unstuffing, MCU interleaving with
+per-component sampling factors, dequantization, 2-D IDCT (orthonormal
+DCT-II basis), chroma upsampling and JFIF YCbCr→RGB — it decodes any
+baseline-sequential (SOF0) or, since round 9, PROGRESSIVE (SOF2,
+T.81 Annex G: spectral selection, successive approximation DC/AC
+first + refinement passes, EOB runs) JPEG whose entropy coding fits
 these frames, not just this module's own output. Restart intervals
-(DRI/RSTn) and 16-bit DQT ARE handled; progressive (SOF2) and
-arithmetic coding raise ``NotImplementedError`` with a clear message
-(the same contract the other codec gaps use,
+(DRI/RSTn) and 16-bit DQT ARE handled; arithmetic coding and
+extended/lossless frames raise ``NotImplementedError`` with a clear
+message (the same contract the other codec gaps use,
 operators/multimodal.py:83).
 
-``encode_jpeg_baseline`` is the deterministic fixture encoder: full
-FDCT + quantization + canonical Huffman, grayscale or RGB (4:4:4,
-JFIF YCbCr). Its Huffman tables are simple canonical codes written
-INTO the stream's DHT segments — the decoder reads whatever tables the
-stream declares, so decoding this encoder's output exercises the same
-general table machinery an Annex-K stream would.
+``encode_jpeg_baseline`` and ``encode_jpeg_progressive`` are the
+deterministic fixture encoders: full FDCT + quantization + canonical
+Huffman, grayscale or RGB (4:4:4, JFIF YCbCr); the progressive one
+emits a 4-pass successive-approximation scan script (or a minimal
+spectral-selection-only script) so every Annex G decoder path is
+exercised from an independently-written encoder. Huffman tables are
+simple canonical codes written INTO the stream's DHT segments — the
+decoder reads whatever tables the stream declares, so decoding this
+encoder's output exercises the same general table machinery an
+Annex-K stream would.
 
 Exactness contract the oracle query relies on: a grayscale image whose
 8×8 blocks are each CONSTANT round-trips bit-exactly under unit
@@ -369,12 +375,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = payload[0]
             if precision != 8:
                 raise NotImplementedError(
                     f"JPEG precision {precision} (baseline is 8-bit)"
                 )
+            progressive = marker == 0xC2
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
             comps = []
@@ -382,12 +389,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type 0xFF{marker:02X} — only baseline"
-                " sequential (SOF0) is implemented; progressive/"
-                "arithmetic streams need a library decoder"
+                f"JPEG frame type 0xFF{marker:02X} — baseline"
+                " sequential (SOF0) and Huffman progressive (SOF2) are"
+                " implemented; extended/lossless/arithmetic streams"
+                " need a library decoder"
             )
         elif marker == 0xDD:  # DRI: MCUs between restart markers
             restart_interval = int.from_bytes(payload[:2], "big")
@@ -397,6 +405,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for ci in range(ns):
                 cid, tda = payload[1 + 2 * ci : 3 + 2 * ci]
                 sel.append((cid, tda >> 4, tda & 0xF))
+            # spectral band + successive-approximation bits (baseline
+            # streams carry the fixed 0/63/0 here)
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             # un-stuff scan bytes up to the next real marker, splitting
             # into restart segments at RSTn (each segment is decoded
             # with fresh bit alignment and DC predictors)
@@ -421,15 +435,29 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 i += 1
             pos = i
             segments_data.append(bytes(data))
-            scan = (sel, segments_data)
+            # tables snapshot: progressive streams may redefine DHTs
+            # between scans, so each scan decodes with the tables
+            # active at ITS header
+            scans.append(
+                (sel, ss, se, ah, al, segments_data, dict(huff),
+                 restart_interval)
+            )
         elif marker in (0xC8, 0xF7):  # JPG / SOF55 (JPEG-LS)
             raise NotImplementedError(f"unsupported frame 0xFF{marker:02X}")
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
-        raise ValueError("JPEG stream has no SOF0 frame or SOS scan")
+    if frame is None or not scans:
+        raise ValueError("JPEG stream has no SOF frame or SOS scan")
+
+    if progressive:
+        return _decode_progressive(frame, scans, qt)
+    if len(scans) > 1:
+        raise NotImplementedError(
+            "multi-scan SOF0 (noninterleaved sequential) is not "
+            "implemented — single-scan baseline or progressive (SOF2)"
+        )
 
     h, w, comps = frame
-    sel, segments_data = scan
+    sel, _ss, _se, _ah, _al, segments_data, huff, restart_interval = scans[0]
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
@@ -500,7 +528,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         y0 = (my * cv + byy) * 8
                         x0 = (mx * ch + bxx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-    # upsample to full resolution and crop
+    return _assemble_pixels(planes, comps, h, w, max_h, max_v)
+
+
+def _assemble_pixels(planes, comps, h, w, max_h, max_v) -> np.ndarray:
+    """Upsample component planes to full resolution (pixel
+    replication), crop to (h, w) and convert to output pixels."""
     full = []
     for cid, ch, cv, _ in comps:
         p = planes[cid]
@@ -516,3 +549,408 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"{len(full)}-component JPEG (CMYK/Adobe) is not implemented"
     )
+
+
+# decode_jpeg_baseline predates SOF2 support; the general entry point
+# dispatches on the stream's own frame marker, so the historical name
+# stays valid for every caller
+decode_jpeg_baseline = decode_jpeg
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) machinery — T.81 Annex G, Huffman coding
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(frame, scans, qt) -> np.ndarray:
+    """Accumulate quantized coefficients (zigzag order) across every
+    scan — spectral selection bands and successive-approximation
+    DC/AC first+refinement passes — then dequantize + IDCT once.
+    Algorithms follow T.81 G.2 (decoder control) and the reference
+    procedure shapes of Annex G; the AC refinement loop mirrors the
+    published libjpeg structure (jdphuff.c) because G.1.2.3's prose
+    leaves the correction-bit interleaving easy to get subtly wrong."""
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    by_id = {c[0]: c for c in comps}
+    # per-component coefficient store, padded to the MCU grid so
+    # interleaved DC scans index freely; zigzag order (index = k)
+    coefs = {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+        for cid, ch, cv, _ in comps
+    }
+    # noninterleaved scans cover ceil(component size / 8) blocks — NOT
+    # the MCU-padded grid (T.81 A.2.2)
+    nblocks = {
+        cid: (
+            (-(-(h * cv) // max_v) + 7) // 8,   # block rows
+            (-(-(w * ch) // max_h) + 7) // 8,   # block cols
+        )
+        for cid, ch, cv, _ in comps
+    }
+
+    for sel, ss, se, ah, al, segments, huff, restart in scans:
+        if ss == 0 and se != 0 and len(sel) == 1 and ah == 0 and al == 0:
+            # a full-band single-component scan is sequential syntax;
+            # inside an SOF2 frame it is malformed
+            raise ValueError("SOF2 scan mixes DC and AC bands")
+        if ss == 0:
+            _scan_dc(
+                coefs, comps, by_id, sel, ah, al, segments, huff,
+                restart, mcus_x, mcus_y, nblocks,
+            )
+        else:
+            if len(sel) != 1:
+                raise ValueError(
+                    "progressive AC scans must be noninterleaved (T.81"
+                    " B.2.3)"
+                )
+            if se > 63 or ss > se:
+                raise ValueError(f"bad spectral band [{ss}, {se}]")
+            _scan_ac(
+                coefs, by_id, sel[0], ss, se, ah, al, segments, huff,
+                restart, nblocks,
+            )
+
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        q = qt[tq].flatten()
+        zz = coefs[cid]
+        by, bx = zz.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        natural = np.zeros(64, dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                natural[ZIGZAG] = zz[yb, xb] * q[ZIGZAG]
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _idct(natural.reshape(8, 8).astype(np.float64)) + 128.0
+                )
+        planes[cid] = plane
+    return _assemble_pixels(planes, comps, h, w, max_h, max_v)
+
+
+def _scan_dc(coefs, comps, by_id, sel, ah, al, segments, huff, restart,
+             mcus_x, mcus_y, nblocks) -> None:
+    """DC scan (Ss=Se=0): first pass (Ah=0) Huffman-codes the
+    point-transformed DC diffs; refinement (Ah>0) appends one raw bit
+    per block. Interleaved (MCU order) or single-component."""
+    interleaved = len(sel) > 1
+    order = [by_id[cid] for cid, _, _ in sel]
+    dc_tbl = {cid: huff.get((0, td)) for cid, td, _ in sel}
+    seg_idx, br = 0, _BitReader(segments[0])
+    pred = {cid: 0 for cid, *_ in order}
+    unit = 0  # restart counting: MCUs (interleaved) or blocks
+
+    def maybe_restart():
+        nonlocal seg_idx, br, pred
+        if restart and unit and unit % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG scan ended before all restarts")
+            br = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid, *_ in order}
+
+    def one_block(cid, yb, xb):
+        blk = coefs[cid][yb, xb]
+        if ah == 0:
+            tbl = dc_tbl[cid]
+            if tbl is None:
+                raise ValueError("DC scan references missing DHT")
+            s = br.read_symbol(tbl)
+            pred[cid] += _extend(br.read_bits(s), s)
+            blk[0] = pred[cid] << al
+        elif br.read_bit():
+            blk[0] |= 1 << al
+
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                unit += 1
+                for cid, ch, cv, _ in order:
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            one_block(cid, my * cv + byy, mx * ch + bxx)
+    else:
+        cid = order[0][0]
+        bh, bw = nblocks[cid]
+        for yb in range(bh):
+            for xb in range(bw):
+                maybe_restart()
+                unit += 1
+                one_block(cid, yb, xb)
+
+
+def _scan_ac(coefs, by_id, sel1, ss, se, ah, al, segments, huff,
+             restart, nblocks) -> None:
+    """Noninterleaved AC scan over band [ss, se]: first pass (Ah=0)
+    with EOB-run coding; refinement (Ah>0) with the
+    correction-bit-interleaved significance coding of G.1.2.3."""
+    cid, _td, ta = sel1
+    tbl = huff.get((1, ta))
+    if tbl is None:
+        raise ValueError("AC scan references missing DHT")
+    bh, bw = nblocks[cid]
+    seg_idx, br = 0, _BitReader(segments[0])
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0
+    for yb in range(bh):
+        for xb in range(bw):
+            if restart and unit and unit % restart == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError(
+                        "JPEG scan ended before all restarts"
+                    )
+                br = _BitReader(segments[seg_idx])
+                eobrun = 0
+            unit += 1
+            blk = coefs[cid][yb, xb]
+            if ah == 0:  # ----- first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_symbol(tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # ----- refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_symbol(tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement size must be 1"
+                                )
+                            newval = p1 if br.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break  # EOB logic below finishes the block
+                        # advance past r zero-history positions,
+                        # refining every nonzero coefficient crossed
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if br.read_bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # remaining nonzero coefficients in the band still
+                    # take correction bits; this block consumes one
+                    # unit of the run
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0 and br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    spectral_only: bool = False,
+) -> bytes:
+    """Fixture-grade progressive (SOF2) encoder — grayscale or RGB
+    (JFIF YCbCr 4:4:4). Default scan script exercises every Annex G
+    decoder path with successive approximation:
+
+      1. DC first        (Ss=0 Se=0 Ah=0 Al=1), interleaved
+      2. DC refinement   (Ss=0 Se=0 Ah=1 Al=0) — raw bits
+      3. AC first 1..63  (Ah=0 Al=1), one noninterleaved scan per comp
+      4. AC refinement   (Ah=1 Al=0), one per comp
+
+    ``spectral_only=True`` emits the minimal 2-scan-per-component form
+    (DC then AC, no successive approximation). Like the baseline
+    fixture encoder the quantized coefficients are exact, so with the
+    default all-ones table a decode round trip is bit-exact for
+    block-constant grayscale content — same oracle story as baseline."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive expects H×W or H×W×3")
+    h, w = px.shape[:2]
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    planes = (
+        px.astype(np.float64)[..., None] if gray else _rgb_to_ycbcr(px)
+    )
+    n_comp = planes.shape[-1]
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    pad = np.empty((bh * 8, bwid * 8, n_comp), dtype=np.float64)
+    pad[:h, :w] = planes
+    pad[h:, :w] = planes[h - 1 : h, :]
+    pad[:, w:] = pad[:, w - 1 : w]
+    # quantized zigzag coefficients for every block, once
+    zz = np.empty((bh, bwid, n_comp, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(n_comp):
+                block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci]
+                coef = np.round(_fdct(block - 128.0) / q).astype(np.int64)
+                zz[by, bx, ci] = coef.flatten()[ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(q.flat[z]) for z in ZIGZAG))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC2, bytes(sof))  # SOF2
+    out += _seg(
+        0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    )
+    out += _seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def sos(sel_bytes: bytes, n: int, ss: int, se: int, ah: int, al: int):
+        return _seg(0xDA, bytes([n]) + sel_bytes + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first(al: int) -> bytes:
+        bw_ = _BitWriter()
+        pred = [0] * n_comp
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(n_comp):
+                    v = int(zz[by, bx, ci, 0]) >> al  # arithmetic shift
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s, bits = _category(diff)
+                    code, ln = dc_codes[s]
+                    bw_.write(code, ln)
+                    if s:
+                        bw_.write(bits, s)
+        return bw_.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(n_comp):
+                    bw_.write((int(zz[by, bx, ci, 0]) >> al) & 1, 1)
+        return bw_.flush()
+
+    def ac_first(ci: int, al: int) -> bytes:
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwid):
+                band = zz[by, bx, ci, 1:64]
+                # AC point transform preserves sign: t = sign·(|v|>>al)
+                t = np.sign(band) * (np.abs(band) >> al)
+                run = 0
+                nz = np.nonzero(t)[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for i in range(last):
+                    v = int(t[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    s, bits = _category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw_.write(code, ln)
+                    bw_.write(bits, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_codes[0x00]  # EOB0: this block only
+                    bw_.write(code, ln)
+        return bw_.flush()
+
+    def ac_refine(ci: int, ah: int, al: int) -> bytes:
+        # mirror of _scan_ac's refinement reader: correction bits for
+        # previously-nonzero coefficients interleave in POSITION order
+        # after each symbol; trailing ones ride behind an EOB0
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwid):
+                band = zz[by, bx, ci, 1:64]
+                run = 0
+                pending: list[int] = []
+                for v in (int(x) for x in band):
+                    hist = abs(v) >> ah
+                    mag = abs(v) >> al
+                    if hist != 0:
+                        pending.append(mag & 1)
+                        continue
+                    if mag == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw_.write(code, ln)
+                        for b in pending:
+                            bw_.write(b, 1)
+                        pending = []
+                        run -= 16
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if v > 0 else 0, 1)
+                    for b in pending:
+                        bw_.write(b, 1)
+                    pending = []
+                    run = 0
+                if run or pending:
+                    code, ln = ac_codes[0x00]  # EOB0
+                    bw_.write(code, ln)
+                    for b in pending:
+                        bw_.write(b, 1)
+        return bw_.flush()
+
+    all_sel = b"".join(bytes([ci + 1, 0x00]) for ci in range(n_comp))
+    if spectral_only:
+        out += sos(all_sel, n_comp, 0, 0, 0, 0)
+        out += dc_first(0)
+        for ci in range(n_comp):
+            out += sos(bytes([ci + 1, 0x00]), 1, 1, 63, 0, 0)
+            out += ac_first(ci, 0)
+    else:
+        out += sos(all_sel, n_comp, 0, 0, 0, 1)
+        out += dc_first(1)
+        for ci in range(n_comp):
+            out += sos(bytes([ci + 1, 0x00]), 1, 1, 63, 0, 1)
+            out += ac_first(ci, 1)
+        out += sos(all_sel, n_comp, 0, 0, 1, 0)
+        out += dc_refine(0)
+        for ci in range(n_comp):
+            out += sos(bytes([ci + 1, 0x00]), 1, 1, 63, 1, 0)
+            out += ac_refine(ci, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

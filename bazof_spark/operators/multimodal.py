@@ -70,10 +70,11 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     (24-bit, :func:`decode_bmp`), ``ppm`` (binary P6,
     :func:`decode_ppm`), ``png`` (8-bit gray/RGB/RGBA via zlib inflate
     + full scanline unfiltering, :func:`decode_png`) and — since round
-    8 — baseline-sequential ``jpeg`` (marker walk, stream-declared
-    Huffman tables, restart intervals, dequant + IDCT, chroma
-    upsampling, JFIF YCbCr→RGB;
-    operators/jpegcodec.decode_jpeg_baseline — progressive/arithmetic
+    8 — Huffman ``jpeg``: baseline-sequential AND (round 9)
+    progressive SOF2 with spectral selection + successive
+    approximation (marker walk, stream-declared Huffman tables,
+    restart intervals, dequant + IDCT, chroma upsampling, JFIF
+    YCbCr→RGB; operators/jpegcodec.decode_jpeg — arithmetic-coded
     streams still raise). webp/avif remain a declared stub boundary:
     swap in Pillow/libvips there in production."""
     f = (fmt or "").lower()
@@ -84,9 +85,9 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     if f == "png":
         return decode_png(content)
     if f in ("jpeg", "jpg"):
-        from bazof_spark.operators.jpegcodec import decode_jpeg_baseline
+        from bazof_spark.operators.jpegcodec import decode_jpeg
 
-        px = decode_jpeg_baseline(content)
+        px = decode_jpeg(content)
         if px.ndim == 2:  # grayscale → RGB for the uniform H×W×3 contract
             px = np.repeat(px[:, :, None], 3, axis=2)
         return px
@@ -96,7 +97,7 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
         return decode_gif(content)
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
-        "in this environment (bmp/ppm/png/baseline-jpeg decode IS "
+        "in this environment (bmp/ppm/png/jpeg decode IS "
         "implemented; use those or fake_decode_features for pipeline "
         "testing)"
     )

@@ -2075,6 +2075,59 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
     )
 
 
+def multimodal_jpeg_progressive_decode_q(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode end-to-end (round 9 — the
+    most common real-world JPEG shape): the same deterministic
+    block-constant grayscale grids as multimodal_jpeg_decode, but
+    encoded as PROGRESSIVE streams — even media_ids with the full
+    4-pass successive-approximation scan script (DC first Al=1, AC
+    first Al=1 per component, DC refinement, AC refinement with
+    interleaved correction bits), odd ids with the minimal
+    spectral-selection-only script — and decoded back through the
+    general T.81 Annex G decoder (operators/jpegcodec.decode_jpeg).
+    Successive approximation must reassemble the EXACT quantized
+    coefficients, so block-constant content under unit quant tables
+    still round-trips bit-exactly and the DuckDB oracle recomputes the
+    stats from the block formula — a mistake in any of the four scan
+    decoders changes the hash. Two map-only Arrow-batched stages, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from bazof_spark.operators.multimodal import bmp_pixel_stats
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                by = np.arange(h // 8).reshape(-1, 1)
+                bx = np.arange(w // 8).reshape(1, -1)
+                blocks = ((mid + 11 * by + 5 * bx) % 256).astype(np.uint8)
+                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                blobs.append(
+                    encode_jpeg_progressive(
+                        px, spectral_only=bool(mid % 2)
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(
+        media,
+        decoder=lambda b: np.repeat(
+            decode_jpeg(b)[:, :, None], 3, axis=2
+        ),
+    )
+
+
 def multimodal_gif_decode_q(spark, sf_dir):
     """REAL GIF decode end-to-end (round 8): deterministic grayscale
     grids per doc (value (mid + 7y + 3x) % 256 under the 256-entry
@@ -2301,6 +2354,31 @@ _MULTIMODAL_ORACLES = {
     # round trip — bit-exact for block-constant content under unit
     # quantization tables
     "multimodal_jpeg_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       3 * ((media_id + 11*(y//8) + 5*(x//8)) % 256)))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       ((media_id + 11*(y//8) + 5*(x//8)) % 256)
+                       * (3*(y*1000000 + x*1000) + 6)))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
+    # recomputes multimodal_jpeg_progressive_decode's BLOCK formula —
+    # identical pixels to multimodal_jpeg_decode; Spark's answer came
+    # through a progressive (SOF2) encode→decode round trip, even ids
+    # via the 4-pass successive-approximation script, odd ids via
+    # spectral selection only
+    "multimodal_jpeg_progressive_decode": """
         WITH m AS (
             SELECT doc_id AS media_id,
                    8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
@@ -4551,6 +4629,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
+    "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode_q,
     "multimodal_gif_decode": multimodal_gif_decode_q,
     "multimodal_gif_frame_sample": multimodal_gif_frame_sample_q,
 }

@@ -338,11 +338,14 @@ def test_jpeg_unsupported_frames_fail_loudly():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"not a jpeg")
-    # progressive (SOF2) must raise, not mis-decode
-    blob = bytearray(b"\xff\xd8")
-    blob += _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg_baseline(bytes(blob))
+    # still-unsupported frame types (extended sequential SOF1,
+    # arithmetic SOF9) must raise, not mis-decode — SOF2 progressive
+    # IS supported since round 9 (see the progressive tests below)
+    for sof in (0xC1, 0xC9):
+        blob = bytearray(b"\xff\xd8")
+        blob += _seg(sof, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg_baseline(bytes(blob))
     # RSTn markers in the scan with NO DRI declared -> loud error
     blocks = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
     px6 = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
@@ -565,3 +568,92 @@ def test_jpeg_16bit_dqt_and_multi_table_dht_segments():
     out = decode_jpeg_baseline(bytes(blob3))
     assert np.array_equal(out, px)
     assert len(ZIGZAG) == 64  # sanity on the imported helper
+
+
+# --- progressive JPEG (round 9) ---------------------------------------------
+
+
+def test_jpeg_progressive_block_constant_is_bit_exact():
+    """Both progressive scan scripts — minimal spectral selection and
+    the full 4-pass successive approximation — must reassemble the
+    exact quantized coefficients, so block-constant grayscale under
+    unit quant round-trips bit-exactly (the oracle contract of
+    multimodal_jpeg_progressive_decode)."""
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    for spectral_only in (True, False):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        blocks = rng.integers(0, 256, (bh, bw))
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        blob = encode_jpeg_progressive(px, spectral_only=spectral_only)
+        # the stream really is SOF2
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob.split(
+            b"\xff\xda"
+        )[0]
+        out = decode_jpeg(blob)
+        assert out.dtype == np.uint8 and np.array_equal(out, px)
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Progressive and baseline streams of the SAME image carry the
+    same quantized coefficients, so the two decodes must agree
+    BIT-FOR-BIT — any slip in EOB runs, ZRL-in-refinement, correction-
+    bit interleaving, or the DC point transform breaks this on random
+    content."""
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    gray = rng.integers(0, 256, (37, 51)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray)),
+        decode_jpeg(encode_jpeg_baseline(gray)),
+    )
+    rgb = rng.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    for spectral_only in (True, False):
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg_progressive(rgb, spectral_only=spectral_only)
+            ),
+            decode_jpeg(encode_jpeg_baseline(rgb)),
+        )
+    # negative coefficients through the successive-approximation
+    # refinement sign logic: a lossy quant table makes many
+    q = np.clip((np.arange(64).reshape(8, 8) // 4) + 1, 1, 24)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(rgb, quant=q)),
+        decode_jpeg(encode_jpeg_baseline(rgb, quant=q)),
+    )
+
+
+def test_jpeg_progressive_rejects_malformed_scans():
+    """Structural honesty: interleaved AC scans and mixed-band scans in
+    an SOF2 frame are malformed per T.81 B.2.3 and must error loudly,
+    never mis-decode; decode_jpeg_baseline stays a working alias."""
+    import pytest
+
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg,
+        decode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    assert decode_jpeg_baseline is decode_jpeg
+
+    px = np.full((8, 8), 100, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_progressive(px, spectral_only=True))
+    # find the AC SOS header (single-component scan: 0xFFDA len=8
+    # ns=1) and corrupt its band to start at 0 (mixed DC+AC band)
+    i = blob.rindex(b"\xff\xda")
+    ns = blob[i + 4]
+    assert ns == 1 and blob[i + 7] == 1  # Ss byte of the AC scan
+    blob[i + 7] = 0
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(bytes(blob))

@@ -146,6 +146,10 @@ def test_map_only_pipelines_have_no_extra_exchanges(spark):
     assert shuffle_count(q("multimodal_jpeg_decode", spark)) <= 1
     assert shuffle_count(q("multimodal_gif_decode", spark)) <= 1
     assert shuffle_count(q("multimodal_gif_frame_sample", spark)) <= 1
+    # round-9 progressive JPEG: same two map-only stages
+    assert (
+        shuffle_count(q("multimodal_jpeg_progressive_decode", spark)) <= 1
+    )
 
 
 def test_training_pipeline_queries_bounded(spark):
