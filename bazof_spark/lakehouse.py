@@ -810,7 +810,7 @@ class Lakehouse:
 
     # -- SQL ----------------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, dml_at=None) -> DataFrame:
         """Full SQL incl. time-travel syntax, the relational surface
         provided by Spark SQL exactly as DataFusion provides it for the
         reference (crates/azof-datafusion/src/context.rs:11-48).
@@ -827,6 +827,12 @@ class Lakehouse:
         same method (so its sources may time-travel) and commits the
         result through the distributed Data Source writer; the returned
         DataFrame is a 1-row (table, version, operation) status.
+
+        ``dml_at``: optional statement timestamp for DML that stamps
+        'now' (MERGE tombstones / BY SOURCE UPDATE rows) — the SQL
+        twin of ``Lakehouse.update(at=…)``'s determinism knob for
+        replay and oracle fixtures; production statements leave it
+        None.
         """
         from bazof_spark.sql import parse_dml, parse_maintenance, parse_show
 
@@ -838,7 +844,7 @@ class Lakehouse:
             return self._execute_maintenance(maint)
         dml = parse_dml(query)
         if dml is not None:
-            return self._execute_dml(dml)
+            return self._execute_dml(dml, at=dml_at)
         rewritten, tables = rewrite_and_extract_tables(query)
         for vt in tables:
             if vt.changes is not None:
@@ -1011,7 +1017,7 @@ class Lakehouse:
             "table string, version string, operation string, detail string",
         )
 
-    def _execute_dml(self, dml) -> DataFrame:
+    def _execute_dml(self, dml, at=None) -> DataFrame:
         """CTAS / INSERT INTO execution: inner query through ``sql``
         (time travel works in the source), result through the Data
         Source writer's two-phase commit (``datasource.write_table`` —
@@ -1169,8 +1175,18 @@ class Lakehouse:
                 raise BazofError(
                     f"cannot MERGE into missing table {dml.table!r}"
                 )
+            from datetime import datetime, timezone
+
             from bazof_spark.writer import merge_apply
 
+            # one statement timestamp: tombstones AND unmatched-by-
+            # source UPDATE rows are stamped with it, so the whole
+            # statement shares a single commit instant
+            statement_at = (
+                at.astimezone(timezone.utc)
+                if at is not None
+                else datetime.now(timezone.utc)
+            )
             pinned = self.table(dml.table).current_version()
             src = self.sql(dml.select.rstrip().rstrip(";"))
             if "key" not in src.columns:
@@ -1229,27 +1245,84 @@ class Lakehouse:
                         f"SELECT key FROM {src_view}__v "
                         f"WHERE _verdict IN ({', '.join(del_tags)})"
                     )
-                if dml.by_source_delete is not None:
-                    # Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE:
-                    # target keys NO source row matches (anti join), pred
-                    # over the target's current row — disjoint from every
-                    # matched set AND from inserts (⊆ source keys), so
-                    # the single-commit contract holds
-                    q2 = (
-                        f"SELECT key FROM (SELECT * FROM {view} t "
-                        f"LEFT ANTI JOIN {src_view} s ON t.key = s.key)"
+                if dml.by_source:
+                    # Delta's WHEN NOT MATCHED BY SOURCE clauses:
+                    # target keys NO source row matches (anti join) —
+                    # disjoint from every matched set AND from inserts
+                    # (⊆ source keys), so the single-commit contract
+                    # holds. First matching clause wins per key (same
+                    # CASE verdict shape as the matched list);
+                    # predicates and UPDATE SET expressions see the
+                    # target's current row only — there is no source
+                    # row, hence no `src` struct. DELETE verdicts join
+                    # the tombstone set (stamped at statement time);
+                    # UPDATE SET verdicts re-commit the target row with
+                    # the expressions applied AT the statement time —
+                    # like the UPDATE statement, an unmatched-by-source
+                    # update always wins merge precedence (contrast the
+                    # matched update_set clause, which commits at the
+                    # source row's event_time).
+                    anti_v = f"{src_view}__anti"
+                    self.spark.sql(
+                        f"SELECT t.* FROM {view} t LEFT ANTI JOIN "
+                        f"{src_view} s ON t.key = s.key"
+                    ).createOrReplaceTempView(anti_v)
+                    bs_arms = " ".join(
+                        f"WHEN coalesce({cl[1]}, false) THEN 'bs{cl[0]}{i}'"
+                        if cl[1]
+                        else f"WHEN true THEN 'bs{cl[0]}{i}'"
+                        for i, cl in enumerate(dml.by_source)
                     )
-                    if dml.by_source_delete:
-                        q2 += (
-                            " WHERE coalesce("
-                            f"{dml.by_source_delete}, false)"
+                    self.spark.sql(
+                        f"SELECT key, CASE {bs_arms} END AS _verdict "
+                        f"FROM {anti_v}"
+                    ).createOrReplaceTempView(f"{anti_v}__v")
+                    bs_del_tags = [
+                        f"'bsdelete{i}'"
+                        for i, cl in enumerate(dml.by_source)
+                        if cl[0] == "delete"
+                    ]
+                    if bs_del_tags:
+                        bysrc_df = self.spark.sql(
+                            f"SELECT key FROM {anti_v}__v WHERE "
+                            f"_verdict IN ({', '.join(bs_del_tags)})"
                         )
-                    bysrc_df = self.spark.sql(q2)
-                    delete_df = (
-                        bysrc_df
-                        if delete_df is None
-                        else delete_df.unionByName(bysrc_df)
+                        delete_df = (
+                            bysrc_df
+                            if delete_df is None
+                            else delete_df.unionByName(bysrc_df)
+                        )
+                    at_lit = statement_at.strftime(
+                        "%Y-%m-%d %H:%M:%S.%f"
                     )
+                    for i, cl in enumerate(dml.by_source):
+                        if cl[0] != "update_set":
+                            continue
+                        sets = dict(cl[2])
+                        unknown = sorted(
+                            set(sets) - {c.name for c in schema.columns}
+                        )
+                        if unknown:
+                            raise BazofError(
+                                f"MERGE UPDATE SET references unknown "
+                                f"column(s) {unknown}; declared: "
+                                f"{[c.name for c in schema.columns]}"
+                            )
+                        cols_sql = ", ".join(
+                            f"({sets[c.name]}) AS {c.name}"
+                            if c.name in sets
+                            else f"t.{c.name} AS {c.name}"
+                            for c in schema.columns
+                        )
+                        upsert_parts.append(
+                            self.spark.sql(
+                                f"SELECT t.key AS key, "
+                                f"timestamp'{at_lit}' AS event_time, "
+                                f"{cols_sql} FROM {anti_v} t "
+                                f"JOIN {anti_v}__v v ON v.key = t.key "
+                                f"WHERE v._verdict = 'bsupdate_set{i}'"
+                            )
+                        )
                 if upd_tags:
                     # UPDATE SET * = the full SOURCE row upserts the key
                     upsert_parts.append(
@@ -1323,6 +1396,7 @@ class Lakehouse:
                     self.table(dml.table).path,
                     upsert_df=upsert_df,
                     delete_keys_df=delete_df,
+                    at=statement_at,
                     create_segment=True,
                     expected_version=pinned,
                 )
@@ -1330,6 +1404,8 @@ class Lakehouse:
                 self.spark.catalog.dropTempView(view)
                 self.spark.catalog.dropTempView(src_view)
                 self.spark.catalog.dropTempView(f"{src_view}__v")
+                self.spark.catalog.dropTempView(f"{src_view}__anti")
+                self.spark.catalog.dropTempView(f"{src_view}__anti__v")
             if self.spark.catalog.tableExists(dml.table):
                 self.scan(dml.table).createOrReplaceTempView(dml.table)
             version = self.table(dml.table).current_version()

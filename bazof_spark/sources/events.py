@@ -310,6 +310,53 @@ def events_merge_bysrc_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
     return Lakehouse(spark, root)
 
 
+MERGE_BSUPD_TABLE_NAME = "events_merge_bsupd"
+#: the BY SOURCE UPDATE shape (round 9): matched keys (user_id %
+#: MERGE_BSUPD_MODULUS == 0) upsert the source row; UNMATCHED target
+#: keys route first-match-wins through DELETE (current value <
+#: MERGE_BSUPD_DEL_BOUND) then UPDATE SET value = value +
+#: MERGE_BSUPD_BUMP / event_type 'aged' — the update rows commit at
+#: the STATEMENT instant (dml_at, deterministic here)
+MERGE_BSUPD_MODULUS = 5
+MERGE_BSUPD_DEL_BOUND = 100.0
+MERGE_BSUPD_BUMP = 1000.0
+MERGE_BSUPD_AT = datetime(2024, 4, 1, tzinfo=timezone.utc)
+MERGE_BSUPD_AT_SQL = "timestamp'2024-04-01 00:00:00'"
+
+
+def events_merge_bsupd_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
+    """``events_versioned`` clone with a MERGE carrying the round-9
+    WHEN NOT MATCHED BY SOURCE clause LIST (DELETE then UPDATE SET,
+    first match wins per unmatched key) — one atomic commit; the
+    by-source update rows are stamped at the statement instant via
+    ``Lakehouse.sql(dml_at=…)``, the SQL twin of ``update(at=…)``."""
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_lakehouse_{tag}")
+    marker = os.path.join(root, MERGE_BSUPD_TABLE_NAME, "_BUILT")
+    if not os.path.exists(marker):
+        _materialize_events(spark, sf_dir, root, MERGE_BSUPD_TABLE_NAME)
+        lh = Lakehouse(spark, root)
+        t = MERGE_BSUPD_TABLE_NAME
+        lh.sql(
+            f"MERGE INTO {t} USING "
+            f"SELECT key, {MERGE_MULTI_AT_SQL} AS event_time, event_id, "
+            f"'kept' AS event_type, value * 2 AS value, props "
+            f"FROM {t} WHERE CAST(key AS BIGINT) % {MERGE_BSUPD_MODULUS} = 0 "
+            "ON key "
+            "WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED BY SOURCE AND value < {MERGE_BSUPD_DEL_BOUND} "
+            "THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+            f"value = value + {MERGE_BSUPD_BUMP}, event_type = 'aged'",
+            dml_at=MERGE_BSUPD_AT,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Lakehouse(spark, root)
+
+
 UPDATED_TABLE_NAME = "events_updated"
 #: update instant: past every driver event timestamp, so the updated
 #: versions win Current while every in-range as-of sees the originals

@@ -345,15 +345,19 @@ _MERGE_CLAUSE_HEAD_RE = re.compile(
 
 def _parse_merge_clauses(select: str, spans):
     """Parse ``<src> ON key WHEN ... [WHEN ...]*`` into
-    (source_sql, matched_clauses, insert_unmatched, by_source_delete)
+    (source_sql, matched_clauses, insert_unmatched, by_source_clauses)
     — or None when the text doesn't have that shape (the caller falls
     through to the single-form error). matched_clauses entries, in
     statement order: ("delete", pred), ("update", pred) for the
     full-row UPDATE SET *, or ("update_set", pred, ((col, expr), …))
-    for per-column assignment lists; by_source_delete is None (no
-    clause) or the WHEN NOT MATCHED BY SOURCE [AND pred] THEN DELETE
-    predicate ("" = all unmatched target keys). Predicates inside
-    strings never split clauses."""
+    for per-column assignment lists. by_source_clauses are the WHEN
+    NOT MATCHED BY SOURCE [AND pred] THEN DELETE / UPDATE SET
+    assignment-list clauses in statement order (first match wins per
+    unmatched target key, same reachability rule: an unpredicated
+    clause must be last); "" predicate = all unmatched target keys.
+    BY SOURCE UPDATE SET * is rejected — there is no source row to
+    take values from. Predicates inside strings never split
+    clauses."""
     whens = [
         m for m in _MERGE_WHEN_RE.finditer(select)
         if not _inside(m.start(), spans)
@@ -377,7 +381,7 @@ def _parse_merge_clauses(select: str, spans):
         segments.append(tail[lo:hi].strip())
     matched: list[tuple[str, str]] = []
     insert_unmatched = False
-    by_source_delete: str | None = None
+    by_source: list[tuple] = []
     for seg in segments:
         # anchor the action on a THEN that sits OUTSIDE string
         # literals — a predicate like note = 'x THEN UPDATE SET v = 1'
@@ -409,25 +413,41 @@ def _parse_merge_clauses(select: str, spans):
         by_src = bool(head_m.group("bysrc"))
         pred = (head_m.group("pred") or "").strip()
         if by_src:
-            # Delta's WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE:
-            # target keys NO source row matches; pred over the target's
-            # current row
+            # Delta's WHEN NOT MATCHED BY SOURCE [AND p] THEN
+            # DELETE / UPDATE SET col = expr, …: target keys NO source
+            # row matches; pred AND assignment expressions over the
+            # target's current row (there is no source row, so no
+            # `src` struct and no UPDATE SET *)
             if not neg:
                 raise SqlRewriteError(
                     "MATCHED BY SOURCE is not a clause — use WHEN NOT "
                     f"MATCHED BY SOURCE: {seg!r}"
                 )
-            if act != "DELETE":
+            if by_source and by_source[-1][1] == "":
+                raise SqlRewriteError(
+                    "an unpredicated WHEN NOT MATCHED BY SOURCE clause "
+                    "must be the LAST such clause — later ones are "
+                    "unreachable"
+                )
+            if act == "DELETE":
+                by_source.append(("delete", pred))
+            elif act == "UPDATE SET *":
+                raise SqlRewriteError(
+                    "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — "
+                    "there is no source row; use an assignment list "
+                    f"(UPDATE SET col = expr, …): {seg!r}"
+                )
+            elif act.startswith("UPDATE SET"):
+                by_source.append(
+                    ("update_set", pred,
+                     _parse_assignments(act_m.group("act")))
+                )
+            else:
                 raise SqlRewriteError(
                     "WHEN NOT MATCHED BY SOURCE supports only 'THEN "
-                    f"DELETE', got: {seg!r}"
+                    f"DELETE' or 'THEN UPDATE SET col = expr, …', "
+                    f"got: {seg!r}"
                 )
-            if by_source_delete is not None:
-                raise SqlRewriteError(
-                    "at most one WHEN NOT MATCHED BY SOURCE clause per "
-                    "MERGE"
-                )
-            by_source_delete = pred
         elif neg:
             if act != "INSERT *" or pred:
                 raise SqlRewriteError(
@@ -464,35 +484,41 @@ def _parse_merge_clauses(select: str, spans):
                 # SOURCE row's event_time (a stale source — earlier
                 # than the target's current event_time — is a merge-
                 # precedence no-op, see lakehouse merge_multi)
-                body = re.sub(
-                    r"^UPDATE\s+SET\s+", "", act_m.group("act"),
-                    flags=re.IGNORECASE,
+                matched.append(
+                    ("update_set", pred,
+                     _parse_assignments(act_m.group("act")))
                 )
-                cuts = [m.start() for m in _split_top_level(body, ",")]
-                pieces, lo = [], 0
-                for cpos in cuts:
-                    pieces.append(body[lo:cpos])
-                    lo = cpos + 1
-                pieces.append(body[lo:])
-                sets = []
-                for piece in pieces:
-                    am = _ASSIGN_RE.match(piece.strip())
-                    if am is None:
-                        raise SqlRewriteError(
-                            "MERGE UPDATE SET expects 'column = "
-                            f"expression', got: {piece.strip()!r}"
-                        )
-                    col = am.group("col")
-                    if col.lower() in ("key", "event_time"):
-                        raise SqlRewriteError(
-                            f"MERGE UPDATE SET cannot assign {col!r} — "
-                            "key and event_time are immutable (the "
-                            "updated row is committed at the matched "
-                            "source row's event_time)"
-                        )
-                    sets.append((col, am.group("expr").strip()))
-                matched.append(("update_set", pred, tuple(sets)))
-    return src, tuple(matched), insert_unmatched, by_source_delete
+    return src, tuple(matched), insert_unmatched, tuple(by_source)
+
+
+def _parse_assignments(act_text: str) -> tuple:
+    """``UPDATE SET a = e1, b = e2`` → ((col, expr), …), splitting only
+    at top-level commas (CASE/functions/strings stay whole);
+    key/event_time are immutable in every MERGE clause."""
+    body = re.sub(r"^UPDATE\s+SET\s+", "", act_text, flags=re.IGNORECASE)
+    cuts = [m.start() for m in _split_top_level(body, ",")]
+    pieces, lo = [], 0
+    for cpos in cuts:
+        pieces.append(body[lo:cpos])
+        lo = cpos + 1
+    pieces.append(body[lo:])
+    sets = []
+    for piece in pieces:
+        am = _ASSIGN_RE.match(piece.strip())
+        if am is None:
+            raise SqlRewriteError(
+                "MERGE UPDATE SET expects 'column = "
+                f"expression', got: {piece.strip()!r}"
+            )
+        col = am.group("col")
+        if col.lower() in ("key", "event_time"):
+            raise SqlRewriteError(
+                f"MERGE UPDATE SET cannot assign {col!r} — "
+                "key and event_time are immutable (the updated row's "
+                "commit instant is the clause's, never an expression)"
+            )
+        sets.append((col, am.group("expr").strip()))
+    return tuple(sets)
 
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
 # format's merge-by-key: matching rows are re-read with the SET
@@ -596,9 +622,15 @@ class DmlStatement:
     clauses: tuple = ()
     #: for "merge_multi": a WHEN NOT MATCHED THEN INSERT * clause
     insert_unmatched: bool = False
-    #: for "merge_multi": WHEN NOT MATCHED BY SOURCE [AND p] THEN
-    #: DELETE — None = no clause, "" = all unmatched target keys,
-    #: else the predicate (over the target's current row)
+    #: for "merge_multi": WHEN NOT MATCHED BY SOURCE clauses in
+    #: statement order (first match wins per unmatched target key):
+    #: ("delete", pred) or ("update_set", pred, ((col, expr), …));
+    #: "" predicate = all unmatched target keys, expressions over the
+    #: target's current row (no source row exists, so no `src` struct)
+    by_source: tuple = ()
+    #: convenience view of by_source: the DELETE clause's predicate
+    #: (None = no BY SOURCE DELETE clause) — kept because the
+    #: single-kind form predates BY SOURCE UPDATE SET
     by_source_delete: str | None = None
 
 
@@ -708,13 +740,16 @@ def parse_dml(sql: str) -> DmlStatement | None:
             multi = _parse_merge_clauses(select, spans)
             if multi is not None:
                 src, clauses, insert_unmatched, by_src = multi
-                if not clauses and insert_unmatched and by_src is None:
+                if not clauses and insert_unmatched and not by_src:
                     return DmlStatement(
                         kind="merge_insert",
                         table=m.group("name"),
                         replace=False,
                         select=src,
                     )
+                bs_del = next(
+                    (cl[1] for cl in by_src if cl[0] == "delete"), None
+                )
                 return DmlStatement(
                     kind="merge_multi",
                     table=m.group("name"),
@@ -722,7 +757,8 @@ def parse_dml(sql: str) -> DmlStatement | None:
                     select=src,
                     clauses=clauses,
                     insert_unmatched=insert_unmatched,
-                    by_source_delete=by_src,
+                    by_source=by_src,
+                    by_source_delete=bs_del,
                 )
             for cand in re.finditer(
                 r"\bWHEN\s+(NOT\s+)?MATCHED\b", select, re.IGNORECASE

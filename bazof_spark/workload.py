@@ -211,6 +211,27 @@ def merge_by_source_scan(spark, sf_dir):
     )
 
 
+def merge_by_source_update_scan(spark, sf_dir):
+    """Op: MERGE with a WHEN NOT MATCHED BY SOURCE clause LIST (round
+    9 — DELETE then UPDATE SET, Delta's full sync-to-source surface):
+    matched keys (%5 == 0) upsert the source row (value*2, 'kept', the
+    merge instant); unmatched target keys with current value < 100 are
+    deleted; the REST are updated in place (value+1000, 'aged') at the
+    STATEMENT instant — first match wins per unmatched key, one atomic
+    commit (upsert delta + tombstone delta in one snapshot)."""
+    from bazof_spark.sources.events import events_merge_bsupd_lakehouse
+
+    lh = events_merge_bsupd_lakehouse(spark, sf_dir)
+    return lh.scan("events_merge_bsupd").select(
+        "key",
+        F.unix_micros("event_time").alias("event_time_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def asof_scan_event_time(spark, sf_dir):
     """Op: as-of merge-dedup at an event-time instant."""
     return _scan_events(spark, sf_dir, as_of=ASOF_TS).select(
@@ -684,6 +705,26 @@ _ASOF_ORACLES = {
           FROM cur
          WHERE CAST(key AS BIGINT) % 4 = 0
                OR NOT coalesce(value < 150.0, false)
+    """,
+    # BY SOURCE clause list = latest-per-user where %5-matched keys
+    # become the source row; unmatched keys: value < 100 deleted
+    # (null-safe), the rest updated in place at the statement instant
+    "merge_by_source_update_scan": f"""
+        WITH cur AS ({_events_oracle_cte()})
+        SELECT key,
+               CASE WHEN CAST(key AS BIGINT) % 5 = 0
+                    THEN epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+                    ELSE epoch_us(TIMESTAMP '2024-04-01 00:00:00')
+                    END AS event_time_us,
+               event_id,
+               CASE WHEN CAST(key AS BIGINT) % 5 = 0
+                    THEN 'kept' ELSE 'aged' END AS event_type,
+               CASE WHEN CAST(key AS BIGINT) % 5 = 0
+                    THEN value * 2 ELSE value + 1000.0 END AS value,
+               props
+          FROM cur
+         WHERE CAST(key AS BIGINT) % 5 = 0
+               OR NOT coalesce(value < 100.0, false)
     """,
     # UPDATE = latest-per-user, then the SET expressions applied to the
     # rows whose CURRENT event_type matched the predicate (their
@@ -4545,6 +4586,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_delete_scan": merge_delete_scan,
     "merge_multi_clause_scan": merge_multi_clause_scan,
     "merge_by_source_scan": merge_by_source_scan,
+    "merge_by_source_update_scan": merge_by_source_update_scan,
     "update_set_scan": update_set_scan,
     "zonemap_key_lookup": zonemap_key_lookup,
     "keyset_point_lookup": keyset_point_lookup,

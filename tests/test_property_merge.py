@@ -470,13 +470,23 @@ _mc_clauses = st.lists(_mc_clause, min_size=1, max_size=3).map(
     _mc_fix_clauses
 )
 
+# round 9: BY SOURCE clause list — DELETE or UPDATE SET (value+2000),
+# statement order, same reachability rule as matched clauses
+_bs_clause = st.tuples(
+    st.sampled_from(["delete", "bsbump"]),
+    st.none() | st.integers(min_value=0, max_value=100),
+)
+_bs_clauses = st.lists(_bs_clause, min_size=0, max_size=2).map(
+    _mc_fix_clauses
+)
+
 multi_merge_case = st.fixed_dictionaries(
     {
         "table": _mc_table,
         "source": _mc_source,
         "clauses": _mc_clauses,
         "insert": st.booleans(),
-        "by_src": st.none() | st.integers(min_value=0, max_value=100),
+        "by_src": _bs_clauses,
     }
 )
 
@@ -484,8 +494,10 @@ multi_merge_case = st.fixed_dictionaries(
 def _mc_model(table, source, clauses, insert, by_src):
     """Direct interpretation of the statement semantics: first matching
     WHEN MATCHED clause wins per key (predicates null-safe over the
-    TARGET's current value), WHEN NOT MATCHED inserts, WHEN NOT MATCHED
-    BY SOURCE deletes unmatched target keys."""
+    TARGET's current value), WHEN NOT MATCHED inserts, and the first
+    matching WHEN NOT MATCHED BY SOURCE clause wins per unmatched
+    target key (DELETE drops it; UPDATE SET applies the expressions to
+    its current row — NULL propagates)."""
     out = dict(table)
     for k in table:
         if k in source:
@@ -505,11 +517,21 @@ def _mc_model(table, source, clauses, insert, by_src):
                     else:
                         out[k] = source[k]
                     break
-        elif by_src is not None and (
-            by_src is True
-            or (table[k] is not None and table[k] < by_src)
-        ):
-            out.pop(k, None)
+        else:
+            for act, thr in by_src:
+                holds = (
+                    True
+                    if thr is None
+                    else (table[k] is not None and table[k] < thr)
+                )
+                if holds:
+                    if act == "delete":
+                        out.pop(k, None)
+                    else:  # bsbump
+                        out[k] = (
+                            None if table[k] is None else table[k] + 2000
+                        )
+                    break
     if insert:
         for k, v in source.items():
             if k not in table:
@@ -554,10 +576,15 @@ def test_multi_clause_merge_matches_model(spark, tmp_path_factory, case):
     )
     if case["insert"]:
         clause_sql += " WHEN NOT MATCHED THEN INSERT *"
-    if case["by_src"] is not None:
+    bs_actions = {
+        "delete": "DELETE",
+        "bsbump": "UPDATE SET value = value + 2000",
+    }
+    for act, thr in case["by_src"]:
         clause_sql += (
-            f" WHEN NOT MATCHED BY SOURCE AND value < {case['by_src']} "
-            "THEN DELETE"
+            " WHEN NOT MATCHED BY SOURCE"
+            + ("" if thr is None else f" AND value < {thr}")
+            + f" THEN {bs_actions[act]}"
         )
     v0 = int(lh.table("t").current_version())
     lh.sql(f"MERGE INTO t USING {src_sql} ON key {clause_sql}")

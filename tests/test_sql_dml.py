@@ -1145,16 +1145,35 @@ def test_parse_merge_not_matched_by_source():
     )
     assert d.kind == "merge_multi"
     assert d.clauses == () and d.by_source_delete == ""
-    with pytest.raises(SqlRewriteError, match="BY SOURCE supports only"):
+    # UPDATE SET * has no source row to take values from — rejected
+    with pytest.raises(SqlRewriteError, match="cannot UPDATE SET"):
         parse_dml(
             "MERGE INTO t USING SELECT * FROM s ON key "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
-    with pytest.raises(SqlRewriteError, match="at most one WHEN NOT MATCHED BY"):
+    # ...but an assignment list IS supported (round 9), in statement
+    # order with first-match-wins and the matched-list reachability rule
+    d = parse_dml(
+        "MERGE INTO t USING SELECT * FROM s ON key "
+        "WHEN NOT MATCHED BY SOURCE AND value < 10 THEN "
+        "UPDATE SET value = value * 2 "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert d.by_source == (
+        ("update_set", "value < 10", (("value", "value * 2"),)),
+        ("delete", ""),
+    )
+    assert d.by_source_delete == ""
+    with pytest.raises(SqlRewriteError, match="unreachable"):
         parse_dml(
             "MERGE INTO t USING SELECT * FROM s ON key "
             "WHEN NOT MATCHED BY SOURCE THEN DELETE "
             "WHEN NOT MATCHED BY SOURCE AND x THEN DELETE"
+        )
+    with pytest.raises(SqlRewriteError, match="immutable"):
+        parse_dml(
+            "MERGE INTO t USING SELECT * FROM s ON key "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET event_time = x"
         )
 
 
@@ -1403,3 +1422,66 @@ def test_merge_update_set_stale_source_noop(spark, lh):
         "WHEN MATCHED THEN DELETE"
     )
     assert lh.sql("SELECT key FROM t").count() == 0
+
+
+def test_merge_by_source_update_end_to_end(spark, lh):
+    """Round 9: WHEN NOT MATCHED BY SOURCE THEN UPDATE SET — unmatched
+    target keys get the assignment expressions applied to their current
+    row, committed AT the statement timestamp (always wins, like the
+    UPDATE statement), first-match-wins across the BY SOURCE clause
+    list, all in the same single-version commit as the matched clauses
+    and inserts."""
+    import datetime as dt
+
+    lh.sql(
+        """
+        CREATE TABLE t AS
+        SELECT CAST(id AS STRING) AS key,
+               timestamp'2024-01-01 00:00:00' AS event_time,
+               CAST(id AS DOUBLE) AS value
+          FROM range(6)
+        """
+    )
+    v1 = int(lh.table("t").current_version())
+    at = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    # source matches keys 0,1 (and brings unmatched key 9);
+    # unmatched targets 2..5: value<3 → tombstoned; rest → value+100
+    [st] = lh.sql(
+        "MERGE INTO t USING "
+        "SELECT CAST(k AS STRING) AS key, timestamp'2024-02-01' AS "
+        "event_time, CAST(v AS DOUBLE) AS value "
+        "FROM (VALUES (0, 50.0), (1, 51.0), (9, 90.0)) AS s(k, v) "
+        "ON key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND value < 3 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = value + 100",
+        dml_at=at,
+    ).collect()
+    assert st["operation"] == "merge_multi"
+    assert int(st["version"]) == v1 + 1  # ONE commit for everything
+    got = {
+        r["key"]: r["value"]
+        for r in lh.sql("SELECT key, value FROM t").collect()
+    }
+    # 0,1 matched-upserted; 2 (value 2<3) deleted; 3,4,5 updated +100;
+    # 9 inserted
+    assert got == {
+        "0": 50.0, "1": 51.0, "3": 103.0, "4": 104.0, "5": 105.0,
+        "9": 90.0,
+    }
+    # by-source-updated rows carry the STATEMENT timestamp
+    ts = {
+        r["key"]: r["event_time"].isoformat()
+        for r in lh.sql("SELECT key, event_time FROM t").collect()
+    }
+    assert ts["3"].startswith("2024-05-01")
+    assert ts["0"].startswith("2024-02-01")  # matched: source instant
+    # time travel: pre-merge state intact, delete visible before it
+    old = {
+        r["key"]: r["value"]
+        for r in lh.sql(
+            f"SELECT key, value FROM t FOR VERSION AS OF {v1}"
+        ).collect()
+    }
+    assert old == {str(i): float(i) for i in range(6)}
