@@ -705,13 +705,100 @@ def pq_codebooks_trained(
     )
 
 
-def _pq_encode_udf(codebooks: np.ndarray):
+def opq_rotation_codebooks_from_sample(
+    x: np.ndarray,
+    m_subs: int = 8,
+    n_codes: int = 16,
+    seed: int = 29,
+    iters: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ training core (Ge, He, Ke, Sun — "Optimized Product
+    Quantization", CVPR 2013; Faiss's ``OPQMatrix``): learn an
+    orthogonal rotation R minimizing PQ quantization error by
+    alternating (a) per-subspace L2 k-means on the rotated sample and
+    (b) the orthogonal-Procrustes solve R = U·Vᵀ from the SVD of
+    Xᵀ·X̂ (X̂ = the codebook reconstruction). Pure numpy over the
+    BOUNDED normalized sample ``x`` — deterministic for a given
+    (sample, m_subs, n_codes, seed, iters), which is what lets the
+    DuckDB oracle re-derive bit-identical (rotation, codebooks)
+    literals through THIS function. Returns (R: d×d, codebooks:
+    (m_subs, n_codes, sub))."""
+    x = np.asarray(x, dtype=np.float64)
+    n, dim = x.shape
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    sub = dim // m_subs
+
+    def _train(y: np.ndarray) -> np.ndarray:
+        sv = y.reshape(n, m_subs, sub)
+        return np.stack(
+            [
+                _lloyd_kmeans_l2(sv[:, m, :], n_codes, seed + m)
+                for m in range(m_subs)
+            ]
+        )
+
+    def _reconstruct(y: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        sv = y.reshape(n, m_subs, sub)
+        d = ((sv[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+        codes = np.argmin(d, axis=2)  # ties → lower code id
+        return cb[np.arange(m_subs)[None, :], codes].reshape(n, dim)
+
+    rot = np.eye(dim)
+    for _ in range(iters):
+        y = x @ rot
+        cb = _train(y)
+        xhat = _reconstruct(y, cb)
+        u, _sv, vt = np.linalg.svd(x.T @ xhat)
+        rot = u @ vt
+    # final codebooks consistent with the final rotation
+    cb = _train(x @ rot)
+    return rot, cb
+
+
+def opq_trained(
+    corpus: DataFrame,
+    m_subs: int = 8,
+    n_codes: int = 16,
+    seed: int = 29,
+    sample_rows: int = 256,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """TRAINED OPQ (rotation + codebooks) from the repo's standard
+    bounded sample (the ``sample_rows`` lowest-id vectors,
+    unit-normalized — corpus-size-independent, same O(1) contract as
+    every trainer here). Feed the pair to :func:`pq_adc_topk` via its
+    ``rotation=`` parameter: the index encodes rotated vectors, query
+    LUTs rotate the query, and the exact re-rank runs on the ORIGINAL
+    vectors (an orthogonal rotation preserves cosine)."""
+    rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    ]
+    x = np.stack(rows)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return opq_rotation_codebooks_from_sample(
+        x, m_subs=m_subs, n_codes=n_codes, seed=seed, iters=iters
+    )
+
+
+def _pq_encode_udf(codebooks: np.ndarray, rotation: np.ndarray | None = None):
     """vec -> array<int> of per-subspace code ids (nearest codebook
     entry by L2 over the unit-normalized vector's subvectors; ties →
     lower code id via argmin-first). One vectorized distance batch per
     Arrow batch — the codebooks (m_subs × n_codes × sub doubles, a few
-    KB) ride in the task closure, the same shape as IVF assignment."""
+    KB) ride in the task closure, the same shape as IVF assignment.
+    ``rotation`` (OPQ): an orthogonal d×d matrix applied to the
+    normalized vector BEFORE subspace split — one extra batch matmul,
+    still map-only."""
     cb = np.asarray(codebooks, dtype=np.float64)  # (M, J, sub)
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     m_subs, _, sub = cb.shape
 
     @F.pandas_udf("array<int>")
@@ -720,6 +807,8 @@ def _pq_encode_udf(codebooks: np.ndarray):
             return pd.Series([], dtype=object)
         v = np.array([np.asarray(x, dtype=np.float64) for x in vecs])
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        if rot is not None:
+            v = v @ rot
         s = v.reshape(len(v), m_subs, sub)
         # (batch, M, J): squared L2 between subvector and each code
         d = ((s[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
@@ -738,6 +827,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) + exact re-rank — the third standard ANN scale path next to
@@ -766,7 +856,9 @@ def pq_adc_topk(
 
     c = corpus.select(
         F.col(id_col).alias("_cid"),
-        _pq_encode_udf(cb)(_as_double(F.col(vec_col))).alias("_codes"),
+        _pq_encode_udf(cb, rotation)(
+            _as_double(F.col(vec_col))
+        ).alias("_codes"),
     )
     # bounded collect: the query SET is small by contract (same bound
     # as IVF's centroid slice); the corpus side stays fully distributed
@@ -775,7 +867,7 @@ def pq_adc_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, neighbor_id long, rank int, cosine_sim double"
         )
-    luts = _query_luts(q_rows, cb, query_id_col, vec_col)
+    luts = _query_luts(q_rows, cb, query_id_col, vec_col, rotation)
     lut_df = corpus.sparkSession.createDataFrame(
         luts, f"{query_id_col} long, _lut array<array<double>>"
     )
@@ -813,15 +905,23 @@ def pq_adc_topk(
     )
 
 
-def _query_luts(q_rows, cb: np.ndarray, query_id_col: str, vec_col: str):
+def _query_luts(
+    q_rows,
+    cb: np.ndarray,
+    query_id_col: str,
+    vec_col: str,
+    rotation: np.ndarray | None = None,
+):
     """Per-query ADC lookup tables, driver-side (tiny: |queries| ×
     m_subs × n_codes doubles): LUT[m][j] = <q_sub_m, cb[m][j]> over the
-    unit-normalized query."""
+    unit-normalized (and, for OPQ, rotated) query."""
     m_subs, _, sub = cb.shape
     luts = []
     for r in q_rows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
         qv = qv / max(np.linalg.norm(qv), 1e-12)
+        if rotation is not None:
+            qv = qv @ np.asarray(rotation, dtype=np.float64)
         qs = qv.reshape(m_subs, sub)
         lut = np.einsum("ms,mjs->mj", qs, cb)
         luts.append((r[query_id_col], [[float(x) for x in row] for row in lut]))

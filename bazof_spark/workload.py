@@ -3364,6 +3364,127 @@ def _pq_trained_oracle_sql(
     """
 
 
+def _opq_oracle_sql(
+    m_subs: int = 8,
+    n_codes: int = 16,
+    seed: int = 29,
+    sample_rows: int = 256,
+    iters: int = 8,
+    k: int = 5,
+    rerank: int = 20,
+) -> str | None:
+    """DuckDB twin of embedding_ann_opq_q: re-derive the SAME
+    (rotation, codebooks) the Spark query trains — identical bounded
+    sample through the identical numpy OPQ alternation
+    (similarity.opq_rotation_codebooks_from_sample) — and embed the
+    rotation's COLUMNS (Rᵀ rows) as one DOUBLE[][] literal next to the
+    (m, code, cv) codebook literals. Encode and query LUTs run over
+    the rotated vectors; the exact re-rank scores the ORIGINAL vectors
+    (orthogonal rotation preserves cosine — same contract as Spark).
+    Returns None (→ rows-only check) when the parquet is unavailable."""
+    import duckdb
+    import numpy as np
+
+    from bazof_spark.operators.similarity import (
+        opq_rotation_codebooks_from_sample,
+    )
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{path}') "
+            f"ORDER BY vec_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m_subs:
+        return None
+    sub = dim // m_subs
+    rot, cb = opq_rotation_codebooks_from_sample(
+        x, m_subs=m_subs, n_codes=n_codes, seed=seed, iters=iters
+    )
+    # rotated[j] = <v, R[:, j]> — embed Rᵀ so row j IS column j
+    rt_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in rot[:, j]) + "]::DOUBLE[]"
+        for j in range(dim)
+    ) + "]"
+    vals = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(float(v)) for v in cb[m, j])}]::DOUBLE[])"
+        for m in range(m_subs)
+        for j in range(n_codes)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   list_transform(raw, x -> x * (1.0 / greatest(
+                       sqrt(list_dot_product(raw, raw)), 1e-12))) AS nv
+            FROM e
+        ),
+        rt AS (SELECT {rt_lit} AS m),
+        rv AS (
+            SELECT n.vec_id,
+                   list_transform(range(1, {dim + 1}),
+                       j -> list_dot_product(n.nv, rt.m[j])) AS v
+            FROM n CROSS JOIN rt
+        ),
+        cb AS (SELECT * FROM (VALUES {vals}) t(m, code, cv)),
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT rv.vec_id, cb.m, cb.code,
+                       row_number() OVER (PARTITION BY rv.vec_id, cb.m
+                           ORDER BY list_distance(
+                               rv.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cv
+                           ) ASC, cb.code ASC
+                       ) AS rn
+                FROM rv CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS qid, cb.m, cb.code,
+                   list_dot_product(
+                       q.v[cb.m*{sub}+1 : cb.m*{sub}+{sub}], cb.cv) AS part
+            FROM rv q CROSS JOIN cb WHERE q.vec_id < 10
+        ),
+        approx AS (
+            SELECT l.qid, enc.vec_id AS cid, round(SUM(l.part), 6) AS asim
+            FROM enc JOIN lut l ON l.m = enc.m AND l.code = enc.code
+            WHERE l.qid != enc.vec_id
+            GROUP BY l.qid, enc.vec_id
+        ),
+        cand AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (
+                    PARTITION BY qid ORDER BY asim DESC, cid
+                ) AS rn FROM approx
+            ) WHERE rn <= {rerank}
+        ),
+        s AS (
+            SELECT cand.qid, cand.cid,
+                   list_cosine_similarity(eq.raw, ec.raw) AS sim
+            FROM cand
+            JOIN e eq ON eq.vec_id = cand.qid
+            JOIN e ec ON ec.vec_id = cand.cid
+        ),
+        r AS (
+            SELECT qid, cid, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, cid
+            ) AS rn FROM s
+        )
+        SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM r WHERE rn <= {k}
+    """
+
+
 def _pq_trained_recall_sql(pq_sql: str) -> str:
     return f"""
         WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
@@ -3832,6 +3953,10 @@ if _pq_trained_sql is not None:
     _PIPELINE_ORACLES["ann_recall_pq_trained"] = _pq_trained_recall_sql(
         _pq_trained_sql
     )
+_opq_sql = _opq_oracle_sql()
+if _opq_sql is not None:
+    _PIPELINE_ORACLES["embedding_ann_opq"] = _opq_sql
+    _PIPELINE_ORACLES["ann_recall_opq"] = _pq_trained_recall_sql(_opq_sql)
 _ivfpq_trained_sql = _ivfpq_trained_oracle_sql()
 if _ivfpq_trained_sql is not None:
     _PIPELINE_ORACLES["embedding_ann_ivfpq_trained"] = _ivfpq_trained_sql
@@ -3868,6 +3993,12 @@ def refresh_env_dependent_oracles() -> None:
         ORACLES["ann_recall_pq_trained"] = _PIPELINE_ORACLES[
             "ann_recall_pq_trained"
         ]
+    opq_sql = _opq_oracle_sql()
+    if opq_sql is not None:
+        _PIPELINE_ORACLES["embedding_ann_opq"] = opq_sql
+        _PIPELINE_ORACLES["ann_recall_opq"] = _pq_trained_recall_sql(opq_sql)
+        ORACLES["embedding_ann_opq"] = opq_sql
+        ORACLES["ann_recall_opq"] = _PIPELINE_ORACLES["ann_recall_opq"]
     ivfpq_sql = _ivfpq_trained_oracle_sql()
     if ivfpq_sql is not None:
         _PIPELINE_ORACLES["embedding_ann_ivfpq_trained"] = ivfpq_sql
@@ -4084,6 +4215,58 @@ def embedding_ann_pq_trained_q(spark, sf_dir):
     )
     return pq_adc_topk(emb, queries, cb, k=5, rerank=20).withColumn(
         "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def embedding_ann_opq_q(spark, sf_dir):
+    """OPQ — PQ/ADC behind a LEARNED orthogonal rotation (Ge et al.
+    2013, Faiss OPQMatrix; the standard rung above trained PQ):
+    alternating per-subspace k-means and orthogonal-Procrustes solves
+    on the bounded 256-row sample minimize quantization error before
+    encoding. The corpus pass is the same single Arrow-batched
+    encode (one extra batch matmul); query LUTs rotate driver-side;
+    exact re-rank scores ORIGINAL vectors (rotation preserves cosine).
+    The oracle re-derives identical (rotation, codebooks) from the
+    same parquet sample through the same numpy alternation."""
+    from bazof_spark.operators.similarity import opq_trained
+
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    rot, cb = opq_trained(
+        emb, m_subs=8, n_codes=16, seed=29, sample_rows=256, iters=8
+    )
+    return pq_adc_topk(
+        emb, queries, cb, k=5, rerank=20, rotation=rot
+    ).withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
+def ann_recall_opq_q(spark, sf_dir):
+    """Recall@5 of the OPQ index vs the exact top-5."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = embedding_ann_opq_q(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return per_q.join(matched, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
     )
 
 
@@ -4660,6 +4843,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_model_score": quality_model_score_q,
     "embedding_ann_pq_trained": embedding_ann_pq_trained_q,
     "ann_recall_pq_trained": ann_recall_pq_trained_q,
+    "embedding_ann_opq": embedding_ann_opq_q,
+    "ann_recall_opq": ann_recall_opq_q,
     "span_dedup": span_dedup_q,
     # multimodal: real stdlib codecs (wav/bmp/ppm) + stubbed codec slots
     "multimodal_frame_sample": multimodal_frame_sample_q,

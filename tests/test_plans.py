@@ -484,6 +484,7 @@ def test_ivfpq_and_trained_pq_plans_bounded(spark):
     for name in (
         "embedding_ann_ivfpq",
         "embedding_ann_pq_trained",
+        "embedding_ann_opq",
         "embedding_ann_ivfpq_trained",
         "embedding_ann_ivfpq_residual",
         "embedding_ann_ivfpq_residual_trained",
@@ -496,6 +497,7 @@ def test_ivfpq_and_trained_pq_plans_bounded(spark):
     for name in (
         "ann_recall_ivfpq",
         "ann_recall_pq_trained",
+        "ann_recall_opq",
         "ann_recall_ivfpq_residual_trained",
     ):
         df = q(name, spark)

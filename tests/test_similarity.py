@@ -464,3 +464,60 @@ def test_residual_codebooks_reject_rows_equal_centroids(emb):
     ).tolist()
     cb = residual_pq_codebooks_from_rows(np.array(rows), cent, m_subs=4)
     assert float(np.abs(cb).max()) > 1e-3
+
+
+def test_opq_rotation_properties_and_full_rerank(emb):
+    """Round 9 — OPQ (Ge 2013): the learned rotation must be orthogonal
+    (cosine-preserving), must not INCREASE sample quantization error vs
+    plain trained PQ, and with rerank >= corpus the OPQ index recovers
+    brute force bit-for-bit (the re-rank scores original vectors)."""
+    from bazof_spark.operators.similarity import (
+        _lloyd_kmeans_l2,
+        opq_trained,
+        pq_adc_topk,
+    )
+
+    rot, cb = opq_trained(
+        emb, m_subs=4, n_codes=8, seed=29, sample_rows=44, iters=6
+    )
+    assert np.abs(rot @ rot.T - np.eye(rot.shape[0])).max() < 1e-9
+    assert cb.shape == (4, 8, DIM // 4)
+
+    # quantization error on the training sample: OPQ <= plain PQ
+    rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in emb.orderBy("vec_id").select("embedding").limit(44).collect()
+    ]
+    x = np.stack(rows)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sub = DIM // 4
+
+    def err(y, books):
+        sv = y.reshape(len(y), 4, sub)
+        d = ((sv[:, :, None, :] - books[None]) ** 2).sum(3)
+        codes = d.argmin(2)
+        yh = books[np.arange(4)[None, :], codes].reshape(len(y), DIM)
+        return float(((y - yh) ** 2).sum())
+
+    plain = np.stack(
+        [
+            _lloyd_kmeans_l2(x.reshape(len(x), 4, sub)[:, m, :], 8, 29 + m)
+            for m in range(4)
+        ]
+    )
+    assert err(x @ rot, cb) <= err(x, plain) + 1e-9
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    opq = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_adc_topk(
+            emb, queries, cb, k=3, rerank=44, rotation=rot
+        ).collect()
+    }
+    assert opq == bf
