@@ -488,6 +488,23 @@ def _parse_merge_clauses(select: str, spans):
                     ("update_set", pred,
                      _parse_assignments(act_m.group("act")))
                 )
+    # checked invariant (round 9): every successful extraction is
+    # re-parsed by an INDEPENDENT token-level grammar (paren/CASE-depth
+    # tracking instead of regex anchors, bazof_spark/sqlcheck.py); any
+    # divergence — e.g. pattern-shaped text the span filtering missed —
+    # errors loudly instead of compiling different semantics
+    from bazof_spark.sqlcheck import crosscheck_merge_clauses
+
+    try:
+        crosscheck_merge_clauses(
+            select, src, tuple(matched), insert_unmatched,
+            tuple(by_source),
+        )
+    except ValueError as exc:
+        raise SqlRewriteError(
+            "MERGE clause extraction failed cross-validation (regex "
+            f"pass vs token parser): {exc}"
+        ) from exc
     return src, tuple(matched), insert_unmatched, tuple(by_source)
 
 
