@@ -99,25 +99,17 @@ def checkpoint_table(
     previously-open segments under a closed parent and open a new
     segment whose base file is the merged Current state. Reads are
     preserved bit-identically at every as-of (see module docstring).
-    Returns the committed snapshot. Needs a Spark-readable table root
-    (local or file:// here; cloud schemes once the runtime ships the
-    connector — metadata and the base write are iofs-routed already)."""
+    Returns the committed snapshot. Works on any table root: local and
+    file:// scans go through the JVM parquet reader; object-store roots
+    route the merged-state scan through the Python Data Source
+    (executor-side pyarrow reads via iofs — round 9, the same path
+    Lakehouse.scan auto-selects), and metadata + the base write were
+    iofs-routed from the start."""
     if at.tzinfo is None:
         at = at.replace(tzinfo=timezone.utc)
     table = lakehouse.table(table_name)
-    from bazof_spark.writer import _as_local_path
-
-    if _as_local_path(table.path) is None:
-        # the merged-state scan runs through Spark: the root must be a
-        # scheme this Spark runtime can read. Metadata + the base-file
-        # write are already iofs-routed; extend this guard to cloud
-        # schemes when the cluster ships the matching Hadoop connector.
-        raise BazofError(
-            "checkpoint_table needs a Spark-readable table root "
-            "(local path or file:// URI in this runtime)"
-        )
     version = table.current_version()
-    snapshot = table.get_current_snapshot()
+    snapshot = table.get_snapshot(version)
 
     _check_nothing_beyond(lakehouse, table, snapshot, at)
 
@@ -127,7 +119,7 @@ def checkpoint_table(
     # distributed state computation: the Current scan itself (Current
     # pruning, NOT EventTime(T) — closed bases are invisible to Current)
     state = lakehouse.scan_snapshot(
-        table, snapshot, CURRENT, Projection.all()
+        table, snapshot, CURRENT, Projection.all(), version=version
     )
     order_by = None
     if cluster_by:
@@ -288,10 +280,17 @@ def _check_nothing_beyond(
         }
     )
     if files:
-        df = lakehouse.spark.read.parquet(
-            *[table.data_file_path(f) for f in files]
-        )
-        max_ts = df.agg(F.max(EVENT_TIME_COL)).first()[0]
+        paths = [table.data_file_path(f) for f in files]
+        if iofs.is_uri(table.path) and not table.path.startswith("file://"):
+            # object-store root (no JVM connector): the bound is a max
+            # over per-file footer stats — one driver-side metadata
+            # fetch per file, the same O(files-in-commit) cost profile
+            # as the zone-map build; a stats-less footer falls back to
+            # reading that file's event_time column through iofs
+            max_ts = _max_event_time_arrow(paths)
+        else:
+            df = lakehouse.spark.read.parquet(*paths)
+            max_ts = df.agg(F.max(EVENT_TIME_COL)).first()[0]
         if max_ts is not None:
             if max_ts.tzinfo is None:
                 max_ts = max_ts.replace(tzinfo=timezone.utc)
@@ -300,6 +299,46 @@ def _check_nothing_beyond(
                     f"data rows exist beyond checkpoint time {at} "
                     f"(max event_time {max_ts}); checkpoint later"
                 )
+
+
+def _max_event_time_arrow(paths: list[str]):
+    """max(event_time) across parquet files via iofs-resolved footers
+    (column statistics), falling back to a single-column read where a
+    footer lacks usable stats. Returns a datetime or None."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    best = None
+    for path in paths:
+        fs, rel = iofs.split(path)
+        pf = pq.ParquetFile(fs.open_input_file(rel))
+        md = pf.metadata
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == EVENT_TIME_COL
+            ),
+            None,
+        )
+        file_max = None
+        if idx is not None and md.num_row_groups:
+            vals = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    vals = None
+                    break
+                vals.append(st.max)
+            if vals:
+                file_max = max(vals)
+        if file_max is None and EVENT_TIME_COL in pf.schema_arrow.names:
+            col = pf.read(columns=[EVENT_TIME_COL]).column(EVENT_TIME_COL)
+            mm = pc.max(col).as_py()
+            file_max = mm
+        if file_max is not None and (best is None or file_max > best):
+            best = file_max
+    return best
 
 
 # ---------------------------------------------------------------------------

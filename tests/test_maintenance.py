@@ -296,9 +296,8 @@ def test_checkpoint_refuses_delta_before_open_segment_start(spark, tmp_path):
 
 
 def test_checkpoint_on_file_uri_root(spark, tmp_path):
-    """checkpoint_table now accepts file:// roots (the guard is
-    'Spark-readable', not 'no scheme'): reads stay bit-identical and
-    Current collapses to one file, same as on a plain path."""
+    """checkpoint_table accepts file:// roots: reads stay bit-identical
+    and Current collapses to one file, same as on a plain path."""
     w = TableWriter(spark, str(tmp_path / "t"), SCHEMA)
     seg = w.add_segment(
         "s1", ts(1), base_df=rows(spark, ("k1", ts(1), "a1"))
@@ -314,9 +313,12 @@ def test_checkpoint_on_file_uri_root(spark, tmp_path):
     assert len(table.get_current_snapshot().get_data_files()) == 1
     assert snap(lh.scan("t")) == before
 
-    # object-store schemes without a Spark connector still refuse
-    with pytest.raises(BazofError, match="Spark-readable"):
-        checkpoint_table(Lakehouse(spark, "s3://b/x"), "t", at=ts(10))
+    # object-store roots are no longer refused: the merged-state scan
+    # routes through the Python Data Source (round 9) — a nonexistent
+    # bucket now fails at metadata resolution, like any missing table
+    # (end-to-end coverage on a REAL s3 server:
+    # tests/test_object_store_real.py::
+    # test_checkpoint_and_optimize_over_real_s3)
 
 
 def test_checkpoint_races_live_upserts_loses_nothing(spark, lakehouse, tmp_path):

@@ -475,3 +475,67 @@ def test_scan_and_sql_over_real_s3(spark, s3_endpoint):
         .load()
     )
     assert raw.rdd.getNumPartitions() == 2
+
+
+def test_checkpoint_and_optimize_over_real_s3(spark, s3_endpoint):
+    """Round-9 follow-through on the scan routing: compaction now runs
+    on object-store roots — the merged-state scan goes through the
+    Python Data Source (executor-side pyarrow over HTTP), the base file
+    and the snapshot publish through iofs. Reads must stay
+    bit-identical at every as-of across checkpoint and Z-order
+    optimize, and validation must stay clean over the wire."""
+    from bazof_spark.maintenance import checkpoint_table, optimize_table
+
+    uri = "s3://bazof-real/maint"
+    table_uri = iofs.join(uri, "t")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    t1 = dt.datetime(2024, 2, 1, tzinfo=UTC)
+
+    w = TableWriter(spark, table_uri, _schema())
+    w.add_segment(
+        "s1", start=t0,
+        base_df=_batch(
+            spark, [(str(i), t0, f"v{i}") for i in range(20)]
+        ),
+    )
+    w.commit("1")
+    append_delta(
+        spark, table_uri,
+        _batch(spark, [("3", t1, "v3b"), ("21", t1, "v21")]),
+    )
+    lh = Lakehouse(spark, uri)
+    before_cur = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    before_old = {
+        r["key"]: r["value"]
+        for r in lh.scan(
+            "t", as_of=dt.datetime(2024, 1, 15, tzinfo=UTC)
+        ).collect()
+    }
+
+    checkpoint_table(
+        lh, "t", at=dt.datetime(2024, 3, 1, tzinfo=UTC)
+    )
+    assert {
+        r["key"]: r["value"] for r in lh.scan("t").collect()
+    } == before_cur
+    assert {
+        r["key"]: r["value"]
+        for r in lh.scan(
+            "t", as_of=dt.datetime(2024, 1, 15, tzinfo=UTC)
+        ).collect()
+    } == before_old
+    # the checkpoint base exists on the store and Current is 1 file
+    snap = lh.table("t").get_current_snapshot()
+    from bazof_spark.asof import Current
+
+    assert len(snap.ranked_data_files(Current)) == 1
+
+    optimize_table(
+        lh, "t", at=dt.datetime(2024, 4, 1, tzinfo=UTC),
+        cluster_by=["event_time"],
+    )
+    assert {
+        r["key"]: r["value"] for r in lh.scan("t").collect()
+    } == before_cur
+    report = validate_table(lh, "t", data_checks="arrow")
+    assert not report.errors, report.errors
