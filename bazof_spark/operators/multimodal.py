@@ -533,12 +533,15 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
 
     Deliberately NOT the ``wave`` module (that's the encoder), so an
     encode→decode round-trip validates the actual byte format: RIFF
-    container walk, fmt chunk layout, PCM-16/PCM-8 payloads. Returns
-    int16 samples (8-bit WAV's unsigned bytes are recentered to signed,
-    matching every real decoder's convention)."""
+    container walk, fmt chunk layout, PCM-16/PCM-8 payloads — and,
+    round 9, compressed IMA-ADPCM payloads (WAVE_FORMAT_IMA_ADPCM
+    0x0011: block headers, low-nibble-first packing, fact-chunk trim —
+    operators/adpcmcodec.py). Returns int16 samples (8-bit WAV's
+    unsigned bytes are recentered to signed, matching every real
+    decoder's convention)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_frames = 12, None, None, None
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8 : pos + 8 + size]
@@ -546,12 +549,28 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    audio_format, n_channels, sample_rate, _brate, balign, bits = fmt
+    if audio_format == 0x11:
+        # IMA ADPCM (mono): the fact chunk carries the true frame
+        # count; without one, every block is assumed full.
+        from bazof_spark.operators.adpcmcodec import decode_ima_adpcm_data
+
+        if n_channels != 1:
+            raise NotImplementedError("only mono IMA-ADPCM")
+        spb = (balign - 4) * 2 + 1
+        n = (
+            fact_frames
+            if fact_frames is not None
+            else (len(data) // balign) * spb
+        )
+        return sample_rate, 1, decode_ima_adpcm_data(data, balign, n)
     if audio_format != 1:
-        raise NotImplementedError("only PCM WAV")
+        raise NotImplementedError("only PCM / IMA-ADPCM WAV")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
     elif bits == 8:
@@ -566,9 +585,10 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
 def decode_audio(content: bytes, codec: str | None):
     """Decode an audio blob to (sample_rate, n_channels, int16 samples).
 
-    REAL for ``wav`` (stdlib RIFF parse, :func:`decode_wav`). Compressed
-    codecs (mp3/flac/ogg — need external libraries this container
-    doesn't ship) remain a declared stub boundary: swap in
+    REAL for ``wav`` (stdlib RIFF parse, :func:`decode_wav`) including
+    compressed IMA-ADPCM payloads (round 9, operators/adpcmcodec.py).
+    Remaining compressed codecs (mp3/ogg — need external libraries
+    this container doesn't ship) are a declared stub boundary: swap in
     ffmpeg/torchaudio there in production."""
     if (codec or "").lower() in ("wav", "wave"):
         return decode_wav(content)

@@ -2032,6 +2032,70 @@ def multimodal_wav_decode_q(spark, sf_dir):
     return wav_waveform_stats(media)
 
 
+def multimodal_adpcm_decode_q(spark, sf_dir):
+    """REAL compressed-audio decode end-to-end (round 9 — the first
+    COMPRESSED audio codec in-sandbox): the same deterministic int16
+    PCM synthesis as multimodal_wav_decode, but encoded as a genuine
+    WAVE_FORMAT_IMA_ADPCM (0x0011) file — 4-bit adaptive differential
+    nibbles, block headers, fact-chunk sample count
+    (operators/adpcmcodec.encode_wav_ima_adpcm) — then recovered by the
+    independent decoder path (multimodal.decode_wav dispatches on the
+    fmt tag) and reduced to integer-exact stats over the DECODED
+    (lossy) waveform. The DuckDB oracle re-runs the published IMA
+    encoder+decoder state machine a THIRD time as a recursive CTE in
+    pure SQL (step-size/index tables as literals), so a mismatch
+    anywhere — nibble packing order, quantizer rounding, clamp bounds,
+    header layout — changes the hash. Two map-only Arrow-batched
+    stages, no shuffle; the ~200-step recursion runs only in the
+    oracle engine, never on the cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.adpcmcodec import encode_wav_ima_adpcm
+    from bazof_spark.operators.multimodal import decode_wav
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 160 + mid % 41
+                i = np.arange(n, dtype=np.int64)
+                samples = ((mid * 7919 + i * 131) % 4001) - 2000
+                blobs.append(
+                    encode_wav_ima_adpcm(samples.astype(np.int16), 8000)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def stats(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "n_samples": [], "dec_sum": [],
+                "dec_abs_sum": [], "peak": [], "pos_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _, _, dec = decode_wav(bytes(blob))
+                d = dec.astype(np.int64)
+                i = np.arange(len(d), dtype=np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(d))
+                out["dec_sum"].append(int(d.sum()))
+                out["dec_abs_sum"].append(int(np.abs(d).sum()))
+                out["peak"].append(int(np.abs(d).max()))
+                out["pos_checksum"].append(int(((i + 1) * d).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, n_samples long, dec_sum long, "
+        "dec_abs_sum long, peak int, pos_checksum long",
+    )
+
+
 def multimodal_png_decode_q(spark, sf_dir):
     """REAL PNG decode end-to-end: the same deterministic pixel grids
     as multimodal_bmp_decode, but encoded as standard PNGs whose rows
@@ -2364,6 +2428,100 @@ _MULTIMODAL_ORACLES = {
                    AS amp_sum,
                CAST(list_sum(smp) AS BIGINT) AS checksum
         FROM s
+    """,
+    # re-runs the published IMA-ADPCM encoder+decoder state machine as
+    # a recursive CTE (step/index tables as literals, one recursion
+    # level per sample): decoded sample 0 is the block-header
+    # predictor (= x0 verbatim); each later step quantizes the synth
+    # sample against the running predictor exactly like the encoder,
+    # then applies the decoder update — so the CTE reproduces the
+    # LOSSY decoded waveform bit-for-bit, independently of the Python
+    # codec. Spark's answer came through a real WAVE 0x0011 file.
+    "multimodal_adpcm_decode": """
+        WITH RECURSIVE docs AS (
+            SELECT doc_id AS media_id,
+                   160 + doc_id % 41 AS n,
+                   CAST(((doc_id * 7919) % 4001) - 2000 AS BIGINT) AS x0
+            FROM documents
+        ),
+        steps AS (
+            SELECT media_id, n, 0 AS i,
+                   x0 AS pred, 0 AS idx,
+                   x0 AS ssum, abs(x0) AS asum, abs(x0) AS peak,
+                   x0 AS wsum
+            FROM docs
+            UNION ALL
+            SELECT media_id, n, i, pred2, idx2,
+                   ssum + pred2, asum + abs(pred2),
+                   greatest(peak, abs(pred2)), wsum + (i + 1) * pred2
+            FROM (
+                SELECT media_id, n, i, ssum, asum, peak, wsum,
+                       least(32767, greatest(-32768,
+                           pred + CASE WHEN sign_neg THEN -vpd
+                                       ELSE vpd END)) AS pred2,
+                       least(88, greatest(0, idx +
+                           list_extract([-1,-1,-1,-1,2,4,6,8],
+                               (CASE WHEN b2 THEN 4 ELSE 0 END
+                                + CASE WHEN b1 THEN 2 ELSE 0 END
+                                + CASE WHEN b0 THEN 1 ELSE 0 END) + 1)))
+                           AS idx2
+                FROM (
+                    SELECT *,
+                           (stp // 8)
+                           + CASE WHEN b2 THEN stp ELSE 0 END
+                           + CASE WHEN b1 THEN stp // 2 ELSE 0 END
+                           + CASE WHEN b0 THEN stp // 4 ELSE 0 END AS vpd
+                    FROM (
+                        SELECT *, (r2 - CASE WHEN b1 THEN stp // 2
+                                           ELSE 0 END) >= stp // 4 AS b0
+                        FROM (
+                            SELECT *, r2 >= stp // 2 AS b1
+                            FROM (
+                                SELECT *, ad - CASE WHEN b2 THEN stp
+                                               ELSE 0 END AS r2
+                                FROM (
+                                    SELECT *, ad >= stp AS b2
+                                    FROM (
+                                        SELECT media_id, n, i + 1 AS i,
+                                               pred, idx,
+                                               ssum, asum, peak, wsum,
+                                               list_extract([7,8,9,10,11,12,
+                                                13,14,16,17,19,21,23,25,28,31,
+                                                34,37,41,45,50,55,60,66,73,80,
+                                                88,97,107,118,130,143,157,173,
+                                                190,209,230,253,279,307,337,
+                                                371,408,449,494,544,598,658,
+                                                724,796,876,963,1060,1166,
+                                                1282,1411,1552,1707,1878,2066,
+                                                2272,2499,2749,3024,3327,3660,
+                                                4026,4428,4871,5358,5894,6484,
+                                                7132,7845,8630,9493,10442,
+                                                11487,12635,13899,15289,16818,
+                                                18500,20350,22385,24623,27086,
+                                                29794,32767],
+                                                   idx + 1) AS stp,
+                                               abs((((media_id * 7919
+                                                   + (i + 1) * 131) % 4001)
+                                                   - 2000) - pred) AS ad,
+                                               ((((media_id * 7919
+                                                   + (i + 1) * 131) % 4001)
+                                                   - 2000) - pred) < 0
+                                                   AS sign_neg
+                                        FROM steps WHERE i + 1 < n
+                                    )
+                                )
+                            )
+                        )
+                    )
+                )
+            )
+        )
+        SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+               CAST(ssum AS BIGINT) AS dec_sum,
+               CAST(asum AS BIGINT) AS dec_abs_sum,
+               CAST(peak AS INT) AS peak,
+               CAST(wsum AS BIGINT) AS pos_checksum
+        FROM steps WHERE i = n - 1
     """,
     # recomputes multimodal_bmp_decode's pixel formula directly;
     # Spark's answer came through a real BMP encode→decode round trip
@@ -4853,6 +5011,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_stats": multimodal_audio_stats_q,
     "multimodal_resize": multimodal_resize_q,
     "multimodal_wav_decode": multimodal_wav_decode_q,
+    "multimodal_adpcm_decode": multimodal_adpcm_decode_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,

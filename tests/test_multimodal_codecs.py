@@ -657,3 +657,119 @@ def test_jpeg_progressive_rejects_malformed_scans():
     blob[i + 7] = 0
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (round 9): the first COMPRESSED audio codec in-sandbox
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.adpcmcodec import (  # noqa: E402
+    STEP_TABLE,
+    decode_ima_adpcm_data,
+    decode_ima_nibbles,
+    encode_ima_nibbles,
+    encode_wav_ima_adpcm,
+)
+
+
+def test_adpcm_wav_roundtrip_is_lossy_but_bounded():
+    """ADPCM is lossy; the decode path must still recover a waveform
+    that tracks the source within the quantizer's step sizes for
+    smooth signals, with exact length and container fields."""
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 3, 160, 505, 506, 1200):
+        x = (
+            np.cumsum(rng.integers(-500, 501, n))
+            .clip(-32768, 32767)
+            .astype(np.int16)
+        )
+        blob = encode_wav_ima_adpcm(x, sample_rate=16_000)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        rate, ch, dec = decode_wav(blob)
+        assert (rate, ch, len(dec)) == (16_000, 1, n)
+        # sample 0 is the block-header predictor: exact
+        assert int(dec[0]) == int(x[0])
+        err = np.abs(dec.astype(np.int64) - x.astype(np.int64))
+        assert err.mean() < 1500
+
+
+def test_adpcm_nibble_encode_decode_agree():
+    """encode_ima_nibbles and decode_ima_nibbles are the two directions
+    of one state machine: decoding the encoder's nibbles MUST land on
+    the same waveform the encoder's internal predictor tracked —
+    checked against a third, hand-stepped reference."""
+    x = np.array([0, 100, -300, 5000, 4990, -32768, 32767, 0], np.int16)
+    first, nibs = encode_ima_nibbles(x)
+    dec = decode_ima_nibbles(first, 0, nibs, len(x))
+    # hand-step the published update for the first transition:
+    # pred=0 idx=0 step=7; diff=100 -> delta=4|2|... : 100>=7 (b2,
+    # r=93), 93>=3 (b1, r=90), 90>=1 (b0) -> nibble 7,
+    # vpdiff=0+7+3+1=11... wait: vpdiff = 7>>3 + 7 + 3 + 1 = 0+7+3+1=11
+    assert nibs[0] == 7
+    assert int(dec[1]) == 11
+    # full decode matches an independent per-step replay
+    pred, idx = int(x[0]), 0
+    replay = [pred]
+    for nib in nibs:
+        step = STEP_TABLE[idx]
+        vp = step >> 3
+        if nib & 4:
+            vp += step
+        if nib & 2:
+            vp += step >> 1
+        if nib & 1:
+            vp += step >> 2
+        pred = max(-32768, min(32767, pred - vp if nib & 8 else pred + vp))
+        idx = max(0, min(88, idx + (-1, -1, -1, -1, 2, 4, 6, 8)[nib & 7]))
+        replay.append(pred)
+    assert np.array_equal(dec, np.array(replay, np.int16))
+
+
+def test_adpcm_low_nibble_first_packing():
+    """Byte layout pin: the FIRST nibble of a block body occupies the
+    LOW 4 bits (the IMA/Microsoft convention — a high-first decoder
+    produces a different waveform)."""
+    x = np.array([0, 100, 0], np.int16)  # nibbles: 7 (up), then down
+    blob = encode_wav_ima_adpcm(x, block_align=256)
+    # locate the data chunk
+    pos = 12
+    while blob[pos : pos + 4] != b"data":
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        pos += 8 + size + (size & 1)
+    body = blob[pos + 8 :]
+    first_byte = body[4]  # after the 4-byte block header
+    assert first_byte & 0xF == 7  # nibble 0 in the LOW half
+
+
+def test_adpcm_multiblock_carries_step_index():
+    """Encoder state (step index) continues across block boundaries and
+    each block header re-seeds the predictor; a decoder that resets the
+    index per block WOULD still agree because the header stores it —
+    pin that the second block's stored index is the encoder's running
+    one (non-zero after a loud first block)."""
+    n = 506  # exactly 2 blocks at block_align=256 (505 + 1)
+    x = ((np.arange(n) * 977) % 20001 - 10000).astype(np.int16)
+    blob = encode_wav_ima_adpcm(x, block_align=256)
+    pos = 12
+    while blob[pos : pos + 4] != b"data":
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        pos += 8 + size + (size & 1)
+    data = blob[pos + 8 :]
+    pred2, idx2, _ = struct.unpack_from("<hBB", data, 256)
+    assert idx2 > 0
+    assert pred2 == int(x[505])
+    _, _, dec = decode_wav(blob)
+    assert len(dec) == n and int(dec[505]) == int(x[505])
+
+
+def test_adpcm_fact_chunk_trims_padding():
+    """A 2-sample stream emits one nibble + a full block of padding;
+    the fact chunk must trim decode to exactly 2 samples."""
+    blob = encode_wav_ima_adpcm(np.array([5, 20], np.int16))
+    _, _, dec = decode_wav(blob)
+    assert len(dec) == 2 and int(dec[0]) == 5
+
+
+def test_adpcm_data_exhaustion_fails_loudly():
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_ima_adpcm_data(b"\x00\x00\x00\x00", block_align=256, n_samples=9999)
