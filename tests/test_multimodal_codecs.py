@@ -773,3 +773,93 @@ def test_adpcm_fact_chunk_trims_padding():
 def test_adpcm_data_exhaustion_fails_loudly():
     with pytest.raises(ValueError, match="exhausted"):
         decode_ima_adpcm_data(b"\x00\x00\x00\x00", block_align=256, n_samples=9999)
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container (round 9): the first REAL video container
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.avicontainer import (  # noqa: E402
+    encode_avi_mjpeg,
+    parse_avi,
+)
+from bazof_spark.operators.jpegcodec import (  # noqa: E402
+    decode_jpeg as _decode_jpeg_any,
+    encode_jpeg_baseline as _enc_jpeg,
+)
+
+
+def _mk_frames(mid: int, nfr: int):
+    w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+    by = np.arange(h // 8).reshape(-1, 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    pix, jfs = [], []
+    for f in range(nfr):
+        blocks = ((mid + 9 * f + 11 * by + 5 * bx) % 256).astype(np.uint8)
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        pix.append(px)
+        jfs.append(_enc_jpeg(px))
+    return w, h, pix, jfs
+
+
+def test_avi_mjpeg_roundtrip_bit_exact():
+    """Demux + decode recovers every frame bit-exactly (block-constant
+    JPEG under unit quant), with header fields intact."""
+    for mid in (0, 1, 5, 11):
+        w, h, pix, jfs = _mk_frames(mid, 2 + mid % 4)
+        meta = parse_avi(encode_avi_mjpeg(jfs, w, h, fps=12))
+        assert (meta["width"], meta["height"], meta["fps"]) == (w, h, 12)
+        assert meta["codec"] == "MJPG" and meta["n_frames"] == len(jfs)
+        for fb, expect in zip(meta["frames"], pix):
+            assert np.array_equal(_decode_jpeg_any(fb), expect)
+
+
+def test_avi_odd_length_chunks_word_aligned():
+    """Odd-length '00dc' chunks must pad to word alignment without
+    corrupting the NEXT chunk's framing — force one by handing the
+    muxer payloads of every parity."""
+    payloads = [b"x" * n for n in (3, 8, 5, 1)]
+    meta = parse_avi(encode_avi_mjpeg(payloads, 8, 8))
+    assert meta["frames"] == payloads
+
+
+def test_avi_idx1_crosscheck_fails_loudly():
+    w, h, _, jfs = _mk_frames(2, 3)
+    blob = bytearray(encode_avi_mjpeg(jfs, w, h))
+    i = blob.rfind(b"idx1")
+    struct.pack_into("<I", blob, i + 8 + 12, 1)  # corrupt entry 0 size
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi(bytes(blob))
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"\x89PNG\r\n\x1a\n")
+
+
+def test_avi_rec_list_grouping_supported():
+    """Some muxers group movi chunks inside 'rec ' LISTs (the spec's
+    interleave groups); the walker must recurse into them. Build one by
+    hand from the flat file's parts."""
+    w, h, pix, jfs = _mk_frames(7, 2)
+    flat = encode_avi_mjpeg(jfs, w, h)
+    # rebuild: wrap each 00dc chunk in its own rec LIST, drop idx1
+    # (offsets would shift; index is optional)
+    meta_flat = parse_avi(flat)
+    body = b""
+    for f in jfs:
+        ck = b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            ck += b"\x00"
+        body += b"LIST" + struct.pack("<I", 4 + len(ck)) + b"rec " + ck
+    movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + body
+    hdrl_start = flat.index(b"LIST", 12)
+    hdrl_size = struct.unpack_from("<I", flat, hdrl_start + 4)[0]
+    hdrl = flat[hdrl_start : hdrl_start + 8 + hdrl_size + (hdrl_size & 1)]
+    riff_body = b"AVI " + hdrl + movi
+    nested = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    meta = parse_avi(nested)
+    assert meta["n_frames"] == 2
+    assert [len(f) for f in meta["frames"]] == [len(f) for f in meta_flat["frames"]]
