@@ -585,6 +585,7 @@ def _parse_update_body(body: str) -> tuple[tuple[tuple[str, str], ...], str]:
     """Split an UPDATE body into ((col, expr), ...) assignments and the
     WHERE predicate ('' = all rows). WHERE/commas inside strings or
     parenthesized subexpressions never split."""
+    orig = body
     wheres = _split_top_level(body, "WHERE")
     if wheres:
         first = wheres[0]
@@ -607,6 +608,18 @@ def _parse_update_body(body: str) -> tuple[tuple[tuple[str, str], ...], str]:
                 f"{piece.strip()!r}"
             )
         sets.append((m.group("col"), m.group("expr").strip()))
+    # the same checked invariant as MERGE clause extraction: a second,
+    # independently-written token parser must agree on every split
+    # (sqlcheck.py — disagreement is a bug in one of the two, never
+    # silent corruption)
+    from bazof_spark.sqlcheck import crosscheck_update_body
+
+    try:
+        crosscheck_update_body(orig, tuple(sets), pred)
+    except ValueError as e:
+        raise SqlRewriteError(
+            f"UPDATE body extraction failed cross-validation: {e}"
+        ) from e
     return tuple(sets), pred
 
 

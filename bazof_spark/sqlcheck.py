@@ -357,3 +357,87 @@ def crosscheck_merge_clauses(
                 f"{label} clauses disagree: validator {g!r} vs regex "
                 f"{e!r}"
             )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE t SET … [WHERE …] body (round 9): the second regex surface
+# with comma/keyword splitting, validated the same way as MERGE
+# ---------------------------------------------------------------------------
+
+
+def parse_update_body(text: str):
+    """Independent token-level parse of an UPDATE body (everything
+    after ``SET``) -> ((col, canon_expr), …), canon_pred. Splits the
+    first top-level WHERE and top-level commas by walking tokens with
+    parenthesis + CASE…END depth, never regex anchors."""
+    toks = tokenize(text)
+    depth = case_depth = 0
+    where_at = None
+    for i, (kind, t) in enumerate(toks):
+        if kind == "punct":
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth = max(0, depth - 1)
+            continue
+        if kind != "word":
+            continue
+        u = t.upper()
+        if u == "CASE":
+            case_depth += 1
+        elif u == "END":
+            case_depth = max(0, case_depth - 1)
+        elif u == "WHERE" and depth == 0 and case_depth == 0:
+            where_at = i
+            break
+    pred_toks = [] if where_at is None else toks[where_at + 1 :]
+    body_toks = toks if where_at is None else toks[:where_at]
+    parts: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    depth = case_depth = 0
+    for tok in body_toks:
+        kind, t = tok
+        if kind == "punct":
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth = max(0, depth - 1)
+            elif t == "," and depth == 0 and case_depth == 0:
+                parts.append(cur)
+                cur = []
+                continue
+        elif kind == "word":
+            u = t.upper()
+            if u == "CASE":
+                case_depth += 1
+            elif u == "END":
+                case_depth = max(0, case_depth - 1)
+        cur.append(tok)
+    parts.append(cur)
+    sets = []
+    for p in parts:
+        if len(p) < 3 or p[0][0] != "word" or p[1] != ("punct", "="):
+            raise ValueError(
+                f"assignment is not 'column = expression': {_tok_join(p)!r}"
+            )
+        sets.append((p[0][1], _tok_join(p[2:])))
+    return tuple(sets), _tok_join(pred_toks)
+
+
+def crosscheck_update_body(body: str, sets: tuple, pred: str) -> None:
+    """Compare the regex pass's UPDATE-body extraction against this
+    module's independent token parse; raise ValueError naming the
+    first divergence. Called by sql._parse_update_body on every
+    successfully-extracted UPDATE / merge-update body."""
+    got_sets, got_pred = parse_update_body(body)
+    exp_sets = tuple((c, canon(e)) for c, e in sets)
+    if got_sets != exp_sets:
+        raise ValueError(
+            f"SET assignments disagree: validator {got_sets!r} vs "
+            f"regex {exp_sets!r}"
+        )
+    if got_pred != canon(pred):
+        raise ValueError(
+            f"WHERE predicate disagrees: validator {got_pred!r} vs "
+            f"regex {canon(pred)!r}"
+        )

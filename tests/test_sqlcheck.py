@@ -116,3 +116,84 @@ def test_validator_is_live_in_parse_dml():
             "WHEN MATCHED AND CASE WHEN matched THEN 1 ELSE 0 END = 1 "
             "THEN DELETE WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE-body validator (round 9 follow-through)
+# ---------------------------------------------------------------------------
+
+from bazof_spark.sqlcheck import (  # noqa: E402
+    crosscheck_update_body,
+    parse_update_body,
+)
+
+
+def test_parse_update_body_grammar():
+    sets, pred = parse_update_body(
+        "a = coalesce(b, ',WHERE'), c = CASE WHEN x IN (1,2) THEN 'w, z' "
+        "ELSE f(y, 2) END WHERE note = 'WHERE a = 1, b = 2' AND k > 3"
+    )
+    assert sets == (
+        ("a", "coalesce ( b , ',WHERE' )"),
+        ("c", "CASE WHEN x IN ( 1 , 2 ) THEN 'w, z' ELSE f ( y , 2 ) END"),
+    )
+    assert pred == "note = 'WHERE a = 1, b = 2' AND k > 3"
+    # no WHERE
+    sets, pred = parse_update_body("v = v + 1")
+    assert sets == (("v", "v + 1"),) and pred == ""
+    with pytest.raises(ValueError, match="column = expression"):
+        parse_update_body("not-an-assignment")
+
+
+def test_crosscheck_update_trips_on_wrong_extraction():
+    body = "a = 1, b = 2 WHERE k = 'x'"
+    # correct extraction passes
+    crosscheck_update_body(body, (("a", "1"), ("b", "2")), "k = 'x'")
+    # a mis-split (string-blind regex would glue b=2 into a's expr)
+    with pytest.raises(ValueError, match="disagree"):
+        crosscheck_update_body(body, (("a", "1 , b = 2"),), "k = 'x'")
+    with pytest.raises(ValueError, match="predicate"):
+        crosscheck_update_body(body, (("a", "1"), ("b", "2")), "k = 'y'")
+
+
+def test_update_validator_is_live_in_parse_dml():
+    """parse_dml routes every UPDATE through the crosscheck; a
+    statement whose strings contain WHERE/comma/assignment text must
+    still extract cleanly (both parsers agree), and the checked
+    invariant is observable by monkeypatching one side."""
+    st = parse_dml(
+        "UPDATE t SET note = 'WHERE v = 1, w = 2', v = CASE WHEN "
+        "v IN (1,2) THEN v + 1 ELSE 0 END WHERE tag = ', WHERE '"
+    )
+    assert st is not None and st.kind == "update"
+    assert st.sets == (
+        ("note", "'WHERE v = 1, w = 2'"),
+        ("v", "CASE WHEN v IN (1,2) THEN v + 1 ELSE 0 END"),
+    )
+    assert st.select == "tag = ', WHERE '"
+
+
+def test_update_fuzz_both_parsers_agree():
+    """Generative: random assignment lists with string/paren/CASE
+    booby traps round-trip identically through the regex pass (which
+    self-crosschecks) for 200 seeds."""
+    import random
+
+    exprs = [
+        "1", "v + 1", "coalesce(a, b, ',')", "'WHERE x = 1, y = 2'",
+        "CASE WHEN a IN (1,2) THEN ',' ELSE 'THEN' END",
+        "f(g(h(x, 'WHERE')), 2)", "a || ', b = 9'",
+    ]
+    preds = [None, "k = 1", "note = ', WHERE ' AND v > 2",
+             "CASE WHEN k = 1 THEN true ELSE false END"]
+    rng = random.Random(909)
+    for _ in range(200):
+        cols = [f"c{i}" for i in range(rng.randint(1, 5))]
+        sets = [(c, rng.choice(exprs)) for c in cols]
+        body = ", ".join(f"{c} = {e}" for c, e in sets)
+        pred = rng.choice(preds)
+        stmt = f"UPDATE t SET {body}" + (f" WHERE {pred}" if pred else "")
+        st = parse_dml(stmt)
+        assert st is not None and st.kind == "update"
+        assert st.sets == tuple(sets)
+        assert st.select == (pred or "")
