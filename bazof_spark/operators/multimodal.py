@@ -586,12 +586,17 @@ def decode_audio(content: bytes, codec: str | None):
     """Decode an audio blob to (sample_rate, n_channels, int16 samples).
 
     REAL for ``wav`` (stdlib RIFF parse, :func:`decode_wav`) including
-    compressed IMA-ADPCM payloads (round 9, operators/adpcmcodec.py).
-    Remaining compressed codecs (mp3/ogg — need external libraries
-    this container doesn't ship) are a declared stub boundary: swap in
+    compressed IMA-ADPCM payloads, and for ``flac`` (round 9,
+    operators/{adpcm,flac}codec.py). Remaining compressed codecs
+    (mp3/ogg — lossy transform codecs needing external libraries this
+    container doesn't ship) are a declared stub boundary: swap in
     ffmpeg/torchaudio there in production."""
     if (codec or "").lower() in ("wav", "wave"):
         return decode_wav(content)
+    if (codec or "").lower() == "flac":
+        from bazof_spark.operators.flaccodec import decode_flac
+
+        return decode_flac(content)
     raise NotImplementedError(
         f"audio decode for {codec!r} requires a codec library not "
         "present in this environment (wav decode IS implemented)"

@@ -2032,6 +2032,68 @@ def multimodal_wav_decode_q(spark, sf_dir):
     return wav_waveform_stats(media)
 
 
+def multimodal_flac_decode_q(spark, sf_dir):
+    """REAL lossless-compressed audio decode end-to-end (round 9): the
+    deterministic int16 PCM synthesis encoded as genuine FLAC streams
+    (operators/flaccodec.encode_flac — STREAMINFO with true MD5,
+    CRC-8/CRC-16 framed, Rice-coded residuals; even media_ids via
+    best-of FIXED predictors, odd ids force LPC subframes so both
+    decode paths carry live data), decoded back by the independent
+    BitReader walk (decode_flac verifies every CRC and the stream MD5)
+    and reduced to integer-exact stats. FLAC is lossless, so the
+    DuckDB oracle recomputes the stats straight from the synthesis
+    formula — a mistake anywhere in Rice coding, partitioning,
+    predictor reconstruction, or framing changes the hash. Two
+    map-only Arrow-batched stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.flaccodec import decode_flac, encode_flac
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 160 + mid % 41
+                i = np.arange(n, dtype=np.int64)
+                samples = ((mid * 7919 + i * 131) % 4001) - 2000
+                blobs.append(
+                    encode_flac(
+                        samples.astype(np.int16), 8000,
+                        block_size=64, force_lpc=bool(mid % 2),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def stats(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "peak": [], "amp_sum": [], "checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                sr, _, dec = decode_flac(bytes(blob))
+                d = dec.astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(len(d))
+                out["peak"].append(int(np.abs(d).max()))
+                out["amp_sum"].append(int(np.abs(d).sum()))
+                out["checksum"].append(int(d.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, sample_rate int, n_frames long, "
+        "peak int, amp_sum long, checksum long",
+    )
+
+
 def multimodal_adpcm_decode_q(spark, sf_dir):
     """REAL compressed-audio decode end-to-end (round 9 — the first
     COMPRESSED audio codec in-sandbox): the same deterministic int16
@@ -2503,6 +2565,31 @@ _MULTIMODAL_ORACLES = {
     # recomputes multimodal_wav_decode's PCM synthesis formula directly;
     # Spark's answer came through a real WAV encode→decode round trip
     "multimodal_wav_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id, 160 + doc_id % 41 AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, n,
+                   list_transform(range(0, n),
+                       i -> ((media_id * 7919 + i * 131) % 4001) - 2000)
+                       AS smp
+            FROM m
+        )
+        SELECT media_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(list_max(list_transform(smp, x -> abs(x))) AS INT)
+                   AS peak,
+               CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+                   AS amp_sum,
+               CAST(list_sum(smp) AS BIGINT) AS checksum
+        FROM s
+    """,
+    # identical stats to multimodal_wav_decode (FLAC is lossless, same
+    # synthesis); Spark's answer came through a real FLAC encode →
+    # CRC/MD5-verified decode round trip, fixed-predictor and LPC paths
+    "multimodal_flac_decode": """
         WITH m AS (
             SELECT doc_id AS media_id, 160 + doc_id % 41 AS n
             FROM documents
@@ -5136,6 +5223,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": multimodal_resize_q,
     "multimodal_wav_decode": multimodal_wav_decode_q,
     "multimodal_adpcm_decode": multimodal_adpcm_decode_q,
+    "multimodal_flac_decode": multimodal_flac_decode_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,

@@ -863,3 +863,116 @@ def test_avi_rec_list_grouping_supported():
     meta = parse_avi(nested)
     assert meta["n_frames"] == 2
     assert [len(f) for f in meta["frames"]] == [len(f) for f in meta_flat["frames"]]
+
+
+# ---------------------------------------------------------------------------
+# FLAC (round 9): lossless compressed audio
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.flaccodec import (  # noqa: E402
+    BitReader,
+    BitWriter,
+    decode_flac,
+    encode_flac,
+)
+
+
+def test_flac_lossless_roundtrip_signal_classes():
+    rng = np.random.default_rng(5)
+    cases = [
+        np.full(7, -12345, np.int16),                          # constant
+        rng.integers(-32768, 32768, 333).astype(np.int16),     # noise
+        np.cumsum(rng.integers(-40, 41, 500)).clip(-32768, 32767).astype(np.int16),
+        np.array([0], np.int16),                               # single sample
+        np.array([-32768, 32767] * 40, np.int16),              # extreme swings
+    ]
+    for x in cases:
+        for lpc in (False, True):
+            sr, ch, dec = decode_flac(encode_flac(x, 44_100, force_lpc=lpc))
+            assert (sr, ch) == (44_100, 1)
+            assert np.array_equal(dec, x)
+
+
+def test_flac_multiframe_sequencing():
+    """> block_size samples span several frames; the UTF-8 frame
+    numbers and per-frame CRCs must all verify."""
+    x = ((np.arange(1000) * 37) % 9001 - 4500).astype(np.int16)
+    sr, _, dec = decode_flac(encode_flac(x, 8000, block_size=64))
+    assert np.array_equal(dec, x)
+
+
+def test_flac_crc_and_md5_corruption_detected():
+    x = np.cumsum(np.ones(200)).astype(np.int16)
+    blob = bytearray(encode_flac(x, 8000))
+    # flip a bit in the last frame's body: the frame CRC-16, the
+    # stream MD5, or (if the flip stretches a Rice unary run past the
+    # end) bitstream exhaustion — corruption is ALWAYS a loud error
+    blob[-5] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|MD5|exhausted"):
+        decode_flac(bytes(blob))
+    # corrupt STREAMINFO's MD5 directly
+    blob2 = bytearray(encode_flac(x, 8000))
+    blob2[8 + 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob2))
+
+
+def test_flac_rejects_non_flac():
+    with pytest.raises(ValueError, match="FLAC"):
+        decode_flac(b"RIFF....WAVE")
+
+
+def test_flac_decoder_handles_rice_escape_and_wasted_bits():
+    """Hand-build a frame using decoder features the encoder never
+    emits: a VERBATIM subframe, then a FIXED subframe whose residual
+    partition uses the raw-bits escape, then wasted-bits shifting —
+    pinned against hand-computed samples."""
+    from bazof_spark.operators.flaccodec import (
+        _crc8, _crc16, _utf8_coded_number)
+    import hashlib, struct as st
+
+    def frame_bytes(body_writer, block, fi=0):
+        hdr = BitWriter()
+        hdr.write(0b11111111111110, 14); hdr.write(0, 1); hdr.write(0, 1)
+        hdr.write(0b0111, 4); hdr.write(0b1101, 4)
+        hdr.write(0, 4); hdr.write(0b100, 3); hdr.write(0, 1)
+        head = hdr.bytes() + _utf8_coded_number(fi)
+        head += st.pack(">H", block - 1) + st.pack(">H", 8000)
+        head += bytes([_crc8(head)])
+        body_writer.align()
+        fr = head + body_writer.bytes()
+        return fr + st.pack(">H", _crc16(fr))
+
+    # VERBATIM subframe, block 4
+    want1 = np.array([5, -6, 700, -32768], np.int64)
+    b = BitWriter(); b.write(0, 1); b.write(0b000001, 6); b.write(0, 1)
+    for v in want1:
+        b.write(int(v) & 0xFFFF, 16)
+    f1 = frame_bytes(b, 4, 0)
+
+    # FIXED order 0, block 4, residual via raw-bits escape (param=1111,
+    # raw width 6) + wasted bits = 1 (all samples even, stored >> 1)
+    stored = np.array([10, -20, 30, -12], np.int64) >> 1
+    b = BitWriter(); b.write(0, 1); b.write(0b001000, 6)
+    b.write(1, 1); b.write(1, 1)        # wasted flag, unary(1-1=0)->1
+    b.write(0, 2); b.write(0, 4)        # rice4, partition order 0
+    b.write(0xF, 4); b.write(6, 5)      # escape, 6 raw bits
+    for v in stored:
+        b.write(int(v) & 0x3F, 6)
+    f2 = frame_bytes(b, 4, 1)
+    want2 = stored << 1
+
+    total = np.concatenate([want1, want2]).astype(np.int16)
+    si = BitWriter()
+    si.write(4, 16); si.write(4, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(len(total), 36)
+    meta = si.bytes() + hashlib.md5(total.astype("<i2").tobytes()).digest()
+    blob = b"fLaC" + bytes([0x80]) + st.pack(">I", len(meta))[1:] + meta + f1 + f2
+    sr, _, dec = decode_flac(blob)
+    assert np.array_equal(dec, total)
+
+
+def test_flac_decode_audio_routing():
+    x = np.arange(50, dtype=np.int16)
+    sr, ch, dec = decode_audio(encode_flac(x, 8000), "flac")
+    assert (sr, ch) == (8000, 1) and np.array_equal(dec, x)
