@@ -259,6 +259,18 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
             _register_bare(cont.group("name"), cont.start("name"))
             pos = cont.end()
 
+    # checked invariant (round 9, same discipline as MERGE/UPDATE): an
+    # independent token walk must extract the same table set — a
+    # divergence is a bug in one of the two, surfaced loudly instead of
+    # silently scanning the wrong relations
+    from bazof_spark.sqlcheck import crosscheck_time_travel
+
+    try:
+        crosscheck_time_travel(sql, tables)
+    except ValueError as e:
+        raise SqlRewriteError(
+            f"time-travel extraction failed cross-validation: {e}"
+        ) from e
     return rewritten, tables
 
 

@@ -441,3 +441,229 @@ def crosscheck_update_body(body: str, sets: tuple, pred: str) -> None:
             f"WHERE predicate disagrees: validator {got_pred!r} vs "
             f"regex {canon(pred)!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Time-travel rewrite extraction (round 9): the OLDEST regex surface —
+# AT / FOR SYSTEM_TIME / FOR VERSION / CHANGES clauses and bare table
+# factors — re-derived by a positional token walk and compared as a
+# canonical key set.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_IDENT_RE = _re.compile(
+    r"[A-Za-z_][A-Za-z0-9_$]*(?:\.[A-Za-z_][A-Za-z0-9_$]*)*\Z"
+)
+# deliberately duplicated from sql._KEYWORDS: the keyword skip-list is
+# part of the behavior under check — if one side learns a keyword the
+# other didn't, the crosscheck trips loudly and both get updated
+_FACTOR_KEYWORDS = frozenset(
+    {"select", "lateral", "unnest", "values", "table", "generate_series"}
+)
+
+
+def parse_time_travel_tables(sql: str) -> set:
+    """Independent token-level extraction of every table reference the
+    rewrite must register: returns a set of canonical keys
+    ("at", name, epoch_millis) | ("version", name, ver) |
+    ("changes", name, m1, m2) | ("current", name)."""
+    from bazof_spark.asof import epoch_millis, parse_rfc3339
+
+    toks = tokenize(sql)
+    n = len(toks)
+    keys: set = set()
+    clause_end: dict[int, int] = {}  # factor-name token idx -> idx after clause
+
+    def is_word(i, kw=None):
+        return (
+            0 <= i < n
+            and toks[i][0] == "word"
+            and (kw is None or toks[i][1].upper() == kw)
+        )
+
+    def is_punct(i, p):
+        return 0 <= i < n and toks[i] == ("punct", p)
+
+    def is_str(i):
+        return 0 <= i < n and toks[i][0] == "str"
+
+    def str_val(i):
+        s = toks[i][1]
+        return s[1:-1].replace("''", "'")
+
+    def word_ver(i):
+        """The \\w+ version literal at token i (bare or quoted), else
+        None — mirroring the regex pass's '?(\\w+)'? capture."""
+        if is_word(i) and _re.fullmatch(r"\w+", toks[i][1]):
+            return toks[i][1]
+        if is_str(i):
+            sv = str_val(i)
+            if _re.fullmatch(r"\w+", sv):
+                return sv
+        return None
+
+    # pass 1: versioned forms, positional
+    i = 0
+    while i < n:
+        kind, t = toks[i]
+        if (
+            kind == "word"
+            and t.upper() == "CHANGES"
+            and is_punct(i + 1, "(")
+            and is_str(i + 2)
+            and is_punct(i + 3, ",")
+            and is_str(i + 4)
+        ):
+            name = str_val(i + 2)
+            if _IDENT_RE.match(name):
+                since = str_val(i + 4)
+                j, until = i + 5, None
+                if is_punct(j, ",") and is_str(j + 1):
+                    until, j = str_val(j + 1), j + 2
+                if is_punct(j, ")"):
+                    m1 = epoch_millis(parse_rfc3339(since))
+                    m2 = (
+                        "current"
+                        if until is None
+                        else str(epoch_millis(parse_rfc3339(until)))
+                    )
+                    keys.add(("changes", name, m1, m2))
+                    clause_end[i] = j + 1
+                    i = j + 1
+                    continue
+        if kind == "word" and _IDENT_RE.match(t):
+            if is_word(i + 1, "AT") and is_punct(i + 2, "("):
+                j = i + 3
+                if is_word(j, "VERSION") and is_punct(j + 1, "=>"):
+                    ver = word_ver(j + 2)
+                    if ver is not None and is_punct(j + 3, ")"):
+                        keys.add(("version", t, ver))
+                        clause_end[i] = j + 4
+                        i = j + 4
+                        continue
+                else:
+                    if is_word(j, "TIMESTAMP") and is_punct(j + 1, "=>"):
+                        j += 2
+                    if is_str(j) and is_punct(j + 1, ")"):
+                        keys.add(
+                            ("at", t, epoch_millis(parse_rfc3339(str_val(j))))
+                        )
+                        clause_end[i] = j + 2
+                        i = j + 2
+                        continue
+            if is_word(i + 1, "FOR"):
+                if (
+                    is_word(i + 2, "SYSTEM_TIME")
+                    and is_word(i + 3, "AS")
+                    and is_word(i + 4, "OF")
+                    and is_str(i + 5)
+                ):
+                    keys.add(
+                        ("at", t, epoch_millis(parse_rfc3339(str_val(i + 5))))
+                    )
+                    clause_end[i] = i + 6
+                    i += 6
+                    continue
+                if (
+                    is_word(i + 2, "VERSION")
+                    and is_word(i + 3, "AS")
+                    and is_word(i + 4, "OF")
+                ):
+                    ver = word_ver(i + 5)
+                    if ver is not None:
+                        keys.add(("version", t, ver))
+                        clause_end[i] = i + 6
+                        i += 6
+                        continue
+        i += 1
+
+    # pass 2: CTE / named-window definitions shadow table names
+    cte: set[str] = set()
+    for i in range(n):
+        head = None
+        if is_word(i, "WITH"):
+            head = i + 2 if is_word(i + 1, "RECURSIVE") else i + 1
+        elif is_punct(i, ","):
+            head = i + 1
+        if (
+            head is not None
+            and is_word(head)
+            and _IDENT_RE.match(toks[head][1])
+            and is_word(head + 1, "AS")
+            and is_punct(head + 2, "(")
+        ):
+            cte.add(toks[head][1])
+
+    # pass 3: bare factors after FROM/JOIN plus comma continuations
+    def register(idx):
+        name = toks[idx][1]
+        if idx in clause_end:
+            return clause_end[idx]
+        if name.lower() not in _FACTOR_KEYWORDS and name not in cte:
+            keys.add(("current", name))
+        return idx + 1
+
+    i = 0
+    while i < n:
+        if is_word(i) and toks[i][1].upper() in ("FROM", "JOIN"):
+            j = i + 1
+            if not (is_word(j) and _IDENT_RE.match(toks[j][1])):
+                i += 1
+                continue
+            j = register(j)
+            while True:
+                # optional alias then comma, mirroring the regex walk:
+                # try (AS x ,) then (x ,) then bare (,)
+                if (
+                    is_word(j, "AS")
+                    and is_word(j + 1)
+                    and is_punct(j + 2, ",")
+                    and is_word(j + 3)
+                    and _IDENT_RE.match(toks[j + 3][1])
+                ):
+                    j = register(j + 3)
+                elif (
+                    is_word(j)
+                    and is_punct(j + 1, ",")
+                    and is_word(j + 2)
+                    and _IDENT_RE.match(toks[j + 2][1])
+                ):
+                    j = register(j + 2)
+                elif (
+                    is_punct(j, ",")
+                    and is_word(j + 1)
+                    and _IDENT_RE.match(toks[j + 1][1])
+                ):
+                    j = register(j + 1)
+                else:
+                    break
+            i = j
+            continue
+        i += 1
+    return keys
+
+
+def crosscheck_time_travel(sql: str, tables) -> None:
+    """Compare rewrite_and_extract_tables' result against the token
+    walk; raise ValueError naming the divergence. Called on every
+    successful rewrite."""
+    from bazof_spark.asof import epoch_millis
+
+    expect = set()
+    for vt in tables:
+        if vt.changes is not None:
+            m1, m2 = vt.versioned_name.rsplit("_", 2)[-2:]
+            expect.add(("changes", vt.name, int(m1), m2))
+        elif vt.version is not None:
+            expect.add(("version", vt.name, vt.version))
+        elif not vt.as_of.is_current:
+            expect.add(("at", vt.name, epoch_millis(vt.as_of.event_time_at)))
+        else:
+            expect.add(("current", vt.name))
+    got = parse_time_travel_tables(sql)
+    if got != expect:
+        raise ValueError(
+            f"table extraction disagrees: validator-only "
+            f"{sorted(got - expect)!r}, regex-only {sorted(expect - got)!r}"
+        )

@@ -197,3 +197,93 @@ def test_update_fuzz_both_parsers_agree():
         assert st is not None and st.kind == "update"
         assert st.sets == tuple(sets)
         assert st.select == (pred or "")
+
+
+# ---------------------------------------------------------------------------
+# Time-travel extraction validator (round 9 follow-through)
+# ---------------------------------------------------------------------------
+
+from bazof_spark.sql import rewrite_and_extract_tables  # noqa: E402
+from bazof_spark.sqlcheck import parse_time_travel_tables  # noqa: E402
+
+
+def test_parse_time_travel_tables_all_forms():
+    keys = parse_time_travel_tables(
+        "WITH c AS (SELECT 1) "
+        "SELECT * FROM t AT ('2024-01-01T00:00:00Z') a "
+        "JOIN t FOR SYSTEM_TIME AS OF '2024-02-01T00:00:00Z' b ON a.k = b.k "
+        "JOIN u FOR VERSION AS OF 3 ON 1=1 "
+        "JOIN v AT(VERSION => '7') ON 1=1 "
+        "JOIN c ON 1=1 "
+        "JOIN CHANGES('w', '2024-01-01T00:00:00Z', '2024-03-01T00:00:00Z') "
+        "ON 1=1 JOIN x, y ON 1=1"
+    )
+    at1 = 1704067200000
+    at2 = 1706745600000
+    assert keys == {
+        ("at", "t", at1),
+        ("at", "t", at2),
+        ("version", "u", "3"),
+        ("version", "v", "7"),
+        ("changes", "w", at1, "1709251200000"),
+        ("current", "x"),
+        ("current", "y"),
+    }
+    # strings/comments never produce references
+    assert parse_time_travel_tables(
+        "SELECT ' FROM fake AT (''2024-01-01T00:00:00Z'') ' AS s "
+        "-- FROM ghost\n FROM real"
+    ) == {("current", "real")}
+
+
+def test_time_travel_crosscheck_is_live():
+    """rewrite_and_extract_tables self-validates: the full query above
+    round-trips, and both sides agree on every form at once."""
+    sql = (
+        "SELECT * FROM fin AT ('2019-01-17T00:00:00.000Z') f, extra "
+        "JOIN fin ON 1=1"
+    )
+    rewritten, tables = rewrite_and_extract_tables(sql)
+    assert "fin__1547683200000" in rewritten
+    assert {t.versioned_name for t in tables} == {
+        "fin__1547683200000", "fin", "extra"
+    }
+
+
+def test_time_travel_fuzz_both_extractors_agree():
+    """Generative: 300 random query skeletons mixing versioned forms,
+    CTE shadows, aliases, comma lists, and booby-trapped strings; every
+    one must pass the live crosscheck inside rewrite_and_extract_tables."""
+    import random
+
+    rng = random.Random(4242)
+    TS = ["2024-01-01T00:00:00Z", "2023-06-15T12:30:00Z"]
+    factor_forms = [
+        lambda t: t,
+        lambda t: f"{t} AT ('{rng.choice(TS)}')",
+        lambda t: f"{t} AT(TIMESTAMP => '{rng.choice(TS)}')",
+        lambda t: f"{t} FOR SYSTEM_TIME AS OF '{rng.choice(TS)}'",
+        lambda t: f"{t} FOR VERSION AS OF {rng.randint(1, 9)}",
+        lambda t: f"{t} AT(VERSION => {rng.randint(1, 9)})",
+        lambda t: f"CHANGES('{t}', '{rng.choice(TS)}')",
+        lambda t: f"CHANGES('{t}', '{TS[0]}', '{TS[1]}')",
+    ]
+    traps = [
+        "' FROM ghost AT (''2024-01-01T00:00:00Z'') '",
+        "', fake2'",
+        "'JOIN j2'",
+    ]
+    for _ in range(300):
+        tables = [f"t{rng.randint(0, 4)}" for _ in range(rng.randint(1, 4))]
+        parts = [factor_forms[rng.randrange(len(factor_forms))](t) for t in tables]
+        head = "WITH shadow AS (SELECT 1) " if rng.random() < 0.3 else ""
+        q = (
+            f"{head}SELECT {rng.choice(traps)} AS s FROM "
+            + parts[0]
+            + ("" if rng.random() < 0.5 else " z")
+        )
+        for p in parts[1:]:
+            q += rng.choice([f" JOIN {p} ON 1=1", f", {p}"])
+        if rng.random() < 0.3:
+            q += " JOIN shadow ON 1=1"
+        rewrite_and_extract_tables(q)  # crosscheck raises on divergence
