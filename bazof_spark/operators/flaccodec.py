@@ -213,6 +213,38 @@ def _write_residual(bw: BitWriter, resid: np.ndarray, block: int, order: int):
         _write_rice_block(bw, part, param)
 
 
+def encode_flac_parts(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    block_size: int = 64,
+    force_lpc: bool = False,
+) -> tuple[bytes, list[bytes]]:
+    """(34-byte STREAMINFO body, [frame bytes]) — the parts both the
+    native container (encode_flac) and the Ogg mapping
+    (oggcodec.encode_ogg_flac) assemble."""
+    xs = np.asarray(samples, dtype=np.int64)
+    n = len(xs)
+    if n == 0:
+        raise ValueError("empty sample array")
+    md5 = hashlib.md5(xs.astype("<i2").tobytes()).digest()
+    si = BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(0, 3)    # channels - 1
+    si.write(15, 5)   # bits per sample - 1
+    si.write(n, 36)
+    streaminfo = si.bytes() + md5
+    frames = [
+        _encode_frame(xs[pos : pos + block_size], fi, sample_rate,
+                      block_size, force_lpc)
+        for fi, pos in enumerate(range(0, n, block_size))
+    ]
+    return streaminfo, frames
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = 8000,
@@ -224,28 +256,13 @@ def encode_flac(
     ``force_lpc`` instead emits genuine LPC subframes (order 2,
     precision 12, shift 9, coefficients quantized from the fixed
     order-2 predictor) to exercise that decoder path."""
-    xs = np.asarray(samples, dtype=np.int64)
-    n = len(xs)
-    if n == 0:
-        raise ValueError("empty sample array")
-    md5 = hashlib.md5(xs.astype("<i2").tobytes()).digest()
-    # STREAMINFO
-    si = BitWriter()
-    si.write(block_size, 16)
-    si.write(block_size, 16)
-    si.write(0, 24)
-    si.write(0, 24)
-    si.write(sample_rate, 20)
-    si.write(0, 3)    # channels - 1
-    si.write(15, 5)   # bits per sample - 1
-    si.write(n, 36)
-    streaminfo = si.bytes() + md5
+    streaminfo, frames = encode_flac_parts(
+        samples, sample_rate, block_size, force_lpc
+    )
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
-
-    for fi, pos in enumerate(range(0, n, block_size)):
-        chunk = xs[pos : pos + block_size]
-        out += _encode_frame(chunk, fi, sample_rate, block_size, force_lpc)
+    for f in frames:
+        out += f
     return bytes(out)
 
 
@@ -329,6 +346,32 @@ _SAMPLE_RATE_TABLE = {
 }
 
 
+def parse_streaminfo(body: bytes):
+    """STREAMINFO body -> (sample_rate, channels, bits, total samples,
+    md5). Rejects shapes this decoder does not handle."""
+    br = BitReader(body)
+    br.read(16)
+    br.read(16)
+    br.read(24)
+    br.read(24)
+    sample_rate = br.read(20)
+    n_channels = br.read(3) + 1
+    bits = br.read(5) + 1
+    total = br.read(36)
+    if n_channels != 1 or bits != 16:
+        raise NotImplementedError("decoder handles mono 16-bit streams")
+    return sample_rate, n_channels, bits, total, body[18:34]
+
+
+def decode_flac_frame(packet: bytes, stream_bits: int = 16) -> np.ndarray:
+    """Decode ONE standalone FLAC frame (an Ogg-FLAC audio packet) to
+    its samples, verifying both CRCs."""
+    samples, end = _decode_frame(packet, 0, stream_bits)
+    if end != len(packet):
+        raise ValueError("trailing bytes after FLAC frame in packet")
+    return samples
+
+
 def decode_flac(content: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a mono FLAC stream -> (sample_rate, 1, int16 samples).
     Walks metadata blocks, then frames until the STREAMINFO total is
@@ -350,18 +393,9 @@ def decode_flac(content: bytes) -> tuple[int, int, np.ndarray]:
             break
     if streaminfo is None or len(streaminfo) < 34:
         raise ValueError("missing STREAMINFO")
-    br = BitReader(streaminfo)
-    br.read(16)
-    br.read(16)
-    br.read(24)
-    br.read(24)
-    sample_rate = br.read(20)
-    n_channels = br.read(3) + 1
-    bits = br.read(5) + 1
-    total = br.read(36)
-    md5_expect = streaminfo[18:34]
-    if n_channels != 1 or bits != 16:
-        raise NotImplementedError("decoder handles mono 16-bit streams")
+    sample_rate, n_channels, bits, total, md5_expect = parse_streaminfo(
+        streaminfo
+    )
 
     out = np.empty(total, dtype=np.int16)
     got = 0

@@ -597,6 +597,10 @@ def decode_audio(content: bytes, codec: str | None):
         from bazof_spark.operators.flaccodec import decode_flac
 
         return decode_flac(content)
+    if (codec or "").lower() in ("ogg", "oga"):
+        from bazof_spark.operators.oggcodec import decode_ogg_flac
+
+        return decode_ogg_flac(content)
     raise NotImplementedError(
         f"audio decode for {codec!r} requires a codec library not "
         "present in this environment (wav decode IS implemented)"

@@ -2094,6 +2094,70 @@ def multimodal_flac_decode_q(spark, sf_dir):
     )
 
 
+def multimodal_ogg_decode_q(spark, sf_dir):
+    """REAL Ogg container decode end-to-end (round 9 — the last named
+    entry of the mp3/flac/ogg residue): deterministic int16 PCM per
+    doc wrapped via the published FLAC-in-Ogg mapping
+    (operators/oggcodec.encode_ogg_flac — RFC 3533 pages, segment
+    lacing, the unreflected 0x04C11DB7 page CRC-32, BOS/EOS flags,
+    0x7F"FLAC" mapping header), then recovered by the independent page
+    walk + packet reassembly (decode_ogg_flac verifies every page CRC,
+    every FLAC frame CRC, and the stream MD5) and reduced to
+    integer-exact stats. Lossless, so the DuckDB oracle recomputes
+    straight from the synthesis formula. Two map-only Arrow-batched
+    stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.oggcodec import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 150 + mid % 53
+                i = np.arange(n, dtype=np.int64)
+                samples = ((mid * 104729 + i * 97) % 3001) - 1500
+                blobs.append(
+                    encode_ogg_flac(
+                        samples.astype(np.int16), 8000,
+                        block_size=64, force_lpc=bool(mid % 2),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def stats(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "peak": [], "amp_sum": [], "checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                sr, _, dec = decode_ogg_flac(bytes(blob))
+                d = dec.astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(len(d))
+                out["peak"].append(int(np.abs(d).max()))
+                out["amp_sum"].append(int(np.abs(d).sum()))
+                out["checksum"].append(int(d.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, sample_rate int, n_frames long, "
+        "peak int, amp_sum long, checksum long",
+    )
+
+
 def multimodal_adpcm_decode_q(spark, sf_dir):
     """REAL compressed-audio decode end-to-end (round 9 — the first
     COMPRESSED audio codec in-sandbox): the same deterministic int16
@@ -2598,6 +2662,32 @@ _MULTIMODAL_ORACLES = {
             SELECT media_id, n,
                    list_transform(range(0, n),
                        i -> ((media_id * 7919 + i * 131) % 4001) - 2000)
+                       AS smp
+            FROM m
+        )
+        SELECT media_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(list_max(list_transform(smp, x -> abs(x))) AS INT)
+                   AS peak,
+               CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+                   AS amp_sum,
+               CAST(list_sum(smp) AS BIGINT) AS checksum
+        FROM s
+    """,
+    # lossless Ogg-FLAC round trip: stats recomputed straight from the
+    # synthesis formula; Spark's answer came through RFC 3533 page
+    # framing + packet reassembly + FLAC frame decode with every CRC
+    # and the stream MD5 verified
+    "multimodal_ogg_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id, 150 + doc_id % 53 AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, n,
+                   list_transform(range(0, n),
+                       i -> ((media_id * 104729 + i * 97) % 3001) - 1500)
                        AS smp
             FROM m
         )
@@ -5224,6 +5314,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_wav_decode": multimodal_wav_decode_q,
     "multimodal_adpcm_decode": multimodal_adpcm_decode_q,
     "multimodal_flac_decode": multimodal_flac_decode_q,
+    "multimodal_ogg_decode": multimodal_ogg_decode_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,

@@ -976,3 +976,75 @@ def test_flac_decode_audio_routing():
     x = np.arange(50, dtype=np.int16)
     sr, ch, dec = decode_audio(encode_flac(x, 8000), "flac")
     assert (sr, ch) == (8000, 1) and np.array_equal(dec, x)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container + FLAC-in-Ogg mapping (round 9)
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.oggcodec import (  # noqa: E402
+    _ogg_crc,
+    _page,
+    decode_ogg_flac,
+    encode_ogg_flac,
+    parse_ogg_packets,
+)
+
+
+def test_ogg_flac_lossless_roundtrip():
+    rng = np.random.default_rng(21)
+    for n in (1, 63, 64, 65, 500):
+        x = np.cumsum(rng.integers(-200, 201, n)).clip(-32768, 32767).astype(np.int16)
+        for lpc in (False, True):
+            sr, ch, dec = decode_ogg_flac(encode_ogg_flac(x, 22_050, force_lpc=lpc))
+            assert (sr, ch) == (22_050, 1)
+            assert np.array_equal(dec, x)
+
+
+def test_ogg_page_crc_is_the_unreflected_xiph_polynomial():
+    """Pin the CRC flavor: zlib's reflected CRC-32 of 'OggS' is
+    0x2e9ce6a8; xiph's unreflected 0x04C11DB7 table gives a DIFFERENT
+    value — a decoder using zlib.crc32 would accept nothing."""
+    import zlib
+
+    assert _ogg_crc(b"") == 0
+    assert _ogg_crc(b"OggS") != zlib.crc32(b"OggS")
+    # known property: appending the CRC's own big-endian bytes to the
+    # message zeroes the register for this polynomial family
+    msg = b"hello ogg"
+    crc = _ogg_crc(msg)
+    assert _ogg_crc(msg + crc.to_bytes(4, "big")) == 0
+
+
+def test_ogg_corruption_and_truncation_fail_loudly():
+    x = np.arange(300, dtype=np.int16)
+    blob = bytearray(encode_ogg_flac(x))
+    blob[40] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_ogg_flac(bytes(blob))
+    with pytest.raises(ValueError, match="capture|truncated"):
+        parse_ogg_packets(b"NotOggData")
+    # drop the EOS page: fewer samples than STREAMINFO promises
+    good = encode_ogg_flac(x)
+    last_page = good.rfind(b"OggS")
+    with pytest.raises(ValueError, match="ended at"):
+        decode_ogg_flac(good[:last_page])
+
+
+def test_ogg_packet_continuation_across_pages():
+    """A packet larger than one page's lacing run must reassemble: the
+    open-ended page ends on a 255-boundary and the next page carries
+    the continuation flag."""
+    pkt = bytes(range(256)) * 2  # 512 bytes
+    p1 = _page([pkt[:510]], 7, 0, -1, 0x02, open_ended=True)
+    p2 = _page([pkt[510:]], 7, 1, 0, 0x01)
+    assert parse_ogg_packets(p1 + p2) == [(7, pkt)]
+    # a continuation page with no prior partial is a framing error
+    with pytest.raises(ValueError, match="ended mid-packet"):
+        parse_ogg_packets(p1)
+
+
+def test_ogg_decode_audio_routing():
+    x = np.arange(80, dtype=np.int16)
+    sr, ch, dec = decode_audio(encode_ogg_flac(x, 8000), "ogg")
+    assert (sr, ch) == (8000, 1) and np.array_equal(dec, x)
