@@ -1221,8 +1221,34 @@ def scd2_user_event_type(spark, sf_dir):
     )
 
 
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie 2023) hashed-n-gram importance weights: p_target fit
+    on the lang='en' slice, p_raw on the whole corpus, every doc
+    scored by Σ log-ratio over its hashed unigram+bigram buckets
+    (operators/dsir.py — the published data-selection recipe). Bucket
+    hashing is the engine-identical md5→BIGINT construction, so the
+    oracle reproduces every bucket; the weight sum is rounded to 6
+    like the LM scores. Plan: map-only featurization, two ≤256-row
+    map-side-combined distribution aggs, one broadcast ratio join,
+    one per-doc partial agg."""
+    from bazof_spark.operators.dsir import dsir_log_weights
+    from bazof_spark.sources.tables import rebalance_if_undersplit
+
+    # rebalance: the gram explode + md5 is per-row compute that a
+    # single-file scan would serialize onto one core (same rationale
+    # as workload._docs_par for the codec queries)
+    docs = rebalance_if_undersplit(spark, _t("documents")(spark, sf_dir))
+    out = dsir_log_weights(docs, F.col("lang") == "en", n_buckets=256)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
 QUERIES_EXT = {
     "scd2_user_event_type": scd2_user_event_type,
+    "dsir_importance_weights": dsir_importance_weights,
     "lm_unigram_score": lm_unigram_score,
     "lm_bigram_score": lm_bigram_score,
     "dedup_edit_distance": dedup_edit_distance,
@@ -1622,6 +1648,53 @@ ORACLES_EXT = {
     """,
     # add-1-smoothed unigram LM: vocab = top-16 en tokens (count DESC,
     # token ASC tie-break), p(t) = (cnt+1)/(N + 1*(V+1)), OOV ⇒ cnt=0
+    # DSIR: same tokenizer as the LM scores, bigrams by 1-based list
+    # indexing, buckets via the engine-identical md5→BIGINT hash
+    # (dedup.py construction); add-1 smoothing over the 256-bucket
+    # table in both distributions; weight rounded to 6 like avg_logprob
+    "dsir_importance_weights": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(0, len(t) - 1),
+                                 i -> t[i + 1] || ' ' || t[i + 2])
+                            ELSE CAST([] AS VARCHAR[]) END)) AS g
+            FROM toks
+        ),
+        buckets AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 256 AS b
+            FROM grams
+        ),
+        raw AS (SELECT b, count(*) AS rc FROM buckets GROUP BY b),
+        tgt AS (
+            SELECT b, count(*) AS tc
+            FROM buckets JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY b
+        ),
+        rt AS (SELECT sum(rc) AS rtot FROM raw),
+        tt AS (SELECT coalesce(sum(tc), 0) AS ttot FROM tgt),
+        ratio AS (
+            SELECT b,
+                   ln((coalesce(tc, 0) + 1.0) / (ttot + 256.0))
+                   - ln((rc + 1.0) / (rtot + 256.0)) AS lr
+            FROM raw LEFT JOIN tgt USING (b) CROSS JOIN rt CROSS JOIN tt
+        ),
+        scored AS (
+            SELECT doc_id, count(*) AS n_grams, sum(lr) AS w
+            FROM buckets JOIN ratio USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               round(coalesce(w, 0.0), 6) AS log_weight
+        FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
     "lm_unigram_score": """
         WITH train_toks AS (
             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token

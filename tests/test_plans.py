@@ -527,3 +527,13 @@ def test_tombstone_and_update_scans_stay_one_shuffle(spark):
                 "key", "event_time", "event_id", "event_type", "value",
                 "props", "_tombstone", "_tmp_metadata_row_index",
             }, (name, cols)
+
+
+def test_dsir_weights_broadcast_ratio_bounded_shuffles(spark):
+    """DSIR (round 9): the log-ratio model (≤256 rows, trained via two
+    bounded distribution aggs at build time) must BROADCAST onto the
+    exploded gram stream — the scoring plan is ONE per-doc exchange,
+    nothing corpus-sized ever shuffles against the model."""
+    df = q("dsir_importance_weights", spark)
+    assert broadcast_join_count(df) >= 1, "ratio join must broadcast"
+    assert shuffle_count(df) <= 2
