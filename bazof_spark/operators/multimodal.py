@@ -607,6 +607,31 @@ def decode_audio(content: bytes, codec: str | None):
     )
 
 
+def demux_video_frames(content: bytes, container: str | None) -> list:
+    """Demux a video blob into decoded grayscale/indexed frame arrays.
+
+    REAL for ``avi`` (MJPEG-in-AVI: RIFF walk + per-frame baseline-JPEG
+    decode, operators/avicontainer.py + jpegcodec.py) and ``gif``
+    (animated frames with progressive compositing,
+    gifcodec.decode_gif_frames). Inter-frame codecs (h264/vp9/av1 in
+    mp4/mkv/webm — need a real decoder library) are the declared stub
+    boundary; ffmpeg/pyav slots into this dispatcher in production."""
+    c = (container or "").lower()
+    if c == "avi":
+        from bazof_spark.operators.avicontainer import parse_avi
+        from bazof_spark.operators.jpegcodec import decode_jpeg
+
+        return [decode_jpeg(f) for f in parse_avi(content)["frames"]]
+    if c == "gif":
+        from bazof_spark.operators.gifcodec import decode_gif_frames
+
+        return decode_gif_frames(content)
+    raise NotImplementedError(
+        f"video demux for {container!r} requires a codec library not "
+        "present in this environment (avi/mjpeg and gif ARE implemented)"
+    )
+
+
 def wav_waveform_stats(
     df: DataFrame,
     id_col: str = "media_id",

@@ -1048,3 +1048,21 @@ def test_ogg_decode_audio_routing():
     x = np.arange(80, dtype=np.int16)
     sr, ch, dec = decode_audio(encode_ogg_flac(x, 8000), "ogg")
     assert (sr, ch) == (8000, 1) and np.array_equal(dec, x)
+
+
+def test_demux_video_frames_dispatcher():
+    from bazof_spark.operators.multimodal import demux_video_frames
+    from bazof_spark.operators.gifcodec import encode_gif_animated
+
+    w, h, pix, jfs = _mk_frames(4, 3)
+    frames = demux_video_frames(encode_avi_mjpeg(jfs, w, h), "avi")
+    assert len(frames) == 3 and all(
+        np.array_equal(a, b) for a, b in zip(frames, pix)
+    )
+    gpx = [((np.arange(12).reshape(3, 4) + f) % 256).astype(np.uint8)
+           for f in range(2)]
+    gf = demux_video_frames(encode_gif_animated(gpx), "gif")
+    # GIF frames come back RGB (identity grayscale palette replicated)
+    assert len(gf) == 2 and np.array_equal(gf[0][:, :, 0], gpx[0])
+    with pytest.raises(NotImplementedError, match="mjpeg and gif ARE"):
+        demux_video_frames(b"\x00\x00\x00\x18ftypmp42", "mp4")
