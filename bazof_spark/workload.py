@@ -2094,6 +2094,89 @@ def multimodal_flac_decode_q(spark, sf_dir):
     )
 
 
+def warc_extract_text_q(spark, sf_dir):
+    """REAL web-archive ingestion end-to-end (round 9 — the
+    CommonCrawl shape every LLM pretraining pipeline starts from):
+    per doc a deterministic HTML page (title, entity-bearing h1,
+    2–4 paragraphs, plus a style block, an HTML comment, and a script
+    whose text must NOT survive) wrapped as a WARC/1.0 response
+    record in its own gzip member (operators/warc.build_warc_gz),
+    then demuxed (gzip-member walk, Content-Length framing, HTTP
+    envelope split) and reduced to integer-exact stats over the
+    EXTRACTED visible text (operators/warc.html_to_text — script/
+    style/comment subtrees dropped, tags stripped, entities decoded,
+    whitespace collapsed). The extraction is deterministic, so the
+    DuckDB oracle rebuilds the expected text in closed form from the
+    page template — leaked script text, surviving markup, a broken
+    entity, or bad record framing all change the hash. Two map-only
+    Arrow-batched stages, no shuffle; trafilatura/resiliparse slot
+    into the same seam in production."""
+    import pandas as pd
+
+    from bazof_spark.operators.warc import (
+        build_warc_gz,
+        html_to_text,
+        parse_warc,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                np_, nw = 2 + mid % 3, 3 + mid % 4
+                paras = "".join(
+                    "<p>"
+                    + " ".join(f"w{mid}_{p}_{i}" for i in range(nw))
+                    + "</p>"
+                    for p in range(np_)
+                )
+                html = (
+                    f"<html><head><title>Doc {mid}</title>"
+                    f"<style>p {{color: red}}</style></head>"
+                    f"<body><!-- c{mid} --><h1>Title &amp; {mid}</h1>"
+                    f"{paras}<script>var trap_{mid} = 1;</script>"
+                    f"</body></html>"
+                )
+                blobs.append(
+                    build_warc_gz(
+                        [{
+                            "uri": f"http://example.com/{mid}",
+                            "date": "2024-01-01T00:00:00Z",
+                            "html": html,
+                        }]
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def extract(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "http_status": [], "n_words": [],
+                "n_chars": [], "char_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                recs = parse_warc(bytes(blob))
+                (rec,) = recs
+                text = html_to_text(rec["body"].decode("utf-8"))
+                out["media_id"].append(mid)
+                out["http_status"].append(int(rec["http_status"]))
+                out["n_words"].append(len(text.split()))
+                out["n_chars"].append(len(text))
+                out["char_checksum"].append(sum(ord(c) for c in text))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        extract,
+        "media_id long, http_status int, n_words long, "
+        "n_chars long, char_checksum long",
+    )
+
+
 def multimodal_ogg_decode_q(spark, sf_dir):
     """REAL Ogg container decode end-to-end (round 9 — the last named
     entry of the mp3/flac/ogg residue): deterministic int16 PCM per
@@ -2674,6 +2757,36 @@ _MULTIMODAL_ORACLES = {
                    AS amp_sum,
                CAST(list_sum(smp) AS BIGINT) AS checksum
         FROM s
+    """,
+    # rebuilds the page template's expected visible text in closed
+    # form ('Doc N Title & N' + the paragraph words joined by single
+    # spaces); Spark's answer came through gzip-member WARC demux +
+    # HTTP envelope split + the deterministic html_to_text extraction
+    "warc_extract_text": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   2 + doc_id % 3 AS np, 3 + doc_id % 4 AS nw
+            FROM documents
+        ),
+        t AS (
+            SELECT media_id,
+                   'Doc ' || media_id || ' Title & ' || media_id || ' ' ||
+                   array_to_string(
+                       flatten(list_transform(range(0, np), p ->
+                           list_transform(range(0, nw), i ->
+                               'w' || media_id || '_' || p || '_' || i))),
+                       ' ') AS txt,
+                   5 + np * nw AS nwords
+            FROM m
+        )
+        SELECT media_id,
+               CAST(200 AS INT) AS http_status,
+               CAST(nwords AS BIGINT) AS n_words,
+               CAST(length(txt) AS BIGINT) AS n_chars,
+               CAST(list_sum(list_transform(range(1, length(txt) + 1),
+                   i -> ascii(substring(txt, i, 1)))) AS BIGINT)
+                   AS char_checksum
+        FROM t
     """,
     # lossless Ogg-FLAC round trip: stats recomputed straight from the
     # synthesis formula; Spark's answer came through RFC 3533 page
@@ -5315,6 +5428,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_adpcm_decode": multimodal_adpcm_decode_q,
     "multimodal_flac_decode": multimodal_flac_decode_q,
     "multimodal_ogg_decode": multimodal_ogg_decode_q,
+    "warc_extract_text": warc_extract_text_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
