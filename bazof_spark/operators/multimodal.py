@@ -95,6 +95,11 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
         from bazof_spark.operators.gifcodec import decode_gif
 
         return decode_gif(content)
+    if f == "qoi":
+        from bazof_spark.operators.qoicodec import decode_qoi
+
+        px = decode_qoi(content)
+        return px[:, :, :3]  # RGBA → RGB for the uniform contract
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
         "in this environment (bmp/ppm/png/jpeg decode IS "

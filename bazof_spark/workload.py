@@ -2679,6 +2679,41 @@ def multimodal_bmp_decode_q(spark, sf_dir):
     return bmp_pixel_stats(media)
 
 
+def multimodal_qoi_decode_q(spark, sf_dir):
+    """REAL QOI decode end-to-end (round 9 — the 2022 public-domain
+    format): the same deterministic RGB grids as multimodal_bmp_decode
+    encoded as genuine QOI streams (greedy RUN/INDEX/DIFF/LUMA/RGB op
+    choice, 64-entry running index, end marker —
+    operators/qoicodec.encode_qoi), decoded back by the independent
+    byte walk (decode_qoi) and reduced to position-weighted checksums.
+    QOI is lossless, so the oracle is IDENTICAL to the BMP one — an op
+    mis-decode, index-hash mistake, or wrapping error anywhere changes
+    the hash. Two map-only Arrow-batched stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import bmp_pixel_stats
+    from bazof_spark.operators.qoicodec import decode_qoi, encode_qoi
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((mid + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+                blobs.append(encode_qoi(px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(media, decoder=decode_qoi)
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -3059,6 +3094,30 @@ _MULTIMODAL_ORACLES = {
                        list_sum(list_transform(range(0, nbx), bx ->
                            (media_id + 9*f + 11*by + 5*bx) % 256))))))
                    AS BIGINT) AS frame_weighted
+        FROM m
+    """,
+    # identical pixels to multimodal_bmp_decode (QOI is lossless);
+    # Spark's answer came through a real QOI op-stream round trip
+    "multimodal_qoi_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (media_id + 7*y + 3*x + c) % 256))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           ((media_id + 7*y + 3*x + c) % 256)
+                           * (y*1000000 + x*1000 + c + 1)))))))
+                   AS BIGINT) AS pos_checksum
         FROM m
     """,
     "multimodal_bmp_decode": """
@@ -5430,6 +5489,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_ogg_decode": multimodal_ogg_decode_q,
     "warc_extract_text": warc_extract_text_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
+    "multimodal_qoi_decode": multimodal_qoi_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
     "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode_q,

@@ -1066,3 +1066,52 @@ def test_demux_video_frames_dispatcher():
     assert len(gf) == 2 and np.array_equal(gf[0][:, :, 0], gpx[0])
     with pytest.raises(NotImplementedError, match="mjpeg and gif ARE"):
         demux_video_frames(b"\x00\x00\x00\x18ftypmp42", "mp4")
+
+
+# ---------------------------------------------------------------------------
+# QOI (round 9): the one-page public-domain lossless format
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.qoicodec import decode_qoi, encode_qoi  # noqa: E402
+
+
+def test_qoi_roundtrip_all_op_classes():
+    rng = np.random.default_rng(31)
+    cases = [
+        rng.integers(0, 256, (9, 7, 3), dtype=np.uint8),     # RGB ops
+        rng.integers(0, 256, (5, 5, 4), dtype=np.uint8),     # RGBA ops
+        np.full((6, 70, 3), 9, np.uint8),                    # >62 runs
+    ]
+    pal = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    cases.append(pal[rng.integers(0, 3, (8, 8))])            # INDEX hits
+    drift = np.cumsum(rng.integers(-1, 2, (1, 40, 3)), 1) % 256
+    cases.append(np.repeat(drift, 4, 0).astype(np.uint8))    # DIFF/LUMA
+    for px in cases:
+        dec = decode_qoi(encode_qoi(px))
+        assert dec.shape == px.shape and np.array_equal(dec, px)
+
+
+def test_qoi_wrapping_diffs():
+    """DIFF/LUMA arithmetic wraps mod 256 — pin 255→0 and 0→255."""
+    px = np.array([[[255, 255, 255], [0, 0, 0], [255, 254, 255]]], np.uint8)
+    assert np.array_equal(decode_qoi(encode_qoi(px)), px)
+
+
+def test_qoi_errors_loud():
+    with pytest.raises(ValueError, match="QOI"):
+        decode_qoi(b"nope")
+    blob = bytearray(encode_qoi(np.zeros((2, 2, 3), np.uint8)))
+    blob[-1] = 0
+    with pytest.raises(ValueError):
+        decode_qoi(bytes(blob))
+    # truncated op stream
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_qoi(blob[:14] + b"\x00" * 8)
+
+
+def test_qoi_decode_image_routing():
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(decode_image(encode_qoi(px), "qoi"), px)
+    # RGBA input routes to RGB through the uniform contract
+    rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+    assert np.array_equal(decode_image(encode_qoi(rgba), "qoi"), rgba[:, :, :3])
