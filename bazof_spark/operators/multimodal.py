@@ -100,6 +100,13 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
 
         px = decode_qoi(content)
         return px[:, :, :3]  # RGBA → RGB for the uniform contract
+    if f in ("tiff", "tif"):
+        from bazof_spark.operators.tiffcodec import decode_tiff
+
+        px = decode_tiff(content)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
         "in this environment (bmp/ppm/png/jpeg decode IS "

@@ -2679,6 +2679,48 @@ def multimodal_bmp_decode_q(spark, sf_dir):
     return bmp_pixel_stats(media)
 
 
+def multimodal_tiff_decode_q(spark, sf_dir):
+    """REAL baseline-TIFF decode end-to-end (round 9): the same
+    deterministic RGB grids as multimodal_bmp_decode written as actual
+    TIFF 6.0 files — IFD tags, 2-row strips so the multi-strip path
+    always carries live data, and per-doc alternating compression
+    (even ids TIFF-LZW: MSB-first, 9-bit start, EarlyChange width
+    bumps; odd ids PackBits RLE) — then recovered by the independent
+    IFD walk + fresh decompressors (operators/tiffcodec.decode_tiff)
+    and reduced to position-weighted checksums. Lossless, so the
+    oracle is IDENTICAL to the BMP one. Two map-only Arrow-batched
+    stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import bmp_pixel_stats
+    from bazof_spark.operators.tiffcodec import (
+        COMP_LZW,
+        COMP_PACKBITS,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((mid + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+                comp = COMP_LZW if mid % 2 == 0 else COMP_PACKBITS
+                blobs.append(encode_tiff(px, comp, rows_per_strip=2))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(media, decoder=decode_tiff)
+
+
 def multimodal_qoi_decode_q(spark, sf_dir):
     """REAL QOI decode end-to-end (round 9 — the 2022 public-domain
     format): the same deterministic RGB grids as multimodal_bmp_decode
@@ -3098,6 +3140,30 @@ _MULTIMODAL_ORACLES = {
     """,
     # identical pixels to multimodal_bmp_decode (QOI is lossless);
     # Spark's answer came through a real QOI op-stream round trip
+    # identical pixels again (TIFF is lossless); Spark came through
+    # IFD walk + strips + LZW/PackBits decompression
+    "multimodal_tiff_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (media_id + 7*y + 3*x + c) % 256))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           ((media_id + 7*y + 3*x + c) % 256)
+                           * (y*1000000 + x*1000 + c + 1)))))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
     "multimodal_qoi_decode": """
         WITH m AS (
             SELECT doc_id AS media_id,
@@ -5490,6 +5556,7 @@ QUERIES: dict[str, QueryFn] = {
     "warc_extract_text": warc_extract_text_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_qoi_decode": multimodal_qoi_decode_q,
+    "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
     "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode_q,

@@ -1115,3 +1115,86 @@ def test_qoi_decode_image_routing():
     # RGBA input routes to RGB through the uniform contract
     rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
     assert np.array_equal(decode_image(encode_qoi(rgba), "qoi"), rgba[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
+# baseline TIFF (round 9): IFD walk, strips, LZW (EarlyChange) + PackBits
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.tiffcodec import (  # noqa: E402
+    COMP_LZW,
+    COMP_NONE,
+    COMP_PACKBITS,
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_lzw_decode,
+    tiff_lzw_encode,
+)
+
+
+def test_tiff_roundtrip_gray_rgb_all_compressions_and_strips():
+    rng = np.random.default_rng(23)
+    for shape in ((7, 5), (6, 9, 3), (1, 1), (13, 2, 3)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for comp in (COMP_NONE, COMP_PACKBITS, COMP_LZW):
+            for rps in (2, 1000):
+                dec = decode_tiff(encode_tiff(px, comp, rows_per_strip=rps))
+                assert np.array_equal(dec, px), (shape, comp, rps)
+
+
+def test_tiff_lzw_earlychange_and_table_reset():
+    """Low-entropy data long enough to drive the code width to 12 bits
+    and force a mid-stream CLEAR/reset; plus incompressible data."""
+    rng = np.random.default_rng(29)
+    low = bytes(rng.integers(0, 6, 30_000, dtype=np.uint8))
+    assert tiff_lzw_decode(tiff_lzw_encode(low), len(low)) == low
+    rnd = bytes(rng.integers(0, 256, 50_000, dtype=np.uint8))
+    assert tiff_lzw_decode(tiff_lzw_encode(rnd), len(rnd)) == rnd
+
+
+def test_tiff_packbits_runs_and_literals():
+    data = b"\x00" * 300 + b"abcdef" + b"\xff" * 2 + b"x"
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+    with pytest.raises(ValueError, match="exhausted"):
+        packbits_decode(b"", 5)
+
+
+def test_tiff_big_endian_and_errors():
+    """The decoder must accept MM (big-endian) files — hand-flip a
+    minimal uncompressed gray file — and reject garbage."""
+    px = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    import struct as st
+
+    data = px.tobytes()
+    entries = [
+        (256, 3, 1, 3 << 16), (257, 3, 1, 2 << 16), (258, 3, 1, 8 << 16),
+        (259, 3, 1, 1 << 16), (262, 3, 1, 1 << 16),
+        (273, 4, 1, None), (277, 3, 1, 1 << 16),
+        (278, 3, 1, 1000 << 16), (279, 4, 1, len(data)),
+    ]
+    ifd_at = 8
+    data_at = ifd_at + 2 + 12 * len(entries) + 4
+    blob = bytearray(b"MM\x00*" + st.pack(">I", ifd_at))
+    blob += st.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if val is None:
+            val = data_at
+        blob += st.pack(">HHI", tag, typ, cnt)
+        if typ == 3:
+            blob += st.pack(">HH", val >> 16, 0)
+        else:
+            blob += st.pack(">I", val)
+    blob += st.pack(">I", 0) + data
+    assert np.array_equal(decode_tiff(bytes(blob)), px)
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"not a tiff")
+
+
+def test_tiff_decode_image_routing():
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(decode_image(encode_tiff(px), "tiff"), px)
+    gray = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    out = decode_image(encode_tiff(gray, COMP_LZW), "tif")
+    assert out.shape == (2, 2, 3) and np.array_equal(out[:, :, 1], gray)
