@@ -2094,6 +2094,64 @@ def multimodal_flac_decode_q(spark, sf_dir):
     )
 
 
+def zip_extract_documents_q(spark, sf_dir):
+    """REAL archive ingestion end-to-end (round 9): per doc an actual
+    ZIP (stdlib-written, so fixtures are known-good; even media_ids
+    deflated, odd stored) holding 1–3 deterministic text members, then
+    hand-parsed back (operators/ziparchive.parse_zip — EOCD scan,
+    central-directory walk, local-header offset resolution, raw
+    inflate, per-member CRC-32 verify) and reduced to integer-exact
+    stats. The member texts are closed-form, so the DuckDB oracle
+    recomputes everything; a framing, inflate, or CRC mistake changes
+    the hash. Two map-only Arrow-batched stages, no shuffle."""
+    import pandas as pd
+
+    from bazof_spark.operators.ziparchive import build_zip, parse_zip
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nm = 1 + mid % 3
+                members = [
+                    (
+                        f"m{p}.txt",
+                        " ".join(
+                            f"z{mid}_{p}_{i}" for i in range(2 + mid % 4)
+                        ).encode("utf-8"),
+                    )
+                    for p in range(nm)
+                ]
+                blobs.append(build_zip(members, compress=mid % 2 == 0))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def extract(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "n_members": [], "total_bytes": [],
+                "char_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                ms = parse_zip(bytes(blob))
+                out["media_id"].append(mid)
+                out["n_members"].append(len(ms))
+                out["total_bytes"].append(sum(m["size"] for m in ms))
+                out["char_checksum"].append(
+                    sum(sum(m["data"]) for m in ms)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        extract,
+        "media_id long, n_members int, total_bytes long, char_checksum long",
+    )
+
+
 def warc_extract_text_q(spark, sf_dir):
     """REAL web-archive ingestion end-to-end (round 9 — the
     CommonCrawl shape every LLM pretraining pipeline starts from):
@@ -2834,6 +2892,34 @@ _MULTIMODAL_ORACLES = {
                    AS amp_sum,
                CAST(list_sum(smp) AS BIGINT) AS checksum
         FROM s
+    """,
+    # recomputes member texts in closed form ('z{mid}_{p}_{i}' words
+    # joined by spaces); Spark's answer came through a hand-parsed ZIP
+    # central directory + inflate + CRC verify
+    "zip_extract_documents": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 3 AS nm, 2 + doc_id % 4 AS nw
+            FROM documents
+        ),
+        texts AS (
+            SELECT media_id, nm,
+                   list_transform(range(0, nm), p ->
+                       array_to_string(
+                           list_transform(range(0, nw), i ->
+                               'z' || media_id || '_' || p || '_' || i),
+                           ' ')) AS ms
+            FROM m
+        )
+        SELECT media_id,
+               CAST(nm AS INT) AS n_members,
+               CAST(list_sum(list_transform(ms, s -> length(s)))
+                   AS BIGINT) AS total_bytes,
+               CAST(list_sum(list_transform(ms, s ->
+                   list_sum(list_transform(range(1, length(s) + 1),
+                       i -> ascii(substring(s, i, 1))))))
+                   AS BIGINT) AS char_checksum
+        FROM texts
     """,
     # rebuilds the page template's expected visible text in closed
     # form ('Doc N Title & N' + the paragraph words joined by single
@@ -5554,6 +5640,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_flac_decode": multimodal_flac_decode_q,
     "multimodal_ogg_decode": multimodal_ogg_decode_q,
     "warc_extract_text": warc_extract_text_q,
+    "zip_extract_documents": zip_extract_documents_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_qoi_decode": multimodal_qoi_decode_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,

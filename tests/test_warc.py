@@ -74,3 +74,53 @@ def test_html_to_text_rules():
     assert html_to_text("&bogus; &#x41;") == "&bogus; A"
     # nested angle text inside attributes
     assert html_to_text('<a href="u" title="q">link</a>') == "link"
+
+
+# ---------------------------------------------------------------------------
+# ZIP archives (round 9): stdlib writer vs hand parser
+# ---------------------------------------------------------------------------
+
+import zlib  # noqa: E402
+
+from bazof_spark.operators.ziparchive import build_zip, parse_zip  # noqa: E402
+
+
+def test_zip_roundtrip_deflate_and_stored():
+    members = [
+        ("a.txt", b"hello " * 200),
+        ("dir/b.bin", bytes(range(256)) * 3),
+        ("empty.txt", b""),
+    ]
+    for compress in (True, False):
+        out = parse_zip(build_zip(members, compress))
+        assert [(m["name"], m["data"]) for m in out] == members
+        assert all(
+            m["method"] == (8 if compress and m["size"] else 0)
+            or m["method"] in (0, 8)
+            for m in out
+        )
+
+
+def test_zip_crc_and_framing_errors_loud():
+    import pytest
+
+    blob = bytearray(build_zip([("a.txt", b"x" * 500)]))
+    # flip a byte inside the deflate stream -> inflate error or CRC trip
+    blob[45] ^= 0xFF
+    with pytest.raises((ValueError, zlib.error)):
+        parse_zip(bytes(blob))
+    with pytest.raises(ValueError, match="end-of-central"):
+        parse_zip(b"not a zip at all")
+
+
+def test_zip_interops_with_stdlib_reader():
+    """Our parse agrees with zipfile on the same blob."""
+    import io
+    import zipfile
+
+    members = [("x.txt", b"alpha"), ("y.txt", b"beta" * 100)]
+    blob = build_zip(members)
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        std = [(n, z.read(n)) for n in z.namelist()]
+    ours = [(m["name"], m["data"]) for m in parse_zip(blob)]
+    assert std == ours
