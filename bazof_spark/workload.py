@@ -2094,6 +2094,78 @@ def multimodal_flac_decode_q(spark, sf_dir):
     )
 
 
+def tar_shard_samples_q(spark, sf_dir):
+    """REAL WebDataset-shard ingestion end-to-end (round 9): per doc
+    an actual ustar blob (stdlib-written) holding 2–4 samples, each a
+    {key}.txt + {key}.cls member pair, then hand-parsed back
+    (operators/tarshard.parse_tar — 512-byte headers, octal sizes,
+    checksum verify) and GROUPED into samples by dotted basename key
+    (group_samples — the WebDataset convention), reducing to
+    integer-exact stats. Grouping is shard-local by construction (the
+    whole point of tar shards), so assembling samples needs no
+    shuffle. Member texts are closed-form, so the DuckDB oracle
+    recomputes everything."""
+    import pandas as pd
+
+    from bazof_spark.operators.tarshard import (
+        build_tar,
+        group_samples,
+        parse_tar,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ns = 2 + mid % 3
+                members = []
+                for s in range(ns):
+                    txt = " ".join(
+                        f"t{mid}_{s}_{i}" for i in range(1 + mid % 3)
+                    )
+                    members.append((f"{s:06d}.txt", txt.encode()))
+                    members.append(
+                        (f"{s:06d}.cls", str((mid + s) % 10).encode())
+                    )
+                blobs.append(build_tar(members))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def extract(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "n_samples": [], "txt_bytes": [],
+                "cls_sum": [], "char_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                groups = group_samples(parse_tar(bytes(blob)))
+                assert all(
+                    set(g["parts"]) == {"txt", "cls"} for g in groups
+                )
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(groups))
+                out["txt_bytes"].append(
+                    sum(len(g["parts"]["txt"]) for g in groups)
+                )
+                out["cls_sum"].append(
+                    sum(int(g["parts"]["cls"]) for g in groups)
+                )
+                out["char_checksum"].append(
+                    sum(sum(g["parts"]["txt"]) for g in groups)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        extract,
+        "media_id long, n_samples int, txt_bytes long, "
+        "cls_sum long, char_checksum long",
+    )
+
+
 def zip_extract_documents_q(spark, sf_dir):
     """REAL archive ingestion end-to-end (round 9): per doc an actual
     ZIP (stdlib-written, so fixtures are known-good; even media_ids
@@ -2892,6 +2964,37 @@ _MULTIMODAL_ORACLES = {
                    AS amp_sum,
                CAST(list_sum(smp) AS BIGINT) AS checksum
         FROM s
+    """,
+    # recomputes sample texts ('t{mid}_{s}_{i}' words) and class
+    # labels ((mid+s) % 10) in closed form; Spark's answer came
+    # through a hand-parsed ustar walk + WebDataset key grouping
+    "tar_shard_samples": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   2 + doc_id % 3 AS ns, 1 + doc_id % 3 AS nw
+            FROM documents
+        ),
+        texts AS (
+            SELECT media_id, ns,
+                   list_transform(range(0, ns), s ->
+                       array_to_string(
+                           list_transform(range(0, nw), i ->
+                               't' || media_id || '_' || s || '_' || i),
+                           ' ')) AS ts,
+                   list_transform(range(0, ns), s ->
+                       (media_id + s) % 10) AS cls
+            FROM m
+        )
+        SELECT media_id,
+               CAST(ns AS INT) AS n_samples,
+               CAST(list_sum(list_transform(ts, s -> length(s)))
+                   AS BIGINT) AS txt_bytes,
+               CAST(list_sum(cls) AS BIGINT) AS cls_sum,
+               CAST(list_sum(list_transform(ts, s ->
+                   list_sum(list_transform(range(1, length(s) + 1),
+                       i -> ascii(substring(s, i, 1))))))
+                   AS BIGINT) AS char_checksum
+        FROM texts
     """,
     # recomputes member texts in closed form ('z{mid}_{p}_{i}' words
     # joined by spaces); Spark's answer came through a hand-parsed ZIP
@@ -5641,6 +5744,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_ogg_decode": multimodal_ogg_decode_q,
     "warc_extract_text": warc_extract_text_q,
     "zip_extract_documents": zip_extract_documents_q,
+    "tar_shard_samples": tar_shard_samples_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_qoi_decode": multimodal_qoi_decode_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,

@@ -124,3 +124,61 @@ def test_zip_interops_with_stdlib_reader():
         std = [(n, z.read(n)) for n in z.namelist()]
     ours = [(m["name"], m["data"]) for m in parse_zip(blob)]
     assert std == ours
+
+
+# ---------------------------------------------------------------------------
+# tar shards (round 9): the WebDataset convention
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.tarshard import (  # noqa: E402
+    build_tar,
+    group_samples,
+    parse_tar,
+)
+
+
+def test_tar_roundtrip_and_stdlib_interop():
+    import io
+    import tarfile
+
+    members = [
+        ("000000.txt", b"alpha beta"),
+        ("000000.cls", b"3"),
+        ("sub/dir/000001.txt", b"x" * 1500),  # spans 3+ data blocks
+        ("sub/dir/000001.cls", b"7"),
+        ("noext", b"raw"),
+    ]
+    blob = build_tar(members)
+    ours = [(m["name"], m["data"]) for m in parse_tar(blob)]
+    assert ours == members
+    with tarfile.open(fileobj=io.BytesIO(blob)) as t:
+        std = [(m.name, t.extractfile(m).read()) for m in t if m.isfile()]
+    assert std == ours
+
+
+def test_tar_webdataset_grouping():
+    members = parse_tar(
+        build_tar(
+            [
+                ("a/000.txt", b"t0"), ("a/000.cls", b"1"),
+                ("a/001.txt", b"t1"), ("a/001.cls", b"2"),
+                ("plain", b"p"),
+            ]
+        )
+    )
+    groups = group_samples(members)
+    assert [g["key"] for g in groups] == ["a/000", "a/001", "plain"]
+    assert groups[0]["parts"] == {"txt": b"t0", "cls": b"1"}
+    assert groups[2]["parts"] == {"": b"p"}
+
+
+def test_tar_checksum_and_truncation_loud():
+    import pytest
+
+    blob = bytearray(build_tar([("a.txt", b"hello")]))
+    blob[130] ^= 1  # corrupt the size field -> checksum trips
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(blob))
+    good = build_tar([("a.txt", b"hello" * 200)])
+    with pytest.raises(ValueError, match="truncated|mid-header"):
+        parse_tar(good[:700])
