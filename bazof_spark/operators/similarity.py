@@ -202,6 +202,66 @@ def cosine_topk_bruteforce(
     )
 
 
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Flat scalar-quantized ANN — the SQ8 rung of the public index
+    ladder (Faiss ``IndexScalarQuantizer``/QT_8bit): the corpus is
+    stored as int8 codes via :func:`quantize_int8` (4× smaller than
+    float32, 8× than float64 — at 100 TB the quantized corpus is the
+    ONLY data-sized relation, so scan/shuffle volume shrinks by the
+    same factor), queries stay float and score asymmetrically against
+    the codes.
+
+    Key identity that keeps this exact AND oracle-checkable: with the
+    symmetric quantizer ``q_i = floor(v_i·scale + 0.5)`` the
+    dequantized vector is ``q/scale``, and cosine is scale-invariant —
+    ``cos(query, q/scale) == cos(query, q)`` — so the per-row scale
+    cancels and the score is a plain cosine between the float query
+    and the INTEGER code vector. No dequantization pass, no per-row
+    scale in the hot loop, and the DuckDB twin is one
+    ``list_cosine_similarity`` over reproducible integers.
+
+    Output matches :func:`cosine_topk_bruteforce`: (query_id,
+    neighbor_id, rank, cosine_sim), self-matches excluded, ties by
+    neighbor_id ASC.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).select(
+        "_cid",
+        _as_double(quantize_int8(F.col("_v")).getField("q")).alias("_cq"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select("_qid", "_cid", cosine(F.col("_qv"), F.col("_cq")).alias("_sim"))
+        .filter(F.col("_qid") != F.col("_cid"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_sim").desc(), F.col("_cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))

@@ -45,6 +45,7 @@ from bazof_spark.operators.similarity import (
     pq_adc_topk,
     pq_codebooks_from_rows,
     quantize_int8,
+    sq8_topk,
 )
 from bazof_spark.sources.events import (
     KEYED_TABLE_NAME,
@@ -1853,6 +1854,51 @@ def ann_recall_lsh_q(spark, sf_dir):
                 F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
             ).alias("recall"),
         )
+    )
+
+
+def embedding_ann_sq8_q(spark, sf_dir):
+    """Flat SQ8 ANN (operators/similarity.sq8_topk): the corpus rides
+    as int8 codes (4× less scan/shuffle volume than float32 at 100 TB),
+    queries score against the integer codes directly — the per-row
+    quantization scale cancels out of cosine, which is what makes the
+    result exactly reproducible in the DuckDB oracle."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return sq8_topk(emb, queries, k=5).withColumn(
+        "cosine_sim", F.round("cosine_sim", 6)
+    )
+
+
+def ann_recall_sq8_q(spark, sf_dir):
+    """recall@5 of the flat SQ8 index against the exact float top-5 —
+    the measurement that prices SQ8's 4× compression in recall terms
+    (on this corpus the int8 grid is fine enough that recall stays
+    near 1.0: 64-dim unit-ish vectors quantize to ~7.9 significant
+    bits). Same composed-oracle harness as the other recall queries."""
+    emb = _t("embeddings")(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sq8_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return per_q.join(matched, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
     )
 
 
@@ -4017,6 +4063,41 @@ def _lsh_oracle_sql(
     """
 
 
+# flat SQ8: quantize each corpus vector with the embedding_quantize
+# formula (floor-based rounding — reproducible across engines), then
+# cosine between the float query and the INTEGER codes (the per-row
+# scale cancels out of cosine, see operators/similarity.sq8_topk)
+_PIPELINE_ORACLES["embedding_ann_sq8"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 0.0 END AS scale
+        FROM e
+    ),
+    qz AS (
+        SELECT vec_id AS cid,
+               list_transform(v, x -> floor(x * scale + 0.5)) AS cq
+        FROM s
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    sc AS (
+        SELECT qid, cid, list_cosine_similarity(qv, cq) AS sim
+        FROM q, qz WHERE qid != cid
+    ),
+    r AS (
+        SELECT qid, cid, sim, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid
+        ) AS rn FROM sc
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INT) AS rank,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rn <= 5
+"""
+
 _PIPELINE_ORACLES["embedding_ann_lsh"] = _lsh_oracle_sql()
 # recall@5 of the LSH index vs the exact top-5: both rankings are the
 # EXISTING oracle texts, composed as CTE subqueries — one source of
@@ -4024,6 +4105,23 @@ _PIPELINE_ORACLES["embedding_ann_lsh"] = _lsh_oracle_sql()
 _PIPELINE_ORACLES["ann_recall_lsh"] = f"""
     WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
     ann_r AS ({_PIPELINE_ORACLES["embedding_ann_lsh"]}),
+    m AS (
+        SELECT e.query_id, count(*) AS n_matched
+          FROM exact_r e JOIN ann_r a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY e.query_id
+    ),
+    ex AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY query_id)
+    SELECT ex.query_id,
+           ex.n_exact,
+           coalesce(m.n_matched, 0) AS n_matched,
+           round(coalesce(m.n_matched, 0) / ex.n_exact, 6) AS recall
+      FROM ex LEFT JOIN m USING (query_id)
+"""
+
+_PIPELINE_ORACLES["ann_recall_sq8"] = f"""
+    WITH exact_r AS ({_PIPELINE_ORACLES["embedding_cosine_topk"]}),
+    ann_r AS ({_PIPELINE_ORACLES["embedding_ann_sq8"]}),
     m AS (
         SELECT e.query_id, count(*) AS n_matched
           FROM exact_r e JOIN ann_r a
@@ -5713,6 +5811,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": embedding_quantize_q,
     "embedding_ann_lsh": embedding_ann_lsh_q,
     "ann_recall_lsh": ann_recall_lsh_q,
+    "embedding_ann_sq8": embedding_ann_sq8_q,
+    "ann_recall_sq8": ann_recall_sq8_q,
     "ann_recall_ivf": ann_recall_ivf_q,
     "embedding_ann_ivf": embedding_ann_ivf_q,
     "embedding_ann_ivf_trained": embedding_ann_ivf_trained_q,

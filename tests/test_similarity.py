@@ -521,3 +521,32 @@ def test_opq_rotation_properties_and_full_rerank(emb):
         ).collect()
     }
     assert opq == bf
+
+
+def test_sq8_topk_near_exact_and_int8_range(emb):
+    """SQ8 on a 16-dim corpus: int8 codes are fine enough that the
+    quantized ranking reproduces the exact one on the seeded
+    near-duplicate structure; codes stay inside [-127, 127]."""
+    from bazof_spark.operators.similarity import quantize_int8, sq8_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    sq = sq8_topk(emb, queries, k=3).collect()
+    sq_set = {(r["query_id"], r["neighbor_id"]) for r in sq}
+    recall = len(bf & sq_set) / len(bf)
+    assert recall >= 0.9, f"SQ8 recall too low: {recall}"
+    # top-1 must still be the seeded near-duplicate (sim ~0.9999 —
+    # quantization noise is ~1/254 per dim, far below the gap)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in sq if r["rank"] == 1}
+    assert top1[0] == 40 and top1[1] == 41
+
+    codes = emb.select(
+        quantize_int8(F.col("embedding")).getField("q").alias("q")
+    ).collect()
+    for row in codes:
+        assert all(-127 <= x <= 127 for x in row["q"])
