@@ -623,24 +623,38 @@ def demux_video_frames(content: bytes, container: str | None) -> list:
     """Demux a video blob into decoded grayscale/indexed frame arrays.
 
     REAL for ``avi`` (MJPEG-in-AVI: RIFF walk + per-frame baseline-JPEG
-    decode, operators/avicontainer.py + jpegcodec.py) and ``gif``
-    (animated frames with progressive compositing,
-    gifcodec.decode_gif_frames). Inter-frame codecs (h264/vp9/av1 in
-    mp4/mkv/webm — need a real decoder library) are the declared stub
-    boundary; ffmpeg/pyav slots into this dispatcher in production."""
+    decode, operators/avicontainer.py + jpegcodec.py), ``mp4``/``mov``
+    (ISO-BMFF box walk + stsc/stsz/stco sample reconstruction,
+    operators/mp4container.py, MJPEG samples) and ``gif`` (animated
+    frames with progressive compositing, gifcodec.decode_gif_frames).
+    Inter-frame CODECS (h264/vp9/av1 — need a real decoder library)
+    are the declared stub boundary; ffmpeg/pyav slots into this
+    dispatcher in production."""
     c = (container or "").lower()
     if c == "avi":
         from bazof_spark.operators.avicontainer import parse_avi
         from bazof_spark.operators.jpegcodec import decode_jpeg
 
         return [decode_jpeg(f) for f in parse_avi(content)["frames"]]
+    if c in ("mp4", "mov", "m4v"):
+        from bazof_spark.operators.jpegcodec import decode_jpeg
+        from bazof_spark.operators.mp4container import parse_mp4
+
+        meta = parse_mp4(content)
+        if meta["codec"] != "jpeg":
+            raise NotImplementedError(
+                f"mp4 sample codec {meta['codec']!r} needs a decoder "
+                "library (the container demux succeeded)"
+            )
+        return [decode_jpeg(f) for f in meta["frames"]]
     if c == "gif":
         from bazof_spark.operators.gifcodec import decode_gif_frames
 
         return decode_gif_frames(content)
     raise NotImplementedError(
         f"video demux for {container!r} requires a codec library not "
-        "present in this environment (avi/mjpeg and gif ARE implemented)"
+        "present in this environment (avi/mjpeg, mp4/mjpeg and gif ARE "
+        "implemented)"
     )
 
 

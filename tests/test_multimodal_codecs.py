@@ -1198,3 +1198,90 @@ def test_tiff_decode_image_routing():
     gray = np.arange(4, dtype=np.uint8).reshape(2, 2)
     out = decode_image(encode_tiff(gray, COMP_LZW), "tif")
     assert out.shape == (2, 2, 3) and np.array_equal(out[:, :, 1], gray)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (round 9): the dominant web video container
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.mp4container import (  # noqa: E402
+    encode_mp4_mjpeg,
+    parse_mp4,
+)
+
+
+def _mk_mp4_frames(mid: int, nfr: int):
+    w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+    by = np.arange(h // 8).reshape(-1, 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    pix, jfs = [], []
+    for f in range(nfr):
+        blocks = ((mid + 13 * f + 11 * by + 5 * bx) % 256).astype(np.uint8)
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        pix.append(px)
+        jfs.append(_enc_jpeg(px))
+    return w, h, pix, jfs
+
+
+def test_mp4_mjpeg_roundtrip_bit_exact():
+    """Box walk + stsc/stsz/stco sample reconstruction recovers every
+    sample bit-exactly, with stsd/mdhd header fields intact."""
+    for mid in (0, 1, 5, 11):
+        w, h, pix, jfs = _mk_mp4_frames(mid, 2 + mid % 4)
+        meta = parse_mp4(encode_mp4_mjpeg(jfs, w, h, fps=12))
+        assert (meta["width"], meta["height"], meta["fps"]) == (w, h, 12)
+        assert meta["codec"] == "jpeg" and meta["n_frames"] == len(jfs)
+        for fb, expect in zip(meta["frames"], pix):
+            assert np.array_equal(_decode_jpeg_any(fb), expect)
+
+
+def test_mp4_stsc_run_expansion_uneven_tail():
+    """7 samples at 3/chunk → stsc runs (1,3)(3,1): the run expansion
+    and within-chunk cumulative offsets must both hold. Also the
+    degenerate 1/chunk layout (one run, one sample per chunk)."""
+    payloads = [bytes([i]) * (5 + 3 * i) for i in range(7)]
+    for spc in (3, 1, 7, 100):
+        meta = parse_mp4(encode_mp4_mjpeg(payloads, 8, 8,
+                                          samples_per_chunk=spc))
+        assert meta["frames"] == payloads, spc
+
+
+def test_mp4_inconsistent_tables_fail_loudly():
+    _, _, _, jfs = _mk_mp4_frames(2, 3)
+    blob = encode_mp4_mjpeg(jfs, 16, 8)
+    # stts sample count disagrees with stsz
+    b = bytearray(blob)
+    p = b.rfind(b"stts")
+    struct.pack_into(">I", b, p + 12, 99)
+    with pytest.raises(ValueError, match="stts covers"):
+        parse_mp4(bytes(b))
+    # a sample extent pointing past EOF
+    b = bytearray(blob)
+    p = b.rfind(b"stsz")
+    struct.pack_into(">I", b, p + 16, 1 << 24)  # first sample size
+    with pytest.raises(ValueError, match="exceeds file size"):
+        parse_mp4(bytes(b))
+    # not BMFF at all: a well-formed box stream with no moov, and a
+    # RIFF blob whose fake "size" overruns the buffer
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4(b"RIFF\x10\x00\x00\x00AVI LIST")
+
+
+def test_mp4_demux_dispatcher_and_codec_seam():
+    from bazof_spark.operators.multimodal import demux_video_frames
+
+    w, h, pix, jfs = _mk_mp4_frames(4, 3)
+    blob = encode_mp4_mjpeg(jfs, w, h)
+    frames = demux_video_frames(blob, "mp4")
+    assert len(frames) == 3
+    for got, expect in zip(frames, pix):
+        assert np.array_equal(got, expect)
+    # a non-jpeg sample entry demuxes but refuses decode with the
+    # declared library-seam message
+    b = bytearray(blob)
+    p = b.rfind(b"jpeg")
+    b[p : p + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        demux_video_frames(bytes(b), "mp4")
