@@ -625,11 +625,12 @@ def demux_video_frames(content: bytes, container: str | None) -> list:
     REAL for ``avi`` (MJPEG-in-AVI: RIFF walk + per-frame baseline-JPEG
     decode, operators/avicontainer.py + jpegcodec.py), ``mp4``/``mov``
     (ISO-BMFF box walk + stsc/stsz/stco sample reconstruction,
-    operators/mp4container.py, MJPEG samples) and ``gif`` (animated
-    frames with progressive compositing, gifcodec.decode_gif_frames).
-    Inter-frame CODECS (h264/vp9/av1 — need a real decoder library)
-    are the declared stub boundary; ffmpeg/pyav slots into this
-    dispatcher in production."""
+    operators/mp4container.py, MJPEG samples), ``mkv``/``webm`` (EBML
+    walk + SimpleBlock framing incl. lacing, operators/mkvcontainer.py,
+    V_MJPEG) and ``gif`` (animated frames with progressive compositing,
+    gifcodec.decode_gif_frames). Inter-frame CODECS (h264/vp9/av1 —
+    need a real decoder library) are the declared stub boundary;
+    ffmpeg/pyav slots into this dispatcher in production."""
     c = (container or "").lower()
     if c == "avi":
         from bazof_spark.operators.avicontainer import parse_avi
@@ -647,14 +648,25 @@ def demux_video_frames(content: bytes, container: str | None) -> list:
                 "library (the container demux succeeded)"
             )
         return [decode_jpeg(f) for f in meta["frames"]]
+    if c in ("mkv", "webm"):
+        from bazof_spark.operators.jpegcodec import decode_jpeg
+        from bazof_spark.operators.mkvcontainer import parse_mkv
+
+        meta = parse_mkv(content)
+        if meta["codec"] != "V_MJPEG":
+            raise NotImplementedError(
+                f"mkv track codec {meta['codec']!r} needs a decoder "
+                "library (the container demux succeeded)"
+            )
+        return [decode_jpeg(f) for f in meta["frames"]]
     if c == "gif":
         from bazof_spark.operators.gifcodec import decode_gif_frames
 
         return decode_gif_frames(content)
     raise NotImplementedError(
         f"video demux for {container!r} requires a codec library not "
-        "present in this environment (avi/mjpeg, mp4/mjpeg and gif ARE "
-        "implemented)"
+        "present in this environment (avi, mp4 and mkv — all carrying "
+        "mjpeg — and gif ARE implemented)"
     )
 
 

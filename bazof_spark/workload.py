@@ -2921,6 +2921,101 @@ def multimodal_mp4_frame_sample_q(spark, sf_dir):
     return media.mapInPandas(sample, schema)
 
 
+def multimodal_mkv_frame_sample_q(spark, sf_dir):
+    """REAL Matroska (EBML) demux + decode + frame-sample (round 9),
+    completing the container triple next to AVI and MP4: per doc an
+    actual MKV file — EBML header, Segment/Info/Tracks, a ``V_MJPEG``
+    video track, frames in SimpleBlocks grouped 2 per Cluster so the
+    parser must combine cluster and block timestamps — carrying
+    2 + mid%4 independent baseline JPEGs (block-constant grids shifted
+    17·f per frame). Spark demuxes through the EBML walk
+    (operators/mkvcontainer.parse_mkv — marker-bit varints, SimpleBlock
+    framing, lacing), decodes every SECOND frame through the general
+    T.81 decoder, and reduces to frame-weighted checksums. Block-
+    constant JPEG under unit quant round-trips bit-exactly, so the
+    DuckDB oracle recomputes from the block formula. Two map-only
+    Arrow-batched stages, no shuffle; ffmpeg/pyav slots into the same
+    mapInPandas seam for inter-frame codecs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from bazof_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from bazof_spark.operators.mkvcontainer import (
+        encode_mkv_mjpeg,
+        parse_mkv,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                by = np.arange(h // 8).reshape(-1, 1)
+                bx = np.arange(w // 8).reshape(1, -1)
+                frames = []
+                for f in range(2 + mid % 4):
+                    blocks = (
+                        (mid + 17 * f + 11 * by + 5 * bx) % 256
+                    ).astype(np.uint8)
+                    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                    frames.append(encode_jpeg_baseline(px))
+                blobs.append(encode_mkv_mjpeg(frames, w, h, fps=10))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("n_sampled", IntegerType(), False),
+            StructField("checksum", LongType(), False),
+            StructField("frame_weighted", LongType(), False),
+        ]
+    )
+
+    def sample(it):
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                meta = parse_mkv(bytes(blob))
+                sampled = meta["frames"][::2]
+                sums = [
+                    int(decode_jpeg(fb).astype(np.int64).sum())
+                    for fb in sampled
+                ]
+                out.append(
+                    (
+                        mid, meta["width"], meta["height"],
+                        meta["n_frames"], len(sampled),
+                        sum(sums),
+                        sum(s * (2 * i + 1) for i, s in enumerate(sums)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "n_sampled", "checksum", "frame_weighted",
+                ],
+            )
+
+    return media.mapInPandas(sample, schema)
+
+
 def multimodal_bmp_decode_q(spark, sf_dir):
     """REAL image decode end-to-end: deterministic RGB pixel grids per
     doc, encoded as actual 24-bit BMP files (bottom-up rows, BGR order,
@@ -3495,6 +3590,33 @@ _MULTIMODAL_ORACLES = {
                    (f + 1) * 64 * list_sum(list_transform(range(0, nby), by ->
                        list_sum(list_transform(range(0, nbx), bx ->
                            (media_id + 13*f + 11*by + 5*bx) % 256))))))
+                   AS BIGINT) AS frame_weighted
+        FROM m
+    """,
+    # same harness with the 17·f frame shift; Spark's answer came
+    # through the EBML walk + SimpleBlock framing + T.81 decode
+    "multimodal_mkv_frame_sample": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+                   1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby,
+                   2 + doc_id % 4 AS nf
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(nf AS INT) AS n_frames,
+               CAST(len(range(0, nf, 2)) AS INT) AS n_sampled,
+               CAST(list_sum(list_transform(range(0, nf, 2), f ->
+                   64 * list_sum(list_transform(range(0, nby), by ->
+                       list_sum(list_transform(range(0, nbx), bx ->
+                           (media_id + 17*f + 11*by + 5*bx) % 256))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, nf, 2), f ->
+                   (f + 1) * 64 * list_sum(list_transform(range(0, nby), by ->
+                       list_sum(list_transform(range(0, nbx), bx ->
+                           (media_id + 17*f + 11*by + 5*bx) % 256))))))
                    AS BIGINT) AS frame_weighted
         FROM m
     """,
@@ -5980,6 +6102,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_gif_frame_sample": multimodal_gif_frame_sample_q,
     "multimodal_avi_frame_sample": multimodal_avi_frame_sample_q,
     "multimodal_mp4_frame_sample": multimodal_mp4_frame_sample_q,
+    "multimodal_mkv_frame_sample": multimodal_mkv_frame_sample_q,
 }
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402

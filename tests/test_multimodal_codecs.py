@@ -1285,3 +1285,113 @@ def test_mp4_demux_dispatcher_and_codec_seam():
     b[p : p + 4] = b"avc1"
     with pytest.raises(NotImplementedError, match="avc1"):
         demux_video_frames(bytes(b), "mp4")
+
+
+# ---------------------------------------------------------------------------
+# MKV / Matroska over EBML (round 9): completes the container triple
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.mkvcontainer import (  # noqa: E402
+    SIMPLE_BLOCK,
+    _block_frames,
+    _el,
+    encode_mkv_mjpeg,
+    parse_mkv,
+)
+
+
+def _mk_mkv_frames(mid: int, nfr: int):
+    w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+    by = np.arange(h // 8).reshape(-1, 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    pix, jfs = [], []
+    for f in range(nfr):
+        blocks = ((mid + 17 * f + 11 * by + 5 * bx) % 256).astype(np.uint8)
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        pix.append(px)
+        jfs.append(_enc_jpeg(px))
+    return w, h, pix, jfs
+
+
+def test_mkv_mjpeg_roundtrip_bit_exact():
+    for mid in (0, 1, 5, 11):
+        w, h, pix, jfs = _mk_mkv_frames(mid, 2 + mid % 4)
+        meta = parse_mkv(encode_mkv_mjpeg(jfs, w, h, fps=10))
+        assert (meta["width"], meta["height"], meta["fps"]) == (w, h, 10)
+        assert meta["codec"] == "V_MJPEG" and meta["n_frames"] == len(jfs)
+        for fb, expect in zip(meta["frames"], pix):
+            assert np.array_equal(_decode_jpeg_any(fb), expect)
+
+
+def _lace_block(payloads, lacing):
+    """Hand-build a SimpleBlock element with the given lacing mode."""
+    blk = b"\x81" + struct.pack(">h", 0) + bytes([0x80 | (lacing << 1)])
+    if lacing:
+        blk += bytes([len(payloads) - 1])
+    if lacing == 1:  # Xiph
+        for p in payloads[:-1]:
+            n = len(p)
+            while n >= 255:
+                blk += b"\xff"
+                n -= 255
+            blk += bytes([n])
+    elif lacing == 3:  # EBML: first absolute, rest signed deltas
+        def enc_size(v):
+            for width in range(1, 9):
+                if v < (1 << (7 * width)) - 1:
+                    return (v | (1 << (7 * width))).to_bytes(width, "big")
+        blk += enc_size(len(payloads[0]))
+        prev = len(payloads[0])
+        for p in payloads[1:-1]:
+            bias = (1 << (7 * 2 - 1)) - 1
+            blk += (
+                ((len(p) - prev + bias) | (1 << 14)).to_bytes(2, "big")
+            )
+            prev = len(p)
+    return _el(SIMPLE_BLOCK, blk + b"".join(payloads))
+
+
+@pytest.mark.parametrize("lacing", [1, 2, 3])
+def test_mkv_block_lacing_modes(lacing):
+    """Xiph (255-continued sizes), fixed-size, and EBML (signed-delta
+    varint) lacing must all split a block into the original frames."""
+    if lacing == 2:
+        payloads = [b"abc", b"def", b"ghi"]  # fixed-size needs equal
+    else:
+        payloads = [b"a" * 300, b"bb" * 10, b"c" * 7]
+    el = _lace_block(payloads, lacing)
+    # body starts after the element id + size varints
+    from bazof_spark.operators.mkvcontainer import _read_varint
+    _, p = _read_varint(el, 0, keep_marker=True)
+    _, p = _read_varint(el, p, keep_marker=False)
+    assert _block_frames(el, p, len(el)) == payloads
+
+
+def test_mkv_rejects_non_ebml_and_crosschecks():
+    # random leading bytes parse as a garbage element that overruns;
+    # a WELL-FORMED stream not led by an EBML header gets the typed error
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mkv(b"RIFF\x10\x00\x00\x00AVI LIST")
+    with pytest.raises(ValueError, match="EBML"):
+        parse_mkv(b"\xa3\x81\x00")  # lone SimpleBlock, no header
+    _, _, _, jfs = _mk_mkv_frames(2, 3)
+    blob = encode_mkv_mjpeg(jfs, 16, 8)
+    # truncate mid-cluster: element overruns its container
+    with pytest.raises(ValueError, match="overruns|past end"):
+        parse_mkv(blob[: len(blob) - 5])
+
+
+def test_mkv_demux_dispatcher_and_codec_seam():
+    from bazof_spark.operators.multimodal import demux_video_frames
+
+    w, h, pix, jfs = _mk_mkv_frames(4, 3)
+    blob = encode_mkv_mjpeg(jfs, w, h)
+    frames = demux_video_frames(blob, "mkv")
+    assert len(frames) == 3
+    for got, expect in zip(frames, pix):
+        assert np.array_equal(got, expect)
+    b = bytearray(blob)
+    p = b.find(b"V_MJPEG")
+    b[p : p + 7] = b"V_MPEG4"
+    with pytest.raises(NotImplementedError, match="V_MPEG4"):
+        demux_video_frames(bytes(b), "mkv")
