@@ -1777,6 +1777,35 @@ def knn_label_vote_q(spark, sf_dir):
     )
 
 
+def bpe_tokenize_q(spark, sf_dir):
+    """Trained-BPE tokenization over the corpus (operators/bpe.py,
+    Sennrich 2016): 50 merge rules learned driver-side from a bounded
+    deterministic sample (the 64 lowest doc_ids — vocab induction never
+    needs the full corpus), then EVERY document encoded by applying the
+    rules in rank order as a chain of 50 built-in ``replace``
+    expressions inside whole-stage codegen — the rank-order chain is
+    provably equivalent to the greedy lowest-rank loop (a rule cannot
+    re-create its own pair, and pairs involving a merged token were
+    learned later). Map-only, zero Python in the encode path, zero
+    shuffles; output is exact (token counts + md5 of the tokenized
+    string), so the DuckDB oracle — the same trainer on the same
+    sample, the same replace chain in SQL — checks every rule
+    application bit-for-bit."""
+    from bazof_spark.operators.bpe import (
+        bpe_tokenize_stats,
+        train_bpe_merges,
+        word_freqs_from_texts,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    sample = [
+        r["text"]
+        for r in docs.orderBy("doc_id").select("text").limit(64).collect()
+    ]
+    merges = train_bpe_merges(word_freqs_from_texts(sample), 50)
+    return bpe_tokenize_stats(_docs_par(spark, sf_dir), merges)
+
+
 def embedding_quantize_q(spark, sf_dir):
     """Symmetric int8 vector quantization (operators/similarity.
     quantize_int8): per-vector scale + codes, summarized as exact
@@ -5107,6 +5136,70 @@ if _pca_sql is not None:
     _PIPELINE_ORACLES["embedding_pca_project"] = _pca_sql
 
 
+def _bpe_oracle_sql(sample_rows: int = 64, n_merges: int = 50) -> str | None:
+    """DuckDB twin of bpe_tokenize_q: the IDENTICAL trainer
+    (operators/bpe.train_bpe_merges) on the identical sample read via
+    DuckDB, then the SAME rank-ordered replace chain spelled as nested
+    SQL ``replace()`` calls over the same space-wrapped-token
+    representation — the md5 digest matches only if every one of the
+    50 rule applications lands identically in both engines. Returns
+    None (→ rows-only check) if the parquet is unavailable."""
+    import duckdb
+
+    from bazof_spark.operators.bpe import (
+        train_bpe_merges,
+        word_freqs_from_texts,
+    )
+
+    sf_dir = os.environ.get("BAZOF_PARITY_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        rows = duckdb.sql(
+            f"SELECT text FROM read_parquet('{path}') "
+            f"ORDER BY doc_id LIMIT {sample_rows}"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    merges = train_bpe_merges(
+        word_freqs_from_texts([r[0] for r in rows]), n_merges
+    )
+    enc = "rep"
+    for a, b in merges:
+        enc = f"replace({enc}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> len(x) > 0) AS words
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, words,
+                   array_to_string(list_transform(words,
+                       x -> regexp_replace(x, '(.)', ' \\1 ', 'g')),
+                       '#') AS rep
+            FROM w
+        ),
+        e AS (SELECT doc_id, words, {enc} AS encoded FROM r)
+        SELECT doc_id,
+               CAST(len(words) AS INT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(words, x -> len(x))),
+                             0) AS BIGINT) AS n_chars,
+               CAST((len(encoded)
+                     - len(replace(encoded, ' ', ''))) / 2
+                    AS BIGINT) AS n_tokens,
+               md5(encoded) AS digest
+        FROM e
+    """
+
+
+_bpe_sql = _bpe_oracle_sql()
+if _bpe_sql is not None:
+    _PIPELINE_ORACLES["bpe_tokenize"] = _bpe_sql
+
+
 def _quality_lr_oracle_sql(sample_rows: int = 256) -> str | None:
     """DuckDB twin of quality_model_score_q: the IDENTICAL trainer
     (operators/quality.train_quality_lr — Python feature twins of the
@@ -5249,6 +5342,10 @@ def refresh_env_dependent_oracles() -> None:
     if qlr_sql is not None:
         _PIPELINE_ORACLES["quality_model_score"] = qlr_sql
         ORACLES["quality_model_score"] = qlr_sql
+    bpe_sql = _bpe_oracle_sql()
+    if bpe_sql is not None:
+        _PIPELINE_ORACLES["bpe_tokenize"] = bpe_sql
+        ORACLES["bpe_tokenize"] = bpe_sql
 
 
 def span_dedup_q(spark, sf_dir):
@@ -6049,6 +6146,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": bm25_search_q,
     "decontamination": decontamination_q,
     "text_stats": text_stats_q,
+    "bpe_tokenize": bpe_tokenize_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,
     "doc_fingerprint": doc_fingerprint_q,
