@@ -134,3 +134,26 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     reordering-free edits and cheap to compare for containment/near-dup
     prefilters. md5 (not xxhash) so DuckDB reproduces it bit-for-bit."""
     return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization — the canonical-composition pass every
+    text pipeline runs before dedup/hashing (decomposed "e"+U+0301 and
+    composed "é" must hash identically or near-dup families split).
+    Spark has no normalization builtin, so this is an Arrow-batched
+    pandas UDF over CPython's ``unicodedata`` (the Unicode reference
+    data, a genuinely independent implementation from the DuckDB
+    oracle's utf8proc-backed ``nfc_normalize`` — the cross-engine pair
+    checks the actual normalization tables, not one library against
+    itself). Map-only; at 100 TB this is a per-row string pass with no
+    exchange."""
+    import pandas as pd  # noqa: F401  (env-guaranteed)
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc(text)

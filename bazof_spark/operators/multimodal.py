@@ -540,6 +540,30 @@ def encode_wav(
     return buf.getvalue()
 
 
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Encode int16 PCM as a G.711-compressed RIFF/WAVE file (format
+    tag 7 = μ-law, 6 = A-law; 8 bits/sample, fact chunk carrying the
+    frame count as compressed formats require). Companding via
+    operators/g711codec (pinned bit-exact to the public Sun g711.c
+    algorithm)."""
+    from bazof_spark.operators.g711codec import g711_encode
+
+    tag = 7 if law == "ulaw" else 6
+    data = g711_encode(samples.astype(np.int16), law)
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
     """Hand-parse a RIFF/WAVE blob → (sample_rate, n_channels, samples).
 
@@ -581,8 +605,14 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             else (len(data) // balign) * spb
         )
         return sample_rate, 1, decode_ima_adpcm_data(data, balign, n)
+    if audio_format in (6, 7):  # G.711 A-law / μ-law (ITU-T)
+        from bazof_spark.operators.g711codec import g711_decode
+
+        law = "alaw" if audio_format == 6 else "ulaw"
+        n = fact_frames * n_channels if fact_frames is not None else None
+        return sample_rate, n_channels, g711_decode(data[:n], law)
     if audio_format != 1:
-        raise NotImplementedError("only PCM / IMA-ADPCM WAV")
+        raise NotImplementedError("only PCM / G.711 / IMA-ADPCM WAV")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
     elif bits == 8:

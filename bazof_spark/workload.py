@@ -1777,6 +1777,47 @@ def knn_label_vote_q(spark, sf_dir):
     )
 
 
+def text_nfc_normalize_q(spark, sf_dir):
+    """Unicode NFC normalization over the corpus (functions/text.
+    nfc_normalize): each document is augmented with a deterministic
+    DECOMPOSED suffix (combining-mark sequences selected and repeated
+    by doc_id — the corpus itself is ASCII, so the suffix guarantees
+    real composition work), normalized through CPython's unicodedata,
+    and reduced to code-point lengths + an md5 of the normalized
+    string. The DuckDB oracle builds the identical suffix and runs its
+    OWN normalizer (utf8proc's nfc_normalize) — two independent
+    implementations of the Unicode standard must agree on every
+    composed byte for the hash to match. Map-only Arrow-batched UDF,
+    no shuffle."""
+    from bazof_spark.functions.text import nfc_normalize
+
+    docs = _docs_par(spark, sf_dir)
+    # DECOMPOSED sequences (base + combining mark): e+ACUTE, A+RING,
+    # o+DIAERESIS, n+TILDE - NFC composes each to one char
+    pieces = F.array(
+        F.lit("e\u0301"), F.lit("A\u030A"),
+        F.lit("o\u0308"), F.lit("n\u0303"),
+    )
+    piece = F.element_at(pieces, (F.col("doc_id") % 4 + 1).cast("int"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.array_join(
+            F.array_repeat(piece, (F.col("doc_id") % 3 + 1).cast("int")),
+            "",
+        ),
+    )
+    a = docs.select("doc_id", raw.alias("raw"))
+    n = a.select("doc_id", "raw", nfc_normalize(F.col("raw")).alias("nrm"))
+    return n.select(
+        "doc_id",
+        F.length("raw").cast("int").alias("len_raw"),
+        F.length("nrm").cast("int").alias("len_nfc"),
+        (F.length("raw") > F.length("nrm")).cast("int").alias("changed"),
+        F.md5(F.col("nrm").cast("binary")).alias("digest"),
+    )
+
+
 def bpe_tokenize_q(spark, sf_dir):
     """Trained-BPE tokenization over the corpus (operators/bpe.py,
     Sennrich 2016): 50 merge rules learned driver-side from a bounded
@@ -2480,6 +2521,75 @@ def multimodal_adpcm_decode_q(spark, sf_dir):
                 samples = ((mid * 7919 + i * 131) % 4001) - 2000
                 blobs.append(
                     encode_wav_ima_adpcm(samples.astype(np.int16), 8000)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def stats(it):
+        for pdf in it:
+            out = {
+                "media_id": [], "n_samples": [], "dec_sum": [],
+                "dec_abs_sum": [], "peak": [], "pos_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _, _, dec = decode_wav(bytes(blob))
+                d = dec.astype(np.int64)
+                i = np.arange(len(d), dtype=np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(d))
+                out["dec_sum"].append(int(d.sum()))
+                out["dec_abs_sum"].append(int(np.abs(d).sum()))
+                out["peak"].append(int(np.abs(d).max()))
+                out["pos_checksum"].append(int(((i + 1) * d).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, n_samples long, dec_sum long, "
+        "dec_abs_sum long, peak int, pos_checksum long",
+    )
+
+
+def multimodal_g711_decode_q(spark, sf_dir):
+    """REAL G.711 companding end-to-end (round 9 — the telephony
+    codec): deterministic int16 samples sweeping the full 16-bit range
+    (a 257-step grid indexed by (mid + 7i) % 256), encoded as genuine
+    G.711 WAV files — μ-law (tag 7) for even docs, A-law (tag 6) for
+    odd — through the real compander (operators/g711codec, pinned
+    bit-exact to the public Sun g711.c algorithm that audioop wraps),
+    then recovered by the independent decode path (multimodal.
+    decode_wav dispatches on the fmt tag) and reduced to integer-exact
+    stats over the DECODED (lossy) waveform. The DuckDB oracle embeds
+    the 256-entry composed decode∘encode expansion per law as literals
+    and recomputes the stats from the synthesis formula — a mistake in
+    either companding direction, the bit inversions, the segment
+    boundaries, or the WAV framing changes the hash. Two map-only
+    Arrow-batched stages, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 160 + mid % 41
+                i = np.arange(n, dtype=np.int64)
+                samples = (257 * ((mid + 7 * i) % 256) - 32768).astype(
+                    np.int16
+                )
+                blobs.append(
+                    encode_wav_g711(
+                        samples, 8000, "ulaw" if mid % 2 == 0 else "alaw"
+                    )
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
 
@@ -3763,6 +3873,59 @@ _MULTIMODAL_ORACLES = {
 }
 
 
+def _g711_oracle_sql() -> str:
+    """DuckDB twin of multimodal_g711_decode_q: the 256-entry composed
+    decode∘encode expansion per law (computed HERE from the same
+    public Sun-g711 algorithm, embedded as integer literals — the
+    companding is static, no env dependence) applied to the synthesis
+    grid. Spark's answer went through the real WAV container + the
+    byte-level compander; this recomputes it closed-form."""
+    from bazof_spark.operators.g711codec import (
+        alaw_decode_sample,
+        alaw_encode_sample,
+        ulaw_decode_sample,
+        ulaw_encode_sample,
+    )
+
+    def composed(enc, dec):
+        return ", ".join(
+            str(dec(enc(257 * k - 32768))) for k in range(256)
+        )
+
+    ulut = f"[{composed(ulaw_encode_sample, ulaw_decode_sample)}]"
+    alut = f"[{composed(alaw_encode_sample, alaw_decode_sample)}]"
+    return f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, 160 + doc_id % 41 AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, n,
+                   list_transform(range(0, n), i -> CASE
+                       WHEN media_id % 2 = 0 THEN list_extract({ulut},
+                           CAST((media_id + 7*i) % 256 AS INT) + 1)
+                       ELSE list_extract({alut},
+                           CAST((media_id + 7*i) % 256 AS INT) + 1)
+                   END) AS d
+            FROM m
+        )
+        SELECT media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(list_sum(d) AS BIGINT) AS dec_sum,
+               CAST(list_sum(list_transform(d, x -> abs(x)))
+                    AS BIGINT) AS dec_abs_sum,
+               CAST(list_max(list_transform(d, x -> abs(x)))
+                    AS INT) AS peak,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                    (i + 1) * list_extract(d, i + 1)))
+                    AS BIGINT) AS pos_checksum
+        FROM s
+    """
+
+
+_MULTIMODAL_ORACLES["multimodal_g711_decode"] = _g711_oracle_sql()
+
+
 def _minhash_sig_sql(src: str) -> str:
     return f"""
     SELECT doc_id,
@@ -4169,6 +4332,28 @@ _PIPELINE_ORACLES = {
                CAST((tok_offset + greatest(n_tokens, 1) - 1) // 512
                     AS BIGINT) AS end_seq
         FROM o
+    """,
+    # the SAME decomposed suffix built with chr() codepoints, then
+    # DuckDB's OWN normalizer (utf8proc) — independent implementation
+    # of the Unicode composition tables vs Spark's CPython unicodedata
+    "text_nfc_normalize": """
+        WITH a AS (
+            SELECT doc_id,
+                   text || ' ' || repeat(
+                       list_extract(
+                           ['e' || chr(769), 'A' || chr(778),
+                            'o' || chr(776), 'n' || chr(771)],
+                           CAST(doc_id % 4 AS INT) + 1),
+                       CAST(doc_id % 3 AS INT) + 1) AS raw
+            FROM documents
+        ),
+        n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nrm FROM a)
+        SELECT doc_id,
+               CAST(length(raw) AS INT) AS len_raw,
+               CAST(length(nrm) AS INT) AS len_nfc,
+               CAST(length(raw) > length(nrm) AS INT) AS changed,
+               md5(nrm) AS digest
+        FROM n
     """,
     # identity-hash split/sample buckets recomputed from first
     # principles (same md5-60-bit idiom as simhash/minhash)
@@ -6147,6 +6332,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontamination": decontamination_q,
     "text_stats": text_stats_q,
     "bpe_tokenize": bpe_tokenize_q,
+    "text_nfc_normalize": text_nfc_normalize_q,
     "text_quality": text_quality_q,
     "text_language_id": text_language_id_q,
     "doc_fingerprint": doc_fingerprint_q,
@@ -6185,6 +6371,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": multimodal_resize_q,
     "multimodal_wav_decode": multimodal_wav_decode_q,
     "multimodal_adpcm_decode": multimodal_adpcm_decode_q,
+    "multimodal_g711_decode": multimodal_g711_decode_q,
     "multimodal_flac_decode": multimodal_flac_decode_q,
     "multimodal_ogg_decode": multimodal_ogg_decode_q,
     "warc_extract_text": warc_extract_text_q,

@@ -228,3 +228,23 @@ def test_quality_lr_distills_the_rule_filter(spark):
     }
     agree = sum(pred[d] == rule[d] for d in rule) / len(rule)
     assert agree >= 0.85, f"distillation agreement too low: {agree}"
+
+
+def test_nfc_normalize_composes_and_is_idempotent(spark):
+    import unicodedata
+
+    from bazof_spark.functions.text import nfc_normalize
+
+    decomposed = "résumé Ångström"
+    df = _docs(spark, [(0, decomposed), (1, "plain ascii"), (2, "")])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            nfc_normalize(F.col("text")).alias("nrm"),
+            F.length("text").alias("lr"),
+        ).collect()
+    }
+    assert out[0]["nrm"] == unicodedata.normalize("NFC", decomposed)
+    assert len(out[0]["nrm"]) < out[0]["lr"]  # marks composed away
+    assert out[1]["nrm"] == "plain ascii" and out[2]["nrm"] == ""

@@ -1395,3 +1395,69 @@ def test_mkv_demux_dispatcher_and_codec_seam():
     b[p : p + 7] = b"V_MPEG4"
     with pytest.raises(NotImplementedError, match="V_MPEG4"):
         demux_video_frames(bytes(b), "mkv")
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law (round 9): the telephony companding codec
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.g711codec import (  # noqa: E402
+    alaw_decode_table,
+    g711_decode,
+    g711_encode,
+    ulaw_decode_table,
+)
+from bazof_spark.operators.multimodal import encode_wav_g711  # noqa: E402
+
+
+def _full_range_samples():
+    rng = np.random.default_rng(7)
+    return np.concatenate(
+        [
+            np.arange(-32768, 32768, 97, dtype=np.int32),
+            rng.integers(-32768, 32768, 2000),
+            np.array([0, 1, -1, 32767, -32768, 132, -132, 8158 * 4]),
+        ]
+    ).astype(np.int16)
+
+
+def test_g711_pinned_to_audioop_while_it_exists():
+    """audioop wraps the same public Sun g711.c; until its 3.13 removal
+    it is a free independent implementation to pin against."""
+    audioop = pytest.importorskip("audioop")
+    s = _full_range_samples()
+    assert g711_encode(s, "ulaw") == audioop.lin2ulaw(s.tobytes(), 2)
+    assert g711_encode(s, "alaw") == audioop.lin2alaw(s.tobytes(), 2)
+    codes = bytes(range(256))
+    assert ulaw_decode_table().tobytes() == audioop.ulaw2lin(codes, 2)
+    assert alaw_decode_table().tobytes() == audioop.alaw2lin(codes, 2)
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_requantization_fixpoint(law):
+    """decode∘encode is a projection onto the 8-bit grid: encoding the
+    DECODED value again must reproduce the same code for every code
+    (the classic companding fixpoint), and the error vs the original
+    stays within the top segment's step."""
+    s = _full_range_samples()
+    codes = g711_encode(s, law)
+    dec = g711_decode(codes, law)
+    assert g711_encode(dec, law) == codes
+    err = np.abs(dec.astype(np.int32) - s.astype(np.int32))
+    assert err.max() <= 1024  # half the widest segment step, both laws
+
+
+@pytest.mark.parametrize("law,tag", [("ulaw", 7), ("alaw", 6)])
+def test_g711_wav_roundtrip_through_decode_wav(law, tag):
+    from bazof_spark.operators.multimodal import decode_wav
+
+    s = (257 * (np.arange(300) % 256) - 32768).astype(np.int16)
+    blob = encode_wav_g711(s, 8000, law)
+    assert struct.unpack_from("<H", blob, 20)[0] == tag
+    rate, ch, dec = decode_wav(blob)
+    assert (rate, ch) == (8000, 1)
+    assert dec.tobytes() == g711_decode(g711_encode(s, law), law).tobytes()
+    # odd-length data chunk is padded; the fact chunk trims it back
+    s1 = s[:299]
+    rate, ch, dec1 = decode_wav(encode_wav_g711(s1, 8000, law))
+    assert len(dec1) == 299
