@@ -3263,6 +3263,67 @@ def multimodal_qoi_decode_q(spark, sf_dir):
     return bmp_pixel_stats(media, decoder=decode_qoi)
 
 
+def multimodal_webp_decode_q(spark, sf_dir):
+    """REAL WebP-lossless (VP8L) decode end-to-end (round 9 — the
+    format web scrapes actually contain): the same deterministic RGB
+    grids as multimodal_bmp_decode, encoded as genuine VP8L bitstreams
+    with a per-doc TRANSFORM MIX so every decoder path runs at corpus
+    scale — doc_id % 7 == 0 goes through palette color-indexing (with
+    sub-byte pixel bundling), % 3 == 0 through a predictor transform
+    (mode doc_id % 14, forward residuals), odd docs through
+    subtract-green, % 5 == 0 adds a color cache, and % 11 == 0 a
+    cross-channel color transform — then recovered by the independent
+    decoder (LSB-first bit reader, canonical prefix codes incl. the
+    code-length-coded general form, LZ77 refs, cache, inverse
+    transforms; operators/vp8lcodec.py) and reduced to position-
+    weighted checksums. VP8L is lossless, so the oracle is IDENTICAL
+    to the BMP one — a mistake anywhere in the bit packing, prefix
+    trees, or transform inverses changes the hash. Two map-only
+    Arrow-batched stages, no shuffle; lossy WebP/AVIF stay the
+    declared library seam."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import bmp_pixel_stats
+    from bazof_spark.operators.vp8lcodec import decode_vp8l, encode_vp8l
+
+    docs = _docs_par(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((mid + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+                rgba = np.concatenate(
+                    [px, np.full((h, w, 1), 255, np.uint8)], axis=2
+                )
+                if mid % 7 == 0:
+                    kw = {"palette": True}
+                else:
+                    kw = {
+                        "use_subtract_green": mid % 2 == 1,
+                        "cache_bits": 4 if mid % 5 == 0 else 0,
+                    }
+                    if mid % 3 == 0:
+                        kw["predictor_mode"] = mid % 14
+                    if mid % 11 == 0:
+                        kw["color_element"] = (
+                            mid % 256, (3 * mid) % 256, (5 * mid) % 256
+                        )
+                blobs.append(encode_vp8l(rgba, **kw))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return bmp_pixel_stats(
+        media, decoder=lambda b: decode_vp8l(b)[:, :, :3]
+    )
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -3764,6 +3825,30 @@ _MULTIMODAL_ORACLES = {
     # identical pixels again (TIFF is lossless); Spark came through
     # IFD walk + strips + LZW/PackBits decompression
     "multimodal_tiff_decode": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (media_id + 7*y + 3*x + c) % 256))))))
+                   AS BIGINT) AS checksum,
+               CAST(list_sum(list_transform(range(0, h), y ->
+                   list_sum(list_transform(range(0, w), x ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           ((media_id + 7*y + 3*x + c) % 256)
+                           * (y*1000000 + x*1000 + c + 1)))))))
+                   AS BIGINT) AS pos_checksum
+        FROM m
+    """,
+    # identical pixels again (VP8L is lossless); Spark came through
+    # the full WebP-lossless bitstream with a per-doc transform mix
+    "multimodal_webp_decode": """
         WITH m AS (
             SELECT doc_id AS media_id,
                    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
@@ -6379,6 +6464,7 @@ QUERIES: dict[str, QueryFn] = {
     "tar_shard_samples": tar_shard_samples_q,
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_qoi_decode": multimodal_qoi_decode_q,
+    "multimodal_webp_decode": multimodal_webp_decode_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,

@@ -1064,8 +1064,13 @@ def test_demux_video_frames_dispatcher():
     gf = demux_video_frames(encode_gif_animated(gpx), "gif")
     # GIF frames come back RGB (identity grayscale palette replicated)
     assert len(gf) == 2 and np.array_equal(gf[0][:, :, 0], gpx[0])
-    with pytest.raises(NotImplementedError, match="mjpeg and gif ARE"):
-        demux_video_frames(b"\x00\x00\x00\x18ftypmp42", "mp4")
+    # mp4 is REAL now (operators/mp4container.py) — a bare ftyp with
+    # no moov is invalid, not unimplemented; the remaining stub
+    # boundary is inter-frame codecs inside any container
+    with pytest.raises(ValueError, match="moov"):
+        demux_video_frames(b"\x00\x00\x00\x18ftypmp42mp42mp41iso2", "mp4")
+    with pytest.raises(NotImplementedError, match="ARE"):
+        demux_video_frames(b"\x00", "rm")
 
 
 # ---------------------------------------------------------------------------
@@ -1461,3 +1466,98 @@ def test_g711_wav_roundtrip_through_decode_wav(law, tag):
     s1 = s[:299]
     rate, ch, dec1 = decode_wav(encode_wav_g711(s1, 8000, law))
     assert len(dec1) == 299
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless / VP8L (round 9): the web-scrape image format
+# ---------------------------------------------------------------------------
+
+from bazof_spark.operators.vp8lcodec import (  # noqa: E402
+    decode_vp8l,
+    encode_vp8l,
+    short_distance_map,
+)
+
+
+def _vp8l_grid(mid: int):
+    w, h = 4 + mid % 5, 3 + mid % 4
+    y = np.arange(h).reshape(h, 1, 1)
+    x = np.arange(w).reshape(1, w, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    px = ((mid + 7 * y + 3 * x + c) % 256).astype(np.uint8)
+    return np.concatenate([px, np.full((h, w, 1), 255, np.uint8)], axis=2)
+
+
+def test_vp8l_literal_lz77_cache_roundtrips():
+    rng = np.random.default_rng(3)
+    flat = np.full((20, 30, 4), [10, 200, 30, 255], np.uint8)
+    noise = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    rep = np.tile(
+        np.array([[1, 2, 3, 255], [4, 5, 6, 255]], np.uint8), (8, 7, 1)
+    )[:, :13]
+    for im, kw in [
+        (flat, {}), (noise, {}), (rep, {"cache_bits": 4}),
+        (_vp8l_grid(1), {"use_subtract_green": True}),
+        (np.array([[[7, 8, 9, 10]]], np.uint8), {}),
+    ]:
+        out = decode_vp8l(encode_vp8l(im, **kw))
+        assert (out == im).all()
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_vp8l_all_predictor_modes(mode):
+    im = _vp8l_grid(5)
+    out = decode_vp8l(encode_vp8l(im, predictor_mode=mode))
+    assert (out == im).all(), mode
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 13, 250])
+def test_vp8l_palette_all_bundle_widths(n_colors):
+    pi = np.zeros((11, 23, 4), np.uint8)
+    vals = [
+        (i * 37 % 256, i * 11 % 256, i * 5 % 256, 255)
+        for i in range(n_colors)
+    ]
+    for y in range(11):
+        for x in range(23):
+            pi[y, x] = vals[(y * 23 + x) % n_colors]
+    out = decode_vp8l(encode_vp8l(pi, palette=True))
+    assert (out == pi).all()
+
+
+def test_vp8l_color_transform_and_combos():
+    im = _vp8l_grid(8)
+    for kw in [
+        {"color_element": (30, 200, 5)},
+        {"color_element": (255, 1, 128), "use_subtract_green": True},
+        {"color_element": (64, 32, 16), "predictor_mode": 7,
+         "cache_bits": 3},
+    ]:
+        out = decode_vp8l(encode_vp8l(im, **kw))
+        assert (out == im).all(), kw
+
+
+def test_vp8l_rejects_and_seams():
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_vp8l(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_vp8l(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+        )
+    blob = bytearray(encode_vp8l(_vp8l_grid(2)))
+    i = blob.index(b"VP8L") + 8
+    blob[i] = 0x30  # bad signature byte
+    with pytest.raises(ValueError, match="signature"):
+        decode_vp8l(bytes(blob))
+    # truncated payload dies loudly
+    with pytest.raises(ValueError, match="truncated|out of range"):
+        decode_vp8l(bytes(blob[:i]) + b"\x2f\x00")
+
+
+def test_vp8l_short_distance_map_invariants():
+    m = short_distance_map()
+    assert len(m) == 120 and len(set(m)) == 120
+    assert all(dy >= 0 and (dy > 0 or dx > 0) for dx, dy in m)
+    d = [dx * dx + dy * dy for dx, dy in m]
+    assert d == sorted(d)  # proximity-ranked
+    assert m[0] in ((0, 1), (1, 0))
