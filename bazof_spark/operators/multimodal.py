@@ -75,8 +75,11 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     approximation (marker walk, stream-declared Huffman tables,
     restart intervals, dequant + IDCT, chroma upsampling, JFIF
     YCbCr→RGB; operators/jpegcodec.decode_jpeg — arithmetic-coded
-    streams still raise). webp/avif remain a declared stub boundary:
-    swap in Pillow/libvips there in production."""
+    streams still raise) and ``webp`` in its LOSSLESS profile (VP8L
+    prefix codes, LZ77, color cache, all four inverse transforms;
+    operators/vp8lcodec.decode_vp8l). Lossy WebP (VP8) and avif remain
+    the declared stub boundary: swap in Pillow/libvips there in
+    production."""
     f = (fmt or "").lower()
     if f == "bmp":
         return decode_bmp(content)
@@ -100,6 +103,10 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
 
         px = decode_qoi(content)
         return px[:, :, :3]  # RGBA → RGB for the uniform contract
+    if f == "webp":
+        from bazof_spark.operators.vp8lcodec import decode_vp8l
+
+        return decode_vp8l(content)[:, :, :3]
     if f in ("tiff", "tif"):
         from bazof_spark.operators.tiffcodec import decode_tiff
 
@@ -109,8 +116,8 @@ def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
         return px
     raise NotImplementedError(
         f"image decode for {fmt!r} requires a codec library not present "
-        "in this environment (bmp/ppm/png/jpeg decode IS "
-        "implemented; use those or fake_decode_features for pipeline "
+        "in this environment (bmp/ppm/png/jpeg/gif/qoi/tiff/webp decode "
+        "IS implemented; use those or fake_decode_features for pipeline "
         "testing)"
     )
 
