@@ -3324,6 +3324,52 @@ def multimodal_webp_decode_q(spark, sf_dir):
     )
 
 
+def deflate_decode_text_q(spark, sf_dir):
+    """Cross-implementation DEFLATE round trip at corpus scale: each
+    document's text is compressed by ZLIB (the C implementation, at
+    level doc_id % 10 so stored, fixed-Huffman and dynamic-Huffman
+    blocks all appear in the corpus) and recovered by the repo's OWN
+    RFC 1951 inflate (operators/inflate.py — independent direction,
+    Adler-32 verified), then reduced to byte length + md5 of the
+    recovered bytes. The DuckDB oracle hashes the original text
+    directly — the hashes agree only if the from-spec decompressor is
+    byte-perfect against zlib on every document. Two map-only
+    Arrow-batched stages, no shuffle."""
+    import hashlib
+    import zlib
+
+    import pandas as pd
+
+    from bazof_spark.operators.inflate import zlib_decompress
+
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+
+    def compress(it):
+        for pdf in it:
+            blobs = [
+                zlib.compress(t.encode("utf-8"), int(d) % 10)
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "z": blobs})
+
+    comp = docs.mapInPandas(compress, "doc_id long, z binary")
+
+    def recover(it):
+        for pdf in it:
+            out = {"doc_id": [], "level": [], "n_bytes": [], "digest": []}
+            for d, z in zip(pdf["doc_id"], pdf["z"]):
+                raw = zlib_decompress(bytes(z))
+                out["doc_id"].append(d)
+                out["level"].append(int(d) % 10)
+                out["n_bytes"].append(len(raw))
+                out["digest"].append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(out)
+
+    return comp.mapInPandas(
+        recover, "doc_id long, level int, n_bytes long, digest string"
+    )
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -3845,6 +3891,16 @@ _MULTIMODAL_ORACLES = {
                            * (y*1000000 + x*1000 + c + 1)))))))
                    AS BIGINT) AS pos_checksum
         FROM m
+    """,
+    # the original text hashed directly: Spark's answer went through
+    # zlib-compress -> from-spec inflate, so agreement proves the
+    # RFC 1951 decoder byte-perfect on every document
+    "deflate_decode_text": """
+        SELECT doc_id,
+               CAST(doc_id % 10 AS INT) AS level,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
     """,
     # identical pixels again (VP8L is lossless); Spark came through
     # the full WebP-lossless bitstream with a per-doc transform mix
@@ -6465,6 +6521,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_bmp_decode": multimodal_bmp_decode_q,
     "multimodal_qoi_decode": multimodal_qoi_decode_q,
     "multimodal_webp_decode": multimodal_webp_decode_q,
+    "deflate_decode_text": deflate_decode_text_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
