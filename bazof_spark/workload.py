@@ -3324,6 +3324,44 @@ def multimodal_webp_decode_q(spark, sf_dir):
     )
 
 
+def url_normalize_q(spark, sf_dir):
+    """URL canonicalization over the corpus (functions/url.py — the
+    CommonCrawl dedup-key step): per doc a deliberately messy raw URL
+    (mixed-case scheme/host, default and non-default ports, doubled
+    path slashes, trailing slash, utm_ tracking params, unsorted
+    query, fragment) built from doc_id by BOTH engines, then
+    normalized independently — Spark through JVM regex/array
+    expressions in whole-stage codegen, the oracle through DuckDB's
+    RE2 regex and list functions — and reduced to the canonical
+    string, its host, and an md5. Two engines' regex/sort semantics
+    must agree on every byte. Map-only, zero Python, zero shuffles."""
+    from bazof_spark.functions.url import url_host, url_normalize
+
+    docs = _docs_par(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    scheme = F.when(d % 4 == 0, F.lit("HTTP")).when(
+        d % 4 == 1, F.lit("HtTpS")
+    ).when(d % 4 == 2, F.lit("http")).otherwise(F.lit("https"))
+    port = F.when(d % 4 == 0, F.lit(":80")).when(
+        d % 4 == 1, F.lit(":443")
+    ).when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit(""))
+    raw = F.concat(
+        scheme, F.lit("://WWW.Example"), (d % 50).cast("string"),
+        F.lit(".COM"), port,
+        F.lit("//Dir"), (d % 7).cast("string"), F.lit("//Page/"),
+        F.lit("?utm_source=feed&z="), (d % 5).cast("string"),
+        F.lit("&a="), (d % 3).cast("string"),
+        F.lit("#sec"), (d % 2).cast("string"),
+    )
+    u = docs.select("doc_id", url_normalize(raw).alias("url_norm"))
+    return u.select(
+        "doc_id",
+        "url_norm",
+        url_host(F.col("url_norm")).alias("host"),
+        F.md5(F.col("url_norm").cast("binary")).alias("digest"),
+    )
+
+
 def deflate_decode_text_q(spark, sf_dir):
     """Cross-implementation DEFLATE round trip at corpus scale: each
     document's text is compressed by ZLIB (the C implementation, at
@@ -3891,6 +3929,73 @@ _MULTIMODAL_ORACLES = {
                            * (y*1000000 + x*1000 + c + 1)))))))
                    AS BIGINT) AS pos_checksum
         FROM m
+    """,
+    # the SAME messy raw URL built from doc_id, normalized with
+    # DuckDB's OWN regex engine (RE2) and list functions — independent
+    # string semantics vs Spark's JVM regex
+    "url_normalize": r"""
+        WITH raw AS (
+            SELECT doc_id,
+                   (CASE doc_id % 4 WHEN 0 THEN 'HTTP'
+                        WHEN 1 THEN 'HtTpS' WHEN 2 THEN 'http'
+                        ELSE 'https' END)
+                   || '://WWW.Example' || (doc_id % 50) || '.COM'
+                   || (CASE doc_id % 4 WHEN 0 THEN ':80'
+                        WHEN 1 THEN ':443' WHEN 2 THEN ':8080'
+                        ELSE '' END)
+                   || '//Dir' || (doc_id % 7) || '//Page/'
+                   || '?utm_source=feed&z=' || (doc_id % 5)
+                   || '&a=' || (doc_id % 3)
+                   || '#sec' || (doc_id % 2) AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                       '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(url, '#.*$', ''),
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after
+            FROM raw
+        ),
+        hp AS (
+            SELECT doc_id, scheme,
+                   lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+                   regexp_replace(after, '^[^/?]*', '') AS pathq
+            FROM parts
+        ),
+        n AS (
+            SELECT doc_id, scheme,
+                   CASE WHEN scheme = 'http'
+                        THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   CASE WHEN regexp_replace(regexp_replace(
+                            regexp_extract(pathq, '^([^?]*)', 1),
+                            '/{2,}', '/', 'g'), '(.)/$', '\1') = ''
+                        THEN '/'
+                        ELSE regexp_replace(regexp_replace(
+                            regexp_extract(pathq, '^([^?]*)', 1),
+                            '/{2,}', '/', 'g'), '(.)/$', '\1') END AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(pathq, '\?(.*)$', 1),
+                                    '&'),
+                       p -> len(p) > 0 AND NOT starts_with(p, 'utm_'))),
+                       '&') AS qnorm
+            FROM hp
+        ),
+        built AS (
+            SELECT doc_id,
+                   scheme || '://' || host || path ||
+                   CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END
+                       AS url_norm
+            FROM n
+        )
+        SELECT doc_id, url_norm,
+               regexp_extract(url_norm,
+                   '^[a-z][a-z0-9+.\-]*://([^/?]*)', 1) AS host,
+               md5(url_norm) AS digest
+        FROM built
     """,
     # the original text hashed directly: Spark's answer went through
     # zlib-compress -> from-spec inflate, so agreement proves the
@@ -6522,6 +6627,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_qoi_decode": multimodal_qoi_decode_q,
     "multimodal_webp_decode": multimodal_webp_decode_q,
     "deflate_decode_text": deflate_decode_text_q,
+    "url_normalize": url_normalize_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,

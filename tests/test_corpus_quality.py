@@ -248,3 +248,30 @@ def test_nfc_normalize_composes_and_is_idempotent(spark):
     assert out[0]["nrm"] == unicodedata.normalize("NFC", decomposed)
     assert len(out[0]["nrm"]) < out[0]["lr"]  # marks composed away
     assert out[1]["nrm"] == "plain ascii" and out[2]["nrm"] == ""
+
+
+def test_url_normalize_canonical_cases(spark):
+    from bazof_spark.functions.url import url_host, url_normalize
+
+    rows = [
+        (0, "HTTP://WWW.Ex.COM:80//a//b/?utm_source=x&b=2&a=1#frag"),
+        (1, "https://ex.com:443/"),
+        (2, "http://ex.com:8080/Keep/Case/"),
+        (3, "https://ex.com"),
+        (4, "http://ex.com/?utm_source=only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: (r["n"], r["h"])
+        for r in df.select(
+            "doc_id",
+            url_normalize(F.col("url")).alias("n"),
+            url_host(url_normalize(F.col("url"))).alias("h"),
+        ).collect()
+    }
+    assert got[0] == ("http://www.ex.com/a/b?a=1&b=2", "www.ex.com")
+    assert got[1] == ("https://ex.com/", "ex.com")
+    # non-default port kept, path case preserved, trailing slash dropped
+    assert got[2] == ("http://ex.com:8080/Keep/Case", "ex.com:8080")
+    assert got[3] == ("https://ex.com/", "ex.com")
+    assert got[4] == ("http://ex.com/", "ex.com")
