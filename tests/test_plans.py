@@ -537,3 +537,33 @@ def test_dsir_weights_broadcast_ratio_bounded_shuffles(spark):
     df = q("dsir_importance_weights", spark)
     assert broadcast_join_count(df) >= 1, "ratio join must broadcast"
     assert shuffle_count(df) <= 2
+
+
+def test_session5_map_only_pipelines(spark):
+    """Round-9 session-5 ops that must stay exchange-free (modulo the
+    rebalance): the BPE replace-chain encode, NFC normalization, URL
+    canonicalization, the deflate round trip, and the three new codec
+    queries (mp4/mkv/webp/g711) — all two chained map stages."""
+    for name in (
+        "bpe_tokenize",
+        "text_nfc_normalize",
+        "url_normalize",
+        "deflate_decode_text",
+        "multimodal_mp4_frame_sample",
+        "multimodal_mkv_frame_sample",
+        "multimodal_webp_decode",
+        "multimodal_g711_decode",
+    ):
+        assert shuffle_count(q(name, spark)) <= 1, name
+        for cols in scan_columns(q(name, spark)):
+            assert cols <= {"doc_id", "text"}, name
+
+
+def test_sq8_broadcasts_queries_and_bounds_shuffles(spark):
+    """Flat SQ8: the corpus-sized relation is scanned once map-only
+    (quantize is a projection), the 10-query side broadcasts, and the
+    only exchange is the per-query top-k window over (qid, cid, sim)
+    triples."""
+    df = q("embedding_ann_sq8", spark)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 1
