@@ -3408,6 +3408,79 @@ def deflate_decode_text_q(spark, sf_dir):
     )
 
 
+def lz4_snappy_decode_text_q(spark, sf_dir):
+    """Cross-implementation LZ4 + Snappy round trip at corpus scale —
+    parquet's two standard page codecs made inspectable: each
+    document's text is compressed by pyarrow's C codecs (doc_id % 3
+    picks lz4-frame / lz4-raw-block / snappy) and recovered by the
+    repo's OWN from-spec decoders (operators/lz4codec.py — token
+    nibbles, linked-block windows, xxHash32-verified frames — and
+    operators/snappycodec.py — varint preamble, tagged elements),
+    then reduced to byte length + md5 of the recovered bytes. The
+    DuckDB oracle hashes the original text directly, so agreement
+    proves both decoders byte-perfect against the C implementations
+    on every document. Two map-only Arrow-batched stages, no shuffle."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from bazof_spark.operators.lz4codec import (
+        lz4_block_decompress,
+        lz4_frame_decompress,
+    )
+    from bazof_spark.operators.snappycodec import snappy_decompress
+
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+
+    def compress(it):
+        lz4f = pa.Codec("lz4")
+        lz4r = pa.Codec("lz4_raw")
+        sn = pa.Codec("snappy")
+        for pdf in it:
+            blobs, names = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = t.encode("utf-8")
+                which = int(d) % 3
+                if which == 0:
+                    blobs.append(lz4f.compress(raw).to_pybytes())
+                    names.append("lz4_frame")
+                elif which == 1:
+                    blobs.append(lz4r.compress(raw).to_pybytes())
+                    names.append("lz4_block")
+                else:
+                    blobs.append(sn.compress(raw).to_pybytes())
+                    names.append("snappy")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "codec": names, "z": blobs}
+            )
+
+    comp = docs.mapInPandas(compress, "doc_id long, codec string, z binary")
+
+    def recover(it):
+        for pdf in it:
+            out = {
+                "doc_id": [], "codec": [], "n_bytes": [], "digest": [],
+            }
+            for d, name, z in zip(pdf["doc_id"], pdf["codec"], pdf["z"]):
+                z = bytes(z)
+                if name == "lz4_frame":
+                    raw = lz4_frame_decompress(z)
+                elif name == "lz4_block":
+                    raw = lz4_block_decompress(z)
+                else:
+                    raw = snappy_decompress(z)
+                out["doc_id"].append(d)
+                out["codec"].append(name)
+                out["n_bytes"].append(len(raw))
+                out["digest"].append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(out)
+
+    return comp.mapInPandas(
+        recover, "doc_id long, codec string, n_bytes long, digest string"
+    )
+
+
 def multimodal_metadata_stats_q(spark, sf_dir):
     """Metadata-only aggregation over a multimodal table — never reads
     the binary column (column pruning drops `content` at the scan)."""
@@ -3996,6 +4069,16 @@ _MULTIMODAL_ORACLES = {
                    '^[a-z][a-z0-9+.\-]*://([^/?]*)', 1) AS host,
                md5(url_norm) AS digest
         FROM built
+    """,
+    # original text hashed directly again: Spark's answer went through
+    # pyarrow-C lz4/snappy compress -> the from-spec Python decoders
+    "lz4_snappy_decode_text": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'lz4_frame'
+                    WHEN 1 THEN 'lz4_block' ELSE 'snappy' END AS codec,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
     """,
     # the original text hashed directly: Spark's answer went through
     # zlib-compress -> from-spec inflate, so agreement proves the
@@ -6628,6 +6711,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_webp_decode": multimodal_webp_decode_q,
     "deflate_decode_text": deflate_decode_text_q,
     "url_normalize": url_normalize_q,
+    "lz4_snappy_decode_text": lz4_snappy_decode_text_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,
