@@ -136,3 +136,144 @@ def test_html_to_text_never_leaks_script_or_tags(parts):
     assert "<" not in text and ">" not in text.replace("&gt;", "")
     assert "script" not in text and "style" not in text
     assert "  " not in text  # whitespace collapsed
+
+
+# --- session-5 family: VP8L, inflate, LZ4, Snappy, G.711, containers ------
+
+import zlib as _zlib  # noqa: E402
+
+import pyarrow as _pa  # noqa: E402
+
+from bazof_spark.operators.g711codec import (  # noqa: E402
+    g711_decode,
+    g711_encode,
+)
+from bazof_spark.operators.inflate import zlib_decompress  # noqa: E402
+from bazof_spark.operators.lz4codec import (  # noqa: E402
+    lz4_block_compress,
+    lz4_block_decompress,
+    lz4_frame_compress,
+    lz4_frame_decompress,
+)
+from bazof_spark.operators.mkvcontainer import (  # noqa: E402
+    encode_mkv_mjpeg,
+    parse_mkv,
+)
+from bazof_spark.operators.mp4container import (  # noqa: E402
+    encode_mp4_mjpeg,
+    parse_mp4,
+)
+from bazof_spark.operators.snappycodec import (  # noqa: E402
+    snappy_compress,
+    snappy_decompress,
+)
+from bazof_spark.operators.vp8lcodec import (  # noqa: E402
+    decode_vp8l,
+    encode_vp8l,
+)
+
+bytes_blob = st.binary(min_size=0, max_size=4000) | st.builds(
+    lambda b, n: b * n,
+    st.binary(min_size=1, max_size=8),
+    st.integers(1, 2000),
+)
+
+
+@_FAST
+@given(bytes_blob, st.integers(0, 9))
+def test_inflate_vs_zlib_property(data, level):
+    assert zlib_decompress(_zlib.compress(data, level)) == data
+
+
+@_FAST
+@given(bytes_blob)
+def test_lz4_block_property(data):
+    ours = lz4_block_compress(data)
+    assert lz4_block_decompress(ours) == data
+    if data:
+        c = _pa.Codec("lz4_raw").compress(data).to_pybytes()
+        assert lz4_block_decompress(c) == data
+
+
+@_FAST
+@given(bytes_blob)
+def test_lz4_frame_property(data):
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+    c = _pa.Codec("lz4").compress(data).to_pybytes()
+    assert lz4_frame_decompress(c) == data
+
+
+@_FAST
+@given(bytes_blob)
+def test_snappy_property(data):
+    ours = snappy_compress(data)
+    assert snappy_decompress(ours) == data
+    c = _pa.Codec("snappy").compress(data).to_pybytes()
+    assert snappy_decompress(c) == data
+    assert (
+        _pa.Codec("snappy")
+        .decompress(ours, decompressed_size=len(data))
+        .to_pybytes()
+        == data
+    )
+
+
+@_FAST
+@given(samples16, st.sampled_from(["ulaw", "alaw"]))
+def test_g711_requantization_property(xs, law):
+    """decode∘encode is a projection: re-encoding the decoded signal
+    reproduces the same codes (companding fixpoint)."""
+    s = np.asarray(xs, dtype=np.int16)
+    codes = g711_encode(s, law)
+    assert g711_encode(g711_decode(codes, law), law) == codes
+
+
+@_FAST
+@given(
+    st.lists(st.binary(min_size=1, max_size=300), min_size=1, max_size=9),
+    st.integers(1, 5),
+)
+def test_mp4_sample_table_property(frames, spc):
+    meta = parse_mp4(
+        encode_mp4_mjpeg(frames, 8, 8, samples_per_chunk=spc)
+    )
+    assert meta["frames"] == frames
+
+
+@_FAST
+@given(
+    st.lists(st.binary(min_size=1, max_size=300), min_size=1, max_size=9),
+    st.integers(1, 4),
+)
+def test_mkv_block_property(frames, fpc):
+    meta = parse_mkv(
+        encode_mkv_mjpeg(frames, 8, 8, frames_per_cluster=fpc)
+    )
+    assert meta["frames"] == frames
+
+
+@_FAST
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.randoms(use_true_random=False),
+    st.sampled_from(["plain", "sg", "pred", "palette", "cache"]),
+)
+def test_vp8l_roundtrip_property(h, w, rnd, variant):
+    px = np.array(
+        [[rnd.randrange(256) for _ in range(w * 4)] for _ in range(h)],
+        dtype=np.uint8,
+    ).reshape(h, w, 4)
+    kw = {}
+    if variant == "sg":
+        kw = {"use_subtract_green": True}
+    elif variant == "pred":
+        kw = {"predictor_mode": rnd.randrange(14)}
+    elif variant == "palette":
+        # palette needs <=256 distinct colors: quantize to 8 values
+        px = (px // 32) * 32
+        kw = {"palette": True}
+    elif variant == "cache":
+        kw = {"cache_bits": 1 + rnd.randrange(8)}
+    out = decode_vp8l(encode_vp8l(px, **kw))
+    assert (out == px).all()
