@@ -3408,18 +3408,21 @@ def deflate_decode_text_q(spark, sf_dir):
     )
 
 
-def lz4_snappy_decode_text_q(spark, sf_dir):
-    """Cross-implementation LZ4 + Snappy round trip at corpus scale —
-    parquet's two standard page codecs made inspectable: each
-    document's text is compressed by pyarrow's C codecs (doc_id % 3
-    picks lz4-frame / lz4-raw-block / snappy) and recovered by the
+def compressed_text_roundtrip_q(spark, sf_dir):
+    """Cross-implementation compression round trip at corpus scale —
+    parquet's standard page codecs made inspectable: each document's
+    text is compressed by pyarrow's C codecs (doc_id % 4 picks
+    lz4-frame / lz4-raw-block / snappy / ZSTD) and recovered by the
     repo's OWN from-spec decoders (operators/lz4codec.py — token
-    nibbles, linked-block windows, xxHash32-verified frames — and
-    operators/snappycodec.py — varint preamble, tagged elements),
-    then reduced to byte length + md5 of the recovered bytes. The
-    DuckDB oracle hashes the original text directly, so agreement
-    proves both decoders byte-perfect against the C implementations
-    on every document. Two map-only Arrow-batched stages, no shuffle."""
+    nibbles, linked-block windows, xxHash32-verified frames;
+    operators/snappycodec.py — varint preamble, tagged elements;
+    operators/zstdcodec.py — the full RFC 8878 path: FSE-coded
+    Huffman literals, interleaved LL/OF/ML sequence states, repeat
+    offsets, xxHash64 checksums), then reduced to byte length + md5
+    of the recovered bytes. The DuckDB oracle hashes the original
+    text directly, so agreement proves every decoder byte-perfect
+    against the C implementations on every document. Two map-only
+    Arrow-batched stages, no shuffle."""
     import hashlib
 
     import pandas as pd
@@ -3430,6 +3433,7 @@ def lz4_snappy_decode_text_q(spark, sf_dir):
         lz4_frame_decompress,
     )
     from bazof_spark.operators.snappycodec import snappy_decompress
+    from bazof_spark.operators.zstdcodec import zstd_decompress
 
     docs = _docs_par(spark, sf_dir).select("doc_id", "text")
 
@@ -3437,20 +3441,24 @@ def lz4_snappy_decode_text_q(spark, sf_dir):
         lz4f = pa.Codec("lz4")
         lz4r = pa.Codec("lz4_raw")
         sn = pa.Codec("snappy")
+        zs = pa.Codec("zstd")
         for pdf in it:
             blobs, names = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 raw = t.encode("utf-8")
-                which = int(d) % 3
+                which = int(d) % 4
                 if which == 0:
                     blobs.append(lz4f.compress(raw).to_pybytes())
                     names.append("lz4_frame")
                 elif which == 1:
                     blobs.append(lz4r.compress(raw).to_pybytes())
                     names.append("lz4_block")
-                else:
+                elif which == 2:
                     blobs.append(sn.compress(raw).to_pybytes())
                     names.append("snappy")
+                else:
+                    blobs.append(zs.compress(raw).to_pybytes())
+                    names.append("zstd")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "codec": names, "z": blobs}
             )
@@ -3468,8 +3476,10 @@ def lz4_snappy_decode_text_q(spark, sf_dir):
                     raw = lz4_frame_decompress(z)
                 elif name == "lz4_block":
                     raw = lz4_block_decompress(z)
-                else:
+                elif name == "snappy":
                     raw = snappy_decompress(z)
+                else:
+                    raw = zstd_decompress(z)
                 out["doc_id"].append(d)
                 out["codec"].append(name)
                 out["n_bytes"].append(len(raw))
@@ -4072,10 +4082,11 @@ _MULTIMODAL_ORACLES = {
     """,
     # original text hashed directly again: Spark's answer went through
     # pyarrow-C lz4/snappy compress -> the from-spec Python decoders
-    "lz4_snappy_decode_text": """
+    "compressed_text_roundtrip": """
         SELECT doc_id,
-               CASE doc_id % 3 WHEN 0 THEN 'lz4_frame'
-                    WHEN 1 THEN 'lz4_block' ELSE 'snappy' END AS codec,
+               CASE doc_id % 4 WHEN 0 THEN 'lz4_frame'
+                    WHEN 1 THEN 'lz4_block' WHEN 2 THEN 'snappy'
+                    ELSE 'zstd' END AS codec,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS digest
         FROM documents
@@ -6711,7 +6722,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_webp_decode": multimodal_webp_decode_q,
     "deflate_decode_text": deflate_decode_text_q,
     "url_normalize": url_normalize_q,
-    "lz4_snappy_decode_text": lz4_snappy_decode_text_q,
+    "compressed_text_roundtrip": compressed_text_roundtrip_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,
     "multimodal_jpeg_decode": multimodal_jpeg_decode_q,

@@ -549,6 +549,7 @@ def test_session5_map_only_pipelines(spark):
         "text_nfc_normalize",
         "url_normalize",
         "deflate_decode_text",
+        "compressed_text_roundtrip",
         "multimodal_mp4_frame_sample",
         "multimodal_mkv_frame_sample",
         "multimodal_webp_decode",

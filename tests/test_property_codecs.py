@@ -277,3 +277,13 @@ def test_vp8l_roundtrip_property(h, w, rnd, variant):
         kw = {"cache_bits": 1 + rnd.randrange(8)}
     out = decode_vp8l(encode_vp8l(px, **kw))
     assert (out == px).all()
+
+
+from bazof_spark.operators.zstdcodec import zstd_decompress  # noqa: E402
+
+
+@_FAST
+@given(bytes_blob, st.sampled_from([1, 3, 9, 19]))
+def test_zstd_vs_pyarrow_property(data, level):
+    c = _pa.Codec("zstd", compression_level=level).compress(data)
+    assert zstd_decompress(c.to_pybytes()) == data
