@@ -220,3 +220,57 @@ def zlib_decompress(data: bytes) -> bytes:
     if ((b << 16) | a) != adler:
         raise ValueError("Adler-32 mismatch")
     return out
+
+
+def _crc32_table() -> list[int]:
+    """CRC-32 (reflected 0xEDB88320) table, generated — not copied."""
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32 = _crc32_table()
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    """Decompress one gzip member (RFC 1952): header with the FEXTRA/
+    FNAME/FCOMMENT/FHCRC optional fields, deflate body via the
+    from-spec inflate above, CRC-32 (table generated from the
+    reflected polynomial) and ISIZE both verified."""
+    if len(data) < 18 or data[0] != 0x1F or data[1] != 0x8B:
+        raise ValueError("not a gzip member")
+    if data[2] != 8:
+        raise ValueError("gzip CM is not deflate")
+    flg = data[3]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        xlen = data[pos] | (data[pos + 1] << 8)
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = data.index(b"\x00", pos) + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = data.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC: low 16 bits of header crc
+        want = data[pos] | (data[pos + 1] << 8)
+        if crc32(data[:pos]) & 0xFFFF != want:
+            raise ValueError("gzip header CRC mismatch")
+        pos += 2
+    out = inflate(data[pos:-8])
+    want_crc = int.from_bytes(data[-8:-4], "little")
+    want_size = int.from_bytes(data[-4:], "little")
+    if crc32(out) != want_crc:
+        raise ValueError("gzip CRC-32 mismatch")
+    if want_size != len(out) % (1 << 32):
+        raise ValueError("gzip ISIZE mismatch")
+    return out

@@ -63,3 +63,24 @@ def test_corrupt_streams_fail_loudly():
     d[3] ^= 0xFF
     with pytest.raises(ValueError, match="LEN/NLEN"):
         inflate(bytes(d))
+
+
+def test_gzip_and_crc32_pinned_to_stdlib():
+    import gzip
+    import io
+    import os
+    import zlib as z
+
+    from bazof_spark.operators.inflate import crc32, gzip_decompress
+
+    for raw in [b"", b"abc", b"hello " * 1000, os.urandom(8000)]:
+        assert crc32(raw) == z.crc32(raw)
+        assert gzip_decompress(gzip.compress(raw, 6)) == raw
+    buf = io.BytesIO()
+    with gzip.GzipFile(filename="x.txt", fileobj=buf, mode="wb") as f:
+        f.write(b"named member")
+    assert gzip_decompress(buf.getvalue()) == b"named member"
+    bad = bytearray(gzip.compress(b"q" * 100))
+    bad[-5] ^= 1  # CRC byte
+    with pytest.raises(ValueError, match="CRC-32"):
+        gzip_decompress(bytes(bad))
