@@ -287,3 +287,14 @@ from bazof_spark.operators.zstdcodec import zstd_decompress  # noqa: E402
 def test_zstd_vs_pyarrow_property(data, level):
     c = _pa.Codec("zstd", compression_level=level).compress(data)
     assert zstd_decompress(c.to_pybytes()) == data
+
+
+import bz2 as _bz2  # noqa: E402
+
+from bazof_spark.operators.bzip2codec import bz2_decompress  # noqa: E402
+
+
+@_FAST
+@given(bytes_blob, st.sampled_from([1, 9]))
+def test_bzip2_vs_stdlib_property(data, level):
+    assert bz2_decompress(_bz2.compress(data, level)) == data
