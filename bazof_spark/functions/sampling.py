@@ -230,3 +230,52 @@ def weighted_sample_per_group(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def temperature_weights(
+    df,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    budget: int = 10000,
+):
+    """Multilingual temperature resampling — the published recipe for
+    balancing language mixes in pretraining data (XLM-R / mT5 style:
+    sample language l with probability proportional to
+    (n_l / N) ** alpha, alpha≈0.3, which up-weights tail languages
+    without flattening the mix entirely).
+
+    Returns one row per group: document count, the raw share, the
+    tempered share, the boost factor (tempered / raw — >1 means the
+    language is up-sampled, i.e. seen for more epochs), and the
+    expected document budget at ``budget`` total samples.
+
+    Plan: one map-side-combined count per group, then the tempered
+    normalization over the (tiny, ≤ distinct-group-count) aggregate —
+    a broadcast-sized relation at any corpus scale; the corpus itself
+    is scanned exactly once."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("_total"),
+    )
+    pows = counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        (F.col("n_docs") / F.col("_total")).alias("_p_raw"),
+        F.pow(F.col("n_docs") / F.col("_total"), F.lit(alpha)).alias("_pw"),
+    )
+    z = pows.agg(F.sum("_pw").alias("_z"))
+    return (
+        pows.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            "n_docs",
+            F.round("_p_raw", 6).alias("p_raw"),
+            F.round(F.col("_pw") / F.col("_z"), 6).alias("p_tempered"),
+            F.round((F.col("_pw") / F.col("_z")) / F.col("_p_raw"), 6)
+            .alias("boost"),
+            F.round(F.col("_pw") / F.col("_z") * budget, 2)
+            .alias("expected_docs"),
+        )
+    )

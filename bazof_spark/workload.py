@@ -3324,6 +3324,21 @@ def multimodal_webp_decode_q(spark, sf_dir):
     )
 
 
+def lang_temperature_resample_q(spark, sf_dir):
+    """Multilingual temperature resampling (functions/sampling.
+    temperature_weights — the XLM-R/mT5 α=0.3 recipe): per-language
+    counts → tempered sampling shares (n_l/N)^α normalized, the boost
+    factor tail languages get, and the expected per-language budget at
+    10k samples. One corpus scan with a map-side-combined count per
+    language; everything after operates on the ≤|langs| aggregate —
+    broadcast-sized at any corpus scale. The oracle recomputes the
+    same two-level normalization in SQL."""
+    from bazof_spark.functions.sampling import temperature_weights
+
+    docs = _t("documents")(spark, sf_dir)
+    return temperature_weights(docs, "lang", alpha=0.3, budget=10000)
+
+
 def url_normalize_q(spark, sf_dir):
     """URL canonicalization over the corpus (functions/url.py — the
     CommonCrawl dedup-key step): per doc a deliberately messy raw URL
@@ -4022,6 +4037,29 @@ _MULTIMODAL_ORACLES = {
                            * (y*1000000 + x*1000 + c + 1)))))))
                    AS BIGINT) AS pos_checksum
         FROM m
+    """,
+    # same two-level tempered normalization in SQL; round(_,6)
+    # absorbs cross-engine pow()/sum-order noise like the other
+    # float oracles
+    "lang_temperature_resample": """
+        WITH c AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        t AS (SELECT SUM(n_docs) AS total FROM c),
+        p AS (
+            SELECT lang, n_docs,
+                   n_docs / total AS p_raw,
+                   pow(n_docs / total, 0.3) AS pw
+            FROM c CROSS JOIN t
+        ),
+        z AS (SELECT SUM(pw) AS z FROM p)
+        SELECT lang,
+               n_docs,
+               round(p_raw, 6) AS p_raw,
+               round(pw / z, 6) AS p_tempered,
+               round((pw / z) / p_raw, 6) AS boost,
+               round(pw / z * 10000, 2) AS expected_docs
+        FROM p CROSS JOIN z
     """,
     # the SAME messy raw URL built from doc_id, normalized with
     # DuckDB's OWN regex engine (RE2) and list functions — independent
@@ -6732,6 +6770,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_webp_decode": multimodal_webp_decode_q,
     "deflate_decode_text": deflate_decode_text_q,
     "url_normalize": url_normalize_q,
+    "lang_temperature_resample": lang_temperature_resample_q,
     "compressed_text_roundtrip": compressed_text_roundtrip_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,

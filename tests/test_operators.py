@@ -789,3 +789,19 @@ def test_span_dedup_stats_hand_computed(spark):
         2: (1, 1, 1.0),
         3: (3, 2, 0.666667),
     }
+
+
+def test_temperature_weights_tempers_toward_uniform(spark):
+    """alpha=1 reproduces the raw mix; alpha=0 is uniform; alpha=0.3
+    up-weights tails (boost > 1) and down-weights heads (< 1)."""
+    from bazof_spark.functions.sampling import temperature_weights
+
+    rows = [(i, "en") for i in range(90)] + [(90 + i, "sw") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    t1 = {r["lang"]: r for r in temperature_weights(df, alpha=1.0).collect()}
+    assert t1["en"]["p_tempered"] == t1["en"]["p_raw"] == 0.9
+    t0 = {r["lang"]: r for r in temperature_weights(df, alpha=0.0).collect()}
+    assert t0["en"]["p_tempered"] == t0["sw"]["p_tempered"] == 0.5
+    t = {r["lang"]: r for r in temperature_weights(df, alpha=0.3).collect()}
+    assert t["sw"]["boost"] > 1.0 > t["en"]["boost"]
+    assert abs(t["en"]["p_tempered"] + t["sw"]["p_tempered"] - 1.0) < 1e-5
