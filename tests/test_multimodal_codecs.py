@@ -109,8 +109,18 @@ def test_decode_dispatchers():
     # NotImplementedError contract
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff", "jpeg")
-    with pytest.raises(NotImplementedError):
+    # webp routes to the REAL VP8L decoder since round 9: a WEBP RIFF
+    # with no VP8L chunk is a loud ValueError; the LOSSY profile keeps
+    # the NotImplementedError library seam
+    with pytest.raises(ValueError, match="VP8L"):
         decode_image(b"RIFFxxxxWEBP", "webp")
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_image(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00",
+            "webp",
+        )
+    with pytest.raises(NotImplementedError):
+        decode_image(b"????", "avif")
     s = np.array([1, -2, 3], dtype=np.int16)
     rate, ch, got = decode_audio(encode_wav(s), "wav")
     assert np.array_equal(got, s)
