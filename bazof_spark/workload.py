@@ -3426,9 +3426,9 @@ def deflate_decode_text_q(spark, sf_dir):
 def compressed_text_roundtrip_q(spark, sf_dir):
     """Cross-implementation compression round trip at corpus scale —
     parquet's standard page codecs made inspectable: each document's
-    text is compressed by C implementations (doc_id % 5 picks
-    lz4-frame / lz4-raw-block / snappy / ZSTD via pyarrow, or bzip2
-    via the stdlib wrapper) and recovered by the
+    text is compressed by C implementations (doc_id % 6 picks
+    lz4-frame / lz4-raw-block / snappy / ZSTD via pyarrow, bzip2 or
+    classic .lzma via the stdlib wrappers) and recovered by the
     repo's OWN from-spec decoders (operators/lz4codec.py — token
     nibbles, linked-block windows, xxHash32-verified frames;
     operators/snappycodec.py — varint preamble, tagged elements;
@@ -3436,8 +3436,10 @@ def compressed_text_roundtrip_q(spark, sf_dir):
     Huffman literals, interleaved LL/OF/ML sequence states, repeat
     offsets, xxHash64 checksums; operators/bzip2codec.py — Huffman
     groups with MTF selectors, RUNA/RUNB zero-runs, inverse BWT,
-    RLE1, both CRC layers), then reduced to byte length + md5 of the
-    recovered bytes. The DuckDB oracle hashes the original
+    RLE1, both CRC layers; operators/lzmacodec.py — the range-coded
+    member: adaptive-probability bit trees, the 12-state machine,
+    matched-byte literal contexts, pos-slot distances), then reduced
+    to byte length + md5 of the recovered bytes. The DuckDB oracle hashes the original
     text directly, so agreement proves every decoder byte-perfect
     against the C implementations on every document. Two map-only
     Arrow-batched stages, no shuffle."""
@@ -3451,6 +3453,7 @@ def compressed_text_roundtrip_q(spark, sf_dir):
         lz4_frame_decompress,
     )
     from bazof_spark.operators.bzip2codec import bz2_decompress
+    from bazof_spark.operators.lzmacodec import lzma_alone_decompress
     from bazof_spark.operators.snappycodec import snappy_decompress
     from bazof_spark.operators.zstdcodec import zstd_decompress
 
@@ -3462,11 +3465,12 @@ def compressed_text_roundtrip_q(spark, sf_dir):
         sn = pa.Codec("snappy")
         zs = pa.Codec("zstd")
         import bz2 as _bz2
+        import lzma as _lzma
         for pdf in it:
             blobs, names = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 raw = t.encode("utf-8")
-                which = int(d) % 5
+                which = int(d) % 6
                 if which == 0:
                     blobs.append(lz4f.compress(raw).to_pybytes())
                     names.append("lz4_frame")
@@ -3479,9 +3483,16 @@ def compressed_text_roundtrip_q(spark, sf_dir):
                 elif which == 3:
                     blobs.append(zs.compress(raw).to_pybytes())
                     names.append("zstd")
-                else:
+                elif which == 4:
                     blobs.append(_bz2.compress(raw, 9))
                     names.append("bzip2")
+                else:
+                    blobs.append(
+                        _lzma.compress(
+                            raw, format=_lzma.FORMAT_ALONE, preset=6
+                        )
+                    )
+                    names.append("lzma")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "codec": names, "z": blobs}
             )
@@ -3503,8 +3514,10 @@ def compressed_text_roundtrip_q(spark, sf_dir):
                     raw = snappy_decompress(z)
                 elif name == "zstd":
                     raw = zstd_decompress(z)
-                else:
+                elif name == "bzip2":
                     raw = bz2_decompress(z)
+                else:
+                    raw = lzma_alone_decompress(z)
                 out["doc_id"].append(d)
                 out["codec"].append(name)
                 out["n_bytes"].append(len(raw))
@@ -4132,9 +4145,10 @@ _MULTIMODAL_ORACLES = {
     # pyarrow-C lz4/snappy compress -> the from-spec Python decoders
     "compressed_text_roundtrip": """
         SELECT doc_id,
-               CASE doc_id % 5 WHEN 0 THEN 'lz4_frame'
+               CASE doc_id % 6 WHEN 0 THEN 'lz4_frame'
                     WHEN 1 THEN 'lz4_block' WHEN 2 THEN 'snappy'
-                    WHEN 3 THEN 'zstd' ELSE 'bzip2' END AS codec,
+                    WHEN 3 THEN 'zstd' WHEN 4 THEN 'bzip2'
+                    ELSE 'lzma' END AS codec,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS digest
         FROM documents

@@ -298,3 +298,15 @@ from bazof_spark.operators.bzip2codec import bz2_decompress  # noqa: E402
 @given(bytes_blob, st.sampled_from([1, 9]))
 def test_bzip2_vs_stdlib_property(data, level):
     assert bz2_decompress(_bz2.compress(data, level)) == data
+
+
+import lzma as _lzma  # noqa: E402
+
+from bazof_spark.operators.lzmacodec import lzma_alone_decompress  # noqa: E402
+
+
+@_FAST
+@given(bytes_blob, st.sampled_from([0, 6, 9]))
+def test_lzma_vs_stdlib_property(data, preset):
+    c = _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=preset)
+    assert lzma_alone_decompress(c) == data
