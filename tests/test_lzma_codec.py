@@ -65,3 +65,53 @@ def test_lzma_corruption_fails_loudly():
     c = c[:-6]  # truncate mid-stream
     with pytest.raises(ValueError):
         lzma_alone_decompress(bytes(c))
+
+
+def test_lzma2_pinned_to_stdlib_raw_streams():
+    """Raw LZMA2 chunk sequences incl. multi-chunk (>2 MiB unpacked)
+    — chunk control bytes, prop/state/dict reset modes, uncompressed
+    chunks."""
+    from bazof_spark.operators.lzmacodec import lzma2_decompress
+
+    cases = [
+        b"",
+        b"hello world " * 1000,
+        os.urandom(9000),
+        b"\x00" * 2_500_000,
+        (b"pattern! " * 400_000),
+    ]
+    for preset in (0, 6):
+        for raw in cases:
+            filt = [{"id": lzma.FILTER_LZMA2, "preset": preset}]
+            c = lzma.compress(raw, format=lzma.FORMAT_RAW, filters=filt)
+            got, end = lzma2_decompress(c)
+            assert got == raw and end == len(c)
+
+
+def test_xz_pinned_across_check_types():
+    """The full .xz container: header/footer CRCs, block headers,
+    padding, index cross-check, and all four integrity-check types
+    (none / CRC-32 / generated CRC-64 / SHA-256)."""
+    from bazof_spark.operators.lzmacodec import crc64_xz, xz_decompress
+
+    assert crc64_xz(b"123456789") == 0x995DC9BBDF1939FA  # public vector
+    cases = [b"", b"hello xz " * 2000, os.urandom(7000), b"\x00" * 2_500_000]
+    for check in (
+        lzma.CHECK_NONE, lzma.CHECK_CRC32, lzma.CHECK_CRC64,
+        lzma.CHECK_SHA256,
+    ):
+        for raw in cases:
+            c = lzma.compress(raw, format=lzma.FORMAT_XZ, check=check)
+            assert xz_decompress(c) == raw
+
+
+def test_xz_corruption_fails_loudly():
+    from bazof_spark.operators.lzmacodec import xz_decompress
+
+    with pytest.raises(ValueError, match="not an xz"):
+        xz_decompress(b"PK\x03\x04 definitely a zip")
+    c = bytearray(lzma.compress(b"check " * 500, format=lzma.FORMAT_XZ,
+                                check=lzma.CHECK_CRC64))
+    c[-5] ^= 1  # footer region
+    with pytest.raises(ValueError):
+        xz_decompress(bytes(c))

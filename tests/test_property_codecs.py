@@ -310,3 +310,13 @@ from bazof_spark.operators.lzmacodec import lzma_alone_decompress  # noqa: E402
 def test_lzma_vs_stdlib_property(data, preset):
     c = _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=preset)
     assert lzma_alone_decompress(c) == data
+
+
+from bazof_spark.operators.lzmacodec import xz_decompress  # noqa: E402
+
+
+@_FAST
+@given(bytes_blob, st.sampled_from([_lzma.CHECK_CRC32, _lzma.CHECK_CRC64]))
+def test_xz_vs_stdlib_property(data, check):
+    c = _lzma.compress(data, format=_lzma.FORMAT_XZ, check=check, preset=1)
+    assert xz_decompress(c) == data
