@@ -46,7 +46,15 @@ def feature_columns(t: Column) -> list[Column]:
     empty-text edges resolve to 0.0 so the arithmetic is total."""
     words = F.regexp_count(t, F.lit(_WORD_RE))
     letters = F.regexp_count(t, F.lit(_LETTER_RE))
-    punct = F.regexp_count(t, F.lit(_PUNCT_RE))
+    # identity form: length - word chars - whitespace. Negated
+    # classes are ~10-20x slower in Spark's regex path (see
+    # functions/text.punct_count); _PUNCT_RE stays the documented
+    # semantic and the Python/SQL twins' literal form.
+    punct = (
+        F.length(t)
+        - letters
+        - F.regexp_count(t, F.lit(r"\s"))
+    )
     stops = F.regexp_count(t, F.lit(_STOP_RE))
     n = F.length(t)
     mwl = F.when(words > 0, letters / words).otherwise(F.lit(0.0))

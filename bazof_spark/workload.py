@@ -3324,6 +3324,63 @@ def multimodal_webp_decode_q(spark, sf_dir):
     )
 
 
+def filter_cascade_q(spark, sf_dir):
+    """End-to-end filter CASCADE — the published pretraining-pipeline
+    shape (FineWeb/RefinedWeb order): language-ID gate → Gopher rule
+    conjunction → exact dedup (md5 winner) → quality threshold, each
+    doc reporting the FIRST stage that rejected it (or 'kept'). Every
+    component is an already-oracle-verified operator (language_id,
+    the Gopher flags, the md5-window dedup, quality_score) — this
+    query pins their COMPOSITION, the thing an actual pipeline runs.
+    Plan: all gates are Column expressions in one projection; the only
+    exchange is the dedup window's md5 hash partition."""
+    from bazof_spark.functions.repetition import word_repetition_ratio
+    from bazof_spark.functions.text import (
+        LANG_MARKERS,
+        language_id,
+        quality_score,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    t = F.col("text")
+    words = F.regexp_count(t, F.lit(r"[A-Za-z0-9_]+"))
+    letters = F.regexp_count(t, F.lit(r"[A-Za-z0-9_]"))
+    # identity form — see functions/text.punct_count for why
+    punct = F.length(t) - letters - F.regexp_count(t, F.lit(r"\s"))
+    stops = F.regexp_count(
+        t, F.lit(r"(?i)\b(" + "|".join(LANG_MARKERS["en"]) + r")\b")
+    )
+    n = F.length(t)
+    mwl = letters / words
+    gopher_ok = (
+        (words >= 20) & (words <= 1000)
+        & (words > 0) & (mwl >= 3.0) & (mwl <= 10.0)
+        & (n > 0) & (punct / n <= 0.2)
+        & (stops >= 2)
+        & (word_repetition_ratio(t) <= 0.4)
+    )
+    w = Window.partitionBy(F.md5(t))
+    staged = docs.select(
+        "doc_id",
+        (language_id(t) == "en").alias("_lang_ok"),
+        gopher_ok.alias("_gopher_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_dedup_ok"),
+        (F.round(quality_score(t), 6) >= 0.5).alias("_quality_ok"),
+    )
+    first_failed = (
+        F.when(~F.col("_lang_ok"), F.lit("langid"))
+        .when(~F.col("_gopher_ok"), F.lit("gopher"))
+        .when(~F.col("_dedup_ok"), F.lit("dedup"))
+        .when(~F.col("_quality_ok"), F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.select(
+        "doc_id",
+        first_failed.alias("first_failed"),
+        (first_failed == "kept").cast("int").alias("keep"),
+    )
+
+
 def lang_temperature_resample_q(spark, sf_dir):
     """Multilingual temperature resampling (functions/sampling.
     temperature_weights — the XLM-R/mT5 α=0.3 recipe): per-language
@@ -4930,6 +4987,62 @@ def _lsh_oracle_sql(
 # formula (floor-based rounding — reproducible across engines), then
 # cosine between the float query and the INTEGER codes (the per-row
 # scale cancels out of cosine, see operators/similarity.sq8_topk)
+# the cascade composes FOUR verified formulas: the langid CTE, the
+# gopher conjunction, the md5-window dedup and the quality threshold —
+# first failing stage per doc, in pipeline order
+_PIPELINE_ORACLES["filter_cascade"] = f"""
+    WITH {_LANGID_CTES},
+    g AS (
+        SELECT doc_id,
+               length(text) AS n,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS words,
+               len(regexp_extract_all(text, '[^\\sA-Za-z0-9_]')) AS punct,
+               len(regexp_extract_all(text,
+                   '(?i)\\b(the|and|of|to|a|in|is|that)\\b')) AS stops,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS letters,
+               CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                    THEN 1.0
+                         - len(list_distinct(regexp_split_to_array(
+                               trim(text), '\\s+'))) * 1.0
+                           / len(regexp_split_to_array(trim(text), '\\s+'))
+                    ELSE 0.0 END AS rep,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               (SELECT lang_pred FROM langid l
+                 WHERE l.doc_id = g.doc_id) = 'en' AS lang_ok,
+               (words >= 20 AND words <= 1000
+                AND words > 0 AND letters * 1.0 / words >= 3.0
+                           AND letters * 1.0 / words <= 10.0
+                AND n > 0 AND punct * 1.0 / n <= 0.2
+                AND stops >= 2 AND rep <= 0.4) AS gopher_ok,
+               doc_id = rep_id AS dedup_ok,
+               round(
+                 least(n / 500.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - (CASE WHEN n > 0
+                       THEN punct * 1.0 / n ELSE 0.0 END) * 4.0) * 0.3
+                 + least((CASE WHEN words > 0
+                       THEN stops * 1.0 / words ELSE 0.0 END) * 5.0,
+                       1.0) * 0.2
+                 + (CASE WHEN words > 0 AND letters * 1.0 / words >= 3.0
+                          AND letters * 1.0 / words <= 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.1
+               , 6) >= 0.5 AS quality_ok
+        FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN NOT lang_ok THEN 'langid'
+                WHEN NOT gopher_ok THEN 'gopher'
+                WHEN NOT dedup_ok THEN 'dedup'
+                WHEN NOT quality_ok THEN 'quality'
+                ELSE 'kept' END AS first_failed,
+           CAST(lang_ok AND gopher_ok AND dedup_ok AND quality_ok
+                AS INT) AS keep
+    FROM s
+"""
+
 _PIPELINE_ORACLES["embedding_ann_sq8"] = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -6785,6 +6898,7 @@ QUERIES: dict[str, QueryFn] = {
     "deflate_decode_text": deflate_decode_text_q,
     "url_normalize": url_normalize_q,
     "lang_temperature_resample": lang_temperature_resample_q,
+    "filter_cascade": filter_cascade_q,
     "compressed_text_roundtrip": compressed_text_roundtrip_q,
     "multimodal_tiff_decode": multimodal_tiff_decode_q,
     "multimodal_png_decode": multimodal_png_decode_q,

@@ -1137,7 +1137,8 @@ def gopher_quality_filter(spark, sf_dir):
     t = F.col("text")
     words = F.regexp_count(t, F.lit(r"[A-Za-z0-9_]+"))
     letters = F.regexp_count(t, F.lit(r"[A-Za-z0-9_]"))
-    punct = F.regexp_count(t, F.lit(r"[^\sA-Za-z0-9_]"))
+    # identity form — see functions/text.punct_count for why
+    punct = F.length(t) - letters - F.regexp_count(t, F.lit(r"\s"))
     stops = F.regexp_count(
         t, F.lit(r"(?i)\b(" + "|".join(LANG_MARKERS["en"]) + r")\b")
     )

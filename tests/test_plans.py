@@ -568,3 +568,12 @@ def test_sq8_broadcasts_queries_and_bounds_shuffles(spark):
     df = q("embedding_ann_sq8", spark)
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 1
+
+
+def test_filter_cascade_single_exchange(spark):
+    """The composed pipeline gates are ONE projection; the only
+    exchange is the dedup window's md5 hash partition."""
+    df = q("filter_cascade", spark)
+    assert shuffle_count(df) <= 2  # rebalance + md5 window
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
