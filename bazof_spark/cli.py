@@ -229,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
         "rewrites data files with the cast, history preserved)",
     )
 
+    p_dc = sub.add_parser(
+        "decompress",
+        help="decode a compressed file with the repo's from-spec "
+        "decoders (gzip/zlib/zstd/xz/.lzma/bz2/lz4-frame, sniffed by "
+        "magic bytes); no Spark session",
+    )
+    p_dc.add_argument("file")
+    p_dc.add_argument("--out", help="output path (default: stdout)")
+
     args = parser.parse_args(argv)
 
     if args.lock_server:
@@ -252,6 +261,20 @@ def main(argv: list[str] | None = None) -> int:
                 "to route commits through the server)",
                 file=sys.stderr,
             )
+
+    if args.cmd == "decompress":
+        # pure byte work through the from-spec decoders — no Spark
+        data = open(args.file, "rb").read()
+        from bazof_spark.operators.codecs import sniff_decompress
+
+        fmt, out = sniff_decompress(data)
+        if args.out:
+            with open(args.out, "wb") as fh:
+                fh.write(out)
+            print(f"{fmt}: {len(data)} -> {len(out)} bytes ({args.out})")
+        else:
+            sys.stdout.buffer.write(out)
+        return 0
 
     if args.cmd == "stats":
         # pure metadata walk — no Spark session needed

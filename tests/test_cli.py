@@ -247,3 +247,39 @@ def test_update_subcommand(spark, lake, capsys):
         "--set", "value = 'nope'", "--where", "key = 'zzz'",
     )
     assert "no-op" in out
+
+
+def test_cli_decompress_sniffs_all_containers(tmp_path):
+    """The decompress subcommand routes by magic through the from-spec
+    decoder family, without a Spark session."""
+    import bz2
+    import gzip
+    import lzma
+    import subprocess
+    import sys
+    import zlib
+
+    import pyarrow as pa
+
+    raw = b"decoder family " * 300
+    blobs = {
+        "gz": gzip.compress(raw),
+        "zz": zlib.compress(raw),
+        "zst": pa.Codec("zstd").compress(raw).to_pybytes(),
+        "xz": lzma.compress(raw, format=lzma.FORMAT_XZ),
+        "lzma": lzma.compress(raw, format=lzma.FORMAT_ALONE),
+        "bz2": bz2.compress(raw),
+        "lz4": pa.Codec("lz4").compress(raw).to_pybytes(),
+    }
+    for ext, blob in blobs.items():
+        src = tmp_path / f"f.{ext}"
+        src.write_bytes(blob)
+        out = tmp_path / f"f.{ext}.out"
+        r = subprocess.run(
+            [sys.executable, "-m", "bazof_spark.cli", "decompress",
+             str(src), "--out", str(out)],
+            capture_output=True, text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, (ext, r.stderr[-300:])
+        assert out.read_bytes() == raw, ext
