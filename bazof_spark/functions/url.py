@@ -47,13 +47,13 @@ def url_normalize(url: Column) -> Column:
     path = F.regexp_replace(path, "(.)/$", "$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (F.length(p) > 0)
-            & ~p.startswith(TRACKING_PREFIXES[0]),
-        )
-    )
+    def _keep_param(p: Column) -> Column:
+        cond = F.length(p) > 0
+        for prefix in TRACKING_PREFIXES:  # fold: the tuple is authoritative
+            cond = cond & ~p.startswith(prefix)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep_param))
     qnorm = F.array_join(params, "&")
     return F.concat(
         scheme,

@@ -27,13 +27,36 @@ def sniff_format(data: bytes) -> str:
         (data[0] * 256 + data[1]) % 31 == 0
     ):
         return "zlib"
-    if (
-        len(data) >= 13
-        and data[0] < 9 * 5 * 5
-        and data[1:4] != b"\x00\x00\x00"  # dict size low bytes plausible
-    ):
+    if len(data) >= 13 and _plausible_lzma_alone(data):
         return "lzma"
     raise ValueError("unrecognized compressed container")
+
+
+def _plausible_lzma_alone(data: bytes) -> bool:
+    """Heuristic for the magic-less .lzma (LZMA_ALONE) header: props
+    byte, 4-byte LE dict size, 8-byte LE uncompressed size.
+
+    Real encoders only ever emit dict sizes of shape 2^n or
+    2^n + 2^(n-1) (xz presets 0-9 span 256 KiB..64 MiB — presets 8/9
+    are exact multiples of 2^24, so the low three bytes are zero and a
+    low-bytes-nonzero test wrongly rejects them), and the uncompressed
+    size field is either all-0xFF (unknown, what liblzma streams) or a
+    sane actual size. Checking the full 5-byte shape both accepts
+    preset-9 files and stops arbitrary garbage from being dispatched
+    to the range decoder only to die with a confusing LZMA error."""
+    if data[0] >= 9 * 5 * 5:  # props = (pb*5 + lp)*9 + lc, pb<5 lp<5 lc<9
+        return False
+    dict_size = int.from_bytes(data[1:5], "little")
+    if not (1 << 12) <= dict_size <= (3 << 29):  # 4 KiB .. 1.5 GiB
+        return False
+    # 2^n or 2^n + 2^(n-1): clearing the lowest set bit leaves either
+    # zero (power of two) or exactly half the remainder
+    low = dict_size & -dict_size
+    rest = dict_size - low
+    if rest != 0 and rest != 2 * low:
+        return False
+    usize = int.from_bytes(data[5:13], "little")
+    return usize == (1 << 64) - 1 or usize < (1 << 40)
 
 
 def sniff_decompress(data: bytes) -> tuple[str, bytes]:

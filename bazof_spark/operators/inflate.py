@@ -153,7 +153,14 @@ def _dynamic_trees(br: _Bits) -> tuple[_Huff, _Huff]:
 
 def inflate(data: bytes) -> bytes:
     """Decompress a raw DEFLATE stream (no zlib/gzip wrapper)."""
-    br = _Bits(data)
+    return bytes(_inflate_blocks(_Bits(data)))
+
+
+def _inflate_blocks(br: _Bits) -> bytearray:
+    """Inflate from the reader's current bit position through the
+    BFINAL block, leaving the reader positioned just past it — the
+    hook multi-member gzip needs to find each member's trailer."""
+    data = br.data
     out = bytearray()
     while True:
         bfinal = br.bit()
@@ -196,7 +203,7 @@ def inflate(data: bytes) -> bytes:
         else:
             raise ValueError("reserved BTYPE 11")
         if bfinal:
-            return bytes(out)
+            return out
 
 
 def zlib_decompress(data: bytes) -> bytes:
@@ -244,33 +251,50 @@ def crc32(data: bytes, crc: int = 0) -> int:
 
 
 def gzip_decompress(data: bytes) -> bytes:
-    """Decompress one gzip member (RFC 1952): header with the FEXTRA/
-    FNAME/FCOMMENT/FHCRC optional fields, deflate body via the
-    from-spec inflate above, CRC-32 (table generated from the
-    reflected polynomial) and ISIZE both verified."""
-    if len(data) < 18 or data[0] != 0x1F or data[1] != 0x8B:
+    """Decompress gzip data (RFC 1952), including CONCATENATED
+    multi-member files (pigz/bgzip output, per-record WARC gzip):
+    members are inflated in sequence — the bit reader's position after
+    each BFINAL block locates that member's own CRC-32/ISIZE trailer,
+    so every member is verified against ITS trailer, not the last
+    one's. Headers handle the FEXTRA/FNAME/FCOMMENT/FHCRC optional
+    fields; the CRC-32 table is generated from the reflected
+    polynomial, not copied."""
+    if len(data) < 18:
         raise ValueError("not a gzip member")
-    if data[2] != 8:
-        raise ValueError("gzip CM is not deflate")
-    flg = data[3]
-    pos = 10
-    if flg & 0x04:  # FEXTRA
-        xlen = data[pos] | (data[pos + 1] << 8)
-        pos += 2 + xlen
-    if flg & 0x08:  # FNAME
-        pos = data.index(b"\x00", pos) + 1
-    if flg & 0x10:  # FCOMMENT
-        pos = data.index(b"\x00", pos) + 1
-    if flg & 0x02:  # FHCRC: low 16 bits of header crc
-        want = data[pos] | (data[pos + 1] << 8)
-        if crc32(data[:pos]) & 0xFFFF != want:
-            raise ValueError("gzip header CRC mismatch")
-        pos += 2
-    out = inflate(data[pos:-8])
-    want_crc = int.from_bytes(data[-8:-4], "little")
-    want_size = int.from_bytes(data[-4:], "little")
-    if crc32(out) != want_crc:
-        raise ValueError("gzip CRC-32 mismatch")
-    if want_size != len(out) % (1 << 32):
-        raise ValueError("gzip ISIZE mismatch")
-    return out
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 18 > len(data) or data[pos] != 0x1F or data[pos + 1] != 0x8B:
+            raise ValueError("not a gzip member")
+        if data[pos + 2] != 8:
+            raise ValueError("gzip CM is not deflate")
+        flg = data[pos + 3]
+        pos += 10
+        if flg & 0x04:  # FEXTRA
+            xlen = data[pos] | (data[pos + 1] << 8)
+            pos += 2 + xlen
+        if flg & 0x08:  # FNAME
+            pos = data.index(b"\x00", pos) + 1
+        if flg & 0x10:  # FCOMMENT
+            pos = data.index(b"\x00", pos) + 1
+        if flg & 0x02:  # FHCRC: low 16 bits of header crc
+            want = data[pos] | (data[pos + 1] << 8)
+            if crc32(data[:pos]) & 0xFFFF != want:
+                raise ValueError("gzip header CRC mismatch")
+            pos += 2
+        br = _Bits(data)
+        br.pos = pos << 3
+        member = _inflate_blocks(br)
+        br.align_byte()
+        pos = br.pos >> 3
+        if pos + 8 > len(data):
+            raise ValueError("gzip trailer truncated")
+        want_crc = int.from_bytes(data[pos : pos + 4], "little")
+        want_size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if crc32(bytes(member)) != want_crc:
+            raise ValueError("gzip CRC-32 mismatch")
+        if want_size != len(member) % (1 << 32):
+            raise ValueError("gzip ISIZE mismatch")
+        out += member
+        pos += 8
+    return bytes(out)

@@ -3351,21 +3351,29 @@ def filter_cascade_q(spark, sf_dir):
         t, F.lit(r"(?i)\b(" + "|".join(LANG_MARKERS["en"]) + r")\b")
     )
     n = F.length(t)
-    mwl = letters / words
+    # try_divide: ANSI mode would otherwise raise on an empty doc
+    # (words = 0 / n = 0) — `&` does not short-circuit in SQL
+    mwl = F.try_divide(letters, words)
     gopher_ok = (
         (words >= 20) & (words <= 1000)
         & (words > 0) & (mwl >= 3.0) & (mwl <= 10.0)
-        & (n > 0) & (punct / n <= 0.2)
+        & (n > 0) & (F.try_divide(punct, n) <= 0.2)
         & (stops >= 2)
         & (word_repetition_ratio(t) <= 0.4)
     )
     w = Window.partitionBy(F.md5(t))
+    # every gate coalesces to false: a NULL text must be REJECTED at
+    # its first stage, not slip through the when-chain as 'kept'
     staged = docs.select(
         "doc_id",
-        (language_id(t) == "en").alias("_lang_ok"),
-        gopher_ok.alias("_gopher_ok"),
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_dedup_ok"),
-        (F.round(quality_score(t), 6) >= 0.5).alias("_quality_ok"),
+        F.coalesce(language_id(t) == "en", F.lit(False)).alias("_lang_ok"),
+        F.coalesce(gopher_ok, F.lit(False)).alias("_gopher_ok"),
+        F.coalesce(
+            F.col("doc_id") == F.min("doc_id").over(w), F.lit(False)
+        ).alias("_dedup_ok"),
+        F.coalesce(
+            F.round(quality_score(t), 6) >= 0.5, F.lit(False)
+        ).alias("_quality_ok"),
     )
     first_failed = (
         F.when(~F.col("_lang_ok"), F.lit("langid"))
@@ -5011,15 +5019,15 @@ _PIPELINE_ORACLES["filter_cascade"] = f"""
     ),
     s AS (
         SELECT doc_id,
-               (SELECT lang_pred FROM langid l
-                 WHERE l.doc_id = g.doc_id) = 'en' AS lang_ok,
-               (words >= 20 AND words <= 1000
+               COALESCE((SELECT lang_pred FROM langid l
+                 WHERE l.doc_id = g.doc_id) = 'en', FALSE) AS lang_ok,
+               COALESCE(words >= 20 AND words <= 1000
                 AND words > 0 AND letters * 1.0 / words >= 3.0
                            AND letters * 1.0 / words <= 10.0
                 AND n > 0 AND punct * 1.0 / n <= 0.2
-                AND stops >= 2 AND rep <= 0.4) AS gopher_ok,
-               doc_id = rep_id AS dedup_ok,
-               round(
+                AND stops >= 2 AND rep <= 0.4, FALSE) AS gopher_ok,
+               COALESCE(doc_id = rep_id, FALSE) AS dedup_ok,
+               COALESCE(round(
                  least(n / 500.0, 1.0) * 0.4
                  + greatest(0.0, 1.0 - (CASE WHEN n > 0
                        THEN punct * 1.0 / n ELSE 0.0 END) * 4.0) * 0.3
@@ -5029,7 +5037,7 @@ _PIPELINE_ORACLES["filter_cascade"] = f"""
                  + (CASE WHEN words > 0 AND letters * 1.0 / words >= 3.0
                           AND letters * 1.0 / words <= 10.0
                      THEN 1.0 ELSE 0.5 END) * 0.1
-               , 6) >= 0.5 AS quality_ok
+               , 6) >= 0.5, FALSE) AS quality_ok
         FROM g
     )
     SELECT doc_id,

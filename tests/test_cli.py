@@ -268,6 +268,9 @@ def test_cli_decompress_sniffs_all_containers(tmp_path):
         "zst": pa.Codec("zstd").compress(raw).to_pybytes(),
         "xz": lzma.compress(raw, format=lzma.FORMAT_XZ),
         "lzma": lzma.compress(raw, format=lzma.FORMAT_ALONE),
+        # preset 9 uses a 64 MiB dict — header bytes 1-3 are zero, the
+        # case the low-bytes-nonzero sniff heuristic used to reject
+        "lzma9": lzma.compress(raw, format=lzma.FORMAT_ALONE, preset=9),
         "bz2": bz2.compress(raw),
         "lz4": pa.Codec("lz4").compress(raw).to_pybytes(),
     }

@@ -275,3 +275,32 @@ def test_url_normalize_canonical_cases(spark):
     assert got[2] == ("http://ex.com:8080/Keep/Case", "ex.com:8080")
     assert got[3] == ("https://ex.com/", "ex.com")
     assert got[4] == ("http://ex.com/", "ex.com")
+
+
+def test_filter_cascade_rejects_null_text(spark, tmp_path):
+    """A NULL-text document must be rejected at the first stage of the
+    filter cascade, not fall through every NULL gate as 'kept'."""
+    import pandas as pd
+
+    from bazof_spark.workload import filter_cascade_q
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                None,
+                "",
+                "the cat and the dog walked to a house in the park and "
+                "that was that because the sun is shining over the water "
+                "today with many other fine words about the world we see",
+            ],
+            "lang": ["en", "en", "en"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["doc_id"]: (r["first_failed"], r["keep"])
+        for r in filter_cascade_q(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ("langid", 0)   # NULL text: rejected, not kept
+    assert got[2][1] == 0            # empty text rejected somewhere
+    assert got[3][0] in {"kept", "quality", "gopher", "langid"}

@@ -84,3 +84,52 @@ def test_gzip_and_crc32_pinned_to_stdlib():
     bad[-5] ^= 1  # CRC byte
     with pytest.raises(ValueError, match="CRC-32"):
         gzip_decompress(bytes(bad))
+
+
+def test_gzip_multi_member_concatenation():
+    """Concatenated gzip members (pigz/bgzip, per-record WARC gzip)
+    decompress to the concatenation of their payloads, each verified
+    against its OWN CRC/ISIZE trailer."""
+    import gzip
+    import os
+
+    from bazof_spark.operators.inflate import gzip_decompress
+
+    parts = [b"first member ", b"second " * 40, os.urandom(500), b""]
+    blob = b"".join(gzip.compress(p, i % 9 + 1) for i, p in enumerate(parts))
+    assert gzip_decompress(blob) == b"".join(parts)
+    # a corrupt SECOND member's CRC is caught, not silently ignored
+    bad = bytearray(gzip.compress(b"a" * 64) + gzip.compress(b"b" * 64))
+    bad[-5] ^= 1
+    with pytest.raises(ValueError, match="CRC-32"):
+        gzip_decompress(bytes(bad))
+    # trailing garbage after a member is not silently dropped
+    with pytest.raises(ValueError, match="not a gzip member"):
+        gzip_decompress(gzip.compress(b"x") + b"JUNKJUNKJUNKJUNKJUNK")
+
+
+def test_sniff_lzma_header_plausibility():
+    """sniff_format accepts every real LZMA_ALONE preset (including
+    8/9 whose 32/64 MiB dict sizes zero the low header bytes) and
+    rejects garbage instead of dispatching it to the range decoder."""
+    import lzma
+
+    import pytest as _pytest
+
+    from bazof_spark.operators.codecs import sniff_decompress, sniff_format
+
+    raw = b"dict size shapes " * 64
+    for preset in range(10):
+        blob = lzma.compress(raw, format=lzma.FORMAT_ALONE, preset=preset)
+        assert sniff_format(blob) == "lzma", preset
+        assert sniff_decompress(blob) == ("lzma", raw)
+    # plausible-first-byte garbage: props ok but dict size is not a
+    # real encoder shape -> clean rejection, not an LZMA decode error
+    for junk in [
+        b"\x5d\x03\x00\x00\x00" + b"\xff" * 8 + b"junk",   # dict 3
+        b"\x5d\x05\x00\x00\x00" + b"\xff" * 8 + b"junk",   # dict 5 (not 2^n/3*2^k)
+        b"\x10" + bytes(16),                               # dict 0
+        b"hello world, plain text!",
+    ]:
+        with _pytest.raises(ValueError, match="unrecognized"):
+            sniff_format(junk)
