@@ -98,14 +98,31 @@ def _resolve(options: dict):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, rank: int, tombstone: bool = False):
+    def __init__(
+        self,
+        path: str,
+        rank: int,
+        tombstone: bool = False,
+        start: int = 0,
+        length: int | None = None,
+    ):
         self.path = path
         self.rank = rank
         self.tombstone = tombstone
+        # byte range of the file this task covers (length None = whole
+        # file): the reader takes exactly the row groups whose first
+        # page offset lands in [start, start+length) — the same
+        # disjoint-cover assignment Spark's FilePartition uses, so a
+        # big file fans out over the cluster instead of one task
+        # (reference profile: single partition per file,
+        # crates/azof-datafusion/src/lib.rs:199-204 — this exceeds it)
+        self.start = start
+        self.length = length
 
 
 def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
-                  tombstone: bool = False, formers=None):
+                  tombstone: bool = False, formers=None,
+                  start: int = 0, length: int | None = None):
     """Shared batch assembly for the batch and stream readers: read the
     parquet file, attach (_rank, _row_idx) provenance, null-fill
     columns the file predates (schema evolution adds columns as
@@ -118,7 +135,13 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     spellings,)} — a file written before a rename stores a former name;
     the per-file footer tells us which spelling this file carries, so
     the read selects it and renames back to the declared name (the
-    Arrow twin of the native scan's coalesce)."""
+    Arrow twin of the native scan's coalesce).
+
+    ``start``/``length`` (row-group splitting): when a byte range is
+    given, only the row groups whose first page offset falls inside it
+    are read, and ``_row_idx`` starts at the file-global row position
+    of the first such group — so the intra-file (key, event_time)
+    tie-break stays exact even when one file is read by many tasks."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -132,6 +155,21 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     # $BAZOF_S3_ENDPOINT and scheme emulation entirely)
     filesystem, rel = iofs.split(path)
     f = pq.ParquetFile(filesystem.open_input_file(rel))
+    row_groups = None
+    if length is not None:
+        md = f.metadata
+        row_groups = []
+        rows_before = 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            off = _row_group_offset(rg)
+            if start <= off < start + length:
+                if not row_groups:
+                    row_idx = rows_before
+                row_groups.append(i)
+            rows_before += rg.num_rows
+        if not row_groups:
+            return  # every group's start offset lands in another range
     present = set(f.schema_arrow.names)
     # per-file source spelling for each requested column
     src: dict[str, str] = {}
@@ -145,7 +183,7 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
                     break
     rev = {v: k for k, v in src.items()}
     want = [src[c] for c in columns if c in src]
-    for batch in f.iter_batches(columns=want):
+    for batch in f.iter_batches(columns=want, row_groups=row_groups):
         n = batch.num_rows
         t = pa.Table.from_batches([batch])
         if any(k != v for k, v in src.items()):
@@ -168,6 +206,35 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
             )
         row_idx += n
         yield t.select(field_order).cast(arrow_schema)
+
+
+def _row_group_offset(rg) -> int:
+    """File offset of a row group's first page — the point the byte-
+    range assignment tests. Any monotone per-group point works as long
+    as planner and reader agree; first dictionary/data page offset is
+    exact and present in every footer."""
+    if rg.num_columns == 0:
+        return 0
+    c0 = rg.column(0)
+    off = c0.dictionary_page_offset
+    if off is None or off <= 0:
+        off = c0.data_page_offset
+    return off
+
+
+def _parse_byte_size(text) -> int:
+    """Spark-style size strings: '134217728b', '128m', '128MB', '1g'."""
+    s = str(text).strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
+DEFAULT_MAX_PARTITION_BYTES = 128 << 20  # Spark's files.maxPartitionBytes
 
 
 class BazofReader(DataSourceReader):
@@ -212,6 +279,17 @@ class BazofReader(DataSourceReader):
         )
         self._as_of_dt = as_of.event_time_at
         self._pushed: list[tuple[str, str, object]] = []
+        # row-group splitting threshold — mirrors the JVM branch's
+        # spark.sql.files.maxPartitionBytes (lakehouse passes the
+        # session value through; env/default otherwise)
+        import os as _os
+
+        self._max_part_bytes = _parse_byte_size(
+            options.get("maxpartitionbytes")
+            or options.get("maxPartitionBytes")
+            or _os.environ.get("BAZOF_MAX_PARTITION_BYTES")
+            or DEFAULT_MAX_PARTITION_BYTES
+        )
         # driver-side BAZOF_* env rides with the pickled reader —
         # executors inherit the JVM's LAUNCH-time env, so an endpoint
         # or emulation variable set after session start would
@@ -320,17 +398,62 @@ class BazofReader(DataSourceReader):
         return KeyRange(lo, hi, keys=probe)
 
     def partitions(self):
-        """One task per ranked data file — minus the files whose
-        zone-map stats (snapshot key_min/key_max bounds, key bloom)
-        exclude the pushed key predicate: a selective key lookup
-        schedules O(matching files) tasks, the Data-Source twin of
-        Lakehouse.scan(keys=...)."""
+        """Byte-range tasks over the ranked data files — minus the
+        files whose zone-map stats (snapshot key_min/key_max bounds,
+        key bloom) exclude the pushed key predicate: a selective key
+        lookup schedules O(matching files) tasks, the Data-Source twin
+        of Lakehouse.scan(keys=...).
+
+        Files larger than maxPartitionBytes split into balanced byte
+        ranges (one footer-free stat per file at planning, batched per
+        filesystem); each task reads the row groups whose first page
+        offset falls in its range, so a 10 GB single-file base fans
+        out across the cluster instead of serializing on one task —
+        the JVM scan's FilePartition behavior, which the reference's
+        one-partition-per-file provider lacks
+        (crates/azof-datafusion/src/lib.rs:199-204)."""
         kr = self._pushed_key_range()
-        return [
-            _FilePartition(p, r, tomb)
+        surviving = [
+            (p, r, tomb)
             for p, r, kmin, kmax, bloom, tomb in self._files
             if kr is None or kr.admits(kmin, kmax, bloom)
         ]
+        sizes = self._file_sizes([p for p, _, _ in surviving])
+        out = []
+        for p, r, tomb in surviving:
+            size = sizes.get(p) or 0
+            if size <= self._max_part_bytes:
+                out.append(_FilePartition(p, r, tomb))
+                continue
+            nsplits = -(-size // self._max_part_bytes)
+            step = -(-size // nsplits)  # balanced, not max-then-runt
+            for s0 in range(0, size, step):
+                out.append(
+                    _FilePartition(
+                        p, r, tomb, start=s0, length=min(step, size - s0)
+                    )
+                )
+        return out
+
+    def _file_sizes(self, paths: list[str]) -> dict[str, int]:
+        """File sizes for split planning, one batched get_file_info
+        call per filesystem (a stat locally, a HEAD per file on object
+        stores — the same cost class as Spark's own file listing). A
+        missing/unsizable file maps to 0 → whole-file task; the read
+        raises its own error."""
+        from bazof_spark import iofs
+
+        iofs.apply_env(self._env)
+        by_fs: dict[int, tuple[object, list[tuple[str, str]]]] = {}
+        for p in paths:
+            fs, rel = iofs.split(p)
+            by_fs.setdefault(id(fs), (fs, []))[1].append((p, rel))
+        sizes: dict[str, int] = {}
+        for fs, items in by_fs.values():
+            infos = fs.get_file_info([rel for _, rel in items])
+            for (p, _), info in zip(items, infos):
+                sizes[p] = info.size or 0
+        return sizes
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
@@ -352,6 +475,8 @@ class BazofReader(DataSourceReader):
             self._arrow_schema,
             tombstone=partition.tombstone,
             formers=self._formers,
+            start=partition.start,
+            length=partition.length,
         ):
             if self._as_of_dt is not None:
                 # event-time bound applied IN the reader: rows past the

@@ -490,6 +490,14 @@ class Lakehouse:
             # planning runs in a separate Python worker — forward the
             # driver's endpoint/emulation env (datasource._apply_env_option)
             .option("bazofEnv", json.dumps(iofs.env_snapshot()))
+            # big files split into byte-range tasks at the same
+            # threshold the JVM scan uses
+            .option(
+                "maxPartitionBytes",
+                self.spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728b"
+                ),
+            )
         )
         if version is not None:
             reader = reader.option("version", version)

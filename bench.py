@@ -126,9 +126,45 @@ def _sentinel_q18_frozen(spark, sf_dir):
     )
 
 
+def _sentinel_iterative_frozen(spark, sf_dir):
+    """FROZEN iterative-join profile (round 10): two fixed supersteps
+    of degree-normalized rank propagation over lineitem's (suppkey,
+    partkey) pairs folded onto one 9973-node domain — the superstep-
+    join-then-reaggregate plan family graph_pagerank_supply exercises,
+    which none of the five prior sentinels covered (r9 saw +10-20%
+    drift in untouched pagerank/ADC code with no instrument to
+    adjudicate it). Deliberately cache-free (a persist would be
+    unpersisted by the bench's between-rep clearCache and re-pay
+    materialization with high variance): each superstep re-scans two
+    int columns and runs one broadcast rank join plus one shuffle
+    re-aggregation — fixed, deterministic work. Plain parquet +
+    built-in exchanges only; no bazof_spark operator imports, so no
+    future commit can change what this measures."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    edges = li.select(
+        (F.col("l_suppkey") % 9973).cast("long").alias("src"),
+        (F.col("l_partkey") % 9973).cast("long").alias("dst"),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("rank"))
+    for _ in range(2):
+        ranks = (
+            edges.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("id"))
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg((F.lit(0.15) + F.lit(0.85) * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("id"), "rank")
+        )
+    return ranks.orderBy(F.col("rank").desc(), "id").limit(50)
+
+
 FROZEN_SENTINELS = {
     "sentinel_asof_frozen": _sentinel_asof_frozen,
     "sentinel_q18_frozen": _sentinel_q18_frozen,
+    "sentinel_iterative_frozen": _sentinel_iterative_frozen,
 }
 # Reference seconds for the frozen sentinels, established r8 (their
 # calibration round): initially estimated as session-min / co-measured
@@ -141,7 +177,57 @@ FROZEN_SENTINELS = {
 _FROZEN_REFS = {
     "sentinel_asof_frozen": 0.229,  # r8, legacy factor 1.005 session
     "sentinel_q18_frozen": 0.431,
+    # r10 calibration (see ROUND_NOTES_r10): estimated session-min /
+    # co-measured factor across quieting subset sessions (0.703/1.384,
+    # 0.768/1.379); to be refined within r10 if a genuinely quiet
+    # full session records a lower direct minimum, frozen thereafter
+    "sentinel_iterative_frozen": 0.508,
 }
+
+
+def query_family(name: str) -> str:
+    """Budget-report grouping: q<N>_* TPC-H shapes share one family,
+    everything else groups by its leading underscore token."""
+    head = name.split("_", 1)[0]
+    if head and head[0] == "q" and head[1:].isdigit():
+        return "tpch"
+    return head
+
+
+def check_budgets(
+    timings: dict[str, float],
+    sentinel_factor: float | None,
+    budgets: dict[str, dict],
+    tolerance: float = 1.5,
+) -> dict[str, dict]:
+    """Per-query time-budget guard (round 10): nothing stops 164-and-
+    growing query accretion from burying a real regression inside 'new
+    queries got added', so every PRE-EXISTING query's load-normalized
+    time (min-of-n / sentinel_factor) is checked against its recorded
+    budget — the load-normalized max of its recorded spread — and a
+    move past ``tolerance``× that band is a violation reported in the
+    payload and on stderr. Budgets live in bench_budget.json (generate
+    with tools/make_bench_budget.py from a recorded bench_results.json
+    — a measurement record, regenerated only when a new round's record
+    becomes the baseline). Queries not in the table (added after the
+    record) are unchecked until the next regeneration."""
+    out: dict[str, dict] = {}
+    f = sentinel_factor or 1.0
+    for name, rec in budgets.items():
+        now = timings.get(name)
+        if now is None or not rec.get("max"):
+            continue
+        norm = now / f
+        limit = rec["max"] * tolerance
+        if norm > limit:
+            out[name] = {
+                "now_norm_sec": round(norm, 3),
+                "budget_max_sec": rec["max"],
+                "limit_sec": round(limit, 3),
+                "ratio": round(norm / rec["max"], 2),
+                "family": query_family(name),
+            }
+    return out
 
 
 def main() -> None:
@@ -257,9 +343,27 @@ def main() -> None:
         if len(ratios) >= 3
         else None
     )
+    budget_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_budget.json"
+    )
+    violations: dict[str, dict] = {}
+    if os.path.exists(budget_path):
+        with open(budget_path, encoding="utf-8") as f:
+            budget_table = json.load(f)
+        violations = check_budgets(
+            timings, sentinel_factor, budget_table.get("queries", {})
+        )
+        if violations:
+            print(
+                "BENCH BUDGET VIOLATIONS (normalized time >1.5x the "
+                f"recorded spread): {json.dumps(violations)}",
+                file=sys.stderr,
+            )
+
     payload = {
         "metric": "workload_total_runtime",
         "value": total,
+        "budget_violations": violations,
         "unit": "sec",
         "estimator": "min_of_n",
         "sentinel_factor": sentinel_factor,

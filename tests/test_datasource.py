@@ -134,3 +134,94 @@ def test_pushed_key_probe_set_is_capped(spark):
     reader._pushed = [("isin", "key", big), ("equal", "key", "k00001")]
     kr = reader._pushed_key_range()
     assert kr.keys is None
+
+
+def test_row_group_split_partitions(spark, tmp_path, monkeypatch):
+    """Files larger than maxPartitionBytes split into byte-range tasks
+    (the JVM scan's FilePartition behavior, which the reference's
+    one-partition-per-file provider lacks): a multi-row-group file
+    plans >1 partition, every row group lands in exactly one task,
+    and the merged result — including the goldens' intra-file
+    (key, event_time) duplicate tie-break, which depends on the
+    file-global _row_idx each split must reconstruct — is
+    bit-identical to the unsplit JVM scan."""
+    import shutil
+    from collections import Counter
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from bazof_spark.asof import Current
+    from bazof_spark.datasource import BazofReader
+
+    root = tmp_path / "lake"
+    shutil.copytree(REF, root)
+    for p in Path(root, "financials").glob("*.parquet"):
+        t = pq.read_table(p)  # bit-identical rows, tiny row groups
+        pq.write_table(t, p, row_group_size=16)
+        assert pq.ParquetFile(p).metadata.num_row_groups > 1
+
+    lh = Lakehouse(spark, str(root))
+    snap = lh.table("financials").get_current_snapshot()
+    reader = BazofReader(
+        {"maxpartitionbytes": "8k"},
+        snap.schema.to_struct_type(),
+        resolved=(lh.table("financials"), snap, Current),
+    )
+    parts = reader.partitions()
+    per_file = Counter(p.path for p in parts)
+    assert max(per_file.values()) > 1  # big files fan out
+    assert len(parts) > len(per_file)
+    # covering, disjoint ranges per file
+    for path in per_file:
+        spans = sorted(
+            (p.start, p.length) for p in parts if p.path == path
+        )
+        pos = 0
+        for start, length in spans:
+            assert start == pos
+            pos += length
+
+    monkeypatch.setenv("BAZOF_MAX_PARTITION_BYTES", "8k")
+    for as_of in (None, "2019-01-17T00:00:00.000Z", "2020-06-01T00:00:00.000Z"):
+        native = lh.scan("financials", as_of=as_of)
+        via = read_table(spark, str(root), "financials", as_of=as_of)
+        assert rows(via.select(*native.columns)) == rows(native), as_of
+
+
+def test_row_group_split_row_idx_is_file_global(spark, tmp_path, monkeypatch):
+    """Raw source rows keep their file-global _row_idx under splitting:
+    the split read's (key, event_time, _rank, _row_idx) set equals the
+    whole-file read's exactly."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "lake"
+    shutil.copytree(REF, root)
+    for p in Path(root, "financials").glob("*.parquet"):
+        pq.write_table(pq.read_table(p), p, row_group_size=16)
+
+    spark.dataSource.register(BazofDataSource)
+
+    def raw(maxbytes):
+        monkeypatch.setenv("BAZOF_MAX_PARTITION_BYTES", maxbytes)
+        import json
+
+        from bazof_spark import iofs
+
+        df = (
+            spark.read.format("bazof")
+            .option("path", str(root))
+            .option("table", "financials")
+            .option("bazofEnv", json.dumps(iofs.env_snapshot()))
+            .load()
+        )
+        got = df.select("key", "event_time", "_rank", "_row_idx").collect()
+        return df.rdd.getNumPartitions(), sorted(map(tuple, got), key=repr)
+
+    n_whole, whole = raw(str(1 << 30))
+    n_split, split = raw("8k")
+    assert n_split > n_whole
+    assert split == whole
