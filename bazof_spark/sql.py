@@ -161,7 +161,86 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
     ``AsOf.Current`` and ``versioned_name == name``) so the caller can
     register them, mirroring the reference registering every extracted
     table factor (crates/azof-datafusion/src/context.rs:29-43).
+
+    AUTHORITY (round 10, inverting the round-9 roles): the span-aware
+    token walk (sqlcheck.time_travel_ops + bare_factor_candidates —
+    positional grammar over a real token stream, the closest this
+    text-level pre-pass gets to the reference's AST visitor,
+    crates/azof-datafusion/src/parse.rs:17-118) produces the
+    replacements and the table list; the legacy regex pipeline
+    (_regex_rewrite_and_extract below) re-derives the ENTIRE rewrite
+    as the CHECKER and any divergence — in the rewritten string or
+    the registered table list — errors loudly instead of silently
+    scanning the wrong relations.
     """
+    from bazof_spark.sqlcheck import bare_factor_candidates, time_travel_ops
+
+    try:
+        ops = time_travel_ops(sql)
+    except ValueError as exc:
+        raise SqlRewriteError(str(exc)) from exc
+    tables: list[VersionedTable] = []
+    seen: set[str] = set()
+    repl: list[tuple[int, int, str]] = []
+    for op in ops:  # already in the checker's family-then-position order
+        if op["kind"] == "at":
+            versioned = f"{op['name']}__{op['millis']}"
+            vt = VersionedTable(
+                op["name"], versioned,
+                AsOf.event_time(parse_rfc3339(op["ts"])),
+            )
+        elif op["kind"] == "version":
+            versioned = f"{op['name']}__v{op['ver']}"
+            vt = VersionedTable(
+                op["name"], versioned, Current, version=op["ver"]
+            )
+        else:
+            versioned = f"{op['name']}__changes_{op['m1']}_{op['m2']}"
+            vt = VersionedTable(
+                op["name"], versioned, Current,
+                changes=(op["since"], op["until"]),
+            )
+        repl.append((op["start"], op["end"], versioned))
+        if versioned not in seen:
+            seen.add(versioned)
+            tables.append(vt)
+    rewritten = sql
+    for start, end, versioned in sorted(repl, key=lambda r: -r[0]):
+        rewritten = rewritten[:start] + versioned + rewritten[end:]
+    # bare factors register as Current — walked on the REWRITTEN text
+    # (every versioned clause already collapsed to its versioned name,
+    # which `seen` filters), exactly like the checker's factor regexes
+    for name in bare_factor_candidates(rewritten):
+        if name.lower() in _KEYWORDS or name in seen:
+            continue
+        seen.add(name)
+        tables.append(VersionedTable(name, name, Current))
+
+    # CHECKER: the round-1..9 regex pipeline re-derives the whole
+    # rewrite; string + table-list divergence raises (strictly stronger
+    # than the round-9 key-set crosscheck it replaces)
+    try:
+        chk_rewritten, chk_tables = _regex_rewrite_and_extract(sql)
+    except SqlRewriteError as exc:
+        raise SqlRewriteError(
+            "time-travel extraction failed cross-validation: the regex "
+            f"checker rejected what the token walk accepted: {exc}"
+        ) from exc
+    if chk_rewritten != rewritten or [
+        (t.name, t.versioned_name, t.version, t.changes) for t in chk_tables
+    ] != [(t.name, t.versioned_name, t.version, t.changes) for t in tables]:
+        raise SqlRewriteError(
+            "time-travel extraction failed cross-validation (token walk "
+            f"vs regex checker): {(rewritten, tables)!r} vs "
+            f"{(chk_rewritten, chk_tables)!r}"
+        )
+    return rewritten, tables
+
+
+def _regex_rewrite_and_extract(sql: str) -> tuple[str, list[VersionedTable]]:
+    """CHECKER: the original regex substitution pipeline (rounds 1-9),
+    kept verbatim as the independently-written second derivation the
+    authority's output is compared against on every statement."""
     tables: list[VersionedTable] = []
     seen: set[str] = set()
 
@@ -258,19 +337,6 @@ def rewrite_and_extract_tables(sql: str) -> tuple[str, list[VersionedTable]]:
                 break
             _register_bare(cont.group("name"), cont.start("name"))
             pos = cont.end()
-
-    # checked invariant (round 9, same discipline as MERGE/UPDATE): an
-    # independent token walk must extract the same table set — a
-    # divergence is a bug in one of the two, surfaced loudly instead of
-    # silently scanning the wrong relations
-    from bazof_spark.sqlcheck import crosscheck_time_travel
-
-    try:
-        crosscheck_time_travel(sql, tables)
-    except ValueError as e:
-        raise SqlRewriteError(
-            f"time-travel extraction failed cross-validation: {e}"
-        ) from e
     return rewritten, tables
 
 
@@ -368,72 +434,92 @@ def _parse_merge_clauses(select: str, spans):
     unmatched target key, same reachability rule: an unpredicated
     clause must be last); "" predicate = all unmatched target keys.
     BY SOURCE UPDATE SET * is rejected — there is no source row to
-    take values from. Predicates inside strings never split
-    clauses."""
-    whens = [
-        m for m in _MERGE_WHEN_RE.finditer(select)
-        if not _inside(m.start(), spans)
-    ]
-    if not whens:
+    take values from. Predicates inside strings never split clauses.
+
+    AUTHORITY (round 10, inverting the round-9 roles): the token-level
+    grammar with source spans (sqlcheck.merge_tail_ast — paren/CASE
+    depth tracking, the property the reference gets from a real AST,
+    crates/azof-datafusion/src/parse.rs:17-118) drives the extraction;
+    the legacy regex pass below (_regex_merge_tail_ast) re-derives the
+    same split as the CHECKER, and any divergence — e.g. clause-shaped
+    text one side reads differently — errors loudly instead of
+    compiling different semantics."""
+    from bazof_spark.sqlcheck import merge_tail_ast
+
+    try:
+        ast = merge_tail_ast(select)
+    except ValueError as exc:
+        raise SqlRewriteError(f"malformed MERGE clause list: {exc}") from exc
+    # the regex checker re-derivation (its SqlRewriteError = it reads
+    # the statement as clause-shaped but broken)
+    try:
+        chk = _regex_merge_tail_ast(select, spans)
+        chk_exc = None
+    except SqlRewriteError as exc:
+        chk, chk_exc = None, exc
+    if ast is None:
+        if chk is not None or chk_exc is not None:
+            raise SqlRewriteError(
+                "MERGE clause extraction failed cross-validation: the "
+                "token parser found no ON key WHEN clause list where "
+                f"the regex checker read one ({chk_exc or chk!r})"
+            )
         return None
-    prefix = select[: whens[0].start()]
-    on = _MERGE_ON_KEY_TAIL_RE.search(prefix)
-    if on is None:
-        return None
-    src = prefix[: on.start()]
-    tail = select[whens[0].start():].rstrip().rstrip(";").rstrip()
-    segments = []
-    for i, m in enumerate(whens):
-        lo = m.start() - whens[0].start()
-        hi = (
-            whens[i + 1].start() - whens[0].start()
-            if i + 1 < len(whens)
-            else len(tail)
+    if chk is None:
+        raise SqlRewriteError(
+            "MERGE clause extraction failed cross-validation (token "
+            "parser vs regex checker): "
+            f"{chk_exc or 'checker found no clause list'}"
         )
-        segments.append(tail[lo:hi].strip())
-    matched: list[tuple[str, str]] = []
+    if _canon_merge_ast(ast) != _canon_merge_ast(chk):
+        raise SqlRewriteError(
+            "MERGE clause extraction failed cross-validation (token "
+            f"parser vs regex checker): {_canon_merge_ast(ast)!r} vs "
+            f"{_canon_merge_ast(chk)!r}"
+        )
+    return _merge_ast_to_result(ast)
+
+
+def _canon_merge_ast(ast: dict) -> dict:
+    """Whitespace/comment-insensitive comparison shape for the
+    authority-vs-checker agreement test."""
+    from bazof_spark.sqlcheck import canon
+
+    def one(c):
+        act = c["action"]
+        if isinstance(act, tuple):
+            act = ("update_set", tuple((col, canon(e)) for col, e in act[1]))
+        return {
+            "neg": c["neg"],
+            "by_src": c["by_src"],
+            "pred": canon(c["pred"]),
+            "action": act,
+        }
+
+    return {"src": canon(ast["src"]), "clauses": [one(c) for c in ast["clauses"]]}
+
+
+def _merge_ast_to_result(ast: dict):
+    """Semantic validation over the authority's clause list — the
+    single home of the MERGE clause rules (reachability, the allowed
+    action per clause family, key/event_time immutability), applied in
+    statement order with the same errors as always."""
+    matched: list[tuple] = []
     insert_unmatched = False
     by_source: list[tuple] = []
-    for seg in segments:
-        # anchor the action on a THEN that sits OUTSIDE string
-        # literals — a predicate like note = 'x THEN UPDATE SET v = 1'
-        # must not donate its THEN to the action tail (it would garble
-        # the assignment list into a confusing downstream error)
-        seg_spans = _string_spans(seg)
-        act_m, pos = None, 0
-        while True:
-            cand = _MERGE_ACTION_TAIL_RE.search(seg, pos)
-            if cand is None:
-                break
-            if _inside(cand.start(), seg_spans) or _inside(
-                cand.start("act"), seg_spans
-            ):
-                pos = cand.start() + 1
-                continue
-            act_m = cand
-            break
-        if act_m is None:
-            raise SqlRewriteError(
-                "MERGE clause must end in THEN DELETE, THEN UPDATE SET "
-                f"*, or THEN INSERT * — got: {seg!r}"
-            )
-        head_m = _MERGE_CLAUSE_HEAD_RE.fullmatch(seg[: act_m.start()].strip())
-        if head_m is None:
-            raise SqlRewriteError(f"malformed MERGE clause: {seg!r}")
-        act = re.sub(r"\s+", " ", act_m.group("act").upper())
-        neg = bool(head_m.group("neg"))
-        by_src = bool(head_m.group("bysrc"))
-        pred = (head_m.group("pred") or "").strip()
-        if by_src:
+    for c in ast["clauses"]:
+        act = c["action"]
+        pred = c["pred"].strip()
+        if c["by_src"]:
             # Delta's WHEN NOT MATCHED BY SOURCE [AND p] THEN
             # DELETE / UPDATE SET col = expr, …: target keys NO source
             # row matches; pred AND assignment expressions over the
             # target's current row (there is no source row, so no
             # `src` struct and no UPDATE SET *)
-            if not neg:
+            if not c["neg"]:
                 raise SqlRewriteError(
                     "MATCHED BY SOURCE is not a clause — use WHEN NOT "
-                    f"MATCHED BY SOURCE: {seg!r}"
+                    f"MATCHED BY SOURCE (action {act!r})"
                 )
             if by_source and by_source[-1][1] == "":
                 raise SqlRewriteError(
@@ -447,24 +533,22 @@ def _parse_merge_clauses(select: str, spans):
                 raise SqlRewriteError(
                     "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — "
                     "there is no source row; use an assignment list "
-                    f"(UPDATE SET col = expr, …): {seg!r}"
+                    "(UPDATE SET col = expr, …)"
                 )
-            elif act.startswith("UPDATE SET"):
-                by_source.append(
-                    ("update_set", pred,
-                     _parse_assignments(act_m.group("act")))
-                )
+            elif isinstance(act, tuple):
+                _check_assign_cols(act[1])
+                by_source.append(("update_set", pred, act[1]))
             else:
                 raise SqlRewriteError(
                     "WHEN NOT MATCHED BY SOURCE supports only 'THEN "
-                    f"DELETE' or 'THEN UPDATE SET col = expr, …', "
-                    f"got: {seg!r}"
+                    "DELETE' or 'THEN UPDATE SET col = expr, …', "
+                    f"got: {act!r}"
                 )
-        elif neg:
+        elif c["neg"]:
             if act != "INSERT *" or pred:
                 raise SqlRewriteError(
                     "WHEN NOT MATCHED supports only 'THEN INSERT *' "
-                    f"(no predicate), got: {seg!r}"
+                    f"(no predicate), got: {act!r}"
                 )
             if insert_unmatched:
                 raise SqlRewriteError(
@@ -496,34 +580,99 @@ def _parse_merge_clauses(select: str, spans):
                 # SOURCE row's event_time (a stale source — earlier
                 # than the target's current event_time — is a merge-
                 # precedence no-op, see lakehouse merge_multi)
-                matched.append(
-                    ("update_set", pred,
-                     _parse_assignments(act_m.group("act")))
-                )
-    # checked invariant (round 9): every successful extraction is
-    # re-parsed by an INDEPENDENT token-level grammar (paren/CASE-depth
-    # tracking instead of regex anchors, bazof_spark/sqlcheck.py); any
-    # divergence — e.g. pattern-shaped text the span filtering missed —
-    # errors loudly instead of compiling different semantics
-    from bazof_spark.sqlcheck import crosscheck_merge_clauses
+                _check_assign_cols(act[1])
+                matched.append(("update_set", pred, act[1]))
+    return ast["src"], tuple(matched), insert_unmatched, tuple(by_source)
 
-    try:
-        crosscheck_merge_clauses(
-            select, src, tuple(matched), insert_unmatched,
-            tuple(by_source),
+
+def _check_assign_cols(sets: tuple) -> None:
+    for col, _ in sets:
+        if col.lower() in ("key", "event_time"):
+            raise SqlRewriteError(
+                f"MERGE UPDATE SET cannot assign {col!r} — "
+                "key and event_time are immutable (the updated row's "
+                "commit instant is the clause's, never an expression)"
+            )
+
+
+def _regex_merge_tail_ast(select: str, spans):
+    """CHECKER (the round-1..9 regex extraction, structure only): the
+    span-aware regex derivation of the same clause list the token
+    authority produces — kept as an independently-written second
+    implementation so every statement's split stays a checked runtime
+    invariant. Returns the merge_tail_ast dict shape or None; raises
+    SqlRewriteError on clause-shaped-but-broken text."""
+    whens = [
+        m for m in _MERGE_WHEN_RE.finditer(select)
+        if not _inside(m.start(), spans)
+    ]
+    if not whens:
+        return None
+    prefix = select[: whens[0].start()]
+    on = _MERGE_ON_KEY_TAIL_RE.search(prefix)
+    if on is None:
+        return None
+    src = prefix[: on.start()]
+    tail = select[whens[0].start():].rstrip().rstrip(";").rstrip()
+    segments = []
+    for i, m in enumerate(whens):
+        lo = m.start() - whens[0].start()
+        hi = (
+            whens[i + 1].start() - whens[0].start()
+            if i + 1 < len(whens)
+            else len(tail)
         )
-    except ValueError as exc:
-        raise SqlRewriteError(
-            "MERGE clause extraction failed cross-validation (regex "
-            f"pass vs token parser): {exc}"
-        ) from exc
-    return src, tuple(matched), insert_unmatched, tuple(by_source)
+        segments.append(tail[lo:hi].strip())
+    clauses = []
+    for seg in segments:
+        # anchor the action on a THEN that sits OUTSIDE string
+        # literals — a predicate like note = 'x THEN UPDATE SET v = 1'
+        # must not donate its THEN to the action tail (it would garble
+        # the assignment list into a confusing downstream error)
+        seg_spans = _string_spans(seg)
+        act_m, pos = None, 0
+        while True:
+            cand = _MERGE_ACTION_TAIL_RE.search(seg, pos)
+            if cand is None:
+                break
+            if _inside(cand.start(), seg_spans) or _inside(
+                cand.start("act"), seg_spans
+            ):
+                pos = cand.start() + 1
+                continue
+            act_m = cand
+            break
+        if act_m is None:
+            raise SqlRewriteError(
+                "MERGE clause must end in THEN DELETE, THEN UPDATE SET "
+                f"*, or THEN INSERT * — got: {seg!r}"
+            )
+        head_m = _MERGE_CLAUSE_HEAD_RE.fullmatch(seg[: act_m.start()].strip())
+        if head_m is None:
+            raise SqlRewriteError(f"malformed MERGE clause: {seg!r}")
+        act = re.sub(r"\s+", " ", act_m.group("act").upper())
+        if act in ("DELETE", "INSERT *", "UPDATE SET *"):
+            action = act
+        elif act.startswith("UPDATE SET"):
+            action = ("update_set", _parse_assignments(act_m.group("act")))
+        else:  # unreachable given the action-tail alternation
+            raise SqlRewriteError(f"unknown MERGE action: {seg!r}")
+        clauses.append(
+            {
+                "neg": bool(head_m.group("neg")),
+                "by_src": bool(head_m.group("bysrc")),
+                "pred": (head_m.group("pred") or "").strip(),
+                "action": action,
+            }
+        )
+    return {"src": src, "clauses": clauses}
 
 
 def _parse_assignments(act_text: str) -> tuple:
     """``UPDATE SET a = e1, b = e2`` → ((col, expr), …), splitting only
-    at top-level commas (CASE/functions/strings stay whole);
-    key/event_time are immutable in every MERGE clause."""
+    at top-level commas (CASE/functions/strings stay whole) — the
+    regex checker's structural split (column immutability is semantic
+    and lives in _check_assign_cols on the authority path)."""
     body = re.sub(r"^UPDATE\s+SET\s+", "", act_text, flags=re.IGNORECASE)
     cuts = [m.start() for m in _split_top_level(body, ",")]
     pieces, lo = [], 0
@@ -539,14 +688,7 @@ def _parse_assignments(act_text: str) -> tuple:
                 "MERGE UPDATE SET expects 'column = "
                 f"expression', got: {piece.strip()!r}"
             )
-        col = am.group("col")
-        if col.lower() in ("key", "event_time"):
-            raise SqlRewriteError(
-                f"MERGE UPDATE SET cannot assign {col!r} — "
-                "key and event_time are immutable (the updated row's "
-                "commit instant is the clause's, never an expression)"
-            )
-        sets.append((col, am.group("expr").strip()))
+        sets.append((am.group("col"), am.group("expr").strip()))
     return tuple(sets)
 
 # UPDATE t SET col = expr[, ...] [WHERE <pred>] — sugar over the
@@ -596,8 +738,42 @@ def _split_top_level(text: str, word_or_comma: str):
 def _parse_update_body(body: str) -> tuple[tuple[tuple[str, str], ...], str]:
     """Split an UPDATE body into ((col, expr), ...) assignments and the
     WHERE predicate ('' = all rows). WHERE/commas inside strings or
-    parenthesized subexpressions never split."""
-    orig = body
+    parenthesized subexpressions never split.
+
+    AUTHORITY (round 10, roles inverted from round 9): the token-level
+    grammar with source spans (sqlcheck.update_body_ast) drives the
+    split; the legacy regex derivation below re-derives it as the
+    CHECKER and any divergence — a mis-split one side would have
+    compiled into different semantics — errors loudly."""
+    from bazof_spark.sqlcheck import canon, update_body_ast
+
+    try:
+        sets, pred = update_body_ast(body)
+    except ValueError as exc:
+        raise SqlRewriteError(str(exc)) from exc
+    try:
+        chk_sets, chk_pred = _regex_update_body(body)
+    except SqlRewriteError as exc:
+        raise SqlRewriteError(
+            "UPDATE body extraction failed cross-validation: the regex "
+            f"checker rejected what the token parser accepted: {exc}"
+        ) from exc
+    if (
+        tuple((c, canon(e)) for c, e in chk_sets)
+        != tuple((c, canon(e)) for c, e in sets)
+        or canon(chk_pred) != canon(pred)
+    ):
+        raise SqlRewriteError(
+            "UPDATE body extraction failed cross-validation (token "
+            f"parser vs regex checker): {sets!r}/{pred!r} vs "
+            f"{chk_sets!r}/{chk_pred!r}"
+        )
+    return sets, pred
+
+
+def _regex_update_body(body: str) -> tuple[tuple[tuple[str, str], ...], str]:
+    """CHECKER: the round-6..9 regex/span derivation of the UPDATE body
+    split, kept as the independently-written second implementation."""
     wheres = _split_top_level(body, "WHERE")
     if wheres:
         first = wheres[0]
@@ -620,18 +796,6 @@ def _parse_update_body(body: str) -> tuple[tuple[tuple[str, str], ...], str]:
                 f"{piece.strip()!r}"
             )
         sets.append((m.group("col"), m.group("expr").strip()))
-    # the same checked invariant as MERGE clause extraction: a second,
-    # independently-written token parser must agree on every split
-    # (sqlcheck.py — disagreement is a bug in one of the two, never
-    # silent corruption)
-    from bazof_spark.sqlcheck import crosscheck_update_body
-
-    try:
-        crosscheck_update_body(orig, tuple(sets), pred)
-    except ValueError as e:
-        raise SqlRewriteError(
-            f"UPDATE body extraction failed cross-validation: {e}"
-        ) from e
     return tuple(sets), pred
 
 

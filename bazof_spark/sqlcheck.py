@@ -1,22 +1,32 @@
-"""Independent token-level validator for the MERGE clause extraction.
+"""Token-level SQL grammar — since round 10 the AUTHORITY for the
+rewrite's three extraction surfaces.
 
 The reference visits a real sqlparser AST
-(crates/azof-datafusion/src/parse.rs:17-118); this repo's rewrite is a
-span-aware regex pre-pass (sql.py). The multi-clause MERGE grammar is
-the one place where regex extraction carries structural risk (embedded
-CASE WHEN/THEN, strings containing keywords, nested commas), so this
-module re-parses every multi-clause statement with a SECOND,
-independently-written implementation — a tokenizer + single-pass
-clause splitter that tracks parenthesis and CASE…END nesting instead
-of regex anchors — and ``sql._parse_merge_clauses`` raises loudly when
-the two disagree. The fuzz suites (tests/test_sql_rewrite_fuzz.py)
-drive both implementations on every generated statement, converting
-"the regex happens to match the AST" from a tested observation into a
-checked runtime invariant.
+(crates/azof-datafusion/src/parse.rs:17-118); Spark's parser exposes no
+such hook, so this module is the closest equivalent: a tokenizer with
+source spans plus single-pass splitters that track parenthesis and
+CASE…END nesting instead of regex anchors. Round 9 ran these parsers as
+a VALIDATOR behind sql.py's regex pre-pass; round 10 inverted the
+roles (the structural risk — embedded CASE WHEN/THEN, strings
+containing keywords, nested commas — always lived on the regex side):
+
+- ``merge_tail_ast`` drives the multi-clause MERGE split,
+- ``update_body_ast`` drives the UPDATE SET body split,
+- ``time_travel_ops`` + ``bare_factor_candidates`` drive the
+  time-travel rewrite and table registration,
+
+each handing back ORIGINAL-spelling source slices via token spans. The
+legacy regex derivations remain in sql.py as the per-statement CHECKER
+(``_regex_merge_tail_ast``, ``_regex_update_body``,
+``_regex_rewrite_and_extract``): every statement is still derived
+twice and any divergence raises loudly. The fuzz suites
+(tests/test_sql_rewrite_fuzz.py) drive both implementations on every
+generated statement, keeping the agreement a checked runtime
+invariant rather than a tested observation.
 
 No external parser dependency (sqlglot is not available in-sandbox);
-the token grammar here is deliberately tiny — exactly the MERGE clause
-tail, nothing else.
+the token grammar here is deliberately tiny — exactly the clause
+shapes the rewrite owns, nothing else.
 """
 
 from __future__ import annotations
@@ -24,13 +34,17 @@ from __future__ import annotations
 _PUNCT2 = ("<=", ">=", "<>", "!=", "||", "=>")
 
 
-def tokenize(text: str) -> list[tuple[str, str]]:
-    """(kind, text) tokens: 'str' single-quoted literals ('' escape,
-    verbatim), 'word' identifiers/keywords/numbers (with dotted parts),
-    'punct' single/double-char operators. Comments are skipped. An
-    unterminated string tokenizes to its remainder (the caller's
-    downstream SQL engine will reject it; splitting must not)."""
-    out: list[tuple[str, str]] = []
+def tokenize_spans(text: str) -> list[tuple[str, str, int, int]]:
+    """(kind, text, start, end) tokens: 'str' single-quoted literals
+    ('' escape, verbatim), 'word' identifiers/keywords/numbers (with
+    dotted parts), 'punct' single/double-char operators. Comments are
+    skipped. An unterminated string tokenizes to its remainder (the
+    caller's downstream SQL engine will reject it; splitting must not).
+    The (start, end) source offsets are what lets the AUTHORITY parsers
+    below hand back ORIGINAL-spelling slices (``text[start:end]``) —
+    canonical token-joined respelling could corrupt literals the
+    tokenizer reads differently than SQL does (e.g. ``1.5e-3``)."""
+    out: list[tuple[str, str, int, int]] = []
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -47,7 +61,7 @@ def tokenize(text: str) -> list[tuple[str, str]]:
                     break
                 j += 1
             end = min(j + 1, n)
-            out.append(("str", text[i:end]))
+            out.append(("str", text[i:end], i, end))
             i = end
             continue
         if text.startswith("--", i):
@@ -62,17 +76,31 @@ def tokenize(text: str) -> list[tuple[str, str]]:
             j = i
             while j < n and (text[j].isalnum() or text[j] in "_$."):
                 j += 1
-            out.append(("word", text[i:j]))
+            out.append(("word", text[i:j], i, j))
             i = j
             continue
         two = text[i : i + 2]
         if two in _PUNCT2:
-            out.append(("punct", two))
+            out.append(("punct", two, i, i + 2))
             i += 2
             continue
-        out.append(("punct", ch))
+        out.append(("punct", ch, i, i + 1))
         i += 1
     return out
+
+
+def tokenize(text: str) -> list[tuple[str, str]]:
+    """(kind, text) view of :func:`tokenize_spans`."""
+    return [(k, t) for k, t, _, _ in tokenize_spans(text)]
+
+
+def _raw(text: str, toks, i: int, j: int) -> str:
+    """ORIGINAL spelling of the token run [i, j): the source substring
+    from the first token's start to the last token's end (leading and
+    trailing trivia excluded, everything between tokens preserved)."""
+    if i >= j:
+        return ""
+    return text[toks[i][2] : toks[j - 1][3]]
 
 
 def _tok_join(tokens: list[tuple[str, str]]) -> str:
@@ -87,40 +115,47 @@ def canon(text: str) -> str:
     return _tok_join(tokenize(text))
 
 
-def _is_kw(tok: tuple[str, str], kw: str) -> bool:
+def _is_kw(tok, kw: str) -> bool:
     return tok[0] == "word" and tok[1].upper() == kw
 
 
-def parse_merge_tail(text: str):
-    """Token-level parse of ``<src> ON key WHEN …`` (the text after
-    ``MERGE INTO t USING``). Returns None when there is no top-level
-    ``WHEN [NOT] MATCHED`` clause list; otherwise a dict::
+def _is_p(tok, p: str) -> bool:
+    return tok[0] == "punct" and tok[1] == p
 
-        {"src": canonical source text,
+
+def merge_tail_ast(text: str):
+    """AUTHORITY token-level parse of ``<src> ON key WHEN …`` (the text
+    after ``MERGE INTO t USING``) — since round 10 this drives the
+    rewrite (the regex pass in sql.py re-derives the same split as the
+    CHECKER). Returns None when there is no top-level ``WHEN [NOT]
+    MATCHED`` clause list; otherwise a dict whose every text field is
+    the ORIGINAL source slice::
+
+        {"src": source text,
          "clauses": [  # statement order, all WHEN clauses
             {"neg": bool, "by_src": bool,
-             "pred": canonical predicate ("" = none),
+             "pred": predicate slice ("" = none),
              "action": "DELETE" | "INSERT *" | "UPDATE SET *"
-                       | ("update_set", ((col, canonical expr), …))}
+                       | ("update_set", ((col, expr slice), …))}
          ]}
 
     Raises ValueError on structurally-broken clause tails (no THEN, a
-    malformed head) — the cross-check treats ValueError vs
-    SqlRewriteError as AGREEMENT that the statement is bad.
+    malformed head).
 
     Top-level = parenthesis depth 0 AND CASE…END depth 0, computed on
-    the token stream — the property the regex pass approximates with
-    string spans + end-anchored search.
+    the token stream — the property the regex checker approximates
+    with string spans + end-anchored search (the reference gets it
+    from a real AST, crates/azof-datafusion/src/parse.rs:17-118).
     """
-    toks = tokenize(text)
-    while toks and toks[-1] == ("punct", ";"):  # statement terminator
+    toks = tokenize_spans(text)
+    while toks and _is_p(toks[-1], ";"):  # statement terminator
         toks.pop()
     # depth-annotated positions of clause-starting WHENs
     depth = 0
     case_depth = 0
     whens: list[int] = []
     for idx, tok in enumerate(toks):
-        kind, t = tok
+        kind, t = tok[0], tok[1]
         if kind == "punct":
             if t == "(":
                 depth += 1
@@ -157,17 +192,43 @@ def parse_merge_tail(text: str):
         head[-1][0] == "word" and head[-1][1].lower() == "key"
     ):
         return None
-    src = _tok_join(head[:-2])
+    src = _raw(text, toks, 0, whens[0] - 2)
     bounds = whens + [len(toks)]
     clauses = []
     for ci in range(len(whens)):
         seg = toks[bounds[ci] : bounds[ci + 1]]
-        clauses.append(_parse_clause(seg))
+        clauses.append(_parse_clause(text, seg))
     return {"src": src, "clauses": clauses}
 
 
-def _parse_clause(seg: list[tuple[str, str]]):
-    """One ``WHEN …`` clause from its token run (seg[0] is WHEN)."""
+def parse_merge_tail(text: str):
+    """Canonical view of :func:`merge_tail_ast`: same structure with
+    every text field squashed through :func:`canon` — the comparison
+    shape the crosscheck and the unit tests use."""
+    ast = merge_tail_ast(text)
+    if ast is None:
+        return None
+    return {
+        "src": canon(ast["src"]),
+        "clauses": [_canon_clause(c) for c in ast["clauses"]],
+    }
+
+
+def _canon_clause(c: dict) -> dict:
+    act = c["action"]
+    if isinstance(act, tuple):
+        act = ("update_set", tuple((col, canon(e)) for col, e in act[1]))
+    return {
+        "neg": c["neg"],
+        "by_src": c["by_src"],
+        "pred": canon(c["pred"]),
+        "action": act,
+    }
+
+
+def _parse_clause(text: str, seg):
+    """One ``WHEN …`` clause from its token run (seg[0] is WHEN);
+    extracted fields are original source slices."""
     i = 1
     neg = False
     if i < len(seg) and _is_kw(seg[i], "NOT"):
@@ -189,7 +250,7 @@ def _parse_clause(seg: list[tuple[str, str]]):
     case_depth = 0
     then_at = None
     for j in range(i, len(seg)):
-        kind, t = seg[j]
+        kind, t = seg[j][0], seg[j][1]
         if kind == "punct":
             if t == "(":
                 depth += 1
@@ -207,13 +268,18 @@ def _parse_clause(seg: list[tuple[str, str]]):
             then_at = j
             break
     if then_at is None:
-        raise ValueError("MERGE clause has no top-level THEN")
+        s_ = " ".join(t for _, t, _, _ in seg)
+        raise ValueError(
+            "MERGE clause must end in THEN DELETE, THEN UPDATE SET *, "
+            f"or THEN INSERT * — no top-level THEN in: {s_!r}"
+        )
     pred_toks = seg[i:then_at]
+    pred_lo, pred_hi = i, then_at
     if pred_toks:
         if not _is_kw(pred_toks[0], "AND"):
             raise ValueError("predicate must start with AND")
-        pred_toks = pred_toks[1:]
-        if not pred_toks:
+        pred_lo += 1
+        if pred_lo == pred_hi:
             raise ValueError("empty predicate after AND")
     act = seg[then_at + 1 :]
     if not act:
@@ -221,19 +287,15 @@ def _parse_clause(seg: list[tuple[str, str]]):
     return {
         "neg": neg,
         "by_src": by_src,
-        "pred": _tok_join(pred_toks),
-        "action": _parse_action(act),
+        "pred": _raw(text, seg, pred_lo, pred_hi),
+        "action": _parse_action(text, act),
     }
 
 
-def _parse_action(act: list[tuple[str, str]]):
+def _parse_action(text: str, act):
     if len(act) == 1 and _is_kw(act[0], "DELETE"):
         return "DELETE"
-    if (
-        len(act) == 2
-        and _is_kw(act[0], "INSERT")
-        and act[1] == ("punct", "*")
-    ):
+    if len(act) == 2 and _is_kw(act[0], "INSERT") and _is_p(act[1], "*"):
         return "INSERT *"
     if (
         len(act) >= 2
@@ -241,40 +303,53 @@ def _parse_action(act: list[tuple[str, str]]):
         and _is_kw(act[1], "SET")
     ):
         body = act[2:]
-        if len(body) == 1 and body[0] == ("punct", "*"):
+        if len(body) == 1 and _is_p(body[0], "*"):
             return "UPDATE SET *"
-        # assignment list split at top-level commas
-        depth = 0
-        case_depth = 0
-        pieces: list[list[tuple[str, str]]] = [[]]
-        for tok in body:
-            kind, t = tok
-            if kind == "punct":
-                if t == "(":
-                    depth += 1
-                elif t == ")":
-                    depth = max(0, depth - 1)
-                elif t == "," and depth == 0 and case_depth == 0:
-                    pieces.append([])
-                    continue
-            elif kind == "word":
-                u = t.upper()
-                if u == "CASE":
-                    case_depth += 1
-                elif u == "END":
-                    case_depth = max(0, case_depth - 1)
-            pieces[-1].append(tok)
-        sets = []
-        for piece in pieces:
-            if (
-                len(piece) < 3
-                or piece[0][0] != "word"
-                or piece[1] != ("punct", "=")
-            ):
-                raise ValueError("assignment is not 'column = expression'")
-            sets.append((piece[0][1], _tok_join(piece[2:])))
-        return ("update_set", tuple(sets))
-    raise ValueError(f"unknown MERGE action: {_tok_join(act)!r}")
+        return ("update_set", _split_assignments(text, body))
+    spelled = " ".join(t for _, t, _, _ in act)
+    raise ValueError(
+        "MERGE clause must end in THEN DELETE, THEN UPDATE SET *, "
+        f"or THEN INSERT * — got: {spelled!r}"
+    )
+
+
+def _split_assignments(text: str, body) -> tuple:
+    """``a = e1, b = e2`` token run → ((col, original expr slice), …),
+    split at top-level (paren + CASE…END depth 0) commas."""
+    depth = 0
+    case_depth = 0
+    pieces: list[list] = [[]]
+    for tok in body:
+        kind, t = tok[0], tok[1]
+        if kind == "punct":
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth = max(0, depth - 1)
+            elif t == "," and depth == 0 and case_depth == 0:
+                pieces.append([])
+                continue
+        elif kind == "word":
+            u = t.upper()
+            if u == "CASE":
+                case_depth += 1
+            elif u == "END":
+                case_depth = max(0, case_depth - 1)
+        pieces[-1].append(tok)
+    sets = []
+    for piece in pieces:
+        if (
+            len(piece) < 3
+            or piece[0][0] != "word"
+            or not _IDENT_RE.match(piece[0][1])
+            or not _is_p(piece[1], "=")
+        ):
+            spelled = " ".join(t for _, t, _, _ in piece)
+            raise ValueError(
+                f"assignment is not 'column = expression': {spelled!r}"
+            )
+        sets.append((piece[0][1], _raw(text, piece, 2, len(piece))))
+    return tuple(sets)
 
 
 def crosscheck_merge_clauses(
@@ -284,10 +359,12 @@ def crosscheck_merge_clauses(
     insert_unmatched: bool,
     by_source: tuple,
 ) -> None:
-    """Compare the regex pass's extraction against this module's
-    independent parse of the same text; raise ValueError naming the
-    first divergence. Called by sql._parse_merge_clauses on every
-    successfully-extracted multi-clause MERGE."""
+    """Compare a given extraction against this module's parse of the
+    same text; raise ValueError naming the first divergence. Round 9
+    ran this behind the regex authority on every statement; since the
+    round-10 inversion sql._parse_merge_clauses compares the two
+    derivations directly, and this remains as the test-facing probe of
+    the token grammar."""
     ast = parse_merge_tail(select)
     if ast is None:
         raise ValueError(
@@ -365,15 +442,18 @@ def crosscheck_merge_clauses(
 # ---------------------------------------------------------------------------
 
 
-def parse_update_body(text: str):
-    """Independent token-level parse of an UPDATE body (everything
-    after ``SET``) -> ((col, canon_expr), …), canon_pred. Splits the
-    first top-level WHERE and top-level commas by walking tokens with
+def update_body_ast(text: str):
+    """AUTHORITY token-level parse of an UPDATE body (everything after
+    ``SET``) → ((col, original expr slice), …), original pred slice
+    ('' = no WHERE) — since round 10 this drives the rewrite (the
+    regex derivation in sql.py is the CHECKER). Splits the first
+    top-level WHERE and top-level commas by walking tokens with
     parenthesis + CASE…END depth, never regex anchors."""
-    toks = tokenize(text)
+    toks = tokenize_spans(text)
     depth = case_depth = 0
     where_at = None
-    for i, (kind, t) in enumerate(toks):
+    for i, tok in enumerate(toks):
+        kind, t = tok[0], tok[1]
         if kind == "punct":
             if t == "(":
                 depth += 1
@@ -390,45 +470,27 @@ def parse_update_body(text: str):
         elif u == "WHERE" and depth == 0 and case_depth == 0:
             where_at = i
             break
-    pred_toks = [] if where_at is None else toks[where_at + 1 :]
+    pred = "" if where_at is None else _raw(
+        text, toks, where_at + 1, len(toks)
+    )
     body_toks = toks if where_at is None else toks[:where_at]
-    parts: list[list[tuple[str, str]]] = []
-    cur: list[tuple[str, str]] = []
-    depth = case_depth = 0
-    for tok in body_toks:
-        kind, t = tok
-        if kind == "punct":
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth = max(0, depth - 1)
-            elif t == "," and depth == 0 and case_depth == 0:
-                parts.append(cur)
-                cur = []
-                continue
-        elif kind == "word":
-            u = t.upper()
-            if u == "CASE":
-                case_depth += 1
-            elif u == "END":
-                case_depth = max(0, case_depth - 1)
-        cur.append(tok)
-    parts.append(cur)
-    sets = []
-    for p in parts:
-        if len(p) < 3 or p[0][0] != "word" or p[1] != ("punct", "="):
-            raise ValueError(
-                f"assignment is not 'column = expression': {_tok_join(p)!r}"
-            )
-        sets.append((p[0][1], _tok_join(p[2:])))
-    return tuple(sets), _tok_join(pred_toks)
+    sets = _split_assignments(text, body_toks)
+    return sets, pred
+
+
+def parse_update_body(text: str):
+    """Canonical view of :func:`update_body_ast`:
+    ((col, canon_expr), …), canon_pred — the comparison shape the
+    crosscheck and the unit tests use."""
+    sets, pred = update_body_ast(text)
+    return tuple((c, canon(e)) for c, e in sets), canon(pred)
 
 
 def crosscheck_update_body(body: str, sets: tuple, pred: str) -> None:
-    """Compare the regex pass's UPDATE-body extraction against this
-    module's independent token parse; raise ValueError naming the
-    first divergence. Called by sql._parse_update_body on every
-    successfully-extracted UPDATE / merge-update body."""
+    """Compare a given UPDATE-body extraction against this module's
+    token parse; raise ValueError naming the first divergence (the
+    test-facing probe — production statements are compared inside
+    sql._parse_update_body since the round-10 inversion)."""
     got_sets, got_pred = parse_update_body(body)
     exp_sets = tuple((c, canon(e)) for c, e in sets)
     if got_sets != exp_sets:
@@ -645,9 +707,11 @@ def parse_time_travel_tables(sql: str) -> set:
 
 
 def crosscheck_time_travel(sql: str, tables) -> None:
-    """Compare rewrite_and_extract_tables' result against the token
-    walk; raise ValueError naming the divergence. Called on every
-    successful rewrite."""
+    """Compare a (sql, tables) extraction against the token walk's
+    canonical key set; raise ValueError naming the divergence (the
+    test-facing probe — production rewrites are compared in full,
+    string + ordered table list, inside sql.rewrite_and_extract_tables
+    since the round-10 inversion)."""
     from bazof_spark.asof import epoch_millis
 
     expect = set()
@@ -667,3 +731,290 @@ def crosscheck_time_travel(sql: str, tables) -> None:
             f"table extraction disagrees: validator-only "
             f"{sorted(got - expect)!r}, regex-only {sorted(expect - got)!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Time-travel AUTHORITY (round 10): the positional token walk above,
+# extended with source spans, now DRIVES rewrite_and_extract_tables —
+# sql.py applies these replacement ops and then re-derives the whole
+# rewrite with its regex pipeline as the CHECKER (divergence raises).
+# ---------------------------------------------------------------------------
+
+
+def time_travel_ops(sql: str) -> list[dict]:
+    """Versioned-clause replacement ops for the rewrite, ordered by
+    (family rank, position) — exactly the order the regex checker's
+    sequential substitution passes apply in (CHANGES, AT(VERSION =>),
+    FOR VERSION AS OF, AT('ts'), FOR SYSTEM_TIME AS OF), so the two
+    derivations register tables identically. Each op carries the
+    source span [start, end) to replace and the replacement name:
+
+      {"kind": "at",      "name", "ts", "millis", "start", "end"}
+      {"kind": "version", "name", "ver",          "start", "end"}
+      {"kind": "changes", "name", "since", "until", "m1", "m2", …}
+
+    Timestamps are validated in application order; a bad one raises
+    ValueError with the rewrite's legacy message (sql.py re-raises it
+    as SqlRewriteError verbatim)."""
+    from bazof_spark.asof import epoch_millis, parse_rfc3339
+
+    toks = tokenize_spans(sql)
+    n = len(toks)
+
+    def is_word(i, kw=None):
+        return (
+            0 <= i < n
+            and toks[i][0] == "word"
+            and (kw is None or toks[i][1].upper() == kw)
+        )
+
+    def is_punct(i, p):
+        return 0 <= i < n and toks[i][0] == "punct" and toks[i][1] == p
+
+    def is_str(i):
+        return 0 <= i < n and toks[i][0] == "str"
+
+    def str_val(i):
+        s = toks[i][1]
+        return s[1:-1].replace("''", "'")
+
+    def word_ver(i):
+        if is_word(i) and _re.fullmatch(r"\w+", toks[i][1]):
+            return toks[i][1]
+        if is_str(i):
+            sv = str_val(i)
+            if _re.fullmatch(r"\w+", sv):
+                return sv
+        return None
+
+    raw_ops: list[tuple[int, int, dict]] = []  # (rank, start, op)
+    i = 0
+    while i < n:
+        kind, t = toks[i][0], toks[i][1]
+        if (
+            kind == "word"
+            and t.upper() == "CHANGES"
+            and is_punct(i + 1, "(")
+            and is_str(i + 2)
+            and is_punct(i + 3, ",")
+            and is_str(i + 4)
+        ):
+            name = str_val(i + 2)
+            if _IDENT_RE.match(name):
+                since = str_val(i + 4)
+                j, until = i + 5, None
+                if is_punct(j, ",") and is_str(j + 1):
+                    until, j = str_val(j + 1), j + 2
+                if is_punct(j, ")"):
+                    raw_ops.append(
+                        (
+                            0,
+                            toks[i][2],
+                            {
+                                "kind": "changes",
+                                "name": name,
+                                "since": since,
+                                "until": until,
+                                "start": toks[i][2],
+                                "end": toks[j][3],
+                            },
+                        )
+                    )
+                    i = j + 1
+                    continue
+        if kind == "word" and _IDENT_RE.match(t):
+            if is_word(i + 1, "AT") and is_punct(i + 2, "("):
+                j = i + 3
+                if is_word(j, "VERSION") and is_punct(j + 1, "=>"):
+                    ver = word_ver(j + 2)
+                    if ver is not None and is_punct(j + 3, ")"):
+                        raw_ops.append(
+                            (
+                                1,
+                                toks[i][2],
+                                {
+                                    "kind": "version",
+                                    "name": t,
+                                    "ver": ver,
+                                    "start": toks[i][2],
+                                    "end": toks[j + 3][3],
+                                },
+                            )
+                        )
+                        i = j + 4
+                        continue
+                else:
+                    j2 = j
+                    if is_word(j2, "TIMESTAMP") and is_punct(j2 + 1, "=>"):
+                        j2 += 2
+                    if is_str(j2) and is_punct(j2 + 1, ")"):
+                        raw_ops.append(
+                            (
+                                3,
+                                toks[i][2],
+                                {
+                                    "kind": "at",
+                                    "name": t,
+                                    "ts": str_val(j2),
+                                    "start": toks[i][2],
+                                    "end": toks[j2 + 1][3],
+                                },
+                            )
+                        )
+                        i = j2 + 2
+                        continue
+            if is_word(i + 1, "FOR"):
+                if (
+                    is_word(i + 2, "SYSTEM_TIME")
+                    and is_word(i + 3, "AS")
+                    and is_word(i + 4, "OF")
+                    and is_str(i + 5)
+                ):
+                    raw_ops.append(
+                        (
+                            4,
+                            toks[i][2],
+                            {
+                                "kind": "at",
+                                "name": t,
+                                "ts": str_val(i + 5),
+                                "start": toks[i][2],
+                                "end": toks[i + 5][3],
+                            },
+                        )
+                    )
+                    i += 6
+                    continue
+                if (
+                    is_word(i + 2, "VERSION")
+                    and is_word(i + 3, "AS")
+                    and is_word(i + 4, "OF")
+                ):
+                    ver = word_ver(i + 5)
+                    if ver is not None:
+                        raw_ops.append(
+                            (
+                                2,
+                                toks[i][2],
+                                {
+                                    "kind": "version",
+                                    "name": t,
+                                    "ver": ver,
+                                    "start": toks[i][2],
+                                    "end": toks[i + 5][3],
+                                },
+                            )
+                        )
+                        i += 6
+                        continue
+        i += 1
+
+    raw_ops.sort(key=lambda e: (e[0], e[1]))
+    ops = []
+    for _, _, op in raw_ops:
+        if op["kind"] == "at":
+            try:
+                op["millis"] = epoch_millis(parse_rfc3339(op["ts"]))
+            except ValueError as exc:
+                raise ValueError(
+                    f"invalid time-travel timestamp {op['ts']!r} for "
+                    f"table {op['name']!r}: {exc}"
+                ) from exc
+        elif op["kind"] == "changes":
+            try:
+                op["m1"] = epoch_millis(parse_rfc3339(op["since"]))
+                op["m2"] = (
+                    "current"
+                    if op["until"] is None
+                    else str(epoch_millis(parse_rfc3339(op["until"])))
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"invalid CHANGES timestamp for table "
+                    f"{op['name']!r}: {exc}"
+                ) from exc
+        ops.append(op)
+    return ops
+
+
+def bare_factor_candidates(text: str) -> list[str]:
+    """Bare table factors after FROM/JOIN (plus comma continuations),
+    in positional order, with CTE-defined names and the factor-keyword
+    skip list already filtered — the token twin of the regex checker's
+    _TABLE_FACTOR_RE/_COMMA_FACTOR_RE walk, run by the authority on
+    the REWRITTEN statement (where every versioned clause has already
+    collapsed to its versioned name). Duplicates are preserved; the
+    caller applies its ``seen`` dedup."""
+    toks = tokenize_spans(text)
+    n = len(toks)
+
+    def is_word(i, kw=None):
+        return (
+            0 <= i < n
+            and toks[i][0] == "word"
+            and (kw is None or toks[i][1].upper() == kw)
+        )
+
+    def is_punct(i, p):
+        return 0 <= i < n and toks[i][0] == "punct" and toks[i][1] == p
+
+    cte: set[str] = set()
+    for i in range(n):
+        head = None
+        if is_word(i, "WITH"):
+            head = i + 2 if is_word(i + 1, "RECURSIVE") else i + 1
+        elif is_punct(i, ","):
+            head = i + 1
+        if (
+            head is not None
+            and is_word(head)
+            and _IDENT_RE.match(toks[head][1])
+            and is_word(head + 1, "AS")
+            and is_punct(head + 2, "(")
+        ):
+            cte.add(toks[head][1])
+
+    out: list[str] = []
+
+    def register(idx):
+        name = toks[idx][1]
+        if name.lower() not in _FACTOR_KEYWORDS and name not in cte:
+            out.append(name)
+        return idx + 1
+
+    i = 0
+    while i < n:
+        if is_word(i) and toks[i][1].upper() in ("FROM", "JOIN"):
+            j = i + 1
+            if not (is_word(j) and _IDENT_RE.match(toks[j][1])):
+                i += 1
+                continue
+            j = register(j)
+            while True:
+                if (
+                    is_word(j, "AS")
+                    and is_word(j + 1)
+                    and is_punct(j + 2, ",")
+                    and is_word(j + 3)
+                    and _IDENT_RE.match(toks[j + 3][1])
+                ):
+                    j = register(j + 3)
+                elif (
+                    is_word(j)
+                    and is_punct(j + 1, ",")
+                    and is_word(j + 2)
+                    and _IDENT_RE.match(toks[j + 2][1])
+                ):
+                    j = register(j + 2)
+                elif (
+                    is_punct(j, ",")
+                    and is_word(j + 1)
+                    and _IDENT_RE.match(toks[j + 1][1])
+                ):
+                    j = register(j + 1)
+                else:
+                    break
+            i = j
+            continue
+        i += 1
+    return out

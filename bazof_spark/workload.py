@@ -6921,9 +6921,11 @@ QUERIES: dict[str, QueryFn] = {
 
 from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E402
 from bazof_spark.workload_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+from bazof_spark.workload_r10 import ORACLES_R10, QUERIES_R10  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 QUERIES.update(QUERIES_CLEAN)
+QUERIES.update(QUERIES_R10)
 
 # ---------------------------------------------------------------------------
 # Driver-rotation ordering. The driver's correctness harness checks the
@@ -7001,4 +7003,5 @@ ORACLES: dict[str, str] = {
     **_MULTIMODAL_ORACLES,
     **ORACLES_EXT,
     **ORACLES_CLEAN,
+    **ORACLES_R10,
 }

@@ -577,3 +577,31 @@ def test_filter_cascade_single_exchange(spark):
     assert shuffle_count(df) <= 2  # rebalance + md5 window
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}
+
+
+def test_c4_and_line_dedup_are_map_only(spark):
+    """The round-10 page-cleaning queries: every gate is a Column
+    expression over one scan of (doc_id, text) — zero exchanges beyond
+    the undersplit rebalance, zero Python."""
+    for name in ("c4_quality_filter", "line_dedup_within_doc"):
+        df = q(name, spark)
+        assert shuffle_count(df) <= 1, name  # rebalance only
+        for cols in scan_columns(df):
+            assert cols <= {"doc_id", "text"}, name
+
+
+def test_url_dedup_single_exchange(spark):
+    """Canonical-URL dedup: normalization is map-side; the only
+    exchange is the groupBy on the canonical URL (max_by combines
+    map-side)."""
+    df = q("url_dedup_best_doc", spark)
+    assert shuffle_count(df) <= 2  # rebalance + url groupBy
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+
+def test_audio_vad_map_only(spark):
+    """WAV synth -> decode -> frame energies: two Arrow-batched
+    map stages, no shuffle at all past the rebalance."""
+    df = q("audio_vad_energy", spark)
+    assert shuffle_count(df) <= 1
