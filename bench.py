@@ -177,11 +177,14 @@ FROZEN_SENTINELS = {
 _FROZEN_REFS = {
     "sentinel_asof_frozen": 0.229,  # r8, legacy factor 1.005 session
     "sentinel_q18_frozen": 0.431,
-    # r10 calibration (see ROUND_NOTES_r10): estimated session-min /
-    # co-measured factor across quieting subset sessions (0.703/1.384,
-    # 0.768/1.379); to be refined within r10 if a genuinely quiet
-    # full session records a lower direct minimum, frozen thereafter
-    "sentinel_iterative_frozen": 0.508,
+    # r10 calibration (see ROUND_NOTES_r10): first estimated as subset
+    # session-min / co-measured factor (0.703/1.384 -> 0.508), then
+    # REFINED within the calibration round to the direct minimum of the
+    # quietest full session ever recorded (legacy factor 0.939) — the
+    # subset estimate over-corrected because subset sessions inflate
+    # the legacy factor with early-session JIT warm-up. Frozen from
+    # r11 on, same do-NOT-update rule as the other five.
+    "sentinel_iterative_frozen": 0.565,
 }
 
 
