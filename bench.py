@@ -178,13 +178,14 @@ _FROZEN_REFS = {
     "sentinel_asof_frozen": 0.229,  # r8, legacy factor 1.005 session
     "sentinel_q18_frozen": 0.431,
     # r10 calibration (see ROUND_NOTES_r10): first estimated as subset
-    # session-min / co-measured factor (0.703/1.384 -> 0.508), then
-    # REFINED within the calibration round to the direct minimum of the
-    # quietest full session ever recorded (legacy factor 0.939) — the
-    # subset estimate over-corrected because subset sessions inflate
-    # the legacy factor with early-session JIT warm-up. Frozen from
-    # r11 on, same do-NOT-update rule as the other five.
-    "sentinel_iterative_frozen": 0.565,
+    # session-min / co-measured factor (0.703/1.384 -> 0.508 — an
+    # over-correction, subset sessions inflate the legacy factor with
+    # early-session JIT warm-up), then REFINED to the direct minimum
+    # across the round's two quiet FULL sessions (0.565 at factor
+    # 0.939, 0.525 at factor 1.002) — the same minimum-ever-recorded
+    # convention as the other refs. Frozen from r11 on, same
+    # do-NOT-update rule as the other five.
+    "sentinel_iterative_frozen": 0.525,
 }
 
 

@@ -663,3 +663,68 @@ def test_streaming_roundtrip_over_real_s3(spark, s3_endpoint, tmp_path):
     assert {
         r["key"]: r["value"] for r in lh.scan("st").collect()
     } == {"a": "a1", "b": "b1"}
+
+
+def test_row_group_split_over_real_s3(spark, s3_endpoint, monkeypatch):
+    """Round-10 byte-range splitting on the REAL protocol path: sizing
+    happens as one batched HEAD per filesystem at planning, a
+    multi-row-group object-store file plans >1 partition, and the
+    merged read stays bit-identical to the unsplit read."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bazof_spark.asof import Current
+    from bazof_spark.datasource import BazofDataSource, BazofReader
+
+    uri = "s3://bazof-real/rgsplit/t"
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    w = TableWriter(spark, uri, _schema())
+    w.add_segment(
+        "s1", start=t0,
+        base_df=_batch(
+            spark,
+            [(f"k{i:04d}", t0, "v" * 50) for i in range(400)],
+        ),
+    )
+    snap = w.commit("1")
+    # rewrite the data file with tiny row groups THROUGH the s3 client
+    # (bit-identical rows, so snapshot stats stay valid)
+    (fname,) = snap.get_data_files()
+    filesystem, rel = iofs.split(iofs.join(uri, fname))
+    tbl = pq.read_table(rel, filesystem=filesystem)
+    buf = pa.BufferOutputStream()
+    pq.write_table(tbl, buf, row_group_size=32)
+    with filesystem.open_output_stream(rel) as out:
+        out.write(buf.getvalue().to_pybytes())
+    assert pq.ParquetFile(
+        filesystem.open_input_file(rel)
+    ).metadata.num_row_groups > 1
+
+    from bazof_spark.lakehouse import Lakehouse as LH
+    from bazof_spark.table import Table
+
+    table = Table(path=uri, name="t")
+    reader = BazofReader(
+        {"maxpartitionbytes": "2k",
+         "bazofEnv": json.dumps(iofs.env_snapshot())},
+        table.get_current_snapshot().schema.to_struct_type(),
+        resolved=(table, table.get_current_snapshot(), Current),
+    )
+    parts = reader.partitions()
+    assert len(parts) > 1 and len({p.path for p in parts}) == 1
+
+    # the lakehouse route forwards the SESSION conf, not the env var
+    spark.dataSource.register(BazofDataSource)
+    lh = LH(spark, "s3://bazof-real/rgsplit")
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        split_rows = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+        whole_rows = {r["key"]: r["value"] for r in lh.scan("t").collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    assert split_rows == whole_rows
+    assert len(split_rows) == 400

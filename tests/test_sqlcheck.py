@@ -287,3 +287,88 @@ def test_time_travel_fuzz_both_extractors_agree():
         if rng.random() < 0.3:
             q += " JOIN shadow ON 1=1"
         rewrite_and_extract_tables(q)  # crosscheck raises on divergence
+
+
+# ---------------------------------------------------------------------------
+# Round-10 authority functions (the span-aware parsers that now DRIVE
+# the rewrite; the regex pass checks them)
+# ---------------------------------------------------------------------------
+
+from bazof_spark.sqlcheck import (  # noqa: E402
+    bare_factor_candidates,
+    merge_tail_ast,
+    time_travel_ops,
+    tokenize_spans,
+    update_body_ast,
+)
+
+
+def test_tokenize_spans_offsets_slice_back_to_source():
+    src = "a >= 'x -- s' /*c*/ b.c <> 1.5e-3"
+    toks = tokenize_spans(src)
+    for kind, text, start, end in toks:
+        assert src[start:end] == text, (kind, text)
+    # scientific notation splits into word/punct/word — the reason the
+    # authority hands back SLICES, never token re-joins
+    assert [t[1] for t in toks[-3:]] == ["1.5e", "-", "3"]
+    assert src[toks[-3][2]:toks[-1][3]] == "1.5e-3"
+
+
+def test_merge_tail_ast_returns_original_spelling():
+    ast = merge_tail_ast(
+        "SELECT  *  FROM s ON key "
+        "WHEN MATCHED AND v > 1.5e-3 THEN UPDATE SET v = f( a , 1 ), "
+        "w = 'a,b' WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert ast["src"] == "SELECT  *  FROM s"  # interior spacing kept
+    c0 = ast["clauses"][0]
+    assert c0["pred"] == "v > 1.5e-3"
+    assert c0["action"] == (
+        "update_set", (("v", "f( a , 1 )"), ("w", "'a,b'"))
+    )
+
+
+def test_update_body_ast_returns_original_spelling():
+    sets, pred = update_body_ast(
+        "v = v * 1.5e-3, w = coalesce(a,  b) WHERE k = 'x WHERE y'"
+    )
+    assert sets == (("v", "v * 1.5e-3"), ("w", "coalesce(a,  b)"))
+    assert pred == "k = 'x WHERE y'"
+
+
+def test_time_travel_ops_spans_and_family_order():
+    sql = (
+        "SELECT * FROM t AT ('2024-01-01T00:00:00Z') "
+        "JOIN CHANGES('w', '2024-01-01T00:00:00Z') ON 1=1 "
+        "JOIN u FOR VERSION AS OF 3 ON 1=1"
+    )
+    ops = time_travel_ops(sql)
+    # family order mirrors the checker's substitution passes:
+    # CHANGES, then versions, then AT
+    assert [op["kind"] for op in ops] == ["changes", "version", "at"]
+    for op in ops:
+        frag = sql[op["start"]:op["end"]]
+        assert op["name"] in frag or op["kind"] == "changes"
+    at = ops[-1]
+    assert sql[at["start"]:at["end"]] == "t AT ('2024-01-01T00:00:00Z')"
+    with pytest.raises(ValueError, match="invalid time-travel timestamp"):
+        time_travel_ops("SELECT * FROM t AT ('junk')")
+    with pytest.raises(ValueError, match="invalid CHANGES timestamp"):
+        time_travel_ops("SELECT * FROM CHANGES('t', 'junk')")
+
+
+def test_bare_factor_candidates_order_and_filters():
+    got = bare_factor_candidates(
+        "WITH shadow AS (SELECT 1) "
+        "SELECT ' FROM ghost ' FROM a x, b JOIN shadow ON 1=1 "
+        "JOIN select_free ON 1=1"
+    )
+    # positional order, CTE 'shadow' filtered, string content ignored
+    assert got == ["a", "b", "select_free"]
+    # a comma continuation AFTER a JOIN's ON clause is outside both
+    # derivations' factor walks — the invariant is that they agree
+    # (the regex checker's _COMMA_FACTOR_RE stops there too), so the
+    # relation simply stays unregistered rather than mis-scanned
+    assert bare_factor_candidates("SELECT 1 FROM a, b, c") == [
+        "a", "b", "c"
+    ]
