@@ -428,6 +428,7 @@ def test_merge_clause_list_generative_roundtrip():
         (("v", "1"),),
         (("a", "a + 1"), ("b", "concat(b, ', tail')")),
         (("v", "CASE WHEN v > 0 THEN v ELSE -v END"),),
+        (("v", "v * 1.5e-3"), ("w", "w + /* c, THEN */ 2")),
     ]
     for _ in range(200):
         matched = []
@@ -476,8 +477,18 @@ def test_merge_clause_list_generative_roundtrip():
         ):
             assert d.kind == "merge", sql
             continue
-        if len(matched) == 1 and matched[0] == ("delete", "") and not insert and by_src is None:
+        if (
+            len(matched) == 1
+            and matched[0][0] == "delete"
+            and not insert
+            and by_src is None
+        ):
+            # the single-form router takes ANY lone matched-DELETE
+            # (predicated or not) — _MERGE_DELETE_SUFFIX_RE's pred is
+            # optional (exposed when the round-10 fuzz widened the RNG
+            # stream; the model previously only covered pred == "")
             assert d.kind == "merge_delete", sql
+            assert d.pred == matched[0][1], sql
             continue
         if not matched and insert and by_src is None:
             assert d.kind == "merge_insert", sql

@@ -183,6 +183,11 @@ def test_update_fuzz_both_parsers_agree():
         "1", "v + 1", "coalesce(a, b, ',')", "'WHERE x = 1, y = 2'",
         "CASE WHEN a IN (1,2) THEN ',' ELSE 'THEN' END",
         "f(g(h(x, 'WHERE')), 2)", "a || ', b = 9'",
+        # round-10 authority shapes: scientific literals the tokenizer
+        # reads as three tokens (span slicing must return them intact)
+        # and block comments inside expressions (slices keep interior
+        # trivia; canon comparison ignores it on both sides)
+        "v * 1.5e-3", "v + /* bump, WHERE */ 1",
     ]
     preds = [None, "k = 1", "note = ', WHERE ' AND v > 2",
              "CASE WHEN k = 1 THEN true ELSE false END"]
