@@ -237,6 +237,53 @@ def _parse_byte_size(text) -> int:
 DEFAULT_MAX_PARTITION_BYTES = 128 << 20  # Spark's files.maxPartitionBytes
 
 
+def _max_partition_bytes(options: dict) -> int:
+    """The split threshold: reader option (lakehouse forwards the
+    session's spark.sql.files.maxPartitionBytes), env override, or the
+    Spark default."""
+    import os as _os
+
+    return _parse_byte_size(
+        options.get("maxpartitionbytes")
+        or options.get("maxPartitionBytes")
+        or _os.environ.get("BAZOF_MAX_PARTITION_BYTES")
+        or DEFAULT_MAX_PARTITION_BYTES
+    )
+
+
+def _file_sizes(paths, env: dict) -> dict[str, int]:
+    """File sizes for split planning, one batched get_file_info call
+    per filesystem (a stat locally, a HEAD per file on object stores —
+    the same cost class as Spark's own file listing). A missing or
+    unsizable file maps to 0 → whole-file task; the read raises its
+    own error."""
+    from bazof_spark import iofs
+
+    iofs.apply_env(env)
+    by_fs: dict[int, tuple[object, list[tuple[str, str]]]] = {}
+    for p in paths:
+        fs, rel = iofs.split(p)
+        by_fs.setdefault(id(fs), (fs, []))[1].append((p, rel))
+    sizes: dict[str, int] = {}
+    for fs, items in by_fs.values():
+        infos = fs.get_file_info([rel for _, rel in items])
+        for (p, _), info in zip(items, infos):
+            sizes[p] = info.size or 0
+    return sizes
+
+
+def _byte_ranges(size: int, max_bytes: int) -> list[tuple[int, int | None]]:
+    """Balanced (start, length) byte ranges covering a file; a single
+    (0, None) = whole-file task when the file fits the threshold."""
+    if size <= max_bytes:
+        return [(0, None)]
+    nsplits = -(-size // max_bytes)
+    step = -(-size // nsplits)  # balanced, not max-then-runt
+    return [
+        (s0, min(step, size - s0)) for s0 in range(0, size, step)
+    ]
+
+
 class BazofReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType, resolved=None):
         _apply_env_option(options)
@@ -282,14 +329,7 @@ class BazofReader(DataSourceReader):
         # row-group splitting threshold — mirrors the JVM branch's
         # spark.sql.files.maxPartitionBytes (lakehouse passes the
         # session value through; env/default otherwise)
-        import os as _os
-
-        self._max_part_bytes = _parse_byte_size(
-            options.get("maxpartitionbytes")
-            or options.get("maxPartitionBytes")
-            or _os.environ.get("BAZOF_MAX_PARTITION_BYTES")
-            or DEFAULT_MAX_PARTITION_BYTES
-        )
+        self._max_part_bytes = _max_partition_bytes(options)
         # driver-side BAZOF_* env rides with the pickled reader —
         # executors inherit the JVM's LAUNCH-time env, so an endpoint
         # or emulation variable set after session start would
@@ -418,42 +458,14 @@ class BazofReader(DataSourceReader):
             for p, r, kmin, kmax, bloom, tomb in self._files
             if kr is None or kr.admits(kmin, kmax, bloom)
         ]
-        sizes = self._file_sizes([p for p, _, _ in surviving])
-        out = []
-        for p, r, tomb in surviving:
-            size = sizes.get(p) or 0
-            if size <= self._max_part_bytes:
-                out.append(_FilePartition(p, r, tomb))
-                continue
-            nsplits = -(-size // self._max_part_bytes)
-            step = -(-size // nsplits)  # balanced, not max-then-runt
-            for s0 in range(0, size, step):
-                out.append(
-                    _FilePartition(
-                        p, r, tomb, start=s0, length=min(step, size - s0)
-                    )
-                )
-        return out
-
-    def _file_sizes(self, paths: list[str]) -> dict[str, int]:
-        """File sizes for split planning, one batched get_file_info
-        call per filesystem (a stat locally, a HEAD per file on object
-        stores — the same cost class as Spark's own file listing). A
-        missing/unsizable file maps to 0 → whole-file task; the read
-        raises its own error."""
-        from bazof_spark import iofs
-
-        iofs.apply_env(self._env)
-        by_fs: dict[int, tuple[object, list[tuple[str, str]]]] = {}
-        for p in paths:
-            fs, rel = iofs.split(p)
-            by_fs.setdefault(id(fs), (fs, []))[1].append((p, rel))
-        sizes: dict[str, int] = {}
-        for fs, items in by_fs.values():
-            infos = fs.get_file_info([rel for _, rel in items])
-            for (p, _), info in zip(items, infos):
-                sizes[p] = info.size or 0
-        return sizes
+        sizes = _file_sizes([p for p, _, _ in surviving], self._env)
+        return [
+            _FilePartition(p, r, tomb, start=s0, length=ln)
+            for p, r, tomb in surviving
+            for s0, ln in _byte_ranges(
+                sizes.get(p) or 0, self._max_part_bytes
+            )
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
@@ -743,7 +755,7 @@ class BazofBatchWriter(DataSourceArrowWriter):
 
 class _VersionFilePartition(InputPartition):
     def __init__(self, path: str, version: int, tombstone: bool = False,
-                 formers=None):
+                 formers=None, start: int = 0, length: int | None = None):
         self.path = path
         self.version = version
         self.tombstone = tombstone
@@ -751,6 +763,11 @@ class _VersionFilePartition(InputPartition):
         #: snapshot version — files carry whatever spelling was current
         #: when they were written (RENAME COLUMN support)
         self.formers = formers or {}
+        # byte range (length None = whole file): a big file in the
+        # replayed range — e.g. a large base at startingVersion=0 —
+        # fans out over the cluster like the batch reader's splits
+        self.start = start
+        self.length = length
 
 
 class BazofStreamReader(DataSourceStreamReader):
@@ -821,6 +838,7 @@ class BazofStreamReader(DataSourceStreamReader):
             or options.get("ignoreDeletes")
             or ""
         ).lower() == "true"
+        self._max_part_bytes = _max_partition_bytes(options)
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
@@ -934,7 +952,20 @@ class BazofStreamReader(DataSourceStreamReader):
                     )
                 )
             prev, prev_bases = cur, cur_bases
-        return out
+        # byte-range splitting, same thresholds as the batch reader: a
+        # large file in the range (a big base replayed from version 0)
+        # must not serialize one micro-batch onto one task
+        sizes = _file_sizes([p.path for p in out], self._env)
+        return [
+            _VersionFilePartition(
+                p.path, p.version, p.tombstone, formers=p.formers,
+                start=s0, length=ln,
+            )
+            for p in out
+            for s0, ln in _byte_ranges(
+                sizes.get(p.path) or 0, self._max_part_bytes
+            )
+        ]
 
     def read(self, partition: _VersionFilePartition):
         import pyarrow as pa
@@ -962,6 +993,8 @@ class BazofStreamReader(DataSourceStreamReader):
             arrow_schema,
             tombstone=partition.tombstone,
             formers=getattr(partition, "formers", None),
+            start=getattr(partition, "start", 0),
+            length=getattr(partition, "length", None),
         ):
             yield from t.to_batches()
 
