@@ -223,15 +223,29 @@ def _row_group_offset(rg) -> int:
 
 
 def _parse_byte_size(text) -> int:
-    """Spark-style size strings: '134217728b', '128m', '128MB', '1g'."""
+    """Spark-style size strings ('134217728b', '128m', '128MB', '1g',
+    '1t', '1pb' — the full suffix set byteStringAsBytes accepts);
+    non-positive values are rejected so a misconfigured threshold
+    fails at planning with a clear message, not a ZeroDivisionError
+    inside the split arithmetic."""
     s = str(text).strip().lower()
+    value = None
     for suffix, mult in (
         ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+        ("tb", 1 << 40), ("pb", 1 << 50),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50), ("b", 1),
     ):
         if s.endswith(suffix):
-            return int(s[: -len(suffix)]) * mult
-    return int(s)
+            value = int(s[: -len(suffix)]) * mult
+            break
+    if value is None:
+        value = int(s)
+    if value <= 0:
+        raise ValueError(
+            f"maxPartitionBytes must be positive, got {text!r}"
+        )
+    return value
 
 
 DEFAULT_MAX_PARTITION_BYTES = 128 << 20  # Spark's files.maxPartitionBytes

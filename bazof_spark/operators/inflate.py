@@ -268,6 +268,7 @@ def gzip_decompress(data: bytes) -> bytes:
             raise ValueError("not a gzip member")
         if data[pos + 2] != 8:
             raise ValueError("gzip CM is not deflate")
+        member_start = pos
         flg = data[pos + 3]
         pos += 10
         if flg & 0x04:  # FEXTRA
@@ -277,9 +278,11 @@ def gzip_decompress(data: bytes) -> bytes:
             pos = data.index(b"\x00", pos) + 1
         if flg & 0x10:  # FCOMMENT
             pos = data.index(b"\x00", pos) + 1
-        if flg & 0x02:  # FHCRC: low 16 bits of header crc
+        if flg & 0x02:  # FHCRC: low 16 bits of THIS member's header
+            # crc (RFC 1952 §2.3.1 — from its own ID1, not the file
+            # start; a preceding member must not poison the sum)
             want = data[pos] | (data[pos + 1] << 8)
-            if crc32(data[:pos]) & 0xFFFF != want:
+            if crc32(data[member_start:pos]) & 0xFFFF != want:
                 raise ValueError("gzip header CRC mismatch")
             pos += 2
         br = _Bits(data)

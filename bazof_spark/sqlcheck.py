@@ -525,6 +525,40 @@ _FACTOR_KEYWORDS = frozenset(
 )
 
 
+def _word_at(toks, i: int, kw: str | None = None) -> bool:
+    return (
+        0 <= i < len(toks)
+        and toks[i][0] == "word"
+        and (kw is None or toks[i][1].upper() == kw)
+    )
+
+
+def _punct_at(toks, i: int, p: str) -> bool:
+    return 0 <= i < len(toks) and toks[i][0] == "punct" and toks[i][1] == p
+
+
+def _str_at(toks, i: int) -> bool:
+    return 0 <= i < len(toks) and toks[i][0] == "str"
+
+
+def _str_val(toks, i: int) -> str:
+    s = toks[i][1]
+    return s[1:-1].replace("''", "'")
+
+
+def _word_ver(toks, i: int):
+    """The \w+ version literal at token i (bare or quoted), else None
+    — mirroring the regex pass's '?(\w+)'? capture. Works on both the
+    2-tuple and span token shapes (probes index [0]/[1] only)."""
+    if _word_at(toks, i) and _re.fullmatch(r"\w+", toks[i][1]):
+        return toks[i][1]
+    if _str_at(toks, i):
+        sv = _str_val(toks, i)
+        if _re.fullmatch(r"\w+", sv):
+            return sv
+    return None
+
+
 def parse_time_travel_tables(sql: str) -> set:
     """Independent token-level extraction of every table reference the
     rewrite must register: returns a set of canonical keys
@@ -537,33 +571,13 @@ def parse_time_travel_tables(sql: str) -> set:
     keys: set = set()
     clause_end: dict[int, int] = {}  # factor-name token idx -> idx after clause
 
-    def is_word(i, kw=None):
-        return (
-            0 <= i < n
-            and toks[i][0] == "word"
-            and (kw is None or toks[i][1].upper() == kw)
-        )
+    from functools import partial
 
-    def is_punct(i, p):
-        return 0 <= i < n and toks[i] == ("punct", p)
-
-    def is_str(i):
-        return 0 <= i < n and toks[i][0] == "str"
-
-    def str_val(i):
-        s = toks[i][1]
-        return s[1:-1].replace("''", "'")
-
-    def word_ver(i):
-        """The \\w+ version literal at token i (bare or quoted), else
-        None — mirroring the regex pass's '?(\\w+)'? capture."""
-        if is_word(i) and _re.fullmatch(r"\w+", toks[i][1]):
-            return toks[i][1]
-        if is_str(i):
-            sv = str_val(i)
-            if _re.fullmatch(r"\w+", sv):
-                return sv
-        return None
+    is_word = partial(_word_at, toks)
+    is_punct = partial(_punct_at, toks)
+    is_str = partial(_str_at, toks)
+    str_val = partial(_str_val, toks)
+    word_ver = partial(_word_ver, toks)
 
     # pass 1: versioned forms, positional
     i = 0
@@ -761,31 +775,13 @@ def time_travel_ops(sql: str) -> list[dict]:
     toks = tokenize_spans(sql)
     n = len(toks)
 
-    def is_word(i, kw=None):
-        return (
-            0 <= i < n
-            and toks[i][0] == "word"
-            and (kw is None or toks[i][1].upper() == kw)
-        )
+    from functools import partial
 
-    def is_punct(i, p):
-        return 0 <= i < n and toks[i][0] == "punct" and toks[i][1] == p
-
-    def is_str(i):
-        return 0 <= i < n and toks[i][0] == "str"
-
-    def str_val(i):
-        s = toks[i][1]
-        return s[1:-1].replace("''", "'")
-
-    def word_ver(i):
-        if is_word(i) and _re.fullmatch(r"\w+", toks[i][1]):
-            return toks[i][1]
-        if is_str(i):
-            sv = str_val(i)
-            if _re.fullmatch(r"\w+", sv):
-                return sv
-        return None
+    is_word = partial(_word_at, toks)
+    is_punct = partial(_punct_at, toks)
+    is_str = partial(_str_at, toks)
+    str_val = partial(_str_val, toks)
+    word_ver = partial(_word_ver, toks)
 
     raw_ops: list[tuple[int, int, dict]] = []  # (rank, start, op)
     i = 0
@@ -948,15 +944,10 @@ def bare_factor_candidates(text: str) -> list[str]:
     toks = tokenize_spans(text)
     n = len(toks)
 
-    def is_word(i, kw=None):
-        return (
-            0 <= i < n
-            and toks[i][0] == "word"
-            and (kw is None or toks[i][1].upper() == kw)
-        )
+    from functools import partial
 
-    def is_punct(i, p):
-        return 0 <= i < n and toks[i][0] == "punct" and toks[i][1] == p
+    is_word = partial(_word_at, toks)
+    is_punct = partial(_punct_at, toks)
 
     cte: set[str] = set()
     for i in range(n):

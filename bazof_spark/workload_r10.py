@@ -70,7 +70,7 @@ def _page_lines(d, words):
 _PAGE_LINES_SQL = """
         SELECT doc_id,
                CASE WHEN doc_id % 11 = 0
-                    THEN list_append(ls1, 'var x = {{ 1 }};')
+                    THEN list_append(ls1, 'var x = { 1 };')
                     ELSE ls1 END AS ls
         FROM (
             SELECT doc_id,

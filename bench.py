@@ -354,12 +354,14 @@ def main() -> None:
     if os.path.exists(budget_path):
         with open(budget_path, encoding="utf-8") as f:
             budget_table = json.load(f)
+        tol = float(budget_table.get("tolerance", 1.5))
         violations = check_budgets(
-            timings, sentinel_factor, budget_table.get("queries", {})
+            timings, sentinel_factor, budget_table.get("queries", {}),
+            tolerance=tol,
         )
         if violations:
             print(
-                "BENCH BUDGET VIOLATIONS (normalized time >1.5x the "
+                f"BENCH BUDGET VIOLATIONS (normalized time >{tol}x the "
                 f"recorded spread): {json.dumps(violations)}",
                 file=sys.stderr,
             )

@@ -106,6 +106,24 @@ def test_gzip_multi_member_concatenation():
     # trailing garbage after a member is not silently dropped
     with pytest.raises(ValueError, match="not a gzip member"):
         gzip_decompress(gzip.compress(b"x") + b"JUNKJUNKJUNKJUNKJUNK")
+    # FHCRC members: the header CRC covers THIS member's header only
+    # (a preceding member must not poison the sum)
+    import io as _io
+    import zlib as _z
+
+    def member_with_fhcrc(payload: bytes) -> bytes:
+        header = b"\x1f\x8b\x08\x02\x00\x00\x00\x00\x00\xff"
+        hcrc = (_z.crc32(header) & 0xFFFF).to_bytes(2, "little")
+        co = _z.compressobj(6, _z.DEFLATED, -15)
+        body = co.compress(payload) + co.flush()
+        trailer = _z.crc32(payload).to_bytes(4, "little") + (
+            len(payload) % (1 << 32)
+        ).to_bytes(4, "little")
+        return header + hcrc + body + trailer
+
+    two = member_with_fhcrc(b"first") + member_with_fhcrc(b"second")
+    assert gzip.decompress(two) == b"firstsecond"  # stdlib agrees
+    assert gzip_decompress(two) == b"firstsecond"
 
 
 def test_sniff_lzma_header_plausibility():
