@@ -238,6 +238,14 @@ def main(argv: list[str] | None = None) -> int:
     p_dc.add_argument("file")
     p_dc.add_argument("--out", help="output path (default: stdout)")
 
+    p_ft = sub.add_parser(
+        "footer",
+        help="parse a parquet file's footer with the repo's from-spec "
+        "thrift compact-protocol reader (operators/parquetmeta) and "
+        "print it as JSON; no Spark session",
+    )
+    p_ft.add_argument("file")
+
     args = parser.parse_args(argv)
 
     if args.lock_server:
@@ -274,6 +282,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{fmt}: {len(data)} -> {len(out)} bytes ({args.out})")
         else:
             sys.stdout.buffer.write(out)
+        return 0
+
+    if args.cmd == "footer":
+        # pure byte work through the from-spec thrift reader — no Spark
+        import base64
+        import json as _json
+
+        from bazof_spark.operators.parquetmeta import parse_parquet_footer
+
+        meta = parse_parquet_footer(open(args.file, "rb").read())
+
+        def _enc(v):
+            if isinstance(v, bytes):
+                return base64.b64encode(v).decode("ascii")
+            raise TypeError(type(v).__name__)
+
+        print(_json.dumps(meta, indent=1, default=_enc))
         return 0
 
     if args.cmd == "stats":

@@ -291,7 +291,118 @@ def audio_vad_energy_q(spark, sf_dir):
     return media.mapInPandas(vad, schema)
 
 
+def parquet_footer_stats_q(spark, sf_dir):
+    """The container itself under the from-spec microscope: per doc a
+    real parquet file is WRITTEN by pyarrow (the C implementation,
+    4-row row groups, codec rotating snappy/gzip/zstd) and its footer
+    parsed back by the repo's own Thrift compact-protocol reader
+    (operators/parquetmeta — the independent twin of the C/JVM footer
+    readers everything else trusts), reducing to row/row-group counts,
+    the codec id, and the INT64 min/max statistics decoded from their
+    plain-encoded bytes. The DuckDB oracle recomputes every value
+    analytically from the synthesis formula — agreement proves the
+    varint/zigzag/field-id walk byte-perfect at corpus scale. Two
+    map-only Arrow-batched stages, zero exchanges."""
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bazof_spark.operators.parquetmeta import (
+        decode_int64_stat,
+        parse_parquet_footer,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    codecs = ("snappy", "gzip", "zstd")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 5 + mid % 7
+                t = pa.table(
+                    {
+                        "a": pa.array(
+                            [mid + i for i in range(n)], type=pa.int64()
+                        ),
+                        "b": pa.array(
+                            [f"s{mid}_{i}" for i in range(n)],
+                            type=pa.string(),
+                        ),
+                    }
+                )
+                buf = io.BytesIO()
+                pq.write_table(
+                    t, buf, compression=codecs[mid % 3], row_group_size=4
+                )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_row_groups", IntegerType(), False),
+            StructField("codec", StringType(), False),
+            StructField("vmin", LongType(), False),
+            StructField("vmax", LongType(), False),
+            StructField("n_values", LongType(), False),
+        ]
+    )
+
+    def parse(it):
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                meta = parse_parquet_footer(bytes(blob))
+                groups = meta["row_groups"]
+                a_chunks = [
+                    c
+                    for g in groups
+                    for c in g["columns"]
+                    if c["path_in_schema"] == ["a"]
+                ]
+                out.append(
+                    (
+                        mid,
+                        meta["num_rows"],
+                        len(groups),
+                        a_chunks[0]["codec"],
+                        decode_int64_stat(
+                            a_chunks[0]["statistics"]["min_value"]
+                        ),
+                        decode_int64_stat(
+                            a_chunks[-1]["statistics"]["max_value"]
+                        ),
+                        sum(c["num_values"] for c in a_chunks),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_rows", "n_row_groups", "codec",
+                    "vmin", "vmax", "n_values",
+                ],
+            )
+
+    return media.mapInPandas(parse, schema)
+
+
 QUERIES_R10 = {
+    "parquet_footer_stats": parquet_footer_stats_q,
     "c4_quality_filter": c4_quality_filter_q,
     "line_dedup_within_doc": line_dedup_within_doc_q,
     "url_dedup_best_doc": url_dedup_best_doc_q,
@@ -299,6 +410,19 @@ QUERIES_R10 = {
 }
 
 ORACLES_R10 = {
+    # every output recomputed analytically from the synthesis formula —
+    # the footer values only match if the thrift walk is byte-perfect
+    "parquet_footer_stats": """
+        SELECT doc_id AS media_id,
+               CAST(5 + doc_id % 7 AS BIGINT) AS n_rows,
+               CAST(ceil((5 + doc_id % 7) / 4.0) AS INT) AS n_row_groups,
+               CASE doc_id % 3 WHEN 0 THEN 'SNAPPY'
+                    WHEN 1 THEN 'GZIP' ELSE 'ZSTD' END AS codec,
+               CAST(doc_id AS BIGINT) AS vmin,
+               CAST(doc_id + 4 + doc_id % 7 AS BIGINT) AS vmax,
+               CAST(5 + doc_id % 7 AS BIGINT) AS n_values
+        FROM documents
+    """,
     "c4_quality_filter": f"""
         WITH pages AS ({_PAGE_LINES_SQL}),
         g AS (

@@ -286,3 +286,24 @@ def test_cli_decompress_sniffs_all_containers(tmp_path):
         )
         assert r.returncode == 0, (ext, r.stderr[-300:])
         assert out.read_bytes() == raw, ext
+
+
+def test_cli_footer_parses_parquet(tmp_path):
+    """The footer subcommand prints the from-spec parsed metadata as
+    JSON, without a Spark session."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "bazof_spark.cli", "footer",
+         "/root/testdata/sf0.001/region.parquet"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-300:]
+    meta = json.loads(r.stdout)
+    import pyarrow.parquet as pq
+
+    ref = pq.ParquetFile("/root/testdata/sf0.001/region.parquet").metadata
+    assert meta["num_rows"] == ref.num_rows
+    assert len(meta["row_groups"]) == ref.num_row_groups

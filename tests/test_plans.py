@@ -605,3 +605,10 @@ def test_audio_vad_map_only(spark):
     map stages, no shuffle at all past the rebalance."""
     df = q("audio_vad_energy", spark)
     assert shuffle_count(df) <= 1
+
+
+def test_parquet_footer_stats_map_only(spark):
+    """Per-doc parquet write + from-spec footer parse: two Arrow-
+    batched map stages, zero exchanges past the rebalance."""
+    df = q("parquet_footer_stats", spark)
+    assert shuffle_count(df) <= 1
