@@ -401,8 +401,103 @@ def parquet_footer_stats_q(spark, sf_dir):
     return media.mapInPandas(parse, schema)
 
 
+def parquet_column_roundtrip_q(spark, sf_dir):
+    """Parquet decoded END-TO-END with zero external parsers: per doc
+    pyarrow WRITES a real file (dictionary + snappy defaults — the
+    production layout) and the repo's own stack reads it back — footer
+    (parquetmeta thrift walk) → PageHeader thrift → snappy via the
+    from-spec decoder → RLE/bit-packed hybrid definition levels and
+    dictionary indices → PLAIN values (operators/parquetpages). The
+    reduction (row count, int64 sum with nulls skipped, md5 of the
+    joined strings) only matches the analytic DuckDB oracle if every
+    layer — varints, level widths, LSB bit order, index dictionary —
+    is byte-perfect on every document. Two map-only Arrow-batched
+    stages, zero exchanges."""
+    import hashlib
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bazof_spark.operators.parquetpages import read_column
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 8 + mid % 9
+                t = pa.table(
+                    {
+                        "a": pa.array(
+                            [
+                                None if i % 4 == 3 else mid * 3 + i
+                                for i in range(n)
+                            ],
+                            type=pa.int64(),
+                        ),
+                        "s": pa.array(
+                            [f"w{(mid + i) % 5}" for i in range(n)],
+                            type=pa.string(),
+                        ),
+                    }
+                )
+                buf = io.BytesIO()
+                pq.write_table(t, buf, row_group_size=5)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_nulls", LongType(), False),
+            StructField("a_sum", LongType(), False),
+            StructField("s_digest", StringType(), False),
+        ]
+    )
+
+    def decode(it):
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                a = read_column(bytes(blob), "a")
+                sv = read_column(bytes(blob), "s")
+                joined = "|".join(v.decode("utf-8") for v in sv)
+                out.append(
+                    (
+                        mid,
+                        len(a),
+                        sum(1 for v in a if v is None),
+                        sum(v for v in a if v is not None),
+                        hashlib.md5(joined.encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_rows", "n_nulls", "a_sum", "s_digest",
+                ],
+            )
+
+    return media.mapInPandas(decode, schema)
+
+
 QUERIES_R10 = {
     "parquet_footer_stats": parquet_footer_stats_q,
+    "parquet_column_roundtrip": parquet_column_roundtrip_q,
     "c4_quality_filter": c4_quality_filter_q,
     "line_dedup_within_doc": line_dedup_within_doc_q,
     "url_dedup_best_doc": url_dedup_best_doc_q,
@@ -502,6 +597,28 @@ ORACLES_R10 = {
         )
         SELECT a.url_norm, a.n_dups, a.max_len, r.doc_id AS best_doc
         FROM a JOIN r ON r.url_norm = a.url_norm AND r.rn = 1
+    """,
+    # every value rebuilt analytically: i in 0..n-1 with n = 8+doc%9,
+    # a[i] = NULL when i%4=3 else doc*3+i, s[i] = 'w' || (doc+i)%5
+    "parquet_column_roundtrip": """
+        WITH g AS (
+            SELECT d.doc_id,
+                   CAST(8 + d.doc_id % 9 AS BIGINT) AS n,
+                   g.i
+            FROM (SELECT doc_id FROM documents) d,
+                 LATERAL (
+                     SELECT unnest(range(8 + (d.doc_id % 9))) AS i
+                 ) g
+        )
+        SELECT doc_id AS media_id,
+               n AS n_rows,
+               CAST(SUM(CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(SUM(CASE WHEN i % 4 = 3 THEN 0
+                             ELSE doc_id * 3 + i END) AS BIGINT) AS a_sum,
+               md5(string_agg('w' || ((doc_id + i) % 5), '|' ORDER BY i))
+                   AS s_digest
+        FROM g GROUP BY doc_id, n
     """,
     "audio_vad_energy": """
         WITH s AS (

@@ -1,0 +1,166 @@
+"""From-spec parquet COLUMN decode vs pyarrow — footer + PageHeader
+thrift + RLE/bit-packed hybrid levels + PLAIN/dictionary values +
+in-repo codec twins, end-to-end equality on the decoded value lists.
+No Spark session."""
+
+import glob
+import io
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark.operators.parquetpages import read_column  # noqa: E402
+
+
+def _roundtrip(table, name, **kw):
+    buf = io.BytesIO()
+    pq.write_table(table, buf, **kw)
+    data = buf.getvalue()
+    mine = read_column(data, name)
+    ref = pq.read_table(pa.BufferReader(data)).column(name).to_pylist()
+    if mine and isinstance(mine[0], bytes) and ref and isinstance(ref[0], str):
+        mine = [None if v is None else v.decode() for v in mine]
+    assert mine == ref, (name, kw)
+
+
+def _fixture_table():
+    return pa.table(
+        {
+            "i64": pa.array(
+                [i * 7 - 100 for i in range(500)], type=pa.int64()
+            ),
+            "i32": pa.array(
+                [i - 250 for i in range(500)], type=pa.int32()
+            ),
+            "f": pa.array([i / 5.0 for i in range(500)], type=pa.float32()),
+            "d": pa.array([i / 3.0 for i in range(500)], type=pa.float64()),
+            "s": pa.array(
+                [f"str{i % 37}" for i in range(500)], type=pa.string()
+            ),
+            "n": pa.array(
+                [None if i % 5 == 0 else i for i in range(500)],
+                type=pa.int64(),
+            ),
+            "b": pa.array([i % 3 == 0 for i in range(500)], type=pa.bool_()),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},  # pyarrow defaults: dictionary + snappy, v1 pages
+        {"use_dictionary": False},  # PLAIN values
+        {"compression": "zstd", "row_group_size": 64},
+        {"compression": "gzip", "use_dictionary": False},
+        {"compression": "lz4", "data_page_version": "2.0"},
+        {
+            "compression": "none",
+            "data_page_version": "2.0",
+            "use_dictionary": False,
+        },
+        {
+            "compression": "snappy",
+            "data_page_version": "2.0",
+            "row_group_size": 50,
+        },
+    ],
+    ids=lambda kw: "+".join(f"{k}={v}" for k, v in kw.items()) or "defaults",
+)
+def test_every_type_decodes_under_every_layout(kw):
+    t = _fixture_table()
+    for col in t.column_names:
+        _roundtrip(t, col, **kw)
+
+
+def test_every_corpus_column_decodes():
+    """Every flat column of every testdata table — production
+    dictionary-encoded snappy files — decodes to pyarrow's exact
+    values; timestamp columns compare on their INT64 physical view."""
+    for path in sorted(glob.glob("/root/testdata/sf0.001/*.parquet")):
+        data = open(path, "rb").read()
+        ref_t = pq.read_table(path)
+        for name, field in zip(ref_t.column_names, ref_t.schema):
+            if pa.types.is_nested(field.type) or pa.types.is_decimal(
+                field.type
+            ):
+                continue
+            mine = read_column(data, name)
+            col = ref_t.column(name)
+            if pa.types.is_timestamp(field.type):
+                unit = field.type.unit
+                ref = col.cast(pa.timestamp(unit)).cast(pa.int64()).to_pylist()
+            elif pa.types.is_date(field.type):
+                ref = col.cast(pa.int32()).to_pylist()
+            else:
+                ref = col.to_pylist()
+            if (
+                mine
+                and isinstance(mine[0], bytes)
+                and ref
+                and isinstance(ref[0], str)
+            ):
+                mine = [None if v is None else v.decode() for v in mine]
+            assert mine == ref, (path, name)
+
+
+def test_reference_golden_columns_decode():
+    """The reference's arrow-rs-written goldens (a third writer): the
+    financials value columns decode end-to-end."""
+    path = "/root/reference/test-data/financials/year_2000_base.parquet"
+    data = open(path, "rb").read()
+    ref_t = pq.read_table(path)
+    for name, field in zip(ref_t.column_names, ref_t.schema):
+        if pa.types.is_nested(field.type) or pa.types.is_timestamp(
+            field.type
+        ):
+            continue
+        mine = read_column(data, name)
+        ref = ref_t.column(name).to_pylist()
+        if mine and isinstance(mine[0], bytes) and isinstance(ref[0], str):
+            mine = [None if v is None else v.decode() for v in mine]
+        assert mine == ref, name
+
+
+def test_nested_and_unknown_raise_cleanly():
+    t = pa.table(
+        {"l": pa.array([[1, 2]] * 4, type=pa.list_(pa.int64()))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    with pytest.raises(NotImplementedError, match="flat"):
+        read_column(buf.getvalue(), "l")
+    t2 = pa.table({"a": pa.array([1, 2, 3], type=pa.int64())})
+    buf2 = io.BytesIO()
+    pq.write_table(t2, buf2)
+    with pytest.raises(ValueError, match="not in schema"):
+        read_column(buf2.getvalue(), "missing")
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=300
+    ),
+    dict_enc=st.booleans(),
+    codec=st.sampled_from(["snappy", "zstd", "none"]),
+    v2=st.booleans(),
+    rgs=st.integers(1, 64),
+)
+def test_property_int64_roundtrip(vals, dict_enc, codec, v2, rgs):
+    t = pa.table({"a": pa.array(vals, type=pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, use_dictionary=dict_enc, compression=codec,
+        data_page_version="2.0" if v2 else "1.0", row_group_size=rgs,
+    )
+    assert read_column(buf.getvalue(), "a") == vals

@@ -612,3 +612,8 @@ def test_parquet_footer_stats_map_only(spark):
     batched map stages, zero exchanges past the rebalance."""
     df = q("parquet_footer_stats", spark)
     assert shuffle_count(df) <= 1
+
+
+def test_parquet_column_roundtrip_map_only(spark):
+    df = q("parquet_column_roundtrip", spark)
+    assert shuffle_count(df) <= 1
