@@ -156,14 +156,18 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     filesystem, rel = iofs.split(path)
     f = pq.ParquetFile(filesystem.open_input_file(rel))
     row_groups = None
-    if length is not None:
+    if length is not None or start:
+        # length None with start > 0 = open-ended tail range (to EOF):
+        # split plans from commit-time-recorded sizes must degrade to
+        # a bigger last task — never to dropped row groups — if the
+        # recorded size ever understates the file
         md = f.metadata
         row_groups = []
         rows_before = 0
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             off = _row_group_offset(rg)
-            if start <= off < start + length:
+            if start <= off and (length is None or off < start + length):
                 if not row_groups:
                     row_idx = rows_before
                 row_groups.append(i)
@@ -288,14 +292,17 @@ def _file_sizes(paths, env: dict) -> dict[str, int]:
 
 def _byte_ranges(size: int, max_bytes: int) -> list[tuple[int, int | None]]:
     """Balanced (start, length) byte ranges covering a file; a single
-    (0, None) = whole-file task when the file fits the threshold."""
+    (0, None) = whole-file task when the file fits the threshold. The
+    LAST range is always open-ended (length None = to EOF): data files
+    are immutable by contract, but a size that somehow understates the
+    file (stale stat, snapshot anomaly) must cost one oversized task,
+    not silently dropped trailing row groups."""
     if size <= max_bytes:
         return [(0, None)]
     nsplits = -(-size // max_bytes)
     step = -(-size // nsplits)  # balanced, not max-then-runt
-    return [
-        (s0, min(step, size - s0)) for s0 in range(0, size, step)
-    ]
+    starts = list(range(0, size, step))
+    return [(s0, step) for s0 in starts[:-1]] + [(starts[-1], None)]
 
 
 class BazofReader(DataSourceReader):
@@ -304,6 +311,14 @@ class BazofReader(DataSourceReader):
         table, snapshot, as_of = resolved or _resolve(options)
         stats = snapshot.file_key_stats()
         tomb = snapshot.tombstone_files()
+        # commit-time-recorded file lengths: split planning uses these
+        # directly and stats ONLY files the snapshot predates (ADVICE
+        # r10: an unconditional stat pass added planning latency on
+        # object stores with many small files)
+        self._known_sizes = {
+            table.data_file_path(f): n
+            for f, n in snapshot.file_sizes().items()
+        }
         self._files = [
             (
                 table.data_file_path(f),
@@ -472,7 +487,12 @@ class BazofReader(DataSourceReader):
             for p, r, kmin, kmax, bloom, tomb in self._files
             if kr is None or kr.admits(kmin, kmax, bloom)
         ]
-        sizes = _file_sizes([p for p, _, _ in surviving], self._env)
+        sizes = {
+            p: self._known_sizes.get(p, 0) for p, _, _ in surviving
+        }
+        missing = [p for p, n in sizes.items() if not n]
+        if missing:
+            sizes.update(_file_sizes(missing, self._env))
         return [
             _FilePartition(p, r, tomb, start=s0, length=ln)
             for p, r, tomb in surviving
@@ -908,6 +928,7 @@ class BazofStreamReader(DataSourceStreamReader):
                         if alts:
                             fmap[col] = alts
         out = []
+        known_sizes: dict[str, int] = {}
         prev = self._files_of(s)
         prev_bases = self._base_files_of(s)
         for v in range(s + 1, e + 1):
@@ -940,7 +961,10 @@ class BazofStreamReader(DataSourceStreamReader):
             # between snapshot write and version.txt flip leaves an
             # orphan s{v}.json) add files no later snapshot references —
             # those rows never became table state and must not stream
-            tomb = self._table.get_snapshot(str(v)).tombstone_files()
+            snap = self._table.get_snapshot(str(v))
+            tomb = snap.tombstone_files()
+            for f, n in snap.file_sizes().items():
+                known_sizes.setdefault(self._table.data_file_path(f), n)
             for f in sorted(added & final):
                 if f in tomb and "_tombstone" not in self._schema.fieldNames():
                     # the stream's schema was fixed before this table's
@@ -968,8 +992,12 @@ class BazofStreamReader(DataSourceStreamReader):
             prev, prev_bases = cur, cur_bases
         # byte-range splitting, same thresholds as the batch reader: a
         # large file in the range (a big base replayed from version 0)
-        # must not serialize one micro-batch onto one task
-        sizes = _file_sizes([p.path for p in out], self._env)
+        # must not serialize one micro-batch onto one task. Lengths
+        # recorded at commit time skip the stat; older files fall back
+        sizes = {p.path: known_sizes.get(p.path, 0) for p in out}
+        missing = [p for p, n in sizes.items() if not n]
+        if missing:
+            sizes.update(_file_sizes(missing, self._env))
         return [
             _VersionFilePartition(
                 p.path, p.version, p.tombstone, formers=p.formers,

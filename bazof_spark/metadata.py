@@ -213,6 +213,10 @@ class Delta:
     ts_min: datetime | None = None
     ts_max: datetime | None = None
     key_bloom: KeyBloom | None = None
+    #: file length in bytes (our extension, written at commit time) —
+    #: lets scan planning split large files into byte ranges without a
+    #: stat/HEAD round-trip per file; absent ⇒ planner stats the file
+    size: int | None = None
     #: our extension (Delta-Lake-style DELETE): a tombstone delta's rows
     #: carry only (key, event_time); a tombstone row winning the merge
     #: makes its key invisible at that as-of instead of surfacing. The
@@ -249,6 +253,11 @@ class Delta:
                     if isinstance(obj.get("key_bloom"), dict)
                     else None
                 ),
+                size=(
+                    obj["size"]
+                    if isinstance(obj.get("size"), int) and obj["size"] > 0
+                    else None
+                ),
                 tombstone=bool(obj.get("tombstone", False)),
             )
         except (KeyError, ValueError) as exc:
@@ -270,6 +279,8 @@ class Delta:
             out["ts_max"] = format_rfc3339_ms(self.ts_max)
         if self.key_bloom is not None:
             out["key_bloom"] = self.key_bloom.to_json()
+        if self.size is not None:
+            out["size"] = self.size
         if self.tombstone:
             out["tombstone"] = True
         return out
@@ -292,6 +303,7 @@ class Segment:
     ts_min: datetime | None = None
     ts_max: datetime | None = None
     key_bloom: KeyBloom | None = None
+    size: int | None = None  # base-file bytes; see Delta.size
 
     def is_in_range(self, as_of: AsOf) -> bool:
         """metadata.rs:75-86 — Current matches only open-ended segments;
@@ -363,6 +375,11 @@ class Segment:
                     if isinstance(obj.get("key_bloom"), dict)
                     else None
                 ),
+                size=(
+                    obj["size"]
+                    if isinstance(obj.get("size"), int) and obj["size"] > 0
+                    else None
+                ),
             )
         except (KeyError, ValueError) as exc:
             raise MetadataError(f"bad segment {obj!r}: {exc}") from exc
@@ -383,6 +400,8 @@ class Segment:
             out["ts_max"] = format_rfc3339_ms(self.ts_max)
         if self.key_bloom is not None:
             out["key_bloom"] = self.key_bloom.to_json()
+        if self.size is not None:
+            out["size"] = self.size
         if self.segments:
             out["segments"] = [s.to_json() for s in self.segments]
         if self.delta:
@@ -475,6 +494,26 @@ class Snapshot:
                 out[d.file] = (d.key_min, d.key_max, d.key_bloom)
             if seg.file is not None:
                 out[seg.file] = (seg.key_min, seg.key_max, seg.key_bloom)
+
+        for seg in self.segments:
+            walk(seg)
+        return out
+
+    def file_sizes(self) -> dict[str, int]:
+        """``file → bytes`` for every file whose commit recorded its
+        length (our extension; reference-authored or older snapshots
+        record none) — scan planning splits those files into byte
+        ranges with zero stat/HEAD calls and stats only the rest."""
+        out: dict[str, int] = {}
+
+        def walk(seg: Segment) -> None:
+            for sub in seg.segments:
+                walk(sub)
+            for d in seg.delta:
+                if d.size is not None:
+                    out[d.file] = d.size
+            if seg.file is not None and seg.size is not None:
+                out[seg.file] = seg.size
 
         for seg in self.segments:
             walk(seg)

@@ -59,8 +59,41 @@ def _plausible_lzma_alone(data: bytes) -> bool:
     return usize == (1 << 64) - 1 or usize < (1 << 40)
 
 
+def _sane_lzma_header(data: bytes) -> bool:
+    """Relaxed .lzma header check — props byte and size fields sane,
+    but ANY dict size in range (the spec allows any 32-bit value;
+    nonstandard encoders exist). Only used by :func:`sniff_decompress`
+    as a last-resort DECODE-ATTEMPT gate, never by the magic-only
+    :func:`sniff_format`: without the dict-size shape constraint the
+    13-byte header is weak evidence, so the decode itself (with its
+    internal checks) is the arbiter and its failure is reported as an
+    unrecognized container, not a confusing LZMA error."""
+    if len(data) < 14 or data[0] >= 9 * 5 * 5:
+        return False
+    dict_size = int.from_bytes(data[1:5], "little")
+    if dict_size == 0 or dict_size > (3 << 29):
+        return False
+    usize = int.from_bytes(data[5:13], "little")
+    return usize == (1 << 64) - 1 or usize < (1 << 40)
+
+
 def sniff_decompress(data: bytes) -> tuple[str, bytes]:
-    fmt = sniff_format(data)
+    try:
+        fmt = sniff_format(data)
+    except ValueError:
+        # spec-legal .lzma from a nonstandard encoder (dict size not
+        # 2^n / 2^n+2^(n-1)): attempt the decode when the rest of the
+        # header is sane; its success is the proof sniffing can't give
+        if len(data) >= 14 and _sane_lzma_header(data):
+            from bazof_spark.operators.lzmacodec import (
+                lzma_alone_decompress,
+            )
+
+            try:
+                return "lzma", lzma_alone_decompress(data)
+            except Exception:
+                pass
+        raise
     if fmt == "gzip":
         from bazof_spark.operators.inflate import gzip_decompress
 

@@ -123,13 +123,28 @@ def _plain_values(data: bytes, ptype: str, count: int) -> list:
 
 def _max_levels(schema: list[dict], path: list[str]) -> tuple[int, int]:
     """(max_definition_level, max_repetition_level) for a FLAT column:
-    walk the schema elements to the leaf named path[-1] at depth 1."""
+    walk the schema elements to the leaf named path[-1] at depth 1.
+
+    Only DIRECT children of the root are considered: each group's
+    subtree is skipped via its num_children count, so a nested leaf
+    that happens to share the requested name can't shadow (or falsely
+    stand in for) the top-level column.
+    """
     if len(path) != 1:
         raise NotImplementedError(
             f"nested column {'.'.join(path)!r}: only flat columns decode"
         )
-    for e in schema[1:]:
+    i = 1
+    while i < len(schema):
+        e = schema[i]
         if e["name"] != path[0]:
+            # skip this element's entire subtree (depth-first layout)
+            pending = e["num_children"] or 0
+            i += 1
+            while pending:
+                pending -= 1
+                pending += schema[i]["num_children"] or 0
+                i += 1
             continue
         if e["num_children"]:
             raise NotImplementedError(
@@ -194,7 +209,9 @@ def _read_chunk(data: bytes, chunk: dict, max_def: int) -> list:
                 defs = _read_hybrid(page[4 : 4 + lvl_len], 1, n)
                 vpos = 4 + lvl_len
             out.extend(
-                _decode_values(page[vpos:], ptype, enc, defs, dictionary)
+                _decode_values(
+                    page[vpos:], ptype, enc, defs, dictionary, max_def
+                )
             )
             values_left -= n
             continue
@@ -214,17 +231,20 @@ def _read_chunk(data: bytes, chunk: dict, max_def: int) -> list:
             defs = [max_def] * n
             if max_def > 0 and dll:
                 defs = _read_hybrid(levels[rll:], 1, n)
-            out.extend(_decode_values(vals, ptype, enc, defs, dictionary))
+            out.extend(
+                _decode_values(vals, ptype, enc, defs, dictionary, max_def)
+            )
             values_left -= n
             continue
         raise NotImplementedError(f"page type {page_type!r}")
     return out
 
 
-def _decode_values(vals, ptype, enc, defs, dictionary):
-    n_present = sum(1 for d in defs if d == 1) if defs else len(defs)
-    if all(d == 1 for d in defs):
-        n_present = len(defs)
+def _decode_values(vals, ptype, enc, defs, dictionary, max_def):
+    # a value is PRESENT iff its definition level reaches max_def —
+    # for REQUIRED columns max_def is 0 and every level is 0, so a
+    # hard-coded `d == 1` would drop every value (ADVICE r10).
+    n_present = sum(1 for d in defs if d == max_def)
     # encodings: 0 PLAIN; 2 PLAIN_DICTIONARY / 8 RLE_DICTIONARY share
     # the <bit_width byte><hybrid indices> wire format
     if enc == 0:
@@ -245,4 +265,4 @@ def _decode_values(vals, ptype, enc, defs, dictionary):
     else:
         raise NotImplementedError(f"value encoding {enc!r}")
     it = iter(present)
-    return [next(it) if d == 1 else None for d in defs]
+    return [next(it) if d == max_def else None for d in defs]

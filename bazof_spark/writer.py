@@ -147,6 +147,15 @@ def file_zone_stats(table_path: str, file_name: str) -> dict:
         # a commit
         return out
     try:
+        # file length (bytes): recording it at commit time lets scan
+        # planning split large files into byte ranges without a
+        # stat/HEAD per file per read
+        size = fs.get_file_info(rel).size
+        if isinstance(size, int) and size > 0:
+            out["size"] = size
+    except Exception:
+        pass
+    try:
         kmin, kmax = _column_footer_bounds(md, KEY_COL)
         if isinstance(kmin, str) and isinstance(kmax, str):
             out["key_min"], out["key_max"] = kmin, kmax
@@ -246,7 +255,7 @@ def _stats_json(table_path: str, file_name: str) -> dict:
     ``file_name`` (empty when stats are unavailable)."""
     stats = file_zone_stats(table_path, file_name)
     out: dict = {}
-    for k in ("key_min", "key_max"):
+    for k in ("key_min", "key_max", "size"):
         if k in stats:
             out[k] = stats[k]
     for k in ("ts_min", "ts_max"):

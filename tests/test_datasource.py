@@ -172,15 +172,17 @@ def test_row_group_split_partitions(spark, tmp_path, monkeypatch):
     per_file = Counter(p.path for p in parts)
     assert max(per_file.values()) > 1  # big files fan out
     assert len(parts) > len(per_file)
-    # covering, disjoint ranges per file
+    # covering, disjoint ranges per file; the tail range is
+    # open-ended (to EOF) so an understated size can't drop row groups
     for path in per_file:
         spans = sorted(
             (p.start, p.length) for p in parts if p.path == path
         )
         pos = 0
-        for start, length in spans:
-            assert start == pos
+        for start, length in spans[:-1]:
+            assert start == pos and length is not None
             pos += length
+        assert spans[-1][0] == pos and spans[-1][1] is None
 
     monkeypatch.setenv("BAZOF_MAX_PARTITION_BYTES", "8k")
     for as_of in (None, "2019-01-17T00:00:00.000Z", "2020-06-01T00:00:00.000Z"):
@@ -225,3 +227,62 @@ def test_row_group_split_row_idx_is_file_global(spark, tmp_path, monkeypatch):
     n_split, split = raw("8k")
     assert n_split > n_whole
     assert split == whole
+
+
+def test_recorded_sizes_skip_stat_pass(spark, tmp_path, monkeypatch):
+    """Tables committed by this writer record each file's byte length
+    in the snapshot, so split planning needs ZERO stat/HEAD calls
+    (r10 ADVICE: the unconditional stat pass added planning latency on
+    object stores); reference-authored snapshots — no sizes — still
+    fall back to the batched stat."""
+    import json
+    from datetime import datetime, timezone
+
+    import bazof_spark.datasource as dsmod
+    from bazof_spark.asof import Current
+    from bazof_spark.datasource import BazofReader, write_table
+    from bazof_spark.writer import append_delta
+
+    df = spark.createDataFrame(
+        [(str(i), datetime(2024, 1, 1, tzinfo=timezone.utc), float(i))
+         for i in range(30)],
+        "key string, event_time timestamp, value double",
+    )
+    write_table(df, str(tmp_path), "t", mode="overwrite")
+    append_delta(
+        spark,
+        str(tmp_path / "t"),
+        df.limit(5).withColumn("value", df.value + 1),
+    )
+    lh = Lakehouse(spark, str(tmp_path))
+    snap = lh.table("t").get_current_snapshot()
+    sizes = snap.file_sizes()
+    assert len(sizes) >= 2 and all(n > 0 for n in sizes.values())
+
+    calls = []
+    real = dsmod._file_sizes
+
+    def spy(paths, env):
+        calls.append(list(paths))
+        return real(paths, env)
+
+    monkeypatch.setattr(dsmod, "_file_sizes", spy)
+    reader = BazofReader(
+        {"maxpartitionbytes": "128m"},
+        snap.schema.to_struct_type(),
+        resolved=(lh.table("t"), snap, Current),
+    )
+    parts = reader.partitions()
+    assert parts and calls == []  # every size came from the snapshot
+
+    # reference snapshot (no sizes) → stat fallback still happens
+    ref_lh = Lakehouse(spark, REF)
+    ref_snap = ref_lh.table("table0").get_current_snapshot()
+    assert ref_snap.file_sizes() == {}
+    ref_reader = BazofReader(
+        {"maxpartitionbytes": "128m"},
+        ref_snap.schema.to_struct_type(),
+        resolved=(ref_lh.table("table0"), ref_snap, Current),
+    )
+    assert ref_reader.partitions()
+    assert calls and all(calls[0])

@@ -115,3 +115,31 @@ def test_xz_corruption_fails_loudly():
     c[-5] ^= 1  # footer region
     with pytest.raises(ValueError):
         xz_decompress(bytes(c))
+
+
+def test_sniff_decompress_nonstandard_dict_size():
+    """Spec-legal .lzma with a dict size that is neither 2^n nor
+    2^n + 2^(n-1) (nonstandard encoders emit these): the magic-only
+    sniff still rejects the shape, but sniff_decompress falls back to
+    a decode attempt and succeeds (r10 ADVICE); garbage with a
+    sane-looking header still reports an unrecognized container."""
+    from bazof_spark.operators.codecs import sniff_decompress, sniff_format
+
+    raw = b"nonstandard dict size " * 400
+    c = bytearray(lzma.compress(raw, format=lzma.FORMAT_ALONE))
+    # rewrite the header dict size to an odd value; LZMA_ALONE decoding
+    # only needs dict_size >= the window actually used, so inflating it
+    # to a non-power-of-two keeps the stream decodable
+    odd = (1 << 22) + 12345
+    c[1:5] = odd.to_bytes(4, "little")
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_format(bytes(c))
+    fmt, out = sniff_decompress(bytes(c))
+    assert (fmt, out) == ("lzma", raw)
+    # garbage that passes the relaxed header check must not surface a
+    # confusing decoder error
+    junk = bytes([93]) + odd.to_bytes(4, "little") + (1000).to_bytes(
+        8, "little"
+    ) + os.urandom(64)
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_decompress(junk)

@@ -304,3 +304,53 @@ def test_snapshot_parse_cache_is_content_addressed(tmp_path):
     again = t.get_current_snapshot()
     assert again is not first
     assert again.segments[0].file == "c.parquet"
+
+
+def test_file_size_extension_roundtrip():
+    """Optional per-file ``size`` (bytes, recorded at commit time)
+    survives JSON round-trip on both Delta and Segment, is exposed by
+    Snapshot.file_sizes(), and stays absent (no key) when unset so
+    reference-authored snapshots are byte-compatible."""
+    from bazof_spark.metadata import Delta, Segment, Snapshot
+
+    d = Delta.from_json(
+        {
+            "file": "f1.parquet",
+            "start": "2024-01-01T00:00:00.000Z",
+            "end": "2024-01-02T00:00:00.000Z",
+            "size": 12345,
+        }
+    )
+    assert d.size == 12345 and d.to_json()["size"] == 12345
+    d2 = Delta.from_json(
+        {
+            "file": "f2.parquet",
+            "start": "2024-01-01T00:00:00.000Z",
+            "end": "2024-01-02T00:00:00.000Z",
+        }
+    )
+    assert d2.size is None and "size" not in d2.to_json()
+    # malformed sizes are ignored, never fatal
+    d3 = Delta.from_json(
+        {
+            "file": "f3.parquet",
+            "start": "2024-01-01T00:00:00.000Z",
+            "end": "2024-01-02T00:00:00.000Z",
+            "size": "big",
+        }
+    )
+    assert d3.size is None
+    seg = Segment.from_json(
+        {
+            "id": "s1",
+            "start": "2024-01-01T00:00:00.000Z",
+            "file": "base.parquet",
+            "size": 777,
+            "delta": [d.to_json(), d2.to_json()],
+        }
+    )
+    assert seg.size == 777 and seg.to_json()["size"] == 777
+    from bazof_spark.schema import TableSchema
+
+    snap = Snapshot(segments=(seg,), schema=TableSchema())
+    assert snap.file_sizes() == {"base.parquet": 777, "f1.parquet": 12345}

@@ -164,3 +164,73 @@ def test_property_int64_roundtrip(vals, dict_enc, codec, v2, rgs):
         data_page_version="2.0" if v2 else "1.0", row_group_size=rgs,
     )
     assert read_column(buf.getvalue(), "a") == vals
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"use_dictionary": False},
+        {"compression": "zstd", "data_page_version": "2.0"},
+        {
+            "compression": "none",
+            "data_page_version": "2.0",
+            "use_dictionary": False,
+        },
+    ],
+    ids=lambda kw: "+".join(f"{k}={v}" for k, v in kw.items()) or "defaults",
+)
+def test_required_columns_decode(kw):
+    """REQUIRED (nullable=False) flat columns: max definition level is
+    0 and every def level is 0, so presence must be judged against
+    max_def, not a hard-coded 1 — the r10 ADVICE defect where every
+    REQUIRED value decoded as None."""
+    schema = pa.schema(
+        [
+            pa.field("i", pa.int64(), nullable=False),
+            pa.field("s", pa.string(), nullable=False),
+            pa.field("d", pa.float64(), nullable=False),
+            pa.field("b", pa.bool_(), nullable=False),
+        ]
+    )
+    t = pa.table(
+        {
+            "i": [i * 3 - 7 for i in range(200)],
+            "s": [f"v{i % 11}" for i in range(200)],
+            "d": [i / 7.0 for i in range(200)],
+            "b": [i % 2 == 0 for i in range(200)],
+        },
+        schema=schema,
+    )
+    for col in t.column_names:
+        _roundtrip(t, col, **kw)
+
+
+def test_nested_leaf_does_not_shadow_flat_column():
+    """A nested leaf sharing the requested name must not shadow the
+    top-level flat column (r10 ADVICE: _max_levels walked the
+    flattened schema list without skipping group subtrees, so group
+    child 'x' matched before top-level 'x')."""
+    schema = pa.schema(
+        [
+            # the struct comes FIRST so its child 'x' precedes the
+            # top-level 'x' in the flattened schema list
+            pa.field(
+                "g",
+                pa.struct([pa.field("x", pa.int64(), nullable=True)]),
+            ),
+            pa.field("x", pa.int64(), nullable=False),
+        ]
+    )
+    t = pa.table(
+        {
+            "g": [{"x": i} for i in range(50)],
+            "x": list(range(50)),
+        },
+        schema=schema,
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    # REQUIRED top-level x: shadowed lookup would report max_def 1 and
+    # misparse the page body as a level run
+    assert read_column(buf.getvalue(), "x") == list(range(50))
