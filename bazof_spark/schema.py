@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DataType,
     DoubleType,
@@ -36,9 +37,11 @@ SYSTEM_COLUMNS = (KEY_COL, EVENT_TIME_COL)
 
 
 class ColumnType(str, Enum):
-    """Azof value column types (crates/azof/src/schema.rs:15-21), plus a
-    ``Float`` extension the reference lacks (documented superset — needed
-    for real-valued measures; snapshots using it are not readable by the
+    """Azof value column types (crates/azof/src/schema.rs:15-21), plus
+    ``Float`` and ``Binary`` extensions the reference lacks (documented
+    superset — Float for real-valued measures, Binary for opaque media
+    payloads so blobs get the SAME time travel / DML / CDF as scalar
+    columns; snapshots using either are not readable by the
     reference)."""
 
     STRING = "String"
@@ -46,6 +49,7 @@ class ColumnType(str, Enum):
     BOOLEAN = "Boolean"
     DATETIME = "DateTime"
     FLOAT = "Float"  # extension
+    BINARY = "Binary"  # extension
 
     def to_spark(self) -> DataType:
         # Mapping mirrors the reference's Arrow mapping
@@ -61,6 +65,7 @@ _SPARK_TYPES: dict[ColumnType, DataType] = {
     ColumnType.BOOLEAN: BooleanType(),
     ColumnType.DATETIME: TimestampType(),
     ColumnType.FLOAT: DoubleType(),
+    ColumnType.BINARY: BinaryType(),
 }
 
 
@@ -79,6 +84,8 @@ def column_type_from_spark(dt: DataType) -> ColumnType:
     name = type(dt).__name__
     if isinstance(dt, StringType):
         return ColumnType.STRING
+    if isinstance(dt, BinaryType):
+        return ColumnType.BINARY
     if isinstance(dt, (LongType, IntegerType, ShortType, ByteType)):
         return ColumnType.INT
     if isinstance(dt, BooleanType):
@@ -92,7 +99,8 @@ def column_type_from_spark(dt: DataType) -> ColumnType:
         return ColumnType.FLOAT
     raise MetadataError(
         f"Spark type {name} has no azof column type (supported: "
-        "string, integral, boolean, timestamp, floating, decimal)"
+        "string, integral, boolean, timestamp, floating, decimal, "
+        "binary)"
     )
 
 

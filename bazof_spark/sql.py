@@ -1077,6 +1077,9 @@ SQL_TYPE_NAMES = {
     "DATETIME": "DateTime",
     "DOUBLE": "Float",
     "FLOAT": "Float",
+    "BINARY": "Binary",
+    "BYTES": "Binary",
+    "BLOB": "Binary",
 }
 
 

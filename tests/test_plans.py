@@ -617,3 +617,12 @@ def test_parquet_footer_stats_map_only(spark):
 def test_parquet_column_roundtrip_map_only(spark):
     df = q("parquet_column_roundtrip", spark)
     assert shuffle_count(df) <= 1
+
+
+def test_multimodal_table_asof_bounded_exchanges(spark):
+    """Binary-column time travel: each leg is ONE as-of merge exchange
+    (the hash partition on key) feeding an Arrow-batched decode map
+    stage — two legs unioned, so at most two exchanges and zero
+    joins; decode adds no shuffle."""
+    df = q("multimodal_table_asof", spark)
+    assert shuffle_count(df) <= 2
