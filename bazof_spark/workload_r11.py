@@ -93,6 +93,121 @@ def multimodal_table_asof_q(spark, sf_dir):
     return legs[0].unionAll(legs[1])
 
 
+def parquet_nested_roundtrip_q(spark, sf_dir):
+    """Round-11 parquet tier end-to-end with zero external parsers:
+    per doc pyarrow WRITES a real file carrying a ``list<int64>``
+    column (null lists, empty lists, null elements — the full Dremel
+    def/rep-level alphabet) plus a DELTA_BINARY_PACKED int64 column,
+    under a layout that rotates BY DOC over v1/v2 pages × snappy/zstd/
+    uncompressed × 5-row row groups; the repo's own stack reads it all
+    back (footer thrift → PageHeader → from-spec codecs → true-width
+    level runs → record assembly / delta blocks). The reduction — list
+    shape counts, element sums, and POSITION-weighted sums — only
+    matches the analytic DuckDB oracle if the level widths, repetition
+    semantics, miniblock packing and wraparound are byte-perfect on
+    every document. Two map-only Arrow-batched stages, zero
+    exchanges."""
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bazof_spark.operators.parquetpages import read_column
+    from bazof_spark.workload_r10 import _docs
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 8 + mid % 9
+                lists = []
+                for i in range(n):
+                    if i % 5 == 4:
+                        lists.append(None)
+                    elif i % 5 == 3:
+                        lists.append([])
+                    else:
+                        lists.append(
+                            [
+                                None if (i + j) % 7 == 0 else mid + i * 10 + j
+                                for j in range(1 + i % 3)
+                            ]
+                        )
+                t = pa.table(
+                    {
+                        "l": pa.array(lists, type=pa.list_(pa.int64())),
+                        "d": pa.array(
+                            [mid * 7 + i * i for i in range(n)],
+                            type=pa.int64(),
+                        ),
+                    }
+                )
+                buf = io.BytesIO()
+                pq.write_table(
+                    t,
+                    buf,
+                    row_group_size=5,
+                    use_dictionary=False,
+                    column_encoding={
+                        "l.list.element": "PLAIN",
+                        "d": "DELTA_BINARY_PACKED",
+                    },
+                    data_page_version="2.0" if mid % 2 == 0 else "1.0",
+                    compression=["snappy", "zstd", "none"][mid % 3],
+                )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    cols = [
+        "media_id", "n_rows", "null_lists", "empty_lists", "n_elems",
+        "null_elems", "elem_sum", "elem_pos_sum", "d_sum", "d_pos_sum",
+    ]
+    schema = StructType([StructField(c, LongType(), False) for c in cols])
+
+    def decode(it):
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                lists = read_column(bytes(blob), "l")
+                d = read_column(bytes(blob), "d")
+                n_elems = null_elems = elem_sum = elem_pos = 0
+                for i, rec in enumerate(lists):
+                    if not rec:
+                        continue
+                    for j, v in enumerate(rec):
+                        if v is None:
+                            null_elems += 1
+                        else:
+                            n_elems += 1
+                            elem_sum += v
+                            elem_pos += v * (i * 100 + j + 1)
+                out.append(
+                    (
+                        int(mid),
+                        len(lists),
+                        sum(1 for r in lists if r is None),
+                        sum(1 for r in lists if r == []),
+                        n_elems,
+                        null_elems,
+                        elem_sum,
+                        elem_pos,
+                        sum(d),
+                        sum(v * (i + 1) for i, v in enumerate(d)),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(decode, schema)
+
+
 def _bmp_stat_sql(instant, formula, w, h, rev, where=""):
     """One oracle leg: recompute the pixel-formula stats directly."""
     return f"""
@@ -123,7 +238,63 @@ _W2, _H2 = "4 + doc_id % 4", "3 + doc_id % 3"
 
 QUERIES_R11 = {
     "multimodal_table_asof": multimodal_table_asof_q,
+    "parquet_nested_roundtrip": parquet_nested_roundtrip_q,
 }
+
+# every value rebuilt analytically: n = 8 + doc%9 records; record i is
+# NULL (i%5=4), [] (i%5=3), else a list of 1+(i%3) elements where
+# element j = NULL when (i+j)%7=0 else doc + i*10 + j; the delta
+# column is d[i] = doc*7 + i*i
+_NESTED_ORACLE = """
+    WITH recs AS (
+        SELECT d.doc_id,
+               CAST(8 + d.doc_id % 9 AS BIGINT) AS n,
+               g.i
+        FROM (SELECT doc_id FROM documents) d,
+             LATERAL (SELECT unnest(range(8 + (d.doc_id % 9))) AS i) g
+    ),
+    elems AS (
+        SELECT r.doc_id, r.i, e.j,
+               CASE WHEN (r.i + e.j) % 7 = 0 THEN NULL
+                    ELSE r.doc_id + r.i * 10 + e.j END AS v
+        FROM recs r,
+             LATERAL (SELECT unnest(range(1 + (r.i % 3))) AS j) e
+        WHERE r.i % 5 NOT IN (3, 4)
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_elems,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_elems,
+               CAST(COALESCE(SUM(v), 0) AS BIGINT) AS elem_sum,
+               CAST(COALESCE(SUM(v * (i * 100 + j + 1)), 0) AS BIGINT)
+                   AS elem_pos_sum
+        FROM elems GROUP BY doc_id
+    ),
+    shapes AS (
+        SELECT doc_id, n,
+               CAST(SUM(CASE WHEN i % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_lists,
+               CAST(SUM(CASE WHEN i % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS empty_lists,
+               CAST(SUM(doc_id * 7 + i * i) AS BIGINT) AS d_sum,
+               CAST(SUM((doc_id * 7 + i * i) * (i + 1)) AS BIGINT)
+                   AS d_pos_sum
+        FROM recs GROUP BY doc_id, n
+    )
+    SELECT s.doc_id AS media_id,
+           s.n AS n_rows,
+           s.null_lists,
+           s.empty_lists,
+           p.n_elems,
+           p.null_elems,
+           p.elem_sum,
+           p.elem_pos_sum,
+           s.d_sum,
+           s.d_pos_sum
+    FROM shapes s JOIN per_doc p ON s.doc_id = p.doc_id
+"""
 
 ORACLES_R11 = {
     # as-of BETWEEN sees every doc at rev 1 (formula f1); Current sees
@@ -141,4 +312,5 @@ ORACLES_R11 = {
             "current", _F2, _W2, _H2, 2, "WHERE doc_id % 3 = 0"
         )
     ),
+    "parquet_nested_roundtrip": _NESTED_ORACLE,
 }

@@ -289,6 +289,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # Streaming family (VERDICT r10 task 5): the six streaming_*
+    # queries never appeared in any BENCH payload, so a throughput
+    # regression in streaming/stream.py or the Data Source stream
+    # reader was invisible. Measured here as ONE timed availableNow
+    # replay each (their cost is micro-batch startup + state store,
+    # not repeatable-kernel time, so min-of-3 would mostly re-measure
+    # JVM session reuse), reported under a separate payload key and
+    # NEVER added to the workload total — totals stay comparable with
+    # every prior round's record. Skipped in subset runs unless the
+    # subset names them.
+    streaming_times: dict[str, float] = {}
+    stream_names = sorted(q for q in QUERIES if q.startswith("streaming_"))
+    if _only.strip():
+        wanted = {q.strip() for q in _only.split(",")}
+        stream_names = [q for q in stream_names if q in wanted]
+    for name in stream_names:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        streaming_times[name] = round(time.perf_counter() - start, 3)
+        spark.catalog.clearCache()
+
     # frozen sentinels: measured with the SAME warm + min-of-n protocol,
     # but NEVER added to the workload total (they are instruments, not
     # workload — adding them would break cross-round total comparability)
@@ -392,6 +414,9 @@ def main() -> None:
         },
         "n_queries": len(timings),
         "queries": timings,
+        # single-replay seconds per streaming query (empty in subset
+        # runs); excluded from `value` — see the measurement note above
+        "streaming": streaming_times,
         "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

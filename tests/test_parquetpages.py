@@ -128,18 +128,27 @@ def test_reference_golden_columns_decode():
 
 
 def test_nested_and_unknown_raise_cleanly():
+    # one repetition level decodes (round 11); a second still raises
     t = pa.table(
-        {"l": pa.array([[1, 2]] * 4, type=pa.list_(pa.int64()))}
+        {"n": pa.array([[[1]], [[2, 3]]], type=pa.list_(pa.list_(pa.int64())))}
     )
     buf = io.BytesIO()
     pq.write_table(t, buf)
-    with pytest.raises(NotImplementedError, match="flat"):
-        read_column(buf.getvalue(), "l")
+    with pytest.raises(NotImplementedError, match="repetition"):
+        read_column(buf.getvalue(), "n")
     t2 = pa.table({"a": pa.array([1, 2, 3], type=pa.int64())})
     buf2 = io.BytesIO()
     pq.write_table(t2, buf2)
     with pytest.raises(ValueError, match="not in schema"):
         read_column(buf2.getvalue(), "missing")
+    # a multi-field group needs a dotted leaf path
+    st = pa.table(
+        {"g": pa.array([{"x": 1, "y": 2}], type=pa.struct([("x", pa.int64()), ("y", pa.int64())]))}
+    )
+    buf3 = io.BytesIO()
+    pq.write_table(st, buf3)
+    with pytest.raises(NotImplementedError, match="dotted"):
+        read_column(buf3.getvalue(), "g")
 
 
 from hypothesis import given, settings  # noqa: E402
@@ -234,3 +243,153 @@ def test_nested_leaf_does_not_shadow_flat_column():
     # REQUIRED top-level x: shadowed lookup would report max_def 1 and
     # misparse the page body as a level run
     assert read_column(buf.getvalue(), "x") == list(range(50))
+
+
+LIST_LAYOUTS = [
+    {},
+    {"use_dictionary": False},
+    {"compression": "zstd", "data_page_version": "2.0"},
+    {"compression": "gzip", "row_group_size": 17},
+    {
+        "compression": "none",
+        "data_page_version": "2.0",
+        "use_dictionary": False,
+    },
+    {"compression": "lz4", "data_page_version": "2.0", "row_group_size": 23},
+    {"compression": "snappy", "use_dictionary": False, "row_group_size": 50},
+]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    LIST_LAYOUTS,
+    ids=lambda kw: "+".join(f"{k}={v}" for k, v in kw.items()) or "defaults",
+)
+def test_list_columns_decode_under_every_layout(kw):
+    """Round-11 tier: ONE repetition level — null lists, empty lists,
+    null elements, and values assemble back via the Dremel rules,
+    across v1/v2 pages, dictionary/PLAIN, all codecs, and row-group
+    splits that cut between records."""
+    vals = [None, [], [1, 2, 3], [None], [4], [5, None, 6], [], None] * 30
+    t = pa.table({"l": pa.array(vals, type=pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, **kw)
+    assert read_column(buf.getvalue(), "l") == vals
+
+    sv = [None, ["a", "bb"], [], ["c", None], ["ddd"]] * 24
+    t2 = pa.table({"s": pa.array(sv, type=pa.list_(pa.string()))})
+    buf2 = io.BytesIO()
+    pq.write_table(t2, buf2, **kw)
+    mine = [
+        None if v is None else [None if x is None else x.decode() for x in v]
+        for v in read_column(buf2.getvalue(), "s")
+    ]
+    assert mine == sv
+
+
+def test_non_nullable_list_layouts():
+    """2-level-adjacent shapes: non-nullable list field and
+    non-nullable elements change the repeated node's def threshold."""
+    schema = pa.schema(
+        [
+            pa.field(
+                "l",
+                pa.list_(pa.field("element", pa.int64(), nullable=False)),
+                nullable=False,
+            )
+        ]
+    )
+    vals = [[1, 2], [], [3], [4, 5, 6], []] * 20
+    t = pa.table({"l": pa.array(vals)}, schema=schema)
+    for kw in ({}, {"use_dictionary": False, "data_page_version": "2.0"}):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, **kw)
+        assert read_column(buf.getvalue(), "l") == vals, kw
+
+
+def test_struct_members_decode_via_dotted_path():
+    st = pa.table(
+        {
+            "g": pa.array(
+                [
+                    None if i % 4 == 0 else {"x": i if i % 3 else None, "y": f"v{i}"}
+                    for i in range(120)
+                ],
+                type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+            ),
+            # a same-named flat column must not be shadowed by g.x
+            "x": pa.array(range(120), type=pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(st, buf)
+    data = buf.getvalue()
+    recs = st.column("g").to_pylist()
+    assert read_column(data, "g.x") == [
+        None if r is None else r["x"] for r in recs
+    ]
+    assert [v.decode() for v in read_column(data, "g.y") if v] == [
+        r["y"] for r in recs if r
+    ]
+    assert read_column(data, "x") == list(range(120))
+
+
+def test_delta_binary_packed_decodes():
+    """DELTA_BINARY_PACKED: random 41-bit signed int64s (multi-block,
+    mixed miniblock widths), a pure ramp (RLE-like min-delta only),
+    int32, negatives, and a nullable column where the encoding carries
+    only the present values."""
+    import random
+
+    rng = random.Random(7)
+    big = [rng.randint(-(2**40), 2**40) for _ in range(5000)]
+    nullable = [None if i % 7 == 0 else i * 3 - 1000 for i in range(3000)]
+    t = pa.table(
+        {
+            "a": pa.array(big, type=pa.int64()),
+            "ramp": pa.array(range(5000), type=pa.int64()),
+            "b": pa.array(
+                [i - 2500 for i in range(5000)], type=pa.int32()
+            ),
+            "n": pa.array(nullable + [None] * 2000, type=pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        use_dictionary=False,
+        column_encoding={c: "DELTA_BINARY_PACKED" for c in t.column_names},
+        compression="snappy",
+    )
+    data = buf.getvalue()
+    assert read_column(data, "a") == big
+    assert read_column(data, "ramp") == list(range(5000))
+    assert read_column(data, "b") == [i - 2500 for i in range(5000)]
+    assert read_column(data, "n") == nullable + [None] * 2000
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**50), 2**50)),
+                max_size=6,
+            ),
+        ),
+        max_size=120,
+    ),
+    codec=st.sampled_from(["snappy", "zstd", "none"]),
+    v2=st.booleans(),
+    rgs=st.integers(1, 40),
+)
+def test_property_list_roundtrip(vals, codec, v2, rgs):
+    t = pa.table({"l": pa.array(vals, type=pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, compression=codec,
+        data_page_version="2.0" if v2 else "1.0", row_group_size=rgs,
+    )
+    assert read_column(buf.getvalue(), "l") == vals

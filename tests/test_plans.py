@@ -626,3 +626,10 @@ def test_multimodal_table_asof_bounded_exchanges(spark):
     joins; decode adds no shuffle."""
     df = q("multimodal_table_asof", spark)
     assert shuffle_count(df) <= 2
+
+
+def test_parquet_nested_roundtrip_map_only(spark):
+    """Per-doc write + from-spec nested decode: two Arrow-batched map
+    stages, zero exchanges past the rebalance."""
+    df = q("parquet_nested_roundtrip", spark)
+    assert shuffle_count(df) <= 1
