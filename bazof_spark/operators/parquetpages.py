@@ -46,11 +46,15 @@ Round-11 tier (the r10 verdict's next-spec-tier ask):
 - **DELTA_BINARY_PACKED** (encoding 5): block header varints, zigzag
   first value / min-deltas, per-miniblock bit widths, LSB-first
   packing, 64-bit wraparound — INT32/INT64.
+- **DELTA_LENGTH_BYTE_ARRAY** (6) / **DELTA_BYTE_ARRAY** (7, front
+  coding) / **BYTE_STREAM_SPLIT** (9) — the remaining v2 value
+  encodings; the delta blocks consume their exact byte spans so the
+  embedded layouts parse positionally.
 
-Scope (honest): max repetition level ≤ 1. DELTA_LENGTH_BYTE_ARRAY /
-DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT raise with a clear message
-(pyarrow only emits them on request). That covers every file this
-repo writes or ships, plus the standard nested-list layouts.
+Scope (honest): max repetition level ≤ 1 (``list<list<…>>`` raises
+with a clear message). That covers every file this repo writes or
+ships, plus the standard nested-list layouts and the full parquet v2
+encoding set for the types above.
 """
 
 from __future__ import annotations
@@ -371,6 +375,12 @@ def _decode_values(vals, ptype, enc, defs, dictionary, max_def):
         present = [dictionary[i] for i in idx]
     elif enc == 5 and ptype in ("INT32", "INT64"):
         present = _delta_binary_packed(vals, n_present, ptype)
+    elif enc == 6 and ptype == "BYTE_ARRAY":
+        present = _delta_length_byte_array(_Reader(bytes(vals)), n_present)
+    elif enc == 7 and ptype == "BYTE_ARRAY":
+        present = _delta_byte_array(_Reader(bytes(vals)), n_present)
+    elif enc == 9 and ptype in ("FLOAT", "DOUBLE", "INT32", "INT64"):
+        present = _byte_stream_split(vals, n_present, ptype)
     else:
         raise NotImplementedError(f"value encoding {enc!r}")
     it = iter(present)
@@ -381,22 +391,22 @@ def _zigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
-def _delta_binary_packed(data: bytes, count: int, ptype: str) -> list[int]:
-    """DELTA_BINARY_PACKED (parquet-format Encodings.md): header of
-    four varints <block size><miniblocks per block><total count>
-    <zigzag first value>; then per block a zigzag min-delta, one bit
-    width byte per miniblock, and the miniblocks' LSB-first bit-packed
-    deltas (each delta = packed + min_delta, cumulative). Trailing
-    miniblocks a writer never started may omit their data; arithmetic
-    wraps at the physical type's width (encoders compute deltas with
-    wraparound, so INT64 sequences near the boundaries still decode)."""
-    bits = 32 if ptype == "INT32" else 64
+def _delta_block(r: _Reader, bits: int = 64) -> list[int]:
+    """One DELTA_BINARY_PACKED run, consumed IN PLACE from ``r`` (the
+    byte-array encodings embed these blocks, so the reader must land
+    exactly past the block): header of four varints <block size>
+    <miniblocks per block><total count><zigzag first value>; then per
+    block a zigzag min-delta, one bit width byte per miniblock, and
+    the miniblocks' LSB-first bit-packed deltas (each delta = packed +
+    min_delta, cumulative). Trailing miniblocks a writer never started
+    may omit their data; arithmetic wraps at the physical type's width
+    (encoders compute deltas with wraparound, so INT64 sequences near
+    the boundaries still decode)."""
     lim, sign = 1 << bits, 1 << (bits - 1)
 
     def wrap(x: int) -> int:
         return ((x + sign) % lim) - sign
 
-    r = _Reader(data)
     block_size = r.varint()
     n_mini = r.varint()
     total = r.varint()
@@ -422,4 +432,51 @@ def _delta_binary_packed(data: bytes, count: int, ptype: str) -> list[int]:
                     break
                 delta = ((acc >> (i * bw)) & mask) + min_delta
                 out.append(wrap(out[-1] + delta))
-    return out[:count]
+    return out[:total]
+
+
+def _delta_binary_packed(data: bytes, count: int, ptype: str) -> list[int]:
+    if count == 0:
+        return []
+    return _delta_block(_Reader(data), 32 if ptype == "INT32" else 64)[:count]
+
+
+def _delta_length_byte_array(r: _Reader, count: int) -> list[bytes]:
+    """DELTA_LENGTH_BYTE_ARRAY (encoding 6): a DELTA_BINARY_PACKED
+    block of int32 lengths, then the concatenated bytes."""
+    if count == 0:
+        return []
+    lens = _delta_block(r, 32)
+    out = []
+    for n in lens[:count]:
+        out.append(r.data[r.pos : r.pos + n])
+        r.pos += n
+    return out
+
+
+def _delta_byte_array(r: _Reader, count: int) -> list[bytes]:
+    """DELTA_BYTE_ARRAY (encoding 7, incremental/front coding): a
+    DELTA_BINARY_PACKED block of shared-prefix lengths, then the
+    suffixes as DELTA_LENGTH_BYTE_ARRAY; value i = value[i-1][:prefix]
+    + suffix."""
+    if count == 0:
+        return []
+    prefixes = _delta_block(r, 32)
+    suffixes = _delta_length_byte_array(r, count)
+    out: list[bytes] = []
+    prev = b""
+    for p, s in zip(prefixes, suffixes):
+        prev = prev[:p] + s
+        out.append(prev)
+    return out
+
+
+def _byte_stream_split(data: bytes, count: int, ptype: str) -> list:
+    """BYTE_STREAM_SPLIT (encoding 9): K per-byte streams of length
+    count (K = value width); value i's byte j lives in stream j at
+    position i. Recombine, then decode as PLAIN."""
+    width = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8}[ptype]
+    recombined = bytearray(count * width)
+    for j in range(width):
+        recombined[j::width] = data[j * count : (j + 1) * count]
+    return _plain_values(bytes(recombined), ptype, count)

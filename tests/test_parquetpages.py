@@ -393,3 +393,52 @@ def test_property_list_roundtrip(vals, codec, v2, rgs):
         data_page_version="2.0" if v2 else "1.0", row_group_size=rgs,
     )
     assert read_column(buf.getvalue(), "l") == vals
+
+
+def test_remaining_v2_encodings_decode():
+    """DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (front coding) and
+    BYTE_STREAM_SPLIT — pinned against pyarrow across codecs, page
+    versions, nullable columns and row-group splits."""
+    strings = [
+        None if i % 9 == 8 else f"prefix_common_{i % 13}_tail{i}"
+        for i in range(3000)
+    ]
+    floats = [None if i % 11 == 10 else i / 7.0 for i in range(3000)]
+    f32 = [float(i % 251) for i in range(3000)]
+    t = pa.table(
+        {
+            "dl": pa.array(strings, type=pa.string()),
+            "db": pa.array(strings, type=pa.string()),
+            "bs": pa.array(floats, type=pa.float64()),
+            "bs32": pa.array(f32, type=pa.float32()),
+        }
+    )
+    for kw in (
+        {"compression": "snappy"},
+        {"compression": "zstd", "data_page_version": "2.0"},
+        {"compression": "none", "row_group_size": 700},
+    ):
+        buf = io.BytesIO()
+        pq.write_table(
+            t,
+            buf,
+            use_dictionary=False,
+            column_encoding={
+                "dl": "DELTA_LENGTH_BYTE_ARRAY",
+                "db": "DELTA_BYTE_ARRAY",
+                "bs": "BYTE_STREAM_SPLIT",
+                "bs32": "BYTE_STREAM_SPLIT",
+            },
+            **kw,
+        )
+        data = buf.getvalue()
+        for col in ("dl", "db"):
+            mine = [
+                None if v is None else v.decode()
+                for v in read_column(data, col)
+            ]
+            assert mine == strings, (col, kw)
+        assert read_column(data, "bs") == floats, kw
+        got32 = read_column(data, "bs32")
+        ref32 = t.column("bs32").to_pylist()
+        assert got32 == ref32, kw
