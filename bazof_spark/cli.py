@@ -245,6 +245,12 @@ def main(argv: list[str] | None = None) -> int:
         "print it as JSON; no Spark session",
     )
     p_ft.add_argument("file")
+    p_ft.add_argument(
+        "--page-index",
+        action="store_true",
+        help="also parse each chunk's OffsetIndex/ColumnIndex (the "
+        "page-level zone maps predicate pushdown prunes with)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -289,9 +295,19 @@ def main(argv: list[str] | None = None) -> int:
         import base64
         import json as _json
 
-        from bazof_spark.operators.parquetmeta import parse_parquet_footer
+        from bazof_spark.operators.parquetmeta import (
+            parse_column_index,
+            parse_offset_index,
+            parse_parquet_footer,
+        )
 
-        meta = parse_parquet_footer(open(args.file, "rb").read())
+        data = open(args.file, "rb").read()
+        meta = parse_parquet_footer(data)
+        if args.page_index:
+            for g in meta["row_groups"]:
+                for chunk in g["columns"]:
+                    chunk["offset_index"] = parse_offset_index(data, chunk)
+                    chunk["column_index"] = parse_column_index(data, chunk)
 
         def _enc(v):
             if isinstance(v, bytes):

@@ -187,6 +187,12 @@ def _column_chunk(d: dict) -> dict:
     md = d.get(3, {})
     return {
         "file_offset": d.get(2),
+        # page-index locations (parquet.thrift ColumnChunk 4-7): the
+        # footer-level pointers to this chunk's OffsetIndex/ColumnIndex
+        "offset_index_offset": d.get(4),
+        "offset_index_length": d.get(5),
+        "column_index_offset": d.get(6),
+        "column_index_length": d.get(7),
         "type": PHYSICAL_TYPES.get(md.get(1), md.get(1)),
         "encodings": [ENCODINGS.get(e, e) for e in md.get(2, [])],
         "path_in_schema": [_utf8(p) for p in md.get(3, [])],
@@ -250,3 +256,46 @@ def decode_int32_stat(v: bytes | None) -> int | None:
     if v is None:
         return None
     return _struct.unpack("<i", v)[0]
+
+
+def parse_offset_index(data: bytes, chunk: dict) -> list[dict] | None:
+    """The chunk's OffsetIndex (parquet.thrift): one entry per data
+    page — ``offset`` (PageHeader position in the file),
+    ``compressed_page_size`` (header + body), ``first_row_index``
+    (cumulative record index, the handle page-level pruning needs to
+    map a surviving page back to its row span). None when the writer
+    emitted no page index."""
+    off, ln = chunk.get("offset_index_offset"), chunk.get("offset_index_length")
+    if not off or not ln:
+        return None
+    d = _read_struct(_Reader(data[off : off + ln]))
+    return [
+        {
+            "offset": p.get(1),
+            "compressed_page_size": p.get(2),
+            "first_row_index": p.get(3),
+        }
+        for p in d.get(1, [])
+    ]
+
+
+def parse_column_index(data: bytes, chunk: dict) -> dict | None:
+    """The chunk's ColumnIndex (parquet.thrift): per-page zone maps —
+    ``null_pages`` (all-null pages carry no min/max), ``min_values`` /
+    ``max_values`` (plain-encoded bounds, same representation as the
+    footer Statistics), ``boundary_order`` (0 unordered / 1 ascending
+    / 2 descending — lets a reader binary-search pages), and optional
+    ``null_counts``. This is the structure page-level predicate
+    pushdown prunes with at scale: a selective filter skips PAGES, not
+    just row groups. None when absent."""
+    off, ln = chunk.get("column_index_offset"), chunk.get("column_index_length")
+    if not off or not ln:
+        return None
+    d = _read_struct(_Reader(data[off : off + ln]))
+    return {
+        "null_pages": d.get(1, []),
+        "min_values": d.get(2, []),
+        "max_values": d.get(3, []),
+        "boundary_order": d.get(4),
+        "null_counts": d.get(5),
+    }

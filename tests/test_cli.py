@@ -307,3 +307,30 @@ def test_cli_footer_parses_parquet(tmp_path):
     ref = pq.ParquetFile("/root/testdata/sf0.001/region.parquet").metadata
     assert meta["num_rows"] == ref.num_rows
     assert len(meta["row_groups"]) == ref.num_row_groups
+
+
+def test_cli_footer_page_index(tmp_path):
+    """--page-index adds each chunk's parsed OffsetIndex/ColumnIndex."""
+    import base64
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "pi.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array(range(5000), type=pa.int64())}),
+        f, write_page_index=True, data_page_size=512, use_dictionary=False,
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "bazof_spark.cli", "footer", f, "--page-index"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-300:]
+    chunk = json.loads(r.stdout)["row_groups"][0]["columns"][0]
+    oi, ci = chunk["offset_index"], chunk["column_index"]
+    assert len(oi) > 1 and len(ci["min_values"]) == len(oi)
+    assert oi[0]["first_row_index"] == 0
+    assert base64.b64decode(ci["min_values"][0]) == (0).to_bytes(8, "little")

@@ -171,3 +171,106 @@ def test_repo_written_lakehouse_files_pin(tmp_path):
     mine = _pin_file(str(p))
     assert len(mine["row_groups"]) > 10
     shutil  # noqa: B018  (kept: symmetry with sibling fixtures)
+
+
+def test_page_index_parses_and_matches_data():
+    """OffsetIndex/ColumnIndex (round 11 — the structures page-level
+    predicate pushdown prunes with at 100 TB scale): pinned THREE ways
+    with no pyarrow page-index API to lean on — (1) structurally,
+    every OffsetIndex offset starts a parseable PageHeader whose
+    header+body span equals compressed_page_size; (2) data-derived,
+    each page's ColumnIndex min/max/null_count equals the bounds of
+    the values our own page reader decodes for that page's
+    first_row_index span; (3) cross-layout, v1/v2 pages × int64/string
+    × multi row groups."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bazof_spark.operators.parquetmeta import (
+        _Reader,
+        _read_struct,
+        decode_int64_stat,
+        parse_column_index,
+        parse_offset_index,
+        parse_parquet_footer,
+    )
+    from bazof_spark.operators.parquetpages import read_column
+
+    ints = [None if i % 7 == 6 else (i * 37) % 1000 for i in range(10000)]
+    strs = [None if i % 9 == 8 else f"s{(i * 13) % 500:04d}" for i in range(10000)]
+    t = pa.table(
+        {
+            "a": pa.array(ints, type=pa.int64()),
+            "s": pa.array(strs, type=pa.string()),
+        }
+    )
+    for kw in ({}, {"data_page_version": "2.0", "compression": "zstd"}):
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, write_page_index=True, row_group_size=4096,
+            data_page_size=512, use_dictionary=False, **kw,
+        )
+        data = buf.getvalue()
+        meta = parse_parquet_footer(data)
+        decoded = {c: read_column(data, c) for c in ("a", "s")}
+        row_base = 0
+        for g in meta["row_groups"]:
+            for chunk in g["columns"]:
+                (col,) = chunk["path_in_schema"]
+                oi = parse_offset_index(data, chunk)
+                ci = parse_column_index(data, chunk)
+                assert oi and ci
+                assert len(oi) == len(ci["min_values"]) == len(ci["null_pages"])
+                assert len(oi) > 1  # data_page_size=512 forces multi-page
+                for k, p in enumerate(oi):
+                    r = _Reader(data, p["offset"])
+                    hdr = _read_struct(r)
+                    assert hdr.get(1) in (0, 3), kw  # data page v1/v2
+                    assert (
+                        (r.pos - p["offset"]) + hdr.get(3)
+                        == p["compressed_page_size"]
+                    )
+                    lo = row_base + p["first_row_index"]
+                    hi = row_base + (
+                        oi[k + 1]["first_row_index"]
+                        if k + 1 < len(oi)
+                        else g["num_rows"]
+                    )
+                    page_vals = [
+                        v for v in decoded[col][lo:hi] if v is not None
+                    ]
+                    if ci["null_pages"][k]:
+                        assert not page_vals
+                        continue
+                    if col == "a":
+                        lo_v = decode_int64_stat(ci["min_values"][k])
+                        hi_v = decode_int64_stat(ci["max_values"][k])
+                    else:
+                        lo_v, hi_v = ci["min_values"][k], ci["max_values"][k]
+                    assert lo_v == min(page_vals) and hi_v == max(page_vals)
+                    if ci["null_counts"]:
+                        assert ci["null_counts"][k] == (hi - lo) - len(page_vals)
+            row_base += g["num_rows"]
+
+
+def test_page_index_absent_returns_none():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bazof_spark.operators.parquetmeta import (
+        parse_column_index,
+        parse_offset_index,
+        parse_parquet_footer,
+    )
+
+    t = pa.table({"a": pa.array(range(100), type=pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_index=False)
+    data = buf.getvalue()
+    (chunk,) = parse_parquet_footer(data)["row_groups"][0]["columns"]
+    assert parse_offset_index(data, chunk) is None
+    assert parse_column_index(data, chunk) is None
