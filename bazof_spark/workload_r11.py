@@ -208,6 +208,119 @@ def parquet_nested_roundtrip_q(spark, sf_dir):
     return media.mapInPandas(decode, schema)
 
 
+def paragraph_dedup_corpus_q(spark, sf_dir):
+    """CROSS-corpus paragraph dedup (the Dolma/CCNet boilerplate-removal
+    step — within-doc line dedup shipped in r10; this is the corpus-wide
+    sibling): deterministic paragraphs per doc mix SHARED boilerplate
+    ('subscribe variant k', repeated across many docs) with doc-unique
+    content built from the doc's own words; any paragraph whose exact
+    text appears in MORE THAN 2 distinct docs is dropped everywhere.
+
+    100 TB shape: paragraph build is a JVM array projection; one hash
+    exchange computes per-text doc frequency with map-side combine; the
+    frequent set (bounded by DISTINCT boilerplate strings, not rows) is
+    BROADCAST into a left-anti probe; one final exchange re-groups per
+    doc. No all-pairs anything."""
+    from bazof_spark.workload_r10 import _docs
+
+    d = F.col("doc_id")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_p = (F.lit(3) + d % 3).cast("int")
+    para = lambda i: F.when(
+        (d + 3 * i) % 4 == 0,
+        F.concat(F.lit("subscribe variant "), ((d + i * 31) % 23).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("d"), d.cast("string"), F.lit(" "),
+            F.array_join(F.slice(ws, (i % 4) * 6 + 1, 5), " "),
+        )
+    )
+    paras = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_p - 1), para)
+        ).alias("i", "ptext"),
+    )
+    frequent = (
+        paras.groupBy("ptext")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > 2)
+        .select("ptext")
+    )
+    # flag instead of anti-join-then-rejoin: ONE broadcast probe marks
+    # dropped paragraphs, ONE final exchange aggregates everything per
+    # doc (collect_list skips the null-when entries, so the digest is
+    # kept-only in paragraph order)
+    flagged = paras.join(
+        F.broadcast(frequent.withColumn("_drop", F.lit(True))),
+        "ptext",
+        "left",
+    )
+    keep = F.col("_drop").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_paras"),
+        F.count(F.when(keep, 1)).cast("int").alias("n_kept"),
+        F.count(F.when(~keep, 1)).cast("int").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep, F.struct("i", "ptext"))
+                        )
+                    ),
+                    lambda s: s["ptext"],
+                ),
+                "\n",
+            )
+        ).alias("kept_digest"),
+    ).select("doc_id", "n_paras", "n_kept", "n_dropped", "kept_digest")
+
+
+_PARA_ORACLE = """
+    WITH built AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS ws,
+               3 + doc_id % 3 AS np
+        FROM documents
+    ),
+    paras AS (
+        SELECT b.doc_id, g.i,
+               CASE WHEN (b.doc_id + 3 * g.i) % 4 = 0
+                    THEN 'subscribe variant ' || ((b.doc_id + g.i * 31) % 23)
+                    ELSE 'd' || b.doc_id || ' ' || COALESCE(
+                        array_to_string(
+                            list_slice(b.ws, (g.i % 4) * 6 + 1,
+                                       (g.i % 4) * 6 + 5), ' '), '')
+               END AS ptext
+        FROM built b, LATERAL (SELECT unnest(range(b.np)) AS i) g
+    ),
+    freq AS (
+        SELECT ptext FROM (
+            SELECT ptext, COUNT(DISTINCT doc_id) AS df
+            FROM paras GROUP BY ptext
+        ) WHERE df > 2
+    ),
+    kept AS (
+        SELECT doc_id, i, ptext FROM paras
+        WHERE ptext NOT IN (SELECT ptext FROM freq)
+    ),
+    k AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_kept,
+               md5(string_agg(ptext, chr(10) ORDER BY i)) AS kept_digest
+        FROM kept GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS INT) AS n_paras,
+           CAST(COALESCE(MAX(k.n_kept), 0) AS INT) AS n_kept,
+           CAST(COUNT(*) - COALESCE(MAX(k.n_kept), 0) AS INT) AS n_dropped,
+           COALESCE(MAX(k.kept_digest), md5('')) AS kept_digest
+    FROM paras p LEFT JOIN k ON p.doc_id = k.doc_id
+    GROUP BY p.doc_id
+"""
+
+
 def _bmp_stat_sql(instant, formula, w, h, rev, where=""):
     """One oracle leg: recompute the pixel-formula stats directly."""
     return f"""
@@ -239,6 +352,7 @@ _W2, _H2 = "4 + doc_id % 4", "3 + doc_id % 3"
 QUERIES_R11 = {
     "multimodal_table_asof": multimodal_table_asof_q,
     "parquet_nested_roundtrip": parquet_nested_roundtrip_q,
+    "paragraph_dedup_corpus": paragraph_dedup_corpus_q,
 }
 
 # every value rebuilt analytically: n = 8 + doc%9 records; record i is
@@ -313,4 +427,5 @@ ORACLES_R11 = {
         )
     ),
     "parquet_nested_roundtrip": _NESTED_ORACLE,
+    "paragraph_dedup_corpus": _PARA_ORACLE,
 }

@@ -728,3 +728,46 @@ def test_row_group_split_over_real_s3(spark, s3_endpoint, monkeypatch):
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
     assert split_rows == whole_rows
     assert len(split_rows) == 400
+
+
+def test_binary_column_over_real_s3(spark, s3_endpoint):
+    """The round-11 Binary column on an object-store root: blob
+    payloads author, upsert, time-travel and Data-Source-read over
+    genuine HTTP S3 — byte-identical at every instant."""
+    uri = "s3://bazof-real/binlake"
+    table_uri = iofs.join(uri, "m")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    t1 = dt.datetime(2024, 2, 1, tzinfo=UTC)
+    schema = TableSchema(
+        (ColumnDef("blob", ColumnType.BINARY, nullable=False),)
+    )
+    rows0 = [(str(i), t0, bytes([0, i, 255 - i])) for i in range(12)]
+    rows1 = [(str(i), t1, bytes([1, i, i])) for i in range(0, 12, 3)]
+    w = TableWriter(spark, table_uri, schema)
+    w.add_segment(
+        "s1", start=t0,
+        base_df=spark.createDataFrame(rows0, schema.to_struct_type()),
+    )
+    w.commit("1")
+    append_delta(
+        spark, table_uri,
+        spark.createDataFrame(rows1, schema.to_struct_type()),
+    )
+
+    from bazof_spark.lakehouse import Lakehouse
+
+    lh = Lakehouse(spark, uri)
+    at0 = {
+        r["key"]: bytes(r["blob"])
+        for r in lh.scan("m", as_of="2024-01-15T00:00:00.000Z").collect()
+    }
+    cur = {r["key"]: bytes(r["blob"]) for r in lh.scan("m").collect()}
+    assert at0 == {str(i): bytes([0, i, 255 - i]) for i in range(12)}
+    expect = {
+        str(i): bytes([1, i, i]) if i % 3 == 0 else bytes([0, i, 255 - i])
+        for i in range(12)
+    }
+    assert cur == expect
+    # the scan on an object-store root routes through the Python Data
+    # Source — so this already IS the Data Source read; pin the schema
+    assert dict(lh.scan("m").dtypes)["blob"] == "binary"

@@ -633,3 +633,20 @@ def test_parquet_nested_roundtrip_map_only(spark):
     stages, zero exchanges past the rebalance."""
     df = q("parquet_nested_roundtrip", spark)
     assert shuffle_count(df) <= 1
+
+
+def test_paragraph_dedup_corpus_plan(spark):
+    """Cross-corpus paragraph dedup: paragraph build is a JVM array
+    projection; the doc-frequency agg is one hash exchange; the
+    frequent set probes via a BROADCAST left join (no shuffle on the
+    corpus side); the per-doc re-group is one more. Static bound: the
+    two-phase exact count-distinct costs 2 exchanges, the doc re-group
+    1, and each branch re-reads the rebalanced scan (AQE reuses one at
+    runtime) — so ≤ 5, with the corpus-side probe REQUIRED to be
+    broadcast (a shuffled probe would be the 100 TB bottleneck)."""
+    df = q("paragraph_dedup_corpus", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert shuffle_count(df) <= 5
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
