@@ -116,7 +116,9 @@ def _read_hybrid(data: bytes, bit_width: int, count: int) -> list[int]:
     return out[:count]
 
 
-def _plain_values(data: bytes, ptype: str, count: int) -> list:
+def _plain_values(
+    data: bytes, ptype: str, count: int, type_length: int | None = None
+) -> list:
     if ptype == "INT32":
         return list(_struct.unpack_from(f"<{count}i", data))
     if ptype == "INT64":
@@ -137,6 +139,19 @@ def _plain_values(data: bytes, ptype: str, count: int) -> list:
             out.append(data[pos : pos + n])
             pos += n
         return out
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        # raw fixed-width bytes (decimals/UUIDs interpret them; the
+        # physical layer hands back the exact payload)
+        if not type_length:
+            raise ValueError("FIXED_LEN_BYTE_ARRAY without type_length")
+        return [
+            data[i * type_length : (i + 1) * type_length]
+            for i in range(count)
+        ]
+    if ptype == "INT96":
+        # legacy 12-byte timestamps: nanos-in-day (8 LE) + julian day
+        # (4 LE); returned raw — interpretation is the caller's
+        return [data[i * 12 : (i + 1) * 12] for i in range(count)]
     raise NotImplementedError(f"PLAIN decode for {ptype!r}")
 
 
@@ -154,7 +169,7 @@ def _subtree_len(schema: list[dict], i: int) -> int:
 
 def _resolve_path(
     schema: list[dict], column: str
-) -> tuple[list[str], list[tuple[str, int]]]:
+) -> tuple[list[str], list[tuple[str, int]], dict]:
     """Resolve ``column`` (a top-level name, or a dotted struct path
     like ``"g.x"``) to its leaf's ``path_in_schema`` plus the ordered
     ``(repetition, cumulative_def_level)`` node list the level decode
@@ -209,8 +224,14 @@ def _resolve_path(
                         f"column {column!r}: {e['name']!r} is a leaf "
                         "but the path continues"
                     )
-                return path, nodes
+                return path, nodes, e
             if kids == 1:
+                # an implicit single-child descent must still CONSUME a
+                # segment that names the child (struct with one field
+                # addressed as "g.x"), else the leaf check would see a
+                # leftover segment and reject a valid dotted path
+                if segments and segments[0] == schema[found + 1]["name"]:
+                    segments = segments[1:]
                 found = found + 1
                 continue
             # multi-field group: the next named segment picks the child
@@ -225,18 +246,23 @@ def read_column(data: bytes, column: str) -> list:
     Flat/struct leaves return scalars with None for nulls; LIST
     columns (one repetition level) return Python lists (None = null
     list, [] = empty) assembled from the definition/repetition levels
-    per the Dremel record rules."""
+    per the Dremel record rules. FIXED_LEN_BYTE_ARRAY and INT96
+    values come back as raw bytes (the physical layer; decimal/
+    timestamp interpretation is the logical layer's job)."""
     meta = parse_parquet_footer(data)
-    path, nodes = _resolve_path(meta["schema"], column)
+    path, nodes, leaf = _resolve_path(meta["schema"], column)
     max_def = nodes[-1][1]
     max_rep = sum(1 for rep, _ in nodes if rep == "REPEATED")
+    # the leaf's FIXED_LEN width, straight off ITS schema element (a
+    # same-named leaf elsewhere must not supply a wrong width)
+    type_length = leaf["type_length"]
     out: list = []
     for g in meta["row_groups"]:
         chunks = [c for c in g["columns"] if c["path_in_schema"] == path]
         if len(chunks) != 1:
             raise ValueError(f"column {column!r} not in a row group")
         entries, defs, reps = _read_chunk(
-            data, chunks[0], max_def, max_rep
+            data, chunks[0], max_def, max_rep, type_length
         )
         out.extend(_assemble(entries, defs, reps, nodes))
     return out
@@ -266,7 +292,8 @@ def _assemble(entries, defs, reps, nodes):
 
 
 def _read_chunk(
-    data: bytes, chunk: dict, max_def: int, max_rep: int = 0
+    data: bytes, chunk: dict, max_def: int, max_rep: int = 0,
+    type_length: int | None = None,
 ) -> tuple[list, list[int], list[int]]:
     """(entries, def_levels, rep_levels) for one column chunk; entries
     carry the decoded value where the definition level reaches max_def
@@ -297,7 +324,8 @@ def _read_chunk(
         if page_type == 2:  # DICTIONARY_PAGE (PLAIN-encoded values)
             dph = header.get(7, {})
             dictionary = _plain_values(
-                _decompress(codec, body, unc_size), ptype, dph.get(1)
+                _decompress(codec, body, unc_size), ptype, dph.get(1),
+                type_length,
             )
             continue
         if page_type == 0:  # DATA_PAGE v1
@@ -342,7 +370,8 @@ def _read_chunk(
             raise NotImplementedError(f"page type {page_type!r}")
         out.extend(
             _decode_values(
-                page[vpos:], ptype, enc, defs, dictionary, max_def
+                page[vpos:], ptype, enc, defs, dictionary, max_def,
+                type_length,
             )
         )
         all_defs.extend(defs)
@@ -351,7 +380,9 @@ def _read_chunk(
     return out, all_defs, all_reps
 
 
-def _decode_values(vals, ptype, enc, defs, dictionary, max_def):
+def _decode_values(
+    vals, ptype, enc, defs, dictionary, max_def, type_length=None
+):
     # a value is PRESENT iff its definition level reaches max_def —
     # for REQUIRED columns max_def is 0 and every level is 0, so a
     # hard-coded `d == 1` would drop every value (ADVICE r10).
@@ -359,7 +390,7 @@ def _decode_values(vals, ptype, enc, defs, dictionary, max_def):
     # encodings: 0 PLAIN; 2 PLAIN_DICTIONARY / 8 RLE_DICTIONARY share
     # the <bit_width byte><hybrid indices> wire format
     if enc == 0:
-        present = _plain_values(vals, ptype, n_present)
+        present = _plain_values(vals, ptype, n_present, type_length)
     elif enc == 3 and ptype == "BOOLEAN":
         # v2 writers emit BOOLEAN values RLE-encoded:
         # <LE32 length><hybrid runs at bit width 1>

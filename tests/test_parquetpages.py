@@ -442,3 +442,93 @@ def test_remaining_v2_encodings_decode():
         got32 = read_column(data, "bs32")
         ref32 = t.column("bs32").to_pylist()
         assert got32 == ref32, kw
+
+
+def test_fixed_len_byte_array_and_int96_decode():
+    """The last physical types: FIXED_LEN_BYTE_ARRAY values (decimals,
+    fixed binary) come back as their exact raw payload — the decimal
+    interpretation (big-endian scaled int) is checked against the
+    source values — and legacy INT96 timestamps as raw 12-byte
+    nanos-in-day + julian-day, converted and pinned against the source
+    datetimes. Dictionary and PLAIN paths, v1/v2 pages."""
+    import datetime
+    import decimal
+
+    decs = [
+        None if i % 8 == 7 else decimal.Decimal(f"{i * 3}.25")
+        for i in range(200)
+    ]
+    fixed = [
+        None if i % 9 == 8 else bytes(
+            [i % 256, (i + 1) % 256, (i + 2) % 256, (i + 3) % 256]
+        )
+        for i in range(200)
+    ]
+    t = pa.table(
+        {
+            "dec": pa.array(decs, type=pa.decimal128(9, 2)),
+            "fb": pa.array(fixed, type=pa.binary(4)),
+        }
+    )
+    for kw in (
+        {"use_dictionary": False},
+        {},
+        {
+            "use_dictionary": False,
+            "data_page_version": "2.0",
+            "compression": "zstd",
+        },
+    ):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, **kw)
+        data = buf.getvalue()
+        assert read_column(data, "fb") == fixed, kw
+        got = [
+            None if b is None else int.from_bytes(b, "big", signed=True)
+            for b in read_column(data, "dec")
+        ]
+        assert got == [
+            None if d is None else int(d * 100) for d in decs
+        ], kw
+
+    ts = [
+        datetime.datetime(2024, 1, 1, 12) + datetime.timedelta(seconds=i * 977)
+        for i in range(300)
+    ]
+    t2 = pa.table({"ts": pa.array(ts)})
+
+    def int96_to_dt(b):
+        nanos = int.from_bytes(b[:8], "little")
+        jday = int.from_bytes(b[8:], "little")
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            days=jday - 2440588, microseconds=nanos // 1000
+        )
+
+    for kw in ({"use_dictionary": False}, {}):
+        buf = io.BytesIO()
+        pq.write_table(t2, buf, use_deprecated_int96_timestamps=True, **kw)
+        assert [int96_to_dt(b) for b in read_column(buf.getvalue(), "ts")] == ts
+
+
+def test_flba_leaf_width_not_shadowed():
+    """A same-named FLBA leaf inside a group must not supply the
+    top-level column's type_length (the width comes off the leaf
+    element _resolve_path actually matched)."""
+    schema = pa.schema(
+        [
+            pa.field("g", pa.struct([pa.field("x", pa.binary(8))])),
+            pa.field("x", pa.binary(2)),
+        ]
+    )
+    t = pa.table(
+        {
+            "g": [{"x": bytes([i] * 8)} for i in range(40)],
+            "x": [bytes([i, i + 1]) for i in range(40)],
+        },
+        schema=schema,
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=False)
+    data = buf.getvalue()
+    assert read_column(data, "x") == [bytes([i, i + 1]) for i in range(40)]
+    assert read_column(data, "g.x") == [bytes([i] * 8) for i in range(40)]

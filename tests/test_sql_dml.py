@@ -696,8 +696,11 @@ def test_parse_alter_table_detection():
     m = parse_maintenance("ALTER TABLE t DROP COLUMNS (a, b)")
     assert m.drop_columns == ("a", "b")
     assert parse_maintenance("SELECT 'ALTER TABLE t ADD COLUMN x INT'") is None
+    # BLOB maps to the round-11 Binary extension now
+    m = parse_maintenance("ALTER TABLE t ADD COLUMN x BLOB")
+    assert m.add_columns == (("x", "Binary"),)
     with pytest.raises(SqlRewriteError, match="unsupported column type"):
-        parse_maintenance("ALTER TABLE t ADD COLUMN x BLOB")
+        parse_maintenance("ALTER TABLE t ADD COLUMN x UUID")
     with pytest.raises(SqlRewriteError, match="name TYPE"):
         parse_maintenance("ALTER TABLE t ADD COLUMN x")
 
@@ -743,8 +746,10 @@ def test_parse_alter_rename_and_widen_detection():
     assert m.kind == "alter" and m.widen_columns == (("n", "Float"),)
     m = parse_maintenance("ALTER TABLE t ALTER COLUMN n SET DATA TYPE FLOAT")
     assert m.widen_columns == (("n", "Float"),)
+    m = parse_maintenance("ALTER TABLE t ALTER COLUMN n TYPE BLOB")
+    assert m.widen_columns == (("n", "Binary"),)
     with pytest.raises(SqlRewriteError, match="unsupported column type"):
-        parse_maintenance("ALTER TABLE t ALTER COLUMN n TYPE BLOB")
+        parse_maintenance("ALTER TABLE t ALTER COLUMN n TYPE UUID")
     assert parse_maintenance("SELECT 'ALTER TABLE t RENAME COLUMN a TO b'") \
         is None
 
