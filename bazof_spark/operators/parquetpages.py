@@ -34,12 +34,12 @@ Format facts this implements (parquet-format spec):
 
 Round-11 tier (the r10 verdict's next-spec-tier ask):
 
-- **Repetition levels**: LIST columns with ONE level of repetition
-  (the standard 2- and 3-level list layouts — optional/required list
-  group, optional/required elements) assemble back into Python lists
-  via the Dremel record-assembly rules; levels decode at their true
+- **Repetition levels**: LIST columns at ARBITRARY nesting depth
+  (the standard 2- and 3-level layouts, optional/required groups and
+  elements, ``list<list<…>>``) assemble back into Python lists via
+  the stack-based Dremel record rules; levels decode at their true
   bit widths (``ceil(log2(max_level+1))``), not the hard-coded 1 the
-  flat tier needed. ``list<list<…>>`` raises with a clear message.
+  flat tier needed.
 - **Struct members**: dotted leaf paths (``"g.x"``) decode through the
   same def-level machinery (struct-null vs member-null distinguished
   by which threshold the level reaches).
@@ -51,10 +51,11 @@ Round-11 tier (the r10 verdict's next-spec-tier ask):
   encodings; the delta blocks consume their exact byte spans so the
   embedded layouts parse positionally.
 
-Scope (honest): max repetition level ≤ 1 (``list<list<…>>`` raises
-with a clear message). That covers every file this repo writes or
-ships, plus the standard nested-list layouts and the full parquet v2
-encoding set for the types above.
+Scope (honest): lists nest arbitrarily; structs address by dotted
+leaf path (a struct BETWEEN repetition levels is untested territory —
+pyarrow's list layouts never produce one). That covers every file
+this repo writes or ships, the standard nested-list layouts at any
+depth, all physical types, and the full parquet v2 encoding set.
 """
 
 from __future__ import annotations
@@ -207,11 +208,6 @@ def _resolve_path(
             rep = e["repetition"]
             if rep == "REPEATED":
                 n_rep += 1
-                if n_rep > 1:
-                    raise NotImplementedError(
-                        f"{column!r}: more than one repetition level "
-                        "(list<list<...>>) not supported"
-                    )
                 cum_def += 1
             elif rep == "OPTIONAL":
                 cum_def += 1
@@ -268,26 +264,60 @@ def read_column(data: bytes, column: str) -> list:
     return out
 
 
+_OPEN = object()  # "no record started yet" sentinel
+
+
 def _assemble(entries, defs, reps, nodes):
-    """Dremel record assembly, one repetition level: each leaf entry's
-    definition level says how deep the path is defined (null list /
-    empty list / null element / value), its repetition level whether
-    it starts a new record (0) or extends the open list (1)."""
+    """Dremel record assembly at ARBITRARY repetition depth (round-11
+    generalization of the one-level tier): each leaf entry's
+    repetition level says how many already-open list levels it
+    continues (0 = a new record), its definition level how deep the
+    path is defined — levels past that are an empty list (the level
+    right above the repeated node is defined), a null (anything
+    shallower), or, at full depth, the leaf value / null element.
+
+    The stack holds the currently-open list object per repetition
+    depth; closing depth r+1.. and re-opening per the entry's levels
+    reconstructs exactly the nesting the writer shredded."""
     rep_defs = [cum for rep, cum in nodes if rep == "REPEATED"]
     if not rep_defs:
         return entries  # flat or struct member: one entry per record
-    r_def = rep_defs[0]
+    k = len(rep_defs)
     max_def = nodes[-1][1]
     out: list = []
+    stack: list = []  # stack[j-1] = the open list at repetition depth j
+    root = _OPEN
     for v, d, r in zip(entries, defs, reps):
-        if d < r_def:
-            # no element slot: the level immediately above the repeated
-            # node is defined (empty list) or not (null list/record)
-            out.append([] if d == r_def - 1 else None)
-        elif r == 0:
-            out.append([v if d == max_def else None])
-        else:
-            out[-1].append(v if d == max_def else None)
+        if r == 0:
+            if root is not _OPEN:
+                out.append(root)
+            root = _OPEN
+            stack = []
+        del stack[r:]  # close every level deeper than the entry's rep
+        j = r + 1
+        closed = False
+        while j <= k:
+            if d < rep_defs[j - 1]:
+                # level j never opens: empty list when the level just
+                # above the repeated node is defined, else null
+                val = [] if d == rep_defs[j - 1] - 1 else None
+                if j == 1:
+                    root = val
+                else:
+                    stack[j - 2].append(val)
+                closed = True
+                break
+            new = []
+            if j == 1:
+                root = new
+            else:
+                stack[j - 2].append(new)
+            stack.append(new)
+            j += 1
+        if not closed:
+            stack[k - 1].append(v if d == max_def else None)
+    if root is not _OPEN:
+        out.append(root)
     return out
 
 

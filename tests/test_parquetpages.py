@@ -128,14 +128,6 @@ def test_reference_golden_columns_decode():
 
 
 def test_nested_and_unknown_raise_cleanly():
-    # one repetition level decodes (round 11); a second still raises
-    t = pa.table(
-        {"n": pa.array([[[1]], [[2, 3]]], type=pa.list_(pa.list_(pa.int64())))}
-    )
-    buf = io.BytesIO()
-    pq.write_table(t, buf)
-    with pytest.raises(NotImplementedError, match="repetition"):
-        read_column(buf.getvalue(), "n")
     t2 = pa.table({"a": pa.array([1, 2, 3], type=pa.int64())})
     buf2 = io.BytesIO()
     pq.write_table(t2, buf2)
@@ -532,3 +524,86 @@ def test_flba_leaf_width_not_shadowed():
     data = buf.getvalue()
     assert read_column(data, "x") == [bytes([i, i + 1]) for i in range(40)]
     assert read_column(data, "g.x") == [bytes([i] * 8) for i in range(40)]
+
+
+def test_lists_nest_to_arbitrary_depth():
+    """Round-11 generalization: the stack-based Dremel assembly
+    reconstructs list<list> and list<list<list>> — null/empty/values
+    at every depth — plus REQUIRED inner lists/elements (shifted def
+    thresholds), across layouts."""
+    ll = [None, [], [[1, 2], None, []], [[None, 3]], [[4]], [[], [5, 6, 7]]] * 25
+    t = pa.table({"n": pa.array(ll, type=pa.list_(pa.list_(pa.int64())))})
+    for kw in (
+        {},
+        {"use_dictionary": False},
+        {
+            "data_page_version": "2.0",
+            "compression": "zstd",
+            "row_group_size": 13,
+        },
+    ):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, **kw)
+        assert read_column(buf.getvalue(), "n") == ll, kw
+
+    lll = [None, [], [[[1], []], None], [[[None, 2], [3]]], [[[]]]] * 20
+    t3 = pa.table(
+        {"m": pa.array(lll, type=pa.list_(pa.list_(pa.list_(pa.int64()))))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(t3, buf)
+    assert read_column(buf.getvalue(), "m") == lll
+
+    schema = pa.schema(
+        [
+            pa.field(
+                "q",
+                pa.list_(
+                    pa.field(
+                        "element",
+                        pa.list_(
+                            pa.field("element", pa.int64(), nullable=False)
+                        ),
+                        nullable=False,
+                    )
+                ),
+            )
+        ]
+    )
+    qv = [None, [[1, 2], [3]], [[], [4]], []] * 30
+    t4 = pa.table({"q": pa.array(qv)}, schema=schema)
+    buf = io.BytesIO()
+    pq.write_table(t4, buf, use_dictionary=False)
+    assert read_column(buf.getvalue(), "q") == qv
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.one_of(st.none(), st.integers(-1000, 1000)),
+                        max_size=4,
+                    ),
+                ),
+                max_size=4,
+            ),
+        ),
+        max_size=60,
+    ),
+    v2=st.booleans(),
+    rgs=st.integers(1, 30),
+)
+def test_property_nested_list_roundtrip(vals, v2, rgs):
+    t = pa.table(
+        {"n": pa.array(vals, type=pa.list_(pa.list_(pa.int64())))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, data_page_version="2.0" if v2 else "1.0", row_group_size=rgs,
+    )
+    assert read_column(buf.getvalue(), "n") == vals
