@@ -277,6 +277,106 @@ def paragraph_dedup_corpus_q(spark, sf_dir):
     ).select("doc_id", "n_paras", "n_kept", "n_dropped", "kept_digest")
 
 
+def image_dedup_ahash_q(spark, sf_dir):
+    """PERCEPTUAL image dedup (average-hash): each doc synthesizes a
+    16×16 RGB image whose content depends only on ``doc_id % 17`` — so
+    the corpus carries ~n/17 distinct images under 17 deliberate
+    duplicate classes — encodes it as a real BMP, and the pipeline
+    DECODES the bytes back (operators/multimodal.decode_bmp), computes
+    the 8×8 block-sum aHash in integer arithmetic (bit k = 1 iff
+    64·block_sum_k > total_sum — exact, no float thresholds), and
+    groups the corpus by hash. The oracle recomputes every block sum
+    analytically from the pixel formula, so a decoder fault, a block
+    boundary off-by-one, or a bit-order mistake all change the group
+    keys. 100 TB shape: synth+decode+hash are two Arrow-batched map
+    stages; the dedup is ONE hash exchange with map-side combine."""
+    import numpy as np
+    import pandas as pd
+
+    from bazof_spark.operators.multimodal import decode_bmp, encode_bmp
+    from bazof_spark.workload_r10 import _docs
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                s = int(mid) % 17
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(16).reshape(1, 16, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((s * 29 + 7 * y * y + 5 * x + 11 * c) % 256).astype(
+                    np.uint8
+                )
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+
+    def hash_batch(it):
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = decode_bmp(bytes(blob)).astype(np.int64)
+                # 8x8 blocks of 2x2 pixels x 3 channels, integer sums
+                blocks = px.reshape(8, 2, 8, 2, 3).sum(axis=(1, 3, 4))
+                total = int(blocks.sum())
+                bits = (64 * blocks > total).astype(np.uint8).reshape(64)
+                out.append(
+                    (int(mid), "".join("1" if b else "0" for b in bits))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    hashed = media.mapInPandas(hash_batch, "media_id long, ahash string")
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("media_id").alias("keep_doc"),
+        F.max("media_id").alias("last_doc"),
+    )
+
+
+# the oracle rebuilds the 64 block sums analytically from the pixel
+# formula (seed = doc_id % 17; pixel = (29s + 7y² + 5x + 11c) % 256;
+# block (by,bx) sums the 2×2×3 cell) and derives the identical
+# integer-threshold bit string
+_AHASH_ORACLE = """
+    WITH seeds AS (
+        SELECT doc_id, doc_id % 17 AS s FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, s, g.b,
+               (SELECT SUM((29 * s + 7 * ((g.b // 8) * 2 + dy)
+                               * ((g.b // 8) * 2 + dy)
+                            + 5 * ((g.b % 8) * 2 + dx) + 11 * c) % 256)
+                FROM (SELECT unnest(range(2)) AS dy),
+                     (SELECT unnest(range(2)) AS dx),
+                     (SELECT unnest(range(3)) AS c)
+               ) AS bsum
+        FROM seeds, LATERAL (SELECT unnest(range(64)) AS b) g
+    ),
+    totals AS (
+        SELECT doc_id, SUM(bsum) AS tsum FROM blocks GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT bl.doc_id,
+               string_agg(
+                   CASE WHEN 64 * bl.bsum > t.tsum
+                        THEN '1' ELSE '0' END,
+                   '' ORDER BY bl.b) AS ahash
+        FROM blocks bl JOIN totals t ON bl.doc_id = t.doc_id
+        GROUP BY bl.doc_id
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS keep_doc,
+           MAX(doc_id) AS last_doc
+    FROM hashes GROUP BY ahash
+"""
+
+
 _PARA_ORACLE = """
     WITH built AS (
         SELECT doc_id,
@@ -353,6 +453,7 @@ QUERIES_R11 = {
     "multimodal_table_asof": multimodal_table_asof_q,
     "parquet_nested_roundtrip": parquet_nested_roundtrip_q,
     "paragraph_dedup_corpus": paragraph_dedup_corpus_q,
+    "image_dedup_ahash": image_dedup_ahash_q,
 }
 
 # every value rebuilt analytically: n = 8 + doc%9 records; record i is
@@ -428,4 +529,5 @@ ORACLES_R11 = {
     ),
     "parquet_nested_roundtrip": _NESTED_ORACLE,
     "paragraph_dedup_corpus": _PARA_ORACLE,
+    "image_dedup_ahash": _AHASH_ORACLE,
 }

@@ -650,3 +650,11 @@ def test_paragraph_dedup_corpus_plan(spark):
     assert shuffle_count(df) <= 5
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}
+
+
+def test_image_dedup_ahash_single_exchange(spark):
+    """Perceptual image dedup: synth + decode + hash are Arrow-batched
+    map stages; the only exchange is the hash groupBy (count/min/max
+    combine map-side)."""
+    df = q("image_dedup_ahash", spark)
+    assert shuffle_count(df) <= 2  # rebalance + hash groupBy
