@@ -44,19 +44,16 @@ def _plausible_lzma_alone(data: bytes) -> bool:
     sane actual size. Checking the full 5-byte shape both accepts
     preset-9 files and stops arbitrary garbage from being dispatched
     to the range decoder only to die with a confusing LZMA error."""
-    if data[0] >= 9 * 5 * 5:  # props = (pb*5 + lp)*9 + lc, pb<5 lp<5 lc<9
+    if not _sane_lzma_header(data):
         return False
     dict_size = int.from_bytes(data[1:5], "little")
-    if not (1 << 12) <= dict_size <= (3 << 29):  # 4 KiB .. 1.5 GiB
+    if dict_size < (1 << 12):  # standard encoders start at 4 KiB
         return False
     # 2^n or 2^n + 2^(n-1): clearing the lowest set bit leaves either
     # zero (power of two) or exactly half the remainder
     low = dict_size & -dict_size
     rest = dict_size - low
-    if rest != 0 and rest != 2 * low:
-        return False
-    usize = int.from_bytes(data[5:13], "little")
-    return usize == (1 << 64) - 1 or usize < (1 << 40)
+    return rest == 0 or rest == 2 * low
 
 
 def _sane_lzma_header(data: bytes) -> bool:

@@ -226,8 +226,21 @@ def _resolve_path(
                 # segment that names the child (struct with one field
                 # addressed as "g.x"), else the leaf check would see a
                 # leftover segment and reject a valid dotted path
-                if segments and segments[0] == schema[found + 1]["name"]:
+                child = schema[found + 1]
+                if segments and segments[0] == child["name"]:
                     segments = segments[1:]
+                elif child["repetition"] != "REPEATED" and rep != "REPEATED":
+                    # a one-field STRUCT addressed by its group name:
+                    # implicit descent would flatten it — conflating
+                    # struct-null with member-null — so demand the
+                    # dotted leaf path like multi-field groups do.
+                    # (List wrappers descend implicitly: either the
+                    # child is the REPEATED node, or the current node
+                    # is — the element under the repeated group.)
+                    raise NotImplementedError(
+                        f"column {column!r} names a group; decode "
+                        "its leaves via dotted paths"
+                    )
                 found = found + 1
                 continue
             # multi-field group: the next named segment picks the child
@@ -240,27 +253,39 @@ def read_column(data: bytes, column: str) -> list:
     """Decode a column from raw parquet FILE bytes, from spec all the
     way down. ``column`` is a top-level name or a dotted struct path.
     Flat/struct leaves return scalars with None for nulls; LIST
-    columns (one repetition level) return Python lists (None = null
-    list, [] = empty) assembled from the definition/repetition levels
-    per the Dremel record rules. FIXED_LEN_BYTE_ARRAY and INT96
-    values come back as raw bytes (the physical layer; decimal/
-    timestamp interpretation is the logical layer's job)."""
+    columns return Python lists (None = null list, [] = empty)
+    assembled from the definition/repetition levels per the Dremel
+    record rules. FIXED_LEN_BYTE_ARRAY and INT96 values come back as
+    raw bytes (the physical layer; decimal/timestamp interpretation
+    is the logical layer's job)."""
+    return read_columns(data, [column])[column]
+
+
+def read_columns(data: bytes, columns) -> dict[str, list]:
+    """Decode several columns with ONE footer parse (the thrift walk
+    is the per-file fixed cost; per-blob callers decoding 2+ columns
+    would otherwise pay it per column)."""
     meta = parse_parquet_footer(data)
-    path, nodes, leaf = _resolve_path(meta["schema"], column)
-    max_def = nodes[-1][1]
-    max_rep = sum(1 for rep, _ in nodes if rep == "REPEATED")
-    # the leaf's FIXED_LEN width, straight off ITS schema element (a
-    # same-named leaf elsewhere must not supply a wrong width)
-    type_length = leaf["type_length"]
-    out: list = []
-    for g in meta["row_groups"]:
-        chunks = [c for c in g["columns"] if c["path_in_schema"] == path]
-        if len(chunks) != 1:
-            raise ValueError(f"column {column!r} not in a row group")
-        entries, defs, reps = _read_chunk(
-            data, chunks[0], max_def, max_rep, type_length
-        )
-        out.extend(_assemble(entries, defs, reps, nodes))
+    out: dict[str, list] = {}
+    for column in columns:
+        path, nodes, leaf = _resolve_path(meta["schema"], column)
+        max_def = nodes[-1][1]
+        max_rep = sum(1 for rep, _ in nodes if rep == "REPEATED")
+        # the leaf's FIXED_LEN width, straight off ITS schema element
+        # (a same-named leaf elsewhere must not supply a wrong width)
+        type_length = leaf["type_length"]
+        vals: list = []
+        for g in meta["row_groups"]:
+            chunks = [
+                c for c in g["columns"] if c["path_in_schema"] == path
+            ]
+            if len(chunks) != 1:
+                raise ValueError(f"column {column!r} not in a row group")
+            entries, defs, reps = _read_chunk(
+                data, chunks[0], max_def, max_rep, type_length
+            )
+            vals.extend(_assemble(entries, defs, reps, nodes))
+        out[column] = vals
     return out
 
 

@@ -114,7 +114,7 @@ def parquet_nested_roundtrip_q(spark, sf_dir):
     import pyarrow.parquet as pq
     from pyspark.sql.types import LongType, StructField, StructType
 
-    from bazof_spark.operators.parquetpages import read_column
+    from bazof_spark.operators.parquetpages import read_columns
     from bazof_spark.workload_r10 import _docs
 
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -176,8 +176,8 @@ def parquet_nested_roundtrip_q(spark, sf_dir):
         for pdf in it:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                lists = read_column(bytes(blob), "l")
-                d = read_column(bytes(blob), "d")
+                cols2 = read_columns(bytes(blob), ["l", "d"])
+                lists, d = cols2["l"], cols2["d"]
                 n_elems = null_elems = elem_sum = elem_pos = 0
                 for i, rec in enumerate(lists):
                     if not rec:

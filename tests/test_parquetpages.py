@@ -607,3 +607,30 @@ def test_property_nested_list_roundtrip(vals, v2, rgs):
         t, buf, data_page_version="2.0" if v2 else "1.0", row_group_size=rgs,
     )
     assert read_column(buf.getvalue(), "n") == vals
+
+
+def test_single_field_group_requires_dotted_path():
+    """A one-field struct addressed by its group name raises like
+    multi-field groups do (implicit descent would flatten it and
+    conflate struct-null with member-null); its dotted leaf path and
+    both list wrapper layouts keep working. read_columns decodes
+    several columns with one footer parse."""
+    t = pa.table(
+        {
+            "g": pa.array(
+                [None, {"x": 1}, {"x": None}],
+                type=pa.struct([("x", pa.int64())]),
+            ),
+            "l": pa.array([[1], None, []], type=pa.list_(pa.int64())),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    data = buf.getvalue()
+    with pytest.raises(NotImplementedError, match="dotted"):
+        read_column(data, "g")
+    from bazof_spark.operators.parquetpages import read_columns
+
+    got = read_columns(data, ["g.x", "l"])
+    assert got["g.x"] == [None, 1, None]
+    assert got["l"] == [[1], None, []]
