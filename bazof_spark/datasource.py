@@ -713,7 +713,8 @@ class BazofBatchWriter(DataSourceArrowWriter):
         mm = pc.min_max(pc.cast(t.column(EVENT_TIME_COL), pa.int64())).as_py()
         dest = iofs.join(self._stage_dir, f"part-{uuid.uuid4().hex}.parquet")
         filesystem, rel = iofs._split(dest)
-        pq.write_table(t, rel, filesystem=filesystem)
+        # page indexes: JVM scans page-prune on pushed predicates
+        pq.write_table(t, rel, filesystem=filesystem, write_page_index=True)
         return _DeltaFileMessage(
             file_path=dest,
             start_us=mm["min"],

@@ -91,12 +91,19 @@ def dataframe_to_parquet_file(
     # resolve through iofs so URI handling (incl. scheme emulation) is
     # identical for data bytes and metadata bytes
     dest_fs, dest_rel = iofs.split(dest_path)
+    # page indexes (OffsetIndex/ColumnIndex) give the JVM vectorized
+    # reader PAGE-granular skipping on pushed predicates (event_time
+    # bounds, key ranges) — parquet-mr column-index filtering is on by
+    # default in Spark; bytes cost is a few hundred per column chunk
     if row_group_rows:
         pq.write_table(
-            tbl, dest_rel, filesystem=dest_fs, row_group_size=row_group_rows
+            tbl, dest_rel, filesystem=dest_fs,
+            row_group_size=row_group_rows, write_page_index=True,
         )
     else:
-        pq.write_table(tbl, dest_rel, filesystem=dest_fs)
+        pq.write_table(
+            tbl, dest_rel, filesystem=dest_fs, write_page_index=True
+        )
 
 
 def _column_footer_bounds(md, name: str):
@@ -338,7 +345,8 @@ def _write_distributed_delta_uri(
         )
         dest = _iofs.join(stage, f"part-{uuid.uuid4().hex}.parquet")
         fs, rel = _iofs.split(dest)
-        _pq.write_table(t, rel, filesystem=fs)
+        # same page-index rationale as dataframe_to_parquet_file
+        _pq.write_table(t, rel, filesystem=fs, write_page_index=True)
         yield _pa.RecordBatch.from_pydict(
             {"staged": [dest], "rows": [t.num_rows]}
         )

@@ -296,3 +296,49 @@ def test_distributed_upsert_on_file_uri(spark, tmp_path):
     # s3:// roots stage executor-side through iofs (round 9 —
     # tests/test_object_store_real.py::
     # test_distributed_multifile_delta_over_real_s3)
+
+
+def test_committed_files_carry_page_indexes(spark, tmp_path):
+    """Round 11: every parquet file this writer commits carries
+    OffsetIndex/ColumnIndex (page-granular predicate skipping for the
+    JVM scan at scale) — verified by the repo's OWN from-spec page
+    index parser, closing the loop: our writer's output, our reader's
+    proof."""
+    from datetime import datetime, timezone
+
+    from bazof_spark.datasource import write_table
+    from bazof_spark.operators.parquetmeta import (
+        parse_column_index,
+        parse_offset_index,
+        parse_parquet_footer,
+    )
+    from bazof_spark.writer import append_delta
+
+    df = spark.createDataFrame(
+        [(str(i), datetime(2024, 1, 1, tzinfo=timezone.utc), float(i))
+         for i in range(200)],
+        "key string, event_time timestamp, value double",
+    )
+    write_table(df, str(tmp_path), "t", mode="overwrite")
+    append_delta(
+        spark, str(tmp_path / "t"),
+        df.limit(40).withColumn("value", df.value + 1),
+        distributed=True, num_files=2,
+    )
+    from bazof_spark import Lakehouse
+
+    snap = Lakehouse(spark, str(tmp_path)).table("t").get_current_snapshot()
+    files = [f for f, _ in snap.ranked_data_files()]
+    assert len(files) >= 3  # base + 2 distributed delta parts
+    for f in files:
+        data = open(str(tmp_path / "t" / f), "rb").read()
+        meta = parse_parquet_footer(data)
+        for g in meta["row_groups"]:
+            for chunk in g["columns"]:
+                oi = parse_offset_index(data, chunk)
+                assert oi and len(oi) >= 1, f
+                # pyarrow suppresses the ColumnIndex for tz-aware
+                # timestamp columns; key/value carry it
+                if chunk["path_in_schema"] != ["event_time"]:
+                    ci = parse_column_index(data, chunk)
+                    assert ci and len(ci["min_values"]) == len(oi), f
