@@ -377,6 +377,93 @@ _AHASH_ORACLE = """
 """
 
 
+def ann_filtered_search_q(spark, sf_dir):
+    """METADATA-FILTERED vector search — the production retrieval
+    shape the plain ANN queries don't cover: each query vector
+    searches only candidates satisfying a predicate (here: documents
+    in the SAME language, the classic tenant/language-scoped search).
+    Pre-filtering, not post-filtering: the predicate lands in the
+    join condition BEFORE ranking, so top-k is computed over the
+    filtered candidate set (a post-filter would silently return
+    fewer than k).
+
+    100 TB shape: the 20-query slice broadcasts over a map-only
+    corpus pass (the lang equi-condition rides the broadcast join);
+    only per-query top-k survivors reach the window exchange. The
+    lang attach is one corpus-sized equi-join that at scale would be
+    bucketed/co-partitioned on the id."""
+    from bazof_spark.operators.similarity import dot, normalize
+    from bazof_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id",
+        normalize(F.col("embedding").cast("array<double>")).alias("vec"),
+        "lang",
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.col("lang").alias("qlang"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("lang") == F.col("qlang"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "qlang",
+            F.col("vec_id").alias("cid"),
+            dot(F.col("qv"), F.col("vec")).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlang").alias("lang"),
+            "rank",
+            F.col("cid").alias("neighbor_id"),
+        )
+    )
+
+
+_ANN_FILTERED_ORACLE = """
+    WITH e AS (
+        SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS vec, d.lang
+        FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT vec_id AS qid, vec AS qv, lang AS qlang
+        FROM e WHERE vec_id < 20
+    ),
+    s AS (
+        SELECT q.qid, q.qlang, e.vec_id AS cid,
+               list_cosine_similarity(q.qv, e.vec) AS sim
+        FROM q JOIN e ON e.lang = q.qlang AND e.vec_id <> q.qid
+    ),
+    r AS (
+        SELECT qid, qlang, cid,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, cid
+               ) AS rn
+        FROM s
+    )
+    SELECT qid AS query_id, qlang AS lang,
+           CAST(rn AS INT) AS rank, cid AS neighbor_id
+    FROM r WHERE rn <= 5
+"""
+
+
 _PARA_ORACLE = """
     WITH built AS (
         SELECT doc_id,
@@ -454,6 +541,7 @@ QUERIES_R11 = {
     "parquet_nested_roundtrip": parquet_nested_roundtrip_q,
     "paragraph_dedup_corpus": paragraph_dedup_corpus_q,
     "image_dedup_ahash": image_dedup_ahash_q,
+    "ann_filtered_search": ann_filtered_search_q,
 }
 
 # every value rebuilt analytically: n = 8 + doc%9 records; record i is
@@ -530,4 +618,5 @@ ORACLES_R11 = {
     "parquet_nested_roundtrip": _NESTED_ORACLE,
     "paragraph_dedup_corpus": _PARA_ORACLE,
     "image_dedup_ahash": _AHASH_ORACLE,
+    "ann_filtered_search": _ANN_FILTERED_ORACLE,
 }

@@ -658,3 +658,14 @@ def test_image_dedup_ahash_single_exchange(spark):
     combine map-side)."""
     df = q("image_dedup_ahash", spark)
     assert shuffle_count(df) <= 2  # rebalance + hash groupBy
+
+
+def test_ann_filtered_search_broadcasts_queries(spark):
+    """Pre-filtered vector search: the 20-query slice must BROADCAST
+    over the corpus (the lang predicate rides the broadcast join, so
+    the corpus-sized relation never shuffles for the search); only
+    per-query survivors reach the window exchange."""
+    df = q("ann_filtered_search", spark)
+    assert broadcast_join_count(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
