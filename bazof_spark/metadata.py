@@ -255,7 +255,9 @@ class Delta:
                 ),
                 size=(
                     obj["size"]
-                    if isinstance(obj.get("size"), int) and obj["size"] > 0
+                    # bool is an int subclass; "size": true must read
+                    # as malformed (→ None), not as size=1
+                    if type(obj.get("size")) is int and obj["size"] > 0
                     else None
                 ),
                 tombstone=bool(obj.get("tombstone", False)),
@@ -377,7 +379,9 @@ class Segment:
                 ),
                 size=(
                     obj["size"]
-                    if isinstance(obj.get("size"), int) and obj["size"] > 0
+                    # bool is an int subclass; "size": true must read
+                    # as malformed (→ None), not as size=1
+                    if type(obj.get("size")) is int and obj["size"] > 0
                     else None
                 ),
             )

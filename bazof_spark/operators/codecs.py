@@ -65,7 +65,10 @@ def _sane_lzma_header(data: bytes) -> bool:
     13-byte header is weak evidence, so the decode itself (with its
     internal checks) is the arbiter and its failure is reported as an
     unrecognized container, not a confusing LZMA error."""
-    if len(data) < 14 or data[0] >= 9 * 5 * 5:
+    # header alone is 13 bytes (props + dict + usize); a header-only
+    # stream (empty payload) is degenerate but spec-shaped, so the
+    # threshold matches sniff_format's >= 13 guard
+    if len(data) < 13 or data[0] >= 9 * 5 * 5:
         return False
     dict_size = int.from_bytes(data[1:5], "little")
     if dict_size == 0 or dict_size > (3 << 29):
@@ -81,7 +84,7 @@ def sniff_decompress(data: bytes) -> tuple[str, bytes]:
         # spec-legal .lzma from a nonstandard encoder (dict size not
         # 2^n / 2^n+2^(n-1)): attempt the decode when the rest of the
         # header is sane; its success is the proof sniffing can't give
-        if len(data) >= 14 and _sane_lzma_header(data):
+        if len(data) >= 13 and _sane_lzma_header(data):
             from bazof_spark.operators.lzmacodec import (
                 lzma_alone_decompress,
             )

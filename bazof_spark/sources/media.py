@@ -113,11 +113,32 @@ def media_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:
     blob history described in the module docstring."""
     from bazof_spark.sources.tables import source_tag
 
+    import shutil
+    import uuid
+
     tag = source_tag(sf_dir, "documents")
     root = os.path.join(tempfile.gettempdir(), f"bazof_media_{tag}")
     marker = os.path.join(root, TABLE_NAME, "_BUILT")
     if not os.path.exists(marker):
-        _build(spark, sf_dir, root)
-        with open(marker, "w") as f:
+        # concurrency-safe publish: build into a process-unique
+        # scratch root (marker written BEFORE the rename so it is
+        # published atomically with the table), then rename the table
+        # dir into place — a concurrent builder losing the rename race
+        # just discards its copy, so no two processes ever interleave
+        # version.txt / s{v}.json writes under the shared root
+        scratch = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex}"
+        _build(spark, sf_dir, scratch)
+        with open(os.path.join(scratch, TABLE_NAME, "_BUILT"), "w") as f:
             f.write("ok")
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(
+                os.path.join(scratch, TABLE_NAME),
+                os.path.join(root, TABLE_NAME),
+            )
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     return Lakehouse(spark, root)

@@ -391,7 +391,15 @@ def ann_filtered_search_q(spark, sf_dir):
     corpus pass (the lang equi-condition rides the broadcast join);
     only per-query top-k survivors reach the window exchange. The
     lang attach is one corpus-sized equi-join that at scale would be
-    bucketed/co-partitioned on the id."""
+    bucketed/co-partitioned on the id.
+
+    Oracle-parity note: Spark computes dot(normalized, normalized)
+    while the DuckDB twin uses list_cosine_similarity on raw vectors;
+    differing summation order can move sims by last-ulp amounts. Both
+    sides therefore rank on the similarity ROUNDED to 6 decimals (ties
+    broken by cid), so a rank flip needs two candidates straddling the
+    same 1e-6 grid boundary under a ~1e-15 cross-engine wobble —
+    rather than any near-tie at all."""
     from bazof_spark.operators.similarity import dot, normalize
     from bazof_spark.sources.tables import load_table
 
@@ -417,7 +425,7 @@ def ann_filtered_search_q(spark, sf_dir):
             "qid",
             "qlang",
             F.col("vec_id").alias("cid"),
-            dot(F.col("qv"), F.col("vec")).alias("sim"),
+            F.round(dot(F.col("qv"), F.col("vec")), 6).alias("sim"),
         )
     )
     from pyspark.sql import Window
@@ -448,7 +456,7 @@ _ANN_FILTERED_ORACLE = """
     ),
     s AS (
         SELECT q.qid, q.qlang, e.vec_id AS cid,
-               list_cosine_similarity(q.qv, e.vec) AS sim
+               ROUND(list_cosine_similarity(q.qv, e.vec), 6) AS sim
         FROM q JOIN e ON e.lang = q.qlang AND e.vec_id <> q.qid
     ),
     r AS (

@@ -8,7 +8,9 @@ like ``Float``."""
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 from datetime import datetime, timezone
 
 import pytest
@@ -158,3 +160,53 @@ def test_sql_type_spellings_map_to_binary():
     assert SQL_TYPE_NAMES["BINARY"] == "Binary"
     assert SQL_TYPE_NAMES["BYTES"] == "Binary"
     assert SQL_TYPE_NAMES["BLOB"] == "Binary"
+
+
+def test_media_lakehouse_build_publish_is_atomic(spark, monkeypatch):
+    """The cached media-table build publishes via scratch-dir +
+    atomic rename: the marker is written INSIDE the scratch before the
+    rename (so it appears atomically with the table), and a builder
+    that loses the rename race to a concurrent process tolerates the
+    OSError and serves the winner's copy."""
+    import os as _os
+
+    from bazof_spark.sources import media
+
+    sf_dir = "/root/testdata/sf0.001"
+    lh1 = media.media_lakehouse(spark, sf_dir)
+    n1 = lh1.scan(media.TABLE_NAME).count()
+    assert n1 > 0
+
+    # cached path: a second call must not rebuild
+    def boom(*a, **k):
+        raise AssertionError("rebuild on cached table")
+
+    monkeypatch.setattr(media, "_build", boom)
+    assert media.media_lakehouse(spark, sf_dir).scan(
+        media.TABLE_NAME
+    ).count() == n1
+    monkeypatch.undo()
+
+    # race-loss path: wipe the cache, then make our rename lose —
+    # the winner's copy (published by the real rename first) is served
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "documents")
+    root = _os.path.join(tempfile.gettempdir(), f"bazof_media_{tag}")
+    shutil.rmtree(root)
+    real_rename = _os.rename
+
+    def lose_race(src, dst):
+        real_rename(src, dst)  # "another process" publishes first
+        raise FileExistsError(17, "lost the publish race", dst)
+
+    monkeypatch.setattr(media.os, "rename", lose_race)
+    lh2 = media.media_lakehouse(spark, sf_dir)
+    assert lh2.scan(media.TABLE_NAME).count() == n1
+    # the loser's scratch dir was cleaned up
+    parent = _os.path.dirname(root)
+    leftovers = [
+        d for d in _os.listdir(parent)
+        if d.startswith(_os.path.basename(root) + ".build-")
+    ]
+    assert leftovers == []

@@ -143,3 +143,19 @@ def test_sniff_decompress_nonstandard_dict_size():
     ) + os.urandom(64)
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_decompress(junk)
+
+
+def test_header_only_lzma_alone_still_classified():
+    """A 13-byte header-only LZMA_ALONE stream (props + dict + usize,
+    empty payload) is degenerate but spec-shaped; sniff_format's >= 13
+    guard and _sane_lzma_header's minimum must agree so it stays
+    classified as lzma instead of raising 'unrecognized container'."""
+    import lzma as _lzma
+
+    from bazof_spark.operators.codecs import _sane_lzma_header, sniff_format
+
+    blob = _lzma.compress(b"x" * 100, format=_lzma.FORMAT_ALONE)
+    header = blob[:13]
+    assert len(header) == 13
+    assert _sane_lzma_header(header)
+    assert sniff_format(header) == "lzma"

@@ -354,3 +354,30 @@ def test_file_size_extension_roundtrip():
 
     snap = Snapshot(segments=(seg,), schema=TableSchema())
     assert snap.file_sizes() == {"base.parquet": 777, "f1.parquet": 12345}
+
+
+def test_boolean_size_rejected_as_malformed():
+    """JSON booleans must not pass the size check (bool is an int
+    subclass): ``"size": true`` is malformed metadata and reads back
+    as *no* recorded size — not as size=1 round-tripping out as 1."""
+    from bazof_spark.metadata import Delta, Segment
+
+    d = Delta.from_json(
+        {
+            "file": "f1.parquet",
+            "start": "2024-01-01T00:00:00.000Z",
+            "end": "2024-01-02T00:00:00.000Z",
+            "size": True,
+        }
+    )
+    assert d.size is None and "size" not in d.to_json()
+    seg = Segment.from_json(
+        {
+            "id": "s1",
+            "start": "2024-01-01T00:00:00.000Z",
+            "file": "base.parquet",
+            "size": True,
+            "delta": [],
+        }
+    )
+    assert seg.size is None and "size" not in seg.to_json()
