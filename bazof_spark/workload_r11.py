@@ -26,6 +26,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: paragraph_dedup_corpus broadcast gate — the frequent (df>2) set is
+#: broadcast into the probe join only when its COUNTED row count is at
+#: most this (≈ tens of MB of paragraph text, inside executor/driver
+#: broadcast comfort); above it the probe falls back to a shuffled
+#: left join on ptext. On real web corpora the frequent set scales
+#: with the corpus, so the gate, not an assumption, decides the plan.
+FREQUENT_BROADCAST_MAX = 1_000_000
+
 
 def multimodal_table_asof_q(spark, sf_dir):
     """Op: Binary column + as-of time travel + upsert shadowing.
@@ -218,9 +226,15 @@ def paragraph_dedup_corpus_q(spark, sf_dir):
 
     100 TB shape: paragraph build is a JVM array projection; one hash
     exchange computes per-text doc frequency with map-side combine; the
-    frequent set (bounded by DISTINCT boilerplate strings, not rows) is
-    BROADCAST into a left-anti probe; one final exchange re-groups per
-    doc. No all-pairs anything."""
+    frequent set is SIZE-GATED (counted, never assumed bounded — on
+    real web corpora CCNet/Dolma-class dedup finds the majority of
+    paragraphs duplicated, so the df>2 set scales with the corpus):
+    below ``FREQUENT_BROADCAST_MAX`` rows it is BROADCAST into the
+    probe; above, the probe is a shuffled left join on ``ptext`` (two
+    more exchanges, but no driver/executor OOM — the same
+    size-dependent broadcast-vs-shuffle discipline as
+    ``dedup_clusters``'s driver-vs-distributed gate, dedup.py). One
+    final exchange re-groups per doc. No all-pairs anything."""
     from bazof_spark.workload_r10 import _docs
 
     d = F.col("doc_id")
@@ -246,16 +260,20 @@ def paragraph_dedup_corpus_q(spark, sf_dir):
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") > 2)
         .select("ptext")
+        .persist()  # the size probe and the join probe both read it
     )
-    # flag instead of anti-join-then-rejoin: ONE broadcast probe marks
+    # size gate: COUNT the frequent set (capped count — limit(n+1)
+    # stops the job as soon as the threshold is exceeded) instead of
+    # assuming it is bounded; only a within-budget set is broadcast
+    n_frequent = frequent.limit(FREQUENT_BROADCAST_MAX + 1).count()
+    probe = frequent.withColumn("_drop", F.lit(True))
+    if n_frequent <= FREQUENT_BROADCAST_MAX:
+        probe = F.broadcast(probe)
+    # flag instead of anti-join-then-rejoin: ONE probe join marks
     # dropped paragraphs, ONE final exchange aggregates everything per
     # doc (collect_list skips the null-when entries, so the digest is
     # kept-only in paragraph order)
-    flagged = paras.join(
-        F.broadcast(frequent.withColumn("_drop", F.lit(True))),
-        "ptext",
-        "left",
-    )
+    flagged = paras.join(probe, "ptext", "left")
     keep = F.col("_drop").isNull()
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_paras"),

@@ -638,18 +638,46 @@ def test_parquet_nested_roundtrip_map_only(spark):
 def test_paragraph_dedup_corpus_plan(spark):
     """Cross-corpus paragraph dedup: paragraph build is a JVM array
     projection; the doc-frequency agg is one hash exchange; the
-    frequent set probes via a BROADCAST left join (no shuffle on the
-    corpus side); the per-doc re-group is one more. Static bound: the
-    two-phase exact count-distinct costs 2 exchanges, the doc re-group
-    1, and each branch re-reads the rebalanced scan (AQE reuses one at
-    runtime) — so ≤ 5, with the corpus-side probe REQUIRED to be
-    broadcast (a shuffled probe would be the 100 TB bottleneck)."""
+    frequent set is SIZE-GATED — its row count is COUNTED (capped
+    limit(n+1) job) and only a within-budget set broadcasts into the
+    probe, else the probe is a shuffled left join (the
+    broadcast-vs-shuffle gate, not an unbounded forced broadcast, is
+    what survives a real web corpus where the df>2 set scales with the
+    data). On the test fixtures the 23 boilerplate variants are far
+    below the gate, so the plan must take the broadcast arm; the
+    shuffled arm is pinned separately by
+    test_paragraph_dedup_gate_above_threshold."""
     df = q("paragraph_dedup_corpus", spark)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "rightHint=(strategy=broadcast)" in opt  # the gate chose to force
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert shuffle_count(df) <= 5
+    # 8 = rebalance + freq-agg probe's 2 exchanges (INSIDE the cached,
+    # already-materialized InMemoryRelation — counted by the walker but
+    # never re-run) + doc re-group + AQE stage-reuse duplicates; the
+    # live-at-query-time exchanges remain the documented 3
+    assert shuffle_count(df) <= 8
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}
+
+
+def test_paragraph_dedup_gate_above_threshold(spark, monkeypatch):
+    """Above-gate arm of the paragraph-dedup broadcast gate: with the
+    threshold forced to 0, no broadcast may be FORCED — the join hint
+    must be absent from the optimized plan, leaving the
+    broadcast-vs-shuffle choice to Catalyst's size statistics (which
+    at real corpus scale see a huge relation and shuffle; on this tiny
+    fixture they may still auto-broadcast, which is exactly right).
+    Results must be IDENTICAL to the broadcast arm."""
+    from bazof_spark import workload_r11
+
+    df_b = q("paragraph_dedup_corpus", spark)
+    rows_b = sorted(map(tuple, df_b.collect()))
+    monkeypatch.setattr(workload_r11, "FREQUENT_BROADCAST_MAX", 0)
+    df_s = q("paragraph_dedup_corpus", spark)
+    opt = df_s._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+    assert sorted(map(tuple, df_s.collect())) == rows_b
 
 
 def test_image_dedup_ahash_single_exchange(spark):
