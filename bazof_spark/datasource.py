@@ -122,7 +122,8 @@ class _FilePartition(InputPartition):
 
 def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
                   tombstone: bool = False, formers=None,
-                  start: int = 0, length: int | None = None):
+                  start: int = 0, length: int | None = None,
+                  pushed=None, prune_stats=None):
     """Shared batch assembly for the batch and stream readers: read the
     parquet file, attach (_rank, _row_idx) provenance, null-fill
     columns the file predates (schema evolution adds columns as
@@ -141,39 +142,51 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     given, only the row groups whose first page offset falls inside it
     are read, and ``_row_idx`` starts at the file-global row position
     of the first such group — so the intra-file (key, event_time)
-    tie-break stays exact even when one file is read by many tasks."""
+    tie-break stays exact even when one file is read by many tasks.
+
+    ``pushed`` (page-index pruning): the reader's accepted predicates.
+    When the file carries page indexes (every writer-committed file
+    does), each predicate column's ColumnIndex min/max prunes at PAGE
+    granularity: row groups where NO page can match are skipped
+    entirely (their bytes are never fetched — the object-store win),
+    and partially-matching groups are sliced to the union of
+    may-match page row spans before any row crosses into the JVM.
+    Superset-safe by construction — the caller still evaluates the
+    exact predicates row-wise — and absent/unparseable indexes
+    (reference-authored files) degrade to no pruning. ``prune_stats``
+    (a dict, test hook) receives pages_total / pages_pruned /
+    groups_skipped / rows_pruned counters."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from bazof_spark import iofs
 
     formers = formers or {}
-    row_idx = 0
     # resolve through iofs so object-store URIs follow the same
     # endpoint/emulation routing as every other byte in the repo
     # (pq.ParquetFile on a raw s3:// string would bypass
     # $BAZOF_S3_ENDPOINT and scheme emulation entirely)
     filesystem, rel = iofs.split(path)
     f = pq.ParquetFile(filesystem.open_input_file(rel))
-    row_groups = None
-    if length is not None or start:
-        # length None with start > 0 = open-ended tail range (to EOF):
-        # split plans from commit-time-recorded sizes must degrade to
-        # a bigger last task — never to dropped row groups — if the
-        # recorded size ever understates the file
-        md = f.metadata
-        row_groups = []
-        rows_before = 0
-        for i in range(md.num_row_groups):
-            rg = md.row_group(i)
+    md = f.metadata
+    # (group index, file-global first row) for every group this byte
+    # range covers. length None with start > 0 = open-ended tail range
+    # (to EOF): split plans from commit-time-recorded sizes must
+    # degrade to a bigger last task — never to dropped row groups — if
+    # the recorded size ever understates the file
+    sel: list[tuple[int, int]] = []
+    rows_before = 0
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        if length is None and not start:
+            sel.append((i, rows_before))
+        else:
             off = _row_group_offset(rg)
             if start <= off and (length is None or off < start + length):
-                if not row_groups:
-                    row_idx = rows_before
-                row_groups.append(i)
-            rows_before += rg.num_rows
-        if not row_groups:
-            return  # every group's start offset lands in another range
+                sel.append((i, rows_before))
+        rows_before += rg.num_rows
+    if not sel:
+        return  # every group's start offset lands in another range
     present = set(f.schema_arrow.names)
     # per-file source spelling for each requested column
     src: dict[str, str] = {}
@@ -187,9 +200,16 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
                     break
     rev = {v: k for k, v in src.items()}
     want = [src[c] for c in columns if c in src]
-    for batch in f.iter_batches(columns=want, row_groups=row_groups):
-        n = batch.num_rows
-        t = pa.Table.from_batches([batch])
+    spans_by_group = (
+        _page_prune_spans(
+            filesystem, rel, pushed, src, [g for g, _ in sel], prune_stats
+        )
+        if pushed
+        else None
+    )
+
+    def emit(t: pa.Table, row_idx: int):
+        n = t.num_rows
         if any(k != v for k, v in src.items()):
             t = t.rename_columns([rev.get(nm, nm) for nm in t.column_names])
         for c in columns:
@@ -208,8 +228,218 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
             t = t.append_column(
                 "_tombstone", pa.array([tombstone] * n, type=pa.bool_())
             )
-        row_idx += n
-        yield t.select(field_order).cast(arrow_schema)
+        return t.select(field_order).cast(arrow_schema)
+
+    if spans_by_group is None:
+        # no page index / nothing pushed: one streaming pass over the
+        # selected (contiguous) groups, exactly the pre-prune behavior
+        row_idx = sel[0][1]
+        groups = [g for g, _ in sel] if (length is not None or start) else None
+        for batch in f.iter_batches(columns=want, row_groups=groups):
+            yield emit(pa.Table.from_batches([batch]), row_idx)
+            row_idx += batch.num_rows
+        return
+    for gi, g0 in sel:
+        spans = spans_by_group.get(gi)
+        if spans is None:
+            spans = [(0, md.row_group(gi).num_rows)]
+        if not spans:
+            continue  # no page can match: the group's bytes never move
+        pos = 0
+        for batch in f.iter_batches(columns=want, row_groups=[gi]):
+            b1 = pos + batch.num_rows
+            t = None
+            for s0, sn in spans:
+                lo, hi = max(pos, s0), min(b1, s0 + sn)
+                if lo < hi:
+                    t = pa.Table.from_batches([batch]) if t is None else t
+                    yield emit(t.slice(lo - pos, hi - lo), g0 + lo)
+            pos = b1
+
+
+def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
+                      stats=None):
+    """Page-index prune plan for one file: {group index: sorted
+    [(first row in group, n rows), ...] covering a SUPERSET of the
+    rows any pushed predicate can match}. An empty span list means the
+    whole group is prunable; a missing file-level page index returns
+    None (no pruning). Never raises — pruning is an optimization, so
+    any parse surprise (foreign writer, truncated index) degrades to
+    reading everything rather than failing the scan.
+
+    The indexes are fetched by BYTE RANGE (one small read per pushed
+    column chunk plus one footer read), which is the point on object
+    stores: a selective predicate touches a few KB of index instead of
+    the row groups it ends up skipping. Bounds are decoded by the
+    chunk's physical type and compared in the parquet sort order
+    (UTF-8 bounds bytewise — identical to code-point order, so
+    writer-truncated min/max stay valid bounds)."""
+    import struct as _struct
+
+    from bazof_spark.operators.parquetmeta import (
+        parse_column_index_blob,
+        parse_footer_blob,
+        parse_offset_index_blob,
+    )
+
+    decoders = {
+        "INT32": lambda b: _struct.unpack("<i", b)[0],
+        "INT64": lambda b: _struct.unpack("<q", b)[0],
+        "FLOAT": lambda b: _struct.unpack("<f", b)[0],
+        "DOUBLE": lambda b: _struct.unpack("<d", b)[0],
+        "BYTE_ARRAY": bytes,
+        "BOOLEAN": lambda b: b[0] != 0,
+    }
+
+    def encode(value, ptype):
+        """Pushed Python value → the decoded-bound comparison domain;
+        None = not comparable (skip pruning on this predicate)."""
+        if isinstance(value, bool):
+            return value if ptype == "BOOLEAN" else None
+        if isinstance(value, int):
+            return value if ptype in ("INT32", "INT64") else None
+        if isinstance(value, float):
+            if ptype == "DOUBLE":
+                return value
+            if ptype == "FLOAT":
+                # the reader compares against float32-cast scalars;
+                # mirror that so the bound test sees the same value
+                return _struct.unpack("<f", _struct.pack("<f", value))[0]
+            return None
+        if isinstance(value, str):
+            return value.encode("utf-8") if ptype == "BYTE_ARRAY" else None
+        return None
+
+    def may_match(op, vals, mn, mx):
+        if op in ("equal", "isin"):
+            return any(mn <= v <= mx for v in vals)
+        if op == "greater":
+            return mx > vals[0]
+        if op == "greater_equal":
+            return mx >= vals[0]
+        if op == "less":
+            return mn < vals[0]
+        if op == "less_equal":
+            return mn <= vals[0]
+        return True  # unknown op: never prune on it
+
+    try:
+        with filesystem.open_input_file(rel) as fin:
+            size = fin.size()
+            if size < 12:
+                return None
+            fin.seek(size - 8)
+            (meta_len,) = _struct.unpack("<I", fin.read(8)[:4])
+            if size - 8 - meta_len < 4:
+                return None
+            fin.seek(size - 8 - meta_len)
+            footer = parse_footer_blob(fin.read(meta_len))
+            spans_by_group: dict[int, list[tuple[int, int]]] = {}
+            any_index = False
+            for gi in group_indices:
+                rg = footer["row_groups"][gi]
+                n_rows = rg["num_rows"]
+                spans = [(0, n_rows)]
+                for op, col, value in pushed:
+                    pcol = src.get(col)
+                    if pcol is None:
+                        continue
+                    chunk = next(
+                        (
+                            c
+                            for c in rg["columns"]
+                            if c["path_in_schema"] == [pcol]
+                        ),
+                        None,
+                    )
+                    if chunk is None:
+                        continue
+                    ci_off = chunk.get("column_index_offset")
+                    ci_len = chunk.get("column_index_length")
+                    oi_off = chunk.get("offset_index_offset")
+                    oi_len = chunk.get("offset_index_length")
+                    dec = decoders.get(chunk.get("type"))
+                    if not ci_off or not oi_off or dec is None:
+                        continue
+                    raw = value if op == "isin" else (value,)
+                    vals = [encode(v, chunk["type"]) for v in raw]
+                    if any(v is None for v in vals):
+                        continue
+                    fin.seek(ci_off)
+                    ci = parse_column_index_blob(fin.read(ci_len))
+                    fin.seek(oi_off)
+                    oi = parse_offset_index_blob(fin.read(oi_len))
+                    n_pages = len(oi)
+                    if (
+                        len(ci["null_pages"]) != n_pages
+                        or len(ci["min_values"]) != n_pages
+                        or len(ci["max_values"]) != n_pages
+                    ):
+                        continue  # malformed index: don't prune on it
+                    any_index = True
+                    keep: list[tuple[int, int]] = []
+                    pruned = 0
+                    for i in range(n_pages):
+                        r0 = oi[i]["first_row_index"]
+                        r1 = (
+                            oi[i + 1]["first_row_index"]
+                            if i + 1 < n_pages
+                            else n_rows
+                        )
+                        if ci["null_pages"][i]:
+                            pruned += 1  # comparisons are null-rejecting
+                            continue
+                        try:
+                            mn = dec(ci["min_values"][i])
+                            mx = dec(ci["max_values"][i])
+                        except Exception:
+                            keep.append((r0, r1 - r0))  # undecodable: keep
+                            continue
+                        if may_match(op, vals, mn, mx):
+                            keep.append((r0, r1 - r0))
+                        else:
+                            pruned += 1
+                    if stats is not None:
+                        stats["pages_total"] = (
+                            stats.get("pages_total", 0) + n_pages
+                        )
+                        stats["pages_pruned"] = (
+                            stats.get("pages_pruned", 0) + pruned
+                        )
+                    spans = _intersect_spans(spans, keep)
+                    if not spans:
+                        break
+                spans_by_group[gi] = spans
+                if stats is not None:
+                    if not spans:
+                        stats["groups_skipped"] = (
+                            stats.get("groups_skipped", 0) + 1
+                        )
+                    stats["rows_pruned"] = (
+                        stats.get("rows_pruned", 0)
+                        + n_rows
+                        - sum(n for _, n in spans)
+                    )
+            return spans_by_group if any_index else None
+    except Exception:
+        return None  # optimization only: any surprise = no pruning
+
+
+def _intersect_spans(a, b):
+    """Intersection of two sorted, disjoint (start, n) span lists."""
+    out: list[tuple[int, int]] = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        a0, an = a[i]
+        b0, bn = b[j]
+        lo, hi = max(a0, b0), min(a0 + an, b0 + bn)
+        if lo < hi:
+            out.append((lo, hi - lo))
+        if a0 + an <= b0 + bn:
+            i += 1
+        else:
+            j += 1
+    return out
 
 
 def _row_group_offset(rg) -> int:
@@ -523,6 +753,11 @@ class BazofReader(DataSourceReader):
             formers=self._formers,
             start=partition.start,
             length=partition.length,
+            # pushed predicates double as the page-index prune plan:
+            # row groups no page can match are never fetched, partial
+            # groups are sliced to may-match page spans — the exact
+            # row-wise evaluation below stays authoritative
+            pushed=self._pushed,
         ):
             if self._as_of_dt is not None:
                 # event-time bound applied IN the reader: rows past the

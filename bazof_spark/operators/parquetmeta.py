@@ -268,7 +268,15 @@ def parse_offset_index(data: bytes, chunk: dict) -> list[dict] | None:
     off, ln = chunk.get("offset_index_offset"), chunk.get("offset_index_length")
     if not off or not ln:
         return None
-    d = _read_struct(_Reader(data[off : off + ln]))
+    return parse_offset_index_blob(data[off : off + ln])
+
+
+def parse_offset_index_blob(blob: bytes) -> list[dict]:
+    """Decode a raw OffsetIndex thrift blob (the ``chunk``-addressed
+    form above slices it out of whole-file bytes; readers that fetch
+    the index region by byte range — e.g. the Data Source page-prune
+    pass over object stores — hand the blob in directly)."""
+    d = _read_struct(_Reader(blob))
     return [
         {
             "offset": p.get(1),
@@ -291,7 +299,13 @@ def parse_column_index(data: bytes, chunk: dict) -> dict | None:
     off, ln = chunk.get("column_index_offset"), chunk.get("column_index_length")
     if not off or not ln:
         return None
-    d = _read_struct(_Reader(data[off : off + ln]))
+    return parse_column_index_blob(data[off : off + ln])
+
+
+def parse_column_index_blob(blob: bytes) -> dict:
+    """Decode a raw ColumnIndex thrift blob (byte-range-fetch twin of
+    :func:`parse_column_index`, same contract)."""
+    d = _read_struct(_Reader(blob))
     return {
         "null_pages": d.get(1, []),
         "min_values": d.get(2, []),

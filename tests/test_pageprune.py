@@ -1,0 +1,215 @@
+"""Page-index pruning in the Python Data Source reader (the
+object-store scan path): ColumnIndex min/max vs pushed predicates
+selects page row-spans per row group; row groups with no may-match
+page are never read, partial groups are sliced to the surviving spans
+BEFORE rows cross to the JVM, and files without indexes degrade to no
+pruning. Reference: the JVM vectorized reader page-prunes local roots
+the same way; this is the reader-side half of the round-11 write-side
+page-index feature (every commit site emits indexes)."""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bazof_spark.datasource import (  # noqa: E402
+    _file_batches,
+    _intersect_spans,
+    _page_prune_spans,
+)
+
+N = 4000
+ROWS_PER_GROUP = 1000
+
+
+@pytest.fixture(scope="module")
+def indexed_file(tmp_path_factory):
+    """4 row groups × ~5 pages each, k ascending — so any selective
+    predicate on k has whole groups AND partial pages to prune."""
+    path = str(tmp_path_factory.mktemp("pp") / "indexed.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(range(N), type=pa.int64()),
+            "name": pa.array([f"u{i:05d}" for i in range(N)]),
+            "score": pa.array([i / 7.0 for i in range(N)], type=pa.float64()),
+        }
+    )
+    pq.write_table(
+        t,
+        path,
+        row_group_size=ROWS_PER_GROUP,
+        data_page_size=1024,  # a few hundred rows per page...
+        write_batch_size=64,  # ...and check the budget often enough
+        use_dictionary=False,  # dictionary pages would defeat the size cap
+        write_page_index=True,
+        write_statistics=True,
+        compression="snappy",
+    )
+    return path
+
+
+def _read(path, pushed, stats=None, columns=("k", "name"), **kw):
+    types = {"k": pa.int64(), "name": pa.string()}
+    schema = pa.schema(
+        [pa.field(c, types[c]) for c in columns]
+        + [pa.field("_rank", pa.int64()), pa.field("_row_idx", pa.int64())]
+    )
+    cols = [c for c in columns]
+    order = cols + ["_rank", "_row_idx"]
+    tables = list(
+        _file_batches(
+            path, 0, cols, order, schema, pushed=pushed,
+            prune_stats=stats, **kw
+        )
+    )
+    if not tables:
+        return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+    return pa.concat_tables(tables)
+
+
+def test_equality_predicate_skips_groups_and_counts_pages(indexed_file):
+    stats = {}
+    t = _read(indexed_file, [("equal", "k", 2500)], stats)
+    # superset of the matching row, sliced to its page span
+    ks = t.column("k").to_pylist()
+    assert 2500 in ks
+    assert len(ks) < ROWS_PER_GROUP  # partial group sliced to one page
+    # 3 of 4 row groups have no may-match page: their bytes never move
+    assert stats["groups_skipped"] == 3
+    assert stats["pages_pruned"] > stats["pages_total"] * 0.7
+    assert stats["rows_pruned"] >= N - ROWS_PER_GROUP
+    # file-global row provenance survives the slicing
+    idx = t.column("_row_idx").to_pylist()
+    assert idx == ks  # k was written as the row number
+
+
+def test_range_predicate_spans_group_boundary(indexed_file):
+    stats = {}
+    t = _read(
+        indexed_file,
+        [("greater_equal", "k", 950), ("less", "k", 1050)],
+        stats,
+    )
+    ks = set(t.column("k").to_pylist())
+    assert set(range(950, 1050)) <= ks  # superset always
+    assert stats["groups_skipped"] == 2  # groups 2 and 3 out entirely
+    idx = t.column("_row_idx").to_pylist()
+    assert idx == sorted(ks)
+
+
+def test_string_and_isin_predicates(indexed_file):
+    stats = {}
+    t = _read(indexed_file, [("equal", "name", "u03999")], stats)
+    assert "u03999" in t.column("name").to_pylist()
+    assert stats["groups_skipped"] == 3
+    stats2 = {}
+    t2 = _read(indexed_file, [("isin", "k", (10, 3010))], stats2)
+    ks = set(t2.column("k").to_pylist())
+    assert {10, 3010} <= ks
+    assert stats2["groups_skipped"] == 2
+
+
+def test_impossible_predicate_reads_nothing(indexed_file):
+    stats = {}
+    t = _read(indexed_file, [("greater", "k", 10 * N)], stats)
+    assert t.num_rows == 0
+    assert stats["groups_skipped"] == 4
+    assert stats["rows_pruned"] == N
+
+
+def test_pruned_read_equals_unpruned_after_exact_filter(indexed_file):
+    """The contract: pruning yields a SUPERSET; applying the exact
+    predicate to both reads must give identical rows."""
+    import pyarrow.compute as pc
+
+    for pushed in (
+        [("equal", "k", 777)],
+        [("less_equal", "k", 123)],
+        [("greater", "k", 3900)],
+        [("equal", "name", "u01234")],
+    ):
+        pruned = _read(indexed_file, pushed)
+        full = _read(indexed_file, None)
+
+        def exact(t):
+            for op, col, v in pushed:
+                f = {
+                    "equal": pc.equal,
+                    "less_equal": pc.less_equal,
+                    "greater": pc.greater,
+                }[op]
+                t = t.filter(f(t.column(col), pa.scalar(v)))
+            return t.sort_by("_row_idx")
+
+        assert exact(pruned).equals(exact(full))
+
+
+def test_byte_range_split_composes_with_pruning(indexed_file):
+    """Row-group byte-range assignment (split reads) and page pruning
+    compose: a split covering groups 0-1 with a predicate matching
+    group 1 only reads group 1's spans, with exact _row_idx."""
+    md = pq.ParquetFile(indexed_file).metadata
+    g2_off = md.row_group(2).column(0).dictionary_page_offset or md.row_group(
+        2
+    ).column(0).data_page_offset
+    t = _read(
+        indexed_file,
+        [("equal", "k", 1500)],
+        start=0,
+        length=g2_off,  # groups 0 and 1 only
+    )
+    ks = t.column("k").to_pylist()
+    assert 1500 in ks and all(k < 2 * ROWS_PER_GROUP for k in ks)
+    assert t.column("_row_idx").to_pylist() == ks
+
+
+def test_no_page_index_degrades_to_full_read(tmp_path):
+    """Files without page indexes (reference-authored) read exactly as
+    before: no pruning, no error, stats untouched."""
+    path = str(tmp_path / "noindex.parquet")
+    t = pa.table({"k": pa.array(range(100), type=pa.int64())})
+    pq.write_table(t, path, write_page_index=False)
+    stats = {}
+    out = _read(path, [("equal", "k", 5)], stats, columns=("k",))
+    assert out.num_rows == 100  # superset = everything
+    assert stats.get("groups_skipped", 0) == 0
+    assert stats.get("pages_pruned", 0) == 0
+
+
+def test_prune_planner_on_reference_files():
+    """Reference-authored files (arrow-rs writes page indexes by
+    default) prune too — and always to a SUPERSET of the matching
+    rows: probing every reference table0 file for a key each file may
+    or may not contain never loses a row."""
+    import pyarrow.compute as pc
+
+    from bazof_spark import iofs
+
+    root = "/root/reference/test-data/table0"
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert files
+    for name in files:
+        path = os.path.join(root, name)
+        full = pq.read_table(path)
+        for key in ("1", "3"):
+            fs, rel = iofs.split(path)
+            spans = _page_prune_spans(
+                fs, rel, [("equal", "key", key)], {"key": "key"},
+                list(range(pq.ParquetFile(path).metadata.num_row_groups)),
+            )
+            expect = full.filter(pc.equal(full.column("key"), key)).num_rows
+            if spans is None:
+                continue  # no index: everything is read, superset holds
+            got = sum(n for s in spans.values() for _, n in s)
+            assert got >= expect
+
+
+def test_intersect_spans():
+    assert _intersect_spans([(0, 10)], [(5, 10)]) == [(5, 5)]
+    assert _intersect_spans([(0, 4), (8, 4)], [(2, 8)]) == [(2, 2), (8, 2)]
+    assert _intersect_spans([(0, 4)], [(4, 4)]) == []
+    assert _intersect_spans([], [(0, 4)]) == []
