@@ -6923,11 +6923,13 @@ from bazof_spark.workload_clean import ORACLES_CLEAN, QUERIES_CLEAN  # noqa: E40
 from bazof_spark.workload_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 from bazof_spark.workload_r10 import ORACLES_R10, QUERIES_R10  # noqa: E402
 from bazof_spark.workload_r11 import ORACLES_R11, QUERIES_R11  # noqa: E402
+from bazof_spark.workload_r12 import ORACLES_R12, QUERIES_R12  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 QUERIES.update(QUERIES_CLEAN)
 QUERIES.update(QUERIES_R10)
 QUERIES.update(QUERIES_R11)
+QUERIES.update(QUERIES_R12)
 
 # ---------------------------------------------------------------------------
 # Driver-rotation ordering. The driver's correctness harness checks the
@@ -7007,4 +7009,5 @@ ORACLES: dict[str, str] = {
     **ORACLES_CLEAN,
     **ORACLES_R10,
     **ORACLES_R11,
+    **ORACLES_R12,
 }

@@ -1,0 +1,243 @@
+"""Round-12 workload queries: the versioned ANN index (the IVF
+inverted lists stored IN the table format, searched as-of two
+instants — sources/annindex.py) and the CDC mirror pipeline (a
+downstream table maintained purely from the change feed —
+sources/cdfmirror.py). Oracles recompute both from first principles
+in DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+#: probe vectors for ann_index_asof (present in every sf's corpus)
+PROBE_IDS = (2, 5, 8, 11, 14)
+
+
+def ann_index_asof_q(spark, sf_dir):
+    """VERSIONED ANN INDEX: the IVF coarse-list membership is an azof
+    table with two versions (half corpus indexed at v1; full corpus +
+    a rebalancing reassignment at v2 — sources/annindex.py), and the
+    SEARCH follows the STORED index at each instant: an as-of scan
+    between the versions answers from v1's half-corpus lists, Current
+    from the refreshed ones. This is index refresh without losing the
+    old index — the format's time travel applied to derived state.
+
+    100 TB shape: the probe-list relation (5 queries × top-2 lists) is
+    BROADCAST into the index scan, shrinking it to the probed lists'
+    members before the single id equi-join that attaches vectors (at
+    scale: bucketed/co-partitioned on vec_id); per-query top-k runs
+    map-side ahead of the tiny window exchange. The index scan itself
+    is the ordinary as-of merge — one key exchange per instant.
+
+    Oracle parity: both engines rank on cosine ROUNDED to 6 decimals
+    with id tie-breaks at every ranking site (assignment, probe lists,
+    final top-k) — the ann_filtered_search discipline."""
+    from pyspark.sql import Window
+
+    from bazof_spark.operators.similarity import dot, normalize
+    from bazof_spark.sources.annindex import (
+        BETWEEN,
+        N_SEEDS,
+        TABLE_NAME,
+        ann_index_lakehouse,
+    )
+    from bazof_spark.sources.tables import load_table
+
+    lh = ann_index_lakehouse(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        normalize(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    seeds = e.filter(F.col("vec_id") < N_SEEDS).select(
+        F.col("vec_id").alias("sid"), F.col("vec").alias("svec")
+    )
+    probes = e.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    # per-query probed lists: top-2 seeds by cosine (instant-invariant
+    # because the coarse quantizer is fixed across index versions)
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("psim").desc(), F.col("list_id").asc()
+    )
+    plists = (
+        probes.join(F.broadcast(seeds))
+        .select(
+            "qid",
+            "qvec",
+            F.col("sid").alias("list_id"),
+            F.round(dot(F.col("qvec"), F.col("svec")), 6).alias("psim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= 2)
+        .select("qid", "qvec", "list_id")
+    )
+    legs = []
+    for instant, as_of in (("v1", BETWEEN), ("current", None)):
+        idx = lh.scan(TABLE_NAME, as_of=as_of).select(
+            F.col("key").cast("long").alias("cid"), "list_id"
+        )
+        # broadcast probe-lists prune the index to the probed lists'
+        # members BEFORE any vector math or id join
+        cand = idx.join(F.broadcast(plists), "list_id").filter(
+            F.col("cid") != F.col("qid")
+        )
+        scored = cand.join(e, cand.cid == e.vec_id).select(
+            "qid",
+            "cid",
+            "list_id",
+            F.round(dot(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+        wk = Window.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col("cid").asc()
+        )
+        legs.append(
+            scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= 3)
+            .select(
+                F.lit(instant).alias("instant"),
+                F.col("qid").alias("query_id"),
+                "rank",
+                F.col("cid").alias("neighbor_id"),
+                "list_id",
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
+_ANN_INDEX_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS sid, vec AS svec FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, s.sid,
+               ROUND(list_cosine_similarity(e.vec, s.svec), 6) AS sim
+        FROM e CROSS JOIN seeds s
+    ),
+    ranked AS (
+        SELECT vec_id, sid,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY sim DESC, sid
+               ) AS rn
+        FROM scored
+    ),
+    assign AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN sid END) AS list_id,
+               MAX(CASE WHEN rn = 2 THEN sid END) AS alt_list_id
+        FROM ranked GROUP BY vec_id
+    ),
+    both_idx AS (
+        SELECT 'v1' AS instant, vec_id AS cid, list_id
+        FROM assign WHERE vec_id % 2 = 0
+        UNION ALL
+        SELECT 'current', vec_id,
+               CASE WHEN vec_id % 6 = 0 THEN alt_list_id ELSE list_id END
+        FROM assign
+    ),
+    probes AS (
+        SELECT vec_id AS qid, vec AS qvec FROM e
+        WHERE vec_id IN (2, 5, 8, 11, 14)
+    ),
+    plists AS (
+        SELECT qid, list_id FROM (
+            SELECT p.qid, s.sid AS list_id,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY ROUND(
+                           list_cosine_similarity(p.qvec, s.svec), 6
+                       ) DESC, s.sid
+                   ) AS prn
+            FROM probes p CROSS JOIN seeds s
+        ) WHERE prn <= 2
+    ),
+    cands AS (
+        SELECT b.instant, pl.qid, b.cid, b.list_id,
+               ROUND(list_cosine_similarity(p.qvec, ce.vec), 6) AS sim
+        FROM both_idx b
+        JOIN plists pl ON b.list_id = pl.list_id
+        JOIN probes p ON p.qid = pl.qid
+        JOIN e ce ON ce.vec_id = b.cid
+        WHERE b.cid <> pl.qid
+    ),
+    topk AS (
+        SELECT instant, qid, cid, list_id,
+               row_number() OVER (
+                   PARTITION BY instant, qid ORDER BY sim DESC, cid
+               ) AS rk
+        FROM cands
+    )
+    SELECT instant, qid AS query_id, CAST(rk AS INT) AS rank,
+           cid AS neighbor_id, list_id
+    FROM topk WHERE rk <= 3
+"""
+
+
+def cdf_mirror_scan_q(spark, sf_dir):
+    """CDC MIRROR: table B is maintained purely by applying table A's
+    change feed (bootstrap + one atomic merge_apply per feed window —
+    sources/cdfmirror.py), and this query reads B — never A — at two
+    instants. A correct pipeline makes B bit-identical to A's state at
+    every instant, which the oracle recomputes in closed form from the
+    deterministic history. The incremental applies touch ONLY changed
+    keys (B's delta files are exactly the feed rows — pinned in
+    tests/test_cdfmirror.py); the scan itself is the ordinary as-of
+    merge, one key exchange per leg."""
+    from bazof_spark.sources.cdfmirror import (
+        BETWEEN_V2,
+        MIRROR,
+        cdf_mirror_lakehouse,
+    )
+
+    lh = cdf_mirror_lakehouse(spark, sf_dir)
+    legs = []
+    for instant, as_of in (("v2", BETWEEN_V2), ("current", None)):
+        legs.append(
+            lh.scan(MIRROR, as_of=as_of).select(
+                F.lit(instant).alias("instant"),
+                F.col("key").cast("long").alias("key_id"),
+                "balance",
+                "status",
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
+_CDF_MIRROR_ORACLE = """
+    WITH k AS (SELECT DISTINCT doc_id AS k FROM documents),
+    v2 AS (
+        SELECT 'v2' AS instant, k,
+               CASE WHEN k % 7 = 0 THEN k * 7 + 1000
+                    ELSE k * 7 END AS balance,
+               CASE WHEN k % 7 = 0 THEN 'upd' ELSE 'new' END AS status
+        FROM k WHERE k % 31 <> 5
+    ),
+    cur AS (
+        SELECT 'current' AS instant, k,
+               CASE WHEN k % 62 = 5 THEN k * 7 + 5000
+                    WHEN k % 13 = 2 THEN
+                        (CASE WHEN k % 7 = 0 THEN k * 7 + 1000
+                              ELSE k * 7 END) + 50
+                    WHEN k % 7 = 0 THEN k * 7 + 1000
+                    ELSE k * 7 END AS balance,
+               CASE WHEN k % 62 = 5 THEN 'back'
+                    WHEN k % 13 = 2 THEN 'u2'
+                    WHEN k % 7 = 0 THEN 'upd'
+                    ELSE 'new' END AS status
+        FROM k WHERE k % 31 <> 5 OR k % 62 = 5
+    )
+    SELECT instant, k AS key_id, CAST(balance AS BIGINT) AS balance,
+           status
+    FROM (SELECT * FROM v2 UNION ALL SELECT * FROM cur)
+"""
+
+
+QUERIES_R12 = {
+    "ann_index_asof": ann_index_asof_q,
+    "cdf_mirror_scan": cdf_mirror_scan_q,
+}
+
+ORACLES_R12 = {
+    "ann_index_asof": _ANN_INDEX_ORACLE,
+    "cdf_mirror_scan": _CDF_MIRROR_ORACLE,
+}

@@ -697,3 +697,32 @@ def test_ann_filtered_search_broadcasts_queries(spark):
     assert broadcast_join_count(df) >= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_index_asof_broadcasts_probe_lists(spark):
+    """Versioned ANN index: each leg is one as-of merge exchange over
+    the index table plus one id equi-join to attach vectors (bucketed
+    at scale) and the per-query top-k window — the probe-list and seed
+    relations must ride BROADCAST joins so the index/corpus side never
+    shuffles for the search itself. Static bound: 2 merges + 2 id
+    joins + 2 windows = 6 exchanges."""
+    df = q("ann_index_asof", spark)
+    assert broadcast_join_count(df) >= 4  # seeds + probe lists, per leg
+    assert shuffle_count(df) <= 6
+    for cols in scan_columns(df):
+        assert cols <= {
+            "key", "event_time", "list_id", "vec_id", "embedding",
+            "_tmp_metadata_row_index",
+        }
+
+
+def test_cdf_mirror_scan_two_merges_no_joins(spark):
+    """CDC mirror read: the mirror is an ordinary azof table, so the
+    query is exactly two as-of merge exchanges (one per instant) and
+    ZERO joins — proof the mirror materialized A's state instead of
+    recomputing it from A at read time."""
+    df = q("cdf_mirror_scan", spark)
+    assert shuffle_count(df) <= 2
+    assert broadcast_join_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
