@@ -291,11 +291,37 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
         "BOOLEAN": lambda b: b[0] != 0,
     }
 
-    def encode(value, ptype):
+    from datetime import datetime, timezone
+
+    _UNIT_SCALE = {"MILLIS": 1_000, "MICROS": 1_000_000, "NANOS": 10**9}
+
+    def encode(value, ptype, elem=None):
         """Pushed Python value → the decoded-bound comparison domain;
         None = not comparable (skip pruning on this predicate)."""
         if isinstance(value, bool):
             return value if ptype == "BOOLEAN" else None
+        if isinstance(value, datetime):
+            # an as-of instant vs an INT64 timestamp column: compare in
+            # the column's declared unit (naive stored values are UTC
+            # instants by the repo-wide convention, matching the
+            # reader's row filter)
+            unit = (elem or {}).get("timestamp_unit")
+            if ptype != "INT64" or unit not in _UNIT_SCALE:
+                return None
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            micros = (value - epoch) // __import__("datetime").timedelta(
+                microseconds=1
+            )
+            scale = _UNIT_SCALE[unit]
+            if scale == 1_000_000:
+                return micros
+            if scale == 1_000:
+                # floor keeps ≤-bound safety: a bound truncated DOWN
+                # can only keep more pages, never drop a matching one
+                return micros // 1_000
+            return micros * 1_000
         if isinstance(value, int):
             return value if ptype in ("INT32", "INT64") else None
         if isinstance(value, float):
@@ -334,6 +360,7 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
                 return None
             fin.seek(size - 8 - meta_len)
             footer = parse_footer_blob(fin.read(meta_len))
+            top_elems = _top_level_schema_elements(footer["schema"])
             spans_by_group: dict[int, list[tuple[int, int]]] = {}
             any_index = False
             for gi in group_indices:
@@ -362,7 +389,15 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
                     if not ci_off or not oi_off or dec is None:
                         continue
                     raw = value if op == "isin" else (value,)
-                    vals = [encode(v, chunk["type"]) for v in raw]
+                    if any(isinstance(v, datetime) for v in raw) and (
+                        op != "less_equal"
+                    ):
+                        # the MILLIS floor below is exact only for the
+                        # as-of <= shape; no other datetime predicate
+                        # exists today, so don't prune on one
+                        continue
+                    elem = top_elems.get(pcol)
+                    vals = [encode(v, chunk["type"], elem) for v in raw]
                     if any(v is None for v in vals):
                         continue
                     fin.seek(ci_off)
@@ -423,6 +458,27 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
             return spans_by_group if any_index else None
     except Exception:
         return None  # optimization only: any surprise = no pruning
+
+
+def _top_level_schema_elements(elems) -> dict:
+    """{name: schema element} for the ROOT's direct children only —
+    each group's subtree is skipped by its num_children span, so a
+    nested leaf can never shadow a flat column of the same name (the
+    round-10 _max_levels lesson, applied to the prune planner)."""
+    out: dict = {}
+
+    def skip(j: int) -> int:
+        nc = elems[j].get("num_children") or 0
+        j += 1
+        for _ in range(nc):
+            j = skip(j)
+        return j
+
+    i = 1  # elems[0] is the root
+    while i < len(elems):
+        out.setdefault(elems[i]["name"], elems[i])
+        i = skip(i)
+    return out
 
 
 def _intersect_spans(a, b):
@@ -756,8 +812,18 @@ class BazofReader(DataSourceReader):
             # pushed predicates double as the page-index prune plan:
             # row groups no page can match are never fetched, partial
             # groups are sliced to may-match page spans — the exact
-            # row-wise evaluation below stays authoritative
-            pushed=self._pushed,
+            # row-wise evaluation below stays authoritative. The as-of
+            # bound rides along: the writer's event_time-DESC invariant
+            # puts the NEWEST instants in a file's leading pages, so a
+            # historical as-of prunes them wholesale
+            pushed=(
+                self._pushed
+                + (
+                    [("less_equal", "event_time", self._as_of_dt)]
+                    if self._as_of_dt is not None
+                    else []
+                )
+            ),
         ):
             if self._as_of_dt is not None:
                 # event-time bound applied IN the reader: rows past the

@@ -159,6 +159,28 @@ def _utf8(v) -> str | None:
     return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v
 
 
+#: parquet.thrift ConvertedType ordinals for timestamps (deprecated
+#: pre-logical-type spelling; old writers emit only these)
+_CONVERTED_TIMESTAMPS = {9: "MILLIS", 10: "MICROS"}
+#: TimeUnit union field ids inside LogicalType.TIMESTAMP
+_TIME_UNITS = {1: "MILLIS", 2: "MICROS", 3: "NANOS"}
+
+
+def _timestamp_unit(d: dict) -> str | None:
+    """The element's timestamp unit ('MILLIS'|'MICROS'|'NANOS'), from
+    the LogicalType union (field 10 → TIMESTAMP at union field 8 →
+    TimeUnit union at field 2) or the deprecated ConvertedType
+    (field 6); None when the element is not a timestamp."""
+    lt = d.get(10)
+    if isinstance(lt, dict) and isinstance(lt.get(8), dict):
+        unit = lt[8].get(2)
+        if isinstance(unit, dict):
+            for fid, name in _TIME_UNITS.items():
+                if fid in unit:
+                    return name
+    return _CONVERTED_TIMESTAMPS.get(d.get(6))
+
+
 def _schema_element(d: dict) -> dict:
     return {
         "type": PHYSICAL_TYPES.get(d.get(1), d.get(1)),
@@ -167,6 +189,9 @@ def _schema_element(d: dict) -> dict:
         "name": _utf8(d.get(4)),
         "num_children": d.get(5),
         "field_id": d.get(9),
+        # timestamp unit when declared (page pruning needs it to
+        # compare an as-of instant against INT64 column-index bounds)
+        "timestamp_unit": _timestamp_unit(d),
     }
 
 

@@ -213,3 +213,59 @@ def test_intersect_spans():
     assert _intersect_spans([(0, 4), (8, 4)], [(2, 8)]) == [(2, 2), (8, 2)]
     assert _intersect_spans([(0, 4)], [(4, 4)]) == []
     assert _intersect_spans([], [(0, 4)]) == []
+
+
+def test_asof_bound_prunes_event_time_pages(tmp_path):
+    """The as-of instant page-prunes via the event_time ColumnIndex:
+    with the writer's event_time-DESC invariant, a historical as-of
+    skips the leading (newest) pages/groups entirely — and the
+    surviving superset still contains every eligible row. MILLIS-unit
+    columns floor the bound exactly (v_ms <= floor(B_us/1000) is the
+    same predicate)."""
+    from datetime import datetime, timezone
+
+    for unit in ("us", "ms"):
+        path = str(tmp_path / f"et_{unit}.parquet")
+        # event_time DESC like the writer: group 0 = newest
+        times = [
+            datetime(2024, 1, 1, tzinfo=timezone.utc).replace(hour=0)
+            + __import__("datetime").timedelta(minutes=N - i)
+            for i in range(N)
+        ]
+        t = pa.table(
+            {
+                "event_time": pa.array(
+                    times, type=pa.timestamp(unit, tz="UTC")
+                ),
+                "k": pa.array(range(N), type=pa.int64()),
+            }
+        )
+        pq.write_table(
+            t, path, row_group_size=ROWS_PER_GROUP,
+            write_page_index=True, use_dictionary=False,
+        )
+        bound = times[3 * ROWS_PER_GROUP]  # only the last group's range
+        stats = {}
+        schema = pa.schema(
+            [
+                pa.field("event_time", pa.timestamp(unit, tz="UTC")),
+                pa.field("k", pa.int64()),
+                pa.field("_rank", pa.int64()),
+                pa.field("_row_idx", pa.int64()),
+            ]
+        )
+        out = list(
+            _file_batches(
+                path, 0, ["event_time", "k"],
+                ["event_time", "k", "_rank", "_row_idx"], schema,
+                pushed=[("less_equal", "event_time", bound)],
+                prune_stats=stats,
+            )
+        )
+        rows = pa.concat_tables(out)
+        kept = rows.column("event_time").to_pylist()
+        # superset must include every row actually <= bound
+        expect = sum(1 for x in times if x <= bound)
+        matching = sum(1 for x in kept if x <= bound)
+        assert matching == expect, unit
+        assert stats["groups_skipped"] >= 3, (unit, stats)
