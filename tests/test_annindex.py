@@ -53,3 +53,35 @@ def test_refresh_shadows_and_extends(lh, assigns):
     v1 = _index(lh, annindex.BETWEEN)
     moved = [v for v in v1 if v % 6 == 0 and cur[v] != v1[v]]
     assert moved, "rebalancing must move at least one v1-indexed vector"
+
+
+def test_maintenance_composes_with_index_state(spark, lh, tmp_path):
+    """The index is an ordinary azof table, so maintenance applies to
+    derived state too: OPTIMIZE (Z-order by list_id — clustering the
+    inverted lists physically) must keep every as-of read bit-stable
+    and validation clean."""
+    import shutil
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.maintenance import optimize_table, validate_table
+
+    root = str(tmp_path / "ix")
+    shutil.copytree(
+        __import__("os").path.join(lh.root, annindex.TABLE_NAME),
+        __import__("os").path.join(root, annindex.TABLE_NAME),
+    )
+    lh2 = Lakehouse(spark, root)
+    before_v1 = _index(lh2, annindex.BETWEEN)
+    before_cur = _index(lh2)
+    from datetime import datetime, timezone
+
+    optimize_table(
+        lh2,
+        annindex.TABLE_NAME,
+        datetime(2024, 5, 1, tzinfo=timezone.utc),  # after both versions
+        cluster_by=["list_id"],
+    )
+    assert _index(lh2, annindex.BETWEEN) == before_v1
+    assert _index(lh2) == before_cur
+    report = validate_table(lh2, annindex.TABLE_NAME)
+    assert not report.errors, report.errors
