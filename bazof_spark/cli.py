@@ -133,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ch.add_argument("--limit", type=int, default=20)
 
+    p_mi = sub.add_parser(
+        "mirror",
+        help="apply a source table's change-feed window onto a mirror "
+        "table (bootstraps the mirror at --since if absent; one atomic "
+        "version bump per window)",
+    )
+    p_mi.add_argument("--path", required=True)
+    p_mi.add_argument("--source", required=True)
+    p_mi.add_argument("--mirror", required=True, help="mirror table name")
+    p_mi.add_argument("--since", required=True)
+    p_mi.add_argument("--until", default=None, help="default: Current")
+
     p_up = sub.add_parser(
         "upsert", help="append a CSV batch as a new delta + snapshot version"
     )
@@ -442,6 +454,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"warning: {w_}")
         print("OK" if report.ok else "INVALID")
         return 0 if report.ok else 1
+    elif args.cmd == "mirror":
+        from bazof_spark.operators.cdc import apply_changes
+
+        table = lh.table(args.mirror)
+        snap = apply_changes(
+            spark,
+            lh,
+            args.source,
+            table.path,
+            since=_parse_as_of(args.since),
+            until=_parse_as_of(args.until),
+        )
+        print(
+            f"applied {args.source} changes "
+            f"[{args.since} → {args.until or 'Current'}] onto "
+            f"{args.mirror}: version {table.current_version()}"
+        )
     elif args.cmd == "upsert":
         from bazof_spark.writer import csv_to_dataframe
 

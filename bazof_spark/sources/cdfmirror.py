@@ -122,24 +122,13 @@ def apply_cdf_batch(
     until,
     at: datetime,
 ):
-    """Apply one change-feed window of ``source`` to the mirror as ONE
-    atomic version bump: post-image rows (insert/update) upsert with
-    their ORIGINAL event times (so the mirror's history carries the
-    source's timestamps), delete rows tombstone. Touches only the
-    feed's keys — the mirror's base is never rewritten. Returns the
-    published snapshot (or the current one on an empty feed)."""
-    from bazof_spark.writer import merge_apply
+    """One change-feed window applied as ONE atomic version bump —
+    thin wrapper over the generic :func:`operators.cdc.apply_changes`
+    (which derives the value columns from the source schema)."""
+    from bazof_spark.operators.cdc import apply_changes
 
-    feed = lh.scan_changes(source, since=since, until=until)
-    ups = feed.filter(F.col("change_type") != "delete").select(
-        "key",
-        F.col("event_time_late").alias("event_time"),
-        F.col("balance_late").alias("balance"),
-        F.col("status_late").alias("status"),
-    )
-    dels = feed.filter(F.col("change_type") == "delete").select("key")
-    return merge_apply(
-        spark, mirror_path, upsert_df=ups, delete_keys_df=dels, at=at
+    return apply_changes(
+        spark, lh, source, mirror_path, since=since, until=until, at=at
     )
 
 

@@ -232,12 +232,221 @@ _CDF_MIRROR_ORACLE = """
 """
 
 
+def tfidf_top_terms_q(spark, sf_dir):
+    """Per-document KEYWORD EXTRACTION by tf-idf — the feature step
+    behind BM25 retrieval, topic routing, and dedup fingerprints: each
+    document's top-3 terms by ``tf × idf``. The idf is the BM25 core
+    ``(N − df + 0.5) / (df + 0.5)`` — deliberately LOG-FREE: additions
+    of integers with 0.5 and one IEEE division are correctly rounded
+    and therefore BIT-IDENTICAL across engines, where ``ln`` is
+    libm-dependent. Scores ship as floor(score × 1e6) BIGINTs, so the
+    oracle comparison is exact, no rounding band needed.
+
+    100 TB shape: tokenize is a codegen'd map; tf is ONE hash exchange
+    on (doc_id, term) with map-side combine; df folds over the SAME
+    relation via a window on term (second exchange — wire bytes
+    bounded by distinct (doc, term) pairs, not corpus bytes); the
+    per-doc top-k is the third. The corpus-size scalar rides as a
+    literal (the bm25 discipline — one bounded 1-row job, no
+    crossJoin)."""
+    from pyspark.sql import Window
+
+    from bazof_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # 1-row literal, the bm25 stats discipline
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_w = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).withColumn(
+        "score",
+        F.col("tf")
+        * (
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    wk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "rank",
+            F.floor(F.col("score") * 1e6).cast("long").alias("score_micro"),
+        )
+    )
+
+
+_TFIDF_ORACLE = r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM words WHERE term <> '' GROUP BY doc_id, term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df
+        FROM tf
+    ),
+    s2 AS (
+        SELECT doc_id, term,
+               tf * (((SELECT n FROM n) - df + 0.5) / (df + 0.5))
+                   AS score
+        FROM scored
+    ),
+    r AS (
+        SELECT doc_id, term,
+               CAST(FLOOR(score * 1e6) AS BIGINT) AS score_micro,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rk
+        FROM s2
+    )
+    SELECT doc_id, term, CAST(rk AS INT) AS rank, score_micro
+    FROM r WHERE rk <= 3
+"""
+
+
+def source_cap_sample_q(spark, sf_dir):
+    """PER-SOURCE DOCUMENT CAPS — the mixing-control step (Dolma/
+    RefinedWeb cap documents per source/domain so no single crawl
+    domain dominates the training mix): keep at most 3 documents per
+    (source, lang) cell, chosen deterministically by length then id
+    (the 'best copies first' rule). One window exchange on the cell
+    key; Spark 4's WindowGroupLimit evaluates the rank cutoff map-side
+    ahead of the exchange, so at 100 TB only ≤3 rows per cell per
+    input partition cross the wire."""
+    from pyspark.sql import Window
+
+    from bazof_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "lang", "rank", "doc_id", "n_chars")
+    )
+
+
+_SOURCE_CAP_ORACLE = """
+    SELECT source, lang, CAST(rk AS INT) AS rank, doc_id, n_chars
+    FROM (
+        SELECT source, lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 3
+"""
+
+
+def hard_negative_mining_q(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive retrieval training: for
+    each query vector, the top-2 most-similar corpus vectors with a
+    DIFFERENT label — near-misses make the hardest negatives. The
+    label disequality lands in the join condition (pre-filter, the
+    ann_filtered_search discipline), the bounded query slice
+    broadcasts over a map-only corpus pass, and per-query top-k stays
+    map-side ahead of the tiny window exchange. Ranking uses the
+    6-decimal-rounded cosine with id tie-breaks on both engines."""
+    from pyspark.sql import Window
+
+    from bazof_spark.operators.similarity import dot, normalize
+    from bazof_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        normalize(F.col("embedding").cast("array<double>")).alias("vec"),
+        "label",
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("label") != F.col("qlabel")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("neg_label"),
+        F.round(dot(F.col("qv"), F.col("vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("cid").alias("negative_id"),
+            "neg_label",
+        )
+    )
+
+
+_HARD_NEG_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, vec AS qv, label AS qlabel
+        FROM e WHERE vec_id < 10
+    ),
+    s AS (
+        SELECT q.qid, e.vec_id AS cid, e.label AS neg_label,
+               ROUND(list_cosine_similarity(q.qv, e.vec), 6) AS sim
+        FROM q JOIN e ON e.label <> q.qlabel
+    ),
+    r AS (
+        SELECT qid, cid, neg_label,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, cid
+               ) AS rk
+        FROM s
+    )
+    SELECT qid AS query_id, CAST(rk AS INT) AS rank,
+           cid AS negative_id, neg_label
+    FROM r WHERE rk <= 2
+"""
+
+
 QUERIES_R12 = {
     "ann_index_asof": ann_index_asof_q,
     "cdf_mirror_scan": cdf_mirror_scan_q,
+    "tfidf_top_terms": tfidf_top_terms_q,
+    "source_cap_sample": source_cap_sample_q,
+    "hard_negative_mining": hard_negative_mining_q,
 }
 
 ORACLES_R12 = {
     "ann_index_asof": _ANN_INDEX_ORACLE,
     "cdf_mirror_scan": _CDF_MIRROR_ORACLE,
+    "tfidf_top_terms": _TFIDF_ORACLE,
+    "source_cap_sample": _SOURCE_CAP_ORACLE,
+    "hard_negative_mining": _HARD_NEG_ORACLE,
 }

@@ -726,3 +726,22 @@ def test_cdf_mirror_scan_two_merges_no_joins(spark):
     assert broadcast_join_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_r12_pipeline_queries_bounded(spark):
+    """tfidf: tf exchange + df window on term + per-doc top-k = 3,
+    scan pruned to (doc_id, text); source caps: ONE window exchange,
+    WindowGroupLimit cuts map-side; hard negatives: bounded query
+    slice broadcasts, only the top-k window exchanges."""
+    df = q("tfidf_top_terms", spark)
+    assert shuffle_count(df) <= 3
+    assert scan_columns(df) == [{"doc_id", "text"}]
+
+    df = q("source_cap_sample", spark)
+    assert shuffle_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # rank cutoff evaluated map-side
+
+    df = q("hard_negative_mining", spark)
+    assert shuffle_count(df) <= 1
+    assert broadcast_join_count(df) >= 1
