@@ -102,3 +102,57 @@ def _exists(path: str) -> bool:
         return info.type.name != "NotFound"
     except Exception:
         return False
+
+
+def apply_raw_stream_batch(spark, mirror_path: str, schema, batch_df):
+    """foreachBatch body for a STREAMING mirror over the native source
+    (`readStream.format("bazof")` — raw per-version rows with ``_rank``
+    = snapshot version and, on delete-capable tables, ``_tombstone``):
+    applies each version in the micro-batch IN ORDER as one atomic
+    merge (upserts keep their original event times; tombstones land at
+    the version's newest instant), bootstrapping the mirror from the
+    first version's rows. Safe under availableNow replay: versions
+    apply sequentially, so the mirror's snapshot chain parallels the
+    source's."""
+    from bazof_spark.writer import TableWriter, merge_apply
+
+    value_cols = [c.name for c in schema.columns]
+    rows = batch_df.persist()
+    try:
+        versions = sorted(
+            r["_rank"] for r in rows.select("_rank").distinct().collect()
+        )
+        has_tomb = "_tombstone" in rows.columns
+        for v in versions:
+            vd = rows.filter(F.col("_rank") == v)
+            tomb = (
+                F.col("_tombstone") if has_tomb else F.lit(False)
+            )
+            ups = vd.filter(~tomb).select(
+                "key", "event_time", *value_cols
+            )
+            dels = vd.filter(tomb).select("key", "event_time")
+            if not _exists(os.path.join(mirror_path, "version.txt")):
+                lo, hi = ups.agg(
+                    F.min("event_time"), F.max("event_time")
+                ).first()
+                w = TableWriter(spark, mirror_path, schema)
+                seg = w.add_segment("m1", lo)
+                seg.add_delta(ups, lo, hi)
+                w.commit()
+                continue
+            at = (
+                dels.agg(F.max("event_time")).first()[0]
+                or ups.agg(F.max("event_time")).first()[0]
+            )
+            merge_apply(
+                spark,
+                mirror_path,
+                upsert_df=ups if not ups.isEmpty() else None,
+                delete_keys_df=(
+                    dels.select("key") if not dels.isEmpty() else None
+                ),
+                at=at,
+            )
+    finally:
+        rows.unpersist()

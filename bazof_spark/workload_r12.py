@@ -232,6 +232,67 @@ _CDF_MIRROR_ORACLE = """
 """
 
 
+def streaming_cdf_mirror_q(spark, sf_dir):
+    """STREAMING CDC mirror: `readStream.format("bazof")` drains the
+    source's raw per-version stream (offsets = snapshot versions,
+    `_rank`/`_tombstone` markers) into a FRESH mirror table via one
+    atomic merge per version inside foreachBatch
+    (operators/cdc.apply_raw_stream_batch) — the streaming
+    materialized-view shape. The query then scans the mirror, never
+    the source, at two instants; the oracle recomputes both states in
+    closed form, so this streaming query has a FULL SQL oracle (not
+    the weaker rows-only check). Unlike the cached batch twin
+    (`cdf_mirror_scan`), the stream replay + applies run on every
+    call — the benched time IS the apply pipeline."""
+    import tempfile as _tf
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.datasource import BazofDataSource
+    from bazof_spark.operators.cdc import apply_raw_stream_batch
+    from bazof_spark.sources.cdfmirror import (
+        ACCT_SCHEMA,
+        BETWEEN_V2,
+        SOURCE,
+        cdf_mirror_lakehouse,
+    )
+
+    lh = cdf_mirror_lakehouse(spark, sf_dir)  # cached source history
+    try:
+        spark.dataSource.register(BazofDataSource)
+    except Exception:
+        pass  # already registered in this session
+    work = _tf.mkdtemp(prefix="bazof_smirror_")
+    mirror_path = f"{work}/mirror"
+    q = (
+        spark.readStream.format("bazof")
+        .option("path", lh.root)
+        .option("table", SOURCE)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _id: apply_raw_stream_batch(
+                spark, mirror_path, ACCT_SCHEMA, df
+            )
+        )
+        .option("checkpointLocation", f"{work}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    mlh = Lakehouse(spark, work)
+    legs = []
+    for instant, as_of in (("v2", BETWEEN_V2), ("current", None)):
+        legs.append(
+            mlh.scan("mirror", as_of=as_of).select(
+                F.lit(instant).alias("instant"),
+                F.col("key").cast("long").alias("key_id"),
+                "balance",
+                "status",
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
 def tfidf_top_terms_q(spark, sf_dir):
     """Per-document KEYWORD EXTRACTION by tf-idf — the feature step
     behind BM25 retrieval, topic routing, and dedup fingerprints: each
@@ -438,6 +499,7 @@ _HARD_NEG_ORACLE = """
 QUERIES_R12 = {
     "ann_index_asof": ann_index_asof_q,
     "cdf_mirror_scan": cdf_mirror_scan_q,
+    "streaming_cdf_mirror": streaming_cdf_mirror_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "source_cap_sample": source_cap_sample_q,
     "hard_negative_mining": hard_negative_mining_q,
@@ -446,6 +508,9 @@ QUERIES_R12 = {
 ORACLES_R12 = {
     "ann_index_asof": _ANN_INDEX_ORACLE,
     "cdf_mirror_scan": _CDF_MIRROR_ORACLE,
+    # the streaming mirror materializes the same closed-form states —
+    # a streaming query with a FULL SQL oracle
+    "streaming_cdf_mirror": _CDF_MIRROR_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "source_cap_sample": _SOURCE_CAP_ORACLE,
     "hard_negative_mining": _HARD_NEG_ORACLE,

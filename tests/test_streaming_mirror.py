@@ -31,57 +31,14 @@ def roots(spark, tmp_path_factory):
 
 def test_streaming_mirror_matches_source_at_every_instant(spark, roots):
     from bazof_spark.datasource import BazofDataSource
-    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
-    from bazof_spark.writer import TableWriter, merge_apply
+    from bazof_spark.operators.cdc import apply_raw_stream_batch
+    from bazof_spark.sources.cdfmirror import ACCT_SCHEMA
 
     spark.dataSource.register(BazofDataSource)
     mirror_path = os.path.join(roots, "mirror")
 
     def apply_batch(batch_df, batch_id):
-        rows = batch_df.persist()
-        try:
-            versions = sorted(
-                r["_rank"] for r in rows.select("_rank").distinct().collect()
-            )
-            for v in versions:
-                vd = rows.filter(F.col("_rank") == v)
-                ups = vd.filter(~F.col("_tombstone")).select(
-                    "key", "event_time", "balance", "status"
-                )
-                dels = vd.filter(F.col("_tombstone")).select(
-                    "key", "event_time"
-                )
-                if not os.path.exists(os.path.join(mirror_path, "version.txt")):
-                    w = TableWriter(
-                        spark,
-                        mirror_path,
-                        TableSchema(
-                            (
-                                ColumnDef("balance", ColumnType.INT, False),
-                                ColumnDef("status", ColumnType.STRING, False),
-                            )
-                        ),
-                    )
-                    at = ups.agg(F.min("event_time")).first()[0]
-                    seg = w.add_segment("m1", at)
-                    seg.add_delta(ups, at, at)
-                    w.commit()
-                    continue
-                at = (
-                    dels.agg(F.max("event_time")).first()[0]
-                    or ups.agg(F.max("event_time")).first()[0]
-                )
-                merge_apply(
-                    spark,
-                    mirror_path,
-                    upsert_df=ups if not ups.isEmpty() else None,
-                    delete_keys_df=(
-                        dels.select("key") if not dels.isEmpty() else None
-                    ),
-                    at=at,
-                )
-        finally:
-            rows.unpersist()
+        apply_raw_stream_batch(spark, mirror_path, ACCT_SCHEMA, batch_df)
 
     q = (
         spark.readStream.format("bazof")
