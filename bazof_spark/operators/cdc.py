@@ -64,16 +64,27 @@ def apply_changes(
     )
     dels = feed.filter(F.col("change_type") == "delete").select("key")
     if at is None:
-        # deterministic default: the window's newest instant
-        at = (
-            feed.agg(
-                F.max(F.coalesce("event_time_late", "event_time_early"))
-            ).first()[0]
-        )
+        # Deterministic default: the change feed does not carry the
+        # delete INSTANT (delete rows have a null late side), so
+        # tombstones default to the window's `until` bound — "hidden
+        # from the end of the applied window onward", the tightest
+        # instant the feed itself can justify. Without an `until`,
+        # fall back to the window's newest post-image instant (a
+        # delete-only unbounded window gets 'now'). Callers that know
+        # the exact instants (the fixture pipeline does) pass `at`.
+        if until is not None:
+            at = _as_dt(until)
+        else:
+            at = feed.agg(F.max("event_time_late")).first()[0]
         if at is None:
-            return lakehouse.table(
-                os.path.basename(mirror_path.rstrip("/"))
-            ).get_current_snapshot()
+            from datetime import timezone
+
+            has_rows = not feed.limit(1).isEmpty()
+            if not has_rows:
+                return lakehouse.table(
+                    os.path.basename(mirror_path.rstrip("/"))
+                ).get_current_snapshot()
+            at = datetime.now(timezone.utc)
     return merge_apply(
         spark,
         mirror_path,

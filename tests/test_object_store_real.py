@@ -771,3 +771,53 @@ def test_binary_column_over_real_s3(spark, s3_endpoint):
     # the scan on an object-store root routes through the Python Data
     # Source — so this already IS the Data Source read; pin the schema
     assert dict(lh.scan("m").dtypes)["blob"] == "binary"
+
+
+def test_cdc_mirror_over_real_s3(spark, s3_endpoint, tmp_path):
+    """The generic CDC apply (operators/cdc.apply_changes) maintains a
+    mirror ON AN OBJECT STORE from an object-store source: source
+    history authored over HTTP, feed windows applied over HTTP (one
+    atomic bump each, incl. tombstones), mirror equals the source at
+    every probed instant."""
+    from datetime import datetime, timezone
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.operators.cdc import apply_changes
+    from bazof_spark.writer import TableWriter, delete_keys
+
+    bucket = f"s3://cdcmirror{os.getpid()}/{tmp_path.name}"
+    src_uri = f"{bucket}/src"
+    t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    t3 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    w = TableWriter(spark, src_uri, _schema())
+    seg = w.add_segment("s1", t1)
+    seg.add_delta(
+        _batch(spark, [(str(i), t1, f"v1_{i}") for i in range(12)]), t1, t1
+    )
+    w.commit()
+    from bazof_spark.writer import append_delta
+
+    append_delta(
+        spark,
+        src_uri,
+        _batch(spark, [(str(i), t2, f"v2_{i}") for i in range(0, 12, 3)]),
+    )
+    delete_keys(spark, src_uri, ["1", "7"], at=t3)
+
+    lh = Lakehouse(spark, bucket)
+    mirror_uri = f"{bucket}/mirror"
+    apply_changes(spark, lh, "src", mirror_uri, since=t1, until=t2)
+    apply_changes(spark, lh, "src", mirror_uri, since=t2, until=t3)
+    # empty tail window: a version no-op, not an error
+    apply_changes(spark, lh, "src", mirror_uri, since=t3, until=None)
+
+    def state(table, as_of=None):
+        return {
+            r["key"]: r["value"]
+            for r in lh.scan(table, as_of=as_of).collect()
+        }
+
+    for as_of in (t1, t2, t3, None):
+        a, b = state("src", as_of), state("mirror", as_of)
+        assert a and a == b, f"s3 mirror diverged at {as_of}"
