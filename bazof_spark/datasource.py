@@ -361,6 +361,40 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
             fin.seek(size - 8 - meta_len)
             footer = parse_footer_blob(fin.read(meta_len))
             top_elems = _top_level_schema_elements(footer["schema"])
+
+            # one COALESCED ranged read covers the whole page-index
+            # region (per the spec it sits contiguously between the
+            # last data page and the footer), so the planner costs
+            # O(1) reads per file instead of 2 per predicate×group —
+            # the difference between a metadata nibble and a GET storm
+            # on object stores. Bounded to 16 MiB; a (pathological)
+            # sparser layout falls back to per-chunk reads.
+            spans_needed = []
+            for gi in group_indices:
+                for c in footer["row_groups"][gi]["columns"]:
+                    for off, ln in (
+                        (c.get("column_index_offset"),
+                         c.get("column_index_length")),
+                        (c.get("offset_index_offset"),
+                         c.get("offset_index_length")),
+                    ):
+                        if off and ln:
+                            spans_needed.append((off, ln))
+            region = None
+            if spans_needed:
+                r0 = min(o for o, _ in spans_needed)
+                r1 = max(o + n for o, n in spans_needed)
+                if r1 - r0 <= (16 << 20):
+                    fin.seek(r0)
+                    region = (r0, fin.read(r1 - r0))
+
+            def fetch(off: int, ln: int) -> bytes:
+                if region is not None:
+                    base, blob = region
+                    return blob[off - base : off - base + ln]
+                fin.seek(off)
+                return fin.read(ln)
+
             spans_by_group: dict[int, list[tuple[int, int]]] = {}
             any_index = False
             for gi in group_indices:
@@ -400,10 +434,8 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
                     vals = [encode(v, chunk["type"], elem) for v in raw]
                     if any(v is None for v in vals):
                         continue
-                    fin.seek(ci_off)
-                    ci = parse_column_index_blob(fin.read(ci_len))
-                    fin.seek(oi_off)
-                    oi = parse_offset_index_blob(fin.read(oi_len))
+                    ci = parse_column_index_blob(fetch(ci_off, ci_len))
+                    oi = parse_offset_index_blob(fetch(oi_off, oi_len))
                     n_pages = len(oi)
                     if (
                         len(ci["null_pages"]) != n_pages
