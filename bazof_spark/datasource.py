@@ -257,6 +257,11 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
             pos = b1
 
 
+#: coalesced page-index region read cap — larger (pathological)
+#: layouts fall back to per-chunk reads
+_INDEX_REGION_MAX = 16 << 20
+
+
 def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
                       stats=None):
     """Page-index prune plan for one file: {group index: sorted
@@ -384,7 +389,7 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
             if spans_needed:
                 r0 = min(o for o, _ in spans_needed)
                 r1 = max(o + n for o, n in spans_needed)
-                if r1 - r0 <= (16 << 20):
+                if r1 - r0 <= _INDEX_REGION_MAX:
                     fin.seek(r0)
                     region = (r0, fin.read(r1 - r0))
 

@@ -269,3 +269,17 @@ def test_asof_bound_prunes_event_time_pages(tmp_path):
         matching = sum(1 for x in kept if x <= bound)
         assert matching == expect, unit
         assert stats["groups_skipped"] >= 3, (unit, stats)
+
+
+def test_region_cap_falls_back_to_per_chunk_reads(indexed_file, monkeypatch):
+    """A page-index region larger than the coalesce cap reads each
+    chunk's index individually — same plan, same prune counts."""
+    import bazof_spark.datasource as ds
+
+    stats = {}
+    base = _read(indexed_file, [("equal", "k", 2500)], stats)
+    monkeypatch.setattr(ds, "_INDEX_REGION_MAX", 0)
+    stats2 = {}
+    fb = _read(indexed_file, [("equal", "k", 2500)], stats2)
+    assert stats2 == stats
+    assert fb.sort_by("_row_idx").equals(base.sort_by("_row_idx"))
