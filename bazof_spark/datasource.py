@@ -263,7 +263,7 @@ _INDEX_REGION_MAX = 16 << 20
 
 
 def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
-                      stats=None):
+                      stats=None, group_offsets=None):
     """Page-index prune plan for one file: {group index: sorted
     [(first row in group, n rows), ...] covering a SUPERSET of the
     rows any pushed predicate can match}. An empty span list means the
@@ -271,6 +271,11 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
     None (no pruning). Never raises — pruning is an optimization, so
     any parse surprise (foreign writer, truncated index) degrades to
     reading everything rather than failing the scan.
+
+    ``group_indices=None`` plans every row group. ``group_offsets``
+    (optional dict) is filled with each planned group's first-page
+    file offset — the handle split PLANNING uses to map surviving
+    groups back onto byte ranges.
 
     The indexes are fetched by BYTE RANGE (one small read per pushed
     column chunk plus one footer read), which is the point on object
@@ -366,6 +371,18 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
             fin.seek(size - 8 - meta_len)
             footer = parse_footer_blob(fin.read(meta_len))
             top_elems = _top_level_schema_elements(footer["schema"])
+            if group_indices is None:
+                group_indices = list(range(len(footer["row_groups"])))
+            if group_offsets is not None:
+                for gi in group_indices:
+                    cs = footer["row_groups"][gi]["columns"]
+                    if cs:
+                        # mirror _row_group_offset exactly: planner and
+                        # reader must agree on each group's anchor
+                        off = cs[0].get("dictionary_page_offset")
+                        if not off or off <= 0:
+                            off = cs[0].get("data_page_offset") or 0
+                        group_offsets[gi] = off
 
             # one COALESCED ranged read covers the whole page-index
             # region (per the spec it sits contiguously between the
@@ -816,13 +833,53 @@ class BazofReader(DataSourceReader):
         missing = [p for p, n in sizes.items() if not n]
         if missing:
             sizes.update(_file_sizes(missing, self._env))
-        return [
-            _FilePartition(p, r, tomb, start=s0, length=ln)
-            for p, r, tomb in surviving
-            for s0, ln in _byte_ranges(
+        # planner-side page pruning, point-lookup shape only (the same
+        # gate as the bloom probe): when a pushed key equality/IN
+        # exists and a file needs SPLITTING, fetch its page indexes
+        # once (one coalesced ranged read) and drop the byte ranges
+        # containing no may-match row group — a selective lookup on a
+        # 10 GB base schedules 1 task, not ceil(size/maxPartitionBytes)
+        # empty ones. Reader-side pruning stays authoritative, so this
+        # is purely a task-count optimization.
+        point_lookup = kr is not None and kr.keys is not None
+        out = []
+        for p, r, tomb in surviving:
+            ranges = _byte_ranges(
                 sizes.get(p) or 0, self._max_part_bytes
             )
-        ]
+            if point_lookup and len(ranges) > 1:
+                from bazof_spark import iofs
+
+                iofs.apply_env(self._env)
+                filesystem, rel = iofs.split(p)
+                offsets: dict[int, int] = {}
+                spans = _page_prune_spans(
+                    filesystem,
+                    rel,
+                    self._pushed,
+                    {c: c for _, c, _ in self._pushed},
+                    None,  # all row groups
+                    group_offsets=offsets,
+                )
+                if spans is not None:
+                    keep = [
+                        offsets[g]
+                        for g, s in spans.items()
+                        if s and g in offsets
+                    ]
+                    ranges = [
+                        (s0, ln)
+                        for s0, ln in ranges
+                        if any(
+                            s0 <= off and (ln is None or off < s0 + ln)
+                            for off in keep
+                        )
+                    ]
+            out.extend(
+                _FilePartition(p, r, tomb, start=s0, length=ln)
+                for s0, ln in ranges
+            )
+        return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa

@@ -283,3 +283,56 @@ def test_region_cap_falls_back_to_per_chunk_reads(indexed_file, monkeypatch):
     fb = _read(indexed_file, [("equal", "k", 2500)], stats2)
     assert stats2 == stats
     assert fb.sort_by("_row_idx").equals(base.sort_by("_row_idx"))
+
+
+def test_point_lookup_prunes_split_plan(spark, tmp_path, monkeypatch):
+    """Planner-side split pruning (point-lookup shape): a pushed key
+    equality on a multi-range split plan schedules ONLY the byte
+    ranges whose row groups may contain the key — a selective lookup
+    on a huge base becomes one task, not ceil(size/maxPartitionBytes)
+    empty ones — and the read stays exact."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql.datasource import EqualTo
+
+    from bazof_spark import Lakehouse
+    from bazof_spark.asof import Current
+    from bazof_spark.datasource import BazofReader
+
+    root = tmp_path / "lake"
+    shutil.copytree("/root/reference/test-data", root)
+    for p in Path(root, "financials").glob("*.parquet"):
+        t = pq.read_table(p).sort_by("key")
+        pq.write_table(
+            t, p, row_group_size=16, write_page_index=True,
+            use_dictionary=False,
+        )
+        assert pq.ParquetFile(p).metadata.num_row_groups > 1
+
+    lh = Lakehouse(spark, str(root))
+    snap = lh.table("financials").get_current_snapshot()
+
+    def mk_reader():
+        return BazofReader(
+            {"maxpartitionbytes": "2k"},
+            snap.schema.to_struct_type(),
+            resolved=(lh.table("financials"), snap, Current),
+        )
+
+    base = mk_reader()
+    n_unfiltered = len(base.partitions())
+    assert n_unfiltered > len(snap.segments)  # files actually split
+
+    probe = mk_reader()
+    kept = list(probe.pushFilters([EqualTo(("key",), "MSFT")]))
+    assert kept == []  # the equality is accepted
+    parts = probe.partitions()
+    assert 0 < len(parts) < n_unfiltered  # empty ranges never schedule
+    rows = [
+        row
+        for part in parts
+        for batch in probe.read(part)
+        for row in batch.to_pylist()
+    ]
+    assert rows and all(r["key"] == "MSFT" for r in rows)
