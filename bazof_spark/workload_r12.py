@@ -7,6 +7,8 @@ in DuckDB."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 #: probe vectors for ann_index_asof (present in every sf's corpus)
@@ -293,6 +295,100 @@ def streaming_cdf_mirror_q(spark, sf_dir):
     return legs[0].unionByName(legs[1])
 
 
+#: ids probed by datasource_point_lookup (present at every sf; 70 and
+#: 640 hit the v2 upsert class, the rest read v1 through the merge)
+_DS_LOOKUP_IDS = (7, 70, 313, 640, 999)
+
+
+def _ds_events_root(spark, sf_dir: str) -> str:
+    """Cached two-version azof table authored from the driver's events
+    parquet THROUGH the Data Source sink (format('bazof') semantics):
+    v1 = every event at its own ts; v2 upserts event_id % 10 == 0 with
+    value + 1000 at a fixed later instant. Atomic scratch publish
+    (sources/media.py pattern)."""
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime, timezone
+
+    from bazof_spark.sources.tables import source_tag
+
+    tag = source_tag(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"bazof_dsev_{tag}")
+    marker = os.path.join(root, "events_ds", "_BUILT")
+    if not os.path.exists(marker):
+        from bazof_spark.datasource import write_table
+        from bazof_spark.writer import append_delta
+
+        scratch = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex}"
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        v1 = ev.selectExpr(
+            "cast(event_id as string) as key",
+            "ts as event_time",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        write_table(v1, scratch, "events_ds", mode="overwrite")
+        at2 = datetime(2030, 1, 1, tzinfo=timezone.utc)
+        v2 = ev.filter(F.col("event_id") % 10 == 0).select(
+            F.col("event_id").cast("string").alias("key"),
+            F.lit(at2).alias("event_time"),
+            "user_id",
+            F.lit("upd").alias("event_type"),
+            (F.col("value") + 1000).alias("value"),
+        )
+        append_delta(spark, os.path.join(scratch, "events_ds"), v2)
+        with open(os.path.join(scratch, "events_ds", "_BUILT"), "w") as f:
+            f.write("ok")
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(
+                os.path.join(scratch, "events_ds"),
+                os.path.join(root, "events_ds"),
+            )
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return root
+
+
+def datasource_point_lookup_q(spark, sf_dir):
+    """POINT LOOKUP through the full Python Data Source stack — the
+    object-store read path lands in the oracle gate end-to-end: the
+    pushed key IN-list probes the per-file blooms and zone maps at
+    PLANNING, page-prunes via the ColumnIndex inside the reader (and
+    drops empty byte ranges from the split plan on big files), and the
+    as-of merge resolves each key's winner across the two versions.
+    The oracle recomputes the merged state from the raw events in
+    closed form (the % 10 upsert class shadows v1)."""
+    from bazof_spark.datasource import read_table
+
+    root = _ds_events_root(spark, sf_dir)
+    df = read_table(spark, root, "events_ds")
+    return df.filter(
+        F.col("key").isin(*[str(i) for i in _DS_LOOKUP_IDS])
+    ).select(
+        F.col("key").cast("long").alias("event_id"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_DS_LOOKUP_ORACLE = """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 10 = 0 THEN 'upd'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 = 0 THEN value + 1000
+                ELSE value END AS value
+    FROM events
+    WHERE event_id IN (7, 70, 313, 640, 999)
+"""
+
+
 def tfidf_top_terms_q(spark, sf_dir):
     """Per-document KEYWORD EXTRACTION by tf-idf — the feature step
     behind BM25 retrieval, topic routing, and dedup fingerprints: each
@@ -500,6 +596,7 @@ QUERIES_R12 = {
     "ann_index_asof": ann_index_asof_q,
     "cdf_mirror_scan": cdf_mirror_scan_q,
     "streaming_cdf_mirror": streaming_cdf_mirror_q,
+    "datasource_point_lookup": datasource_point_lookup_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "source_cap_sample": source_cap_sample_q,
     "hard_negative_mining": hard_negative_mining_q,
@@ -511,6 +608,7 @@ ORACLES_R12 = {
     # the streaming mirror materializes the same closed-form states —
     # a streaming query with a FULL SQL oracle
     "streaming_cdf_mirror": _CDF_MIRROR_ORACLE,
+    "datasource_point_lookup": _DS_LOOKUP_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "source_cap_sample": _SOURCE_CAP_ORACLE,
     "hard_negative_mining": _HARD_NEG_ORACLE,
