@@ -458,7 +458,7 @@ def main(argv: list[str] | None = None) -> int:
         from bazof_spark.operators.cdc import apply_changes
 
         table = lh.table(args.mirror)
-        snap = apply_changes(
+        apply_changes(
             spark,
             lh,
             args.source,
