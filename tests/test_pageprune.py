@@ -224,18 +224,19 @@ def test_asof_bound_prunes_event_time_pages(tmp_path):
     same predicate)."""
     from datetime import datetime, timezone
 
-    for unit in ("us", "ms"):
-        path = str(tmp_path / f"et_{unit}.parquet")
+    for unit, tz in (("us", "UTC"), ("ms", "UTC"), ("us", None)):
+        path = str(tmp_path / f"et_{unit}_{tz}.parquet")
         # event_time DESC like the writer: group 0 = newest
         times = [
             datetime(2024, 1, 1, tzinfo=timezone.utc).replace(hour=0)
             + __import__("datetime").timedelta(minutes=N - i)
             for i in range(N)
         ]
+        stored = times if tz else [x.replace(tzinfo=None) for x in times]
         t = pa.table(
             {
                 "event_time": pa.array(
-                    times, type=pa.timestamp(unit, tz="UTC")
+                    stored, type=pa.timestamp(unit, tz=tz)
                 ),
                 "k": pa.array(range(N), type=pa.int64()),
             }
@@ -248,7 +249,7 @@ def test_asof_bound_prunes_event_time_pages(tmp_path):
         stats = {}
         schema = pa.schema(
             [
-                pa.field("event_time", pa.timestamp(unit, tz="UTC")),
+                pa.field("event_time", pa.timestamp(unit, tz=tz)),
                 pa.field("k", pa.int64()),
                 pa.field("_rank", pa.int64()),
                 pa.field("_row_idx", pa.int64()),
@@ -264,11 +265,13 @@ def test_asof_bound_prunes_event_time_pages(tmp_path):
         )
         rows = pa.concat_tables(out)
         kept = rows.column("event_time").to_pylist()
-        # superset must include every row actually <= bound
-        expect = sum(1 for x in times if x <= bound)
-        matching = sum(1 for x in kept if x <= bound)
-        assert matching == expect, unit
-        assert stats["groups_skipped"] >= 3, (unit, stats)
+        # superset must include every row actually <= bound (naive
+        # stored values are UTC instants by the repo convention)
+        cmp_bound = bound if tz else bound.replace(tzinfo=None)
+        expect = sum(1 for x in stored if x <= cmp_bound)
+        matching = sum(1 for x in kept if x <= cmp_bound)
+        assert matching == expect, (unit, tz)
+        assert stats["groups_skipped"] >= 3, (unit, tz, stats)
 
 
 def test_region_cap_falls_back_to_per_chunk_reads(indexed_file, monkeypatch):
