@@ -207,6 +207,13 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
         if pushed
         else None
     )
+    if spans_by_group is not None and all(
+        spans_by_group.get(g) == [(0, md.row_group(g).num_rows)]
+        for g, _ in sel
+    ):
+        # nothing pruned: keep the single streaming pass (per-group
+        # iteration costs one reader setup per group for zero benefit)
+        spans_by_group = None
 
     def emit(t: pa.Table, row_idx: int):
         n = t.num_rows
