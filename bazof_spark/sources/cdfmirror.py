@@ -51,6 +51,7 @@ ACCT_SCHEMA = TableSchema(
 
 SOURCE = "acct"
 MIRROR = "acct_mirror"
+AGG_VIEW = "acct_by_status"
 T1 = datetime(2024, 5, 1, tzinfo=timezone.utc)
 T2 = datetime(2024, 6, 1, tzinfo=timezone.utc)
 T3 = datetime(2024, 7, 1, tzinfo=timezone.utc)
@@ -148,6 +149,65 @@ def _build_mirror(spark: SparkSession, root: str) -> None:
     # incremental: one atomic apply per source version window
     apply_cdf_batch(spark, lh, SOURCE, mirror_path, T1, T2, at=T2)
     apply_cdf_batch(spark, lh, SOURCE, mirror_path, T2, T3, at=T3)
+
+
+def agg_view_lakehouse(
+    spark: SparkSession, sf_dir: str, point_read_max_groups: int | None = None
+) -> Lakehouse:
+    """Idempotently build (once per sf_dir content tag) and return a
+    Lakehouse holding the INCREMENTALLY-MAINTAINED ``GROUP BY status``
+    rollup of table A (operators/ivm.py): bootstrap = one full
+    aggregate at T1, then one delta-propagated apply per source
+    version window — the aggregate-materialized-view shape, downstream
+    of the same deterministic history the key-level mirror consumes.
+    Atomic scratch publish (sources/media.py pattern).
+
+    ``point_read_max_groups`` overrides the operator's point-read gate
+    (tests drive both arms); the CACHED fixture is only keyed by the
+    sf tag, so non-default gates build into a throwaway root."""
+    import shutil
+    import uuid
+
+    from bazof_spark.operators.ivm import apply_changes_agg
+    from bazof_spark.sources.tables import source_tag
+
+    src_lh = cdf_mirror_lakehouse(spark, sf_dir)
+    tag = source_tag(sf_dir, "documents")
+    gate_kwargs = {}
+    suffix = ""
+    if point_read_max_groups is not None:
+        gate_kwargs = {"point_read_max_groups": point_read_max_groups}
+        suffix = f"_gate{point_read_max_groups}"
+    root = os.path.join(tempfile.gettempdir(), f"bazof_cdfagg_{tag}{suffix}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        scratch = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex}"
+        os.makedirs(scratch, exist_ok=True)
+        view_path = os.path.join(scratch, AGG_VIEW)
+        # bootstrap only (empty T1→T1 window), then one incremental
+        # apply per source version window
+        apply_changes_agg(
+            spark, src_lh, SOURCE, view_path, "status", ("balance",),
+            since=T1, until=T1, at=T1, **gate_kwargs,
+        )
+        apply_changes_agg(
+            spark, src_lh, SOURCE, view_path, "status", ("balance",),
+            since=T1, until=T2, at=T2, **gate_kwargs,
+        )
+        apply_changes_agg(
+            spark, src_lh, SOURCE, view_path, "status", ("balance",),
+            since=T2, until=T3, at=T3, **gate_kwargs,
+        )
+        with open(os.path.join(scratch, "_BUILT"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(scratch, root)
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return Lakehouse(spark, root)
 
 
 def cdf_mirror_lakehouse(spark: SparkSession, sf_dir: str) -> Lakehouse:

@@ -205,7 +205,10 @@ def cdf_mirror_scan_q(spark, sf_dir):
     return legs[0].unionByName(legs[1])
 
 
-_CDF_MIRROR_ORACLE = """
+#: closed-form per-key states of the deterministic acct history at the
+#: two compared instants — shared by the key-level mirror oracle and
+#: the aggregate-view oracle (which just GROUPs it)
+_CDF_STATE_CTES = """
     WITH k AS (SELECT DISTINCT doc_id AS k FROM documents),
     v2 AS (
         SELECT 'v2' AS instant, k,
@@ -228,9 +231,57 @@ _CDF_MIRROR_ORACLE = """
                     ELSE 'new' END AS status
         FROM k WHERE k % 31 <> 5 OR k % 62 = 5
     )
+"""
+
+_CDF_MIRROR_ORACLE = _CDF_STATE_CTES + """
     SELECT instant, k AS key_id, CAST(balance AS BIGINT) AS balance,
            status
     FROM (SELECT * FROM v2 UNION ALL SELECT * FROM cur)
+"""
+
+
+def cdf_agg_view_scan_q(spark, sf_dir):
+    """INCREMENTAL AGGREGATE VIEW: a ``GROUP BY status`` count/sum
+    rollup of table A maintained purely by DELTA PROPAGATION over A's
+    change feed (operators/ivm.py — the feed's pre/post images become
+    ± contributions, folded map-side to per-group adjustments; the
+    previous totals come back via a keys-pruned point read below the
+    gate, a shuffled full-outer join above it; one atomic merge_apply
+    per window). The query reads the VIEW — never re-aggregating A —
+    at two instants; count and integer sums are order-independent, so
+    a correct pipeline is BIT-identical to the from-scratch GROUP BY
+    the oracle computes over the closed-form history.
+
+    100 TB shape: each apply's exchange is bounded by GROUPS TOUCHED
+    (never feed rows, never the corpus); the view scan is the ordinary
+    as-of merge over a #groups-sized table — one tiny key exchange per
+    leg. The bootstrap is the only full source scan the view ever
+    costs."""
+    from bazof_spark.sources.cdfmirror import (
+        AGG_VIEW,
+        BETWEEN_V2,
+        agg_view_lakehouse,
+    )
+
+    lh = agg_view_lakehouse(spark, sf_dir)
+    legs = []
+    for instant, as_of in (("v2", BETWEEN_V2), ("current", None)):
+        legs.append(
+            lh.scan(AGG_VIEW, as_of=as_of).select(
+                F.lit(instant).alias("instant"),
+                F.col("key").alias("status"),
+                "cnt",
+                "balance_sum",
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
+_CDF_AGG_ORACLE = _CDF_STATE_CTES + """
+    SELECT instant, status, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(balance) AS BIGINT) AS balance_sum
+    FROM (SELECT * FROM v2 UNION ALL SELECT * FROM cur)
+    GROUP BY instant, status
 """
 
 
@@ -293,6 +344,100 @@ def streaming_cdf_mirror_q(spark, sf_dir):
             )
         )
     return legs[0].unionByName(legs[1])
+
+
+def streaming_click_attribution_q(spark, sf_dir):
+    """STREAM-STREAM JOIN (the one Structured Streaming join shape the
+    streaming family lacked): purchases and clicks arrive as two
+    independent watermarked streams of the events_versioned delta
+    files, and each purchase joins the SAME user's clicks from the
+    preceding hour — the classic streaming attribution join. Both
+    sides carry event-time watermarks and the join condition is
+    equality on user + a bounded time range, so the state store keeps
+    only the watermark-deep tail of each side at steady state (at 100
+    TB/day the state is hours, not history). Here the replay uses an
+    effectively-infinite watermark and availableNow, so no row can
+    drop and the INNER join emits each match exactly once regardless
+    of micro-batch boundaries — the result is bit-equal to the batch
+    join the DuckDB oracle runs (a FULL SQL oracle, not rows-only).
+
+    100 TB shape: both sides shuffle on user_id once into the join's
+    state store (co-partitioned by key, the same exchange a batch
+    sort-merge join would pay) and matches stream out incrementally;
+    watermarks bound state, so throughput is governed by the per-batch
+    key exchange, never by accumulated history."""
+    import itertools as _it
+
+    from bazof_spark.sources.events import events_lakehouse
+    from bazof_spark.streaming.stream import read_table_stream
+
+    global _R12_STREAM_SEQ
+    try:
+        seq = _R12_STREAM_SEQ
+    except NameError:
+        seq = _R12_STREAM_SEQ = _it.count()
+
+    lh = events_lakehouse(spark, sf_dir)
+    table = lh.table("events_versioned")
+    purchases = (
+        read_table_stream(spark, table)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("key").alias("pkey"),
+            F.col("event_time").alias("ptime"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("ptime", "3650 days")
+    )
+    clicks = (
+        read_table_stream(spark, table)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("key").alias("ckey"),
+            F.col("event_time").alias("ctime"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("ctime", "3650 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("pkey") == F.col("ckey"))
+        & (F.col("ctime") <= F.col("ptime"))
+        & (F.col("ctime") >= F.col("ptime") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("pkey").cast("long").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_timestamp("ptime") - F.unix_timestamp("ctime")
+        ).alias("lead_secs"),
+    )
+    name = f"stream_attr_{next(seq)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_CLICK_ATTR_ORACLE = """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lead_secs
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
 
 
 #: ids probed by datasource_point_lookup (present at every sf; 70 and
@@ -595,7 +740,9 @@ _HARD_NEG_ORACLE = """
 QUERIES_R12 = {
     "ann_index_asof": ann_index_asof_q,
     "cdf_mirror_scan": cdf_mirror_scan_q,
+    "cdf_agg_view_scan": cdf_agg_view_scan_q,
     "streaming_cdf_mirror": streaming_cdf_mirror_q,
+    "streaming_click_attribution": streaming_click_attribution_q,
     "datasource_point_lookup": datasource_point_lookup_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "source_cap_sample": source_cap_sample_q,
@@ -605,9 +752,14 @@ QUERIES_R12 = {
 ORACLES_R12 = {
     "ann_index_asof": _ANN_INDEX_ORACLE,
     "cdf_mirror_scan": _CDF_MIRROR_ORACLE,
+    "cdf_agg_view_scan": _CDF_AGG_ORACLE,
     # the streaming mirror materializes the same closed-form states —
     # a streaming query with a FULL SQL oracle
     "streaming_cdf_mirror": _CDF_MIRROR_ORACLE,
+    # stream-stream inner join with a full-replay watermark is
+    # bit-equal to the batch join — a second streaming query with a
+    # FULL SQL oracle
+    "streaming_click_attribution": _CLICK_ATTR_ORACLE,
     "datasource_point_lookup": _DS_LOOKUP_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "source_cap_sample": _SOURCE_CAP_ORACLE,

@@ -728,6 +728,19 @@ def test_cdf_mirror_scan_two_merges_no_joins(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_cdf_agg_view_scan_two_merges_no_joins(spark):
+    """Aggregate-view read: the rollup is materialized in its own azof
+    table, so the query is exactly two as-of merge exchanges over a
+    #groups-sized relation and ZERO joins — proof the view holds the
+    maintained totals instead of re-aggregating the source at read
+    time (no exchange is corpus-sized)."""
+    df = q("cdf_agg_view_scan", spark)
+    assert shuffle_count(df) <= 2
+    assert broadcast_join_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_r12_pipeline_queries_bounded(spark):
     """tfidf: tf exchange + df window on term + per-doc top-k = 3,
     scan pruned to (doc_id, text); source caps: ONE window exchange,
