@@ -1,0 +1,109 @@
+"""Misra–Gries HEAVY HITTERS: frequent-item summaries with bounded
+memory — the third member of the sketch family (KMV counts distinct,
+the fixed-bin histogram answers quantiles, this answers "which items
+dominate"). The classic streaming summary (Misra & Gries 1982; the
+SpaceSaving variant of Metwally et al. 2005 gives the same bound):
+keep at most ``capacity`` counters; an unseen item beyond capacity
+decrements EVERY counter by one (dropping zeros) instead of being
+admitted. After ``n`` items with ``r`` decrement rounds, each kept
+counter is a LOWER bound on the item's true count, undercounting by at
+most ``r ≤ n/(capacity+1)`` — so every item with true count >
+n/(capacity+1) is guaranteed present in the summary.
+
+Distributed shape (the reason MG fits a 100 TB corpus): the summary is
+MERGEABLE — run MG per input partition (one Arrow-batched map pass,
+zero exchanges), then sum per-item lower bounds across partitions.
+The only exchange carries ≤ capacity·P summary rows (P = partitions),
+never the corpus and never its distinct-item set; the summed
+undercount ``Σ_p r_p`` rides along as the global error bound. Exact
+``GROUP BY item`` shuffles every distinct item; MG caps the wire bytes
+at a constant per partition, the same profile as the KMV exchange.
+
+Exactness regime: when NO partition overflows its capacity (``r_p = 0``
+everywhere — guaranteed whenever per-partition distinct ≤ capacity),
+the lower bounds ARE the true counts and the merged top-k equals the
+exact answer, which is what lets the `heavy_hitters_terms` workload
+query carry a full DuckDB oracle; the approximate regime's bounds are
+pinned by unit tests instead (tests/test_heavyhitters.py)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partial_summaries(
+    df: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries: one map-only Arrow-batched
+    pass emitting ≤ ``capacity`` ``(item, cnt_lo)`` rows per input
+    partition plus ONE ``(NULL, rounds)`` sentinel row carrying that
+    partition's decrement-round count (= its max undercount)."""
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        rounds = 0
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < capacity:
+                    counters[item] = 1
+                else:
+                    # decrement-all round: the incoming item and one
+                    # unit of every counter cancel out
+                    rounds += 1
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        out = pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "cnt_lo": list(counters.values()) + [0],
+                "rounds": [0] * len(counters) + [rounds],
+            }
+        )
+        yield out.astype({"cnt_lo": "int64", "rounds": "int64"})
+
+    return src.mapInPandas(summarize, "item string, cnt_lo long, rounds long")
+
+
+def mg_topk(
+    df: DataFrame, item_col: str, k: int, capacity: int
+) -> DataFrame:
+    """Merged Misra–Gries top-k: ``(item, rank, cnt_lo, max_err)``
+    where ``cnt_lo`` is the summed per-partition lower bound and
+    ``max_err`` (constant across rows) the summed decrement rounds —
+    the global undercount ceiling. ``max_err = 0`` certifies the
+    result exact. One ≤ capacity·P-row exchange + a 1-row error agg
+    attached as a literal (the bm25 stats discipline)."""
+    from pyspark.sql import Window
+
+    parts = mg_partial_summaries(df, item_col, capacity)
+    # the sentinel rows' sum is the global undercount bound; a 1-row
+    # job evaluated eagerly so it rides the result as a literal. This
+    # re-runs the (map-only, linear) summary pass once more when the
+    # result evaluates; a long-lived pipeline would persist the
+    # ≤ capacity·P summary instead — it is sketch-sized by design.
+    total_err = parts.agg(F.sum("rounds")).first()[0] or 0
+    w = Window.orderBy(F.col("cnt_lo").desc(), F.col("item").asc())
+    return (
+        parts.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt_lo").alias("cnt_lo"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item",
+            "rank",
+            "cnt_lo",
+            F.lit(int(total_err)).cast("long").alias("max_err"),
+        )
+    )

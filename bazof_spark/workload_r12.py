@@ -626,6 +626,61 @@ _TFIDF_ORACLE = r"""
 """
 
 
+def heavy_hitters_terms_q(spark, sf_dir):
+    """HEAVY HITTERS over corpus terms via the mergeable Misra–Gries
+    summary (operators/heavyhitters.py) — the frequent-item member of
+    the sketch family (KMV = distinct, histogram = quantiles, MG =
+    dominant items): top-10 terms with per-item count lower bounds and
+    the summed undercount ceiling ``max_err``.
+
+    100 TB shape: one Arrow-batched map pass builds a ≤ capacity-row
+    summary per partition (zero exchanges); the merge exchange carries
+    ≤ capacity·P rows — wire bytes constant per partition, never the
+    corpus's distinct-term set (exact GROUP BY shuffles every distinct
+    item). On this corpus the fixed 31-word vocabulary sits far below
+    the 256-counter capacity, so no partition ever overflows,
+    ``max_err`` is provably 0 and the summary IS the exact answer —
+    which is why this sketch query carries a full DuckDB oracle (the
+    approximate regime's bounds are unit-pinned in
+    tests/test_heavyhitters.py instead)."""
+    from bazof_spark.operators.heavyhitters import mg_topk
+    from bazof_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    return mg_topk(words, "term", k=10, capacity=256).select(
+        F.col("item").alias("term"),
+        "rank",
+        F.col("cnt_lo").alias("cnt"),
+        "max_err",
+    )
+
+
+_HEAVY_HITTERS_ORACLE = r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT term, COUNT(*) AS cnt
+        FROM words WHERE term <> '' GROUP BY term
+    ),
+    r AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rk
+        FROM c
+    )
+    SELECT term, CAST(rk AS INT) AS rank, cnt,
+           CAST(0 AS BIGINT) AS max_err
+    FROM r WHERE rk <= 10
+"""
+
+
 def source_cap_sample_q(spark, sf_dir):
     """PER-SOURCE DOCUMENT CAPS — the mixing-control step (Dolma/
     RefinedWeb cap documents per source/domain so no single crawl
@@ -745,6 +800,7 @@ QUERIES_R12 = {
     "streaming_click_attribution": streaming_click_attribution_q,
     "datasource_point_lookup": datasource_point_lookup_q,
     "tfidf_top_terms": tfidf_top_terms_q,
+    "heavy_hitters_terms": heavy_hitters_terms_q,
     "source_cap_sample": source_cap_sample_q,
     "hard_negative_mining": hard_negative_mining_q,
 }
@@ -762,6 +818,7 @@ ORACLES_R12 = {
     "streaming_click_attribution": _CLICK_ATTR_ORACLE,
     "datasource_point_lookup": _DS_LOOKUP_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
+    "heavy_hitters_terms": _HEAVY_HITTERS_ORACLE,
     "source_cap_sample": _SOURCE_CAP_ORACLE,
     "hard_negative_mining": _HARD_NEG_ORACLE,
 }

@@ -741,6 +741,17 @@ def test_cdf_agg_view_scan_two_merges_no_joins(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_heavy_hitters_bounded_exchange(spark):
+    """MG heavy hitters: the summary pass is map-only (the scan prunes
+    to the text column), and the only exchanges are the ≤ capacity·P
+    summary merge + the k-row ranking window — never the corpus's
+    distinct-item set as a full GROUP BY would shuffle."""
+    df = q("heavy_hitters_terms", spark)
+    assert scan_columns(df) == [{"text"}]
+    assert shuffle_count(df) <= 2
+    assert broadcast_join_count(df) == 0
+
+
 def test_r12_pipeline_queries_bounded(spark):
     """tfidf: tf exchange + df window on term + per-doc top-k = 3,
     scan pruned to (doc_id, text); source caps: ONE window exchange,
