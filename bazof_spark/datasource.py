@@ -267,6 +267,9 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
 #: coalesced page-index region read cap — larger (pathological)
 #: layouts fall back to per-chunk reads
 _INDEX_REGION_MAX = 16 << 20
+#: largest bloom blob worth a ranged read at planning time (the spec
+#: caps bitsets at 1 MiB; anything bigger is malformed)
+_BLOOM_FETCH_MAX = 2 << 20
 
 
 def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
@@ -420,7 +423,10 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
             def fetch(off: int, ln: int) -> bytes:
                 if region is not None:
                     base, blob = region
-                    return blob[off - base : off - base + ln]
+                    if base <= off and off + ln <= base + len(blob):
+                        return blob[off - base : off - base + ln]
+                # outside the coalesced index region (bloom filters sit
+                # with the data pages) or no region: direct ranged read
                 fin.seek(off)
                 return fin.read(ln)
 
@@ -444,6 +450,51 @@ def _page_prune_spans(filesystem, rel, pushed, src, group_indices,
                     )
                     if chunk is None:
                         continue
+                    if op in ("equal", "isin"):
+                        # split-block bloom probe (group granularity):
+                        # prunes scattered values min/max bounds admit,
+                        # and works on index-less files too. Parsed
+                        # from spec (operators/parquetbloom); any
+                        # surprise falls through to page-index pruning.
+                        b_off = chunk.get("bloom_filter_offset")
+                        b_len = chunk.get("bloom_filter_length")
+                        if b_off and b_len and b_len <= _BLOOM_FETCH_MAX:
+                            from bazof_spark.operators.parquetbloom import (
+                                might_contain,
+                                parse_bloom_blob,
+                                plain_encoded,
+                                xxh64,
+                            )
+
+                            raw_b = value if op == "isin" else (value,)
+                            enc_b = [
+                                None
+                                if isinstance(v, (bool, datetime))
+                                else plain_encoded(v, chunk.get("type"))
+                                for v in raw_b
+                            ]
+                            if all(e is not None for e in enc_b):
+                                try:
+                                    bits = parse_bloom_blob(
+                                        fetch(b_off, b_len)
+                                    )
+                                    hit = any(
+                                        might_contain(bits, xxh64(e))
+                                        for e in enc_b
+                                    )
+                                except Exception:
+                                    hit = True  # unreadable: keep group
+                                if not hit:
+                                    any_index = True
+                                    if stats is not None:
+                                        stats["groups_bloom_skipped"] = (
+                                            stats.get(
+                                                "groups_bloom_skipped", 0
+                                            )
+                                            + 1
+                                        )
+                                    spans = []
+                                    break
                     ci_off = chunk.get("column_index_offset")
                     ci_len = chunk.get("column_index_length")
                     oi_off = chunk.get("offset_index_offset")
@@ -1115,8 +1166,11 @@ class BazofBatchWriter(DataSourceArrowWriter):
         mm = pc.min_max(pc.cast(t.column(EVENT_TIME_COL), pa.int64())).as_py()
         dest = iofs.join(self._stage_dir, f"part-{uuid.uuid4().hex}.parquet")
         filesystem, rel = iofs._split(dest)
-        # page indexes: JVM scans page-prune on pushed predicates
-        pq.write_table(t, rel, filesystem=filesystem, write_page_index=True)
+        # page indexes: JVM scans page-prune on pushed predicates;
+        # key blooms: row-group skipping for pushed key equalities
+        from bazof_spark.operators.parquetbloom import write_table_with_blooms
+
+        write_table_with_blooms(t, rel, filesystem, write_page_index=True)
         return _DeltaFileMessage(
             file_path=dest,
             start_us=mm["min"],

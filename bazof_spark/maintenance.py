@@ -536,7 +536,9 @@ def _rewrite_tree_with_cast(
             fields.append(f.with_type(tgt) if tgt is not None else f)
         t = t.cast(pa.schema(fields))
         dst_fs, dst_rel = iofs._split(table.data_file_path(new_name))
-        pq.write_table(t, dst_rel, filesystem=dst_fs, write_page_index=True)
+        from bazof_spark.operators.parquetbloom import write_table_with_blooms
+
+        write_table_with_blooms(t, dst_rel, dst_fs, write_page_index=True)
         return new_name
 
     import dataclasses

@@ -229,6 +229,10 @@ def _column_chunk(d: dict) -> dict:
         "index_page_offset": md.get(10),
         "dictionary_page_offset": md.get(11),
         "statistics": _statistics(md.get(12)),
+        # split-block bloom filter location (ColumnMetaData 14/15) —
+        # written by parquet-mr and by operators/parquetbloom
+        "bloom_filter_offset": md.get(14),
+        "bloom_filter_length": md.get(15),
     }
 
 

@@ -94,15 +94,20 @@ def dataframe_to_parquet_file(
     # page indexes (OffsetIndex/ColumnIndex) give the JVM vectorized
     # reader PAGE-granular skipping on pushed predicates (event_time
     # bounds, key ranges) — parquet-mr column-index filtering is on by
-    # default in Spark; bytes cost is a few hundred per column chunk
+    # default in Spark; bytes cost is a few hundred per column chunk.
+    # Split-block blooms over the key column ride along (operators/
+    # parquetbloom): parquet-mr probes them natively for pushed key
+    # equalities, the Python Data Source through might_contain.
+    from bazof_spark.operators.parquetbloom import write_table_with_blooms
+
     if row_group_rows:
-        pq.write_table(
-            tbl, dest_rel, filesystem=dest_fs,
+        write_table_with_blooms(
+            tbl, dest_rel, dest_fs,
             row_group_size=row_group_rows, write_page_index=True,
         )
     else:
-        pq.write_table(
-            tbl, dest_rel, filesystem=dest_fs, write_page_index=True
+        write_table_with_blooms(
+            tbl, dest_rel, dest_fs, write_page_index=True
         )
 
 
@@ -345,8 +350,13 @@ def _write_distributed_delta_uri(
         )
         dest = _iofs.join(stage, f"part-{uuid.uuid4().hex}.parquet")
         fs, rel = _iofs.split(dest)
-        # same page-index rationale as dataframe_to_parquet_file
-        _pq.write_table(t, rel, filesystem=fs, write_page_index=True)
+        # same page-index + key-bloom rationale as
+        # dataframe_to_parquet_file
+        from bazof_spark.operators.parquetbloom import (
+            write_table_with_blooms as _wtb,
+        )
+
+        _wtb(t, rel, fs, write_page_index=True)
         yield _pa.RecordBatch.from_pydict(
             {"staged": [dest], "rows": [t.num_rows]}
         )

@@ -336,6 +336,42 @@ def test_cli_footer_page_index(tmp_path):
     assert base64.b64decode(ci["min_values"][0]) == (0).to_bytes(8, "little")
 
 
+def test_cli_footer_add_blooms_and_probe(tmp_path):
+    """`footer --add-blooms` gives a foreign file split-block blooms
+    in place (atomic, idempotent); `--probe COL=VALUE` answers
+    maybe/no per row group from the bloom alone."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table(
+            {"key": [str((i * 7) % 1000) for i in range(1000)]}
+        ),
+        f, write_page_index=True, row_group_size=250,
+    )
+
+    def cli(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "bazof_spark.cli", "footer", f, *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-300:]
+        return r.stdout
+
+    assert "added blooms for key" in cli("--add-blooms", "key")
+    assert "no blooms added" in cli("--add-blooms", "key")  # idempotent
+    probed = cli("--probe", "key=17").strip().splitlines()
+    assert len(probed) == 4 and "maybe" in "".join(probed)
+    absent = cli("--probe", "key=definitely-absent").strip().splitlines()
+    assert all(line.endswith("no") for line in absent)
+    # the patched file still reads identically
+    assert pq.read_table(f).num_rows == 1000
+
+
 def test_mirror_subcommand_bootstrap_and_incremental(spark, lake, capsys):
     """`mirror` applies a source's change-feed window onto a mirror
     table through the generic operators/cdc.apply_changes: first call
