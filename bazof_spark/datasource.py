@@ -1774,6 +1774,64 @@ def write_table(
     writer.save()
 
 
+def _bytes_conf(value: str) -> int | None:
+    """Parse a Spark byte-size conf value ('10485760b', '10MB',
+    '-1'…) → bytes, or None when unparsable."""
+    try:
+        s = str(value).strip().lower()
+        for suffix, mult in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+            ("g", 1 << 30), ("t", 1 << 40), ("b", 1),
+        ):
+            if s.endswith(suffix):
+                return int(s[: -len(suffix)]) * mult
+        return int(s)
+    except (ValueError, TypeError):
+        return None
+
+
+def broadcast_hint_if_small(spark, table_path: str, df, version=None):
+    """STATISTICS-DRIVEN BROADCAST for Data Source scans: the Python
+    Data Source API reports no relation statistics, so Spark sizes
+    every ``format("bazof")`` scan at defaultSizeInBytes (≈ 2^62) and
+    never auto-broadcasts it — a 1 KB dimension table joined through
+    this path would shuffle both sides at any scale. The snapshot
+    records per-file byte sizes at commit (round 11); when every data
+    file's size is known and their sum fits the session's
+    ``autoBroadcastJoinThreshold``, attach the broadcast hint Spark
+    would have derived from file sizes on a JVM parquet scan. File
+    bytes over-approximate the merged output (the as-of merge only
+    shrinks rows), mirroring Spark's own compressed-file-size
+    estimate; snapshots without recorded sizes (reference-era) stay
+    unhinted. Pinned in tests/test_broadcast_stats.py."""
+    import os as _os
+
+    try:
+        from bazof_spark.table import Table
+
+        t = Table(
+            path=table_path,
+            name=_os.path.basename(table_path.rstrip("/")),
+        )
+        snap = t.get_snapshot(str(version or t.current_version()))
+        files = set(snap.get_data_files())
+        sizes = snap.file_sizes()
+        if not files or not files <= set(sizes):
+            return df
+        total = sum(sizes[f] for f in files)
+        threshold = _bytes_conf(
+            spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760b"
+            )
+        )
+        if threshold is not None and 0 < total <= threshold:
+            return df.hint("broadcast")
+    except Exception:
+        pass  # statistics are an optimization, never a scan failure
+    return df
+
+
 def read_table(spark, root: str, name: str, as_of: str | None = None,
                version: str | None = None):
     """Merged point-in-time state through the registered source: the
@@ -1824,9 +1882,13 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
         F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
     )
     if has_tomb:
-        return (
+        merged = (
             winner.filter(~F.col("_w._tombstone"))
             .select("key", "_w.*")
             .drop("_tombstone")
         )
-    return winner.select("key", "_w.*")
+    else:
+        merged = winner.select("key", "_w.*")
+    return broadcast_hint_if_small(
+        spark, iofs.join(root, name), merged, version
+    )

@@ -534,11 +534,17 @@ class Lakehouse:
             )
         else:
             merged = winner.select(KEY_COL, "_w.*")
-        return (
+        out = (
             merged.select(*out_cols)
             if out_cols
             else merged.select(KEY_COL).drop(KEY_COL)
         )
+        # Python DS relations carry no statistics — attach the
+        # broadcast decision Spark would have made from file sizes
+        # (snapshot-recorded at commit; see broadcast_hint_if_small)
+        from bazof_spark.datasource import broadcast_hint_if_small
+
+        return broadcast_hint_if_small(self.spark, table.path, out, version)
 
     def _dedup_latest_per_key(
         self,

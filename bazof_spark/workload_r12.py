@@ -534,6 +534,108 @@ _DS_LOOKUP_ORACLE = """
 """
 
 
+def _ds_types_root(spark, sf_dir: str) -> str:
+    """Cached one-version dim table (event_type → category) authored
+    through the Data Source sink next to nothing else — the classic
+    tiny dimension an object-store deployment joins against. Its
+    snapshot records file sizes, which is what lets the scan carry a
+    broadcast hint (datasource.broadcast_hint_if_small)."""
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime, timezone
+
+    root = os.path.join(tempfile.gettempdir(), "bazof_dstypes_v1")
+    marker = os.path.join(root, "types_ds", "_BUILT")
+    if not os.path.exists(marker):
+        from bazof_spark.datasource import write_table
+
+        at = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+            ("upd", "ops"),
+        ]
+        dim = spark.createDataFrame(
+            [(t, at, c) for t, c in rows],
+            "key string, event_time timestamp, category string",
+        )
+        scratch = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex}"
+        write_table(dim, scratch, "types_ds", mode="overwrite")
+        with open(os.path.join(scratch, "types_ds", "_BUILT"), "w") as f:
+            f.write("ok")
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(
+                os.path.join(scratch, "types_ds"),
+                os.path.join(root, "types_ds"),
+            )
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return root
+
+
+def datasource_dim_join_q(spark, sf_dir):
+    """FACT-TO-DIM JOIN through the Data Source read path, broadcast
+    by SNAPSHOT STATISTICS: Python Data Source relations report no
+    statistics to Spark (defaultSizeInBytes ≈ 2^62), so without help
+    every join against a Data-Source-read dimension shuffles BOTH
+    sides at any size — at 100 TB that is a full fact exchange to
+    join six rows. The snapshot's commit-time-recorded file sizes
+    close the gap: the dim scan's recorded bytes fit
+    autoBroadcastJoinThreshold, so the scan carries the broadcast
+    hint Spark would have derived from file sizes on a JVM parquet
+    scan (datasource.broadcast_hint_if_small), and the join degrades
+    to a map-side hash probe over the fact's merge output. Value
+    cents are floored per row BEFORE summing, so the aggregate is
+    integer-exact across engines."""
+    from bazof_spark.datasource import read_table
+
+    ev_root = _ds_events_root(spark, sf_dir)
+    fact = read_table(spark, ev_root, "events_ds")
+    dim = read_table(spark, _ds_types_root(spark, sf_dir), "types_ds").select(
+        F.col("key").alias("etype"), "category"
+    )
+    return (
+        fact.join(dim, fact.event_type == dim.etype)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select("category", "n_events", "value_cents")
+    )
+
+
+_DS_DIM_JOIN_ORACLE = """
+    WITH fact AS (
+        SELECT CASE WHEN event_id % 10 = 0 THEN 'upd'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 10 = 0 THEN value + 1000
+                    ELSE value END AS value
+        FROM events
+    ),
+    dim(etype, category) AS (
+        VALUES ('click', 'engagement'), ('view', 'engagement'),
+               ('purchase', 'revenue'), ('signup', 'growth'),
+               ('error', 'ops'), ('upd', 'ops')
+    )
+    SELECT category, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM fact JOIN dim ON fact.event_type = dim.etype
+    GROUP BY category
+"""
+
+
 def tfidf_top_terms_q(spark, sf_dir):
     """Per-document KEYWORD EXTRACTION by tf-idf — the feature step
     behind BM25 retrieval, topic routing, and dedup fingerprints: each
@@ -799,6 +901,7 @@ QUERIES_R12 = {
     "streaming_cdf_mirror": streaming_cdf_mirror_q,
     "streaming_click_attribution": streaming_click_attribution_q,
     "datasource_point_lookup": datasource_point_lookup_q,
+    "datasource_dim_join": datasource_dim_join_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "heavy_hitters_terms": heavy_hitters_terms_q,
     "source_cap_sample": source_cap_sample_q,
@@ -817,6 +920,7 @@ ORACLES_R12 = {
     # FULL SQL oracle
     "streaming_click_attribution": _CLICK_ATTR_ORACLE,
     "datasource_point_lookup": _DS_LOOKUP_ORACLE,
+    "datasource_dim_join": _DS_DIM_JOIN_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "heavy_hitters_terms": _HEAVY_HITTERS_ORACLE,
     "source_cap_sample": _SOURCE_CAP_ORACLE,

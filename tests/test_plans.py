@@ -741,6 +741,20 @@ def test_cdf_agg_view_scan_two_merges_no_joins(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_datasource_dim_join_broadcasts_dim(spark):
+    """Statistics-driven broadcast through the Data Source read path:
+    the six-row dim's snapshot-recorded sizes put it under the
+    broadcast threshold, so the join is a broadcast hash probe — no
+    sort-merge exchange of the fact side beyond its own merge + the
+    final agg. Without the snapshot statistics this exact plan would
+    shuffle both sides (pinned in tests/test_broadcast_stats.py)."""
+    df = q("datasource_dim_join", spark)
+    assert broadcast_join_count(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) <= 3  # fact merge, dim merge, final agg
+
+
 def test_heavy_hitters_bounded_exchange(spark):
     """MG heavy hitters: the summary pass is map-only (the scan prunes
     to the text column), and the only exchanges are the ≤ capacity·P
