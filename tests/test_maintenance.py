@@ -321,6 +321,46 @@ def test_checkpoint_on_file_uri_root(spark, tmp_path):
     # test_checkpoint_and_optimize_over_real_s3)
 
 
+def test_late_write_after_checkpoint_semantics(spark, tmp_path):
+    """Codified semantics for a commit whose event_time PRECEDES an
+    already-published checkpoint's ``at`` (the late-arrival case
+    ``_check_nothing_beyond`` cannot guard — it only covers data
+    committed before the checkpoint): the late delta lands in the
+    post-checkpoint open segment, so Current and every as-of ≥ the
+    checkpoint instant see it (file precedence beats the compacted
+    base), while as-of instants from its event_time THROUGH the
+    checkpoint instant keep the pre-checkpoint answer — compaction
+    froze that span of history, and the boundary instant itself
+    belongs to the frozen side (segment ranges are inclusive,
+    metadata.rs:75-86, so at exactly ``at`` the archived wrapper
+    outranks the open segment). The cross-process stress
+    (tests/test_concurrency_stress.py) leans on this: per-commit
+    as-of assertions under a racing checkpointer would encode a
+    race, not a correctness property."""
+    from bazof_spark.writer import append_delta
+
+    path = str(tmp_path / "t")
+    w = TableWriter(spark, path, SCHEMA)
+    seg = w.add_segment("s1", ts(1))
+    seg.add_delta(rows(spark, ("k1", ts(1), "seed")), ts(1), ts(1))
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    checkpoint_table(lh, "t", at=ts(5))
+    # late arrival: event_time ts(3) < the checkpoint instant ts(5)
+    append_delta(spark, path, rows(spark, ("k1", ts(3), "late")))
+
+    def val(as_of=None):
+        [r] = lh.scan("t", as_of=as_of).collect()
+        return r["value"]
+
+    assert val() == "late"  # Current
+    assert val(ts(6)) == "late"  # after the checkpoint instant
+    assert val(ts(5)) == "seed"  # the boundary instant is frozen too
+    assert val(ts(4)) == "seed"  # frozen span [ts(3), ts(5)]
+    assert val(ts(2)) == "seed"  # before the late event_time
+    validate_table(lh, "t").raise_if_invalid()
+
+
 def test_checkpoint_races_live_upserts_loses_nothing(spark, lakehouse, tmp_path):
     """Compaction under concurrency (round-5 verdict task 7): a
     checkpoint loop racing live upsert threads through the shared
