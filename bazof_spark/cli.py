@@ -250,6 +250,20 @@ def main(argv: list[str] | None = None) -> int:
     p_dc.add_argument("file")
     p_dc.add_argument("--out", help="output path (default: stdout)")
 
+    p_dv = sub.add_parser(
+        "duckdb-sql",
+        help="print a standalone DuckDB SELECT reproducing the as-of "
+        "merge over the table's parquet files (interop.duckdb_view_sql)"
+        " — query the lakehouse from DuckDB with no Spark session",
+    )
+    p_dv.add_argument("--path", required=True, help="lakehouse root")
+    p_dv.add_argument("--table", required=True)
+    p_dv.add_argument("--as-of", dest="as_of")
+    p_dv.add_argument("--version")
+    p_dv.add_argument(
+        "--columns", help="comma-separated value-column projection"
+    )
+
     p_ft = sub.add_parser(
         "footer",
         help="parse a parquet file's footer with the repo's from-spec "
@@ -317,6 +331,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{fmt}: {len(data)} -> {len(out)} bytes ({args.out})")
         else:
             sys.stdout.buffer.write(out)
+        return 0
+
+    if args.cmd == "duckdb-sql":
+        # pure metadata resolution — no Spark session needed
+        from bazof_spark import iofs
+        from bazof_spark.interop import duckdb_view_sql
+
+        print(
+            duckdb_view_sql(
+                iofs.join(args.path, args.table),
+                as_of=args.as_of,
+                version=args.version,
+                columns=(
+                    [c.strip() for c in args.columns.split(",") if c.strip()]
+                    if args.columns
+                    else None
+                ),
+            )
+        )
         return 0
 
     if args.cmd == "footer":

@@ -336,6 +336,22 @@ def test_cli_footer_page_index(tmp_path):
     assert base64.b64decode(ci["min_values"][0]) == (0).to_bytes(8, "little")
 
 
+def test_cli_duckdb_sql_runs_in_duckdb(capsys, lake):
+    """`duckdb-sql` prints a statement DuckDB executes directly,
+    reproducing the reference financials golden at its as-of."""
+    import duckdb
+
+    sql = run(
+        capsys, "duckdb-sql", "--path", lake, "--table", "financials",
+        "--as-of", "2019-01-17T00:00:00.000Z",
+    )
+    top = duckdb.sql(
+        f"SELECT key, revenue FROM ({sql}) WHERE industry = 'Software' "
+        "ORDER BY revenue DESC LIMIT 1"
+    ).fetchall()
+    assert top == [("MSFT", 32471000000)]
+
+
 def test_cli_footer_add_blooms_and_probe(tmp_path):
     """`footer --add-blooms` gives a foreign file split-block blooms
     in place (atomic, idempotent); `--probe COL=VALUE` answers
