@@ -728,6 +728,137 @@ _TFIDF_ORACLE = r"""
 """
 
 
+def sketch_set_intersection_q(spark, sf_dir):
+    """KMV SET ALGEBRA — the sketch family's missing set operation:
+    how many distinct users BOTH clicked AND purchased, without ever
+    shuffling a distinct-user set. Per-type KMV sketches (k=32 minima
+    each), the union sketch by min-of-mins re-aggregation (closed
+    under merge — functions/sketch.py), and the intersection by
+    inclusion–exclusion on the three estimates: |A∩B| = |A| + |B| −
+    |A∪B|. Every step is a fixed-order deterministic fold, so the
+    DuckDB oracle reproduces all four numbers BIT-for-bit — the same
+    property that oracle-checks the other kmv queries.
+
+    100 TB shape: ONE corpus scan, ONE map-side-combined global
+    aggregate computing all three sketches at once (conditional mins:
+    per-type via ``min(when(...))``, union as the unconditional min —
+    correct because only click/purchase rows survive the filter); the
+    exchange carries 3·k longs per partition, and everything after is
+    a 1-row projection. Branching kmv_sketch relations instead would
+    re-scan the corpus once per estimate — the single-agg form is the
+    plan a production sketch pipeline wants."""
+    from bazof_spark.functions.sketch import KMV_HASH_SPACE, _hash_pair
+    from bazof_spark.sources.tables import load_table
+
+    k = 32
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+    )
+    h1, h2 = _hash_pair(F.col("uid"))
+    hashed = ev.select(
+        "event_type",
+        *[
+            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(
+                f"_h{i}"
+            )
+            for i in range(k)
+        ],
+    )
+    click = F.col("event_type") == "click"
+    purchase = F.col("event_type") == "purchase"
+    agg = hashed.groupBy().agg(
+        *[
+            F.min(F.when(click, F.col(f"_h{i}"))).alias(f"c_m{i}")
+            for i in range(k)
+        ],
+        *[
+            F.min(F.when(purchase, F.col(f"_h{i}"))).alias(f"p_m{i}")
+            for i in range(k)
+        ],
+        *[F.min(f"_h{i}").alias(f"u_m{i}") for i in range(k)],
+    )
+
+    def est(prefix):
+        # the kmv_estimate fold, left-to-right — identical IEEE result
+        total = F.lit(0.0)
+        for i in range(k):
+            total = total + F.col(f"{prefix}_m{i}") / F.lit(
+                float(KMV_HASH_SPACE)
+            )
+        return F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+
+    return agg.select(
+        est("c").alias("est_click"),
+        est("p").alias("est_purchase"),
+        est("u").alias("est_union"),
+    ).select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        F.round(
+            F.col("est_click")
+            + F.col("est_purchase")
+            - F.col("est_union"),
+            6,
+        ).alias("est_intersect"),
+    )
+
+
+def _kmv_intersection_oracle(k: int = 32) -> str:
+    from bazof_spark.functions.sketch import KMV_HASH_SPACE
+
+    h1 = "CAST('0x' || substr(md5(uid), 1, 15) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(uid), 16, 14) AS BIGINT)"
+    hash_cols = ",\n               ".join(
+        f"({h1} + {i} * {h2}) % {KMV_HASH_SPACE} AS _h{i}"
+        for i in range(k)
+    )
+
+    def est(prefix):
+        # parenthesized left-to-right, mirroring the Spark fold order
+        total = "0.0"
+        for i in range(k):
+            total = f"({total} + {prefix}_m{i} / {float(KMV_HASH_SPACE)})"
+        return f"round({float(k)} / {total} - 1.0, 6)"
+
+    per_mins = ", ".join(f"MIN(_h{i}) AS _m{i}" for i in range(k))
+    c_cols = ", ".join(f"c._m{i} AS c_m{i}" for i in range(k))
+    p_cols = ", ".join(f"p._m{i} AS p_m{i}" for i in range(k))
+    u_mins = ", ".join(
+        f"LEAST(c._m{i}, p._m{i}) AS u_m{i}" for i in range(k)
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT event_type,
+               {hash_cols}
+            FROM (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS uid
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+            )
+        ),
+        sk AS (
+            SELECT event_type, {per_mins}
+            FROM hashed GROUP BY event_type
+        ),
+        joined AS (
+            SELECT {c_cols}, {p_cols}, {u_mins}
+            FROM (SELECT * FROM sk WHERE event_type = 'click') c,
+                 (SELECT * FROM sk WHERE event_type = 'purchase') p
+        )
+        SELECT {est('c')} AS est_click,
+               {est('p')} AS est_purchase,
+               {est('u')} AS est_union,
+               round({est('c')} + {est('p')} - {est('u')}, 6)
+                   AS est_intersect
+        FROM joined
+    """
+
+
 def heavy_hitters_terms_q(spark, sf_dir):
     """HEAVY HITTERS over corpus terms via the mergeable Misra–Gries
     summary (operators/heavyhitters.py) — the frequent-item member of
@@ -904,6 +1035,7 @@ QUERIES_R12 = {
     "datasource_dim_join": datasource_dim_join_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "heavy_hitters_terms": heavy_hitters_terms_q,
+    "sketch_set_intersection": sketch_set_intersection_q,
     "source_cap_sample": source_cap_sample_q,
     "hard_negative_mining": hard_negative_mining_q,
 }
@@ -923,6 +1055,7 @@ ORACLES_R12 = {
     "datasource_dim_join": _DS_DIM_JOIN_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "heavy_hitters_terms": _HEAVY_HITTERS_ORACLE,
+    "sketch_set_intersection": _kmv_intersection_oracle(),
     "source_cap_sample": _SOURCE_CAP_ORACLE,
     "hard_negative_mining": _HARD_NEG_ORACLE,
 }

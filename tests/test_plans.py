@@ -755,6 +755,19 @@ def test_datasource_dim_join_broadcasts_dim(spark):
     assert shuffle_count(df) <= 3  # fact merge, dim merge, final agg
 
 
+def test_sketch_set_intersection_sketch_sized_wire(spark):
+    """KMV set algebra: exactly ONE scan pruned to (event_type,
+    user_id) and ONE map-side-combined global aggregate computing all
+    three sketches (3·k longs per partition on the wire) — no joins,
+    no re-scan per estimate."""
+    df = q("sketch_set_intersection", spark)
+    assert scan_columns(df) == [{"event_type", "user_id"}]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 1
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan
+
+
 def test_heavy_hitters_bounded_exchange(spark):
     """MG heavy hitters: the summary pass is map-only (the scan prunes
     to the text column), and the only exchanges are the ≤ capacity·P
