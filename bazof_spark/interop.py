@@ -152,3 +152,54 @@ SELECT {col_list} FROM (
     SELECT {value_sel} FROM won WHERE _rn = 1 AND NOT _tombstone
 )
 """.strip()
+
+
+def duckdb_changes_sql(
+    table_path: str,
+    since: AsOf | str,
+    until: AsOf | str | None = None,
+    columns: list[str] | None = None,
+) -> str:
+    """The CHANGE FEED as one standalone DuckDB statement — the
+    interop twin of ``Lakehouse.scan_changes`` (same contract: every
+    key whose null-safe (event_time, values) tuple differs between the
+    two instants, with ``insert``/``update``/``delete`` typing and
+    ``<col>_early``/``<col>_late`` pre/post images). Composed from two
+    :func:`duckdb_view_sql` legs full-outer-joined on key; a view row
+    always carries ``event_time``, so a NULL side marks absence.
+    Pinned row-identical to ``scan_changes`` on the deterministic
+    acct history (updates, deletes, re-inserts) in
+    tests/test_interop.py."""
+    t = Table(
+        path=table_path, name=os.path.basename(table_path.rstrip("/"))
+    )
+    snapshot = t.get_snapshot(t.current_version())
+    cols = [
+        c.name
+        for c in snapshot.schema.columns
+        if columns is None or c.name in columns
+    ]
+    early_sql = duckdb_view_sql(table_path, as_of=since, columns=columns)
+    late_sql = duckdb_view_sql(table_path, as_of=until, columns=columns)
+    diff = " OR ".join(
+        ["l.event_time IS DISTINCT FROM e.event_time"]
+        + [f"l.{c} IS DISTINCT FROM e.{c}" for c in cols]
+    )
+    early_cols = "".join(f", e.{c} AS {c}_early" for c in cols)
+    late_cols = "".join(f", l.{c} AS {c}_late" for c in cols)
+    return f"""
+WITH early AS (
+{early_sql}
+),
+late AS (
+{late_sql}
+)
+SELECT COALESCE(l.key, e.key) AS key,
+       CASE WHEN e.event_time IS NULL THEN 'insert'
+            WHEN l.event_time IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       e.event_time AS event_time_early,
+       l.event_time AS event_time_late{early_cols}{late_cols}
+FROM late l FULL OUTER JOIN early e ON l.key = e.key
+WHERE e.event_time IS NULL OR l.event_time IS NULL OR {diff}
+""".strip()

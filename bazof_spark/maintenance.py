@@ -684,6 +684,86 @@ def _arrow_data_checks(present: list[str], report: "ValidationReport"):
         )
 
 
+def _bloom_integrity_checks(present: list[str], report: "ValidationReport"):
+    """Split-block bloom integrity (operators/parquetbloom): for every
+    data file whose footer declares a key-column bloom, parse the blob
+    and probe it with up to 64 of that row group's own keys. A bloom
+    may lie POSITIVE, never negative — a denial of a present key means
+    any reader trusting it (parquet-mr, the Data Source planner) would
+    wrongly skip the group, so that is an ERROR; an unreadable blob is
+    a warning (every reader degrades to not pruning). Driver-side,
+    iofs-routed, bounded by the sample cap."""
+    import pyarrow.parquet as pq
+
+    from bazof_spark.operators.parquetbloom import (
+        might_contain,
+        parse_bloom_blob,
+        plain_encoded,
+        xxh64,
+    )
+    from bazof_spark.operators.parquetmeta import parse_parquet_footer
+
+    unreadable = 0
+    denials = 0
+    for path in present:
+        filesystem, rel = iofs.split(path)
+        try:
+            with filesystem.open_input_file(rel) as fin:
+                data = fin.read()
+            foot = parse_parquet_footer(data)
+        except Exception:
+            continue  # footer problems are the structure checks' job
+        pf = None
+        for gi, rg in enumerate(foot.get("row_groups", [])):
+            chunk = next(
+                (
+                    c
+                    for c in rg["columns"]
+                    if c.get("path_in_schema") == [KEY_COL]
+                ),
+                None,
+            )
+            if chunk is None:
+                continue
+            off = chunk.get("bloom_filter_offset")
+            ln = chunk.get("bloom_filter_length")
+            if not off or not ln:
+                continue
+            try:
+                bitset = parse_bloom_blob(data[off : off + ln])
+            except Exception:
+                unreadable += 1
+                continue
+            if pf is None:
+                import io
+
+                pf = pq.ParquetFile(io.BytesIO(data))
+            keys = (
+                pf.read_row_group(gi, columns=[KEY_COL])[KEY_COL]
+                .slice(0, 64)
+                .to_pylist()
+            )
+            denials += sum(
+                1
+                for k in keys
+                if k is not None
+                and not might_contain(
+                    bitset, xxh64(plain_encoded(k, "BYTE_ARRAY"))
+                )
+            )
+    if unreadable:
+        report.warnings.append(
+            f"{unreadable} key bloom filters unreadable; readers "
+            "ignore them (no pruning from those groups)"
+        )
+    if denials:
+        report.errors.append(
+            f"{denials} sampled keys are DENIED by their row group's "
+            "own bloom filter; readers probing it (parquet-mr, the "
+            "Data Source planner) would wrongly skip rows"
+        )
+
+
 def validate_table(
     lakehouse, table_name: str, data_checks: bool | str = True
 ) -> ValidationReport:
@@ -717,6 +797,11 @@ def validate_table(
     for f in missing:
         report.errors.append(f"data file missing: {f}")
     present = [table.data_file_path(f) for f in sorted(files) if f not in missing]
+    if present and data_checks:
+        # bloom integrity rides both data-check modes (driver-side,
+        # sample-bounded) — a false-negative bloom silently loses rows
+        # at read time, the worst failure class validation exists for
+        _bloom_integrity_checks(present, report)
     if present and data_checks == "arrow":
         _arrow_data_checks(present, report)
         return report

@@ -189,3 +189,78 @@ def test_empty_as_of_returns_empty_typed(spark):
         os.path.join(REF, "table0"), as_of="2000-01-01T00:00:00.000Z"
     )
     assert duckdb.sql(sql).fetchall() == []
+
+
+def test_changes_sql_matches_scan_changes(spark, tmp_path):
+    """duckdb_changes_sql row-identical to Lakehouse.scan_changes on a
+    history with updates, a delete, and a re-insert (the acct shape),
+    across both windows."""
+    from bazof_spark.interop import duckdb_changes_sql
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter, delete_keys, merge_apply
+
+    t1 = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    t2 = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    t3 = datetime(2024, 7, 1, tzinfo=timezone.utc)
+    path = str(tmp_path / "t")
+    w = TableWriter(
+        spark, path,
+        TableSchema((ColumnDef("v", ColumnType.INT, False),)),
+    )
+    seg = w.add_segment("s1", t1)
+    seg.add_delta(
+        spark.createDataFrame(
+            [("a", t1, 1), ("b", t1, 2), ("c", t1, 3)],
+            "key string, event_time timestamp, v long",
+        ),
+        t1, t1,
+    )
+    w.commit()
+    merge_apply(
+        spark, path,
+        upsert_df=spark.createDataFrame(
+            [("a", t2, 10)], "key string, event_time timestamp, v long"
+        ),
+        delete_keys_df=spark.createDataFrame([("b",)], "key string"),
+        at=t2,
+    )
+    merge_apply(
+        spark, path,
+        upsert_df=spark.createDataFrame(
+            [("b", t3, 20), ("d", t3, 4)],
+            "key string, event_time timestamp, v long",
+        ),
+        at=t3,
+    )
+    lh = Lakehouse(spark, str(tmp_path))
+    windows = [
+        (t1.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+         t2.strftime("%Y-%m-%dT%H:%M:%S.000Z")),
+        (t2.strftime("%Y-%m-%dT%H:%M:%S.000Z"), None),
+    ]
+    for since, until in windows:
+        want = _spark_rows(lh.scan_changes("t", since=since, until=until))
+        got = _duck(duckdb_changes_sql(path, since, until))
+        assert got == want, (since, until)
+        assert want  # non-vacuous: every window has changes
+
+
+def test_changes_sql_append_only_reference_table(spark):
+    """Append-only financials (no tombstones): the feed is pure
+    inserts/updates; both engines agree on a real multi-version
+    history window."""
+    from bazof_spark.interop import duckdb_changes_sql
+
+    lh = Lakehouse(spark, REF)
+    since, until = (
+        "2019-01-17T00:00:00.000Z",
+        "2020-06-01T00:00:00.000Z",
+    )
+    want = _spark_rows(
+        lh.scan_changes("financials", since=since, until=until)
+    )
+    got = _duck(
+        duckdb_changes_sql(os.path.join(REF, "financials"), since, until)
+    )
+    assert got == want
+    assert want

@@ -333,3 +333,64 @@ def test_optimal_sizing_power_of_two_and_clamped():
         assert nb & (nb - 1) == 0  # power of two
         assert 32 <= nb <= 1 << 20
     assert optimal_num_bytes(10**9) == 1 << 20
+
+
+def test_validate_table_flags_corrupt_bloom(spark, tmp_path):
+    """validate_table's bloom-integrity pass: a clean table reports
+    nothing; a ZEROED bitset (denies every key — the false-negative
+    failure class) is an ERROR; a garbled header is a WARNING
+    (readers just stop pruning)."""
+    from datetime import datetime, timezone
+
+    from bazof_spark.lakehouse import Lakehouse
+    from bazof_spark.maintenance import validate_table
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    t1 = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    path = str(tmp_path / "t")
+    schema = TableSchema((ColumnDef("v", ColumnType.INT, False),))
+    w = TableWriter(spark, path, schema)
+    seg = w.add_segment("s1", t1)
+    seg.add_delta(
+        spark.createDataFrame(
+            [(f"k{i}", t1, i) for i in range(40)],
+            "key string, event_time timestamp, v long",
+        ),
+        t1, t1,
+    )
+    w.commit()
+    lh = Lakehouse(spark, str(tmp_path))
+    clean = validate_table(lh, "t")
+    assert not clean.errors
+    assert not any("bloom" in w_ for w_ in clean.warnings)
+
+    (f,) = [x for x in os.listdir(path) if x.endswith(".parquet")]
+    fp = os.path.join(path, f)
+    data = bytearray(open(fp, "rb").read())
+    foot = parse_parquet_footer(bytes(data))
+    chunk = next(
+        c
+        for rg in foot["row_groups"]
+        for c in rg["columns"]
+        if c["path_in_schema"] == ["key"]
+    )
+    off, ln = chunk["bloom_filter_offset"], chunk["bloom_filter_length"]
+
+    # zero the bitset (header intact): every probe denies
+    header_len = ln - 32  # can't know exactly; recompute via parser
+    bitset = parse_bloom_blob(bytes(data[off : off + ln]))
+    header_len = ln - len(bitset)
+    data[off + header_len : off + ln] = bytes(len(bitset))
+    open(fp, "wb").write(bytes(data))
+    bad = validate_table(lh, "t")
+    assert any("DENIED" in e for e in bad.errors), bad.errors
+
+    # garble the header: unreadable blob -> warning, not error
+    data[off : off + 4] = b"\xff\xff\xff\xff"
+    open(fp, "wb").write(bytes(data))
+    garbled = validate_table(lh, "t")
+    assert any("unreadable" in w_ for w_ in garbled.warnings), (
+        garbled.warnings
+    )
+    assert not any("DENIED" in e for e in garbled.errors)
