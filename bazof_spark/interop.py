@@ -38,6 +38,29 @@ def _sq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _duck_path(p: str) -> str:
+    """A path DuckDB's ``read_parquet`` can open: local paths pass
+    through, ``file://`` strips the scheme, emulated object-store URIs
+    resolve to their local mirror (iofs.emulated_mirror — the same
+    bytes every other reader sees). Real object-store URIs raise: the
+    sandbox DuckDB has no httpfs; a deployment with it would rewrite
+    to ``s3://`` spellings and configure credentials instead."""
+    if p.startswith("file://"):
+        return p[len("file://") :]
+    if "://" in p:
+        from bazof_spark import iofs
+
+        try:
+            return iofs.emulated_mirror(p)
+        except ValueError:
+            raise ValueError(
+                "duckdb_view_sql resolves local, file:// and "
+                "emulated-scheme roots; for a real object store run "
+                "DuckDB with httpfs and rewrite the file paths"
+            ) from None
+    return p
+
+
 def duckdb_view_sql(
     table_path: str,
     as_of: AsOf | str | None = None,
@@ -103,16 +126,15 @@ def duckdb_view_sql(
         return f"SELECT {col_list} FROM (SELECT {typed}) WHERE FALSE"
 
     paths = ", ".join(
-        _sq(t.data_file_path(f).replace("file://", "")) for f, _ in ranked
+        _sq(_duck_path(t.data_file_path(f))) for f, _ in ranked
     )
     rank_case = " ".join(
-        f"WHEN {_sq(t.data_file_path(f).replace('file://', ''))} "
-        f"THEN {r}"
+        f"WHEN {_sq(_duck_path(t.data_file_path(f)))} THEN {r}"
         for f, r in ranked
     )
     tombs = snapshot.tombstone_files()
     tomb_files = [
-        t.data_file_path(f).replace("file://", "")
+        _duck_path(t.data_file_path(f))
         for f, _ in ranked
         if f in tombs
     ]

@@ -264,3 +264,123 @@ def test_changes_sql_append_only_reference_table(spark):
     )
     assert got == want
     assert want
+
+
+def test_emulated_object_store_root_resolves_to_mirror(
+    spark, tmp_path, monkeypatch
+):
+    """An emulated s3 root's view SQL resolves file paths through the
+    iofs mirror, so DuckDB reads the same bytes the Data Source scan
+    serves — interop covers object-store tables too (a REAL object
+    store would use DuckDB httpfs with rewritten s3:// paths; raising
+    on non-emulated URIs is pinned)."""
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter
+
+    monkeypatch.setenv("BAZOF_FS_EMULATE", "s3")
+    monkeypatch.setenv("BAZOF_FS_EMULATE_ROOT", str(tmp_path / "mirror"))
+    t1 = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    root = "s3://ibkt"
+    w = TableWriter(
+        spark, f"{root}/t",
+        TableSchema((ColumnDef("v", ColumnType.INT, False),)),
+    )
+    seg = w.add_segment("s1", t1)
+    seg.add_delta(
+        spark.createDataFrame(
+            [("a", t1, 1), ("b", t1, 2)],
+            "key string, event_time timestamp, v long",
+        ),
+        t1, t1,
+    )
+    w.commit()
+    got = _duck(duckdb_view_sql(f"{root}/t"))
+    assert [(r[0], r[2]) for r in got] == [("a", 1), ("b", 2)]
+
+    # non-emulated object-store URIs refuse with the httpfs pointer
+    # (probed directly: with emulation off the metadata read itself
+    # fails first on this connector-less box)
+    from bazof_spark.interop import _duck_path
+
+    monkeypatch.delenv("BAZOF_FS_EMULATE")
+    with pytest.raises(ValueError, match="httpfs"):
+        _duck_path("s3://real-bucket/t/base.parquet")
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = ["k%d" % i for i in range(6)]
+_VERSION = st.tuples(
+    st.dictionaries(
+        st.sampled_from(_KEYS), st.integers(0, 99), max_size=4
+    ),
+    st.sets(st.sampled_from(_KEYS), max_size=2),
+).filter(lambda t: t[0] or t[1])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_VERSION, min_size=1, max_size=4))
+def test_property_random_history_matches_scan(spark, tmp_path_factory, versions):
+    """Generative cross-engine merge check: a random multi-version
+    history of upserts and deletes must read identically through
+    Lakehouse.scan and the emitted DuckDB SQL at EVERY version
+    boundary instant and at Current."""
+    from bazof_spark.schema import ColumnDef, ColumnType, TableSchema
+    from bazof_spark.writer import TableWriter, merge_apply
+
+    base = tmp_path_factory.mktemp("prop")
+    path = str(base / "t")
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def at(i):
+        return datetime(2024, 1, 1 + i, tzinfo=timezone.utc)
+
+    ups0, dels0 = versions[0]
+    w = TableWriter(
+        spark, path,
+        TableSchema((ColumnDef("v", ColumnType.INT, False),)),
+    )
+    seg = w.add_segment("s1", t0)
+    first = ups0 or {"seedkey": 0}
+    seg.add_delta(
+        spark.createDataFrame(
+            [(k, t0, v) for k, v in sorted(first.items())],
+            "key string, event_time timestamp, v long",
+        ),
+        t0, t0,
+    )
+    w.commit()
+    for i, (ups, dels) in enumerate(versions[1:], start=1):
+        ups_df = (
+            spark.createDataFrame(
+                [(k, at(i), v) for k, v in sorted(ups.items())],
+                "key string, event_time timestamp, v long",
+            )
+            if ups
+            else None
+        )
+        dels_df = (
+            spark.createDataFrame(
+                [(k,) for k in sorted(dels - set(ups))], "key string"
+            )
+            if dels - set(ups)
+            else None
+        )
+        if ups_df is None and dels_df is None:
+            continue
+        merge_apply(spark, path, upsert_df=ups_df,
+                    delete_keys_df=dels_df, at=at(i))
+    lh = Lakehouse(spark, str(base))
+    instants = [
+        at(i).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        for i in range(len(versions))
+    ] + [None]
+    for as_of in instants:
+        want = _spark_rows(lh.scan("t", as_of=as_of))
+        got = _duck(duckdb_view_sql(path, as_of=as_of))
+        assert got == want, as_of
