@@ -263,6 +263,12 @@ def main(argv: list[str] | None = None) -> int:
     p_dv.add_argument(
         "--columns", help="comma-separated value-column projection"
     )
+    p_dv.add_argument(
+        "--since",
+        help="emit the CHANGE FEED between --since and --until "
+        "(interop.duckdb_changes_sql) instead of a point-in-time view",
+    )
+    p_dv.add_argument("--until")
 
     p_ft = sub.add_parser(
         "footer",
@@ -336,20 +342,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "duckdb-sql":
         # pure metadata resolution — no Spark session needed
         from bazof_spark import iofs
-        from bazof_spark.interop import duckdb_view_sql
+        from bazof_spark.interop import duckdb_changes_sql, duckdb_view_sql
 
-        print(
-            duckdb_view_sql(
-                iofs.join(args.path, args.table),
-                as_of=args.as_of,
-                version=args.version,
-                columns=(
-                    [c.strip() for c in args.columns.split(",") if c.strip()]
-                    if args.columns
-                    else None
-                ),
-            )
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else None
         )
+        tpath = iofs.join(args.path, args.table)
+        if args.since:
+            print(
+                duckdb_changes_sql(
+                    tpath, args.since, until=args.until, columns=cols
+                )
+            )
+        else:
+            print(
+                duckdb_view_sql(
+                    tpath,
+                    as_of=args.as_of,
+                    version=args.version,
+                    columns=cols,
+                )
+            )
         return 0
 
     if args.cmd == "footer":

@@ -350,6 +350,17 @@ def test_cli_duckdb_sql_runs_in_duckdb(capsys, lake):
         "ORDER BY revenue DESC LIMIT 1"
     ).fetchall()
     assert top == [("MSFT", 32471000000)]
+    # --since switches to the change-feed statement
+    cdf = run(
+        capsys, "duckdb-sql", "--path", lake, "--table", "financials",
+        "--since", "2019-01-17T00:00:00.000Z",
+        "--until", "2020-06-01T00:00:00.000Z",
+    )
+    msft = duckdb.sql(
+        f"SELECT change_type, revenue_early, revenue_late FROM ({cdf}) "
+        "WHERE key = 'MSFT'"
+    ).fetchall()
+    assert msft == [("update", 32471000000, 38033000000)]
 
 
 def test_cli_footer_add_blooms_and_probe(tmp_path):
