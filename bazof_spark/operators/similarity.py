@@ -178,6 +178,14 @@ def cosine_topk_bruteforce(
         F.col(query_id_col).alias("_qid"),
         normalize(_as_double(F.col(vec_col))).alias("_qv"),
     )
+    # The scoring below is per-pair CPU (|corpus| x |queries| 64-wide
+    # folds) in the SCAN stage — no exchange precedes it, so a
+    # single-file corpus would serialize the whole pass onto one core
+    # (the sources.tables.rebalance_if_undersplit contract; a no-op at
+    # real scale where the scan arrives as many splits).
+    from bazof_spark.sources.tables import rebalance_if_undersplit
+
+    corpus = rebalance_if_undersplit(corpus.sparkSession, corpus)
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         normalize(_as_double(F.col(vec_col))).alias("_cv"),

@@ -26,6 +26,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES (parallelismFirst
+        # target = shuffle bytes / parallelism, floored at
+        # minPartitionSize, default 1m). Per-row CPU cost is invisible
+        # to it: a small-byte exchange feeding a CPU-heavy stage (the
+        # simhash/minhash signature folds after the exact-dup collapse)
+        # coalesces to ONE partition and serializes onto one core
+        # (measured 5.6 s -> 1.45 s on dedup_simhash at sf0.1 with a
+        # 64k floor). Lowering the floor keeps such stages at cluster
+        # parallelism; on production-scale shuffles the bytes/
+        # parallelism target is orders of magnitude above either floor,
+        # so the setting is inert there — env-overridable for clusters
+        # that want the stock 1m.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("BAZOF_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # naive parquet timestamps → session-tz TIMESTAMP at the scan:

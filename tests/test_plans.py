@@ -355,7 +355,9 @@ def test_round4_queries_bounded(spark):
     two window passes share ONE key exchange (also pinned at the
     operator level in test_operators)."""
     df = q("knn_label_vote", spark)
-    assert shuffle_count(df) <= 3
+    # +1 for the brute-force corpus rebalance (opt round 1: the scoring
+    # pass is per-pair CPU with no upstream exchange; scale no-op)
+    assert shuffle_count(df) <= 4
     assert broadcast_join_count(df) >= 2
     for cols in scan_columns(df):
         assert cols <= {"vec_id", "embedding", "label"}
@@ -470,7 +472,9 @@ def test_ann_recall_pq_composition_bounded(spark):
     recall aggregations and join; every corpus-sized join side stays
     broadcast."""
     df = q("ann_recall_pq", spark)
-    assert shuffle_count(df) <= 7
+    # 7 + the brute-force corpus rebalance (opt round 1, scale no-op;
+    # counted twice — the exact subtree feeds both recall aggregates)
+    assert shuffle_count(df) <= 9
     assert broadcast_join_count(df) >= 4
     for cols in scan_columns(df):
         assert cols <= {"vec_id", "embedding"}, cols
@@ -501,7 +505,9 @@ def test_ivfpq_and_trained_pq_plans_bounded(spark):
         "ann_recall_ivfpq_residual_trained",
     ):
         df = q(name, spark)
-        assert shuffle_count(df) <= 7, name
+        # 7 + the brute-force corpus rebalance (opt round 1, scale no-op;
+        # counted twice — the exact subtree feeds both recall aggregates)
+        assert shuffle_count(df) <= 9, name
         assert broadcast_join_count(df) >= 4, name
 
 
