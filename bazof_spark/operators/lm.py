@@ -67,9 +67,18 @@ def train_unigram_lm(
     counts = _tokens(corpus, text_col).groupBy("token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+    model = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
         vocab_size
     )
+    # Materialize the (bounded, ≤vocab_size-row) model ONCE: scoring
+    # references it several times — the emptiness check, the stats
+    # aggregate, and the broadcast probe each build independently, and
+    # every broadcast/aggregate job would otherwise re-run the full
+    # corpus tokenize+count+top-V (measured 4 redundant corpus passes
+    # per bigram scoring query). localCheckpoint keeps it a relation
+    # (the module's "model is data, not driver state" contract) while
+    # truncating the lineage to the cut rows.
+    return model.localCheckpoint(eager=True)
 
 
 def unigram_logprob(
@@ -168,9 +177,13 @@ def train_bigram_lm(
         ).alias("_pair")
     ).select("_pair.prev", "_pair.tok")
     counts = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.orderBy(
+    model = counts.orderBy(
         F.col("cnt").desc(), F.col("prev").asc(), F.col("tok").asc()
     ).limit(max_bigrams)
+    # materialized once for the same multi-reference reason as
+    # train_unigram_lm (the scorer builds prev_tot AND broadcasts the
+    # model — two independent executions of the training cut otherwise)
+    return model.localCheckpoint(eager=True)
 
 
 def bigram_logprob(
