@@ -1885,6 +1885,39 @@ def embedding_ann_lsh_q(spark, sf_dir):
     )
 
 
+def _recall_vs_exact_join(exact, ann):
+    """Fold an exact top-k and an ANN top-k into per-query recall@k.
+
+    One reference to each side (opt round 1, guide §2.4): the previous
+    matched/per_q shape referenced ``exact`` twice, and Spark shares no
+    subplans across DataFrame references, so every recall query executed
+    the brute-force scoring pass TWICE (plan showed two full
+    BroadcastNestedLoopJoin+window subtrees; 12 parquet scans, zero
+    ReusedExchange). The ann side is pre-aggregated to per-pair
+    multiplicity so the left join is provably equivalent to the old
+    inner-join count even for degenerate duplicate pairs: for an exact
+    row with m matching ann rows the old shape contributed m to
+    n_matched and 1 to n_exact — exactly what sum(_m)/count(*) yield.
+    """
+    hit = ann.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def ann_recall_lsh_q(spark, sf_dir):
     """ANN evaluation: recall@5 of the hyperplane-LSH index against the
     exact brute-force top-5, per query — the measurement that decides
@@ -1908,23 +1941,7 @@ def ann_recall_lsh_q(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     ann = lsh_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return (
-        per_q.join(matched, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-            F.round(
-                F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def embedding_ann_sq8_q(spark, sf_dir):
@@ -1956,20 +1973,7 @@ def ann_recall_sq8_q(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     ann = sq8_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def ann_recall_ivf_q(spark, sf_dir):
@@ -1987,20 +1991,7 @@ def ann_recall_ivf_q(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     ann = embedding_ann_ivf_q(spark, sf_dir).select("query_id", "neighbor_id")
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def embedding_ann_ivf_q(spark, sf_dir):
@@ -6115,20 +6106,7 @@ def ann_recall_pq_q(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     ann = embedding_ann_pq_q(spark, sf_dir).select("query_id", "neighbor_id")
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def embedding_ann_ivfpq_q(spark, sf_dir):
@@ -6217,20 +6195,7 @@ def ann_recall_ivfpq_q(spark, sf_dir):
     ann = embedding_ann_ivfpq_q(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def embedding_ann_pq_trained_q(spark, sf_dir):
@@ -6290,20 +6255,7 @@ def ann_recall_opq_q(spark, sf_dir):
     ann = embedding_ann_opq_q(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def quality_model_score_q(spark, sf_dir):
@@ -6393,20 +6345,7 @@ def ann_recall_pq_trained_q(spark, sf_dir):
     ann = embedding_ann_pq_trained_q(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 def embedding_ann_ivfpq_residual_trained_q(spark, sf_dir):
@@ -6454,20 +6393,7 @@ def ann_recall_ivfpq_residual_trained_q(spark, sf_dir):
     ann = embedding_ann_ivfpq_residual_trained_q(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    matched = exact.join(ann, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_matched"))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return per_q.join(matched, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_exact"), 6
-        ).alias("recall"),
-    )
+    return _recall_vs_exact_join(exact, ann)
 
 
 # span dedup: chunk boundaries are integer-exact (same arithmetic as the
