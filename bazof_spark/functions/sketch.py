@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bazof_spark.exprcache import cached_column, cached_columns
+
 # 60-bit hash space: 15 hex chars of md5, always fits a signed BIGINT
 # in both Spark and DuckDB.
 KMV_HASH_SPACE = 1 << 60
@@ -43,6 +45,22 @@ def _hash_pair(value: Column) -> tuple[Column, Column]:
     h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(m, 16, 14), 16, 10).cast("long")
     return h1, h2
+
+
+def kmv_hash_columns(value_col: str, k: int) -> list[Column]:
+    """The k per-row hash projections ``_h0.._h{k-1}`` of the KMV
+    construction. The tree depends only on (value_col, k) — built once
+    per process (opt round 1: each F.pmod chain is ~6 py4j round trips,
+    so k=32 cost ~0.3 s of driver latency per query construction)."""
+
+    def build() -> list[Column]:
+        h1, h2 = _hash_pair(F.col(value_col))
+        return [
+            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(f"_h{i}")
+            for i in range(k)
+        ]
+
+    return cached_columns(("kmv_hash", value_col, k), build)
 
 
 def kmv_sketch(
@@ -59,17 +77,13 @@ def kmv_sketch(
     computed directly on the union — the re-aggregability that makes
     incremental distinct counts possible at 100 TB (compute per
     partition/day once, merge forever, never rescan history)."""
-    h1, h2 = _hash_pair(F.col(value_col))
-    hashed = df.select(
-        *group_cols,
-        *[
-            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(f"_h{i}")
-            for i in range(k)
-        ],
-    )
+    hashed = df.select(*group_cols, *kmv_hash_columns(value_col, k))
     return hashed.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)],
+        *cached_columns(
+            ("kmv_min_h", k),
+            lambda: [F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)],
+        ),
     )
 
 
@@ -83,24 +97,39 @@ def kmv_merge(
     group per partition — sketch-sized, never data-sized."""
     return sketches.groupBy(*group_cols).agg(
         F.sum("n_rows").alias("n_rows"),
-        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)],
+        *cached_columns(
+            ("kmv_min_m", k),
+            lambda: [F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)],
+        ),
     )
+
+
+def kmv_estimate_column(k: int, prefix: str = "_m") -> Column:
+    """The rounded KMV estimate expression over ``{prefix}0..{prefix}
+    {k-1}`` min columns — the fixed-order left-to-right double fold so
+    the oracle's explicit (m0/H + m1/H + ...) sum reproduces the same
+    IEEE result. Cached: the fold chain is ~4 py4j round trips per
+    term."""
+
+    def build() -> Column:
+        total = F.lit(0.0)
+        for i in range(k):
+            total = total + F.col(f"{prefix}{i}") / F.lit(
+                float(KMV_HASH_SPACE)
+            )
+        return F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+
+    return cached_column(("kmv_est", k, prefix), build)
 
 
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 32) -> DataFrame:
     """Distinct-count estimate from a sketch state (map-only).
     Output: group_cols + (n_rows, kmv_k, distinct_est)."""
-    # fixed-order left-to-right double fold so the oracle's explicit
-    # (m0/H + m1/H + ...) sum reproduces the same IEEE result
-    total = F.lit(0.0)
-    for i in range(k):
-        total = total + F.col(f"_m{i}") / F.lit(float(KMV_HASH_SPACE))
-    est = F.lit(float(k)) / total - F.lit(1.0)
     return sketch.select(
         *group_cols,
         "n_rows",
         F.lit(k).alias("kmv_k"),
-        F.round(est, 6).alias("distinct_est"),
+        kmv_estimate_column(k).alias("distinct_est"),
     )
 
 

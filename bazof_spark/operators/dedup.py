@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bazof_spark.exprcache import cached_column
 from bazof_spark.functions.text import shingles
 
 
@@ -193,6 +194,15 @@ def minhash_signature(
             "est_jaccard) and overflows int64 near i=114 — use more "
             "bands/rows within 49 hashes instead"
         )
+    # the tree depends only on (text expr, num_hashes, k) — build once
+    # per process (opt round 1: ~0.25 s of py4j chatter per construction)
+    return cached_column(
+        ("minhash_signature", str(text), num_hashes, k),
+        lambda: _minhash_signature_build(text, num_hashes, k),
+    )
+
+
+def _minhash_signature_build(text: Column, num_hashes: int, k: int) -> Column:
     sh = shingles(text, k)
     # nested transform so md5 runs once per shingle (HOF lambdas don't
     # get codegen subexpression elimination)
@@ -239,10 +249,13 @@ def _banded_signatures(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
     )
-    return sig.select(
-        "_id",
-        "_sig",
-        F.explode(
+    # the band array references only the fixed "_sig" name and literals
+    # — cache the tree (opt round 1: the bands × rows listcomp alone was
+    # ~0.33 s of py4j chatter per construction, twice per cross-table
+    # query)
+    band_expr = cached_column(
+        ("banded_sig_bands", num_hashes, bands),
+        lambda: F.explode(
             F.array(
                 *[
                     F.struct(
@@ -262,8 +275,11 @@ def _banded_signatures(
                     for b in range(bands)
                 ]
             )
-        ).alias("_band"),
-    ).select("_id", "_sig", "_band.band", "_band.bhash")
+        ),
+    )
+    return sig.select("_id", "_sig", band_expr.alias("_band")).select(
+        "_id", "_sig", "_band.band", "_band.bhash"
+    )
 
 
 def _estimated_jaccard(num_hashes: int) -> Column:

@@ -747,7 +747,11 @@ def sketch_set_intersection_q(spark, sf_dir):
     a 1-row projection. Branching kmv_sketch relations instead would
     re-scan the corpus once per estimate — the single-agg form is the
     plan a production sketch pipeline wants."""
-    from bazof_spark.functions.sketch import KMV_HASH_SPACE, _hash_pair
+    from bazof_spark.exprcache import cached_columns
+    from bazof_spark.functions.sketch import (
+        kmv_estimate_column,
+        kmv_hash_columns,
+    )
     from bazof_spark.sources.tables import load_table
 
     k = 32
@@ -758,38 +762,34 @@ def sketch_set_intersection_q(spark, sf_dir):
             "event_type", F.col("user_id").cast("string").alias("uid")
         )
     )
-    h1, h2 = _hash_pair(F.col("uid"))
-    hashed = ev.select(
-        "event_type",
-        *[
-            F.pmod(h1 + F.lit(i) * h2, F.lit(KMV_HASH_SPACE)).alias(
-                f"_h{i}"
-            )
-            for i in range(k)
-        ],
-    )
-    click = F.col("event_type") == "click"
-    purchase = F.col("event_type") == "purchase"
+    # all expression trees below depend only on k and fixed column
+    # names — cached per process (opt round 1: the 32 hash chains + 96
+    # conditional-min aggregates + 3 estimate folds were ~1.0 s of py4j
+    # round trips per construction)
+    hashed = ev.select("event_type", *kmv_hash_columns("uid", k))
+
+    def _agg_cols() -> list:
+        click = F.col("event_type") == "click"
+        purchase = F.col("event_type") == "purchase"
+        return (
+            [
+                F.min(F.when(click, F.col(f"_h{i}"))).alias(f"c_m{i}")
+                for i in range(k)
+            ]
+            + [
+                F.min(F.when(purchase, F.col(f"_h{i}"))).alias(f"p_m{i}")
+                for i in range(k)
+            ]
+            + [F.min(f"_h{i}").alias(f"u_m{i}") for i in range(k)]
+        )
+
     agg = hashed.groupBy().agg(
-        *[
-            F.min(F.when(click, F.col(f"_h{i}"))).alias(f"c_m{i}")
-            for i in range(k)
-        ],
-        *[
-            F.min(F.when(purchase, F.col(f"_h{i}"))).alias(f"p_m{i}")
-            for i in range(k)
-        ],
-        *[F.min(f"_h{i}").alias(f"u_m{i}") for i in range(k)],
+        *cached_columns(("kmv_si_aggs", k), _agg_cols)
     )
 
     def est(prefix):
         # the kmv_estimate fold, left-to-right — identical IEEE result
-        total = F.lit(0.0)
-        for i in range(k):
-            total = total + F.col(f"{prefix}_m{i}") / F.lit(
-                float(KMV_HASH_SPACE)
-            )
-        return F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+        return kmv_estimate_column(k, prefix=f"{prefix}_m")
 
     return agg.select(
         est("c").alias("est_click"),
