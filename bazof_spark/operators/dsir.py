@@ -96,6 +96,17 @@ def dsir_log_weights(
             F.col("_g").isNotNull(), _bucket(F.col("_g"), n_buckets)
         ).alias("_b"),
     )
+    # DSIR inherently passes over the features twice — fit the
+    # distributions, then score — and Spark shares no subplans across
+    # DataFrame references, so without materialization the tokenize +
+    # md5 + explode featurization ran TWICE per call (opt round 1,
+    # guide §2.4). localCheckpoint materializes the featurized relation
+    # once (disk-backed blocks, freed by GC — no persistent cache entry
+    # leaks across calls); the published DSIR recipe materializes its
+    # hashed-feature table for exactly this reason, and the relation is
+    # (id, bool, long) rows — a fixed small multiple of corpus token
+    # count, far narrower than the text it came from.
+    exploded = exploded.localCheckpoint(eager=True)
 
     # BOTH distributions in ONE map-side-combined corpus pass (raw =
     # every gram, target = grams of target_pred docs); the result is
