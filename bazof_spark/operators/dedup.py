@@ -650,8 +650,14 @@ def dedup_clusters(
     ).persist()  # the size probe and the solve both read the edge list;
     # without this the upstream pair GENERATOR (an LSH join pipeline)
     # would execute twice
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
+    # ONE bounded job decides the path AND delivers the driver-side
+    # edge list (opt round 1): the old shape ran a limit+count probe
+    # and then a separate collect — same bound, two jobs. Union-find
+    # by min-id is edge-order independent, so collecting via limit
+    # changes nothing below the threshold; above it the head is
+    # discarded and the distributed loop runs as before.
+    head = edges.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         spark = pairs.sparkSession
         parent: dict[int, int] = {}
 
@@ -661,7 +667,7 @@ def dedup_clusters(
                 x = parent[x]
             return x
 
-        for a, b in edges.collect():
+        for a, b in head:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
