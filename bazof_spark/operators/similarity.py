@@ -395,6 +395,29 @@ def _lloyd_kmeans(x: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
     return cent
 
 
+def sample_lowest_id_vectors(
+    corpus: DataFrame,
+    sample_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """RAW (un-normalized) matrix of the ``sample_rows`` lowest-id
+    vectors — the one deterministic bounded sample every trainer here
+    draws. Exposed so a query composing SEVERAL trainers (IVF coarse +
+    PQ codebooks) collects it ONCE and hands the matrix to each via
+    their ``sample=`` parameter instead of re-running the identical
+    distributed top-k job per trainer (opt round 1, guide §2.4)."""
+    rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    ]
+    return np.stack(rows)
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -402,6 +425,7 @@ def _train_centroids(
     seed: int,
     sample_rows: int,
     id_col: str | None = None,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Coarse quantizer: Lloyd k-means on a BOUNDED sample (driver-side
     numpy, like Spark ML's init step). The sample size is fixed and
@@ -411,15 +435,19 @@ def _train_centroids(
     With `id_col` the sample is the `sample_rows` lowest-id vectors
     (a distributed top-k, same cost class as limit) — fully
     deterministic across runs and cluster layouts, unlike a bare
-    ``limit`` whose row choice depends on partition scheduling."""
+    ``limit`` whose row choice depends on partition scheduling.
+    ``sample`` (the RAW matrix of exactly that sample) skips the
+    collect — see :func:`sample_lowest_id_vectors`."""
+    if sample is not None:
+        return _lloyd_kmeans(np.asarray(sample, dtype=np.float64), n_lists, seed)
     base = corpus.select(vec_col) if id_col is None else (
         corpus.select(id_col, vec_col).orderBy(id_col).select(vec_col)
     )
-    sample = [
+    rows = [
         np.asarray(r[0], dtype=np.float64)
         for r in base.limit(sample_rows).collect()
     ]
-    return _lloyd_kmeans(np.stack(sample), n_lists, seed)
+    return _lloyd_kmeans(np.stack(rows), n_lists, seed)
 
 
 def _list_assign_udf(centroids: np.ndarray, n_probe: int):
@@ -741,6 +769,7 @@ def pq_codebooks_trained(
     sample_rows: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """TRAINED product-quantization codebooks — the production path the
     fixed-slice :func:`pq_codebooks_from_rows` documents as its seam:
@@ -749,16 +778,13 @@ def pq_codebooks_trained(
     sampling contract as IVF's ``_train_centroids``). Shape
     (m_subs, n_codes, sub_dim). Fully deterministic for a given
     (corpus, m_subs, n_codes, seed, sample_rows), so a SQL oracle can
-    re-derive the identical codebooks from the same parquet."""
-    rows = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .select(vec_col)
-        .limit(sample_rows)
-        .collect()
-    ]
-    x = np.stack(rows)
+    re-derive the identical codebooks from the same parquet.
+    ``sample`` (the RAW matrix of exactly that sample) skips the
+    collect — see :func:`sample_lowest_id_vectors`."""
+    if sample is not None:
+        x = np.asarray(sample, dtype=np.float64)
+    else:
+        x = sample_lowest_id_vectors(corpus, sample_rows, id_col, vec_col)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n, dim = x.shape
     if dim % m_subs:
@@ -1142,6 +1168,7 @@ def residual_pq_codebooks_trained(
     sample_rows: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """TRAINED residual codebooks — the production counterpart of the
     fixed-slice :func:`residual_pq_codebooks_from_rows`, completing the
@@ -1150,17 +1177,13 @@ def residual_pq_codebooks_trained(
     sample (the ``sample_rows`` lowest-id vectors) against the given
     coarse centroids. O(1) w.r.t. corpus size like every trainer here;
     fully deterministic for (corpus, centroids, m_subs, n_codes, seed,
-    sample_rows) so a SQL oracle re-derives identical literals."""
-    rows = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .select(vec_col)
-        .limit(sample_rows)
-        .collect()
-    ]
+    sample_rows) so a SQL oracle re-derives identical literals.
+    ``sample`` (the RAW matrix of exactly that sample) skips the
+    collect — see :func:`sample_lowest_id_vectors`."""
+    if sample is None:
+        sample = sample_lowest_id_vectors(corpus, sample_rows, id_col, vec_col)
     return _residual_codebooks_from_sample(
-        np.stack(rows), centroids, m_subs, n_codes, seed
+        np.asarray(sample, dtype=np.float64), centroids, m_subs, n_codes, seed
     )
 
 

@@ -6315,18 +6315,23 @@ def embedding_ann_ivfpq_trained_q(spark, sf_dir):
     from bazof_spark.operators.similarity import (
         _train_centroids,
         pq_codebooks_trained,
+        sample_lowest_id_vectors,
     )
 
     emb = _t("embeddings")(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
         "vec_id", "query_id"
     )
+    # both trainers draw the IDENTICAL bounded sample — collect it once
+    # and hand the matrix to each (opt round 1: one distributed top-k
+    # job instead of two per construction)
+    sample = sample_lowest_id_vectors(emb, 256)
     cent = _train_centroids(
         emb, "embedding", n_lists=16, seed=13, sample_rows=256,
-        id_col="vec_id",
+        id_col="vec_id", sample=sample,
     )
     cb = pq_codebooks_trained(
-        emb, m_subs=8, n_codes=16, seed=29, sample_rows=256
+        emb, m_subs=8, n_codes=16, seed=29, sample_rows=256, sample=sample
     )
     return ivf_pq_topk(
         emb, queries, cb, cent, k=5, n_probe=4, rerank=20
@@ -6360,18 +6365,23 @@ def embedding_ann_ivfpq_residual_trained_q(spark, sf_dir):
         _train_centroids,
         ivf_pq_residual_topk,
         residual_pq_codebooks_trained,
+        sample_lowest_id_vectors,
     )
 
     emb = _t("embeddings")(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
         "vec_id", "query_id"
     )
+    # one collect of the shared bounded sample for both trainers (opt
+    # round 1 — see embedding_ann_ivfpq_trained_q)
+    sample = sample_lowest_id_vectors(emb, 256)
     cent = _train_centroids(
         emb, "embedding", n_lists=16, seed=13, sample_rows=256,
-        id_col="vec_id",
+        id_col="vec_id", sample=sample,
     )
     cb = residual_pq_codebooks_trained(
-        emb, cent, m_subs=8, n_codes=16, seed=31, sample_rows=256
+        emb, cent, m_subs=8, n_codes=16, seed=31, sample_rows=256,
+        sample=sample,
     )
     return ivf_pq_residual_topk(
         emb, queries, cb, cent, k=5, n_probe=4, rerank=20
