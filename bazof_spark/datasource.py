@@ -1864,22 +1864,20 @@ def read_table(spark, root: str, name: str, as_of: str | None = None,
         c for c in df.columns
         if c not in ("key", "event_time", "_rank", "_row_idx", "_tombstone")
     ]
-    from bazof_spark.ordering import latest_wins_ordering
+    from bazof_spark.ordering import latest_wins_agg
 
     # tombstone deltas (the DELETE extension): same post-merge hide as
     # Lakehouse.scan — the source exposes a per-row _tombstone marker on
     # delete-capable tables; it rides in the payload and keys whose
     # winner is a tombstone row are dropped. Delete-free tables (no
     # marker column — every reference-authored table) keep the original
-    # plan.
+    # plan. The aggregate is ONE parsed expression (ordering.py) so the
+    # merge costs a handful of py4j round trips, not hundreds.
     has_tomb = "_tombstone" in df.columns
-    payload = F.struct(
-        F.col("event_time").alias("event_time"),
-        *[F.col(c).alias(c) for c in value_cols],
-        *([F.col("_tombstone").alias("_tombstone")] if has_tomb else []),
-    )
     winner = df.groupBy("key").agg(
-        F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
+        latest_wins_agg(
+            value_cols, "_tombstone" if has_tomb else None, "batch"
+        ).alias("_w")
     )
     if has_tomb:
         merged = (

@@ -95,22 +95,35 @@ def _normalize_file_uri(path: str) -> str:
 
 
 # strip scheme + collapse leading slashes: file:///a/b → a/b, s3a://b/k → s3a://b/k
-def _normalized_input_file(col: F.Column | None = None) -> F.Column:
-    if col is None:
-        col = F.expr("input_file_name()")
-    # url_decode treats '+' as an encoded space (form semantics); URIs
-    # percent-encode spaces as %20 and leave literal '+' alone, so
-    # protect '+' first — a '+'-named file must not decode to ' '
-    col = F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
-    scheme = F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "")
-    return (
-        F.when(scheme == "file", rest)
-        # scheme-less: strip leading slashes like the driver-side
-        # abspath().lstrip("/") does, keeping both sides congruent
-        .when(scheme == "", F.regexp_replace(rest, r"^/+", ""))
-        .otherwise(F.concat(scheme, F.lit("://"), rest))
+def _normalized_input_file(base_sql: str = "input_file_name()") -> F.Column:
+    """Normalization as ONE parsed expression (opt round 1: the
+    Column-by-Column build cost ~96 py4j round trips per scan; the
+    parsed text is the identical analyzed tree in one). ``base_sql`` is
+    the SQL text of the input column (a literal spelling via
+    :func:`_sql_str` in tests).
+
+    Semantics, kept line-for-line congruent with
+    :func:`_normalize_file_uri` (tests/test_uri_rank.py pins it):
+    url_decode treats '+' as an encoded space (form semantics); URIs
+    percent-encode spaces as %20 and leave literal '+' alone, so '+' is
+    protected first — a '+'-named file must not decode to ' '. Then
+    file:→scheme-less, scheme-less→leading slashes stripped (the
+    driver-side abspath().lstrip('/')), remote→scheme://rest."""
+    dec = f"url_decode(regexp_replace({base_sql}, '\\\\+', '%2B'))"
+    scheme = f"regexp_extract({dec}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)"
+    rest = f"regexp_replace({dec}, '^[A-Za-z][A-Za-z0-9+.-]*:/+', '')"
+    return F.expr(
+        f"CASE WHEN {scheme} = 'file' THEN {rest} "
+        f"WHEN {scheme} = '' THEN regexp_replace({rest}, '^/+', '') "
+        f"ELSE concat({scheme}, '://', {rest}) END"
     )
+
+
+def _sql_str(s: str) -> str:
+    """Escape a Python string into a Spark SQL single-quoted literal
+    (backslash and quote escaped — default parser semantics, i.e.
+    ``spark.sql.parser.escapedStringLiterals=false``)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _uri_variants(path: str) -> set[str]:
@@ -395,10 +408,17 @@ class Lakehouse:
             for c in snapshot.schema.columns
             if c.formers and c.name in value_cols
         }
+        from bazof_spark.ordering import quote_sql_ident as _q
+
+        # selectExpr: every projection parses in ONE py4j round trip
+        # (the per-column F.col/alias build cost ~100 per scan — opt
+        # round 1); the parsed trees are the identical analyzed plan
         value_exprs = [
-            F.coalesce(F.col(c), *[F.col(f) for f in formers[c]]).alias(c)
+            "coalesce({}) AS {}".format(
+                ", ".join(_q(x) for x in (c, *formers[c])), _q(c)
+            )
             if c in formers
-            else F.col(c)
+            else _q(c)
             for c in value_cols
         ]
         read_schema = (
@@ -406,11 +426,11 @@ class Lakehouse:
             if formers
             else snapshot.schema.to_struct_type()
         )
-        df = self.spark.read.schema(read_schema).parquet(*paths).select(
+        df = self.spark.read.schema(read_schema).parquet(*paths).selectExpr(
             KEY_COL,
             EVENT_TIME_COL,
             *value_exprs,
-            F.col("_metadata.row_index").alias("_row_idx"),
+            "_metadata.row_index AS _row_idx",
         )
 
         if not as_of.is_current:
@@ -461,7 +481,7 @@ class Lakehouse:
         ``scan()``/``sql()`` side of that on connector-less JVMs."""
         from bazof_spark.asof import format_rfc3339_ms
         from bazof_spark.datasource import BazofDataSource
-        from bazof_spark.ordering import latest_wins_ordering
+        from bazof_spark.ordering import latest_wins_agg
 
         path = table.path.rstrip("/")
         if not path.endswith("/" + table.name):
@@ -518,13 +538,10 @@ class Lakehouse:
                 df = df.filter(F.col(KEY_COL) <= F.lit(key_range.hi))
 
         has_tomb = "_tombstone" in df.columns
-        payload = F.struct(
-            F.col(EVENT_TIME_COL).alias(EVENT_TIME_COL),
-            *[F.col(c).alias(c) for c in value_cols],
-            *([F.col("_tombstone").alias("_tombstone")] if has_tomb else []),
-        )
         winner = df.groupBy(KEY_COL).agg(
-            F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
+            latest_wins_agg(
+                value_cols, "_tombstone" if has_tomb else None, "batch"
+            ).alias("_w")
         )
         if has_tomb:
             merged = (
@@ -568,19 +585,19 @@ class Lakehouse:
         tables (the common case keeps the exact pre-extension plan)."""
         df = self._with_rank(df, table, ranked)
 
-        from bazof_spark.ordering import latest_wins_ordering
+        from bazof_spark.ordering import latest_wins_agg
 
-        payload = F.struct(
-            F.col(EVENT_TIME_COL).alias(EVENT_TIME_COL),
-            *[F.col(c).alias(c) for c in value_cols],
-            *(
-                [F.col("_rank").isin(list(tomb_ranks)).alias("_tombstone")]
-                if tomb_ranks
-                else []
-            ),
+        # whole merge aggregate as ONE parsed expression (opt round 1):
+        # the Column-by-Column struct/max_by build cost ~250 py4j round
+        # trips per scan; latest_wins_agg parses to the identical
+        # analyzed tree in a handful
+        tomb_sql = (
+            "_rank IN (" + ", ".join(str(r) for r in tomb_ranks) + ")"
+            if tomb_ranks
+            else None
         )
         winner = df.groupBy(KEY_COL).agg(
-            F.max_by(payload, latest_wins_ordering("batch")).alias("_w")
+            latest_wins_agg(value_cols, tomb_sql, "batch").alias("_w")
         )
         if tomb_ranks:
             return (
@@ -608,11 +625,23 @@ class Lakehouse:
                 for f, r in ranked
                 for v in _uri_variants(table.data_file_path(f))
             }
-            fast_map = F.create_map(
-                *[F.lit(x) for kv in fast_pairs.items() for x in kv]
+            # map literals as ONE parsed expression each (opt round 1):
+            # F.lit per key/value cost 2 py4j round trips apiece (~150
+            # per scan on an 8-delta table); the parsed map() call is
+            # the identical analyzed CreateMap tree in one round trip
+            fast_map = F.expr(
+                "map("
+                + ", ".join(
+                    f"{_sql_str(k)}, {r}" for k, r in fast_pairs.items()
+                )
+                + ")"
             )
-            norm_map = F.create_map(
-                *[F.lit(x) for kv in pairs.items() for x in kv]
+            norm_map = F.expr(
+                "map("
+                + ", ".join(
+                    f"{_sql_str(k)}, {r}" for k, r in pairs.items()
+                )
+                + ")"
             )
             return df.withColumn(
                 "_rank",

@@ -60,3 +60,48 @@ def latest_wins_ordering(source: str = "batch") -> Column:
         F.col(EVENT_TIME_COL).alias("ts"),
         (-F.col("_row_idx")).alias("neg_row_idx"),
     )
+
+
+def latest_wins_ordering_sql(source: str = "batch") -> str:
+    """SQL-text twin of :func:`latest_wins_ordering` — parses to the
+    IDENTICAL analyzed expression tree. Merge sites that assemble their
+    ``max_by`` aggregate as ONE ``F.expr`` string use this to cut py4j
+    construction round trips (hundreds of driver↔JVM socket turns per
+    scan become a handful; the resolved plan is unchanged). Change the
+    two functions together."""
+    if source == "batch":
+        rank = "(- _rank) AS neg_rank"
+    elif source == "stream":
+        rank = "_rank AS version"
+    else:
+        raise ValueError(
+            f"source must be one of {SOURCES}, got {source!r}"
+        )
+    return f"struct({rank}, {EVENT_TIME_COL} AS ts, (- _row_idx) AS neg_row_idx)"
+
+
+def quote_sql_ident(name: str) -> str:
+    """Backtick-quote an identifier for embedding in an ``F.expr``
+    string (doubles embedded backticks, the Spark SQL escape)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def latest_wins_agg(
+    value_cols: list[str],
+    tombstone_sql: str | None = None,
+    source: str = "batch",
+) -> Column:
+    """The whole latest-wins ``max_by(payload, ordering)`` aggregate as
+    ONE parsed expression: payload = struct(event_time, *value_cols
+    [, (tombstone_sql) AS _tombstone]), ordering =
+    :func:`latest_wins_ordering_sql`. Field names follow the column
+    names exactly as the Column-by-Column construction did (``struct``
+    auto-names fields after their source columns), so the analyzed plan
+    — and every plan pin — is byte-identical up to expression IDs."""
+    fields = [EVENT_TIME_COL] + [quote_sql_ident(c) for c in value_cols]
+    if tombstone_sql is not None:
+        fields.append(f"({tombstone_sql}) AS _tombstone")
+    return F.expr(
+        f"max_by(struct({', '.join(fields)}), "
+        f"{latest_wins_ordering_sql(source)})"
+    )

@@ -23,6 +23,7 @@ from bazof_spark import Lakehouse  # noqa: E402
 from bazof_spark.lakehouse import (  # noqa: E402
     _normalize_file_uri,
     _normalized_input_file,
+    _sql_str,
     _uri_variants,
 )
 
@@ -31,8 +32,11 @@ AS_OF = "2019-01-17T00:00:00.000Z"
 
 
 def sql_norm(spark, spelled: str) -> str:
+    # _normalized_input_file takes the input as SQL text (it parses ONE
+    # expression — opt round 1); _sql_str-quoting the spelling drives
+    # the exact production code path with a literal input
     return spark.range(1).select(
-        _normalized_input_file(F.lit(spelled)).alias("n")
+        _normalized_input_file(_sql_str(spelled)).alias("n")
     ).first()["n"]
 
 
