@@ -63,12 +63,21 @@ def bm25_rank(
     # executor disks AND leak across repeated calls (the cache manager
     # holds it until an explicit clear); two pushdown-pruned columnar
     # scans are cheaper and leave no session state behind.
+    from bazof_spark.exprcache import cached_column, cached_columns
+
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
 
     def _tf_expr(term: str) -> F.Column:
         # factory, not a default-arg lambda: a 2-param lambda would be
-        # treated by the HOF as (element, index)
-        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+        # treated by the HOF as (element, index); cached per process —
+        # the HOF filter costs ~25 py4j round trips per term per call
+        # (opt round 1, exprcache: tree depends only on the term)
+        return cached_column(
+            ("bm25.tf", term),
+            lambda: F.size(
+                F.filter(F.col("_toks"), lambda x: x == F.lit(term))
+            ),
+        )
 
     base = (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
@@ -83,10 +92,13 @@ def bm25_rank(
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg("_dl").alias("_avgdl"),
-        *[
-            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
-            for i in range(len(terms))
-        ],
+        *cached_columns(
+            ("bm25.df_aggs", len(terms)),
+            lambda: [
+                F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+                for i in range(len(terms))
+            ],
+        ),
     ).first()
     n_docs = int(stats["_n"])
     # empty corpus (no rows, or every doc tokenized to nothing): the
@@ -99,29 +111,42 @@ def bm25_rank(
     ]
 
     scored = base
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
-    )
 
-    def _term_score(i: int) -> F.Column:
-        tf_i = F.col(f"_tf_{i}")
-        # same double-arithmetic order as the previous column-side
-        # expression (and the DuckDB oracle), JVM-evaluated on literals
-        idf = F.log(
-            (F.lit(n_docs) - F.lit(dfs[i]) + F.lit(0.5))
-            / (F.lit(dfs[i]) + F.lit(0.5))
-            + F.lit(1.0)
+    def _build_score_and_matched() -> list[F.Column]:
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
         )
-        return F.when(
-            tf_i > 0,
-            idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm),
-        ).otherwise(F.lit(0.0))
 
-    score = _term_score(0)
-    for i in range(1, len(terms)):
-        score = score + _term_score(i)
-    n_matched = sum(
-        (F.col(f"_tf_{i}") > 0).cast("long") for i in range(len(terms))
+        def _term_score(i: int) -> F.Column:
+            tf_i = F.col(f"_tf_{i}")
+            # same double-arithmetic order as the previous column-side
+            # expression (and the DuckDB oracle), JVM-evaluated on
+            # literals
+            idf = F.log(
+                (F.lit(n_docs) - F.lit(dfs[i]) + F.lit(0.5))
+                / (F.lit(dfs[i]) + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            return F.when(
+                tf_i > 0,
+                idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm),
+            ).otherwise(F.lit(0.0))
+
+        score = _term_score(0)
+        for i in range(1, len(terms)):
+            score = score + _term_score(i)
+        n_matched = sum(
+            (F.col(f"_tf_{i}") > 0).cast("long") for i in range(len(terms))
+        )
+        return [score, n_matched]
+
+    # the scoring tree embeds the corpus statistics as literals, so
+    # THEY are part of the cache key: a changed corpus yields new
+    # literals, a new key, a fresh tree (exprcache caches trees, never
+    # data — the stats job above still runs per call)
+    score, n_matched = cached_columns(
+        ("bm25.score", n_docs, avgdl, tuple(dfs), tuple(terms), k1, b),
+        _build_score_and_matched,
     )
     return (
         scored.withColumn("_nm", n_matched)

@@ -38,13 +38,35 @@ def _as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
+def _cached_on_inputs(tag: str, builder, *cols: Column) -> Column:
+    """Build-once discipline for this module's vector-fold combinators
+    (opt round 1, the exprcache pattern): the HOF lambda builds below
+    cost 30-60 py4j round trips apiece and the ANN queries compose them
+    dozens of times per construction. The produced tree depends only on
+    the input expression TREES, so the inputs' string forms (one round
+    trip each via Column.__repr__) key a per-process cache; every reuse
+    is the identical immutable unresolved tree, hence identical plans
+    and results."""
+    from bazof_spark.exprcache import cached_column
+
+    try:
+        key = (tag,) + tuple(str(c) for c in cols)
+    except Exception:  # non-Column input (tests passing odd types)
+        return builder(*cols)
+    return cached_column(key, lambda: builder(*cols))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Ordered double fold — deterministic, JVM-side."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+
+    def _build(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return _cached_on_inputs("sim.dot", _build, a, b)
 
 
 def norm(a: Column) -> Column:
@@ -56,7 +78,10 @@ def cosine(a: Column, b: Column) -> Column:
     # DIVIDE_BY_ZERO under Spark 4's default ANSI mode and kill the
     # whole job (the numpy paths in this module guard identically);
     # real embeddings have norms ~1, so results are unchanged
-    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+    def _build(a: Column, b: Column) -> Column:
+        return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+    return _cached_on_inputs("sim.cosine", _build, a, b)
 
 
 def normalize(vec: Column) -> Column:
@@ -66,10 +91,14 @@ def normalize(vec: Column) -> Column:
     instead of O(pairs). The inverse norm rides in via array_repeat so
     it is evaluated once per ROW (an outer-reference inside a lambda
     would be re-evaluated per element)."""
-    inv = F.lit(1.0) / F.greatest(norm(vec), F.lit(1e-12))  # zero-norm guard
-    return F.zip_with(
-        vec, F.array_repeat(inv, F.size(vec)), lambda x, n: x * n
-    )
+
+    def _build(vec: Column) -> Column:
+        inv = F.lit(1.0) / F.greatest(norm(vec), F.lit(1e-12))  # zero-norm
+        return F.zip_with(
+            vec, F.array_repeat(inv, F.size(vec)), lambda x, n: x * n
+        )
+
+    return _cached_on_inputs("sim.normalize", _build, vec)
 
 
 def quantize_int8(vec: Column) -> Column:
@@ -83,15 +112,18 @@ def quantize_int8(vec: Column) -> Column:
     across engines while half-even vs half-away rounding is not.
     Returns a struct (scale double, q array<int>); all-zero vectors get
     scale 0 and all-zero codes. JVM-side fold, no UDF."""
-    a = _as_double(vec)
-    mx = F.array_max(F.transform(a, lambda x: F.abs(x)))
-    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
-    q = F.zip_with(
-        a,
-        F.array_repeat(scale, F.size(a)),  # scale evaluated once per row
-        lambda x, s: F.floor(x * s + F.lit(0.5)).cast("int"),
-    )
-    return F.struct(scale.alias("scale"), q.alias("q"))
+    def _build(vec: Column) -> Column:
+        a = _as_double(vec)
+        mx = F.array_max(F.transform(a, lambda x: F.abs(x)))
+        scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+        q = F.zip_with(
+            a,
+            F.array_repeat(scale, F.size(a)),  # scale evaluated once/row
+            lambda x, s: F.floor(x * s + F.lit(0.5)).cast("int"),
+        )
+        return F.struct(scale.alias("scale"), q.alias("q"))
+
+    return _cached_on_inputs("sim.quantize_int8", _build, vec)
 
 
 def matryoshka_topk(
@@ -969,22 +1001,7 @@ def pq_adc_topk(
     approx = (
         c.crossJoin(F.broadcast(lut_df))
         .filter(F.col(query_id_col) != F.col("_cid"))
-        .select(
-            query_id_col,
-            "_cid",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "_codes",
-                        "_lut",
-                        lambda code, row: F.element_at(row, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("_asim"),
-        )
+        .select(query_id_col, "_cid", F.round(_adc_sum(), 6).alias("_asim"))
     )
     wa = Window.partitionBy(query_id_col).orderBy(
         F.col("_asim").desc(), F.col("_cid").asc()
@@ -996,6 +1013,27 @@ def pq_adc_topk(
     )
     return _exact_rerank(
         corpus, queries, cand, k, id_col, vec_col, query_id_col
+    )
+
+
+def _adc_sum() -> Column:
+    """The shared ADC fold — sum over subspaces of LUT[m][codes[m]]
+    over the fixed helper columns (_codes, _lut) — built once per
+    process (exprcache): the three ADC call sites each paid ~50 py4j
+    round trips rebuilding this identical lambda tree."""
+    from bazof_spark.exprcache import cached_column
+
+    return cached_column(
+        ("sim.adc_sum", "_codes", "_lut"),
+        lambda: F.aggregate(
+            F.zip_with(
+                "_codes",
+                "_lut",
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
 
 
@@ -1253,19 +1291,7 @@ def ivf_pq_residual_topk(
         .select(
             query_id_col,
             "_cid",
-            F.round(
-                F.col("_bias")
-                + F.aggregate(
-                    F.zip_with(
-                        "_codes",
-                        "_lut",
-                        lambda code, row: F.element_at(row, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("_asim"),
+            F.round(F.col("_bias") + _adc_sum(), 6).alias("_asim"),
         )
     )
     wa = Window.partitionBy(query_id_col).orderBy(
@@ -1351,18 +1377,7 @@ def ivf_pq_topk(
         .select(
             query_id_col,
             "_cid",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "_codes",
-                        "_lut",
-                        lambda code, row: F.element_at(row, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("_asim"),
+            F.round(_adc_sum(), 6).alias("_asim"),
         )
     )
     wa = Window.partitionBy(query_id_col).orderBy(
