@@ -417,13 +417,31 @@ def _lloyd_kmeans(x: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    prev = None
     for _ in range(10):
         assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
+        # Lloyd fixed point (opt round 1): an unchanged assignment
+        # reproduces the exact centroids it came from (the update is a
+        # pure function of membership), so every remaining iteration is
+        # a bit-identical no-op — break. Per-cluster: only memberships
+        # that changed need their mean recomputed; untouched clusters
+        # keep the identical centroid. Results are bitwise unchanged
+        # (same inputs to the same ops); only dead work is skipped.
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        changed = (
+            range(len(cent))
+            if prev is None
+            else np.unique(
+                np.concatenate([assign[assign != prev], prev[assign != prev]])
+            )
+        )
+        for c in changed:
             members = x[assign == c]
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        prev = assign
     return cent
 
 
@@ -783,13 +801,27 @@ def _lloyd_kmeans_l2(x: np.ndarray, n_codes: int, seed: int) -> np.ndarray:
     (argmin-first), matching the encode UDF."""
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)].copy()
+    prev = None
     for _ in range(10):
         d = ((x[:, None, :] - cent[None]) ** 2).sum(axis=2)
         assign = np.argmin(d, axis=1)
-        for c in range(len(cent)):
+        # same fixed-point shortcut as _lloyd_kmeans: unchanged
+        # assignment ⇒ identical centroids forever after (bitwise);
+        # unchanged memberships keep their identical mean
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        changed = (
+            range(len(cent))
+            if prev is None
+            else np.unique(
+                np.concatenate([assign[assign != prev], prev[assign != prev]])
+            )
+        )
+        for c in changed:
             members = x[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
+        prev = assign
     return cent
 
 

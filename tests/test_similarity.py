@@ -550,3 +550,60 @@ def test_sq8_topk_near_exact_and_int8_range(emb):
     ).collect()
     for row in codes:
         assert all(-127 <= x <= 127 for x in row["q"])
+
+
+def test_lloyd_kmeans_fixed_point_exit_is_bit_identical():
+    """Opt round 1: both k-means trainers break out of the fixed
+    10-iteration loop once the assignment reaches a fixed point, and
+    skip mean recomputation for clusters whose membership did not
+    change. Pin: the trained centroids are BITWISE identical to the
+    always-10-iterations reference loop (the update is a pure function
+    of membership, so an unchanged assignment reproduces its exact
+    centroids) — including duplicate-heavy samples that exercise empty
+    clusters."""
+    import numpy as np
+
+    from bazof_spark.operators.similarity import (
+        _lloyd_kmeans,
+        _lloyd_kmeans_l2,
+    )
+
+    def ref_spherical(x, n_lists, seed):
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+        for _ in range(10):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        return cent
+
+    def ref_l2(x, n_codes, seed):
+        rng = np.random.default_rng(seed)
+        cent = x[
+            rng.choice(len(x), size=min(n_codes, len(x)), replace=False)
+        ].copy()
+        for _ in range(10):
+            d = ((x[:, None, :] - cent[None]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        return cent
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed + 1000)
+        n = int(rng.integers(16, 300))
+        dim = int(rng.choice([8, 16, 64]))
+        x = rng.normal(size=(n, dim))
+        if seed % 3 == 0:
+            x[: n // 2] = x[0]  # duplicates → empty-cluster edges
+        k = int(rng.choice([4, 8, 16]))
+        assert (_lloyd_kmeans(x.copy(), k, seed) ==
+                ref_spherical(x.copy(), k, seed)).all()
+        assert (_lloyd_kmeans_l2(x.copy(), k, seed) ==
+                ref_l2(x.copy(), k, seed)).all()
