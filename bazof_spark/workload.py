@@ -1902,8 +1902,14 @@ def _recall_vs_exact_join(exact, ann):
     hit = ann.groupBy("query_id", "neighbor_id").agg(
         F.count(F.lit(1)).alias("_m")
     )
+    # broadcast the ann side (opt round 1): both relations are top-k
+    # cuts (≤ |queries|·k rows), but they sit above aggregates whose
+    # sizes Spark cannot estimate, so the planner fell back to a
+    # SortMergeJoin — 2 exchanges + 2 sorts between two tiny relations
+    # (and at 100 TB the exact side would shuffle). The hint pins the
+    # provably-bounded side; plan pins assert the join strategy.
     return (
-        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        exact.join(F.broadcast(hit), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),

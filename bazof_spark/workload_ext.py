@@ -964,11 +964,24 @@ def events_funnel(spark, sf_dir):
     min-aggregate on user_id plus a co-partitioned join — three shuffles
     on the same key, no fact-table self-join blowup (the per-user
     firsts, not the raw events, flow between stages)."""
+    from pyspark import StorageLevel
+
     ev = _t("events")(spark, sf_dir)
+    # each stage's per-user firsts are referenced TWICE (the next stage
+    # joins them; the final count reads them) and Spark shares no
+    # subplans across DataFrame references, so the view stage executed
+    # 3x and the click stage 2x — 12 event scans for a 3-stage funnel
+    # (opt round 1, guide §2.4). persist() lets the cache manager
+    # substitute ONE InMemoryRelation for every reference — each stage
+    # computes once, lazily, inside the same job (no extra eager jobs);
+    # rows, aggregation order, and results are unchanged. At scale
+    # these relations are bounded by user count, not event count — the
+    # docstring's contract already.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -976,6 +989,7 @@ def events_funnel(spark, sf_dir):
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -479,6 +479,14 @@ def test_ann_recall_pq_composition_bounded(spark):
     # recall join and final per-query aggregate
     assert shuffle_count(df) <= 8
     assert broadcast_join_count(df) >= 4
+    # opt round 1, session 2: the recall join broadcasts the bounded
+    # ann-hit side — the planner cannot size the aggregates and fell
+    # back to a SortMergeJoin between two top-k cuts (2 exchanges + 2
+    # sorts; at 100 TB the exact side would shuffle). Pin: no SMJ
+    # anywhere in the recall harness.
+    from bazof_spark.plans.inspect import _plan_nodes
+
+    assert "SortMergeJoin" not in _plan_nodes(df)
     for cols in scan_columns(df):
         assert cols <= {"vec_id", "embedding"}, cols
 
