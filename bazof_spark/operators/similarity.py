@@ -515,7 +515,12 @@ def _list_assign_udf(centroids: np.ndarray, n_probe: int):
         top = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.astype("int32") for row in top])
 
-    return assign
+    # the function IS deterministic; the marker stops the optimizer
+    # from DUPLICATING it below pushed join-key filters (guide §4.4 —
+    # the plan showed the corpus assignment evaluated twice, once under
+    # isnotnull(_list) and again in the projection). Results unchanged;
+    # the corpus matmul runs once per row instead of twice.
+    return assign.asNondeterministic()
 
 
 def ivf_ann_topk(
