@@ -29,7 +29,23 @@ def url_normalize(url: Column) -> Column:
     (:80 for http, :443 for https), fragment dropped, path slashes
     collapsed with the trailing slash removed (root keeps its), query
     params de-tracked (utm_*) and sorted. Path case is preserved —
-    paths are case-sensitive by spec."""
+    paths are case-sensitive by spec.
+
+    The tree (18 regex/array/when nodes) depends only on the input
+    expression, so it is built once per (process, input-string) and
+    reused — the exprcache discipline (opt round 1, change 15): every
+    reuse is the identical immutable unresolved tree, hence identical
+    plans and results."""
+    from bazof_spark.exprcache import cached_column
+
+    try:
+        key = ("url_normalize", str(url))
+    except Exception:
+        return _url_normalize_build(url)
+    return cached_column(key, lambda: _url_normalize_build(url))
+
+
+def _url_normalize_build(url: Column) -> Column:
     no_frag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(
         F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
@@ -66,4 +82,15 @@ def url_normalize(url: Column) -> Column:
 
 def url_host(url_norm: Column) -> Column:
     """Registrable host of an already-normalized URL."""
-    return F.regexp_extract(url_norm, r"^[a-z][a-z0-9+.\-]*://([^/?]*)", 1)
+    from bazof_spark.exprcache import cached_column
+
+    def _build() -> Column:
+        return F.regexp_extract(
+            url_norm, r"^[a-z][a-z0-9+.\-]*://([^/?]*)", 1
+        )
+
+    try:
+        key = ("url_host", str(url_norm))
+    except Exception:
+        return _build()
+    return cached_column(key, _build)

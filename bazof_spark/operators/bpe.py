@@ -100,26 +100,55 @@ def bpe_repr(text: Column) -> Column:
     """Canonical pre-merge representation: lowercase-alpha words, each
     character space-wrapped (``␣c␣``), words joined by ``#`` (which can
     never participate in a merge — tokens are alpha-only). Built from
-    JVM expressions end-to-end."""
-    words = F.filter(
-        F.split(F.lower(text), "[^a-z]+"), lambda w: F.length(w) > 0
-    )
-    return F.array_join(
-        F.transform(words, lambda w: F.regexp_replace(w, "(.)", " $1 ")),
-        "#",
-    )
+    JVM expressions end-to-end; the tree depends only on the input
+    expression, so it is built once per (process, input-string) — the
+    exprcache discipline (opt round 1, change 15)."""
+    from bazof_spark.exprcache import cached_column
+
+    def _build() -> Column:
+        words = F.filter(
+            F.split(F.lower(text), "[^a-z]+"), lambda w: F.length(w) > 0
+        )
+        return F.array_join(
+            F.transform(
+                words, lambda w: F.regexp_replace(w, "(.)", " $1 ")
+            ),
+            "#",
+        )
+
+    try:
+        key = ("bpe_repr", str(text))
+    except Exception:
+        return _build()
+    return cached_column(key, _build)
 
 
 def apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
     """The encoder: one built-in ``replace`` per merge rule, in rank
     order. ``␣a␣␣b␣ → ␣ab␣`` — every token carries its own delimiters,
     so non-overlapping replacement merges newly-adjacent occurrences
-    exactly like the greedy loop."""
-    for a, b in merges:
-        col = F.replace(
-            col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-        )
-    return col
+    exactly like the greedy loop.
+
+    The chain (one replace node per rule, N≈vocab size) is keyed on
+    the input expression's string AND the merge list itself (opt
+    round 1, change 15 — the BM25 precedent: model values are part of
+    the key, so retrained merges always yield a fresh tree; trees are
+    cached, never data)."""
+    from bazof_spark.exprcache import cached_column
+
+    def _build() -> Column:
+        out = col
+        for a, b in merges:
+            out = F.replace(
+                out, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            )
+        return out
+
+    try:
+        key = ("bpe_apply_merges", str(col), tuple(merges))
+    except Exception:
+        return _build()
+    return cached_column(key, _build)
 
 
 def bpe_tokenize_stats(
@@ -134,20 +163,35 @@ def bpe_tokenize_stats(
     two spaces to the representation) and digest is the md5 of the
     full tokenized string — any divergence anywhere in the merge chain
     changes it. Map-only, all whole-stage-codegen expressions."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-        lambda w: F.length(w) > 0,
-    )
-    encoded = apply_merges(bpe_repr(F.col(text_col)), merges)
+    from bazof_spark.exprcache import cached_columns
+
+    # the whole select list depends only on the column names and the
+    # trained merges (keyed like apply_merges — retrained merges yield
+    # a fresh tree); built once per process (opt round 1, change 15)
+    def _cols() -> list:
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+            lambda w: F.length(w) > 0,
+        )
+        encoded = apply_merges(bpe_repr(F.col(text_col)), merges)
+        return [
+            F.col(id_col),
+            F.size(words).cast("int").alias("n_words"),
+            F.aggregate(
+                words, F.lit(0), lambda acc, w: acc + F.length(w)
+            ).cast("long").alias("n_chars"),
+            (
+                (
+                    F.length(encoded)
+                    - F.length(F.replace(encoded, F.lit(" ")))
+                )
+                / 2
+            ).cast("long").alias("n_tokens"),
+            F.md5(encoded.cast("binary")).alias("digest"),
+        ]
+
     return df.select(
-        F.col(id_col),
-        F.size(words).cast("int").alias("n_words"),
-        F.aggregate(
-            words, F.lit(0), lambda acc, w: acc + F.length(w)
-        ).cast("long").alias("n_chars"),
-        (
-            (F.length(encoded) - F.length(F.replace(encoded, F.lit(" "))))
-            / 2
-        ).cast("long").alias("n_tokens"),
-        F.md5(encoded.cast("binary")).alias("digest"),
+        *cached_columns(
+            ("bpe_tokenize_stats", id_col, text_col, tuple(merges)), _cols
+        )
     )

@@ -30,29 +30,46 @@ def chunk_documents(
     chunk_text), chunk_id 0-based in document order."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
+    from bazof_spark.exprcache import cached_columns
+
     step = chunk_tokens - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
-    # integer-exact chunk count: max(1, ceil((n - overlap) / step))
-    n_chunks = F.greatest(
-        F.lit(1),
-        (n - F.lit(overlap) + F.lit(step - 1)).cast("long")
-        / F.lit(step),
-    ).cast("long")
+
+    # both select lists depend only on the four knobs — built once per
+    # process (opt round 1, change 15: the window-start transform and
+    # slice/join trees cost ~hundreds of py4j round trips per call)
+    def _explode_cols() -> list:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+        n = F.size(words)
+        # integer-exact chunk count: max(1, ceil((n - overlap) / step))
+        n_chunks = F.greatest(
+            F.lit(1),
+            (n - F.lit(overlap) + F.lit(step - 1)).cast("long")
+            / F.lit(step),
+        ).cast("long")
+        return [
+            F.col(id_col),
+            words.alias("_w"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+                    lambda c: c * step,
+                )
+            ).alias("chunk_id", "_start"),
+        ]
+
+    def _piece_cols() -> list:
+        piece = F.slice(F.col("_w"), F.col("_start") + 1, chunk_tokens)
+        return [
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size(piece).alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        ]
+
+    key = (chunk_tokens, overlap, id_col, text_col)
     with_chunks = docs.select(
-        F.col(id_col),
-        words.alias("_w"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-                lambda c: c * step,
-            )
-        ).alias("chunk_id", "_start"),
+        *cached_columns(("chunk_documents", "explode") + key, _explode_cols)
     )
-    piece = F.slice(F.col("_w"), F.col("_start") + 1, chunk_tokens)
     return with_chunks.select(
-        id_col,
-        "chunk_id",
-        F.size(piece).alias("n_chunk_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+        *cached_columns(("chunk_documents", "piece") + key, _piece_cols)
     )

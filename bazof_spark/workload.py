@@ -3412,30 +3412,41 @@ def url_normalize_q(spark, sf_dir):
     RE2 regex and list functions — and reduced to the canonical
     string, its host, and an md5. Two engines' regex/sort semantics
     must agree on every byte. Map-only, zero Python, zero shuffles."""
+    from bazof_spark.exprcache import cached_column
     from bazof_spark.functions.url import url_host, url_normalize
 
     docs = _docs_par(spark, sf_dir).select("doc_id")
-    d = F.col("doc_id")
-    scheme = F.when(d % 4 == 0, F.lit("HTTP")).when(
-        d % 4 == 1, F.lit("HtTpS")
-    ).when(d % 4 == 2, F.lit("http")).otherwise(F.lit("https"))
-    port = F.when(d % 4 == 0, F.lit(":80")).when(
-        d % 4 == 1, F.lit(":443")
-    ).when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit(""))
-    raw = F.concat(
-        scheme, F.lit("://WWW.Example"), (d % 50).cast("string"),
-        F.lit(".COM"), port,
-        F.lit("//Dir"), (d % 7).cast("string"), F.lit("//Page/"),
-        F.lit("?utm_source=feed&z="), (d % 5).cast("string"),
-        F.lit("&a="), (d % 3).cast("string"),
-        F.lit("#sec"), (d % 2).cast("string"),
-    )
+
+    # the raw-URL synthesis chain (~15 when/concat nodes) and the
+    # normalization tree depend only on fixed literals and the doc_id
+    # column name — built once per process (opt round 1, change 15)
+    def _raw() -> F.Column:
+        d = F.col("doc_id")
+        scheme = F.when(d % 4 == 0, F.lit("HTTP")).when(
+            d % 4 == 1, F.lit("HtTpS")
+        ).when(d % 4 == 2, F.lit("http")).otherwise(F.lit("https"))
+        port = F.when(d % 4 == 0, F.lit(":80")).when(
+            d % 4 == 1, F.lit(":443")
+        ).when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit(""))
+        return F.concat(
+            scheme, F.lit("://WWW.Example"), (d % 50).cast("string"),
+            F.lit(".COM"), port,
+            F.lit("//Dir"), (d % 7).cast("string"), F.lit("//Page/"),
+            F.lit("?utm_source=feed&z="), (d % 5).cast("string"),
+            F.lit("&a="), (d % 3).cast("string"),
+            F.lit("#sec"), (d % 2).cast("string"),
+        )
+
+    raw = cached_column(("url_normalize_q", "raw"), _raw)
     u = docs.select("doc_id", url_normalize(raw).alias("url_norm"))
     return u.select(
         "doc_id",
         "url_norm",
         url_host(F.col("url_norm")).alias("host"),
-        F.md5(F.col("url_norm").cast("binary")).alias("digest"),
+        cached_column(
+            ("url_normalize_q", "digest"),
+            lambda: F.md5(F.col("url_norm").cast("binary")).alias("digest"),
+        ),
     )
 
 

@@ -111,29 +111,38 @@ def c4_quality_filter_q(spark, sf_dir):
     page. All gates are JVM array/regex Column expressions — zero
     Python, zero shuffles; the oracle replays every rule with DuckDB
     list functions + RE2."""
-    d = F.col("doc_id")
+    from bazof_spark.exprcache import cached_columns
+
     docs = _docs(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    lines = _page_lines(d, words)
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike('[.!?"]$')
-        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
-        & ~F.lower(l).contains("javascript"),
-    )
-    trap = F.exists(
-        lines,
-        lambda l: l.contains("{") | F.lower(l).contains("lorem ipsum"),
-    )
-    n_kept = F.size(kept)
-    keep = (~trap & (n_kept >= 3)).cast("int")
-    return docs.select(
-        "doc_id",
-        F.size(lines).alias("n_lines"),
-        n_kept.alias("n_kept_lines"),
-        keep.alias("keep"),
-        F.md5(F.array_join(kept, "\n").cast("binary")).alias("digest"),
-    )
+
+    # page synthesis + all five gates are one fixed expression tree
+    # (~1,000 py4j round trips to build) over fixed column names —
+    # built once per process (opt round 1, change 15)
+    def _cols() -> list:
+        d = F.col("doc_id")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        lines = _page_lines(d, words)
+        kept = F.filter(
+            lines,
+            lambda l: l.rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+            & ~F.lower(l).contains("javascript"),
+        )
+        trap = F.exists(
+            lines,
+            lambda l: l.contains("{") | F.lower(l).contains("lorem ipsum"),
+        )
+        n_kept = F.size(kept)
+        keep = (~trap & (n_kept >= 3)).cast("int")
+        return [
+            F.col("doc_id"),
+            F.size(lines).alias("n_lines"),
+            n_kept.alias("n_kept_lines"),
+            keep.alias("keep"),
+            F.md5(F.array_join(kept, "\n").cast("binary")).alias("digest"),
+        ]
+
+    return docs.select(*cached_columns(("c4_quality_filter",), _cols))
 
 
 def line_dedup_within_doc_q(spark, sf_dir):

@@ -46,3 +46,65 @@ def test_cache_keys_are_context_scoped(spark):  # noqa: F811
     assert any(k[1:] == ("t3",) for k in _CACHE)
     # every key carries the active context id as its first element
     assert all(isinstance(k[0], int) for k in _CACHE)
+
+
+def test_url_normalize_cached_and_keyed_on_input(spark):  # noqa: F811
+    """Change 15: url_normalize/url_host build once per (process,
+    input-string) and distinct inputs get distinct trees."""
+    from bazof_spark.functions.url import url_host, url_normalize
+
+    a1 = url_normalize(F.col("u"))
+    a2 = url_normalize(F.col("u"))
+    assert a1 is a2
+    b = url_normalize(F.col("v"))
+    assert b is not a1
+    h1 = url_host(F.col("n"))
+    assert url_host(F.col("n")) is h1
+    df = spark.createDataFrame(
+        [("HTTP://WWW.X.COM:80//a//b/?utm_source=f&b=2&a=1#frag",),
+         ("http://www.x.com/a/b?a=1&b=2",)],
+        "u string",
+    )
+    rows = df.select(a1.alias("n")).collect()
+    # both raw spellings canonicalize to the same resource
+    assert rows[0]["n"] == rows[1]["n"] == "http://www.x.com/a/b?a=1&b=2"
+
+
+def test_chunk_documents_cache_keyed_on_knobs(spark):  # noqa: F811
+    """Change 15: chunk_documents reuses its select lists per knob set;
+    different knobs must NOT share trees, and results are unchanged."""
+    from bazof_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    out1 = chunk_documents(df, chunk_tokens=8, overlap=0).collect()
+    out2 = chunk_documents(df, chunk_tokens=8, overlap=0).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 3  # ceil(20/8)
+    assert out1[0]["chunk_text"].split() == [f"w{i}" for i in range(8)]
+    # different knobs -> different chunking (distinct cached trees)
+    out3 = chunk_documents(df, chunk_tokens=10, overlap=5).collect()
+    assert len(out3) == 3  # ceil((20-5)/5)
+    assert out3[1]["chunk_text"].split()[0] == "w5"
+
+
+def test_bpe_apply_merges_keyed_on_merges(spark):  # noqa: F811
+    """Change 15: the encode chain is keyed on the MERGE LIST itself —
+    retrained merges must yield a fresh tree (the BM25 precedent:
+    trees are cached, never data)."""
+    from bazof_spark.operators.bpe import apply_merges, bpe_repr
+
+    rep = bpe_repr(F.col("t"))
+    assert bpe_repr(F.col("t")) is rep
+    m1 = [("a", "b")]
+    m2 = [("a", "b"), ("ab", "c")]
+    e1 = apply_merges(rep, m1)
+    assert apply_merges(rep, m1) is e1
+    e2 = apply_merges(rep, m2)
+    assert e2 is not e1
+    df = spark.createDataFrame([("abc",)], "t string")
+    r1 = df.select(e1.alias("x")).collect()[0]["x"]
+    r2 = df.select(e2.alias("x")).collect()[0]["x"]
+    assert r1 == " ab  c "   # one merge applied
+    assert r2 == " abc "     # second-stage merge applied
