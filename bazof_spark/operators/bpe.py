@@ -145,7 +145,9 @@ def apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
         return out
 
     try:
-        key = ("bpe_apply_merges", str(col), tuple(merges))
+        # normalize so JSON-loaded list-of-lists merges hash (and hit
+        # the same entry as the equivalent list-of-tuples)
+        key = ("bpe_apply_merges", str(col), tuple(map(tuple, merges)))
     except Exception:
         return _build()
     return cached_column(key, _build)
@@ -190,8 +192,9 @@ def bpe_tokenize_stats(
             F.md5(encoded.cast("binary")).alias("digest"),
         ]
 
-    return df.select(
-        *cached_columns(
-            ("bpe_tokenize_stats", id_col, text_col, tuple(merges)), _cols
-        )
-    )
+    try:
+        # same normalization as apply_merges: list-of-lists merges hash
+        key = ("bpe_tokenize_stats", id_col, text_col, tuple(map(tuple, merges)))
+    except Exception:
+        return df.select(*_cols())
+    return df.select(*cached_columns(key, _cols))

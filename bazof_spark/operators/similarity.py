@@ -46,7 +46,14 @@ def _cached_on_inputs(tag: str, builder, *cols: Column) -> Column:
     the input expression TREES, so the inputs' string forms (one round
     trip each via Column.__repr__) key a per-process cache; every reuse
     is the identical immutable unresolved tree, hence identical plans
-    and results."""
+    and results.
+
+    CONTRACT (exprcache module docstring, hardened opt round 2): the
+    ``cols`` must be UNRESOLVED caller-built trees (``F.col``/``F.lit``
+    compositions), never df-bound attributes — resolved columns from
+    different DataFrames can stringify identically, and a str() key
+    collision would silently serve a tree bound to the wrong plan.
+    Every call site in this module passes unresolved trees."""
     from bazof_spark.exprcache import cached_column
 
     try:

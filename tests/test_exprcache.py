@@ -108,3 +108,72 @@ def test_bpe_apply_merges_keyed_on_merges(spark):  # noqa: F811
     r2 = df.select(e2.alias("x")).collect()[0]["x"]
     assert r1 == " ab  c "   # one merge applied
     assert r2 == " abc "     # second-stage merge applied
+
+
+def test_context_tokens_never_alias_across_instances(spark):  # noqa: F811
+    """Opt round 2 hardening (VERDICT r12 item 8): cache scoping keys
+    on a token stored ON the context instance, not id(sc) — CPython
+    can hand a new context the id of a garbage-collected old one, and
+    a stale entry would serve Columns whose gateway handles belong to
+    a stopped JVM. Distinct instances must get distinct tokens even
+    when their id() collides."""
+    from pyspark import SparkContext
+
+    from bazof_spark.exprcache import _TOKEN_ATTR, _ctx_token
+
+    class _FakeCtx:
+        pass
+
+    real = SparkContext._active_spark_context
+    try:
+        tokens = set()
+        for _ in range(3):
+            fake = _FakeCtx()
+            SparkContext._active_spark_context = fake
+            t1 = _ctx_token()
+            assert _ctx_token() == t1  # stable per instance
+            tokens.add(t1)
+            del fake  # id() is now reusable by the next instance
+        assert len(tokens) == 3  # no aliasing across instances
+    finally:
+        SparkContext._active_spark_context = real
+    # the real context keeps its own stable token
+    assert getattr(real, _TOKEN_ATTR, None) == _ctx_token()
+
+
+def test_unhashable_key_degrades_to_uncached_build(spark):  # noqa: F811
+    """ADVICE r12: an unhashable key component (JSON-loaded
+    list-of-lists merges) must fall back to building, not raise."""
+    calls = []
+
+    def _build():
+        calls.append(1)
+        return F.lit(7)
+
+    col = cached_column(("t_unhashable", ["a", "b"]), _build)
+    assert calls == [1]
+    cached_column(("t_unhashable", ["a", "b"]), _build)
+    assert calls == [1, 1]  # uncached: builder runs each time
+    cols = cached_columns(("t_unhashable2", {"k": 1}), lambda: [col])
+    assert len(cols) == 1
+
+
+def test_bpe_merges_accept_json_loaded_lists(spark):  # noqa: F811
+    """ADVICE r12: a list-of-lists merge table (json.load output) must
+    work through apply_merges and bpe_tokenize_stats, and hit the same
+    cache entry as the equivalent list-of-tuples."""
+    from bazof_spark.operators.bpe import apply_merges, bpe_repr, bpe_tokenize_stats
+
+    rep = bpe_repr(F.col("t"))
+    as_lists = [["a", "b"]]
+    as_tuples = [("a", "b")]
+    e1 = apply_merges(rep, as_lists)
+    e2 = apply_merges(rep, as_tuples)
+    assert e1 is e2  # normalized key: same entry
+    df = spark.createDataFrame([("abc",)], "t string")
+    assert df.select(e1.alias("x")).collect()[0]["x"] == " ab  c "
+    stats = bpe_tokenize_stats(
+        df.select(F.col("t").alias("text"), F.lit(1).alias("doc_id")),
+        as_lists,
+    ).collect()
+    assert stats[0]["n_tokens"] == 2  # 'ab', 'c'
