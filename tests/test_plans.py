@@ -790,10 +790,32 @@ def test_heavy_hitters_bounded_exchange(spark):
     to the text column), and the only exchanges are the ≤ capacity·P
     summary merge + the k-row ranking window — never the corpus's
     distinct-item set as a full GROUP BY would shuffle."""
+    from bazof_spark.operators.heavyhitters import mg_topk
+
+    sc = spark.sparkContext
+    sc.setJobGroup("hh_construct_probe", "mg_topk construction")
+    try:
+        # opt round 2: the error bound is computed IN-plan (window sum
+        # over the merged sketch) — mg_topk construction must run ZERO
+        # jobs; the old shape eagerly collected parts.agg(sum(rounds)),
+        # executing the corpus summary pass twice per evaluation
+        mg_topk(
+            spark.range(0, 30).selectExpr("cast(id % 3 as string) as t"),
+            "t", k=2, capacity=8,
+        )
+        assert list(
+            sc.statusTracker().getJobIdsForGroup("hh_construct_probe")
+        ) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     df = q("heavy_hitters_terms", spark)
     assert scan_columns(df) == [{"text"}]
     assert shuffle_count(df) <= 2
     assert broadcast_join_count(df) == 0
+    # one corpus pass: exactly one Arrow-batched summary node in-plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
 
 
 def test_r12_pipeline_queries_bounded(spark):
