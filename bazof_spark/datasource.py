@@ -158,6 +158,7 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     groups_skipped / rows_pruned counters."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
     from bazof_spark import iofs
 
@@ -167,7 +168,21 @@ def _file_batches(path: str, rank: int, columns, field_order, arrow_schema,
     # (pq.ParquetFile on a raw s3:// string would bypass
     # $BAZOF_S3_ENDPOINT and scheme emulation entirely)
     filesystem, rel = iofs.split(path)
-    f = pq.ParquetFile(filesystem.open_input_file(rel))
+    # Span-coalescing data reads (opt round 2, guide §6): on remote
+    # filesystems the arrow reader's pre-buffer mode batches the
+    # selected column-chunk byte ranges per row group and coalesces
+    # nearby ranges into single ranged GETs (measured against the
+    # repo's S3 protocol server: 49 -> 2 GETs full-file, 25 -> 18 with
+    # column pruning gaps) instead of one read per page run. Local
+    # files keep the default streaming reads (no copy into a range
+    # cache); BAZOF_PARQUET_PRE_BUFFER=1/0 forces either way.
+    _pb_env = os.environ.get("BAZOF_PARQUET_PRE_BUFFER", "")
+    pre_buffer = (
+        _pb_env == "1"
+        if _pb_env in ("0", "1")
+        else not isinstance(filesystem, pafs.LocalFileSystem)
+    )
+    f = pq.ParquetFile(filesystem.open_input_file(rel), pre_buffer=pre_buffer)
     md = f.metadata
     # (group index, file-global first row) for every group this byte
     # range covers. length None with start > 0 = open-ended tail range

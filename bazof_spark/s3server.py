@@ -55,6 +55,10 @@ class _Store:
         self.lock = threading.RLock()
         #: bucket -> key -> (bytes, mtime)
         self.buckets: dict[str, dict[str, tuple[bytes, float]]] = {}
+        #: GET census (test instrumentation): ("bucket/key", Range
+        #: header or None) per object GET — lets reader tests count
+        #: ranged GETs per file (the object-store cost model)
+        self.get_log: list[tuple[str, str | None]] = []
         #: upload_id -> (bucket, key, {part_number: bytes})
         self.uploads: dict[str, tuple[str, str, dict[int, bytes]]] = {}
         self._upload_seq = 0
@@ -167,6 +171,9 @@ class _Handler(BaseHTTPRequestHandler):
             if obj is None:
                 return self._error(404, "NoSuchKey", key)
             data, mtime = obj
+            st.get_log.append(
+                (f"{bucket}/{key}", self.headers.get("Range"))
+            )
         rng = self.headers.get("Range")
         headers = {
             "ETag": _etag(data),

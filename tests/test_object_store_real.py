@@ -821,3 +821,69 @@ def test_cdc_mirror_over_real_s3(spark, s3_endpoint, tmp_path):
     for as_of in (t1, t2, t3, None):
         a, b = state("src", as_of), state("mirror", as_of)
         assert a and a == b, f"s3 mirror diverged at {as_of}"
+
+
+def test_remote_reads_coalesce_ranged_gets(s3_endpoint):
+    """Opt round 2 (guide §6): on object-store filesystems the batch
+    reader pre-buffers — the selected column chunks' byte ranges are
+    coalesced into few ranged GETs instead of one read per page run.
+    Census over the live S3 server: pre-buffer must read the same rows
+    with strictly fewer GETs than the streaming default."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bazof_spark.datasource import _file_batches
+
+    fs, _ = iofs.split("s3://prebuf/x")
+    try:
+        fs.create_dir("prebuf")
+    except Exception:
+        pass
+    n = 40_000
+    t = pa.table(
+        {
+            "key": pa.array([f"k{i:06d}" for i in range(n)]),
+            "event_time": pa.array(
+                np.arange(n, dtype="int64"), type=pa.timestamp("us")
+            ),
+            "value": pa.array([f"v{i}" for i in range(n)]),
+            "extra": pa.array(np.arange(n, dtype="float64")),
+        }
+    )
+    fs2, rel = iofs.split("s3://prebuf/t.parquet")
+    pq.write_table(
+        t, rel, filesystem=fs2, row_group_size=5_000, write_page_index=True
+    )
+    schema = pa.schema(
+        [
+            pa.field("key", pa.string()),
+            pa.field("event_time", pa.timestamp("us")),
+            pa.field("value", pa.string()),
+            pa.field("_rank", pa.int64()),
+            pa.field("_row_idx", pa.int64()),
+        ]
+    )
+    order = ["key", "event_time", "value", "_rank", "_row_idx"]
+
+    def read_all():
+        s3_endpoint.store.get_log.clear()
+        rows = 0
+        for batch in _file_batches(
+            "s3://prebuf/t.parquet", 0, ["key", "event_time", "value"],
+            order, schema,
+        ):
+            rows += batch.num_rows
+        gets = [g for g in s3_endpoint.store.get_log if "t.parquet" in g[0]]
+        return rows, len(gets)
+
+    import os as _os
+
+    _os.environ["BAZOF_PARQUET_PRE_BUFFER"] = "0"
+    try:
+        rows_off, gets_off = read_all()
+    finally:
+        _os.environ.pop("BAZOF_PARQUET_PRE_BUFFER", None)
+    rows_auto, gets_auto = read_all()  # auto = ON for remote filesystems
+    assert rows_off == rows_auto == n
+    assert gets_auto < gets_off, (gets_auto, gets_off)
